@@ -1,0 +1,551 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Ox._
+
+/** Core relational operator set (SURVEY.md §2 Tier B/C: scans, filters,
+  * joins, aggregations, windows, sorts, set ops, scalar functions).
+  *
+  * Every query is deterministic (explicit ORDER BY over a unique key in
+  * both the Spark plan and the DuckDB oracle) and every double aggregate
+  * goes through [[Ox]] so the two engines hash-match.
+  *
+  * Scale notes are per-query in the Scaladoc: the driving concern is that
+  * each plan survives 1000 executors × 100 TB — filters/projections push
+  * into the parquet scan, small dimensions broadcast, big joins shuffle
+  * on their join key only, and no operator collects to the driver.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Column-pruned projection: the scan must read exactly 3 columns
+    * (check `PushedFilters`/`ReadSchema` in explain). At 100 TB this is
+    * the difference between reading 3/11 of the table bytes or all of it.
+    */
+  private def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Deterministic TOP-N (reference B3 `take 100`): orderBy+limit compiles
+    * to TakeOrderedAndProject — per-partition top-N then a single merge,
+    * no global sort, no full-result collect. Scales to any input size.
+    */
+  private def scanLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  // -------------------------------------------------------------- filters
+
+  /** Compound predicate (reference A2 shape). Both conjuncts push down to
+    * the parquet reader as `PushedFilters`; row-group stats skip
+    * non-matching row groups entirely.
+    */
+  private def filterPred(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Missing-field → zero-value semantics (reference §1.3): JSON extract
+    * gives NULL for absent keys; the reference's Go decoder gives zero
+    * values. `coalesce(_, 0)` reproduces that contract.
+    */
+  private def filterNullZero(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Small-dimension equi-join, pinned to BroadcastHashJoin: `part` is a
+    * dimension table (200 rows/SF-invariant here; ≤ MBs at any SF), so it
+    * ships to every executor once and the 100 TB fact side never shuffles.
+    */
+  private def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** Fact-to-fact equi-join → SortMergeJoin, shuffling both sides on the
+    * join key once. Aggregation after the join reuses no extra shuffle
+    * (group key differs), but partial aggregation keeps the final exchange
+    * tiny (5 priorities). AQE handles skewed order keys at scale.
+    */
+  private def joinSmj(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Star-chain: customer ⋈ nation ⋈ region with both dimensions
+    * broadcast — zero shuffles on the fact side regardless of its size.
+    */
+  private def joinMultiway(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(cnt.as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name")
+
+  /** LeftSemi (EXISTS): emits each order at most once however many
+    * lineitems match — no fan-out, and the probe side short-circuits on
+    * first match.
+    */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.lineitem(s, dir).filter(col("l_discount") > 0.06)
+    Tables.orders(s, dir)
+      .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** LeftAnti (NOT EXISTS): customers with no orders. The orders side only
+    * needs its key column — Catalyst prunes the rest before the shuffle.
+    */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Equi + range predicate: the equi conjunct keys the SortMergeJoin (so
+    * this is NOT a nested-loop cross product at scale); the BETWEEN band
+    * is evaluated as the join's residual condition.
+    */
+  private def joinRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").between(col("o_orderdate"),
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")))
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("n"))
+      .orderBy("o_orderpriority")
+
+  /** As-of join (latest prior event per user for each purchase),
+    * implemented as a single pass with `lag` over (user_id, ts) — one
+    * shuffle on user_id, O(n) work — instead of the naive
+    * events×events inequality self-join the oracle uses (O(n²) pairs).
+    * This is the formulation that survives 100 TB; the oracle SQL is the
+    * spec, not the plan.
+    */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prior_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("event_type") === "purchase" && col("prior_ts").isNotNull)
+      .select("event_id", "prior_ts")
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------------------- aggs
+
+  /** Global min/max/count over the ledger (reference A7/A8/A13: the
+    * `maxTimestamp` high-water mark). Partial aggregation means each of
+    * the 1000 executors sends 3 numbers to the final stage.
+    */
+  private def aggMax(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(max(col("ts_us")).as("max_ts"), min(col("ts_us")).as("min_ts"), cnt.as("n"))
+
+  /** TPC-H Q1 shape: the engine's spine (scan → filter → project →
+    * hash-agg partial/final → sort). Group cardinality is tiny (6), so the
+    * exchange after partial agg carries ~6 rows per task at any SF.
+    */
+  private def aggGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        cnt.as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct per group: Spark rewrites to a two-phase Expand +
+    * partial-distinct aggregation; dedup happens map-side before the
+    * shuffle, so the exchange carries distinct (status, custkey) pairs,
+    * not raw rows.
+    */
+  private def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), cnt.as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Approximate distinct (HLL++): constant memory per group vs the exact
+    * version's hash table — the 100 TB answer when 2% error is fine.
+    * ⊘ rows-only check: HLL estimate differs engine-to-engine, so the
+    * query emits both the estimate and the exact count plus their
+    * relative error, and the spec asserts the error bound instead of a
+    * DuckDB hash.
+    */
+  private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** max_by / arg_max (reference A9 last-writer-wins register, per key).
+    * Single aggregation, no window, no self-join; `ts` is unique per user
+    * in this data so the result is deterministic.
+    */
+  private def aggMaxBy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max_by(col("value"), col("ts_us")).as("last_value"),
+        max(col("ts_us")).as("last_ts"))
+      .orderBy("user_id")
+
+  /** ROLLUP hierarchy totals. NULL group keys from the rollup levels are
+    * coalesced to a sentinel so both engines sort/hash them identically.
+    */
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** CUBE: all 4 grouping combinations via one Expand — one shuffle total,
+    * not one per grouping set.
+    */
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(cnt.as("n"), dsum(col("l_extendedprice")).as("sum_base"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("sum_base"))
+      .orderBy("rf", "ls")
+
+  /** Explicit GROUPING SETS ((rf), (ls)) — two independent groupings in
+    * one pass over the data.
+    */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-1 per group via row_number: one shuffle on the partition key;
+    * ties broken by o_orderkey so the winner is unique and deterministic.
+    */
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** Running max per user (reference A8 watermark as an analytic).
+    * UNBOUNDED PRECEDING..CURRENT ROW over max is computed incrementally —
+    * O(1) per row. max over doubles is exact (no FP accumulation).
+    */
+  private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        max(col("value")).over(w).as("running_max"))
+      .orderBy("event_id")
+  }
+
+  /** Sliding 3-row frame sum. Rounded to 3 decimals because tiny-frame FP
+    * sums may associate differently across engines (DuckDB uses segment
+    * trees for sliding frames).
+    */
+  private def windowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 3).as("win_sum"))
+      .orderBy("event_id")
+  }
+
+  /** lag → inter-event gap per user (feeds sessionization). Pure integer
+    * arithmetic on epoch-ns, exact in both engines; first event per user
+    * coalesces to -1.
+    */
+  private def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------- sorts / topk
+
+  /** Global top-k: TakeOrderedAndProject (per-partition heap of k, single
+    * merge of 1000×k rows) — never a global sort. Deterministic via the
+    * o_orderkey tie-break.
+    */
+  private def topk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Multi-key sort with an explicitly nullable key and explicit NULL
+    * ordering (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — so
+    * ordering is always pinned).
+    */
+  private def sortMulti(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        nullif(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
+      .orderBy(col("k").asc_nulls_first, col("event_id"))
+
+  // ------------------------------------------------------------- set ops
+
+  /** UNION ALL of two disjoint filtered slices, each tagged with its
+    * origin. Spark `union` is bag semantics (= UNION ALL), no dedup
+    * shuffle.
+    */
+  private def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("hi").as("src"))
+      .union(o.filter(col("o_totalprice") < 10000)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("lo").as("src")))
+      .orderBy("o_orderkey", "src")
+  }
+
+  /** INTERSECT (distinct): orders containing both brand families. Executes
+    * as an aggregate + semi-join under the hood; both inputs pre-project
+    * to the single key column.
+    */
+  private def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    def keysOf(brand: String): DataFrame =
+      li.join(broadcast(p.filter(col("p_brand") === brand)),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey")
+    keysOf("Brand#11").intersect(keysOf("Brand#12")).orderBy("l_orderkey")
+  }
+
+  /** EXCEPT (distinct): brand-11 orders minus brand-12 orders. */
+  private def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    def keysOf(brand: String): DataFrame =
+      li.join(broadcast(p.filter(col("p_brand") === brand)),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey")
+    keysOf("Brand#11").except(keysOf("Brand#12")).orderBy("l_orderkey")
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** String function battery (reference A11 md5 + basics). All codegen'd
+    * built-ins — no UDFs in the hot path.
+    */
+  private def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        md5(col("c_name")).as("name_md5"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"))
+      .orderBy("c_custkey")
+
+  /** Date-part extraction (reference A6: the YYYY/MM/DD/HH partition-path
+    * derivation). year/month/day cast to INT to match across engines.
+    */
+  private def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).cast("int").as("y"),
+        month(col("l_shipdate")).cast("int").as("m"),
+        dayofmonth(col("l_shipdate")).cast("int").as("d"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Math battery. sqrt is IEEE-correctly-rounded (bit-identical across
+    * engines); x*x is used instead of pow (libm-dependent); round(_,2) on
+    * the revenue expression matches positive-half-up in both engines.
+    */
+  private def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("disc_price"),
+        abs(col("l_discount") - lit(0.05)).as("adisc"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        floor(col("l_extendedprice")).as("price_floor"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON path extraction incl. a missing path (NULL in both engines). */
+  private def jsonGet(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.missing").as("miss"))
+      .orderBy("event_id")
+
+  /** Array/higher-order functions over the embedding column: size,
+    * element_at, and an `aggregate` fold for the L2 norm — all codegen'd,
+    * no UDF. The norm rounds to 4 decimals (fold order is engine-defined
+    * but both fold left; rounding absorbs any residual ulp drift).
+    */
+  private def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))
+      .orderBy("vec_id")
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> (scanProject _),
+    "q_scan_limit" -> (scanLimit _),
+    "q_filter_pred" -> (filterPred _),
+    "q_filter_null_zero" -> (filterNullZero _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_smj" -> (joinSmj _),
+    "q_join_multiway" -> (joinMultiway _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_join_range" -> (joinRange _),
+    "q_asof_join" -> (asofJoin _),
+    "q_agg_max" -> (aggMax _),
+    "q_agg_group" -> (aggGroup _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_agg_approx_distinct" -> (aggApproxDistinct _),
+    "q_agg_maxby" -> (aggMaxBy _),
+    "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSets _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_window_frame" -> (windowFrame _),
+    "q_window_lead_lag" -> (windowLeadLag _),
+    "q_topk" -> (topk _),
+    "q_sort_multi" -> (sortMulti _),
+    "q_union" -> (unionAll _),
+    "q_intersect" -> (intersectKeys _),
+    "q_except" -> (exceptKeys _),
+    "q_string_funcs" -> (stringFuncs _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_math_funcs" -> (mathFuncs _),
+    "q_json_get" -> (jsonGet _),
+    "q_array_funcs" -> (arrayFuncs _)
+  )
+
+  /** DuckDB oracle SQL. Same column names, same ORDER BY, and double aggs
+    * routed through DECIMAL(18,4) exactly as [[Ox.dsum]] does.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_scan_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_filter_pred" ->
+      "SELECT l_orderkey, l_linenumber, l_discount, l_returnflag FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "q_filter_null_zero" ->
+      "SELECT event_id, COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k FROM events ORDER BY event_id",
+    "q_join_broadcast" ->
+      "SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "q_join_smj" ->
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_join_multiway" ->
+      "SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    "q_semi_join" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.06) ORDER BY o_orderkey",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_join_range" ->
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_asof_join" ->
+      "SELECT p.event_id AS event_id, CAST(max(epoch_us(e.ts)) AS BIGINT) AS prior_ts FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts WHERE p.event_type = 'purchase' GROUP BY p.event_id ORDER BY event_id",
+    "q_agg_max" ->
+      "SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts, CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts, CAST(count(*) AS BIGINT) AS n FROM events",
+    "q_agg_group" ->
+      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_agg_distinct" ->
+      "SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_agg_maxby" ->
+      "SELECT user_id, arg_max(value, ts) AS last_value, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
+    "q_rollup" ->
+      "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "q_cube" ->
+      "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "q_grouping_sets" ->
+      "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY rf, ls",
+    "q_window_rank" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1 ORDER BY o_custkey",
+    "q_window_running" ->
+      "SELECT event_id, user_id, max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max FROM events ORDER BY event_id",
+    "q_window_frame" ->
+      "SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS win_sum FROM events ORDER BY event_id",
+    "q_window_lead_lag" ->
+      "SELECT event_id, user_id, CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us FROM events ORDER BY event_id",
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_sort_multi" ->
+      "SELECT event_id, NULLIF(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k FROM events ORDER BY k ASC NULLS FIRST, event_id",
+    "q_union" ->
+      "SELECT o_orderkey, o_totalprice, 'hi' AS src FROM orders WHERE o_totalprice > 200000 UNION ALL SELECT o_orderkey, o_totalprice, 'lo' AS src FROM orders WHERE o_totalprice < 10000 ORDER BY o_orderkey, src",
+    "q_intersect" ->
+      "SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#11' INTERSECT SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#12' ORDER BY l_orderkey",
+    "q_except" ->
+      "SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#11' EXCEPT SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#12' ORDER BY l_orderkey",
+    "q_string_funcs" ->
+      "SELECT c_custkey, upper(c_name) AS uname, CAST(length(c_name) AS INT) AS name_len, substr(c_name, 1, 8) AS name_pfx, md5(c_name) AS name_md5, concat(c_mktsegment, '-', c_name) AS seg_name FROM customer ORDER BY c_custkey",
+    "q_date_funcs" ->
+      "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS INT) AS y, CAST(month(l_shipdate) AS INT) AS m, CAST(day(l_shipdate) AS INT) AS d, strftime(l_shipdate, '%Y-%m') AS ym FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_math_funcs" ->
+      "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price, abs(l_discount - 0.05) AS adisc, sqrt(l_quantity) AS sqrt_qty, l_quantity * l_quantity AS qty_sq, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_json_get" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str, json_extract_string(props, '$.missing') AS miss FROM events ORDER BY event_id",
+    "q_array_funcs" ->
+      "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
+  )
+}
