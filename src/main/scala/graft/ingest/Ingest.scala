@@ -1,0 +1,151 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingest pipeline (SURVEY.md §2 Tier A / §3.1), rebuilt
+  * Spark-first: JSON envelope → validate → zero-value coalesce →
+  * time-partitioned snappy parquet sink → state registers.
+  *
+  * Reference semantics reproduced (citations into /root/reference):
+  *  - schema & JSON keys: src/main.go:58-75
+  *  - validation (file/timeGenerated/id non-empty): src/main.go:256-269;
+  *    empty `content` is a rejection here, not a panic (src/main.go:278
+  *    panics — SURVEY.md §7.4 decides reject)
+  *  - missing JSON fields → Go zero values, not NULL: tests/test.http:76-85
+  *  - snappy + 128 MiB row groups: src/main.go:27,33-34
+  *  - overwrite-by-path idempotence: README.md:88
+  *  - <source>/YYYY/MM/DD/HH layout: README.md:5, tests/main.go:61-64
+  */
+object Ingest {
+
+  /** One time-series row — wire types per the reference's parquet tags
+    * (src/main.go:58-67: int32 fields are INT64 on the wire, so LongType).
+    */
+  case class TimeSeriesData(
+      timestamp: Long, timeOffsetHours: Long, pointId: String,
+      sequence: Long, project: String, value: Double, res: String,
+      quality: Long)
+
+  val rowSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType),
+    StructField("timeOffsetHours", LongType),
+    StructField("pointId", StringType),
+    StructField("sequence", LongType),
+    StructField("project", StringType),
+    StructField("value", DoubleType),
+    StructField("res", StringType),
+    StructField("quality", LongType)))
+
+  /** `input_record` envelope (src/main.go:69-75). `source` is bound but
+    * unused in the reference — kept for wire compatibility.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("content", ArrayType(rowSchema)),
+    StructField("id", StringType),
+    StructField("source", StringType),
+    StructField("timeGenerated", LongType),
+    StructField("file", StringType)))
+
+  /** Parse a DataFrame with a raw JSON string column `json` into envelope
+    * columns + a `_valid` flag + `_reject_reason`. Invalid envelopes are
+    * routed to a side output by the caller (`partition` on `_valid`), the
+    * reference returns HTTP 400 for them.
+    */
+  def parseEnvelopes(raw: DataFrame): DataFrame = {
+    val keep = raw.columns.filterNot(_ == "json").map(col).toSeq
+    raw.withColumn("_e", from_json(col("json"), envelopeSchema))
+      .select(keep ++ Seq(col("_e.content"), col("_e.id"), col("_e.source"),
+        col("_e.timeGenerated"), col("_e.file")): _*)
+      .withColumn("_reject_reason",
+        when(col("file").isNull || col("file") === "", "file is required")
+          .when(col("timeGenerated").isNull || col("timeGenerated") === 0,
+            "timeGenerated is required")
+          .when(col("id").isNull || col("id") === "", "id is required")
+          .when(col("content").isNull || size(col("content")) === 0,
+            "content must be non-empty"))
+      .withColumn("_valid", col("_reject_reason").isNull)
+  }
+
+  /** Explode valid envelopes into rows with Go-zero-value semantics for
+    * missing JSON fields (string→"", number→0; SURVEY.md §1.3).
+    */
+  def explodeContent(envelopes: DataFrame): DataFrame = {
+    def z(c: Column, zero: Column): Column = coalesce(c, zero)
+    envelopes
+      .filter(col("_valid"))
+      .select(col("id"), col("timeGenerated"), col("file"),
+        explode(col("content")).as("r"))
+      .select(
+        col("id"), col("timeGenerated"), col("file"),
+        z(col("r.timestamp"), lit(0L)).as("timestamp"),
+        z(col("r.timeOffsetHours"), lit(0L)).as("timeOffsetHours"),
+        z(col("r.pointId"), lit("")).as("pointId"),
+        z(col("r.sequence"), lit(0L)).as("sequence"),
+        z(col("r.project"), lit("")).as("project"),
+        z(col("r.value"), lit(0.0)).as("value"),
+        z(col("r.res"), lit("")).as("res"),
+        z(col("r.quality"), lit(0L)).as("quality"))
+  }
+
+  /** Derive the reference's mandated partition columns from an epoch-ms
+    * column (README.md:5 `<source>/YYYY/MM/DD/HH/...`). With
+    * `partitionBy(source, year, month, day, hour)` Spark gets partition
+    * pruning on time-range scans for free — the 100 TB reason the
+    * reference mandates the layout.
+    */
+  def withPartitionColumns(df: DataFrame, source: Column, epochMs: Column): DataFrame = {
+    val t = timestamp_millis(epochMs)
+    df.withColumn("source", source)
+      .withColumn("year", year(t))
+      .withColumn("month", month(t))
+      .withColumn("day", dayofmonth(t))
+      .withColumn("hour", hour(t))
+  }
+
+  /** Reference A4/A5 sink: snappy, 128 MiB row groups, overwrite-by-path
+    * idempotence. `dynamic` overwrite replaces only the partitions present
+    * in this batch — re-ingesting a batch is idempotent without clobbering
+    * sibling partitions (the correct version of the reference's
+    * same-blob-path overwrite).
+    */
+  def writeBatch(df: DataFrame, basePath: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .option("parquet.block.size", (128 * 1024 * 1024).toString)
+      .partitionBy("source", "year", "month", "day", "hour")
+      .parquet(basePath)
+
+  /** Reference state registers (A7-A9, A13) computed over an ingest
+    * ledger (one row per accepted envelope-row, with an `arrivalSeq`):
+    * `maxTimestamp` = running max over all rows (deterministic, replaces
+    * the reference's racy read-compare-set, SURVEY.md §7.4);
+    * `lastTimeGenerated` = last-writer-wins by arrival order.
+    * Missing data reads as 0, matching GET / on an empty store.
+    */
+  def stateRegisters(ledger: DataFrame): DataFrame =
+    ledger.agg(
+      coalesce(max(col("timestamp")), lit(0L)).as("maxTimestamp"),
+      coalesce(max_by(col("timeGenerated"), col("arrivalSeq")), lit(0L))
+        .as("lastTimeGenerated"))
+
+  /** Deterministic synthetic batch generator (mirrors the reference load
+    * generator tests/main.go:66-92, but seeded). Distributed: rows are
+    * generated on executors from a range, not collected on the driver.
+    */
+  def syntheticBatch(s: SparkSession, rows: Int, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    s.range(rows).select(
+      (lit(1697049600000L) + col("id") * 1000L).as("timestamp"),
+      pmod(col("id"), lit(24L)).as("timeOffsetHours"),
+      md5(concat(lit("point"), col("id"), lit(seed))).as("pointId"),
+      pmod(col("id"), lit(100L)).as("sequence"),
+      md5(concat(lit("project"), col("id") % 10, lit(seed))).as("project"),
+      (pmod(xxhash64(col("id"), lit(seed)), lit(4300L)).cast("double") / 100.0).as("value"),
+      md5(concat(lit("res"), col("id") % 7, lit(seed))).as("res"),
+      pmod(col("id"), lit(100L)).cast("long").as("quality"))
+  }
+}

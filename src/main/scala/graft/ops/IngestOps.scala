@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.Ingest
+
+/** Reference Tier A ingest semantics as oracle-checked queries
+  * (SURVEY.md §2/§3.1). The JSON envelope fixtures are defined ONCE below
+  * and interpolated into both the Spark query and the DuckDB oracle, so
+  * the two engines always parse the same bytes.
+  */
+object IngestOps {
+
+  /** Envelope fixtures: (idx, raw JSON). Cover the reference's contract:
+    * happy path, minimal-fields rows (zero-value semantics,
+    * tests/test.http:76-85), missing file, zero timeGenerated, empty
+    * content (the reference panics — we reject, SURVEY.md §7.4).
+    */
+  val fixtures: Seq[(Int, String)] = Seq(
+    1 -> """{"content":[{"timestamp":1697049600000,"timeOffsetHours":2,"pointId":"p-1","sequence":7,"project":"proj-a","value":42.5,"res":"r-1","quality":3},{"timestamp":1697049601000,"timeOffsetHours":2,"pointId":"p-2","sequence":8,"project":"proj-a","value":17.25,"res":"r-1","quality":1}],"id":"batch-1","source":"factory-1","timeGenerated":1697049600000,"file":"factory-1/2023/10/11/19/a.parquet"}""",
+    2 -> """{"content":[{"timestamp":1697049700000,"value":5.5},{"timestamp":1697049701000,"value":6.5}],"id":"batch-2","timeGenerated":1697049700000,"file":"factory-1/2023/10/11/19/b.parquet"}""",
+    3 -> """{"content":[{"timestamp":1697049800000,"value":1.0}],"id":"batch-3","timeGenerated":1697049800000}""",
+    4 -> """{"content":[{"timestamp":1697049900000,"value":2.0}],"id":"batch-4","timeGenerated":0,"file":"factory-1/2023/10/11/19/c.parquet"}""",
+    5 -> """{"content":[],"id":"batch-5","timeGenerated":1697050000000,"file":"factory-1/2023/10/11/19/d.parquet"}"""
+  )
+
+  private def rawDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtures.toDF("idx", "json")
+  }
+
+  /** Envelope-level validation (reference A2: file/timeGenerated/id
+    * required, plus non-empty content).
+    */
+  private def ingestValidate(s: SparkSession, dir: String): DataFrame =
+    Ingest.parseEnvelopes(rawDf(s))
+      .select(
+        col("idx"),
+        coalesce(col("file"), lit("")).as("file"),
+        col("_valid").as("valid"),
+        coalesce(col("_reject_reason"), lit("")).as("reason"))
+      .orderBy("idx")
+
+  /** Row-level explode of valid envelopes with Go-zero-value coalesce for
+    * missing JSON fields (reference §1.3).
+    */
+  private def ingestExplode(s: SparkSession, dir: String): DataFrame =
+    Ingest.explodeContent(Ingest.parseEnvelopes(rawDf(s)))
+      .select("id", "timestamp", "timeOffsetHours", "pointId", "sequence",
+        "project", "value", "res", "quality")
+      .orderBy("id", "timestamp")
+
+  /** A4/A5/A6 sink semantics, self-checked (⊘ no oracle — exercises the
+    * write path): synthetic batch → hour-partitioned snappy parquet
+    * (dynamic overwrite) → re-read → aggregate. Written twice to assert
+    * overwrite idempotence in the returned counts.
+    */
+  private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+    val batch = Ingest.withPartitionColumns(
+      Ingest.syntheticBatch(s, 50000), lit("factory-1"), col("timestamp"))
+    Ingest.writeBatch(batch, out)
+    Ingest.writeBatch(batch, out) // same path ⇒ overwritten, not doubled
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n"),
+      min(col("timestamp")).as("min_ts"),
+      max(col("timestamp")).as("max_ts"),
+      countDistinct(col("hour")).as("n_hours"))
+  }
+
+  /** Reference state registers (A8 maxTimestamp high-water mark + A9
+    * lastTimeGenerated last-writer-wins), computed over the events table
+    * as the ingest ledger (arrival order = event_id).
+    */
+  private def stateRegisters(s: SparkSession, dir: String): DataFrame =
+    Ingest.stateRegisters(
+      Tables.events(s, dir).select(
+        col("ts_us").as("timestamp"),
+        col("ts_us").as("timeGenerated"),
+        col("event_id").as("arrivalSeq")))
+
+  /** A6 partition-path derivation over real data: YYYY/MM/DD/HH columns
+    * from event time, grouped — the layout the reference mandates for
+    * "efficient lookups" (README.md:5), which in Spark is partition
+    * pruning.
+    */
+  private def hourPartition(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(year(col("ts_ts")).as("y"), month(col("ts_ts")).as("m"),
+        dayofmonth(col("ts_ts")).as("d"), hour(col("ts_ts")).as("h"))
+      .groupBy("y", "m", "d", "h")
+      .agg(Ox.cnt.as("n"))
+      .orderBy("y", "m", "d", "h")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_validate" -> (ingestValidate _),
+    "q_ingest_explode" -> (ingestExplode _),
+    "q_parquet_roundtrip" -> (parquetRoundtrip _),
+    "q_state_registers" -> (stateRegisters _),
+    "q_hour_partition" -> (hourPartition _)
+  )
+
+  private val valuesClause =
+    fixtures.map { case (i, j) => s"($i, '$j')" }.mkString(", ")
+
+  private val contentStructure =
+    """[{"timestamp":"BIGINT","timeOffsetHours":"BIGINT","pointId":"VARCHAR","sequence":"BIGINT","project":"VARCHAR","value":"DOUBLE","res":"VARCHAR","quality":"BIGINT"}]"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ingest_validate" ->
+      (s"WITH t(idx, json) AS (VALUES $valuesClause), " +
+        "e AS (SELECT idx, json_extract_string(json, '$.file') AS file, " +
+        "TRY_CAST(json_extract(json, '$.timeGenerated') AS BIGINT) AS tg, " +
+        "json_extract_string(json, '$.id') AS id, " +
+        "json_array_length(json, '$.content') AS n_content FROM t) " +
+        "SELECT idx, COALESCE(file, '') AS file, " +
+        "(CASE WHEN file IS NULL OR file = '' THEN 'file is required' " +
+        "WHEN tg IS NULL OR tg = 0 THEN 'timeGenerated is required' " +
+        "WHEN id IS NULL OR id = '' THEN 'id is required' " +
+        "WHEN n_content IS NULL OR n_content = 0 THEN 'content must be non-empty' END) IS NULL AS valid, " +
+        "COALESCE(CASE WHEN file IS NULL OR file = '' THEN 'file is required' " +
+        "WHEN tg IS NULL OR tg = 0 THEN 'timeGenerated is required' " +
+        "WHEN id IS NULL OR id = '' THEN 'id is required' " +
+        "WHEN n_content IS NULL OR n_content = 0 THEN 'content must be non-empty' END, '') AS reason " +
+        "FROM e ORDER BY idx"),
+    "q_ingest_explode" ->
+      (s"WITH t(idx, json) AS (VALUES $valuesClause), " +
+        "v AS (SELECT json FROM t WHERE json_extract_string(json, '$.file') IS NOT NULL " +
+        "AND json_extract_string(json, '$.file') != '' " +
+        "AND COALESCE(TRY_CAST(json_extract(json, '$.timeGenerated') AS BIGINT), 0) != 0 " +
+        "AND COALESCE(json_extract_string(json, '$.id'), '') != '' " +
+        "AND COALESCE(json_array_length(json, '$.content'), 0) > 0), " +
+        "x AS (SELECT json_extract_string(json, '$.id') AS id, " +
+        s"unnest(json_transform(json_extract(json, '$$.content'), '$contentStructure')) AS r FROM v) " +
+        "SELECT id, COALESCE(r.timestamp, 0) AS timestamp, " +
+        "COALESCE(r.timeOffsetHours, 0) AS timeOffsetHours, " +
+        "COALESCE(r.pointId, '') AS pointId, COALESCE(r.sequence, 0) AS sequence, " +
+        "COALESCE(r.project, '') AS project, COALESCE(r.value, 0.0) AS value, " +
+        "COALESCE(r.res, '') AS res, COALESCE(r.quality, 0) AS quality " +
+        "FROM x ORDER BY id, timestamp"),
+    "q_state_registers" ->
+      ("SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS maxTimestamp, " +
+        "CAST(arg_max(epoch_us(ts), event_id) AS BIGINT) AS lastTimeGenerated FROM events"),
+    "q_hour_partition" ->
+      ("SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, " +
+        "CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY y, m, d, h ORDER BY y, m, d, h")
+  )
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Ox._
+
+/** Time-window semantics (SURVEY.md §2 "streaming" tier), formulated over
+  * the batch `events` table so the DuckDB oracle applies. The same
+  * transformations run unchanged on a `readStream` DataFrame — see
+  * `graft.streaming.StreamOps`, which reuses these via shared column
+  * expressions; the batch formulation is the spec, the streaming one adds
+  * watermarks/output-mode.
+  *
+  * Scale: every op here groups by (bucket[, user]) — a plain hash
+  * aggregation with partial combine; no self-joins, no per-row driver
+  * work. Sliding windows fan out rows ×(len/slide) before the agg, which
+  * is the textbook cost and still map-side combinable.
+  */
+object TimeWindows {
+
+  /** Tumbling 1-hour windows (reference A6's hourly bucketing as an
+    * aggregation). Emits the bucket as epoch-seconds so both engines
+    * compare integers, not timestamps.
+    */
+  private def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"))
+      .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("n"), col("sum_value"))
+      .orderBy("bucket")
+
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * buckets (Expand before the agg).
+    */
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"))
+      .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("n"), col("sum_value"))
+      .orderBy("bucket")
+
+  /** Session windows: 30-minute inactivity gap per user. Spark's
+    * session_window merges events whose gap is < 30 min (end-exclusive);
+    * the oracle reproduces that with the classic lag-gap-cumsum
+    * sessionization. Session start is emitted in epoch-µs.
+    */
+  private def session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("w"))
+      .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Watermark semantics as a batch filter (reference A8: the
+    * `maxTimestamp` register IS the watermark): keep rows within 1 hour of
+    * the global max event time. The 1-row max aggregate broadcasts; the
+    * fact scan streams past it with no shuffle.
+    */
+  private def watermarkFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hw = ev.agg(max(col("ts_us")).as("hw"))
+    ev.crossJoin(broadcast(hw))
+      .filter(col("ts_us") >= col("hw") - lit(3600L * 1000000L))
+      .select("event_id", "ts_us", "user_id")
+      .orderBy("event_id")
+  }
+
+  /** Deterministic keep-first dedup (reference A5 idempotence as an
+    * operator): earliest event per (user_id, event_type). Implemented as
+    * row_number=1 rather than dropDuplicates, which keeps an arbitrary
+    * row and would not be oracle-comparable. One shuffle on the dedup key.
+    */
+  private def dedupFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_window" -> (tumbling _),
+    "q_sliding_window" -> (sliding _),
+    "q_session_window" -> (session _),
+    "q_watermark_filter" -> (watermarkFilter _),
+    "q_dedup_first" -> (dedupFirst _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      ("SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY bucket ORDER BY bucket"),
+    "q_sliding_window" ->
+      ("SELECT ((epoch_us(ts) // 900000000) - k.k) * 900 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k) " +
+        "GROUP BY bucket ORDER BY bucket"),
+    "q_session_window" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), " +
+        "g AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, CAST(min(t) AS BIGINT) AS session_start, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM x GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q_watermark_filter" ->
+      ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id FROM events " +
+        "WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 3600000000 " +
+        "ORDER BY event_id"),
+    "q_dedup_first" ->
+      ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type")
+  )
+}
