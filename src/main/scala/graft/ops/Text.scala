@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Ox._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline tier (SURVEY.md §2 north-star).
+  *
+  * Scale design: everything is tokenize → explode → hash-aggregate or
+  * LSH-bucket-join. The only quadratic-looking step (candidate-pair
+  * verification) is always preceded by a bucketing stage (exact gram
+  * equality, MinHash bands, SimHash blocks) so the self-join key is the
+  * bucket, never the full corpus: at 100 TB the join fan-in per bucket is
+  * bounded by collision rate, not corpus size. No driver-side loops; all
+  * hashes are xxhash64 (codegen'd, deterministic across runs/executors).
+  */
+object Text {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct word-3-shingles per document (the unit for MinHash and
+    * Jaccard). `sequence` is 0-based over token offsets; `element_at` is
+    * 1-based.
+    */
+  private def gramDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(size(tokens) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ",
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2),
+          element_at(tokens, i + 3)))).as("gram"))
+      .distinct()
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup via content hash: one hash-aggregate, the keeper is the
+    * min doc_id per hash (deterministic). This is the 100 TB workhorse —
+    * a single shuffle on md5(text).
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), cnt.as("n"))
+      .orderBy("h")
+
+  // ------------------------------------------------------------ text stats
+
+  /** Corpus word frequency: tokenize → explode → count. The classic
+    * map-side-combinable aggregation.
+    */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("word"))
+      .groupBy("word")
+      .agg(cnt.as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** Per-document quality signals: token count, mean token length,
+    * stopword ratio — all computed with higher-order array functions
+    * inside one projection (no explode, no shuffle).
+    */
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val charSum = aggregate(tokens, lit(0), (a, w) => a + length(w))
+    val stopCnt = size(filter(tokens, w => w.isin("the", "a")))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(charSum.cast("double") / nTok, 4).as("avg_tok_len"),
+        round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (bounded-length lowercase runs — a stand-in for subword units).
+    */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("word_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).as("subword_tokens"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.05). Candidate
+    * generation is the gram-equality self-join (bucket = gram); at
+    * 100 TB you'd run q_dedup_minhash first and only verify its
+    * candidates — this operator IS that verifier, so the pair is the
+    * scale path. Jaccard is exact-integer-derived, so the threshold and
+    * rounding are bit-stable across engines.
+    */
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val g = gramDf(s, dir)
+    val cnts = g.groupBy("doc_id").agg(cnt.as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .agg(cnt.as("ni"))
+    inter
+      .join(cnts.select(col("doc_id"), col("n").as("na")), col("ai") === col("doc_id")).drop("doc_id")
+      .join(cnts.select(col("doc_id"), col("n").as("nb")), col("bi") === col("doc_id")).drop("doc_id")
+      .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("jac") >= 0.05)
+      .select(col("ai"), col("bi"), round(col("jac"), 4).as("jac"))
+      .orderBy("ai", "bi")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Per doc:
+    * 32 seeded xxhash64 minima over its shingles → band signatures →
+    * candidate pairs = docs sharing any band bucket → estimated Jaccard =
+    * fraction of matching minhashes. ⊘ rows-only (DuckDB has no xxhash64);
+    * the spec asserts the known planted near-dups are recovered and the
+    * estimate tracks exact Jaccard.
+    *
+    * Scale: the band self-join keys on (band, 64-bit signature) — bucket
+    * sizes stay tiny under uniform hashing, so this is the sub-quadratic
+    * path that replaces all-pairs Jaccard at 100 TB.
+    */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 32
+    val bandRows = 4
+    // (doc, i, h): 32 hash lanes per gram, then min per lane
+    val lanes = gramDf(s, dir)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => xxhash64(i, col("gram")))))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(min(col("col")).as("h"))
+    // ordered signature array per doc
+    val sigs = lanes
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+        e => e.getField("h")).as("sig"))
+    // band buckets: xxhash64 over each 4-lane slice
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(numHashes / bandRows - 1)),
+        b => xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    cands
+      .withColumn("est_jac", round(
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes, 4))
+      .select("ai", "bi", "est_jac")
+      .orderBy("ai", "bi")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc + near-dup pairs via 4×16-bit block LSH.
+    * Bit j of the signature is the sign of Σ_tokens (±1 by token-hash bit
+    * j). Pairs sharing any 16-bit block are verified by Hamming distance
+    * (bit_count(xor) ≤ 2; the 31-word synthetic vocabulary makes looser thresholds collapse into all-pairs). ⊘ rows-only; spec plants a one-word-edit dup.
+    */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .distinct()
+      .withColumn("h", xxhash64(col("w")))
+    val bits = tok
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
+      .withColumn("contrib", expr("(shiftright(h, j) & 1) * 2 - 1"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("contrib")).as("bal"))
+    val sim = bits
+      .withColumn("bit", when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("bit")).as("simhash"))
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("key", expr("shiftright(simhash, blk * 16) & 65535"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy("ai", "bi")
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Stopword-profile language ID (n-gram heuristic): score each document
+    * against small public stopword profiles, predict the argmax with a
+    * deterministic tie-break on language code. ⊘ rows-only (heuristic has
+    * no SQL oracle); spec checks synthetic sentences in each language.
+    * One projection, no shuffle — trivially scalable.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(tokens, w => w.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, then max lang code —
+    // deterministic tie-break (ties on 0 predict "zh"← last lexicographic).
+    Tables.documents(s, dir)
+      .withColumn("best", array_max(array(scored: _*)))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- fingerprinting
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * public MOSS algorithm): rolling 5-char-gram hashes, then the min hash
+    * of every 4-gram window, deduplicated. Emits per-doc fingerprint-set
+    * stats. ⊘ rows-only; spec asserts shared-prefix docs share
+    * fingerprints. All array ops in one projection — no shuffle.
+    */
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = 4
+    val hashes = transform(
+      sequence(lit(1), length(col("text")) - (k - 1)),
+      i => xxhash64(col("text").substr(i, lit(k))))
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= k + w)
+      .withColumn("hs", hashes)
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(0), size(col("hs")) - w),
+        j => array_min(slice(col("hs"), j + 1, lit(w))))))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_text_stats" -> (textStats _),
+    "q_text_quality" -> (textQuality _),
+    "q_token_count" -> (tokenCount _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_lang_id" -> (langId _),
+    "q_doc_fingerprint" -> (docFingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY h ORDER BY h",
+    "q_text_stats" ->
+      "SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY word ORDER BY n DESC, word",
+    "q_text_quality" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len, " +
+        "round(CAST(list_sum(list_transform(string_split(text, ' '), w -> CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS word_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS subword_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
+        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "cnts AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
+        "SELECT ai, bi, round(jac, 4) AS jac FROM (SELECT ai, bi, ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
+        "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) WHERE jac >= 0.05 ORDER BY ai, bi")
+  )
+}

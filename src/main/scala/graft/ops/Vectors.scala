@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Ox._
+
+/** Similarity search + embedding operators over `embeddings`
+  * (`Array[Float]`, dim 64) — SURVEY.md §2 north-star tier.
+  *
+  * Scale design: the brute-force cosine scan is the correctness baseline
+  * (one pass, no shuffle, codegen'd higher-order functions); the LSH
+  * variants are the 100 TB path — signature computation is a projection,
+  * candidate generation is a bucket equi-join, and only candidates pay
+  * the exact-distance cost. No vector ever reaches the driver.
+  */
+object Vectors {
+
+  /** dot(a, b) with double accumulation (left fold, codegen'd). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine of every vector against the query vector (vec_id 0),
+    * emitted for ALL rows ordered by id — the oracle-stable formulation
+    * (no top-k cut whose membership could flip on an ulp). The query
+    * vector is a 1-row broadcast; the scan never shuffles.
+    */
+  private def simScores(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Brute-force cosine top-k (k=10) vs the query vector — compiles to
+    * TakeOrderedAndProject over the scored scan (per-partition heap, no
+    * global sort). ⊘ rows-only: the top-k *cut* depends on float ulps, so
+    * the spec checks it against q_sim_scores instead of DuckDB.
+    */
+  private def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Deterministic random hyperplanes for LSH: 16 planes × 64 dims from a
+    * fixed-seed PRNG, shipped as a literal array (1 KB — a closure
+    * constant on every executor, no broadcast needed).
+    */
+  private val numPlanes = 16
+  private val dim = 64
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** n-bit signature: bit p = (v · plane_p) >= 0. */
+  private def lshSig(v: Column, n: Int = numPlanes): Column =
+    (0 until n).map { p =>
+      val planeLit = array(planes(p).map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate nearest neighbours: probe only the query
+    * vector's signature bucket, exact cosine within it. ⊘ rows-only
+    * (approximate by construction); the spec measures recall against the
+    * brute-force top-k. At 100 TB the bucket join replaces the full scan;
+    * multi-probe (flipping low-margin bits) trades recall for cost —
+    * documented, not implemented.
+    */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    // 6-bit signature (64 coarse buckets) + Hamming≤1 multi-probe: the
+    // probe set is 7 of 64 buckets ⇒ ~11% of the corpus scanned exactly.
+    val e = Tables.embeddings(s, dir).withColumn("sig", lshSig(col("embedding"), 6))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("sig").as("qsig"), col("embedding").as("qv"))
+    e.join(broadcast(q), bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs via LSH buckets + exact cosine ≥ 0.95.
+    * The corpus has no natural near-dups (max pairwise cosine ≈ 0.48),
+    * so the operator demonstrates itself on planted duplicates: vec_id
+    * < 5 re-enter scaled ×1.01 as vec_id+100000 (same direction ⇒ same
+    * signature ⇒ guaranteed bucket collision, cosine ≈ 1). ⊘ rows-only;
+    * spec asserts exactly the planted pairs surface.
+    */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01f)).cast("float")).as("embedding"))
+    val all = e.union(planted).withColumn("sig", lshSig(col("embedding")))
+    all.as("a").join(all.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (norm(col("a.embedding")) * norm(col("b.embedding")))).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .select(col("ai"), col("bi"), round(col("cos"), 3).as("cos"))
+      .orderBy("ai", "bi")
+  }
+
+  /** Per-label centroid, dimension-wise: posexplode → (label, pos) mean.
+    * Decimal-exact mean (sum DECIMAL(18,8) / count) so both engines agree
+    * bit-for-bit. Linear fan-out ×dim, fully map-side-combinable — the
+    * scalable layout for dense-vector reduction (vs collect-and-average).
+    */
+  private def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("pos"))
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(18, 8))).cast(DoubleType) /
+        count(lit(1))).as("avg_val"))
+      .orderBy("label", "pos")
+  }
+
+  /** Multimodal carry-through: documents ⋈ embeddings with the array
+    * column surviving the join and feeding per-row vector math. Broadcast
+    * the smaller side at this SF; key-shuffle co-location at 100 TB.
+    */
+  private def multimodalJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("embedding")).as("dim"),
+        round(norm(col("embedding")), 4).as("l2"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_scores" -> (simScores _),
+    "q_sim_topk" -> (simTopk _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_dedup_embed" -> (dedupEmbed _),
+    "q_embed_centroid" -> (embedCentroid _),
+    "q_multimodal_join" -> (multimodalJoin _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_scores" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cos " +
+        "FROM embeddings, q ORDER BY vec_id"),
+    "q_embed_centroid" ->
+      ("SELECT label, CAST(i AS INT) AS pos, " +
+        "CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_val " +
+        "FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, pos ORDER BY label, pos"),
+    "q_multimodal_join" ->
+      ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
+        "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id")
+  )
+}
