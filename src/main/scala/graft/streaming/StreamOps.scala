@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming formulations of the reference's unbounded-ingest
+  * semantics (SURVEY.md §1.3: the reference is HTTP micro-batches —
+  * exactly Spark's micro-batch model).
+  *
+  * Each transform takes a DataFrame that may be batch OR streaming — the
+  * same declarative plan serves both (tested against the batch
+  * formulations in TimeWindows via MemoryStream). State lives in Spark's
+  * checkpointed state store, not an external KV (the Redis registers of
+  * src/cache.go become `mapGroupsWithState` state / watermarks).
+  */
+object StreamOps {
+
+  /** Tumbling hourly counts with a 1-hour watermark — the streaming twin
+    * of q_tumbling_window. Late rows beyond the watermark are dropped,
+    * which is the reference's `maxTimestamp`-register intent (A8) made
+    * precise.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("n"), col("sum_value"))
+
+  /** Streaming dedup by event id within the watermark horizon —
+    * reference A5 idempotence for an unbounded stream with bounded state.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  case class UserMax(user_id: Long, max_ts_us: Long, n: Long)
+
+  /** Per-user running max event-time — reference A8's high-water-mark
+    * register as explicitly managed keyed state (`mapGroupsWithState`).
+    * Emits the updated register per user per micro-batch; state is one
+    * (long, long) per user — constant memory per key at any scale.
+    */
+  def runningMax(events: Dataset[Ev]): Dataset[UserMax] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserMax, UserMax](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[UserMax]) =>
+          val prev = state.getOption.getOrElse(UserMax(user, Long.MinValue, 0L))
+          val upd = batch.foldLeft(prev) { (acc, e) =>
+            UserMax(user, math.max(acc.max_ts_us, e.ts_us), acc.n + 1)
+          }
+          state.update(upd)
+          upd
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result — test harness for the transforms
+    * above (batch parquet in, streaming semantics out).
+    */
+  def runToMemory(s: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+}

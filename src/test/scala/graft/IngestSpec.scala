@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+
+/** Reference ingest semantics (SURVEY.md §5.2 items 1/3/4): validation,
+  * zero-value coalesce, partitioned-sink round-trip, overwrite
+  * idempotence, state registers.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val parsed =
+    Ingest.parseEnvelopes(ops.IngestOps.fixtures.toDF("idx", "json"))
+
+  test("validation accepts/rejects per the reference contract") {
+    val got = parsed.select("idx", "_valid", "_reject_reason")
+      .orderBy("idx").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), Option(r.getString(2)).getOrElse("")))
+    assert(got.toSeq === Seq(
+      (1, true, ""),
+      (2, true, ""),
+      (3, false, "file is required"),
+      (4, false, "timeGenerated is required"),
+      (5, false, "content must be non-empty")))
+  }
+
+  test("missing JSON fields coalesce to Go zero values, not NULL") {
+    val rows = Ingest.explodeContent(parsed)
+      .filter($"id" === "batch-2").orderBy("timestamp").collect()
+    assert(rows.length === 2)
+    val r = rows(0)
+    assert(r.getAs[String]("pointId") === "")
+    assert(r.getAs[Long]("sequence") === 0L)
+    assert(r.getAs[String]("project") === "")
+    assert(r.getAs[Long]("quality") === 0L)
+    assert(r.getAs[Double]("value") === 5.5)
+  }
+
+  test("partitioned sink round-trips and overwrite is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_spec").toString
+    val batch = Ingest.withPartitionColumns(
+      Ingest.syntheticBatch(spark, 5000), lit("factory-1"), col("timestamp"))
+    Ingest.writeBatch(batch, out)
+    val once = spark.read.parquet(out)
+    assert(once.count() === 5000)
+    // partition columns materialized in the layout
+    assert(once.columns.toSet.intersect(Set("source", "year", "month", "day", "hour")).size === 5)
+    // same batch re-written to the same path ⇒ overwritten, not appended
+    // (re-read from scratch: the old DataFrame's file listing is stale)
+    Ingest.writeBatch(batch, out)
+    val again = spark.read.parquet(out)
+    assert(again.count() === 5000)
+    // data equality mod ordering
+    val a = again.select("timestamp", "pointId", "value")
+    val b = batch.select("timestamp", "pointId", "value")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("synthetic batch generator is deterministic") {
+    val a = Ingest.syntheticBatch(spark, 100).collect()
+    val b = Ingest.syntheticBatch(spark, 100).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("state registers: empty ledger reads as zero (reference GET / on fresh store)") {
+    val empty = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("timestamp", "timeGenerated", "arrivalSeq")
+    val r = Ingest.stateRegisters(empty).collect()(0)
+    assert(r.getAs[Long]("maxTimestamp") === 0L)
+    assert(r.getAs[Long]("lastTimeGenerated") === 0L)
+  }
+
+  test("state registers: maxTimestamp is running max, lastTimeGenerated is last-writer-wins") {
+    val ledger = Seq(
+      (100L, 1L, 1L), (500L, 2L, 2L), (300L, 3L, 3L) // late batch arrives last
+    ).toDF("timestamp", "timeGenerated", "arrivalSeq")
+    val r = Ingest.stateRegisters(ledger).collect()(0)
+    assert(r.getAs[Long]("maxTimestamp") === 500L)     // monotonic high-water mark
+    assert(r.getAs[Long]("lastTimeGenerated") === 3L)  // by arrival, not by time
+  }
+}

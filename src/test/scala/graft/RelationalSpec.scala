@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational-operator invariants that complement the DuckDB oracle:
+  * algebraic identities and cross-query consistency the oracle can't
+  * express, plus reference-behavior spot checks.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagship entry returns the 6 TPC-H Q1 groups") {
+    assert(SparkEntry.entry(spark).count() === 6)
+  }
+
+  test("set algebra: |A∩B| + |A\\B| = |A|") {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    def keysOf(brand: String) =
+      li.join(p.filter($"p_brand" === brand), $"l_partkey" === $"p_partkey")
+        .select("l_orderkey").distinct()
+    val a = keysOf("Brand#11").count()
+    assert(q("q_intersect").count() + q("q_except").count() === a)
+  }
+
+  test("semi and anti join partition orders exactly") {
+    val orders = Tables.orders(spark, sfDir)
+    val semi = q("q_semi_join").count()
+    val anti = orders.join(
+      Tables.lineitem(spark, sfDir).filter($"l_discount" > 0.06),
+      $"o_orderkey" === $"l_orderkey", "left_anti").count()
+    assert(semi + anti === orders.count())
+  }
+
+  test("as-of join: window formulation equals the naive inequality join") {
+    val ev = Tables.events(spark, sfDir)
+    val naive = ev.as("p").filter($"p.event_type" === "purchase")
+      .join(ev.as("e"), $"p.user_id" === $"e.user_id" && $"e.ts_us" < $"p.ts_us")
+      .groupBy($"p.event_id".as("event_id"))
+      .agg(max($"e.ts_us").as("prior_ts"))
+      .as[(Long, Long)].collect().toMap
+    val win = q("q_asof_join").as[(Long, Long)].collect().toMap
+    assert(win === naive)
+  }
+
+  test("top-k equals full sort head") {
+    val full = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10).as[(Long, Double)].collect().toSeq
+    assert(q("q_topk").as[(Long, Double)].collect().toSeq === full)
+  }
+
+  test("rollup grand total equals ungrouped aggregate") {
+    val li = Tables.lineitem(spark, sfDir)
+    val total = q("q_rollup").filter($"rf" === "<all>" && $"ls" === "<all>")
+      .select("n").as[Long].collect().head
+    assert(total === li.count())
+  }
+
+  test("approx distinct stays within its 2% error budget") {
+    val r = q("q_agg_approx_distinct")
+    assert(r.filter($"rel_err" > 0.05).count() === 0)
+  }
+
+  test("dedup-first keeps exactly one row per key, the earliest") {
+    val d = q("q_dedup_first")
+    val keys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(d.count() === keys)
+    val mins = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(min("ts_us").as("ts_us"))
+    assert(d.select("user_id", "event_type", "ts_us")
+      .exceptAll(mins.select("user_id", "event_type", "ts_us")).isEmpty)
+  }
+
+  test("media features are deterministic and batch-shaped") {
+    val a = q("q_media_features").collect()
+    val b = q("q_media_features").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === Tables.documents(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, UserMax}
+
+/** Structured-Streaming semantics driven through MemoryStream
+  * (SURVEY.md §5.2 item 5): the streaming formulations must agree with
+  * their batch twins, and keyed state must behave like the reference's
+  * registers.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsBatch = Tables.events(spark, sfDir)
+    .select("event_id", "user_id", "ts_us", "ts_ts", "value")
+
+  test("streaming tumbling counts equal the batch formulation") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "ts_ts", "value")
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.tumblingCounts(stream), "tumbling_spec", OutputMode.Complete())
+
+    input.addData(eventsBatch
+      .select($"event_id", $"user_id", $"ts_ts", $"value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect().toSeq: _*)
+    val q2 = StreamOps.runToMemory(spark,
+      StreamOps.tumblingCounts(stream), "tumbling_spec2", OutputMode.Complete())
+
+    val batch = eventsBatch
+      .groupBy(window($"ts_ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("bucket"), $"n")
+      .as[(Long, Long)].collect().toMap
+    val streamed = q2.select($"bucket", $"n").as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
+  test("mapGroupsWithState running max matches the batch max per user") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val evs = eventsBatch.select($"event_id", $"user_id", $"ts_us", $"value")
+      .as[Ev].collect().toSeq
+    input.addData(evs: _*)
+    val q = StreamOps.runningMax(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("runningmax_spec").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("runningmax_spec")
+      .groupBy("user_id").agg(max("max_ts_us").as("m"), max("n").as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = eventsBatch.groupBy("user_id")
+      .agg(max("ts_us").as("m"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expect)
+  }
+
+  test("state survives across micro-batches (register semantics)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.runningMax(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_spec").start()
+    input.addData(Ev(1, 7, 100, 1.0)); q.processAllAvailable()
+    input.addData(Ev(2, 7, 50, 1.0)); q.processAllAvailable()  // late event
+    q.stop()
+    val last = spark.table("state_spec").orderBy($"n".desc)
+      .as[UserMax].collect().head
+    assert(last.max_ts_us === 100L) // high-water mark did not regress
+    assert(last.n === 2L)
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("event_id", "ts_ts", "value")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val q = StreamOps.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_spec").start()
+    input.addData((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0))
+    q.processAllAvailable()
+    input.addData((1L, t0, 1.0)) // replayed batch (reference A5 overwrite)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_spec").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup + text analysis: LSH recall against exact ground truth, dedup
+  * idempotence, language-ID on real multilingual text (the corpus `lang`
+  * column is synthetic metadata over a shared vocabulary, so language ID
+  * is validated on constructed sentences).
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup is idempotent and lossless on a duplicate-free corpus") {
+    val d = q("q_dedup_exact").cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(d.agg(sum("n")).collect()(0).getLong(0) === docs.count())
+    // corpus has no exact dups: every hash keeps exactly one doc
+    assert(d.filter($"n" > 1).count() === 0)
+    assert(d.count() === docs.count())
+  }
+
+  test("minhash LSH recovers every high-Jaccard pair found by exact n-gram") {
+    val exact = q("q_dedup_ngram").filter($"jac" >= 0.5)
+      .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
+    val cand = q("q_dedup_minhash")
+      .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand),
+      s"missed pairs: ${exact.diff(cand)} (banding P(catch) at jac≥0.5 ≈ 1 for these)")
+  }
+
+  test("minhash Jaccard estimate tracks exact Jaccard on candidates") {
+    val est = q("q_dedup_minhash").select("ai", "bi", "est_jac").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = q("q_dedup_ngram").select("ai", "bi", "jac").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val common = est.keySet.intersect(exact.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.35,
+        s"pair $k: est ${est(k)} vs exact ${exact(k)} (32-hash estimator, ±3σ ≈ 0.27)")
+    }
+  }
+
+  test("simhash: near-identical docs collide with tiny Hamming distance") {
+    val nearDups = q("q_dedup_ngram").filter($"jac" >= 0.9)
+      .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearDups.nonEmpty)
+    val sim = q("q_dedup_simhash").select("ai", "bi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    nearDups.foreach(p => assert(sim.contains(p), s"simhash missed near-dup $p"))
+  }
+
+  test("language ID predicts constructed sentences correctly") {
+    val samples = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht in das haus und die katze"),
+      (3L, "le chat est dans la maison et les oiseaux"),
+      (4L, "el perro es un animal y los gatos que viven"),
+      (5L, "我 是 他 的 不 在 有 了"))
+    // langId reads Tables.documents; validate the same scoring logic inline
+    val toks = split(col("text"), " ")
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+      "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(toks, w => w.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val got = samples.toDF("doc_id", "text")
+      .withColumn("best", array_max(array(scored: _*)))
+      .select($"doc_id", $"best.lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("q_lang_id runs over the corpus and scores are sane") {
+    val r = q("q_lang_id")
+    assert(r.count() === Tables.documents(spark, sfDir).count())
+    assert(r.filter($"score" < 0).count() === 0)
+  }
+
+  test("winnowing fingerprints: near-identical docs share most fingerprints") {
+    // the 0.98-Jaccard planted pair must agree on fp_min with high odds;
+    // weaker, deterministic check: fingerprint sets are nonempty and
+    // bounded by the gram count
+    val fp = q("q_doc_fingerprint")
+    assert(fp.filter($"n_fp" <= 0).count() === 0)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val joined = fp.join(docs, "doc_id")
+    assert(joined.filter($"n_fp" > $"n_chars").count() === 0)
+  }
+
+  test("text quality signals are consistent") {
+    val r = q("q_text_quality")
+    assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
+    assert(r.filter($"avg_tok_len" <= 0).count() === 0)
+    // n_tokens * avg_tok_len == total chars of tokens ≤ n_chars of text
+    val docs = Tables.documents(spark, sfDir)
+    val j = r.join(docs, "doc_id")
+      .filter(round($"n_tokens" * $"avg_tok_len").cast("long") > $"n_chars")
+    assert(j.count() === 0)
+  }
+}

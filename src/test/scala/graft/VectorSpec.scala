@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CentroidAggregator
+
+/** Similarity search: top-k vs full scores, ANN recall/precision,
+  * planted near-dup recovery, custom Aggregator parity.
+  */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k agrees with the full score scan") {
+    val scores = q("q_sim_scores").filter($"vec_id" =!= 0)
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val topk = q("q_sim_topk").as[(Long, Double)].collect().toSeq
+    assert(topk === scores)
+  }
+
+  test("ANN results are true cosines and hit the brute-force top-k") {
+    val brute = q("q_sim_topk").as[(Long, Double)].collect().toMap
+    val ann = q("q_ann_lsh").as[(Long, Double)].collect().toSeq
+    assert(ann.nonEmpty)
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    // every ANN cosine is the exact cosine for that id (no approximation
+    // in the distance, only in the candidate set)
+    ann.foreach { case (id, c) => assert(all(id) === c) }
+    // recall: the 64-bucket+multiprobe setup must find at least one true
+    // top-10 neighbour (deterministic for this data/seed)
+    assert(ann.map(_._1).toSet.intersect(brute.keySet).nonEmpty)
+  }
+
+  test("embedding near-dup recovers exactly the planted pairs") {
+    val pairs = q("q_dedup_embed").select("ai", "bi")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 5L).map(i => (i, i + 100000)).toSet)
+  }
+
+  test("CentroidAggregator matches the relational centroid query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val agg = emb.select($"label", $"embedding".as[Array[Float]])
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.toColumn)
+      .collect().toMap
+    val rel = q("q_embed_centroid").as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy(_._2).map(_._3).toArray
+      }
+    assert(agg.keySet === rel.keySet)
+    agg.foreach { case (label, vec) =>
+      val expect = rel(label)
+      assert(vec.length === expect.length)
+      vec.zip(expect).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-4, s"label $label: $a vs $e")
+      }
+    }
+  }
+
+  test("multimodal join carries the vector through intact") {
+    val r = q("q_multimodal_join")
+    assert(r.count() > 0)
+    assert(r.filter($"dim" =!= 64).count() === 0)
+    assert(r.filter($"l2" <= 0).count() === 0)
+  }
+}
