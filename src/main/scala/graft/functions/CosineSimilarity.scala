@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two `array<float>`
+  * columns in ONE codegen'd loop (dot product and both norms accumulated
+  * together), versus the composed higher-order-function form
+  * (`aggregate(zip_with(...)) / (sqrt(aggregate(...)) * ...)`) which
+  * allocates an intermediate array and walks each input three times.
+  *
+  * Accumulation order (index-ascending, double precision) is identical to
+  * the HOF form, so results are bit-identical and oracle-safe — the spec
+  * asserts exact equality against the HOF formulation.
+  *
+  * Null/shape semantics: NULL if either input is NULL, if lengths differ,
+  * or if either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double graft_dot = 0.0; double graft_na = 0.0; double graft_nb = 0.0;
+         |  int graft_n = $a.numElements();
+         |  for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+         |    double graft_x = (double) $a.getFloat(graft_i);
+         |    double graft_y = (double) $b.getFloat(graft_i);
+         |    graft_dot += graft_x * graft_y;
+         |    graft_na += graft_x * graft_x;
+         |    graft_nb += graft_y * graft_y;
+         |  }
+         |  if (graft_na == 0.0 || graft_nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = graft_dot / (java.lang.Math.sqrt(graft_na) * java.lang.Math.sqrt(graft_nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API surface for the native functions. */
+object VectorFunctions {
+  /** Idempotent SQL registration: `SELECT cosine_sim(a, b)`. */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+
+  /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
+  def cosine_sim(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}

@@ -441,6 +441,52 @@ object Relational {
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))
       .orderBy("vec_id")
 
+
+  /** Map-typed column functions: construct, keys, cardinality, lookup.
+    * Emitted as scalars (joined keys, extracted value) so the result is
+    * engine-comparable without map-ordering pitfalls.
+    */
+  private def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("m", map(
+        lit("k"), get_json_object(col("props"), "$.k"),
+        lit("type"), col("event_type")))
+      .select(
+        col("event_id"),
+        concat_ws(",", map_keys(col("m"))).as("m_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(col("m")).as("m_size"))
+      .orderBy("event_id")
+
+  /** Generated ids + hash battery (reference tests/main.go:94-101 GUID
+    * generation analog). uuid() is nondeterministic ⇒ ⊘ rows-only; the
+    * deterministic hashes are spot-checked by shape (the spec asserts
+    * uuid format + hash stability).
+    */
+  private def uuidHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        expr("uuid()").as("gen_id"),
+        xxhash64(col("text")).as("xxh"),
+        hash(col("text")).as("h32"),
+        crc32(col("text").cast("binary")).as("crc"))
+      .orderBy("doc_id")
+
+  /** Reference B5: text query in, rows out (`POST /query` replaced by
+    * spark.sql over registered views). The SAME SQL string runs on both
+    * engines — the gateway's dialect is the oracle's dialect.
+    */
+  private val gatewaySql =
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
+  private def sqlGateway(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(gatewaySql)
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -476,7 +522,10 @@ object Relational {
     "q_date_funcs" -> (dateFuncs _),
     "q_math_funcs" -> (mathFuncs _),
     "q_json_get" -> (jsonGet _),
-    "q_array_funcs" -> (arrayFuncs _)
+    "q_array_funcs" -> (arrayFuncs _),
+    "q_map_funcs" -> (mapFuncs _),
+    "q_uuid_hash" -> (uuidHash _),
+    "q_sql_gateway" -> (sqlGateway _)
   )
 
   /** DuckDB oracle SQL. Same column names, same ORDER BY, and double aggs
@@ -545,6 +594,12 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price, abs(l_discount - 0.05) AS adisc, sqrt(l_quantity) AS sqrt_qty, l_quantity * l_quantity AS qty_sq, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_json_get" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, json_extract_string(props, '$.missing') AS miss FROM events ORDER BY event_id",
+    "q_map_funcs" ->
+      ("SELECT event_id, array_to_string(map_keys(m), ',') AS m_keys, m['k'][1] AS k_val, " +
+        "CAST(cardinality(m) AS INT) AS m_size FROM " +
+        "(SELECT event_id, MAP(['k', 'type'], [json_extract_string(props, '$.k'), event_type]) AS m FROM events) " +
+        "ORDER BY event_id"),
+    "q_sql_gateway" -> gatewaySql,
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
   )

@@ -23,6 +23,13 @@ object Vectors {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity): one loop,
+    * no intermediate arrays — bit-identical to the HOF form (same fold
+    * order), so oracle parity is preserved.
+    */
+  private def cos(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(s, a, b)
+
   /** Cosine of every vector against the query vector (vec_id 0),
     * emitted for ALL rows ordered by id — the oracle-stable formulation
     * (no top-k cut whose membership could flip on an ulp). The query
@@ -33,8 +40,7 @@ object Vectors {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
       .orderBy("vec_id")
   }
 
@@ -48,8 +54,7 @@ object Vectors {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
@@ -89,8 +94,7 @@ object Vectors {
     e.join(broadcast(q), bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        round(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -111,8 +115,7 @@ object Vectors {
     all.as("a").join(all.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          (norm(col("a.embedding")) * norm(col("b.embedding")))).as("cos"))
+        cos(s, col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.95)
       .select(col("ai"), col("bi"), round(col("cos"), 3).as("cos"))
       .orderBy("ai", "bi")
