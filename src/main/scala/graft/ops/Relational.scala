@@ -487,6 +487,57 @@ object Relational {
     s.sql(gatewaySql)
   }
 
+
+  /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
+    * pinned value list — pinned so the plan is one pass (no extra job to
+    * discover pivot values) and the output schema is static, which is
+    * what you want at 100 TB anyway. Oracle = portable conditional
+    * aggregation.
+    */
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .na.fill(0.0)
+      .orderBy("l_linestatus")
+
+  /** Higher-order predicates over arrays: exists / forall on the
+    * embedding vector, emitted as booleans.
+    */
+  private def existsForall(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        exists(col("embedding"), x => x < 0f).as("has_neg"),
+        forall(col("embedding"), x => abs(x) < 1f).as("all_small"))
+      .orderBy("vec_id")
+
+  /** Scalar subquery: orders above the global average price. The 1-row
+    * aggregate broadcasts to the probe scan — no shuffle of the fact
+    * side. Average is decimal-exact so the predicate cut is identical in
+    * both engines.
+    */
+  private def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgP = o.agg((dsum(col("o_totalprice")) / cnt).as("avg_price"))
+    o.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Reference A10 (count + first/last of batch by arrival order):
+    * arg_min/arg_max over the arrival sequence — one aggregation, no
+    * sort.
+    */
+  private def firstLast(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        cnt.as("n"),
+        min_by(col("ts_us"), col("event_id")).as("first_ts"),
+        max_by(col("ts_us"), col("event_id")).as("last_ts"))
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -525,7 +576,11 @@ object Relational {
     "q_array_funcs" -> (arrayFuncs _),
     "q_map_funcs" -> (mapFuncs _),
     "q_uuid_hash" -> (uuidHash _),
-    "q_sql_gateway" -> (sqlGateway _)
+    "q_sql_gateway" -> (sqlGateway _),
+    "q_pivot" -> (pivotAgg _),
+    "q_exists_forall" -> (existsForall _),
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_first_last" -> (firstLast _)
   )
 
   /** DuckDB oracle SQL. Same column names, same ORDER BY, and double aggs
@@ -594,6 +649,23 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price, abs(l_discount - 0.05) AS adisc, sqrt(l_quantity) AS sqrt_qty, l_quantity * l_quantity AS qty_sq, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_json_get" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, json_extract_string(props, '$.missing') AS miss FROM events ORDER BY event_id",
+    "q_pivot" ->
+      ("SELECT l_linestatus, " +
+        "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS A, " +
+        "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS N, " +
+        "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS R " +
+        "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q_exists_forall" ->
+      ("SELECT vec_id, len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg, " +
+        "len(list_filter(embedding, x -> NOT abs(x) < 1)) = 0 AS all_small " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_scalar_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > " +
+        "(SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM orders) " +
+        "ORDER BY o_orderkey"),
+    "q_first_last" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, CAST(arg_min(epoch_us(ts), event_id) AS BIGINT) AS first_ts, " +
+        "CAST(arg_max(epoch_us(ts), event_id) AS BIGINT) AS last_ts FROM events"),
     "q_map_funcs" ->
       ("SELECT event_id, array_to_string(map_keys(m), ',') AS m_keys, m['k'][1] AS k_val, " +
         "CAST(cardinality(m) AS INT) AS m_size FROM " +

@@ -121,6 +121,44 @@ object Vectors {
       .orderBy("ai", "bi")
   }
 
+
+  /** IVF-style ANN (⊘ rows-only): the label column plays the coarse
+    * quantizer's inverted lists (at 100 TB you'd k-means the corpus into
+    * nlist centroids; here lists pre-exist). Probe = rank lists by
+    * query→centroid cosine, exact-search only the top-2 lists (~20% of
+    * the corpus). The centroid pass is the same map-side-combinable
+    * reduction as q_embed_centroid; the probe is a partition-pruned scan
+    * shape when the table is written partitioned by list id.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("label").as("qlabel"))
+    // per-list centroid as array<float> (decimal-exactness not needed —
+    // no oracle; plain double mean)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast(DoubleType)).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("centroid"))
+    // rank lists by query-centroid similarity, keep top 2
+    val probed = centroids.crossJoin(broadcast(q.select(col("qv"))))
+      .select(col("label"), cos(s, col("centroid"), col("qv")).as("list_sim"))
+      .orderBy(col("list_sim").desc)
+      .limit(2)
+    // exact search inside the probed lists only
+    e.join(broadcast(probed), Seq("label"))
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Per-label centroid, dimension-wise: posexplode → (label, pos) mean.
     * Decimal-exact mean (sum DECIMAL(18,8) / count) so both engines agree
     * bit-for-bit. Linear fan-out ×dim, fully map-side-combinable — the
@@ -152,6 +190,7 @@ object Vectors {
     "q_sim_scores" -> (simScores _),
     "q_sim_topk" -> (simTopk _),
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_multimodal_join" -> (multimodalJoin _)

@@ -74,6 +74,24 @@ class RelationalSpec extends SparkSpec {
       .exceptAll(mins.select("user_id", "event_type", "ts_us")).isEmpty)
   }
 
+
+  test("pivot cells sum to the grouped totals") {
+    val piv = q("q_pivot").collect().map(r =>
+      (r.getString(0), r.getDouble(1) + r.getDouble(2) + r.getDouble(3))).toMap
+    val grouped = Tables.lineitem(spark, sfDir)
+      .groupBy("l_linestatus")
+      .agg(sum(col("l_quantity")).as("t"))
+      .as[(String, Double)].collect().toMap
+    piv.foreach { case (k, v) => assert(math.abs(v - grouped(k)) < 1e-6) }
+  }
+
+  test("scalar subquery keeps exactly the above-average orders") {
+    val o = Tables.orders(spark, sfDir)
+    val avg = o.agg(sum("o_totalprice") / count(lit(1))).as[Double].collect().head
+    val expect = o.filter(col("o_totalprice") > avg).count()
+    assert(math.abs(q("q_scalar_subquery").count() - expect) <= 1) // decimal-vs-double cut
+  }
+
   test("media features are deterministic and batch-shaped") {
     val a = q("q_media_features").collect()
     val b = q("q_media_features").collect()

@@ -58,6 +58,16 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+
+  test("IVF probe returns exact cosines from the probed lists") {
+    val ivf = q("q_ann_ivf").select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty)
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, c) => assert(all(id) === c) }
+    // probed lists cover ≤ 2 labels
+    assert(q("q_ann_ivf").select("label").distinct().count() <= 2)
+  }
+
   test("multimodal join carries the vector through intact") {
     val r = q("q_multimodal_join")
     assert(r.count() > 0)
