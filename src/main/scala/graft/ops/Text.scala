@@ -98,15 +98,37 @@ object Text {
     * rounding are bit-stable across engines.
     */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val g = gramDf(s, dir)
-    val cnts = g.groupBy("doc_id").agg(cnt.as("n"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+    // Single-pass inverted-index form: one shuffle by gram builds the
+    // posting lists (collect_set also dedups within-doc repeats, so the
+    // separate distinct shuffle disappears), pairs explode from each
+    // list, and per-doc gram counts derive from the same lists and
+    // broadcast to the pair stream. Replaces the naive 3-consumer
+    // self-join plan (5 scans, 3 shuffles of the gram stream).
+    // At 100 TB add a stop-gram cap on posting-list size (skew guard).
+    val g2 = Tables.documents(s, dir)
+      .filter(size(tokens) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ",
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2),
+          element_at(tokens, i + 3)))).as("gram"))
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+    val cnts = g2
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(cnt.as("n"))
+    val n = size(col("docs"))
+    val inter = g2.filter(n >= 2)
+      .select(explode(flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(i + 1, n - 1), j =>
+          struct(element_at(col("docs"), i + 1).as("ai"),
+            element_at(col("docs"), j + 1).as("bi")))))).as("p"))
+      .groupBy(col("p.ai").as("ai"), col("p.bi").as("bi"))
       .agg(cnt.as("ni"))
     inter
-      .join(cnts.select(col("doc_id"), col("n").as("na")), col("ai") === col("doc_id")).drop("doc_id")
-      .join(cnts.select(col("doc_id"), col("n").as("nb")), col("bi") === col("doc_id")).drop("doc_id")
+      .join(broadcast(cnts.select(col("doc_id"), col("n").as("na"))), col("ai") === col("doc_id")).drop("doc_id")
+      .join(broadcast(cnts.select(col("doc_id"), col("n").as("nb"))), col("bi") === col("doc_id")).drop("doc_id")
       .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
       .filter(col("jac") >= 0.05)
       .select(col("ai"), col("bi"), round(col("jac"), 4).as("jac"))
