@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TimeWindows.queries ++ ops.IngestOps.queries ++
-      ops.Text.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries
+      ops.Text.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Physical.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -27,5 +27,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.TimeWindows.oracleSql ++ ops.IngestOps.oracleSql ++
-      ops.Text.oracleSql ++ ops.Vectors.oracleSql ++ ops.Multimodal.oracleSql
+      ops.Text.oracleSql ++ ops.Vectors.oracleSql ++ ops.Multimodal.oracleSql ++ ops.Physical.oracleSql
 }

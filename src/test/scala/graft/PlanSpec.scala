@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan regression guards: the plans that make these operators
+  * scale must not silently degrade (lost pushdown, lost broadcast, a
+  * shuffle sneaking under a bucketed join).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = q(name)
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters push into the parquet scan") {
+    val p = q("q_filter_pred").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p.take(800))
+  }
+
+  test("column pruning reaches the scan") {
+    val p = q("q_scan_project").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("dimension join broadcasts") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(q("q_topk").queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed join runs without a shuffle on either input") {
+    val full = plan("q_bucketed_join")
+    // AQE appends an "== Initial Plan ==" section — inspect the final plan only
+    val initIdx = full.indexOf("== Initial Plan ==")
+    val p = if (initIdx >= 0) full.substring(0, initIdx) else full
+    // SortMergeJoin over bucketed scans: exchanges may exist ABOVE the
+    // join (final agg/sort) but none may feed the join inputs
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p.take(600))
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed join inputs were shuffled:\n${below.take(800)}")
+    // physical result matches the shuffled twin
+    val a = q("q_bucketed_join").collect().map(_.toString).toSeq
+    val b = q("q_join_smj").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("salted aggregation equals plain aggregation semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plain = q("q_skew_salted").as[(Long, Double, Long)].collect()
+    assert(plain.nonEmpty)
+    // hot key absorbed the synthetic 100k rows
+    val n0 = q("q_skew_salted").filter(col("user_id") === 0)
+      .select("n").as[Long].collect().head
+    assert(n0 >= 100000L)
+  }
+}
