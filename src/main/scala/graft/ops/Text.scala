@@ -20,20 +20,26 @@ object Text {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word-3-shingles per document (the unit for MinHash and
-    * Jaccard). `sequence` is 0-based over token offsets; `element_at` is
-    * 1-based.
+  /** 64-bit-hashed word-3-shingles per document, one row per gram
+    * occurrence. The token array is materialized in its own projection
+    * FIRST: `element_at(split(text), i)` inside the transform lambda
+    * would otherwise re-run the regex split per element access —
+    * O(tokens²) splits per document (measured 8× the whole operator's
+    * runtime). CollapseProject keeps the materialization because split
+    * is not a "cheap" expression.
     */
-  private def gramDf(s: SparkSession, dir: String): DataFrame =
+  private def hashedGrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
     Tables.documents(s, dir)
-      .filter(size(tokens) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 3)
       .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ",
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2),
-          element_at(tokens, i + 3)))).as("gram"))
-      .distinct()
+        sequence(lit(0), size(toks) - 3),
+        i => xxhash64(concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3))))).as("gram"))
+  }
 
   // ------------------------------------------------------------ exact dedup
 
@@ -99,20 +105,16 @@ object Text {
     */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     // Single-pass inverted-index form: one shuffle by gram builds the
-    // posting lists (collect_set also dedups within-doc repeats, so the
-    // separate distinct shuffle disappears), pairs explode from each
-    // list, and per-doc gram counts derive from the same lists and
-    // broadcast to the pair stream. Replaces the naive 3-consumer
-    // self-join plan (5 scans, 3 shuffles of the gram stream).
-    // At 100 TB add a stop-gram cap on posting-list size (skew guard).
-    val g2 = Tables.documents(s, dir)
-      .filter(size(tokens) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ",
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2),
-          element_at(tokens, i + 3)))).as("gram"))
+    // posting lists (collect_set also dedups within-doc repeats), pairs
+    // explode from each list, and per-doc gram counts derive from the
+    // same lists — the second consumer reuses the shuffle output
+    // (ReusedExchange), so the gram build runs once. Grams are reduced
+    // to 64-bit xxhash64 BEFORE the shuffle — equality on the hash is
+    // equality on the gram (collision odds ~1e-7 at 1M distinct grams;
+    // at 100 TB swap in a 128-bit hash), and the shuffle carries 8-byte
+    // keys instead of ~20-byte strings. At 100 TB also add a stop-gram
+    // cap on posting-list size (skew guard).
+    val g2 = hashedGrams(s, dir)
       .groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
     val cnts = g2
@@ -154,15 +156,11 @@ object Text {
     // 32 min-aggregates in ONE pass over the gram stream (no ×32 explode,
     // and no `distinct` — min is duplicate-insensitive, so the dedup
     // shuffle gramDf pays for Jaccard is skipped here; the shuffle then
-    // carries one 32-long signature per doc instead of 32 rows)
-    val sigs = Tables.documents(s, dir)
-      .filter(size(tokens) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ",
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2),
-          element_at(tokens, i + 3)))).as("gram"))
+    // carries one 32-long signature per doc instead of 32 rows). The
+    // gram STRING is hashed once; the 32 seeded hashes re-hash the
+    // resulting long (8 bytes, not ~20 chars) — same min-wise
+    // independence, ~4× less hashing work per gram.
+    val sigs = hashedGrams(s, dir)
       .groupBy("doc_id")
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("gram")))): _*).as("sig"))
@@ -205,15 +203,20 @@ object Text {
       .groupBy("doc_id", "w")
       .agg(cnt.as("tf"))
       .withColumn("h", xxhash64(col("w")))
-    val bits = tok
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"), col("tf"))
-      .withColumn("contrib", expr("((shiftright(h, j) & 1) * 2 - 1) * tf"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("contrib")).as("bal"))
-    val sim = bits
-      .withColumn("bit", when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+    // 64 bit-balance sums in ONE hash-aggregate pass — replaces an
+    // explode(0..63) that multiplied the (doc, word) stream ×64 before
+    // shuffling it. Distinct powers of two sum ≡ bitwise OR, so the
+    // signature assembles with a plain long sum (bit 63 wraps negative —
+    // that IS the sign bit's two's-complement encoding).
+    val sim = tok
       .groupBy("doc_id")
-      .agg(sum(col("bit")).as("simhash"))
+      .agg(
+        sum(expr("((shiftright(h, 0) & 1) * 2 - 1) * tf")).as("b0"),
+        (1 until 64).map(j =>
+          sum(expr(s"((shiftright(h, $j) & 1) * 2 - 1) * tf")).as(s"b$j")): _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
     // 8 blocks × 8 bits: by pigeonhole, any pair within Hamming ≤ 7 shares
     // at least one clean block ⇒ candidate generation has perfect recall
     // for the ≤7 threshold (measured: true near-dups ≤ 7, random pairs ≥ 8)
