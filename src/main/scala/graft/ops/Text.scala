@@ -198,22 +198,23 @@ object Text {
     // tf-weighted (classic Charikar simhash): near-identical docs have
     // near-identical term frequencies, so bit balances barely move — an
     // unweighted token-SET simhash is far noisier on a small vocabulary.
+    // No explicit tf stage: summing each OCCURRENCE's ±1 contribution is
+    // tf-weighting, so the token stream aggregates by doc_id directly —
+    // one shuffle (map-side combined to 64 longs/doc), not a string-keyed
+    // (doc, word) shuffle followed by a second one. All 64 bit-balances
+    // are sums in ONE hash-aggregate pass; distinct powers of two sum ≡
+    // bitwise OR, so the signature assembles with a plain long sum
+    // (bit 63 wraps negative — that IS the sign bit's two's-complement
+    // encoding).
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("w"))
-      .groupBy("doc_id", "w")
-      .agg(cnt.as("tf"))
       .withColumn("h", xxhash64(col("w")))
-    // 64 bit-balance sums in ONE hash-aggregate pass — replaces an
-    // explode(0..63) that multiplied the (doc, word) stream ×64 before
-    // shuffling it. Distinct powers of two sum ≡ bitwise OR, so the
-    // signature assembles with a plain long sum (bit 63 wraps negative —
-    // that IS the sign bit's two's-complement encoding).
     val sim = tok
       .groupBy("doc_id")
       .agg(
-        sum(expr("((shiftright(h, 0) & 1) * 2 - 1) * tf")).as("b0"),
+        sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("b0"),
         (1 until 64).map(j =>
-          sum(expr(s"((shiftright(h, $j) & 1) * 2 - 1) * tf")).as(s"b$j")): _*)
+          sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j")): _*)
       .select(col("doc_id"),
         (0 until 64).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
@@ -228,8 +229,11 @@ object Text {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: a pair sharing k blocks is
+      // emitted k times, so distinct is needed, but failed candidates
+      // need not be shuffled at all
       .filter(col("hamming") <= 7)
+      .distinct()
       .orderBy("ai", "bi")
   }
 
