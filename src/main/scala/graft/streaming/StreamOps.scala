@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.ingest.Ingest
 
 /** Structured-Streaming formulations of the reference's unbounded-ingest
   * semantics (SURVEY.md §1.3: the reference is HTTP micro-batches —
@@ -57,6 +58,55 @@ object StreamOps {
           state.update(upd)
           upd
       }
+  }
+
+  /** The reference's `POST /` loop (SURVEY.md §3.1) as ONE unbounded job:
+    * JSON envelope text files in (the file source stands in for the HTTP
+    * front door), validated/exploded rows out to the mandated
+    * `<source>/YYYY/MM/DD/HH` layout as snappy parquet. Exactly-once
+    * comes from source checkpointing + the file-sink commit log — the
+    * streaming generalization of the reference's overwrite-by-path
+    * idempotence (A5): a replayed micro-batch commits the same output,
+    * never duplicates. `source` derives from the caller-controlled file
+    * path prefix, exactly the reference's path contract (README.md:5).
+    */
+  def ingestStream(s: SparkSession, inDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val raw = s.readStream.text(inDir).withColumnRenamed("value", "json")
+    val rows = Ingest.withPartitionColumns(
+      Ingest.explodeContent(Ingest.parseEnvelopes(raw)),
+      substring_index(col("file"), "/", 1),
+      col("timeGenerated"))
+    rows.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+      .partitionBy("source", "year", "month", "day", "hour")
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Error side-output for the same source: envelopes failing reference
+    * validation (A2) land in their own parquet sink with the reject
+    * reason — the streaming analog of the reference's HTTP 400 path.
+    */
+  def ingestRejects(s: SparkSession, inDir: String, rejectDir: String,
+      checkpoint: String): StreamingQuery = {
+    val raw = s.readStream.text(inDir).withColumnRenamed("value", "json")
+    Ingest.parseEnvelopes(raw)
+      .filter(!col("_valid"))
+      .select(
+        coalesce(col("id"), lit("")).as("id"),
+        coalesce(col("file"), lit("")).as("file"),
+        coalesce(col("timeGenerated"), lit(0L)).as("timeGenerated"),
+        col("_reject_reason").as("reject_reason"))
+      .writeStream
+      .format("parquet")
+      .option("path", rejectDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
   }
 
   /** Drive a streaming DataFrame to completion against a memory sink and
