@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.ingest.Ingest
+import graft.ingest.Ingest.TimeSeriesData
+
+/** Property-based invariants (SURVEY.md §5.2 item 3), driven by
+  * ScalaCheck generators over small Spark jobs: parquet round-trip
+  * fidelity, state-register monotonicity / permutation-invariance, and
+  * dedup idempotence. Sample counts are small — each case is a Spark
+  * job — but inputs are adversarial (random sizes, duplicate keys,
+  * permutations), which fixed fixtures can't cover.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, samples: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(samples)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, s"$name failed: $res")
+  }
+
+  private val rowGen: Gen[TimeSeriesData] = for {
+    ts <- Gen.chooseNum(1600000000000L, 1700000000000L)
+    off <- Gen.chooseNum(-12L, 12L)
+    pid <- Gen.stringOfN(8, Gen.alphaNumChar)
+    seq <- Gen.chooseNum(0L, 1000L)
+    proj <- Gen.oneOf("p1", "p2", "p3")
+    v <- Gen.chooseNum(-1000.0, 1000.0)
+    r <- Gen.oneOf("r1", "r2")
+    q <- Gen.chooseNum(0L, 3L)
+  } yield TimeSeriesData(ts, off, pid, seq, proj, v, r, q)
+
+  test("parquet round-trip preserves data for arbitrary batches (A4/A5)") {
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val out = Files.createTempDirectory("graft_prop_rt").toString
+      val df = Ingest.withPartitionColumns(
+        rows.toDF(), lit("prop-src"), col("timestamp"))
+      Ingest.writeBatch(df, out)
+      Ingest.writeBatch(df, out) // overwrite idempotence under the property too
+      val back = spark.read.parquet(out)
+        .select("timestamp", "timeOffsetHours", "pointId", "sequence",
+          "project", "value", "res", "quality")
+        .as[TimeSeriesData].collect().sortBy(r => (r.timestamp, r.pointId, r.value))
+      val expect = rows.sortBy(r => (r.timestamp, r.pointId, r.value))
+      back.toSeq == expect
+    }
+    check("parquet-roundtrip", prop, samples = 6)
+  }
+
+  test("maxTimestamp register is permutation-invariant and monotonic across batches (A8)") {
+    val batchesGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(rowGen)).map(_.take(4))
+    val prop = Prop.forAll(batchesGen) { batches =>
+      // ledger rows: (timestamp, timeGenerated, arrivalSeq) with arrival
+      // order fixed at generation time
+      val ledgerRows = batches.zipWithIndex.flatMap { case (b, i) =>
+        b.map(r => (r.timestamp, 1000L + i, i.toLong))
+      }
+      def registers(rows: Seq[(Long, Long, Long)]): (Long, Long) = {
+        val df = rows.toDF("timestamp", "timeGenerated", "arrivalSeq")
+        val row = Ingest.stateRegisters(df).collect().head
+        (row.getLong(0), row.getLong(1))
+      }
+      val inOrder = registers(ledgerRows)
+      val permuted = registers(scala.util.Random.shuffle(ledgerRows))
+      // monotonic: the register after k batches never decreases in k
+      val prefixes = batches.indices.map { k =>
+        registers(ledgerRows.filter(_._3 <= k))._1
+      }
+      inOrder == permuted &&
+        prefixes.zip(prefixes.tail).forall { case (a, b) => a <= b } &&
+        inOrder._1 == ledgerRows.map(_._1).max
+    }
+    check("register-monotonicity", prop, samples = 6)
+  }
+
+  test("dedup is idempotent and keeps exactly one row per key (A5/q_dedup_ids)") {
+    // generator biased toward duplicate keys: ids drawn from a small range
+    val dupRowsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 20L)
+      v <- Gen.chooseNum(0.0, 100.0)
+    } yield (id, v))
+    val prop = Prop.forAll(dupRowsGen) { rows =>
+      val df = rows.toDF("event_id", "value")
+      val once = df.dropDuplicates("event_id")
+      val twice = once.dropDuplicates("event_id")
+      val onceRows = once.collect().map(_.getLong(0)).sorted.toSeq
+      val twiceRows = twice.collect().map(_.getLong(0)).sorted.toSeq
+      onceRows == twiceRows &&
+        onceRows == rows.map(_._1).distinct.sorted &&
+        once.count() == rows.map(_._1).distinct.size
+    }
+    check("dedup-idempotence", prop, samples = 8)
+  }
+}
