@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Session-extension entry point: registers the engine's native functions
+  * at session build, the supported way to ship them to every session of a
+  * deployment (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  * This replaces per-call temp-function registration: the function is in
+  * the catalog before any query parses, works from pure SQL
+  * (`SELECT cosine_sim(a, b)`), and applies to every new session on a
+  * 1000-executor cluster without driver-side mutation. The
+  * `VectorFunctions.register` fallback remains for sessions built
+  * without extensions (e.g. test harnesses sharing a plain session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

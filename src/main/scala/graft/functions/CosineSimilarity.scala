@@ -84,12 +84,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Registration + Column-API surface for the native functions. */
+/** Registration + Column-API surface for the native functions.
+  * Sessions built with `graft.GraftExtensions` get `cosine_sim` at
+  * session construction; `register` is the fallback for plain sessions
+  * and is a no-op when the function already exists.
+  */
 object VectorFunctions {
   /** Idempotent SQL registration: `SELECT cosine_sim(a, b)`. */
-  def register(s: SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
   def cosine_sim(s: SparkSession, a: Column, b: Column): Column = {
