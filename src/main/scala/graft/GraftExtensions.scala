@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.CosineSimilarity
+import graft.plans.{AsOfJoinStrategy, AsOfLE, RewriteAsOfJoin}
 
 /** Session-extension entry point: registers the engine's native functions
   * at session build, the supported way to ship them to every session of a
@@ -18,9 +19,18 @@ import graft.functions.CosineSimilarity
   * without extensions (e.g. test harnesses sharing a plain session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    // native as-of join: marker predicate + Join→AsOfJoin rewrite +
+    // planner strategy (graft.plans.AsOfJoin)
+    ext.injectFunction((
+      FunctionIdentifier("asof_le"),
+      new ExpressionInfo(classOf[AsOfLE].getName, "asof_le"),
+      (exprs: Seq[Expression]) => AsOfLE(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteAsOfJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -152,6 +152,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Native as-of join (graft.plans.AsOfJoin — the full custom-operator
+    * ladder: marker → Rule → logical node → Strategy → BinaryExecNode):
+    * each purchase matched to the same user's latest click at-or-before
+    * it. One shuffle + sort per side, O(1) merge state per partition —
+    * vs the lag/union formulation which widens and re-sorts the whole
+    * stream. Oracle: DuckDB's ASOF JOIN (identical semantics).
+    */
+  private def asofNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.Asof.ensureInstalled(s)
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    // clicks deduped per (user, ts) so the as-of tie-break is well-defined
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") &&
+        graft.plans.Asof.asof_le(col("ts_us"), col("c_ts")))
+      .select(col("event_id"), col("click_id"), col("c_ts"))
+      .orderBy("event_id")
+  }
+
   // ----------------------------------------------------------------- aggs
 
   /** Global min/max/count over the ledger (reference A7/A8/A13: the
@@ -552,6 +575,7 @@ object Relational {
     "q_anti_join" -> (antiJoin _),
     "q_join_range" -> (joinRange _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_native" -> (asofNative _),
     "q_agg_max" -> (aggMax _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_distinct" -> (aggDistinct _),
@@ -609,6 +633,10 @@ object Relational {
       "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_asof_join" ->
       "SELECT p.event_id AS event_id, CAST(max(epoch_us(e.ts)) AS BIGINT) AS prior_ts FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts WHERE p.event_type = 'purchase' GROUP BY p.event_id ORDER BY event_id",
+    "q_asof_native" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT p.event_id, c.click_id, c.c_ts FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.ts_us >= c.c_ts ORDER BY p.event_id"),
     "q_agg_max" ->
       "SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts, CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts, CAST(count(*) AS BIGINT) AS n FROM events",
     "q_agg_group" ->

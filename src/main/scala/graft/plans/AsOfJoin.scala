@@ -1,0 +1,221 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Native as-of join — the canonical "operator Spark lacks whole-operator
+  * semantics for" (SURVEY.md §2 q_asof_join): every left row is matched
+  * to the LATEST right row with `rightTime <= leftTime` within the same
+  * equi-key group; rows with no such match are dropped (inner as-of, the
+  * semantics of DuckDB's `ASOF JOIN`, which is the oracle).
+  *
+  * Built as the full custom-operator ladder (preference order (c) of the
+  * project brief): marker predicate → `Rule[LogicalPlan]` rewrite →
+  * custom logical node → `SparkStrategy` → `BinaryExecNode`, registered
+  * either via `graft.GraftExtensions` or per-session through the public
+  * `ExperimentalMethods` (`Asof.ensureInstalled`).
+  *
+  * Scale shape: both sides hash-partition on the key and sort by
+  * (key, time) — one shuffle each, same as a sort-merge equi-join — then
+  * a single forward merge pass per partition holds exactly ONE buffered
+  * right row at a time. The window/union formulation of the same query
+  * materializes and sorts the unioned stream; this exec never widens the
+  * data and its memory is O(1) per partition beyond the sorts.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Marker predicate `asof_le(leftTime, rightTime)`: carries the as-of
+  * pair through analysis inside an ordinary join condition. Unevaluable
+  * on purpose — if the rewrite rule is not installed the query fails
+  * loudly at execution instead of silently returning every pair with
+  * `rightTime <= leftTime`.
+  */
+case class AsOfLE(left: Expression, right: Expression)
+    extends BinaryExpression with Unevaluable with Predicate {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "asof_le"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AsOfLE =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrites `Join(Inner, equiConds && asof_le(lt, rt))` into [[AsOfJoin]]
+  * once both time expressions resolve to the expected side and every
+  * remaining conjunct is a cross-side equality. Runs in the user-provided
+  * optimizer batch, after pushdown/reorder have settled.
+  */
+object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, Inner, Some(cond), _) if cond.exists(_.isInstanceOf[AsOfLE]) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (markers, others) = conjuncts.partition(_.isInstanceOf[AsOfLE])
+      val keyPairs = others.map {
+        case EqualTo(a, b)
+            if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+          Some((a, b))
+        case EqualTo(a, b)
+            if b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
+          Some((b, a))
+        case _ => None
+      }
+      markers match {
+        case Seq(AsOfLE(lt, rt))
+            if lt.references.subsetOf(l.outputSet) &&
+              rt.references.subsetOf(r.outputSet) &&
+              lt.dataType == LongType && rt.dataType == LongType &&
+              keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
+          AsOfJoin(l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt)
+        case _ => j
+      }
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned on the keys (exact distribution,
+  * so AQE cannot coalesce the two sides apart), both inputs sorted by
+  * (key, time); one forward merge pass per partition keeps the single
+  * latest qualifying right row per key.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = conf.numShufflePartitions
+    StatefulOpClusteredDistribution(leftKeys, n) ::
+      StatefulOpClusteredDistribution(rightKeys, n) :: Nil
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val allOut = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ltExpr = leftTime
+    val rtExpr = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+      val ltBound = BindReferences.bindReference(ltExpr, leftOut)
+      val rtBound = BindReferences.bindReference(rtExpr, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single-row right-side state: the latest right row (and its key)
+        // whose time is <= the current left row's time
+        private var matchedRight: InternalRow = null
+        private var matchedKey: UnsafeRow = null
+        private var pendingRight: InternalRow = null // lookahead, not yet consumed
+        private var outRow: InternalRow = null
+
+        private def advance(): Unit = {
+          outRow = null
+          while (outRow == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            val lt = ltBound.eval(l).asInstanceOf[Long]
+            var rightAhead = false
+            while (!rightAhead && (pendingRight != null || rIter.hasNext)) {
+              if (pendingRight == null) pendingRight = rIter.next()
+              val rk = rKeyProj(pendingRight)
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                pendingRight = null // key already behind every future left row
+              } else if (c == 0 &&
+                  rtBound.eval(pendingRight).asInstanceOf[Long] <= lt) {
+                matchedRight = pendingRight.copy() // sorter reuses row buffers
+                matchedKey = rk.copy()
+                pendingRight = null
+              } else {
+                rightAhead = true
+              }
+            }
+            if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0) {
+              outRow = resultProj(joined(l, matchedRight))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (outRow == null) advance()
+          outRow != null
+        }
+        override def next(): InternalRow = {
+          if (outRow == null) advance()
+          val r = outRow
+          outRow = null
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public surface: the marker function plus per-session installation via
+  * the public `ExperimentalMethods` (for sessions not built with
+  * `graft.GraftExtensions`). Idempotent.
+  */
+object Asof {
+  def ensureInstalled(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("asof_le")))
+      reg.createOrReplaceTempFunction(
+        "asof_le", exprs => AsOfLE(exprs(0), exprs(1)), "built-in")
+    if (!s.experimental.extraOptimizations.contains(RewriteAsOfJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteAsOfJoin
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** `asof_le(leftTime, rightTime)` join-condition marker. */
+  def asof_le(leftTime: Column, rightTime: Column): Column =
+    call_function("asof_le", leftTime, rightTime)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Asof
+
+/** Native as-of join: semantics against a naive all-pairs formulation,
+  * plan shape (AsOfJoinExec with sorted, co-partitioned inputs), and
+  * determinism of the tie-break contract.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def purchases = Tables.events(spark, sfDir)
+    .filter($"event_type" === "purchase")
+    .select($"event_id", $"user_id", $"ts_us")
+
+  private def clicks = Tables.events(spark, sfDir)
+    .filter($"event_type" === "click")
+    .groupBy($"user_id".as("c_user"), $"ts_us".as("c_ts"))
+    .agg(max($"event_id").as("click_id"))
+
+  private def nativeResult = {
+    Asof.ensureInstalled(spark)
+    purchases
+      .join(clicks, $"user_id" === $"c_user" && Asof.asof_le($"ts_us", $"c_ts"))
+      .select($"event_id", $"click_id", $"c_ts")
+  }
+
+  test("as-of join matches the naive latest-prior formulation") {
+    // naive: all qualifying pairs, keep the max c_ts per purchase (and the
+    // deduped click_id at that ts)
+    val naive = purchases.as("p")
+      .join(clicks, $"user_id" === $"c_user" && $"c_ts" <= $"ts_us")
+      .groupBy($"event_id")
+      .agg(max_by($"click_id", $"c_ts").as("click_id"), max($"c_ts").as("c_ts"))
+    val got = nativeResult.as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect = naive.as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
+  test("purchases with no prior click are dropped (inner as-of)") {
+    val matched = nativeResult.select("event_id").as[Long].collect().toSet
+    val all = purchases.select("event_id").as[Long].collect().toSet
+    // the corpus has early purchases before any click for some users
+    assert(matched.subsetOf(all))
+    val naiveMatched = purchases
+      .join(clicks, $"user_id" === $"c_user" && $"c_ts" <= $"ts_us", "left_semi")
+      .select("event_id").as[Long].collect().toSet
+    assert(matched === naiveMatched)
+  }
+
+  test("plan is AsOfJoinExec over sorted co-partitioned inputs, no blowup join") {
+    val df = nativeResult
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800)) // nodeName strips "Exec"
+    // the rewrite consumed the marker — no fallback join remains
+    assert(!plan.contains("asof_le"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(800))
+  }
+
+  test("unevaluable marker fails loudly when the rewrite is not installed") {
+    // a session flavor without the rule: strip experimental additions
+    val exps = spark.experimental
+    val savedOpt = exps.extraOptimizations
+    val savedStrat = exps.extraStrategies
+    exps.extraOptimizations = Nil
+    exps.extraStrategies = Nil
+    try {
+      val err = intercept[Exception] {
+        purchases
+          .join(clicks, $"user_id" === $"c_user" && Asof.asof_le($"ts_us", $"c_ts"))
+          .collect()
+      }
+      assert(err != null)
+    } finally {
+      exps.extraOptimizations = savedOpt
+      exps.extraStrategies = savedStrat
+    }
+  }
+}
