@@ -25,9 +25,18 @@ object Explain {
     val sb = new StringBuilder
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       sb.append(s"\n=============== $name ===============\n")
-      try sb.append(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
+      try {
+        val df = fn(spark, sfDir)
+        // collect(), not count(): count() spawns its own QueryExecution and
+        // would leave THIS plan un-finalized (isFinalPlan=false)
+        df.collect()
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        // FormattedMode renders the pre-adaptive tree; the executed plan
+        // carries the final AQE shape and *(n) whole-stage-codegen spans
+        sb.append("\n---------- executed (final adaptive) plan ----------\n")
+        sb.append(df.queryExecution.executedPlan.toString)
+      } catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"plans written to $out")
