@@ -60,6 +60,48 @@ object StreamOps {
       }
   }
 
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicitly managed state
+    * (`flatMapGroupsWithState`, Append): a session closes when the next
+    * event for the user arrives more than `gapUs` later; closed sessions
+    * are emitted, the open one rides in the state store. This is the
+    * custom-state generalization of `session_window` (q_session_window)
+    * for logic the built-in can't express (e.g. emitting per-session
+    * aggregates with custom close rules). State is 3 longs per active
+    * user — bounded at any scale.
+    *
+    * Events are processed in event-time order within each invocation;
+    * cross-batch disorder is the caller's watermark concern (same
+    * contract as the reference's arrival-order registers, A9).
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          val ordered = batch.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          ordered.foreach { e =>
+            cur match {
+              case null =>
+                cur = SessionState(e.ts_us, e.ts_us, 1L)
+              case s if e.ts_us - s.lastUs >= gapUs => // session_window: [start, last+gap)
+                closed += SessionOut(user, s.startUs, s.lastUs, s.n)
+                cur = SessionState(e.ts_us, e.ts_us, 1L)
+              case s =>
+                cur = SessionState(s.startUs, e.ts_us, s.n + 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+
   /** The reference's `POST /` loop (SURVEY.md §3.1) as ONE unbounded job:
     * JSON envelope text files in (the file source stands in for the HTTP
     * front door), validated/exploded rows out to the mandated

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
@@ -37,6 +38,42 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val streamed = q2.select($"bucket", $"n").as[(Long, Long)].collect().toMap
     assert(streamed === batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch lag-gap sessionization") {
+    implicit val sq = spark.sqlContext
+    val gapUs = 1800L * 1000000L // 30 min, the q_session_window gap
+    val input = MemoryStream[Ev]
+    val evs = eventsBatch.select($"event_id", $"user_id", $"ts_us", $"value")
+      .as[Ev].collect().toSeq
+    input.addData(evs: _*)
+    val q = StreamOps.sessionize(input.toDS(), gapUs).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessionize_spec").start()
+    q.processAllAvailable()
+    // sentinel batch far past every event: closes all open sessions
+    val maxTs = evs.map(_.ts_us).max
+    val users = evs.map(_.user_id).distinct
+    input.addData(users.map(u => Ev(-1L, u, maxTs + 10 * gapUs, 0.0)): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sessionize_spec")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch twin: lag-gap-cumsum sessionization (the q_session_window oracle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val expect = eventsBatch
+      .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+      .withColumn("new_s", when($"gap".isNull || $"gap" >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expect)
   }
 
   test("mapGroupsWithState running max matches the batch max per user") {
