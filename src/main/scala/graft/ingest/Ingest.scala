@@ -119,6 +119,45 @@ object Ingest {
       .partitionBy("source", "year", "month", "day", "hour")
       .parquet(basePath)
 
+  /** Partition compaction for the ingest sink. The reference writes ONE
+    * parquet file per HTTP batch (src/main.go:288-311) — at 100 TB that
+    * is millions of small files per day, and scan cost becomes file-open
+    * bound. Compaction rewrites each hour partition into `filesPerPart`
+    * files (dynamic overwrite, so only listed partitions are touched and
+    * a re-run is idempotent). Run it on closed (past-hour) partitions —
+    * the same path new batches target stays consistent because dynamic
+    * overwrite replaces the whole partition atomically at commit.
+    *
+    * Returns the number of rows compacted.
+    */
+  def compactPartitions(s: SparkSession, basePath: String,
+      partitionPredicate: Column, filesPerPart: Int = 1): Long = {
+    val partCols = Seq("source", "year", "month", "day", "hour").map(col)
+    // localCheckpoint cuts the file-source lineage: Spark (correctly)
+    // refuses to overwrite a path its plan still reads. Production-scale
+    // variant: write to a temp prefix and swap — same shuffle shape.
+    val df = s.read.parquet(basePath).filter(partitionPredicate)
+      .localCheckpoint(true)
+    val n = df.count()
+    if (n > 0) {
+      // hash-cluster by partition columns (+ a row-content salt for
+      // >1 file/partition — deterministic, so task retries re-produce the
+      // same assignment): every target file's rows land in exactly one
+      // task, partitions compact in parallel, each dir gets filesPerPart
+      // files
+      val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPart))
+      df.repartition((partCols :+ salt): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .option("parquet.block.size", (128 * 1024 * 1024).toString)
+        .partitionBy("source", "year", "month", "day", "hour")
+        .parquet(basePath)
+    }
+    n
+  }
+
   /** Reference state registers (A7-A9, A13) computed over an ingest
     * ledger (one row per accepted envelope-row, with an `arrivalSeq`):
     * `maxTimestamp` = running max over all rows (deterministic, replaces

@@ -57,6 +57,41 @@ class IngestSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compaction collapses per-batch small files without changing the data") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    // 6 small batches appended into the same hour layout — the
+    // reference's one-file-per-POST behavior
+    (0 until 6).foreach { i =>
+      Ingest.withPartitionColumns(
+          Ingest.syntheticBatch(spark, 500, seed = i.toLong),
+          lit("factory-1"), col("timestamp"))
+        .write.mode("append")
+        .partitionBy("source", "year", "month", "day", "hour")
+        .parquet(out)
+    }
+    def dataFiles = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(out)
+      .select("timestamp", "pointId", "value").collect().sortBy(_.toString)
+    val filesBefore = dataFiles.size
+    val nDirs = dataFiles.map(_.getParent).distinct.size
+    assert(filesBefore >= nDirs * 6) // 6 files per hour dir pre-compaction
+
+    val n = Ingest.compactPartitions(spark, out, lit(true))
+    assert(n === 6 * 500)
+    assert(dataFiles.size === nDirs) // exactly 1 file per hour dir
+    val after = spark.read.parquet(out)
+      .select("timestamp", "pointId", "value").collect().sortBy(_.toString)
+    assert(after.toSeq === before.toSeq)
+    // idempotent: compacting again changes nothing
+    Ingest.compactPartitions(spark, out, lit(true))
+    assert(dataFiles.size === nDirs)
+  }
+
   test("synthetic batch generator is deterministic") {
     val a = Ingest.syntheticBatch(spark, 100).collect()
     val b = Ingest.syntheticBatch(spark, 100).collect()
