@@ -25,6 +25,22 @@ class IngestSpec extends SparkSpec {
       (5, false, "content must be non-empty")))
   }
 
+  test("malformed JSON envelopes reject instead of crashing the pipeline") {
+    val raw = Seq(
+      (1, """{"broken json"""),                       // unparseable
+      (2, """[1, 2, 3]"""),                           // wrong shape
+      (3, """"just a string""""),                     // scalar
+      (4, """{"content":[{"timestamp":1,"value":2.0}],"id":"ok","timeGenerated":5,"file":"s/x.parquet"}""")
+    ).toDF("idx", "json")
+    val parsed = Ingest.parseEnvelopes(raw)
+    assert(parsed.count() === 4) // nothing thrown, nothing dropped silently
+    val valid = parsed.filter(col("_valid")).select("idx").as[Int].collect().toSeq
+    assert(valid === Seq(4))
+    val reasons = parsed.filter(!col("_valid"))
+      .select("_reject_reason").as[String].collect()
+    assert(reasons.forall(_.nonEmpty))
+  }
+
   test("missing JSON fields coalesce to Go zero values, not NULL") {
     val rows = Ingest.explodeContent(parsed)
       .filter($"id" === "batch-2").orderBy("timestamp").collect()
