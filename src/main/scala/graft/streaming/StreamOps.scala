@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.ingest.Ingest
 
 /** Structured-Streaming formulations of the reference's unbounded-ingest
@@ -58,6 +58,53 @@ object StreamOps {
           state.update(upd)
           upd
       }
+  }
+
+  case class Batch(source: String, timeGenerated: Long, maxTimestamp: Long, arrivalSeq: Long)
+  case class Registers(source: String, maxTimestamp: Long, lastTimeGenerated: Long)
+
+  /** The reference's two Redis registers (A8 `maxTimestamp`
+    * read-compare-set + A9 `lastTimeGenerated` last-writer-wins,
+    * src/cache.go + src/main.go:313-322) as a `transformWithState`
+    * StatefulProcessor — Spark 4's arbitrary-state API, the modern form
+    * of the A12 KV store: typed `ValueState` per key in the checkpointed
+    * (RocksDB-capable) state store, updated transactionally with the
+    * micro-batch instead of the reference's racy cross-replica
+    * read-then-write. Emits the updated registers per source per batch.
+    */
+  class RegisterProcessor extends StatefulProcessor[String, Batch, Registers] {
+    @transient private var maxTs: ValueState[Long] = _
+    @transient private var lastGen: ValueState[(Long, Long)] = _ // (arrivalSeq, timeGenerated)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong, TTLConfig.NONE)
+      lastGen = getHandle.getValueState[(Long, Long)]("lastGen",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(source: String, rows: Iterator[Batch],
+        timerValues: TimerValues): Iterator[Registers] = {
+      var hwm = if (maxTs.exists()) maxTs.get() else 0L
+      var last = if (lastGen.exists()) lastGen.get() else (Long.MinValue, 0L)
+      rows.foreach { b =>
+        hwm = math.max(hwm, b.maxTimestamp) // monotone high-water mark
+        if (b.arrivalSeq >= last._1) last = (b.arrivalSeq, b.timeGenerated)
+      }
+      maxTs.update(hwm)
+      lastGen.update(last)
+      Iterator.single(Registers(source, hwm, last._2))
+    }
+  }
+
+  /** `transformWithState` wiring for [[RegisterProcessor]] (Update mode:
+    * one refreshed register row per source per micro-batch).
+    */
+  def registerStream(batches: Dataset[Batch]): Dataset[Registers] = {
+    import batches.sparkSession.implicits._
+    batches
+      .groupByKey(_.source)
+      .transformWithState(new RegisterProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class SessionState(startUs: Long, lastUs: Long, n: Long)

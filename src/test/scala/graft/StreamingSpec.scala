@@ -40,6 +40,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("transformWithState registers: monotone high-water mark, last-writer-wins") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState runs on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamOps.Batch]
+      val q = StreamOps.registerStream(input.toDS()).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("regs_spec").start()
+
+      input.addData(
+        StreamOps.Batch("f1", 1000L, 500L, 0L),
+        StreamOps.Batch("f1", 1001L, 900L, 1L),
+        StreamOps.Batch("f2", 2000L, 300L, 2L))
+      q.processAllAvailable()
+      val r1 = spark.table("regs_spec")
+        .as[StreamOps.Registers].collect().map(r => r.source -> r).toMap
+      assert(r1("f1").maxTimestamp === 900L)
+      assert(r1("f1").lastTimeGenerated === 1001L)
+      assert(r1("f2").maxTimestamp === 300L)
+
+      // batch 2: lower timestamps must NOT move the high-water mark back
+      // (A8 monotonicity), but lastTimeGenerated follows arrival (A9)
+      input.addData(StreamOps.Batch("f1", 1002L, 100L, 3L))
+      q.processAllAvailable(); q.stop()
+      val r2 = spark.table("regs_spec").as[StreamOps.Registers].collect()
+        .filter(_.source == "f1").maxBy(_.lastTimeGenerated)
+      assert(r2.maxTimestamp === 900L) // unchanged by the late low batch
+      assert(r2.lastTimeGenerated === 1002L) // last writer wins
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch lag-gap sessionization") {
     implicit val sq = spark.sqlContext
     val gapUs = 1800L * 1000000L // 30 min, the q_session_window gap
