@@ -69,6 +69,36 @@ object IngestOps {
       countDistinct(col("hour")).as("n_hours"))
   }
 
+  /** Compaction as an operator (⊘ self-checked): write 4 small batches
+    * into the hour layout (the reference's one-file-per-POST shape),
+    * compact, and report file counts + row preservation. The assertion
+    * of value-equality lives in IngestSpec; this registers the
+    * operational path in the inventory.
+    */
+  private def compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+    (0 until 4).foreach { i =>
+      Ingest.withPartitionColumns(
+          Ingest.syntheticBatch(s, 2000, seed = i.toLong),
+          lit("factory-1"), col("timestamp"))
+        .write.mode("append")
+        .partitionBy("source", "year", "month", "day", "hour")
+        .parquet(out)
+    }
+    def nFiles = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(out)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = nFiles
+    val rows = Ingest.compactPartitions(s, out, lit(true))
+    Seq((rows, filesBefore.toLong, nFiles.toLong,
+        s.read.parquet(out).count()))
+      .toDF("rows_compacted", "files_before", "files_after", "rows_after")
+  }
+
   /** Reference state registers (A8 maxTimestamp high-water mark + A9
     * lastTimeGenerated last-writer-wins), computed over the events table
     * as the ingest ledger (arrival order = event_id).
@@ -97,6 +127,7 @@ object IngestOps {
     "q_ingest_validate" -> (ingestValidate _),
     "q_ingest_explode" -> (ingestExplode _),
     "q_parquet_roundtrip" -> (parquetRoundtrip _),
+    "q_compact_partitions" -> (compact _),
     "q_state_registers" -> (stateRegisters _),
     "q_hour_partition" -> (hourPartition _)
   )

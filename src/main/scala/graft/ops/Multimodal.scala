@@ -76,6 +76,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** "Resize" over a binary payload (⊘ rows-only): fixed-output-size
+    * byte downsampling — the media-resize shape (decode → scale →
+    * re-encode) with the codec stubbed the same way as MediaFeaturesStub.
+    * Emits the thumbnail as a real `binary` column plus metadata, so the
+    * downstream contract (small fixed-size payload per row, original
+    * kept addressable by hash) is the production one. Pure projection,
+    * no shuffle.
+    */
+  private def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targetBytes = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.media.length
+          // STUB for a real scaler (PIL.Image.resize / ffmpeg scale):
+          // sample one byte per output cell, deterministic
+          val thumb = Array.tabulate(targetBytes) { i =>
+            if (n == 0) 0.toByte else r.media((i * n) / targetBytes)
+          }
+          (r.doc_id, n, thumb)
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "thumb")
+      .select(col("doc_id"), col("orig_bytes"),
+        length(col("thumb")).as("thumb_bytes"), md5(col("thumb")).as("thumb_md5"))
+      .orderBy("doc_id")
+  }
+
   /** "Frame sampling" over a binary payload (⊘ rows-only): every k-th
     * fixed-size byte window becomes a frame row with its hash — the
     * explode shape (media → n frame rows) a video pipeline produces.
@@ -98,6 +129,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_features" -> (mediaFeatures _),
+    "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _)
   )
 
