@@ -77,26 +77,38 @@ object IngestOps {
     */
   private def compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
-    (0 until 4).foreach { i =>
-      Ingest.withPartitionColumns(
-          Ingest.syntheticBatch(s, 2000, seed = i.toLong),
-          lit("factory-1"), col("timestamp"))
-        .write.mode("append")
-        .partitionBy("source", "year", "month", "day", "hour")
-        .parquet(out)
+    val outPath = java.nio.file.Files.createTempDirectory("graft_compact_q")
+    val out = outPath.toString
+    try {
+      (0 until 4).foreach { i =>
+        Ingest.withPartitionColumns(
+            Ingest.syntheticBatch(s, 2000, seed = i.toLong),
+            lit("factory-1"), col("timestamp"))
+          // pin the slice count: file counts must not depend on the
+          // session's parallelism (local[4] Verify vs local[32] Bench)
+          .repartition(2)
+          .write.mode("append")
+          .partitionBy("source", "year", "month", "day", "hour")
+          .parquet(out)
+      }
+      def nFiles = {
+        def walk(d: java.io.File): Seq[java.io.File] =
+          Option(d.listFiles).toSeq.flatten
+            .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+        walk(new java.io.File(out)).count(_.getName.endsWith(".parquet"))
+      }
+      val filesBefore = nFiles
+      val rows = Ingest.compactPartitions(s, out, lit(true))
+      // everything below is materialized eagerly so the temp dir can go
+      val result = (rows, filesBefore.toLong, nFiles.toLong,
+        s.read.parquet(out).count())
+      Seq(result)
+        .toDF("rows_compacted", "files_before", "files_after", "rows_after")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    def nFiles = {
-      def walk(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles).toSeq.flatten
-          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
-      walk(new java.io.File(out)).count(_.getName.endsWith(".parquet"))
-    }
-    val filesBefore = nFiles
-    val rows = Ingest.compactPartitions(s, out, lit(true))
-    Seq((rows, filesBefore.toLong, nFiles.toLong,
-        s.read.parquet(out).count()))
-      .toDF("rows_compacted", "files_before", "files_after", "rows_after")
   }
 
   /** Reference state registers (A8 maxTimestamp high-water mark + A9

@@ -49,8 +49,9 @@ object Multimodal {
     def fakeDecode(media: Array[Byte]): Array[Float] = {
       val n = media.length
       Array.tabulate(8) { i =>
-        val start = if (n == 0) 0 else (i * n) / 8
-        val end = if (n == 0) 0 else ((i + 1) * n) / 8
+        // long math: i * n overflows Int for payloads over ~268 MB
+        val start = if (n == 0) 0 else (i.toLong * n / 8).toInt
+        val end = if (n == 0) 0 else ((i + 1).toLong * n / 8).toInt
         var acc = 0L
         var j = start
         while (j < end) { acc = acc * 31 + (media(j) & 0xff); j += 1 }
@@ -59,11 +60,19 @@ object Multimodal {
     }
   }
 
-  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** Typed media source shared by the batched decode ops: documents'
+    * text bytes standing in for the opaque media payload.
+    */
+  private def mediaRows(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
+  }
+
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaRows(s, dir)
       .mapPartitions { rows =>
         // per-partition init happens once here (codec/model handle)
         rows.map(r => MediaFeatures(r.doc_id, r.media.length,
@@ -79,24 +88,23 @@ object Multimodal {
   /** "Resize" over a binary payload (⊘ rows-only): fixed-output-size
     * byte downsampling — the media-resize shape (decode → scale →
     * re-encode) with the codec stubbed the same way as MediaFeaturesStub.
-    * Emits the thumbnail as a real `binary` column plus metadata, so the
-    * downstream contract (small fixed-size payload per row, original
-    * kept addressable by hash) is the production one. Pure projection,
-    * no shuffle.
+    * The thumbnail is produced as a real fixed-size `binary` value in
+    * the typed pipeline; the registered query emits its size + content
+    * hash (the oracle-friendly projection — the bytes themselves stay
+    * available one select earlier). Pure projection, no shuffle.
     */
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val targetBytes = 16
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[MediaRow]
+    mediaRows(s, dir)
       .mapPartitions { rows =>
         rows.map { r =>
           val n = r.media.length
           // STUB for a real scaler (PIL.Image.resize / ffmpeg scale):
-          // sample one byte per output cell, deterministic
+          // sample one byte per output cell, deterministic; long math —
+          // i * n overflows Int for payloads over ~134 MB
           val thumb = Array.tabulate(targetBytes) { i =>
-            if (n == 0) 0.toByte else r.media((i * n) / targetBytes)
+            if (n == 0) 0.toByte else r.media((i.toLong * n / targetBytes).toInt)
           }
           (r.doc_id, n, thumb)
         }
