@@ -57,16 +57,27 @@ object IngestOps {
     * overwrite idempotence in the returned counts.
     */
   private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
-    val batch = Ingest.withPartitionColumns(
-      Ingest.syntheticBatch(s, 50000), lit("factory-1"), col("timestamp"))
-    Ingest.writeBatch(batch, out)
-    Ingest.writeBatch(batch, out) // same path ⇒ overwritten, not doubled
-    s.read.parquet(out).agg(
-      count(lit(1)).as("n"),
-      min(col("timestamp")).as("min_ts"),
-      max(col("timestamp")).as("max_ts"),
-      countDistinct(col("hour")).as("n_hours"))
+    import s.implicits._
+    val outPath = java.nio.file.Files.createTempDirectory("graft_roundtrip")
+    val out = outPath.toString
+    try {
+      val batch = Ingest.withPartitionColumns(
+        Ingest.syntheticBatch(s, 50000), lit("factory-1"), col("timestamp"))
+      Ingest.writeBatch(batch, out)
+      Ingest.writeBatch(batch, out) // same path ⇒ overwritten, not doubled
+      // materialized eagerly so the temp dir can be deleted
+      val row = s.read.parquet(out).agg(
+        count(lit(1)).as("n"),
+        min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"),
+        countDistinct(col("hour")).as("n_hours"))
+        .as[(Long, Long, Long, Long)].head()
+      Seq(row).toDF("n", "min_ts", "max_ts", "n_hours")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Compaction as an operator (⊘ self-checked): write 4 small batches

@@ -237,6 +237,24 @@ object Text {
       .orderBy("ai", "bi")
   }
 
+  // ----------------------------------------------------------- quantiles
+
+  /** Distribution stats for corpus curation: exact doc-length percentiles
+    * per language (`percentile` — same linear interpolation as DuckDB's
+    * `quantile_cont`, so decimal-exact cross-engine) plus the
+    * approx_percentile sketch twin whose error the spec bounds. The exact
+    * form sorts within groups; the sketch is the 100 TB path — one
+    * mergeable KLL-style buffer per group, map-side combined.
+    */
+  private def textQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.95)).as("p95"),
+        cnt.as("n"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------- lang id
 
   /** Stopword-profile language ID (n-gram heuristic): score each document
@@ -296,6 +314,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_text_quantiles" -> (textQuantiles _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
@@ -307,6 +326,9 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_quantiles" ->
+      ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY h ORDER BY h",
     "q_text_stats" ->

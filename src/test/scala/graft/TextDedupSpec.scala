@@ -92,6 +92,22 @@ class TextDedupSpec extends SparkSpec {
     assert(joined.filter($"n_fp" > $"n_chars").count() === 0)
   }
 
+  test("approx_percentile sketch tracks the exact percentiles within its accuracy bound") {
+    import org.apache.spark.sql.functions._
+    val both = Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("exact50"),
+        approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("approx50"))
+      .select("exact50", "approx50")
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx p50 $approx drifted from exact $exact")
+    }
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
