@@ -237,6 +237,39 @@ object Text {
       .orderBy("ai", "bi")
   }
 
+  // ------------------------------------------------- splits & sampling
+
+  /** Deterministic hash-based train/validation split — how production
+    * corpora are split (content-hash bucketing survives re-runs,
+    * re-shards, and late-arriving data, unlike random sampling). Bucket =
+    * first hex nibble of md5(text): 0-c → train (~81%), d-f → val. md5 is
+    * identical in Spark and DuckDB, so the split is oracle-exact. One
+    * projection + aggregate; no shuffle beyond the count.
+    */
+  private def trainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(substring(md5(col("text")), 1, 1).isin(
+          "d", "e", "f"), "val").otherwise("train"))
+      .groupBy("split")
+      .agg(cnt.as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+
+  /** Stratified sampling by language (`sampleBy` — per-stratum Bernoulli):
+    * the curation primitive for rebalancing a corpus. ⊘ rows-only (the
+    * sample is seed-deterministic in Spark but has no DuckDB twin); the
+    * spec bounds realized fractions per stratum.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 0.1, "zh" -> 0.1)
+    Tables.documents(s, dir)
+      .stat.sampleBy("lang", fractions, seed = 7L)
+      .groupBy("lang")
+      .agg(cnt.as("n_sampled"))
+      .orderBy("lang")
+  }
+
   // ----------------------------------------------------------- quantiles
 
   /** Distribution stats for corpus curation: exact doc-length percentiles
@@ -315,6 +348,8 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_text_quantiles" -> (textQuantiles _),
+    "q_train_split" -> (trainSplit _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
@@ -329,6 +364,10 @@ object Text {
     "q_text_quantiles" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
+    "q_train_split" ->
+      ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY split ORDER BY split"),
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY h ORDER BY h",
     "q_text_stats" ->

@@ -108,6 +108,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample respects per-stratum fractions and is seed-stable") {
+    import org.apache.spark.sql.functions._
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 0.1, "zh" -> 0.1)
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = q("q_stratified_sample")
+      .as[(String, Long)].collect().toMap
+    fractions.foreach { case (lang, f) =>
+      val total = totals(lang)
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      // Bernoulli tolerance: 4 sigma on sqrt(n p (1-p))
+      val sigma = math.sqrt(total * f * (1 - f))
+      assert(math.abs(got - total * f) <= 4 * sigma + 1,
+        s"$lang: sampled $got of $total at fraction $f")
+    }
+    // seed-determinism: re-running yields the identical sample
+    val again = q("q_stratified_sample").as[(String, Long)].collect().toMap
+    assert(again === sampled)
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
