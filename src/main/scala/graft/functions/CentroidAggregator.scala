@@ -21,6 +21,11 @@ object CentroidAggregator
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     val (sums, n) = b
     val s = if (sums.isEmpty) new Array[Double](v.length) else sums
+    // fail loudly on ragged inputs: a centroid over mixed dimensionality
+    // is undefined, and a silent truncation (or an AIOOBE mid-task) is
+    // far worse than an immediate, explicit error
+    require(v.length == s.length,
+      s"CentroidAggregator: vector of dim ${v.length} in a group of dim ${s.length}")
     var i = 0
     while (i < v.length) { s(i) += v(i); i += 1 }
     (s, n + 1)
@@ -30,6 +35,8 @@ object CentroidAggregator
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"CentroidAggregator: merging buffers of dim ${a._1.length} and ${b._1.length}")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

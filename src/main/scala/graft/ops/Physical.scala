@@ -49,7 +49,12 @@ object Physical {
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val db = "graft_buckets"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    def ensure(name: String, df: DataFrame, key: String): Unit =
+    // table names carry the source dir: the cached bucketed tables must
+    // never be served for a DIFFERENT scale factor than the one asked for
+    val dirTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    def ensure(base: String, df: DataFrame, key: String): Unit = {
+      val name = s"${base}_$dirTag"
       if (!s.catalog.tableExists(s"$db.$name")) {
         // the in-memory catalog resets per JVM but spark-warehouse persists;
         // clear any stale location or the CTAS refuses to write
@@ -60,14 +65,15 @@ object Physical {
         df.write.bucketBy(8, key).sortBy(key)
           .mode("overwrite").format("parquet").saveAsTable(s"$db.$name")
       }
+    }
     ensure("li_b", Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
     ensure("o_b", Tables.orders(s, dir)
       .select("o_orderkey", "o_orderpriority"), "o_orderkey")
     // pin SMJ (at sf0.001 AQE would broadcast instead); bucketing makes the
     // "shuffle" merge join exchange-free on both inputs
-    s.table(s"$db.li_b").hint("merge")
-      .join(s.table(s"$db.o_b").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    s.table(s"$db.li_b_$dirTag").hint("merge")
+      .join(s.table(s"$db.o_b_$dirTag").hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(cnt.as("n"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))

@@ -144,9 +144,13 @@ object Relational {
     * spec, not the plan.
     */
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    // RANGE frame ending at -1: the max ts strictly BEFORE this event's
+    // µs — a lag() over row order would take a same-µs tie, diverging
+    // from the oracle's strict `<` comparison
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     Tables.events(s, dir)
-      .withColumn("prior_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("prior_ts", max(col("ts_us")).over(w))
       .filter(col("event_type") === "purchase" && col("prior_ts").isNotNull)
       .select("event_id", "prior_ts")
       .orderBy("event_id")
@@ -375,26 +379,23 @@ object Relational {
     * as an aggregate + semi-join under the hood; both inputs pre-project
     * to the single key column.
     */
-  private def intersectKeys(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val p = Tables.part(s, dir)
-    def keysOf(brand: String): DataFrame =
-      li.join(broadcast(p.filter(col("p_brand") === brand)),
-          col("l_partkey") === col("p_partkey"))
-        .select("l_orderkey")
-    keysOf("Brand#11").intersect(keysOf("Brand#12")).orderBy("l_orderkey")
-  }
+  /** Order keys whose lineitems include a part of the given brand — the
+    * candidate sets both set-operation queries draw from.
+    */
+  private def brandOrderKeys(s: SparkSession, dir: String, brand: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === brand)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey")
+
+  private def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    brandOrderKeys(s, dir, "Brand#11")
+      .intersect(brandOrderKeys(s, dir, "Brand#12")).orderBy("l_orderkey")
 
   /** EXCEPT (distinct): brand-11 orders minus brand-12 orders. */
-  private def exceptKeys(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val p = Tables.part(s, dir)
-    def keysOf(brand: String): DataFrame =
-      li.join(broadcast(p.filter(col("p_brand") === brand)),
-          col("l_partkey") === col("p_partkey"))
-        .select("l_orderkey")
-    keysOf("Brand#11").except(keysOf("Brand#12")).orderBy("l_orderkey")
-  }
+  private def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    brandOrderKeys(s, dir, "Brand#11")
+      .except(brandOrderKeys(s, dir, "Brand#12")).orderBy("l_orderkey")
 
   // ------------------------------------------------------ scalar functions
 
@@ -632,7 +633,7 @@ object Relational {
     "q_join_range" ->
       "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_asof_join" ->
-      "SELECT p.event_id AS event_id, CAST(max(epoch_us(e.ts)) AS BIGINT) AS prior_ts FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts WHERE p.event_type = 'purchase' GROUP BY p.event_id ORDER BY event_id",
+      "SELECT p.event_id AS event_id, CAST(max(epoch_us(e.ts)) AS BIGINT) AS prior_ts FROM events p JOIN events e ON p.user_id = e.user_id AND epoch_us(e.ts) < epoch_us(p.ts) WHERE p.event_type = 'purchase' GROUP BY p.event_id ORDER BY event_id",
     "q_asof_native" ->
       ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

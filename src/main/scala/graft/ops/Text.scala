@@ -129,8 +129,11 @@ object Text {
       .groupBy(col("p.ai").as("ai"), col("p.bi").as("bi"))
       .agg(cnt.as("ni"))
     inter
-      .join(broadcast(cnts.select(col("doc_id"), col("n").as("na"))), col("ai") === col("doc_id")).drop("doc_id")
-      .join(broadcast(cnts.select(col("doc_id"), col("n").as("nb"))), col("bi") === col("doc_id")).drop("doc_id")
+      // no broadcast hint: cnts is one row per DOCUMENT, which at corpus
+      // scale must not be forced through the driver — AQE broadcasts it
+      // when it is actually small
+      .join(cnts.select(col("doc_id"), col("n").as("na")), col("ai") === col("doc_id")).drop("doc_id")
+      .join(cnts.select(col("doc_id"), col("n").as("nb")), col("bi") === col("doc_id")).drop("doc_id")
       .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
       .filter(col("jac") >= 0.05)
       .select(col("ai"), col("bi"), round(col("jac"), 4).as("jac"))

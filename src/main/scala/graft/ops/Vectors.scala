@@ -133,8 +133,7 @@ object Vectors {
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("label").as("qlabel"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     // per-list centroid as array<float> (decimal-exactness not needed —
     // no oracle; plain double mean)
     val centroids = e
@@ -147,11 +146,11 @@ object Vectors {
     // rank lists by query-centroid similarity, keep top 2
     val probed = centroids.crossJoin(broadcast(q.select(col("qv"))))
       .select(col("label"), cos(s, col("centroid"), col("qv")).as("list_sim"))
-      .orderBy(col("list_sim").desc)
+      .orderBy(col("list_sim").desc, col("label")) // label breaks cosine ties
       .limit(2)
     // exact search inside the probed lists only
     e.join(broadcast(probed), Seq("label"))
-      .crossJoin(broadcast(q.select(col("qv"))))
+      .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         round(cos(s, col("embedding"), col("qv")), 4).as("cos"))

@@ -155,25 +155,34 @@ case class AsOfJoinExec(
           while (outRow == null && lIter.hasNext) {
             val l = lIter.next()
             val lk = lKeyProj(l)
-            val lt = ltBound.eval(l).asInstanceOf[Long]
-            var rightAhead = false
-            while (!rightAhead && (pendingRight != null || rIter.hasNext)) {
-              if (pendingRight == null) pendingRight = rIter.next()
-              val rk = rKeyProj(pendingRight)
-              val c = keyOrd.compare(rk, lk)
-              if (c < 0) {
-                pendingRight = null // key already behind every future left row
-              } else if (c == 0 &&
-                  rtBound.eval(pendingRight).asInstanceOf[Long] <= lt) {
-                matchedRight = pendingRight.copy() // sorter reuses row buffers
-                matchedKey = rk.copy()
-                pendingRight = null
-              } else {
-                rightAhead = true
+            val ltRaw = ltBound.eval(l)
+            // SQL join semantics: NULL keys and NULL times never match
+            // (the natural ordering WOULD compare two NULL keys equal)
+            if (!lk.anyNull && ltRaw != null) {
+              val lt = ltRaw.asInstanceOf[Long]
+              var rightAhead = false
+              while (!rightAhead && (pendingRight != null || rIter.hasNext)) {
+                if (pendingRight == null) pendingRight = rIter.next()
+                val rk = rKeyProj(pendingRight)
+                val rtRaw = rtBound.eval(pendingRight)
+                if (rk.anyNull || rtRaw == null) {
+                  pendingRight = null // unmatched by definition; discard
+                } else {
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0) {
+                    pendingRight = null // key already behind every future left row
+                  } else if (c == 0 && rtRaw.asInstanceOf[Long] <= lt) {
+                    matchedRight = pendingRight.copy() // sorter reuses row buffers
+                    matchedKey = rk.copy()
+                    pendingRight = null
+                  } else {
+                    rightAhead = true
+                  }
+                }
               }
-            }
-            if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0) {
-              outRow = resultProj(joined(l, matchedRight))
+              if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0) {
+                outRow = resultProj(joined(l, matchedRight))
+              }
             }
           }
         }

@@ -26,7 +26,10 @@ object StreamOps {
     events
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal-routed sum like the batch twin (Ox.dsum): plain double
+      // sums are partition-order-dependent and would make the
+      // stream-vs-batch comparison flaky at the ulp level
+      .agg(count(lit(1)).as("n"), graft.ops.Ox.dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("bucket"), col("n"), col("sum_value"))
 
   /** Streaming dedup by event id within the watermark horizon —
@@ -162,10 +165,13 @@ object StreamOps {
   def ingestStream(s: SparkSession, inDir: String, outDir: String,
       checkpoint: String): StreamingQuery = {
     val raw = s.readStream.text(inDir).withColumnRenamed("value", "json")
+    // partition by ROW event time (same as the batch sink path): B6
+    // time-range pruning must answer queries about when events happened,
+    // not when their envelope arrived
     val rows = Ingest.withPartitionColumns(
       Ingest.explodeContent(Ingest.parseEnvelopes(raw)),
       substring_index(col("file"), "/", 1),
-      col("timeGenerated"))
+      col("timestamp"))
     rows.writeStream
       .format("parquet")
       .option("path", outDir)
