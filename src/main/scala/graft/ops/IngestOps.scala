@@ -91,9 +91,9 @@ object IngestOps {
     val outPath = java.nio.file.Files.createTempDirectory("graft_compact_q")
     val out = outPath.toString
     try {
-      (0 until 4).foreach { i =>
+      (0 until 3).foreach { i =>
         Ingest.withPartitionColumns(
-            Ingest.syntheticBatch(s, 2000, seed = i.toLong),
+            Ingest.syntheticBatch(s, 1000, seed = i.toLong),
             lit("factory-1"), col("timestamp"))
           // pin the slice count: file counts must not depend on the
           // session's parallelism (local[4] Verify vs local[32] Bench)
