@@ -179,6 +179,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Left-outer variant of the native as-of join: purchases with no
+    * prior click survive with NULL click columns (DuckDB ASOF LEFT JOIN
+    * is the oracle). Same plan shape as q_asof_native.
+    */
+  private def asofLeft(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.Asof.ensureInstalled(s)
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") &&
+        graft.plans.Asof.asof_le(col("ts_us"), col("c_ts")), "left_outer")
+      .select(col("event_id"), col("click_id"), col("c_ts"))
+      .orderBy("event_id")
+  }
+
   // ----------------------------------------------------------------- aggs
 
   /** Global min/max/count over the ledger (reference A7/A8/A13: the
@@ -577,6 +596,7 @@ object Relational {
     "q_join_range" -> (joinRange _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_native" -> (asofNative _),
+    "q_asof_left" -> (asofLeft _),
     "q_agg_max" -> (aggMax _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_distinct" -> (aggDistinct _),
@@ -638,6 +658,10 @@ object Relational {
       ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
         "SELECT p.event_id, c.click_id, c.c_ts FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.ts_us >= c.c_ts ORDER BY p.event_id"),
+    "q_asof_left" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT p.event_id, c.click_id, c.c_ts FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.ts_us >= c.c_ts ORDER BY p.event_id"),
     "q_agg_max" ->
       "SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts, CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts, CAST(count(*) AS BIGINT) AS n FROM events",
     "q_agg_group" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -38,8 +38,12 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightTime: Expression,
+    joinType: JoinType) extends BinaryNode {
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -60,14 +64,15 @@ case class AsOfLE(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Rewrites `Join(Inner, equiConds && asof_le(lt, rt))` into [[AsOfJoin]]
-  * once both time expressions resolve to the expected side and every
-  * remaining conjunct is a cross-side equality. Runs in the user-provided
-  * optimizer batch, after pushdown/reorder have settled.
+/** Rewrites `Join(Inner | LeftOuter, equiConds && asof_le(lt, rt))` into
+  * [[AsOfJoin]] once both time expressions resolve to the expected side
+  * and every remaining conjunct is a cross-side equality. Runs in the
+  * user-provided optimizer batch, after pushdown/reorder have settled.
   */
 object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, Inner, Some(cond), _) if cond.exists(_.isInstanceOf[AsOfLE]) =>
+    case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
+        if cond.exists(_.isInstanceOf[AsOfLE]) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val (markers, others) = conjuncts.partition(_.isInstanceOf[AsOfLE])
       val keyPairs = others.map {
@@ -85,7 +90,7 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
               rt.references.subsetOf(r.outputSet) &&
               lt.dataType == LongType && rt.dataType == LongType &&
               keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
-          AsOfJoin(l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt)
+          AsOfJoin(l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt, jt)
         case _ => j
       }
   }
@@ -93,8 +98,8 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -109,10 +114,14 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    joinType: JoinType,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = conf.numShufflePartitions
@@ -150,12 +159,16 @@ case class AsOfJoinExec(
         private var pendingRight: InternalRow = null // lookahead, not yet consumed
         private var outRow: InternalRow = null
 
+        private val nullRight = new GenericInternalRow(rightOut.size)
+        private val emitUnmatched = joinType == LeftOuter
+
         private def advance(): Unit = {
           outRow = null
           while (outRow == null && lIter.hasNext) {
             val l = lIter.next()
             val lk = lKeyProj(l)
             val ltRaw = ltBound.eval(l)
+            var matched = false
             // SQL join semantics: NULL keys and NULL times never match
             // (the natural ordering WOULD compare two NULL keys equal)
             if (!lk.anyNull && ltRaw != null) {
@@ -182,7 +195,13 @@ case class AsOfJoinExec(
               }
               if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0) {
                 outRow = resultProj(joined(l, matchedRight))
+                matched = true
               }
+            }
+            if (!matched && emitUnmatched) {
+              // left-outer: unmatched left rows (incl. NULL keys/times)
+              // survive with a null-padded right side
+              outRow = resultProj(joined(l, nullRight))
             }
           }
         }

@@ -50,6 +50,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(matched === naiveMatched)
   }
 
+  test("left-outer as-of keeps unmatched purchases with null click columns") {
+    Asof.ensureInstalled(spark)
+    val outer = purchases
+      .join(clicks, $"user_id" === $"c_user" && Asof.asof_le($"ts_us", $"c_ts"),
+        "left_outer")
+      .select($"event_id", $"click_id", $"c_ts")
+      .collect()
+    val inner = nativeResult.collect()
+    assert(outer.length === purchases.count())
+    val matched = outer.filter(!_.isNullAt(1))
+    assert(matched.map(_.toString).sorted.toSeq === inner.map(_.toString).sorted.toSeq)
+    val unmatched = outer.filter(_.isNullAt(1))
+    assert(unmatched.nonEmpty && unmatched.forall(_.isNullAt(2)))
+  }
+
   test("plan is AsOfJoinExec over sorted co-partitioned inputs, no blowup join") {
     val df = nativeResult
     df.collect()
