@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * custom logical node → `SparkStrategy` → `BinaryExecNode`, registered
   * either via `graft.GraftExtensions` or per-session through the public
   * `ExperimentalMethods` (`Asof.ensureInstalled`).
+  *
+  * Tie contract: among right rows sharing the same (key, time), which
+  * payload wins is UNSPECIFIED (sort order below the time column is not
+  * constrained) — pre-aggregate the right side to one row per (key,
+  * time) when payload determinism matters, as the bundled queries do.
   *
   * Scale shape: both sides hash-partition on the key and sort by
   * (key, time) — one shuffle each, same as a sort-merge equi-join — then
@@ -44,6 +49,12 @@ case class AsOfJoin(
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
   }
+  override def maxRows: Option[Long] = left.maxRows // <= one row per left row
+  // the default binary-node estimate is the PRODUCT of the children —
+  // a cartesian-sized guess that would veto broadcast joins above us.
+  // Output rows <= left rows, each widened by at most one right row.
+  override def stats: Statistics =
+    Statistics(sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -64,41 +75,64 @@ case class AsOfLE(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Rewrites `Join(Inner | LeftOuter, equiConds && asof_le(lt, rt))` into
-  * [[AsOfJoin]] once both time expressions resolve to the expected side
-  * and every remaining conjunct is a cross-side equality. Runs in the
-  * user-provided optimizer batch, after pushdown/reorder have settled.
+/** Shared extractor: a `Join(Inner | LeftOuter)` whose condition splits
+  * into cross-side equalities plus exactly one [[AsOfLE]] marker, with
+  * both time expressions long-typed on their own side.
   */
-object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+object AsOfJoinPattern extends PredicateHelper {
+  def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan,
+      Seq[Expression], Seq[Expression], Expression, Expression, JoinType)] =
+    plan match {
+      case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
+          if cond.exists(_.isInstanceOf[AsOfLE]) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (markers, others) = conjuncts.partition(_.isInstanceOf[AsOfLE])
+        val keyPairs = others.map {
+          case EqualTo(a, b)
+              if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+            Some((a, b))
+          case EqualTo(a, b)
+              if b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
+            Some((b, a))
+          case _ => None
+        }
+        markers match {
+          case Seq(AsOfLE(lt, rt))
+              if lt.references.subsetOf(l.outputSet) &&
+                rt.references.subsetOf(r.outputSet) &&
+                lt.dataType == LongType && rt.dataType == LongType &&
+                keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
+            Some((l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt, jt))
+          case _ => None
+        }
+      case _ => None
+    }
+}
+
+/** Rewrites a marker join into [[AsOfJoin]]. ONLY safe in a
+  * post-optimization batch (`experimental.extraOptimizations`, used by
+  * [[Asof.ensureInstalled]]): installed mid-optimization it would freeze
+  * pushdown/pruning below the opaque node and skip float-key
+  * normalization. The extensions path therefore does NOT inject this
+  * rule — [[AsOfJoinStrategy]] matches the intact Join at planning time
+  * instead, after every optimizer batch has run.
+  */
+object RewriteAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
-        if cond.exists(_.isInstanceOf[AsOfLE]) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val (markers, others) = conjuncts.partition(_.isInstanceOf[AsOfLE])
-      val keyPairs = others.map {
-        case EqualTo(a, b)
-            if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
-          Some((a, b))
-        case EqualTo(a, b)
-            if b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
-          Some((b, a))
-        case _ => None
-      }
-      markers match {
-        case Seq(AsOfLE(lt, rt))
-            if lt.references.subsetOf(l.outputSet) &&
-              rt.references.subsetOf(r.outputSet) &&
-              lt.dataType == LongType && rt.dataType == LongType &&
-              keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
-          AsOfJoin(l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt, jt)
-        case _ => j
-      }
+    case AsOfJoinPattern(l, r, lk, rk, lt, rt, jt) =>
+      AsOfJoin(l, r, lk, rk, lt, rt, jt)
   }
 }
 
+/** Plans both forms: the [[AsOfJoin]] node (post-optimizer rewrite path)
+  * and the still-intact marker Join (extensions path — extraction at
+  * planning time sees the fully optimized, normalized join).
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPattern(l, r, lk, rk, lt, rt, jt) =>
       AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -161,6 +195,22 @@ case class AsOfJoinExec(
 
         private val nullRight = new GenericInternalRow(rightOut.size)
         private val emitUnmatched = joinType == LeftOuter
+        // parked lookahead's key/time, computed ONCE when parked (not per
+        // left row while the right side waits ahead of the left cursor)
+        private var pendingKey: UnsafeRow = null
+        private var pendingTime: Long = 0L
+
+        private def park(): Boolean = { // returns false if row is unmatched junk
+          val rk = rKeyProj(pendingRight)
+          val rtRaw = rtBound.eval(pendingRight)
+          if (rk.anyNull || rtRaw == null) { pendingRight = null; false }
+          else {
+            pendingRight = pendingRight.copy() // sorter reuses row buffers
+            pendingKey = rk.copy()
+            pendingTime = rtRaw.asInstanceOf[Long]
+            true
+          }
+        }
 
         private def advance(): Unit = {
           outRow = null
@@ -175,18 +225,17 @@ case class AsOfJoinExec(
               val lt = ltRaw.asInstanceOf[Long]
               var rightAhead = false
               while (!rightAhead && (pendingRight != null || rIter.hasNext)) {
-                if (pendingRight == null) pendingRight = rIter.next()
-                val rk = rKeyProj(pendingRight)
-                val rtRaw = rtBound.eval(pendingRight)
-                if (rk.anyNull || rtRaw == null) {
-                  pendingRight = null // unmatched by definition; discard
-                } else {
-                  val c = keyOrd.compare(rk, lk)
+                if (pendingRight == null) {
+                  pendingRight = rIter.next()
+                  if (!park()) { /* discarded null-key/time row */ }
+                }
+                if (pendingRight != null) {
+                  val c = keyOrd.compare(pendingKey, lk)
                   if (c < 0) {
                     pendingRight = null // key already behind every future left row
-                  } else if (c == 0 && rtRaw.asInstanceOf[Long] <= lt) {
-                    matchedRight = pendingRight.copy() // sorter reuses row buffers
-                    matchedKey = rk.copy()
+                  } else if (c == 0 && pendingTime <= lt) {
+                    matchedRight = pendingRight
+                    matchedKey = pendingKey
                     pendingRight = null
                   } else {
                     rightAhead = true
@@ -212,6 +261,7 @@ case class AsOfJoinExec(
         }
         override def next(): InternalRow = {
           if (outRow == null) advance()
+          if (outRow == null) throw new NoSuchElementException("empty as-of iterator")
           val r = outRow
           outRow = null
           r
@@ -230,7 +280,10 @@ case class AsOfJoinExec(
   * `graft.GraftExtensions`). Idempotent.
   */
 object Asof {
-  def ensureInstalled(s: SparkSession): Unit = {
+  def ensureInstalled(s: SparkSession): Unit = s.synchronized {
+    // synchronized: extraOptimizations/extraStrategies are bare vars on
+    // the shared session — an unsynchronized read-modify-write could drop
+    // a concurrently installed third-party rule
     val reg = s.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("asof_le")))
       reg.createOrReplaceTempFunction(

@@ -32,6 +32,20 @@ class ExtensionsSpec extends SparkSpec {
           |  array(cast(0.0 as float), cast(1.0 as float))) AS c""".stripMargin)
         .head.getDouble(0)
       assert(z === 0.0)
+
+      // the as-of join plans through the injected strategy from pure SQL:
+      // the marker Join stays intact through ALL optimizer batches (no
+      // mid-optimization rewrite) and extraction happens at planning
+      val asof = s2.sql(
+        """SELECT l.id, r.v FROM
+          |  (SELECT * FROM VALUES (1L, 10L), (1L, 20L), (2L, 10L) AS t(id, t)) l
+          |JOIN
+          |  (SELECT * FROM VALUES (1L, 5L, 'a'), (1L, 15L, 'b'), (3L, 1L, 'c') AS u(id, t, v)) r
+          |ON l.id = r.id AND asof_le(l.t, r.t)""".stripMargin)
+      val plan = asof.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan.take(600))
+      val rows = asof.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq === Seq((1L, "a"), (1L, "b"))) // t=10→a(5), t=20→b(15)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
