@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("asof_le"),
       new ExpressionInfo(classOf[AsOfLE].getName, "asof_le"),
-      (exprs: Seq[Expression]) => AsOfLE(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => AsOfLE(exprs)))
     ext.injectOptimizerRule(_ => RewriteAsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

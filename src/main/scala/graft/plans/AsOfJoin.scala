@@ -44,6 +44,7 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     joinType: JoinType) extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
@@ -60,19 +61,24 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Marker predicate `asof_le(leftTime, rightTime)`: carries the as-of
-  * pair through analysis inside an ordinary join condition. Unevaluable
-  * on purpose — if the rewrite rule is not installed the query fails
-  * loudly at execution instead of silently returning every pair with
-  * `rightTime <= leftTime`.
+/** Marker predicate `asof_le(leftTime, rightTime[, tolerance])`: carries
+  * the as-of pair (and an optional max look-back, pandas
+  * `merge_asof(tolerance=...)` semantics: match only right rows with
+  * `leftTime - tolerance <= rightTime <= leftTime`) through analysis
+  * inside an ordinary join condition. Unevaluable on purpose — if the
+  * rewrite rule is not installed the query fails loudly at execution
+  * instead of silently returning every pair with `rightTime <= leftTime`.
   */
-case class AsOfLE(left: Expression, right: Expression)
-    extends BinaryExpression with Unevaluable with Predicate {
+case class AsOfLE(children: Seq[Expression])
+    extends Expression with Unevaluable with Predicate {
+  def left: Expression = children(0)
+  def right: Expression = children(1)
+  def tolerance: Option[Expression] = children.drop(2).headOption
+  override def nullable: Boolean = false
   override def dataType: DataType = BooleanType
   override def prettyName: String = "asof_le"
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): AsOfLE =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): AsOfLE = copy(children = newChildren)
 }
 
 /** Shared extractor: a `Join(Inner | LeftOuter)` whose condition splits
@@ -81,7 +87,7 @@ case class AsOfLE(left: Expression, right: Expression)
   */
 object AsOfJoinPattern extends PredicateHelper {
   def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan,
-      Seq[Expression], Seq[Expression], Expression, Expression, JoinType)] =
+      Seq[Expression], Seq[Expression], Expression, Expression, Option[Long], JoinType)] =
     plan match {
       case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
           if cond.exists(_.isInstanceOf[AsOfLE]) =>
@@ -97,12 +103,15 @@ object AsOfJoinPattern extends PredicateHelper {
           case _ => None
         }
         markers match {
-          case Seq(AsOfLE(lt, rt))
-              if lt.references.subsetOf(l.outputSet) &&
-                rt.references.subsetOf(r.outputSet) &&
-                lt.dataType == LongType && rt.dataType == LongType &&
+          case Seq(m: AsOfLE)
+              if m.left.references.subsetOf(l.outputSet) &&
+                m.right.references.subsetOf(r.outputSet) &&
+                m.left.dataType == LongType && m.right.dataType == LongType &&
+                m.tolerance.forall(t => t.foldable && t.dataType == LongType) &&
                 keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
-            Some((l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2), lt, rt, jt))
+            val tol = m.tolerance.map(_.eval().asInstanceOf[Long])
+            Some((l, r, keyPairs.map(_.get._1), keyPairs.map(_.get._2),
+              m.left, m.right, tol, jt))
           case _ => None
         }
       case _ => None
@@ -119,8 +128,8 @@ object AsOfJoinPattern extends PredicateHelper {
   */
 object RewriteAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case AsOfJoinPattern(l, r, lk, rk, lt, rt, jt) =>
-      AsOfJoin(l, r, lk, rk, lt, rt, jt)
+    case AsOfJoinPattern(l, r, lk, rk, lt, rt, tol, jt) =>
+      AsOfJoin(l, r, lk, rk, lt, rt, tol, jt)
   }
 }
 
@@ -130,10 +139,10 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, jt) =>
-      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
-    case AsOfJoinPattern(l, r, lk, rk, lt, rt, jt) =>
-      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPattern(l, r, lk, rk, lt, rt, tol, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -148,6 +157,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     joinType: JoinType,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
@@ -190,6 +200,8 @@ case class AsOfJoinExec(
         // whose time is <= the current left row's time
         private var matchedRight: InternalRow = null
         private var matchedKey: UnsafeRow = null
+        private var matchedTime: Long = 0L
+        private val minTol = tolerance.getOrElse(Long.MaxValue)
         private var pendingRight: InternalRow = null // lookahead, not yet consumed
         private var outRow: InternalRow = null
 
@@ -236,13 +248,17 @@ case class AsOfJoinExec(
                   } else if (c == 0 && pendingTime <= lt) {
                     matchedRight = pendingRight
                     matchedKey = pendingKey
+                    matchedTime = pendingTime
                     pendingRight = null
                   } else {
                     rightAhead = true
                   }
                 }
               }
-              if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0) {
+              // tolerance: the retained latest match may have aged out of
+              // the look-back window as the left cursor advanced
+              if (matchedKey != null && keyOrd.compare(matchedKey, lk) == 0 &&
+                  lt - matchedTime <= minTol) {
                 outRow = resultProj(joined(l, matchedRight))
                 matched = true
               }
@@ -287,7 +303,7 @@ object Asof {
     val reg = s.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("asof_le")))
       reg.createOrReplaceTempFunction(
-        "asof_le", exprs => AsOfLE(exprs(0), exprs(1)), "built-in")
+        "asof_le", exprs => AsOfLE(exprs), "built-in")
     if (!s.experimental.extraOptimizations.contains(RewriteAsOfJoin))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ RewriteAsOfJoin
@@ -299,4 +315,11 @@ object Asof {
   /** `asof_le(leftTime, rightTime)` join-condition marker. */
   def asof_le(leftTime: Column, rightTime: Column): Column =
     call_function("asof_le", leftTime, rightTime)
+
+  /** Tolerance form: match only right rows within `tolerance` time units
+    * before the left row (pandas `merge_asof(tolerance=...)`).
+    */
+  def asof_le(leftTime: Column, rightTime: Column, tolerance: Long): Column =
+    call_function("asof_le", leftTime, rightTime,
+      org.apache.spark.sql.functions.lit(tolerance))
 }

@@ -65,6 +65,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(unmatched.nonEmpty && unmatched.forall(_.isNullAt(2)))
   }
 
+  test("tolerance bounds the look-back window like merge_asof(tolerance=...)") {
+    Asof.ensureInstalled(spark)
+    val tolUs = 3600L * 1000000L // 1 hour
+    val got = purchases
+      .join(clicks, $"user_id" === $"c_user" &&
+        Asof.asof_le($"ts_us", $"c_ts", tolUs))
+      .select($"event_id", $"click_id", $"c_ts")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // naive twin: latest click in [ts - tol, ts]
+    val expect = purchases.as("p")
+      .join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"ts_us" && $"c_ts" >= $"ts_us" - tolUs)
+      .groupBy($"event_id")
+      .agg(max_by($"click_id", $"c_ts").as("click_id"), max($"c_ts").as("c_ts"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty && got === expect)
+    // the bound genuinely bites: strictly fewer matches than unbounded
+    assert(got.length < nativeResult.count())
+  }
+
   test("plan is AsOfJoinExec over sorted co-partitioned inputs, no blowup join") {
     val df = nativeResult
     df.collect()
