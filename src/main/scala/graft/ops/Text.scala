@@ -240,6 +240,36 @@ object Text {
       .orderBy("ai", "bi")
   }
 
+  /** Benchmark decontamination: for every document of the held-out set
+    * (here: doc_id < 50 plays the benchmark), count training documents
+    * sharing at least one 3-gram and the total shared-gram volume — the
+    * screen run before an eval set is trusted. Same inverted-index shape
+    * as q_dedup_ngram: one shuffle on the gram hash, candidate pairs only
+    * from shared postings, never an all-pairs scan. Gram strings (not
+    * hashes) are compared here so the DuckDB oracle is exact.
+    */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3))))).as("gram"))
+    val eval_ = grams.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val train = grams.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("train_id"), col("gram"))
+    eval_.join(train, "gram")
+      .groupBy("eval_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        cnt.as("n_shared_grams"))
+      .orderBy("eval_id")
+  }
+
   // ------------------------------------------------- splits & sampling
 
   /** Deterministic hash-based train/validation split — how production
@@ -352,6 +382,7 @@ object Text {
     "q_dedup_exact" -> (dedupExact _),
     "q_text_quantiles" -> (textQuantiles _),
     "q_train_split" -> (trainSplit _),
+    "q_contamination" -> (contamination _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -367,6 +398,14 @@ object Text {
     "q_text_quantiles" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
+    "q_contamination" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
+        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))) " +
+        "SELECT e.doc_id AS eval_id, CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_shared_grams " +
+        "FROM g e JOIN g tr ON e.gram = tr.gram AND e.doc_id < 50 AND tr.doc_id >= 50 " +
+        "GROUP BY eval_id ORDER BY eval_id"),
     "q_train_split" ->
       ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
