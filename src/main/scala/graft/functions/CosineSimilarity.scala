@@ -90,18 +90,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * and is a no-op when the function already exists.
   */
 object VectorFunctions {
-  /** Idempotent SQL registration: `SELECT cosine_sim(a, b)`. */
+  /** Idempotent SQL registration: `SELECT cosine_sim(a, b)` /
+    * `dot_product(a, b)`.
+    */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
       reg.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")))
+      reg.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
   def cosine_sim(s: SparkSession, a: Column, b: Column): Column = {
     register(s)
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+
+  /** Column API: `dot_product($"a", $"b")`. */
+  def dot_product(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
   }
 }

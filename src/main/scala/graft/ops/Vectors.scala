@@ -71,11 +71,17 @@ object Vectors {
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** n-bit signature: bit p = (v · plane_p) >= 0. */
-  private def lshSig(v: Column, n: Int = numPlanes): Column =
+  /** n-bit signature: bit p = (v · plane_p) >= 0. The dot is the native
+    * codegen'd expression — the HOF form allocates a zipped array per
+    * plane per row, ×16 planes; the native loop allocates nothing.
+    * Plane literals must be float arrays (dot_product is typed
+    * array<float>); constant folding turns them into literal ArrayData.
+    */
+  private def lshSig(s: SparkSession, v: Column, n: Int = numPlanes): Column =
     (0 until n).map { p =>
-      val planeLit = array(planes(p).map(lit): _*)
-      when(dot(v, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))
+      val planeLit = array(planes(p).map(x => lit(x.toFloat)): _*)
+      when(graft.functions.VectorFunctions.dot_product(s, v, planeLit) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate nearest neighbours: probe only the query
@@ -88,7 +94,7 @@ object Vectors {
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     // 6-bit signature (64 coarse buckets) + Hamming≤1 multi-probe: the
     // probe set is 7 of 64 buckets ⇒ ~11% of the corpus scanned exactly.
-    val e = Tables.embeddings(s, dir).withColumn("sig", lshSig(col("embedding"), 6))
+    val e = Tables.embeddings(s, dir).withColumn("sig", lshSig(s, col("embedding"), 6))
     val q = e.filter(col("vec_id") === 0)
       .select(col("sig").as("qsig"), col("embedding").as("qv"))
     e.join(broadcast(q), bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
@@ -111,7 +117,7 @@ object Vectors {
     val planted = e.filter(col("vec_id") < 5)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.01f)).cast("float")).as("embedding"))
-    val all = e.union(planted).withColumn("sig", lshSig(col("embedding")))
+    val all = e.union(planted).withColumn("sig", lshSig(s, col("embedding")))
     all.as("a").join(all.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),

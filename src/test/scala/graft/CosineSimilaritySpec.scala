@@ -28,6 +28,24 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(both.filter($"native".isNull).count() === 0)
   }
 
+  test("native dot_product is bit-identical to the HOF fold") {
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        VectorFunctions.dot_product(spark, $"embedding", $"qv").as("native"),
+        hofDot($"embedding", $"qv").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("null and shape edge cases") {
     val df = Seq(
       (1L, Some(Array(1f, 0f)), Some(Array(1f, 0f))),   // identical → 1.0
