@@ -14,15 +14,7 @@ object Bench {
     // the bench contract is local[32]; SPARK_GRAFT_CPUS only overrides for
     // local iteration on smaller machines
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     // warmup: session, codecs, codegen, file-source paths
     try SparkEntry.queries("q_agg_group")(spark, sfDir).count()
     catch { case _: Throwable => () }

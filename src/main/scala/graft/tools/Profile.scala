@@ -1,7 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import graft.{GraftExtensions, SparkEntry}
+import graft.{GraftSession, SparkEntry}
 
 /** Warm repeated-measurement profiler: runs the named queries (or the
   * full registry) N times after a warmup pass and prints min/median per
@@ -9,36 +8,43 @@ import graft.{GraftExtensions, SparkEntry}
   * recipe, tune against the MINIMUM of repeated warm runs, never one
   * cold reading.
   *
-  * Run: `sbt "runMain graft.tools.Profile [reps] [query ...]"`.
+  * Run: `sbt "runMain graft.tools.Profile [reps] [query ...]"` — both
+  * optional; a non-numeric first arg is treated as a query name.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n => // warmup: codegen + file listing, untimed
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case e: Throwable => println(s"PROF $n WARMUP-FAILED: ${e.getMessage}") }
+    val (reps, nameArgs) = args.headOption.flatMap(_.toIntOption) match {
+      case Some(r) => (math.max(1, r), args.drop(1).toSeq)
+      case None => (3, args.toSeq)
     }
+    val names =
+      if (nameArgs.nonEmpty) nameArgs
+      else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     names.foreach { n =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"PROF $n%-24s min=${times.head}%.2fs median=${times(times.size / 2)}%.2fs reps=$reps")
+      val warmOk =
+        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          println(s"PROF $n FAILED: ${e.getMessage}"); false
+        }
+      if (warmOk) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        // even rep count: average the two central readings
+        val median =
+          if (times.size % 2 == 1) times(times.size / 2)
+          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+        println(f"PROF $n%-24s min=${times.head}%.2fs median=$median%.2fs reps=$reps")
+      }
     }
     spark.stop()
   }
