@@ -240,6 +240,24 @@ object Text {
       .orderBy("ai", "bi")
   }
 
+  /** Canonical text normalization — the first pass of every curation
+    * pipeline: lowercase, strip non-alphanumeric/space characters,
+    * collapse whitespace runs, trim. Emitted as per-document before/after
+    * length + normalized-content hash (md5 is identical in both engines,
+    * so the transform itself is oracle-exact without shipping full text
+    * through the compare). One projection, no shuffle.
+    */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(norm).as("n_norm"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: for every document of the held-out set
     * (here: doc_id < 50 plays the benchmark), count training documents
     * sharing at least one 3-gram and the total shared-gram volume — the
@@ -383,6 +401,7 @@ object Text {
     "q_text_quantiles" -> (textQuantiles _),
     "q_train_split" -> (trainSplit _),
     "q_contamination" -> (contamination _),
+    "q_text_normalize" -> (textNormalize _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -398,6 +417,11 @@ object Text {
     "q_text_quantiles" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
+    "q_text_normalize" ->
+      ("SELECT doc_id, CAST(length(text) AS INT) AS n_raw, " +
+        "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
+        "FROM documents ORDER BY doc_id"),
     "q_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
