@@ -319,6 +319,23 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Distribution-rank family over one window pass: quartile bucket
+    * (ntile), percent_rank, cume_dist per order within its priority
+    * class. All integer-count-derived (rank arithmetic over a unique
+    * orderBy key), so the doubles are bit-identical cross-engine without
+    * decimal routing. Same single-shuffle window shape as q_window_rank.
+    */
+  private def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select("o_orderkey", "o_orderpriority", "quartile", "pct_rank", "cume")
+      .orderBy("o_orderkey")
+  }
+
   /** Running max per user (reference A8 watermark as an analytic).
     * UNBOUNDED PRECEDING..CURRENT ROW over max is computed incrementally —
     * O(1) per row. max over doubles is exact (no FP accumulation).
@@ -606,6 +623,7 @@ object Relational {
     "q_cube" -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank" -> (windowRank _),
+    "q_window_ntile" -> (windowNtile _),
     "q_window_running" -> (windowRunning _),
     "q_window_frame" -> (windowFrame _),
     "q_window_lead_lag" -> (windowLeadLag _),
@@ -676,6 +694,13 @@ object Relational {
       "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls",
     "q_grouping_sets" ->
       "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY rf, ls",
+    "q_window_ntile" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank, " +
+        "round(cume_dist() OVER w, 6) AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_orderkey"),
     "q_window_rank" ->
       "SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1 ORDER BY o_custkey",
     "q_window_running" ->
