@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, DotProduct}
-import graft.plans.{AsOfJoinStrategy, AsOfLE, RewriteAsOfJoin}
+import graft.plans.{AsOfJoinStrategy, AsOfLE}
 
 /** Session-extension entry point: registers the engine's native functions
   * at session build, the supported way to ship them to every session of a
@@ -28,13 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    // native as-of join: marker predicate + Join→AsOfJoin rewrite +
-    // planner strategy (graft.plans.AsOfJoin)
+    // native as-of join: marker predicate + planner strategy
+    // (graft.plans.AsOfJoin). Deliberately NO injectOptimizerRule for
+    // RewriteAsOfJoin: that batch is iterative and mid-optimization the
+    // opaque AsOfJoin node would freeze filter pushdown / column pruning
+    // beneath it (see the design note at plans/AsOfJoin.scala on
+    // RewriteAsOfJoin). AsOfJoinStrategy extracts the still-intact marker
+    // Join at planning time, after every optimizer batch has run.
     ext.injectFunction((
       FunctionIdentifier("asof_le"),
       new ExpressionInfo(classOf[AsOfLE].getName, "asof_le"),
       (exprs: Seq[Expression]) => AsOfLE(exprs)))
-    ext.injectOptimizerRule(_ => RewriteAsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

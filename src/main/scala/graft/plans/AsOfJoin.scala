@@ -192,7 +192,12 @@ case class AsOfJoinExec(
       val ltBound = BindReferences.bindReference(ltExpr, leftOut)
       val rtBound = BindReferences.bindReference(rtExpr, rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // bind against `allOut`, whose right-side attributes are already
+      // nullability-adjusted for LeftOuter (see `output`): binding against
+      // the raw `rightOut` would compile a projection that reads a
+      // non-nullable right attribute without a null check, so the
+      // null-padded `nullRight` row would yield 0/garbage instead of NULL
+      val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {

@@ -65,6 +65,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(unmatched.nonEmpty && unmatched.forall(_.isNullAt(2)))
   }
 
+  test("left-outer null-pads correctly even with a NON-nullable right side") {
+    // regression: the result projection must bind against the
+    // nullability-ADJUSTED output attributes — bound against the raw
+    // right output (non-nullable here, from spark.range), the unmatched
+    // null-pad row was read without a null check → 0/garbage/NPE
+    Asof.ensureInstalled(spark)
+    val left = Seq((1L, 100L), (9L, 100L)).toDF("k", "t")
+    val right = spark.range(5).select($"id".as("rk"),
+      ($"id" * 10).as("rt"), ($"id" + 1000).as("payload"))
+    assert(right.schema.forall(!_.nullable), "fixture must be non-nullable")
+    val out = left
+      .join(right, $"k" === $"rk" && Asof.asof_le($"t", $"rt"), "left_outer")
+      .select($"k", $"payload")
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(m(1L) === Some(1001L)) // latest rt <= 100 for rk=1 is rt=10
+    assert(m(9L) === None) // unmatched: NULL, never a zero-filled pad
+  }
+
   test("tolerance bounds the look-back window like merge_asof(tolerance=...)") {
     Asof.ensureInstalled(spark)
     val tolUs = 3600L * 1000000L // 1 hour

@@ -51,4 +51,40 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("filters below an as-of input still push into the parquet scan") {
+    // regression for the extensions-path plan defect: injecting
+    // RewriteAsOfJoin as an optimizer rule materialized the opaque
+    // AsOfJoin node MID-optimization, freezing filter pushdown / column
+    // pruning beneath it in every extensions-built session. The strategy
+    // now extracts the intact marker Join at planning time, so pushdown
+    // must reach both scans.
+    import org.apache.spark.sql.functions._
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .master("local[4]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      val ev = Tables.events(s2, sfDir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      val df = purchases.join(clicks,
+        col("user_id") === col("c_user") && expr("asof_le(ts_us, c_ts)"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan.take(800))
+      assert(plan.contains("EqualTo(event_type,purchase)"),
+        s"filter below the as-of join was not pushed to the scan:\n${plan.take(1500)}")
+      assert(plan.contains("EqualTo(event_type,click)"), plan.take(1500))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
