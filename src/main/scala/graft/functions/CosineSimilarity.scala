@@ -57,23 +57,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName for EVERY local: nullSafeCodeGen leaves this block
+      // unbraced when both children are non-nullable, so fixed names would
+      // collide across two instances in one generated function (Janino
+      // error → silent interpreted fallback)
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double graft_dot = 0.0; double graft_na = 0.0; double graft_nb = 0.0;
-         |  int graft_n = $a.numElements();
-         |  for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |    double graft_x = (double) $a.getFloat(graft_i);
-         |    double graft_y = (double) $b.getFloat(graft_i);
-         |    graft_dot += graft_x * graft_y;
-         |    graft_na += graft_x * graft_x;
-         |    graft_nb += graft_y * graft_y;
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
          |  }
-         |  if (graft_na == 0.0 || graft_nb == 0.0) {
+         |  if ($na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = graft_dot / (java.lang.Math.sqrt(graft_na) * java.lang.Math.sqrt(graft_nb));
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin

@@ -51,16 +51,24 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName for EVERY local: nullSafeCodeGen leaves this block
+      // unbraced when both children are non-nullable, so fixed names would
+      // collide across two instances in one generated function (Janino
+      // error → silent interpreted fallback). The LSH path emits 16 of
+      // these per projection.
+      val dot = ctx.freshName("dot")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double graft_dot = 0.0;
-         |  int graft_n = $a.numElements();
-         |  for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |    graft_dot += (double) $a.getFloat(graft_i) * (double) $b.getFloat(graft_i);
+         |  double $dot = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = graft_dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

@@ -46,6 +46,38 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiple codegen'd instances coexist in one generated function") {
+    // regression: the generated bodies used FIXED local names; with both
+    // children non-nullable nullSafeCodeGen leaves the block unbraced, so
+    // two instances in one function declared duplicate locals → Janino
+    // failure → silent interpreted fallback. fallback=false turns that
+    // silent degradation into a test failure.
+    val key = "spark.sql.codegen.fallback"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // non-nullable AND non-foldable inputs (constant folding would
+      // otherwise evaluate the expression interpreted at optimize time)
+      val v = array(($"id".cast("float") + lit(1f)), lit(2f))
+      val w = array(lit(3f), lit(4f))
+      val rows = spark.range(3).select($"id",
+          VectorFunctions.dot_product(spark, v, w).as("d1"),
+          VectorFunctions.dot_product(spark, w, v).as("d2"),
+          VectorFunctions.cosine_sim(spark, v, w).as("c1"),
+          VectorFunctions.cosine_sim(spark, w, v).as("c2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, d1, d2, c1, c2) =>
+        val expect = (id + 1).toDouble * 3.0 + 2.0 * 4.0
+        assert(d1 === expect && d2 === expect, s"id=$id dot")
+        assert(c1 === c2 && c1 > 0.0 && c1 <= 1.0, s"id=$id cos")
+      }
+    } finally spark.conf.set(key, prior)
+  }
+
   test("null and shape edge cases") {
     val df = Seq(
       (1L, Some(Array(1f, 0f)), Some(Array(1f, 0f))),   // identical → 1.0
