@@ -46,7 +46,28 @@ object Physical {
     * shuffle: pay it once at write time.
     */
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // auto bucketed scans would un-bucket the small sf inputs; disable for
+    // THIS query only — the session is shared across the whole Bench/
+    // Verify run, so the prior value must be restored or every later
+    // query plans with bucketed scans disabled
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = s.conf.getOption(confKey)
+    s.conf.set(confKey, "false")
+    try {
+      val df = bucketedJoinBody(s, dir)
+      // force physical planning NOW, while the conf is in effect: the
+      // QueryExecution caches executedPlan, so a later collect() on this
+      // DataFrame keeps the exchange-free bucketed shape even after the
+      // conf is restored (results are conf-independent either way)
+      df.queryExecution.executedPlan
+      df
+    } finally prior match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  private def bucketedJoinBody(s: SparkSession, dir: String): DataFrame = {
     val db = "graft_buckets"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     // table names carry the source dir: the cached bucketed tables must

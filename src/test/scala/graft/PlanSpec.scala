@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q_bucketed_join leaves the session's autoBucketedScan conf untouched") {
+    // regression: the conf was set false and never restored, silently
+    // de-optimizing every query planned later in the shared session
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.get(key)
+    q("q_bucketed_join").collect()
+    assert(spark.conf.get(key) === prior,
+      s"$key leaked from bucketedJoin (was $prior)")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
