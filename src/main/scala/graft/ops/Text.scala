@@ -103,7 +103,23 @@ object Text {
     * scale path. Jaccard is exact-integer-derived, so the threshold and
     * rounding are bit-stable across engines.
     */
-  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+  /** Stop-gram posting-list cap shared by the n-gram operators: a gram
+    * appearing in more documents than this is a stop-gram — it carries no
+    * near-dup signal and its posting list would otherwise pair-explode
+    * O(|posting|²) inside ONE task (the classic hot-key skew killer at
+    * corpus scale). 64 ≫ the observed max document frequency of the test
+    * corpora (7 at sf0.01, 25 at sf0.1), so results are unchanged there;
+    * the DuckDB oracles mirror the cap exactly so the semantics stay
+    * oracle-checked whatever the data. Specs exercise the cap itself with
+    * planted hot grams at a tiny K.
+    */
+  private[graft] val defaultMaxPostingDocs = 64
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    dedupNgramCapped(s, dir, defaultMaxPostingDocs)
+
+  private[graft] def dedupNgramCapped(
+      s: SparkSession, dir: String, maxPostingDocs: Int): DataFrame = {
     // Single-pass inverted-index form: one shuffle by gram builds the
     // posting lists (collect_set also dedups within-doc repeats), pairs
     // explode from each list, and per-doc gram counts derive from the
@@ -112,11 +128,14 @@ object Text {
     // to 64-bit xxhash64 BEFORE the shuffle — equality on the hash is
     // equality on the gram (collision odds ~1e-7 at 1M distinct grams;
     // at 100 TB swap in a 128-bit hash), and the shuffle carries 8-byte
-    // keys instead of ~20-byte strings. At 100 TB also add a stop-gram
-    // cap on posting-list size (skew guard).
+    // keys instead of ~20-byte strings. Stop-grams (posting list longer
+    // than the cap) are dropped BEFORE the pair explosion — and before
+    // the per-doc counts, so Jaccard is consistently defined over the
+    // capped gram universe in both engines.
     val g2 = hashedGrams(s, dir)
       .groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxPostingDocs)
     val cnts = g2
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(cnt.as("n"))
@@ -262,11 +281,22 @@ object Text {
     * (here: doc_id < 50 plays the benchmark), count training documents
     * sharing at least one 3-gram and the total shared-gram volume — the
     * screen run before an eval set is trusted. Same inverted-index shape
-    * as q_dedup_ngram: one shuffle on the gram hash, candidate pairs only
-    * from shared postings, never an all-pairs scan. Gram strings (not
-    * hashes) are compared here so the DuckDB oracle is exact.
+    * as q_dedup_ngram: one shuffle on the gram key, candidate pairs only
+    * from shared postings, never an all-pairs scan.
+    *
+    * The shuffle key is a 128-bit hash of the gram — two independent
+    * xxhash64 lanes, so equality on the pair IS gram equality (collision
+    * odds ~1e-20 at 1e9 distinct grams) while the shuffle carries 16
+    * fixed bytes instead of arbitrary-length strings; the DuckDB oracle
+    * compares the STRINGS, keeping the hashed path exactness-checked.
+    * Stop-grams (over [[defaultMaxPostingDocs]] documents) are dropped
+    * inside the same aggregate, before the eval×train pair explosion.
     */
-  private def contamination(s: SparkSession, dir: String): DataFrame = {
+  private def contamination(s: SparkSession, dir: String): DataFrame =
+    contaminationCapped(s, dir, defaultMaxPostingDocs)
+
+  private[graft] def contaminationCapped(
+      s: SparkSession, dir: String, maxPostingDocs: Int): DataFrame = {
     val toks = col("toks")
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -277,11 +307,20 @@ object Text {
           element_at(toks, i + 1),
           element_at(toks, i + 2),
           element_at(toks, i + 3))))).as("gram"))
-    val eval_ = grams.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("eval_id"), col("gram"))
-    val train = grams.filter(col("doc_id") >= 50)
-      .select(col("doc_id").as("train_id"), col("gram"))
-    eval_.join(train, "gram")
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"), xxhash64(lit(1), col("gram")).as("h2"))
+    // one shuffle on the hashed gram builds both posting sides at once;
+    // collect_set drops the nulls of the other side's `when`
+    val posts = grams
+      .groupBy("h1", "h2")
+      .agg(
+        collect_set(when(col("doc_id") < 50, col("doc_id"))).as("eval_ids"),
+        collect_set(when(col("doc_id") >= 50, col("doc_id"))).as("train_ids"))
+      .filter(size(col("eval_ids")) + size(col("train_ids")) <= maxPostingDocs)
+      .filter(size(col("eval_ids")) >= 1 && size(col("train_ids")) >= 1)
+    posts
+      .select(explode(col("eval_ids")).as("eval_id"), col("train_ids"))
+      .select(col("eval_id"), explode(col("train_ids")).as("train_id"))
       .groupBy("eval_id")
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         cnt.as("n_shared_grams"))
@@ -425,10 +464,11 @@ object Text {
     "q_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
-        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))) " +
+        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) WHERE df <= 64) " +
         "SELECT e.doc_id AS eval_id, CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs, " +
         "CAST(count(*) AS BIGINT) AS n_shared_grams " +
-        "FROM g e JOIN g tr ON e.gram = tr.gram AND e.doc_id < 50 AND tr.doc_id >= 50 " +
+        "FROM gk e JOIN gk tr ON e.gram = tr.gram AND e.doc_id < 50 AND tr.doc_id >= 50 " +
         "GROUP BY eval_id ORDER BY eval_id"),
     "q_train_split" ->
       ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
@@ -452,8 +492,9 @@ object Text {
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
         "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
-        "cnts AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
+        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) WHERE df <= 64), " +
+        "cnts AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
         "SELECT ai, bi, round(jac, 4) AS jac FROM (SELECT ai, bi, ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
         "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) WHERE jac >= 0.05 ORDER BY ai, bi")
   )

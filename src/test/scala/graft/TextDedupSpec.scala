@@ -51,6 +51,64 @@ class TextDedupSpec extends SparkSpec {
     nearDups.foreach(p => assert(sim.contains(p), s"simhash missed near-dup $p"))
   }
 
+  test("stop-gram cap drops hot-gram pairs, keeps normal-gram pairs") {
+    // planted corpus: one ultra-hot gram shared by EVERY doc (the skew
+    // killer — uncapped it alone pair-explodes O(n²)), plus one genuine
+    // near-dup pair sharing a full sentence of normal grams
+    val hot = "zzz yyy xxx"
+    val sent = "alpha beta gamma delta epsilon zeta eta"
+    val docs =
+      (0L until 10L).map(i => (i, s"$hot unique$i tok$i word$i more$i")) ++
+        Seq((100L, s"$hot $sent"), (101L, s"$hot $sent"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // cap wide open: the hot gram pairs every doc with every other
+    val uncapped = ops.Text.dedupNgramCapped(spark, dir, 1000)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)), s"hot gram should pair docs uncapped: $uncapped")
+    assert(uncapped.size >= 60, s"expected the O(n²) explosion, got ${uncapped.size}")
+
+    // cap = 5 < 12 docs: the hot gram is a stop-gram — pair output is
+    // bounded to the one true near-dup, whose normal grams are unchanged
+    val capped = ops.Text.dedupNgramCapped(spark, dir, 5)
+      .select("ai", "bi", "jac").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((100L, 101L)),
+      s"capped pairs: ${capped.toSeq}")
+    assert(capped.head._3 === 1.0) // identical doc bodies over kept grams
+  }
+
+  test("contamination cap ignores stop-gram-only overlap, keeps real overlap") {
+    val hot = "zzz yyy xxx"
+    val sent = "alpha beta gamma delta epsilon zeta eta"
+    // eval 1 shares ONLY the hot gram with training docs; eval 2 shares a
+    // real sentence with train doc 60; train 61..66 exist to push the hot
+    // gram's document frequency over the cap
+    val docs = Seq(
+      (1L, s"$hot e1a e1b e1c e1d"),
+      (2L, s"$hot $sent")) ++
+      Seq((60L, s"$hot $sent")) ++
+      (61L to 66L).map(i => (i, s"$hot t${i}a t${i}b t${i}c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val uncapped = ops.Text.contaminationCapped(spark, dir, 1000)
+      .select("eval_id").as[Long].collect().toSet
+    assert(uncapped === Set(1L, 2L), s"uncapped: hot gram contaminates both: $uncapped")
+
+    val capped = ops.Text.contaminationCapped(spark, dir, 5)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.map(_._1).toSet === Set(2L),
+      s"only the real overlap survives the cap: ${capped.toSeq}")
+    val (_, nTrain, nShared) = capped.head
+    assert(nTrain === 1L) // train doc 60 only
+    assert(nShared >= 5L) // the sentence grams (hot gram excluded)
+  }
+
   test("language ID predicts constructed sentences correctly") {
     val samples = Seq(
       (1L, "the cat is in the house and it is warm"),
