@@ -85,13 +85,15 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** "Resize" over a binary payload (⊘ rows-only): fixed-output-size
-    * byte downsampling — the media-resize shape (decode → scale →
-    * re-encode) with the codec stubbed the same way as MediaFeaturesStub.
-    * The thumbnail is produced as a real fixed-size `binary` value in
-    * the typed pipeline; the registered query emits its size + content
-    * hash (the oracle-friendly projection — the bytes themselves stay
-    * available one select earlier). Pure projection, no shuffle.
+  /** "Resize" over a binary payload: fixed-output-size byte
+    * downsampling — the media-resize shape (decode → scale → re-encode)
+    * with the codec stubbed the same way as MediaFeaturesStub. The
+    * thumbnail is produced as a real fixed-size `binary` value in the
+    * typed pipeline; the registered query emits its size + content hash.
+    * Oracled: the sampling is plain blob indexing, which DuckDB can
+    * replay over hex(encode(text)); the hash is md5 over the thumb's HEX
+    * string (hex-pair equality = byte equality) because this DuckDB has
+    * no md5(BLOB). Pure projection, no shuffle.
     */
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -111,7 +113,7 @@ object Multimodal {
       }
       .toDF("doc_id", "orig_bytes", "thumb")
       .select(col("doc_id"), col("orig_bytes"),
-        length(col("thumb")).as("thumb_bytes"), md5(col("thumb")).as("thumb_md5"))
+        length(col("thumb")).as("thumb_bytes"), md5(hex(col("thumb"))).as("thumb_md5"))
       .orderBy("doc_id")
   }
 
@@ -144,6 +146,11 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, " +
-        "md5(text) AS content_md5 FROM documents ORDER BY doc_id")
+        "md5(text) AS content_md5 FROM documents ORDER BY doc_id"),
+    "q_media_resize" ->
+      ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n FROM documents) " +
+        "SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(16 AS INT) AS thumb_bytes, " +
+        "md5(list_reduce(list_transform(range(0, 16), i -> substr(mhex, CAST((i*n)//16 AS BIGINT)*2 + 1, 2)), (a, b) -> a || b)) AS thumb_md5 " +
+        "FROM m ORDER BY doc_id")
   )
 }

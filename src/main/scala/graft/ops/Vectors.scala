@@ -46,8 +46,10 @@ object Vectors {
 
   /** Brute-force cosine top-k (k=10) vs the query vector — compiles to
     * TakeOrderedAndProject over the scored scan (per-partition heap, no
-    * global sort). ⊘ rows-only: the top-k *cut* depends on float ulps, so
-    * the spec checks it against q_sim_scores instead of DuckDB.
+    * global sort). Oracled: the score is rounded to 4 dp BEFORE the sort
+    * and ties break on vec_id, so the top-k cut is deterministic — both
+    * engines order by the identical rounded double (q_sim_scores proves
+    * the per-row values hash-match).
     */
   private def simTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -208,6 +210,12 @@ object Vectors {
         "(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
         "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cos " +
         "FROM embeddings, q ORDER BY vec_id"),
+    "q_sim_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
     "q_embed_centroid" ->
       ("SELECT label, CAST(i AS INT) AS pos, " +
         "CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_val " +
