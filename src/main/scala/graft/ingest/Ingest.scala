@@ -109,13 +109,29 @@ object Ingest {
     * in this batch — re-ingesting a batch is idempotent without clobbering
     * sibling partitions (the correct version of the reference's
     * same-blob-path overwrite).
+    *
+    * Remote FS (reference A17, src/main.go:157-173,301-311 uploads to
+    * Azure Blob): `basePath` is any Hadoop-FS URI — `file:///...` locally,
+    * `abfss://container@account.dfs.core.windows.net/prefix`,
+    * `s3a://bucket/prefix`, etc. — the sink itself is scheme-agnostic.
+    * Credentials/tuning belong on the session (or per-write via `options`
+    * here), e.g. for ADLS Gen2 with a shared key:
+    * {{{
+    * spark.conf.set("fs.azure.account.key.<account>.dfs.core.windows.net", key)
+    * }}}
+    * or `fs.azure.account.auth.type=OAuth` + the client-credential confs
+    * for the reference's default-credential-chain equivalent. Unlike the
+    * reference, an upload failure fails the Spark JOB (exception), never
+    * the process (src/main.go:308-310 log.Fatal kills the service).
     */
-  def writeBatch(df: DataFrame, basePath: String): Unit =
+  def writeBatch(df: DataFrame, basePath: String,
+      options: Map[String, String] = Map.empty): Unit =
     df.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .option("parquet.block.size", (128 * 1024 * 1024).toString)
+      .options(options)
       .partitionBy("source", "year", "month", "day", "hour")
       .parquet(basePath)
 

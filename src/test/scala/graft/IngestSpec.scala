@@ -73,6 +73,19 @@ class IngestSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("sink accepts Hadoop-FS URIs (file://) — the remote-FS A17 path") {
+    // the sink is scheme-agnostic: an explicit file:// URI exercises the
+    // same Hadoop-FS resolution an abfss:///s3a:// path goes through,
+    // and the options pass-through carries per-write FS/parquet confs
+    val dir = java.nio.file.Files.createTempDirectory("graft_uri_spec")
+    val uri = dir.toUri.toString // file:///...
+    assert(uri.startsWith("file://"))
+    val batch = Ingest.withPartitionColumns(
+      Ingest.syntheticBatch(spark, 1000), lit("factory-1"), col("timestamp"))
+    Ingest.writeBatch(batch, uri, options = Map("parquet.page.size" -> "1048576"))
+    assert(spark.read.parquet(uri).count() === 1000)
+  }
+
   test("compaction collapses per-batch small files without changing the data") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
     // 6 small batches appended into the same hour layout — the
