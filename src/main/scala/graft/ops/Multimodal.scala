@@ -36,10 +36,12 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, n_bytes: Int, feat: Array[Float])
 
-  /** Batched partition-wise "decode + featurize" (⊘ rows-only): one
-    * iterator per partition, so a real decoder would amortize model/codec
-    * init across the whole batch — exactly the mapInPandas contract. The
-    * decode itself is a clearly-marked deterministic fake.
+  /** Batched partition-wise "decode + featurize": one iterator per
+    * partition, so a real decoder would amortize model/codec init across
+    * the whole batch — exactly the mapInPandas contract. The decode
+    * itself is a clearly-marked deterministic fake; because it's a
+    * bounded modular rolling hash, the DuckDB oracle replays it from the
+    * payload's hex string and the query is hash-checked end to end.
     */
   object MediaFeaturesStub {
     /** STUB for the real media decoder (PIL/librosa/ffmpeg would go here;
@@ -54,7 +56,10 @@ object Multimodal {
         val end = if (n == 0) 0 else ((i + 1).toLong * n / 8).toInt
         var acc = 0L
         var j = start
-        while (j < end) { acc = acc * 31 + (media(j) & 0xff); j += 1 }
+        // modular rolling hash (prime 1000003): bounded, so the DuckDB
+        // oracle can replay it in BIGINT arithmetic — Java's wrapping
+        // overflow has no SQL twin
+        while (j < end) { acc = (acc * 31 + (media(j) & 0xff)) % 1000003L; j += 1 }
         (acc % 1000).toFloat / 1000f
       }
     }
@@ -117,10 +122,13 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** "Frame sampling" over a binary payload (⊘ rows-only): every k-th
-    * fixed-size byte window becomes a frame row with its hash — the
-    * explode shape (media → n frame rows) a video pipeline produces.
-    * Pure projection + explode; scales linearly.
+  /** "Frame sampling" over a binary payload: every k-th fixed-size byte
+    * window becomes a frame row with its content hash — the explode shape
+    * (media → n frame rows) a video pipeline produces. Oracled: the frame
+    * hash is md5 over the window's HEX string (hex-pair equality = byte
+    * equality, same convention as mediaResize), which DuckDB replays with
+    * substr over hex(encode(text)). Pure projection + explode; scales
+    * linearly.
     */
   private def frameSample(s: SparkSession, dir: String): DataFrame = {
     val frameLen = 32
@@ -131,7 +139,7 @@ object Multimodal {
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), expr(s"(length(media) - $frameLen) div $stride")),
-          i => xxhash64(col("media").substr(i * stride + 1, lit(frameLen))))))
+          i => md5(hex(col("media").substr(i * stride + 1, lit(frameLen)))))))
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_hash")
       .orderBy("doc_id", "frame_no")
   }
@@ -151,6 +159,24 @@ object Multimodal {
       ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n FROM documents) " +
         "SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(16 AS INT) AS thumb_bytes, " +
         "md5(list_reduce(list_transform(range(0, 16), i -> substr(mhex, CAST((i*n)//16 AS BIGINT)*2 + 1, 2)), (a, b) -> a || b)) AS thumb_md5 " +
-        "FROM m ORDER BY doc_id")
+        "FROM m ORDER BY doc_id"),
+    "q_frame_sample" ->
+      ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE octet_length(encode(text)) >= 32) " +
+        "SELECT doc_id, CAST(i AS INT) AS frame_no, md5(substr(mhex, CAST(i*128 AS BIGINT) + 1, 64)) AS frame_hash " +
+        "FROM m CROSS JOIN range(0, 100000) t(i) WHERE i <= (n - 32) // 64 " +
+        "ORDER BY doc_id, frame_no"),
+    "q_media_features" ->
+      ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n FROM documents), " +
+        "f AS (SELECT doc_id, n, i, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(CAST((i*n)//8 AS BIGINT), CAST(((i+1)*n)//8 AS BIGINT)), " +
+        "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+        "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000003) AS acc " +
+        "FROM m CROSS JOIN (VALUES (0), (7)) t(i)) " +
+        "SELECT doc_id, CAST(max(n) AS INT) AS n_bytes, " +
+        "round(CAST(max(CASE WHEN i = 0 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat0, " +
+        "round(CAST(max(CASE WHEN i = 7 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat7 " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id")
   )
 }
