@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -251,6 +251,41 @@ object Relational {
       .withColumn("rel_err",
         abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"))
       .orderBy("l_returnflag")
+
+  /** Statistical profile per group: mean / sample variance / stddev of
+    * quantity and its correlation with extended price, computed from raw
+    * decimal power sums (Σx, Σx², Σy, Σy², Σxy). Spark's
+    * `stddev_samp`/`corr` built-ins use streaming central moments whose
+    * low-order bits are engine- and order-dependent; the power-sum form
+    * is exact in decimal, and the closing double arithmetic (division,
+    * sqrt) is IEEE-identical on identical operands in both engines — so
+    * the profile is hash-checked. Same plan shape as the built-ins: one
+    * map-side-combinable hash-aggregate, 5 sums per group.
+    */
+  private def statsProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum30(c: Column): Column =
+      sum(c.cast(DecimalType(30, 4))).cast("double")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"),
+        dsum30(x).as("sx"), dsum30(x * x).as("sxx"),
+        dsum30(y).as("sy"), dsum30(y * y).as("syy"),
+        dsum30(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx") / col("n"), 4).as("mean_qty"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+          .as("var_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+          .as("std_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
 
   /** max_by / arg_max (reference A9 last-writer-wins register, per key).
     * Single aggregation, no window, no self-join; `ts` is unique per user
@@ -619,6 +654,7 @@ object Relational {
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
     "q_agg_maxby" -> (aggMaxBy _),
+    "q_stats_profile" -> (statsProfile _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSets _),
@@ -650,6 +686,19 @@ object Relational {
     * routed through DECIMAL(18,4) exactly as [[Ox.dsum]] does.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_stats_profile" ->
+      ("WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, round(sx / n, 4) AS mean_qty, " +
+        "round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty, " +
+        "round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_qty, " +
+        "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price " +
+        "FROM s ORDER BY l_returnflag"),
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_limit" ->

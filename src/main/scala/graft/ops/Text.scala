@@ -94,6 +94,57 @@ object Text {
         regexp_count(col("text"), lit("[a-z]{1,4}")).as("subword_tokens"))
       .orderBy("doc_id")
 
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * extraction pass of a curation pipeline. Two hash-aggregates (tf per
+    * (doc, word); df per word) and one broadcast of the scalar corpus
+    * size; the per-doc top-3 cut is a windowed rank with a deterministic
+    * (score DESC, word ASC) tie-break. `ln` is IEEE-identical on
+    * identical doubles in practice, and the spec-visible score is rounded
+    * to 4 dp, so the query is fully oracled. Both aggregations are
+    * map-side combinable; nothing touches the driver.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(tokens).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(cnt.as("tf"))
+    val df_ = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(cnt.as("n_docs"))
+    val scored = tf.join(df_, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("word"),
+        round(col("tfidf"), 4).as("score"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  // --------------------------------------------------- edit-distance dedup
+
+  /** Edit-distance fuzzy dedup: Levenshtein over 32-char prefixes,
+    * candidates bucketed by a 16-char length band — the O(len²) DP runs
+    * only within a band, never corpus×corpus (production would also probe
+    * adjacent bands for boundary straddlers; the oracle mirrors this
+    * band-exact form). `levenshtein` is a built-in with identical DP
+    * semantics in both engines, so the pairs are hash-checked.
+    */
+  private def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"),
+        (col("n_chars") / 16).cast("int").as("band"))
+    d.as("a").join(d.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+      .filter(col("dist") <= 8)
+      .orderBy("ai", "bi")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.05). Candidate
@@ -382,8 +433,10 @@ object Text {
 
   /** Stopword-profile language ID (n-gram heuristic): score each document
     * against small public stopword profiles, predict the argmax with a
-    * deterministic tie-break on language code. ⊘ rows-only (heuristic has
-    * no SQL oracle); spec checks synthetic sentences in each language.
+    * deterministic tie-break on language code. Oracled: the scoring is
+    * plain token-set counting DuckDB replays verbatim, and the (score,
+    * lang) argmax maps to `row_number() OVER (ORDER BY score DESC, lang
+    * DESC)`. Spec additionally checks synthetic sentences per language.
     * One projection, no shuffle — trivially scalable.
     */
   private val profiles: Seq[(String, Seq[String])] = Seq(
@@ -413,15 +466,19 @@ object Text {
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * public MOSS algorithm): rolling 5-char-gram hashes, then the min hash
     * of every 4-gram window, deduplicated. Emits per-doc fingerprint-set
-    * stats. ⊘ rows-only; spec asserts shared-prefix docs share
-    * fingerprints. All array ops in one projection — no shuffle.
+    * stats. Oracled: the gram hash is the first 48 bits of md5 (md5 and
+    * hex→int being the only hash primitives both engines share), so
+    * DuckDB replays the full winnow with list math; spec additionally
+    * asserts shared-prefix docs share fingerprints. All array ops in one
+    * projection — no shuffle.
     */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val w = 4
     val hashes = transform(
       sequence(lit(1), length(col("text")) - (k - 1)),
-      i => xxhash64(col("text").substr(i, lit(k))))
+      i => conv(substring(md5(col("text").substr(i, lit(k)).cast("binary")), 1, 12), 16, 10)
+        .cast("long"))
     Tables.documents(s, dir)
       .filter(length(col("text")) >= k + w)
       .withColumn("hs", hashes)
@@ -449,7 +506,9 @@ object Text {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_lang_id" -> (langId _),
-    "q_doc_fingerprint" -> (docFingerprint _)
+    "q_doc_fingerprint" -> (docFingerprint _),
+    "q_tfidf" -> (tfidf _),
+    "q_fuzzy_dedup" -> (fuzzyDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -496,6 +555,43 @@ object Text {
         "cnts AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
         "SELECT ai, bi, round(jac, 4) AS jac FROM (SELECT ai, bi, ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
-        "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) WHERE jac >= 0.05 ORDER BY ai, bi")
+        "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) WHERE jac >= 0.05 ORDER BY ai, bi"),
+    "q_lang_id" ->
+      ("WITH p(lang, words) AS (VALUES " +
+        "('en', ['the','and','of','to','in','is','that','it']), " +
+        "('de', ['der','die','das','und','ist','nicht','ein','zu']), " +
+        "('fr', ['le','la','les','et','est','un','une','dans']), " +
+        "('es', ['el','la','los','y','es','un','una','que']), " +
+        "('zh', ['的','是','了','在','我','有','他','不'])), " +
+        "s AS (SELECT d.doc_id, p.lang, len(list_filter(string_split(d.text, ' '), w -> list_contains(p.words, w))) AS score " +
+        "FROM documents d CROSS JOIN p) " +
+        "SELECT doc_id, lang AS pred_lang, CAST(score AS INT) AS score " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s) " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+    "q_doc_fingerprint" ->
+      ("WITH h AS (SELECT doc_id, list_transform(range(1, CAST(length(text) - 3 AS BIGINT)), " +
+        "i -> list_reduce(list_transform(range(1, 13), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INT), 5)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b)) AS hs " +
+        "FROM documents WHERE length(text) >= 9), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(0, CAST(len(hs) - 3 AS BIGINT)), " +
+        "j -> list_min(hs[CAST(j + 1 AS BIGINT):CAST(j + 4 AS BIGINT)]))) AS fps FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, list_min(fps) AS fp_min, list_max(fps) AS fp_max " +
+        "FROM f ORDER BY doc_id"),
+    "q_tfidf" ->
+      ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY doc_id, word), " +
+        "df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY word), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, word, CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf " +
+        "FROM tf JOIN df USING (word) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(term_rank AS INT) AS term_rank, word, round(tfidf, 4) AS score " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
+        "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
+    "q_fuzzy_dedup" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents) " +
+        "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
+        "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi")
   )
 }

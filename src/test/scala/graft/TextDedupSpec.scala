@@ -109,6 +109,54 @@ class TextDedupSpec extends SparkSpec {
     assert(nShared >= 5L) // the sentence grams (hot gram excluded)
   }
 
+  test("tfidf ranks a document's unique term above corpus-wide terms") {
+    val docs = Tables.documents(spark, sfDir)
+    // every doc_id token below appears in exactly one synthetic sentence
+    val top = q("q_tfidf").filter($"term_rank" === 1)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(top.length === docs.count())
+    // nearly every doc has some non-universal term (idf > 0) on top
+    assert(top.count(_._2 > 0.0) > top.length * 0.9)
+    // rank is dense 1..3 per doc with deterministic ordering
+    val ranks = q("q_tfidf").groupBy("doc_id")
+      .agg(sort_array(collect_list("term_rank")).as("rs"))
+      .select("rs").as[Seq[Int]].collect()
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+
+  test("fuzzy dedup pairs planted prefix twins, skips distinct docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"), // 1-word edit
+      (3L, "completely different sentence with other words here entirely"))
+      .map { case (id, t) => (id, t, "en", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_fuzzy_dedup")(spark, dir)
+      .select("ai", "bi", "dist").as[(Long, Long, Int)].collect()
+    // docs 1/2 share the length band and differ by one short word
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 <= 8)
+  }
+
+  test("stats profile matches Spark's built-in moments within fp tolerance") {
+    val prof = q("q_stats_profile")
+      .select("l_returnflag", "mean_qty", "std_qty", "corr_qty_price")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val builtin = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(avg($"l_quantity").as("m"), stddev_samp($"l_quantity").as("s"),
+        corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(prof.keySet === builtin.keySet)
+    prof.foreach { case (k, (m, s, c)) =>
+      val (bm, bs, bc) = builtin(k)
+      assert(math.abs(m - bm) < 1e-3 && math.abs(s - bs) < 1e-3 && math.abs(c - bc) < 1e-3,
+        s"flag $k: decimal-moment profile diverged from built-ins")
+    }
+  }
+
   test("language ID predicts constructed sentences correctly") {
     val samples = Seq(
       (1L, "the cat is in the house and it is warm"),
