@@ -108,7 +108,10 @@ object Text {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"), explode(tokens).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(cnt.as("tf"))
-    val df_ = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    // df derives FROM tf (one row per distinct (doc, word) already), not
+    // from `words`: branching before the first shuffle would scan and
+    // explode the corpus twice — tf's exchange is the reuse point
+    val df_ = tf.groupBy("word").agg(cnt.as("df"))
     val n = docs.agg(cnt.as("n_docs"))
     val scored = tf.join(df_, "word")
       .crossJoin(broadcast(n))
@@ -132,6 +135,12 @@ object Text {
     * adjacent bands for boundary straddlers; the oracle mirrors this
     * band-exact form). `levenshtein` is a built-in with identical DP
     * semantics in both engines, so the pairs are hash-checked.
+    *
+    * 100 TB note: the band alone is a low-cardinality join key (≈ max
+    * doc length / 16 distinct values), so at corpus scale the bucket key
+    * must compose band × a content prefix class (e.g. first-token hash)
+    * exactly like the n-gram/minhash buckets; the band-only form here
+    * keeps the oracle exact while demonstrating the banded-DP shape.
     */
   private def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
