@@ -36,7 +36,14 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val cold = rep()
-      val warm = if (cold < 0) -1.0 else math.min(cold, rep())
+      // a transient second-rep failure must not discard the valid cold
+      // measurement: keep the best SUCCESSFUL rep
+      val warm =
+        if (cold < 0) -1.0
+        else {
+          val second = rep()
+          if (second < 0) cold else math.min(cold, second)
+        }
       (name, warm, cold)
     }
     def js(xs: Seq[(String, Double)]): String =

@@ -158,7 +158,10 @@ object Multimodal {
     "q_media_resize" ->
       ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n FROM documents) " +
         "SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(16 AS INT) AS thumb_bytes, " +
-        "md5(list_reduce(list_transform(range(0, 16), i -> substr(mhex, CAST((i*n)//16 AS BIGINT)*2 + 1, 2)), (a, b) -> a || b)) AS thumb_md5 " +
+        // empty payload: the Spark stub emits 16 zero bytes, so the hex
+        // replay must too (substr over an empty hex string would yield '')
+        "md5(CASE WHEN n = 0 THEN repeat('00', 16) ELSE " +
+        "list_reduce(list_transform(range(0, 16), i -> substr(mhex, CAST((i*n)//16 AS BIGINT)*2 + 1, 2)), (a, b) -> a || b) END) AS thumb_md5 " +
         "FROM m ORDER BY doc_id"),
     "q_frame_sample" ->
       ("WITH m AS (SELECT doc_id, hex(encode(text)) AS mhex, octet_length(encode(text)) AS n " +

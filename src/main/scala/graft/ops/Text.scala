@@ -133,8 +133,12 @@ object Text {
     * candidates bucketed by a 16-char length band — the O(len²) DP runs
     * only within a band, never corpus×corpus (production would also probe
     * adjacent bands for boundary straddlers; the oracle mirrors this
-    * band-exact form). `levenshtein` is a built-in with identical DP
-    * semantics in both engines, so the pairs are hash-checked.
+    * band-exact form). The pass is restricted to ASCII prefixes (byte
+    * length = char length): there Spark's character-based Levenshtein and
+    * DuckDB's byte-based one provably coincide, so the pairs are
+    * hash-checked; non-Latin scripts belong to a separate
+    * script-partitioned pass (character-level distance over multi-byte
+    * text has no byte-DP equivalent to oracle against).
     *
     * 100 TB note: the band alone is a low-cardinality join key (≈ max
     * doc length / 16 distinct values), so at corpus scale the bucket key
@@ -146,6 +150,7 @@ object Text {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"),
         (col("n_chars") / 16).cast("int").as("band"))
+      .filter(octet_length(col("prefix")) === length(col("prefix")))
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
@@ -533,7 +538,8 @@ object Text {
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
         "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
-        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) WHERE df <= 64) " +
+        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) " +
+        s"WHERE df <= $defaultMaxPostingDocs) " +
         "SELECT e.doc_id AS eval_id, CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs, " +
         "CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM gk e JOIN gk tr ON e.gram = tr.gram AND e.doc_id < 50 AND tr.doc_id >= 50 " +
@@ -560,7 +566,8 @@ object Text {
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
         "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
-        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) WHERE df <= 64), " +
+        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) " +
+        s"WHERE df <= $defaultMaxPostingDocs), " +
         "cnts AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
         "SELECT ai, bi, round(jac, 4) AS jac FROM (SELECT ai, bi, ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
@@ -598,7 +605,8 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_fuzzy_dedup" ->
-      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents) " +
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents " +
+        "WHERE octet_length(encode(substr(text, 1, 32))) = length(substr(text, 1, 32))) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
         "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi")
