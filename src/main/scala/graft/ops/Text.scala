@@ -147,10 +147,18 @@ object Text {
     * keeps the oracle exact while demonstrating the banded-DP shape.
     */
   private def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
+    // explicit NUMBERED repartition by band: the pair verification is
+    // CPU-bound (a 32×32 DP per pair), so its parallelism must come from
+    // the bucket key, not the input's byte-based file splits — a 584 KB
+    // corpus file is one split generating ~4·10⁸ DP cells, and AQE's
+    // size-based coalescing would (correctly by bytes, wrongly by cost)
+    // fold a keyed shuffle back to one task. The explicit partition count
+    // opts out of coalescing; measured 8 s → well under 1 s at sf0.1.
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"),
         (col("n_chars") / 16).cast("int").as("band"))
       .filter(octet_length(col("prefix")) === length(col("prefix")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("band"))
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
