@@ -101,9 +101,91 @@ object Physical {
       .orderBy("o_orderpriority")
   }
 
+  /** Set confs for the duration of `body`'s PLANNING (the physical plan
+    * is forced while they hold, and QueryExecution caches it), then
+    * restore prior values — never leak plan-shaping confs into the shared
+    * session (see bucketedJoin's history).
+    */
+  private def withConfs(s: SparkSession, kvs: (String, String)*)(
+      body: => DataFrame): DataFrame = {
+    val priors = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try { val df = body; df.queryExecution.executedPlan; df }
+    finally priors.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Runtime Bloom-filter-pruned join: a selective dimension filter
+    * (one brand of 25) injects a `bloom_filter_agg`/`might_contain` pair
+    * so the FACT side drops non-qualifying rows BEFORE its shuffle — at
+    * 100 TB this is the difference between shuffling the whole fact table
+    * and shuffling ~4% of it. Broadcast is disabled during planning to
+    * pin the shuffle join the filter exists to protect (with a broadcast
+    * join there is no fact-side shuffle to prune); the application-side
+    * size threshold is lowered because the sandbox fact side is far below
+    * the 10 GiB production default. Result is an ordinary join — oracled.
+    */
+  private def bloomJoin(s: SparkSession, dir: String): DataFrame =
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val dim = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.lineitem(s, dir)
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }
+
+  /** Dynamic partition pruning over the engine's own partitioned layout:
+    * events land day-partitioned (tz-free integer epoch-day, mirroring
+    * the reference's mandated time layout), and a join against a date
+    * dimension filtered to one week prunes the fact scan to 7 of 30
+    * partitions AT RUNTIME (`dynamicpruningexpression` in the scan's
+    * PartitionFilters) — the partition-layout payoff (A6/B6) when the
+    * qualifying keys are only known from a dim filter, not a literal.
+    * The layout is written once per source dir and cached, like the
+    * bucketed tables.
+    */
+  private def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val dirTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$dirTag"
+    val loc = new org.apache.hadoop.fs.Path(path)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_us div 86400000000").as("day_id"))
+        .write.mode("overwrite").partitionBy("day_id").parquet(path)
+    }
+    val fact = s.read.parquet(path)
+    // date dimension: 30 epoch-days from 2024-01-01 (= day 19723), one
+    // week selected — the qualifying day_ids exist only after the filter
+    val dim = s.range(30).select(
+      (lit(19723L) + col("id")).as("day_id"),
+      (col("id") / 7).cast("int").as("week"))
+    fact.join(broadcast(dim), "day_id")
+      .filter(col("week") === 1)
+      // partition-dir inference reads day_id back as INT; the dim (and
+      // the oracle) carry BIGINT — pin the output type
+      .withColumn("day_id", col("day_id").cast("long"))
+      .groupBy("day_id")
+      .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("day_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted" -> (skewSalted _),
-    "q_bucketed_join" -> (bucketedJoin _)
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_join_bloom" -> (bloomJoin _),
+    "q_join_dpp" -> (dppJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -116,6 +198,17 @@ object Physical {
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_bloom" ->
+      ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#12' GROUP BY p_brand ORDER BY p_brand"),
+    "q_join_dpp" ->
+      ("WITH dim AS (SELECT 19723 + i AS day_id, CAST(i // 7 AS INT) AS week FROM range(30) t(i)) " +
+        "SELECT day_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM (SELECT epoch_us(ts) // 86400000000 AS day_id, value FROM events) e " +
+        "JOIN dim USING (day_id) WHERE week = 1 GROUP BY day_id ORDER BY day_id")
   )
 }

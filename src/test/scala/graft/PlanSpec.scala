@@ -50,6 +50,31 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bloom join injects a runtime filter on the fact side") {
+    val p = plan("q_join_bloom")
+    // creation side aggregates a bloom filter; application side probes it
+    // before the fact shuffle
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter in the fact scan path:\n${p.take(1200)}")
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+      p.take(1200))
+  }
+
+  test("dpp join prunes fact partitions at runtime") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the day-partitioned scan:\n${p.take(1200)}")
+  }
+
+  test("q_join_bloom leaves broadcast and bloom confs untouched") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val priors = keys.map(k => spark.conf.getOption(k))
+    q("q_join_bloom").collect()
+    assert(keys.map(k => spark.conf.getOption(k)) === priors)
+  }
+
   test("q_bucketed_join leaves the session's autoBucketedScan conf untouched") {
     // regression: the conf was set false and never restored, silently
     // de-optimizing every query planned later in the shared session
