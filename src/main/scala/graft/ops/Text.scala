@@ -167,6 +167,46 @@ object Text {
       .orderBy("ai", "bi")
   }
 
+  /** Near-dup cluster assignment — the post-processing step every dedup
+    * pipeline ends with: connected components over the candidate-pair
+    * graph, each doc labeled with its component's min doc_id (the keeper).
+    * Computed by iterative min-label propagation to a fixpoint — each
+    * round is one shuffle join + one map-side-combinable min-aggregate,
+    * and the round count is bounded by the cluster diameter (near-dup
+    * clusters are shallow: pairs/triples), not the corpus size. This is
+    * the Pregel shape; the driver only coordinates rounds and checks
+    * convergence (a count, never data). `localCheckpoint` truncates the
+    * per-iteration lineage — without it the plan doubles every round.
+    * Oracled against DuckDB's recursive-CTE transitive closure, which is
+    * exactly the min-reachable-label fixpoint.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyDedup(s, dir).select(col("ai"), col("bi"))
+    val edges = pairs
+      .union(pairs.select(col("bi").as("ai"), col("ai").as("bi")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("ai").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels, edges("ai") === labels("node"))
+        .select(col("bi").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = prop
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = prop
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.05). Candidate
@@ -530,7 +570,8 @@ object Text {
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_tfidf" -> (tfidf _),
-    "q_fuzzy_dedup" -> (fuzzyDedup _)
+    "q_fuzzy_dedup" -> (fuzzyDedup _),
+    "q_dup_clusters" -> (dupClusters _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -617,6 +658,16 @@ object Text {
         "WHERE octet_length(encode(substr(text, 1, 32))) = length(substr(text, 1, 32))) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
         "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
-        "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi")
+        "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi"),
+    "q_dup_clusters" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents " +
+        "WHERE octet_length(encode(substr(text, 1, 32))) = length(substr(text, 1, 32))), " +
+        "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
+        "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +
+        "reach(node, m) AS (" +
+        "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
+        "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src) " +
+        "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id")
   )
 }

@@ -157,6 +157,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters are transitive: A~B, B~C, A≁C land in one component") {
+    // prefixes: A-B dist 5, B-C dist 5, A-C dist 10 (> the 8 cut) — only
+    // label propagation to a fixpoint puts all three in one cluster
+    val a = "aaaaa bbbbb ccccc ddddd eeeee ff tail text here"
+    val b = "aaaaa xxxxx ccccc ddddd eeeee ff tail text here"
+    val c = "aaaaa xxxxx ccccc yyyyy eeeee ff tail text here"
+    val far = "zzzzz qqqqq wwwww rrrrr ttttt uu tail text here"
+    val docs = Seq((10L, a), (11L, b), (12L, c), (99L, far))
+      .map { case (id, t) => (id, t, "en", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"clusters: $got") // 99 has no near pair and stays out
+  }
+
   test("language ID predicts constructed sentences correctly") {
     val samples = Seq(
       (1L, "the cat is in the house and it is warm"),
