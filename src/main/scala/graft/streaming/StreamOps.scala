@@ -204,6 +204,34 @@ object StreamOps {
       .start()
   }
 
+  /** Watermarked stream-stream inner join: purchases attributed to the
+    * click that preceded them by at most `windowUs` — the canonical
+    * funnel/attribution join. BOTH sides carry watermarks and the join
+    * condition bounds event-time distance, which is what lets Spark
+    * evict buffered rows: each side's state holds only rows inside
+    * (watermark − window), so state is bounded by rate × window at any
+    * scale, never by stream length. Without the time bound the state
+    * store would grow forever — the condition is load-bearing, not a
+    * filter.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowUs: Long): DataFrame = {
+    val c = clicks
+      .withWatermark("ts_ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts_ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("value"))
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result — test harness for the transforms
     * above (batch parquet in, streaming semantics out).

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream join attributes purchases to in-window clicks only") {
+    implicit val sq = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamOps.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts_ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts_ts", "value"),
+      windowUs = 600L * 1000000L) // 10 minutes
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_spec").start()
+
+    clicks.addData((100L, 1L, ts(1000)), (101L, 2L, ts(1000)), (102L, 1L, ts(5000)))
+    purchases.addData(
+      (200L, 1L, ts(1300), 9.99),  // 5 min after click 100 → joins
+      (201L, 2L, ts(2000), 5.00),  // 16+ min after click 101 → outside window
+      (202L, 3L, ts(1100), 1.00))  // no click for user 3
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ssj_spec")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 200L, 100L)),
+      s"only the in-window attribution may join: $got")
+  }
+
   test("transformWithState registers: monotone high-water mark, last-writer-wins") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
