@@ -159,7 +159,9 @@ object Physical {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$dirTag"
     val loc = new org.apache.hadoop.fs.Path(path)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) {
+    // gate on the commit marker, not the directory: a crashed partial
+    // write must be rewritten, never served
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("value"),
           expr("ts_us div 86400000000").as("day_id"))
