@@ -23,10 +23,13 @@ object Bench {
     // (exchange-free) join, not the CTAS it exists to amortize
     try SparkEntry.queries("q_bucketed_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // two timed reps per query: the headline number is the MIN (the warm
-    // steady-state cost — this host shows ±45% single-run noise, so one
-    // cold reading is not a measurement), the first rep is kept as the
-    // cold number in `queries_cold`.
+    // two timed reps per query, BOTH always attempted: the headline
+    // number is the MIN of the successful reps (warm steady-state cost —
+    // this host shows ±45% single-run noise, so one cold reading is not
+    // a measurement); the first rep is kept as the cold number in
+    // `queries_cold` (-1 if it failed). A rep failure never silently
+    // discards the other rep's valid measurement, and never hides: every
+    // failed rep is listed in `rep_errors`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -36,22 +39,24 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val cold = rep()
-      // a transient second-rep failure must not discard the valid cold
-      // measurement: keep the best SUCCESSFUL rep
-      val warm =
-        if (cold < 0) -1.0
-        else {
-          val second = rep()
-          if (second < 0) cold else math.min(cold, second)
-        }
-      (name, warm, cold)
+      val second = rep()
+      val successes = Seq(cold, second).filter(_ >= 0)
+      val warm = if (successes.isEmpty) -1.0 else successes.min
+      val err =
+        if (cold < 0 && second < 0) Some("both")
+        else if (cold < 0) Some("cold")
+        else if (second < 0) Some("warm")
+        else None
+      (name, warm, cold, err)
     }
     def js(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = js(results.map(r => (r._1, r._2)))
     val qsCold = js(results.map(r => (r._1, r._3)))
+    val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failures excluded, visible as -1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"rep_errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,12 +133,16 @@ object Text {
     * candidates bucketed by a 16-char length band — the O(len²) DP runs
     * only within a band, never corpus×corpus (production would also probe
     * adjacent bands for boundary straddlers; the oracle mirrors this
-    * band-exact form). The pass is restricted to ASCII prefixes (byte
-    * length = char length): there Spark's character-based Levenshtein and
-    * DuckDB's byte-based one provably coincide, so the pairs are
-    * hash-checked; non-Latin scripts belong to a separate
-    * script-partitioned pass (character-level distance over multi-byte
-    * text has no byte-DP equivalent to oracle against).
+    * band-exact form). The distance is BYTE-level edit distance over the
+    * prefix's UTF-8 encoding, for every script: Spark's `levenshtein` is
+    * character-based, so the prefix is decoded byte→char through
+    * ISO-8859-1 (a bijection byte ↔ char), making Spark's char-DP
+    * compute exactly the byte-DP that DuckDB's `levenshtein` natively
+    * runs on UTF-8 — identical on ALL inputs, no domain restriction.
+    * For ASCII, byte distance IS character distance; for multi-byte
+    * scripts one character edit costs its encoded width (documented
+    * unit, and the standard speed-for-precision trade in byte-level
+    * fuzzy dedup).
     *
     * 100 TB note: the band alone is a low-cardinality join key (≈ max
     * doc length / 16 distinct values), so at corpus scale the bucket key
@@ -155,9 +159,11 @@ object Text {
     // fold a keyed shuffle back to one task. The explicit partition count
     // opts out of coalescing; measured 8 s → well under 1 s at sf0.1.
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"),
+      .select(col("doc_id"),
+        // byte→char bijection: char-Levenshtein over this IS byte-Levenshtein
+        decode(encode(substring(col("text"), 1, 32), "UTF-8"), "ISO-8859-1")
+          .as("prefix"),
         (col("n_chars") / 16).cast("int").as("band"))
-      .filter(octet_length(col("prefix")) === length(col("prefix")))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("band"))
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -654,14 +660,12 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_fuzzy_dedup" ->
-      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents " +
-        "WHERE octet_length(encode(substr(text, 1, 32))) = length(substr(text, 1, 32))) " +
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
         "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi"),
     "q_dup_clusters" ->
-      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents " +
-        "WHERE octet_length(encode(substr(text, 1, 32))) = length(substr(text, 1, 32))), " +
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents), " +
         "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
         "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +

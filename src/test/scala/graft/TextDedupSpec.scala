@@ -157,6 +157,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy dedup measures BYTE-level distance on multi-byte scripts") {
+    // one CJK char substitution = 3 UTF-8 bytes: doc 2 is 3 byte-edits
+    // from doc 1 (pairs), doc 3 is 9 from both (exceeds the 8 cut) —
+    // exactly what DuckDB's byte-based levenshtein computes, which is
+    // the cross-engine contract the ISO-8859-1 byte→char decode buys
+    val a = "的的的在我有他不 aaaa bbbb cccc dddd"
+    val b = "是的的在我有他不 aaaa bbbb cccc dddd"
+    val c = "了了了在我有他不 aaaa bbbb cccc dddd"
+    val docs = Seq((1L, a), (2L, b), (3L, c))
+      .map { case (id, t) => (id, t, "zh", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_mb").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_fuzzy_dedup")(spark, dir)
+      .select("ai", "bi", "dist").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 3)), s"got: ${pairs.toSeq}")
+  }
+
   test("dup clusters are transitive: A~B, B~C, A≁C land in one component") {
     // prefixes: A-B dist 5, B-C dist 5, A-C dist 10 (> the 8 cut) — only
     // label propagation to a fixpoint puts all three in one cluster
