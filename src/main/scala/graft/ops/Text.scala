@@ -195,7 +195,12 @@ object Text {
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      // a near-dup graph with diameter beyond this is pathological input,
+      // and a truncated fixpoint would be silently WRONG labels — fail loud
+      rounds += 1
+      require(rounds <= 64, s"label propagation did not converge in $rounds rounds")
       val prop = edges
         .join(labels, edges("ai") === labels("node"))
         .select(col("bi").as("node"), col("label"))

@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("fuzzy dedup pair verify parallelizes on the band shuffle, not file splits") {
+    // regression: the CPU-bound Levenshtein stage must sit on the explicit
+    // numbered repartition (immune to AQE size coalescing), never directly
+    // on the (single) parquet split
+    val p = plan("q_fuzzy_dedup")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"explicit numbered repartition missing from the plan:\n${p.take(1000)}")
+  }
+
   test("bloom join injects a runtime filter on the fact side") {
     val p = plan("q_join_bloom")
     // creation side aggregates a bloom filter; application side probes it
