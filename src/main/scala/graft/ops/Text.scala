@@ -127,6 +127,37 @@ object Text {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** Unigram language-model quality score (perplexity proxy) — the
+    * CCNet/KenLM-style curation signal: a document's mean token
+    * log-likelihood under the corpus's own unigram distribution. Rare-
+    * token gibberish scores low, fluent common-vocabulary text scores
+    * high. One corpus-frequency aggregate (map-side combinable) broadcast
+    * onto the token stream, one per-doc aggregate — two shuffles total,
+    * the frequency table bounded by vocabulary, not corpus size. Decimal
+    * routing on the log-likelihood sum keeps the per-doc mean
+    * partition-order-invariant, so the score is hash-checked.
+    */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("word"))
+    val freq = words.groupBy("word").agg(cnt.as("wc"))
+      .crossJoin(broadcast(words.agg(cnt.as("t"))))
+      .select(col("word"),
+        // per-token log-likelihood, pre-rounded to a fixed decimal grid so
+        // the per-doc SUM is decimal-exact in both engines; ln itself is
+        // IEEE-identical on identical doubles (cf. tfidf)
+        round(log(col("wc").cast("double") / col("t").cast("double")), 8)
+          .as("ll"))
+    words.join(broadcast(freq), "word")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_tokens"),
+        (sum(col("ll").cast(DecimalType(18, 8))).cast("double") /
+          cnt.cast("double")).as("mean_ll"))
+      .select(col("doc_id"), col("n_tokens"), round(col("mean_ll"), 4).as("mean_ll"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------- edit-distance dedup
 
   /** Edit-distance fuzzy dedup: Levenshtein over 32-char prefixes,
@@ -581,6 +612,7 @@ object Text {
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_tfidf" -> (tfidf _),
+    "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _)
   )
@@ -664,6 +696,14 @@ object Text {
         "SELECT doc_id, CAST(term_rank AS INT) AS term_rank, word, round(tfidf, 4) AS score " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
+    "q_lm_score" ->
+      ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words), " +
+        "freq AS (SELECT word, round(ln(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE)), 8) AS ll " +
+        "FROM words CROSS JOIN t GROUP BY word, t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
+        "FROM words JOIN freq USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "q_fuzzy_dedup" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +

@@ -157,6 +157,20 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lm score ranks common-vocabulary text above rare-token gibberish") {
+    val docs = ((1L to 10L).map(i => (i, "the cat sat on the mat today")) :+
+      (99L, "zxqv wkjh pqrs mnbv lkjq asdq gqwz"))
+      .map { case (id, t) => (id, t, "en", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = SparkEntry.queries("q_lm_score")(spark, dir)
+      .select("doc_id", "mean_ll").as[(Long, Double)].collect().toMap
+    val fluent = (1L to 10L).map(scores)
+    assert(fluent.forall(_ > scores(99L)),
+      s"gibberish must score below fluent text: ${scores(99L)} vs ${fluent.min}")
+  }
+
   test("fuzzy dedup measures BYTE-level distance on multi-byte scripts") {
     // one CJK char substitution = 3 UTF-8 bytes: doc 2 is 3 byte-edits
     // from doc 1 (pairs), doc 3 is 9 from both (exceeds the 8 cut) —
