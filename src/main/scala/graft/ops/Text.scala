@@ -141,8 +141,12 @@ object Text {
     import org.apache.spark.sql.types.DecimalType
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
-    val freq = words.groupBy("word").agg(cnt.as("wc"))
-      .crossJoin(broadcast(words.agg(cnt.as("t"))))
+    val freqRaw = words.groupBy("word").agg(cnt.as("wc"))
+    // total token count derives from the frequency table (Σ wc), not from
+    // a second pass over `words` — same tfidf rule: branch after the
+    // first shuffle, the corpus is scanned once per consumer at most
+    val freq = freqRaw
+      .crossJoin(broadcast(freqRaw.agg(sum(col("wc")).as("t"))))
       .select(col("word"),
         // per-token log-likelihood, pre-rounded to a fixed decimal grid so
         // the per-doc SUM is decimal-exact in both engines; ln itself is
