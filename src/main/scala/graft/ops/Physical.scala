@@ -45,35 +45,32 @@ object Physical {
     * side. At 100 TB this is how a recurring fact-fact join amortizes its
     * shuffle: pay it once at write time.
     */
-  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     // auto bucketed scans would un-bucket the small sf inputs; disable for
-    // THIS query only — the session is shared across the whole Bench/
-    // Verify run, so the prior value must be restored or every later
-    // query plans with bucketed scans disabled
-    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = s.conf.getOption(confKey)
-    s.conf.set(confKey, "false")
-    try {
-      val df = bucketedJoinBody(s, dir)
-      // force physical planning NOW, while the conf is in effect: the
-      // QueryExecution caches executedPlan, so a later collect() on this
-      // DataFrame keeps the exchange-free bucketed shape even after the
-      // conf is restored (results are conf-independent either way)
-      df.queryExecution.executedPlan
-      df
-    } finally prior match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
+    // THIS query's planning only (withConfs restores the shared session)
+    withConfs(s,
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      bucketedJoinBody(s, dir)
     }
+
+  /** Cache tag for per-source-dir derived layouts: hashes the dir string
+    * PLUS the anchor file's length and mtime, so a regenerated source is
+    * never served from a stale cached layout.
+    */
+  private def sourceTag(s: SparkSession, dir: String, anchor: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$anchor")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"$dir|${st.getLen}|${st.getModificationTime}").toLong & 0xffffffffL)
   }
 
   private def bucketedJoinBody(s: SparkSession, dir: String): DataFrame = {
     val db = "graft_buckets"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // table names carry the source dir: the cached bucketed tables must
-    // never be served for a DIFFERENT scale factor than the one asked for
-    val dirTag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    // table names carry the source dir + file version: the cached bucketed
+    // tables must never be served for a different SF or regenerated data
+    val dirTag = sourceTag(s, dir, "lineitem.parquet")
     def ensure(base: String, df: DataFrame, key: String): Unit = {
       val name = s"${base}_$dirTag"
       if (!s.catalog.tableExists(s"$db.$name")) {
@@ -123,7 +120,10 @@ object Physical {
     * 100 TB this is the difference between shuffling the whole fact table
     * and shuffling ~4% of it. Broadcast is disabled during planning to
     * pin the shuffle join the filter exists to protect (with a broadcast
-    * join there is no fact-side shuffle to prune); the application-side
+    * join there is no fact-side shuffle to prune) — and because AQE
+    * re-optimizes per stage with the LIVE session confs (the restored
+    * defaults, not the pinned ones), the fact side also carries an
+    * explicit merge hint, which AQE honors at re-plan; the application-side
     * size threshold is lowered because the sandbox fact side is far below
     * the 10 GiB production default. Result is an ordinary join — oracled.
     */
@@ -136,7 +136,7 @@ object Physical {
       val dim = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#12")
         .select(col("p_partkey"), col("p_brand"))
-      Tables.lineitem(s, dir)
+      Tables.lineitem(s, dir).hint("merge")
         .join(dim, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
@@ -154,8 +154,7 @@ object Physical {
     * bucketed tables.
     */
   private def dppJoin(s: SparkSession, dir: String): DataFrame = {
-    val dirTag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val dirTag = sourceTag(s, dir, "events.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$dirTag"
     val loc = new org.apache.hadoop.fs.Path(path)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -222,10 +222,14 @@ object Text {
     * exactly the min-reachable-label fixpoint.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the pair list ONCE before the union: Spark has no
+    // common-subplan elimination across Union branches, so an
+    // unmaterialized `pairs` would run the banded Levenshtein self-join
+    // twice (once per direction)
     val pairs = fuzzyDedup(s, dir).select(col("ai"), col("bi"))
+      .localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("bi").as("ai"), col("ai").as("bi")))
-      .localCheckpoint(true)
     var labels = edges.select(col("ai").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)

@@ -227,7 +227,7 @@ object StreamOps {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("value"))
   }

@@ -12,6 +12,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Final adaptive plan only — the toString of an executed
+    * AdaptiveSparkPlan appends an "== Initial Plan ==" section, and a
+    * feature present only there (lost during runtime re-planning) must
+    * NOT satisfy a plan-shape guard.
+    */
+  private def finalPlan(name: String): String = {
+    val full = plan(name)
+    val initIdx = full.indexOf("== Initial Plan ==")
+    if (initIdx >= 0) full.substring(0, initIdx) else full
+  }
+
   test("filters push into the parquet scan") {
     val p = q("q_filter_pred").queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters"), p.take(400))
@@ -33,10 +44,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed join runs without a shuffle on either input") {
-    val full = plan("q_bucketed_join")
-    // AQE appends an "== Initial Plan ==" section — inspect the final plan only
-    val initIdx = full.indexOf("== Initial Plan ==")
-    val p = if (initIdx >= 0) full.substring(0, initIdx) else full
+    val p = finalPlan("q_bucketed_join")
     // SortMergeJoin over bucketed scans: exchanges may exist ABOVE the
     // join (final agg/sort) but none may feed the join inputs
     val joinIdx = p.indexOf("SortMergeJoin")
@@ -54,23 +62,27 @@ class PlanSpec extends SparkSpec {
     // regression: the CPU-bound Levenshtein stage must sit on the explicit
     // numbered repartition (immune to AQE size coalescing), never directly
     // on the (single) parquet split
-    val p = plan("q_fuzzy_dedup")
+    val p = finalPlan("q_fuzzy_dedup")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"explicit numbered repartition missing from the plan:\n${p.take(1000)}")
   }
 
   test("bloom join injects a runtime filter on the fact side") {
-    val p = plan("q_join_bloom")
+    val p = finalPlan("q_join_bloom")
     // creation side aggregates a bloom filter; application side probes it
     // before the fact shuffle
     assert(p.contains("might_contain"),
       s"no runtime bloom filter in the fact scan path:\n${p.take(1200)}")
     assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
       p.take(1200))
+    // the merge hint must hold through AQE re-planning: a runtime
+    // broadcast conversion would remove the fact-side shuffle the bloom
+    // filter exists to prune
+    assert(p.contains("SortMergeJoin"), p.take(1200))
   }
 
   test("dpp join prunes fact partitions at runtime") {
-    val p = plan("q_join_dpp")
+    val p = finalPlan("q_join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the day-partitioned scan:\n${p.take(1200)}")
   }
