@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TimeWindows.queries ++ ops.IngestOps.queries ++
-      ops.Text.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Physical.queries
+      ops.Text.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++
+      ops.Physical.queries ++ ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -27,5 +28,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.TimeWindows.oracleSql ++ ops.IngestOps.oracleSql ++
-      ops.Text.oracleSql ++ ops.Vectors.oracleSql ++ ops.Multimodal.oracleSql ++ ops.Physical.oracleSql
+      ops.Text.oracleSql ++ ops.Vectors.oracleSql ++ ops.Multimodal.oracleSql ++
+      ops.Physical.oracleSql ++ ops.Curation.oracleSql
 }

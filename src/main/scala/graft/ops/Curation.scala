@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+import Ox._
+
+/** Training-set assembly operators — the stage AFTER dedup/quality
+  * scoring (ops/Text.scala) where the curated corpus becomes trainable
+  * shards: contiguous token packing, weighted source mixing, PII
+  * scrubbing, passage-level exact-substring dedup, outlier screening,
+  * distribution profiling, and changelog compaction.
+  *
+  * Scale design notes:
+  *   - packSequences is the only operator here that needs a GLOBAL
+  *     prefix sum; it uses the two-level formulation (range partition →
+  *     within-partition window + a #partitions-row offset table) so no
+  *     single task ever windows the whole corpus.
+  *   - Everything else is a projection, one hash-aggregate, or a
+  *     broadcast of a tiny aggregate back onto the fact scan.
+  *   - All sampling/splitting randomness is md5-derived (deterministic
+  *     across runs, executors, and engines — same trick as
+  *     Text.trainSplit), never `rand()`.
+  */
+object Curation {
+
+  /** Decimal(30,4) exact sum: power sums of squared values overflow the
+    * default 18-digit Ox.dsum at large SF (value² ≈ 2.4e5 per row).
+    */
+  private def dsum30(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 4))).cast(DoubleType)
+
+  // ---------------------------------------------------------- packing
+
+  /** Contiguous token packing: assign each document to the training
+    * shard its starting token offset falls in (2048-token shards) — the
+    * distributed form of "concatenate the corpus and cut every N
+    * tokens" used to build fixed-length LM training sequences.
+    *
+    * The global running token count is a two-level prefix sum: bucket
+    * by a DETERMINISTIC doc_id range split (not spark_partition_id —
+    * the plan branches below, and RangePartitioner's sampled boundaries
+    * could differ per recomputed branch, silently corrupting the sum),
+    * compute each bucket's token subtotal (one row per bucket), turn
+    * the subtotals into bucket offsets with a window over that TINY
+    * table (the only single-task window here), broadcast the offsets
+    * back, and add the within-bucket running sum. At 100 TB this is one
+    * bucket-hash shuffle per branch (the exchange is identical on both
+    * — ReusedExchange — and correct even if recomputed); no task ever
+    * windows more than its own bucket. Bucket count scales with
+    * cluster size; a skewed doc_id space would swap this split for
+    * range statistics.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val bucketed = docs.crossJoin(broadcast(maxId))
+      .withColumn("pid", expr("(doc_id * 32) div (max_id + 1)"))
+      .select("doc_id", "n_tok", "pid")
+    val offs = bucketed.groupBy("pid").agg(sum("n_tok").as("p_tok"))
+      .withColumn("offset",
+        coalesce(sum("p_tok").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offs), "pid")
+      .withColumn("cum", col("offset") + sum("n_tok").over(wIn))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(cum - n_tok) div 2048").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(cnt.as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  // ---------------------------------------------------------- mixing
+
+  /** Weighted source mixing: keep each document with per-source
+    * probability via an md5-derived uniform — the deterministic
+    * hash-threshold form of mixture sampling (every run, every engine,
+    * every executor draws the same "random" number for a given doc).
+    * Pure projection + one hash-aggregate; nothing global.
+    */
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val w = when(col("source").isin("src0", "src1", "src2"), 1.0)
+      .when(col("source").isin("src3", "src4"), 0.5)
+      .otherwise(0.25)
+    Tables.documents(s, dir)
+      .withColumn("keep", u.cast("double") / lit(16777216.0) < w)
+      .groupBy("source")
+      .agg(cnt.as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("frac",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------- PII scrub
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val idRe = "[0-9]{7,}"
+
+  /** PII redaction: replace email addresses and long digit runs with
+    * typed placeholders, count the hits. Patterns are deliberately in
+    * the RE2 ∩ java.util.regex common subset so the DuckDB oracle runs
+    * the LITERAL same regexes. Codegen'd projection — no shuffle at all.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(idRe)).as("n_ids"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          idRe, "<ID>")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------ passage-level dedup
+
+  /** Exact-substring dedup at passage granularity (the tractable
+    * distributed form of Lee et al.'s suffix-array dedup): cut each
+    * document into non-overlapping 20-token passages, hash them, and
+    * count corpus-wide occurrences of each passage in ONE window over
+    * the passage-hash shuffle. Per-doc output = how much of the doc is
+    * boilerplate shared with the rest of the corpus. The shuffle key is
+    * the passage hash — fan-in per key is the passage's true duplicate
+    * count, never corpus size.
+    */
+  private def passageDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val pass = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 20)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), expr("size(toks) div 20") - 1),
+        j => md5(concat_ws(" ", slice(toks, j * 20 + 1, lit(20)))))).as("ph"))
+    pass
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("ph")))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_passages"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ outlier screen
+
+  /** Z-score outlier screen on event values per type: exact decimal
+    * power sums → mean/std (identical doubles in both engines), tiny
+    * stats table broadcast back onto the fact scan, flag |z| > 3. The
+    * data-cleaning primitive for numeric columns: two passes over the
+    * fact, zero fact-side shuffles (agg is map-side combined; the join
+    * is broadcast).
+    */
+  private def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+        cnt.as("n"),
+        dsum30(col("value")).as("sx"),
+        dsum30(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("is_out", abs(col("value") - col("mean")) > col("std") * 3)
+      .groupBy("event_type")
+      .agg(cnt.as("n_events"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("mean")), 4).as("mean"),
+        round(first(col("std")), 4).as("std"))
+      .orderBy("event_type")
+  }
+
+  // --------------------------------------------------- histogram
+
+  /** Fixed-width value histogram per event type (25-wide buckets,
+    * clamped at 19) — the profiling pass that sizes the outlier screen
+    * and the quantile sketches. One map-side-combined hash-aggregate.
+    */
+  private def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", least(floor(col("value") / 25), lit(19L)))
+      .groupBy("event_type", "bucket")
+      .agg(cnt.as("n"))
+      .orderBy("event_type", "bucket")
+
+  // ------------------------------------------- changelog compaction
+
+  /** Changelog compaction (the MERGE/upsert primitive): latest event
+    * per (user, type) by (ts, event_id) — one ranked window over the
+    * natural key shuffle, the same shape a lakehouse CDC compaction
+    * job runs. At 100 TB the window partition is one user's one type —
+    * thousands of tiny partitions per task, never a global sort.
+    */
+  private def changelogCompact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us").as("last_ts"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (packSequences _),
+    "q_mixture_sample" -> (mixtureSample _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_passage_dedup" -> (passageDedup _),
+    "q_zscore_outliers" -> (zscoreOutliers _),
+    "q_value_histogram" -> (valueHistogram _),
+    "q_changelog_compact" -> (changelogCompact _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc " +
+        "FROM c GROUP BY shard_id ORDER BY shard_id"),
+    "q_mixture_sample" ->
+      ("WITH k AS (SELECT source, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS DOUBLE) / 16777216.0 < " +
+        "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1.0 WHEN source IN ('src3', 'src4') THEN 0.5 ELSE 0.25 END AS keep " +
+        "FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS frac " +
+        "FROM k GROUP BY source ORDER BY source"),
+    "q_pii_redact" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INT) AS n_ids, " +
+        "md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<ID>', 'g')) AS redacted_md5 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_passage_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 20), " +
+        "p AS (SELECT doc_id, md5(array_to_string(w[(j * 20 + 1):(j * 20 + 20)], ' ')) AS ph " +
+        "FROM toks CROSS JOIN range(0, 100000) t(j) WHERE (j + 1) * 20 <= len(w)), " +
+        "o AS (SELECT doc_id, count(*) OVER (PARTITION BY ph) AS n_occ FROM p) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
+        "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
+        "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_zscore_outliers" ->
+      ("WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS sxx " +
+        "FROM events GROUP BY event_type), " +
+        "st AS (SELECT event_type, n, sx / n AS mean, sqrt((sxx - sx * sx / n) / (n - 1)) AS std FROM s) " +
+        "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN abs(e.value - st.mean) > st.std * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "round(any_value(st.mean), 4) AS mean, round(any_value(st.std), 4) AS std " +
+        "FROM events e JOIN st ON e.event_type = st.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
+    "q_value_histogram" ->
+      ("SELECT event_type, least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q_changelog_compact" ->
+      ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts, value AS last_value " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type")
+  )
+}

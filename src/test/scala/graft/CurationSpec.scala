@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly tier (ops/Curation.scala): packing invariants,
+  * deterministic mixture sampling, PII scrubbing on planted strings,
+  * passage dedup on a planted boilerplate passage, outlier screening on
+  * a planted spike, changelog compaction semantics.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack_sequences conserves tokens and cuts contiguous doc ranges") {
+    val shards = q("q_pack_sequences").cache()
+    val totalTok = shards.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val directTok = Tables.documents(spark, sfDir)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totalTok === directTok, "packing must conserve the corpus token count")
+
+    // shards are contiguous, non-overlapping doc_id ranges in shard order
+    val rows = shards.orderBy("shard_id")
+      .select("shard_id", "first_doc", "last_doc", "n_tokens")
+      .collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) <= a.getLong(2))
+        assert(a.getLong(2) < b.getLong(1),
+          s"shards ${a.getLong(0)} and ${b.getLong(0)} overlap")
+      case _ =>
+    }
+    // every shard starts at a 2048-aligned global offset, so each
+    // non-final shard holds ≥ 2048 tokens minus its first doc's overhang;
+    // the weaker invariant that is exactly true: the running total up to
+    // and including shard k is ≥ 2048 * k (shard k starts at offset
+    // ≥ 2048k by construction).
+    rows.zipWithIndex.foldLeft(0L) { case (acc, (r, i)) =>
+      val cum = acc + r.getLong(3)
+      assert(cum > 2048L * r.getLong(0),
+        s"shard ${r.getLong(0)} ends before its own start offset")
+      cum
+    }
+  }
+
+  test("pack_sequences matches a single-window local computation") {
+    val local = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .orderBy("doc_id").collect()
+      .foldLeft((0L, Map.empty[Long, Long])) { case ((cum, m), r) =>
+        val shard = cum / 2048
+        (cum + r.getLong(1), m + (shard -> (m.getOrElse(shard, 0L) + r.getLong(1))))
+      }._2
+    val dist = q("q_pack_sequences").select("shard_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(dist === local, "two-level prefix sum must equal the serial fold")
+  }
+
+  test("mixture sampling is deterministic and tracks its weights") {
+    val a = q("q_mixture_sample").collect()
+    val b = q("q_mixture_sample").collect()
+    assert(a.sameElements(b), "hash-threshold sampling must be run-deterministic")
+    // src0-2 keep everything (w=1.0)
+    a.filter(r => Set("src0", "src1", "src2")(r.getString(0))).foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"w=1.0 source ${r.getString(0)} must keep all docs")
+    }
+  }
+
+  test("pii redaction scrubs planted emails and ids") {
+    val df = Seq(
+      (1L, "contact me at alice@example.com or 12345678901 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org and digits 99999999")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("pii_docs")
+    val out = spark.sql(
+      """SELECT doc_id,
+        |  regexp_count(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS n_emails,
+        |  regexp_count(text, '[0-9]{7,}') AS n_ids,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+        |    '[0-9]{7,}', '<ID>') AS red
+        |FROM pii_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(out(0).getInt(1) === 1 && out(0).getInt(2) === 1)
+    assert(out(0).getString(3) === "contact me at <EMAIL> or <ID> today")
+    assert(out(1).getInt(1) === 0 && out(1).getInt(2) === 0)
+    assert(out(2).getInt(1) === 2 && out(2).getInt(2) === 1)
+    // the registered query runs clean over the corpus
+    assert(q("q_pii_redact").count() === Tables.documents(spark, sfDir).count())
+  }
+
+  test("passage dedup flags a planted shared passage") {
+    val passage = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, passage + " " + (1 to 20).map(i => s"aa$i").mkString(" ")),
+      (2L, passage + " " + (1 to 20).map(i => s"bb$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"cc$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val pass = df.select($"doc_id", toks.as("toks"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), expr("size(toks) div 20") - 1),
+        j => md5(concat_ws(" ", slice($"toks", j * 20 + 1, lit(20)))))).as("ph"))
+    val occ = pass.groupBy("ph").agg(count(lit(1)).as("n"))
+    val dups = occ.filter($"n" > 1).count()
+    assert(dups === 1, "exactly the planted passage is shared")
+    // registered query: per-doc passage counts cover all long-enough docs
+    val out = q("q_passage_dedup")
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(size(split($"text", " ")) >= 20).count()
+    assert(out.count() === eligible)
+  }
+
+  test("zscore outlier screen flags a planted spike and nothing in-band") {
+    val base = (1 to 200).map(i => ("a", 10.0 + (i % 7))) :+ (("a", 10000.0))
+    val df = base.toDF("event_type", "value")
+    val stats = df.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"value".cast("decimal(30,4)")).cast("double").as("sx"),
+      sum(($"value" * $"value").cast("decimal(30,4)")).cast("double").as("sxx"))
+      .select($"event_type", ($"sx" / $"n").as("mean"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std"))
+    val flagged = df.join(broadcast(stats), "event_type")
+      .filter(abs($"value" - $"mean") > $"std" * 3)
+      .select("value").as[Double].collect()
+    assert(flagged.toSeq === Seq(10000.0), "only the planted spike is an outlier")
+    // registered query shape: one row per event_type, outliers ≤ n
+    val out = q("q_zscore_outliers").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("value histogram buckets partition the events exactly once") {
+    val h = q("q_value_histogram")
+    val total = h.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sfDir).count())
+    val bad = h.filter($"bucket" < 0 || $"bucket" > 19).count()
+    assert(bad === 0)
+  }
+
+  test("changelog compaction keeps exactly the latest row per key") {
+    val out = q("q_changelog_compact").cache()
+    val keys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === keys, "one surviving row per (user, type)")
+    // the kept ts is the max ts for its key
+    val maxTs = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(max("ts_us").as("m"))
+    val mismatched = out.join(maxTs, Seq("user_id", "event_type"))
+      .filter($"last_ts" =!= $"m").count()
+    assert(mismatched === 0)
+  }
+}
