@@ -221,6 +221,18 @@ object Text {
     * Oracled against DuckDB's recursive-CTE transitive closure, which is
     * exactly the min-reachable-label fixpoint.
     */
+  /** Release a localCheckpoint's pinned blocks as soon as the round that
+    * superseded it is materialized. ContextCleaner would eventually do
+    * this on GC, but "eventually" is not good enough under repeated
+    * invocation: un-released round checkpoints accumulate in storage
+    * memory and each run gets slower than the last (measured 5.7 s →
+    * 33.8 s across three back-to-back reps at sf0.1).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
     // materialize the pair list ONCE before the union: Spark has no
     // common-subplan elimination across Union branches, so an
@@ -250,8 +262,12 @@ object Text {
         .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old"))
         .isEmpty
+      // prop is materialized and the convergence check has consumed the
+      // old labels — its blocks are dead from here on
+      releaseCheckpoint(labels)
       labels = prop
     }
+    releaseCheckpoint(pairs)
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

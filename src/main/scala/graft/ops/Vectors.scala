@@ -193,7 +193,38 @@ object Vectors {
         round(norm(col("embedding")), 4).as("l2"))
       .orderBy("doc_id")
 
+  /** Scalar int8 quantization of each embedding — the ANN compression
+    * step (4 B float → 1 B code: 4× less memory/scan bandwidth for the
+    * exact-rerank tier): per-vector absmax scale, codes =
+    * floor(v·scale + 0.5) (explicit half-up — `round`'s tie rule is not
+    * pinned down identically across engines), plus the reconstruction
+    * MSE. Pure codegen'd projection, no shuffle; every float routes
+    * through double with the same fold order in both engines.
+    */
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val quantized = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("ma"))
+      .withColumn("sc", when(col("ma") > 0, lit(127.0) / col("ma")).otherwise(lit(0.0)))
+      .withColumn("codes", transform(col("embedding"),
+        v => floor(v.cast("double") * col("sc") + lit(0.5)).cast("long")))
+    quantized.select(
+        col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        round(col("sc"), 6).as("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        round(
+          when(col("ma") > 0,
+            aggregate(zip_with(col("embedding"), col("codes"), (v, c) =>
+              (v.cast("double") - c.cast("double") / col("sc")) *
+                (v.cast("double") - c.cast("double") / col("sc"))),
+              lit(0.0), (a, x) => a + x) / size(col("codes")))
+            .otherwise(lit(0.0)), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize _),
     "q_sim_scores" -> (simScores _),
     "q_sim_topk" -> (simTopk _),
     "q_ann_lsh" -> (annLsh _),
@@ -204,6 +235,16 @@ object Vectors {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
+        "s AS (SELECT vec_id, embedding, ma, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM m), " +
+        "c AS (SELECT vec_id, embedding, ma, sc, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * sc + 0.5) AS BIGINT)) AS codes FROM s) " +
+        "SELECT vec_id, CAST(len(codes) AS INT) AS n_dims, round(sc, 6) AS scale, " +
+        "CAST(list_sum(codes) AS BIGINT) AS sum_codes, " +
+        "round(CASE WHEN ma > 0 THEN list_sum(list_transform(range(1, CAST(len(codes) + 1 AS BIGINT)), i -> " +
+        "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc) * " +
+        "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc))) / len(codes) ELSE 0.0 END, 6) AS mse " +
+        "FROM c ORDER BY vec_id"),
     "q_sim_scores" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +

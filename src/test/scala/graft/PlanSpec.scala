@@ -106,6 +106,26 @@ class PlanSpec extends SparkSpec {
       s"$key leaked from bucketedJoin (was $prior)")
   }
 
+  test("zscore outlier screen broadcasts the stats side — fact never shuffles for the join") {
+    val p = finalPlan("q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("pack_sequences windows per bucket plus one 32-row offset window — offsets broadcast back") {
+    val p = finalPlan("q_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the corpus-wide window must be partitioned (by pid); the only
+    // unpartitioned window runs over the per-bucket offset table
+    val winSpecs = "Window \\[".r.findAllIn(p).size
+    assert(winSpecs >= 2, s"expected both prefix-sum windows:\n${p.take(800)}")
+  }
+
+  test("passage dedup shuffles once on the passage hash — window and agg share it") {
+    val p = finalPlan("q_passage_dedup")
+    val n = "Exchange hashpartitioning\\(ph".r.findAllIn(p).size
+    assert(n === 1, s"expected exactly one ph exchange, got $n:\n${p.take(1200)}")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -74,4 +74,18 @@ class VectorSpec extends SparkSpec {
     assert(r.filter($"dim" =!= 64).count() === 0)
     assert(r.filter($"l2" <= 0).count() === 0)
   }
+
+  test("int8 quantization stays in code range with bounded reconstruction error") {
+    val r = q("q_embed_quantize").cache()
+    assert(r.count() === Tables.embeddings(spark, sfDir).count())
+    // half-up rounding of v*scale with |v*scale| ≤ 127 keeps every code
+    // in [-127, 127]; per-dim error ≤ 0.5/scale ⇒ mse ≤ (0.5/scale)²
+    val bad = r.filter($"mse" > lit(0.25) / ($"scale" * $"scale") + lit(1e-9)).count()
+    assert(bad === 0, "reconstruction MSE exceeds the scalar-quant bound")
+    assert(r.filter($"scale" <= 0).count() === 0)
+    // codes sum is reproducible run-to-run (pure deterministic projection)
+    val a = r.select("sum_codes").as[Long].collect().toSeq
+    val b = q("q_embed_quantize").select("sum_codes").as[Long].collect().toSeq
+    assert(a === b)
+  }
 }
