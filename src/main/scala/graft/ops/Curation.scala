@@ -53,7 +53,10 @@ object Curation {
     * cluster size; a skewed doc_id space would swap this split for
     * range statistics.
     */
-  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+  /** Doc-level shard assignment (the prefix-sum core shared by
+    * q_pack_sequences and q_shard_write): (doc_id, n_tok, shard_id).
+    */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -72,10 +75,50 @@ object Curation {
       .withColumn("cum", col("offset") + sum("n_tok").over(wIn))
       .select(col("doc_id"), col("n_tok"),
         expr("(cum - n_tok) div 2048").as("shard_id"))
+  }
+
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    packedDocs(s, dir)
       .groupBy("shard_id")
       .agg(cnt.as("n_docs"), sum("n_tok").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
+
+  /** Training-shard export (⊘ self-checked side-effect op): write the
+    * packed corpus as a shard_id-partitioned parquet layout with each
+    * shard's rows sorted by doc_id — the layout a sequential trainer
+    * consumes shard-by-shard, and at 100 TB the write pattern that keeps
+    * one task per shard (repartition on the partition column so the
+    * writer never fans one shard across tasks or one task across many
+    * shard directories). Returns roundtrip vs source counts; CurationSpec
+    * asserts equality and cross-checks the shard count with
+    * q_pack_sequences.
+    */
+  private def shardWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outPath = java.nio.file.Files.createTempDirectory("graft_shards")
+    val out = outPath.toString
+    try {
+      Tables.documents(s, dir)
+        .join(packedDocs(s, dir).select("doc_id", "shard_id"), "doc_id")
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+      val row = s.read.parquet(out).agg(
+          cnt.as("n_docs"),
+          countDistinct(col("shard_id")).as("n_shards"),
+          sum(length(col("text"))).as("chars"))
+        .as[(Long, Long, Long)].head()
+      val orig = Tables.documents(s, dir)
+        .agg(cnt.as("n"), sum(length(col("text"))).as("chars"))
+        .as[(Long, Long)].head()
+      Seq((row._1, row._2, row._3, orig._1, orig._2))
+        .toDF("n_docs", "n_shards", "chars", "orig_docs", "orig_chars")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   // ---------------------------------------------------------- mixing
@@ -213,6 +256,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (packSequences _),
+    "q_shard_write" -> (shardWrite _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),

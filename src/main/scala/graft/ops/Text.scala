@@ -203,8 +203,13 @@ object Text {
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
-        levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
-      .filter(col("dist") <= 8)
+        // thresholded DP: O(len·k) band instead of O(len²) per pair, and
+        // most pairs exit as soon as the band exceeds 8 (returned as -1).
+        // For pairs within the threshold the distance is exact, so the
+        // kept rows are identical to the unthresholded form the DuckDB
+        // oracle computes.
+        levenshtein(col("a.prefix"), col("b.prefix"), 8).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy("ai", "bi")
   }
 

@@ -55,6 +55,14 @@ class CurationSpec extends SparkSpec {
     assert(dist === local, "two-level prefix sum must equal the serial fold")
   }
 
+  test("shard export roundtrips losslessly with one directory per packed shard") {
+    val r = q("q_shard_write").collect()(0)
+    assert(r.getLong(0) === r.getLong(3), "doc count must survive the roundtrip")
+    assert(r.getLong(2) === r.getLong(4), "text bytes must survive the roundtrip")
+    assert(r.getLong(1) === q("q_pack_sequences").count(),
+      "one shard directory per q_pack_sequences shard")
+  }
+
   test("mixture sampling is deterministic and tracks its weights") {
     val a = q("q_mixture_sample").collect()
     val b = q("q_mixture_sample").collect()
