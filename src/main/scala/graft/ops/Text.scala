@@ -562,6 +562,26 @@ object Text {
         cnt.as("n"))
       .orderBy("lang")
 
+  /** Quality-floor filter: keep documents at or above their language's
+    * exact 25th-percentile length — the order-statistic complement to the
+    * moment-based z-score screen (ops/Curation.scala). The per-language
+    * percentile table is tiny (one row per language) and broadcasts back
+    * onto the scan; at 100 TB the exact percentile swaps for the
+    * approx_percentile sketch already bounded in the quantiles spec.
+    */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.25)).as("p25"))
+    Tables.documents(s, dir)
+      .join(broadcast(p), "lang")
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"),
+        sum(when(col("n_chars") >= col("p25"), 1L).otherwise(0L)).as("n_kept"),
+        round(first(col("p25")), 4).as("p25"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- lang id
 
   /** Stopword-profile language ID (n-gram heuristic): score each document
@@ -628,6 +648,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_text_quantiles" -> (textQuantiles _),
+    "q_quality_filter" -> (qualityFilter _),
     "q_train_split" -> (trainSplit _),
     "q_contamination" -> (contamination _),
     "q_text_normalize" -> (textNormalize _),
@@ -650,6 +671,12 @@ object Text {
     "q_text_quantiles" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
+    "q_quality_filter" ->
+      ("WITH p AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM documents GROUP BY lang) " +
+        "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN d.n_chars >= p.p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(any_value(p.p25), 4) AS p25 " +
+        "FROM documents d JOIN p ON d.lang = p.lang GROUP BY d.lang ORDER BY d.lang"),
     "q_text_normalize" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_raw, " +
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quality filter keeps the at-or-above-p25 slice per language") {
+    val out = q("q_quality_filter").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1); val kept = r.getLong(2)
+      assert(kept <= n)
+      // by definition of the 25th percentile, at least ~75% of each
+      // language's docs sit at or above it (±1 for interpolation)
+      assert(kept >= (3 * n) / 4 - 1,
+        s"lang ${r.getString(0)}: kept $kept of $n is below the p25 floor")
+    }
+  }
+
   test("exact dedup is idempotent and lossless on a duplicate-free corpus") {
     val d = q("q_dedup_exact").cache()
     val docs = Tables.documents(spark, sfDir)
