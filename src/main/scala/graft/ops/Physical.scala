@@ -182,8 +182,66 @@ object Physical {
       .orderBy("day_id")
   }
 
+  /** Final adaptive plan of the last q_skew_aqe run, kept for the
+    * PlanSpec `skew=true` guard: the skew decision only exists in the
+    * executed plan of the materialized inner join, which the eager query
+    * cannot return (it returns the collected aggregate).
+    */
+  @volatile private[graft] var lastSkewAqePlan: String = ""
+
+  /** AQE skew-join demonstration — the AUTOMATIC twin of skewSalted:
+    * the same deliberately skewed stream (~90% of rows on user 0) joined
+    * to a per-user dimension with broadcast disabled. AQE observes the
+    * oversized shuffle partition at the stage boundary and splits it
+    * (`skew=true` on the SortMergeJoin), duplicating the matching dim
+    * rows per split — the runtime answer to the same hot key the salted
+    * aggregation handles by hand. Thresholds are sandbox-sized (the
+    * production default skew threshold is 256 MB). AQE re-optimizes at
+    * RUNTIME with the LIVE session confs, so unlike the planning-time
+    * pins elsewhere in this file the join must MATERIALIZE while the
+    * pins hold: the query collects the 10-row aggregate inside the conf
+    * window (same eager pattern as the side-effect ops) and returns it
+    * as a local relation.
+    */
+  private def skewAqe(s: SparkSession, dir: String): DataFrame =
+    withConfs(s,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // thresholds are COMPRESSED shuffle sizes, and the synthetic hot
+      // stream is highly regular (a 1000-value cycle — lz4 crushes
+      // 100k rows to ~12 KB measured), so size them well below that
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      import s.implicits._
+      val base = Tables.events(s, dir).select(col("user_id"), col("value"))
+      val hot = s.range(100000).select(
+        lit(0L).as("user_id"),
+        ((col("id") * 37 % 1000).cast("double") / 10.0).as("value"))
+      // the dim must reach the join as a BARE shuffle (Sort over the
+      // shuffle stage): OptimizeSkewedJoin only rewrites the canonical
+      // SMJ(Sort(Shuffle), Sort(Shuffle)) shape, so e.g. a distinct()
+      // whose final aggregate sits above the dim shuffle disables it.
+      // user_ids are dense 0..max, so the range dim matches 1:1 and the
+      // join is identity-preserving (the oracle needs no join at all).
+      val maxUid = Tables.events(s, dir).agg(max("user_id")).head().getLong(0)
+      val dim = s.range(maxUid + 1).select(col("id").as("user_id"))
+      val joined = base.union(hot).hint("merge").join(dim, "user_id")
+        .groupBy(pmod(col("user_id"), lit(10)).as("grp"))
+        .agg(cnt.as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_value"))
+        .orderBy("grp")
+      val rows = joined.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      lastSkewAqePlan = joined.queryExecution.executedPlan.toString
+      rows.toDF("grp", "n", "sum_value")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted" -> (skewSalted _),
+    "q_skew_aqe" -> (skewAqe _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_join_bloom" -> (bloomJoin _),
     "q_join_dpp" -> (dppJoin _)
@@ -195,6 +253,12 @@ object Physical {
         "UNION ALL SELECT 0 AS user_id, CAST(i * 37 % 1000 AS DOUBLE) / 10.0 AS value FROM range(100000) t(i)) " +
         "SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
         "CAST(count(*) AS BIGINT) AS n FROM skewed GROUP BY user_id ORDER BY user_id"),
+    "q_skew_aqe" ->
+      ("WITH skewed AS (SELECT user_id, value FROM events " +
+        "UNION ALL SELECT 0 AS user_id, CAST(i * 37 % 1000 AS DOUBLE) / 10.0 AS value FROM range(100000) t(i)) " +
+        "SELECT user_id % 10 AS grp, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM skewed GROUP BY grp ORDER BY grp"),
     "q_bucketed_join" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +

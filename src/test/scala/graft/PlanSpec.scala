@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     assert(n === 1, s"expected exactly one ph exchange, got $n:\n${p.take(1200)}")
   }
 
+  test("AQE splits the skewed partition in the automatic skew join") {
+    q("q_skew_aqe").collect()
+    val p = graft.ops.Physical.lastSkewAqePlan
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the hot partition as skewed:\n${p.take(1200)}")
+    // confs were pinned only for the materialization window
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") !== "-1")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
