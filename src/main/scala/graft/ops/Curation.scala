@@ -145,6 +145,69 @@ object Curation {
       .orderBy("source")
   }
 
+  /** md5-derived uniform in [0, 16^6): the deterministic "random" draw
+    * shared by the samplers here (same trick as mixtureSample — every
+    * run, engine, and executor agrees on a doc's draw).
+    */
+  private def mdUniform(prefix: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+
+  /** Deterministic per-group sample: the 3 documents per language with
+    * the smallest md5-derived uniforms — the "pull K examples per slice"
+    * primitive behind eval sets and debugging samples. Scale-safe
+    * two-stage: a per-group hash threshold (τ_g sized so ~50 survivors
+    * per group regardless of group size — P(losing a true top-3 doc) ≈
+    * Poisson(50 ≤ 2) ≈ 1e-18) prunes the corpus BEFORE the exact
+    * per-group rank, so the rank window only ever sees ~50 rows per
+    * group — never a whole group on one task, no matter how skewed.
+    * The group-count table is one tiny broadcast.
+    */
+  private def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("u", mdUniform("grp:", col("doc_id")))
+    val counts = base.groupBy("lang").agg(cnt.as("n_g"))
+    val w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    base.join(broadcast(counts), "lang")
+      .filter(col("u") < least(lit(16777216L), lit(16777216L) * 50 / col("n_g")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("doc_id"), col("u"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Epoch-wise corpus reshuffle: a deterministic global training order
+    * per epoch (rank = position of the doc's md5 draw within its epoch)
+    * WITHOUT a single-task window. The rank is a two-level prefix sum
+    * over the uniform hash domain — the same shape as packSequences but
+    * bucketed on the draw's top bits (32 buckets; uniform by
+    * construction, so no skew): per-(epoch, bucket) counts → offsets
+    * from a window over the tiny 32-row-per-epoch table → broadcast
+    * back → within-bucket row_number. At 100 TB each rank task sees
+    * corpus/32/shuffle-partitions rows; bucket count scales with the
+    * cluster. The global sort this replaces is exactly what "shuffle
+    * the dataset each epoch" costs in a naive trainer feed.
+    */
+  private def epochOrder(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("u", mdUniform("ep", concat(col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bkt", expr("u div 524288")) // 16^6 / 2^19 = 32 buckets
+    val offs = b.groupBy("epoch", "bkt").agg(cnt.as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.partitionBy("epoch").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bkt", "off")
+    val wIn = Window.partitionBy("epoch", "bkt").orderBy("u", "doc_id")
+    b.join(broadcast(offs), Seq("epoch", "bkt"))
+      .withColumn("rank", col("off") + row_number().over(wIn))
+      .select(col("epoch"), col("rank"), col("doc_id"))
+      .orderBy("epoch", "rank")
+  }
+
   // ------------------------------------------------------- PII scrub
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -258,6 +321,8 @@ object Curation {
     "q_pack_sequences" -> (packSequences _),
     "q_shard_write" -> (shardWrite _),
     "q_mixture_sample" -> (mixtureSample _),
+    "q_group_sample" -> (groupSample _),
+    "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
     "q_zscore_outliers" -> (zscoreOutliers _),
@@ -282,6 +347,23 @@ object Curation {
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS frac " +
         "FROM k GROUP BY source ORDER BY source"),
+    "q_group_sample" ->
+      ("WITH b AS (SELECT lang, doc_id, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('grp:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS u FROM documents), " +
+        "c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM b GROUP BY lang), " +
+        "s AS (SELECT b.lang, b.doc_id, b.u FROM b JOIN c USING (lang) WHERE b.u < least(16777216, 16777216 * 50 // n_g)), " +
+        "r AS (SELECT lang, doc_id, u, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank FROM s) " +
+        "SELECT lang, CAST(rank AS INT) AS rank, doc_id, u FROM r WHERE rank <= 3 ORDER BY lang, rank"),
+    "q_epoch_order" ->
+      ("WITH b AS (SELECT doc_id, epoch, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS u " +
+        "FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch)) " +
+        "SELECT epoch, CAST(row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id) AS BIGINT) AS rank, doc_id " +
+        "FROM b ORDER BY epoch, rank"),
     "q_pii_redact" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
         "CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INT) AS n_ids, " +

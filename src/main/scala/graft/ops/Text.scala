@@ -94,6 +94,41 @@ object Text {
         regexp_count(col("text"), lit("[a-z]{1,4}")).as("subword_tokens"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals per document — the quality gate
+    * that catches degenerate/boilerplate text before training: duplicate
+    * -token fraction, most-frequent-token coverage, and most-frequent-
+    * bigram coverage. Pure codegen'd projection (no explode, no shuffle —
+    * embarrassingly parallel at 100 TB); the token array is materialized
+    * in its OWN projection first so the nested per-distinct-token counts
+    * index an attribute, not a re-evaluated `split` (the O(tokens²)
+    * regex trap documented in SURVEY §8). Per-row cost is O(n·distinct)
+    * integer/string compares, bounded by document length.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks)
+    // mode count via nested HOFs: for each distinct token, count its
+    // occurrences; take the max (outer lambda var feeds the inner filter)
+    def modeCount(arr: Column) = array_max(transform(array_distinct(arr),
+      t => size(filter(arr, x => x === t))))
+    val grams = col("grams")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), toks, when(n >= 2,
+        transform(sequence(lit(1), n - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"),
+        n.cast("long").as("n_tok"),
+        round((n - size(array_distinct(toks))).cast("double") / n, 4)
+          .as("dup_tok_frac"),
+        round(modeCount(toks).cast("double") / n, 4).as("top_tok_frac"),
+        round(when(size(grams) > 0,
+          modeCount(grams).cast("double") / size(grams)).otherwise(lit(0.0)), 4)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document — the classic relevance/keyword
     * extraction pass of a curation pipeline. Two hash-aggregates (tf per
     * (doc, word); df per word) and one broadcast of the scalar corpus
@@ -661,6 +696,7 @@ object Text {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (docFingerprint _),
+    "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
@@ -742,6 +778,15 @@ object Text {
         "j -> list_min(hs[CAST(j + 1 AS BIGINT):CAST(j + 4 AS BIGINT)]))) AS fps FROM h) " +
         "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, list_min(fps) AS fp_min, list_max(fps) AS fp_max " +
         "FROM f ORDER BY doc_id"),
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> " +
+        "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]) ELSE [] END AS grams FROM t) " +
+        "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, " +
+        "round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_tok_frac, " +
+        "round(CAST(list_max(list_transform(list_distinct(w), t2 -> len(list_filter(w, x -> x = t2)))) AS DOUBLE) / len(w), 4) AS top_tok_frac, " +
+        "round(CASE WHEN len(grams) > 0 THEN CAST(list_max(list_transform(list_distinct(grams), t2 -> len(list_filter(grams, x -> x = t2)))) AS DOUBLE) / len(grams) ELSE 0.0 END, 4) AS top_bigram_frac " +
+        "FROM g ORDER BY doc_id"),
     "q_tfidf" ->
       ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
         "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY doc_id, word), " +

@@ -157,4 +157,48 @@ class CurationSpec extends SparkSpec {
       .filter($"last_ts" =!= $"m").count()
     assert(mismatched === 0)
   }
+
+  test("group sample's hash pre-filter loses nothing vs the direct window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = q("q_group_sample")
+      .select("lang", "rank", "doc_id").as[(String, Int, Long)].collect().toSet
+    // unfiltered reference: rank EVERY doc per lang, keep top-3
+    val u = conv(substring(md5(concat(lit("grp:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    val want = Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id").withColumn("u", u)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select("lang", "rank", "doc_id").as[(String, Int, Long)].collect().toSet
+    assert(got === want, "threshold pre-filter must not drop a true top-3 doc")
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).toSeq.sorted === Seq(1, 2, 3), s"lang $lang")
+    }
+  }
+
+  test("epoch order is a per-epoch permutation matching the direct window") {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.documents(spark, sfDir).count()
+    val got = q("q_epoch_order")
+      .select("epoch", "rank", "doc_id").as[(Int, Long, Long)].collect().toSeq
+    assert(got.length === 2 * n)
+    // two-level prefix-sum rank ≡ the single global window it replaces
+    val u = conv(substring(md5(concat(lit("ep"), $"epoch".cast("string"),
+      lit(":"), $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long")
+    val want = Tables.documents(spark, sfDir)
+      .select($"doc_id").withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("u", u)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("epoch").orderBy("u", "doc_id")).cast("long"))
+      .select("epoch", "rank", "doc_id").as[(Int, Long, Long)].collect().toSeq
+    assert(got.toSet === want.toSet)
+    // each epoch ranks 1..n, and the two epochs order docs differently
+    (0 to 1).foreach { e =>
+      assert(got.filter(_._1 == e).map(_._2).sorted === (1L to n).toSeq)
+    }
+    val ord0 = got.filter(_._1 == 0).sortBy(_._2).map(_._3)
+    val ord1 = got.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    assert(ord0 !== ord1, "epochs must reshuffle the order")
+  }
 }

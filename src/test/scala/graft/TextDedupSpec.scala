@@ -308,4 +308,20 @@ class TextDedupSpec extends SparkSpec {
       .filter(round($"n_tokens" * $"avg_tok_len").cast("long") > $"n_chars")
     assert(j.count() === 0)
   }
+
+  test("repetition signals match an explode-based relational twin") {
+    val r = q("q_repetition").cache()
+    // bounds: each fraction in [0,1]; mode covers at least 1/n of tokens
+    // (frac is rounded to 4 dp, so allow ±0.00005·n of rounding slack)
+    assert(r.filter($"dup_tok_frac" < 0 || $"dup_tok_frac" > 1).count() === 0)
+    assert(r.filter($"top_tok_frac" * $"n_tok" < lit(1) - lit(0.00005) * $"n_tok").count() === 0)
+    // the HOF mode count ≡ explode → groupBy(doc, token) → max(count)
+    val twin = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max($"c").as("mode"), sum($"c").as("n"))
+      .select($"doc_id", round($"mode".cast("double") / $"n", 4).as("want"))
+    val bad = r.join(twin, "doc_id").filter($"top_tok_frac" =!= $"want").count()
+    assert(bad === 0, "HOF top-token fraction must equal the relational mode")
+  }
 }
