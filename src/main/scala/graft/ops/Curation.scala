@@ -315,6 +315,27 @@ object Curation {
       .orderBy("user_id", "event_type")
   }
 
+  /** SCD type-2 history build — the other half of the CDC story next to
+    * changelogCompact: turn the event changelog into validity intervals
+    * [valid_from, valid_to) per natural key, latest row flagged current.
+    * One `lead` window over the same natural-key shuffle the compaction
+    * uses (thousands of tiny per-key partitions per task — never a
+    * global sort); rows order by the raw nanosecond timestamp (exact,
+    * matches DuckDB's ns ordering) while the emitted bounds are the
+    * µs-truncated oracle-visible values.
+    */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        col("ts_us").as("valid_from"),
+        coalesce(col("next_us"), lit(Long.MaxValue)).as("valid_to"),
+        col("next_us").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -327,7 +348,8 @@ object Curation {
     "q_passage_dedup" -> (passageDedup _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_value_histogram" -> (valueHistogram _),
-    "q_changelog_compact" -> (changelogCompact _)
+    "q_changelog_compact" -> (changelogCompact _),
+    "q_scd2" -> (scd2 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -394,6 +416,12 @@ object Curation {
     "q_changelog_compact" ->
       ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts, value AS last_value " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
-        "WHERE rn = 1 ORDER BY user_id, event_type")
+        "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q_scd2" ->
+      ("SELECT user_id, event_type, event_id, value, " +
+        "CAST(epoch_us(ts) AS BIGINT) AS valid_from, " +
+        "CAST(coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id), 9223372036854775807) AS BIGINT) AS valid_to, " +
+        "CASE WHEN lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL THEN true ELSE false END AS is_current " +
+        "FROM events ORDER BY user_id, event_type, valid_from, event_id")
   )
 }

@@ -158,6 +158,22 @@ class CurationSpec extends SparkSpec {
     assert(mismatched === 0)
   }
 
+  test("scd2 intervals tile each key's history with one current row") {
+    val r = q("q_scd2").cache()
+    val ev = Tables.events(spark, sfDir)
+    assert(r.count() === ev.count(), "every change event becomes a version row")
+    // exactly one open (current) version per natural key
+    val keys = ev.select("user_id", "event_type").distinct().count()
+    assert(r.filter($"is_current").count() === keys)
+    assert(r.filter($"is_current" && $"valid_to" =!= Long.MaxValue).count() === 0)
+    // intervals chain: each row's valid_to equals the next row's valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("valid_from", "event_id")
+    val broken = r.withColumn("nxt", lead($"valid_from", 1).over(w))
+      .filter($"nxt".isNotNull && $"valid_to" =!= $"nxt").count()
+    assert(broken === 0, "validity intervals must tile without gaps or overlaps")
+  }
+
   test("group sample's hash pre-filter loses nothing vs the direct window") {
     import org.apache.spark.sql.expressions.Window
     val got = q("q_group_sample")

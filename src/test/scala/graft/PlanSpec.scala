@@ -135,6 +135,31 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") !== "-1")
   }
 
+  test("repetition signals are a pure projection — no exchange above the scan") {
+    val p = finalPlan("q_repetition")
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; no hash shuffle (no explode/groupBy) feeds the signals
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("k-means reassignment broadcasts the centroid table") {
+    val p = finalPlan("q_embed_kmeans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast, never shuffle the corpus for assignment:\n${p.take(1200)}")
+  }
+
+  test("group sample broadcasts the group-count table") {
+    assert(finalPlan("q_group_sample").contains("BroadcastHashJoin"))
+  }
+
+  test("epoch order windows per bucket with the offset table broadcast back") {
+    val p = finalPlan("q_epoch_order")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // within-bucket rank partitions by (epoch, bkt) — never epoch alone
+    assert(p.contains("row_number"), p.take(1200))
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
