@@ -114,12 +114,21 @@ object Vectors {
     * signature ⇒ guaranteed bucket collision, cosine ≈ 1). ⊘ rows-only;
     * spec asserts exactly the planted pairs surface.
     */
-  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  /** Base corpus plus planted near-dups: vec_id < 5 re-enter scaled
+    * ×1.01 (same direction ⇒ same signs/signatures, cosine ≈ 1) as
+    * vec_id + 100000 (≡ 0 mod 8 ⇒ same k-means init cluster too).
+    */
+  private def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val planted = e.filter(col("vec_id") < 5)
+    // scale in double, round once to float: bit-identical in any engine
+    e.union(e.filter(col("vec_id") < 5)
       .select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), x => (x * lit(1.01f)).cast("float")).as("embedding"))
-    val all = e.union(planted).withColumn("sig", lshSig(s, col("embedding")))
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding")))
+  }
+
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val all = withPlanted(s, dir).withColumn("sig", lshSig(s, col("embedding")))
     all.as("a").join(all.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
@@ -197,10 +206,14 @@ object Vectors {
     * (decimal-exact centroid means ⇒ bit-identical doubles ⇒ identical
     * assignments in both engines).
     */
-  private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+  /** Two unrolled Lloyd iterations over `e` (vec_id, embedding), init
+    * c₀ = vec_id mod k; returns (vec_id, embedding, c, cos) — the final
+    * assignment with each vector's cosine to its own centroid. Shared by
+    * q_embed_kmeans (cluster profile) and q_semdedup (cluster-scoped
+    * near-dup).
+    */
+  private def kmeansAssign(e: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val k = 8
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
     // per-cluster dimension-wise mean, assembled into an ordered array
     def centroids(assigned: DataFrame): DataFrame =
@@ -225,12 +238,51 @@ object Vectors {
           col("best.c").as("c"), col("best.cos").as("cos"))
 
     val a0 = e.withColumn("c", (col("vec_id") % k).cast("int"))
-    val a2 = assign(centroids(assign(centroids(a0))))
+    assign(centroids(assign(centroids(a0))))
+  }
+
+  private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val a2 = kmeansAssign(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
     a2.groupBy(col("c").as("cluster"))
       .agg(cnt.as("n_vecs"),
         round(sum(col("cos").cast(DecimalType(30, 12))).cast(DoubleType) /
           count(lit(1)), 4).as("mean_cos"))
       .orderBy("cluster")
+  }
+
+  /** SemDeDup-style semantic dedup: k-means the (planted-dup-polluted)
+    * corpus, then find near-dup pairs ONLY inside (cluster, sign-bucket)
+    * cells — never across the whole corpus. The sub-bucket key is the
+    * 16-bit sign signature of the first 16 embedding dims (axis-aligned
+    * hyperplanes — deterministic and engine-portable, unlike the PRNG
+    * planes of lshSig); a scaled duplicate keeps every sign and lands in
+    * the same k-means cluster (same direction ⇒ same cosines ⇒ same
+    * argmax), so recall on true near-dups is structural. At 100 TB the
+    * exact-cosine cost is bounded by cell collision rates (k × 2^16
+    * cells), not corpus size — clustering first is what keeps the
+    * sign-bucket join from comparing semantically unrelated collisions.
+    * Fully oracled: DuckDB re-runs the unrolled k-means on the same
+    * polluted corpus and the identical pair join.
+    */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val sig16 = (0 until 16).map { i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val a = kmeansAssign(withPlanted(s, dir))
+      .select(col("vec_id"), col("embedding"), col("c"))
+      .withColumn("sig", sig16)
+    a.as("a").join(a.as("b"),
+        col("a.c") === col("b.c") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
+        col("a.c").as("cluster"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (norm(col("a.embedding")) * norm(col("b.embedding")))).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .select(col("ai"), col("bi"), col("cluster"), round(col("cos"), 3).as("cos"))
+      .orderBy("ai", "bi")
   }
 
   /** Multimodal carry-through: documents ⋈ embeddings with the array
@@ -284,6 +336,7 @@ object Vectors {
     "q_dedup_embed" -> (dedupEmbed _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
+    "q_semdedup" -> (semDedup _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
@@ -336,6 +389,29 @@ object Vectors {
         "SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
         "round(CAST(sum(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS mean_cos " +
         "FROM a2 GROUP BY c ORDER BY c"),
+    "q_semdedup" -> {
+      val cent = (src: String) =>
+        s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+          s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+          s"FROM $src CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c)"
+      val dcos = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+      "WITH p AS (SELECT vec_id + 100000 AS vec_id, list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.01 AS FLOAT)) AS fe FROM embeddings WHERE vec_id < 5), " +
+        "eb AS (SELECT vec_id, embedding AS fe FROM embeddings UNION ALL SELECT vec_id, fe FROM p), " +
+        "e AS (SELECT vec_id, list_transform(fe, v -> CAST(v AS DOUBLE)) AS emb FROM eb), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        s"c1 AS ${cent("a0")}, " +
+        s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+        s"c2 AS ${cent("a1")}, " +
+        s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+        "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1), " +
+        "sg AS (SELECT vec_id, emb, c, CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN emb[CAST(i AS INT)] >= 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM a2), " +
+        s"pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.c AS cluster, ${dcos("a.emb", "b.emb")} AS cos " +
+        "FROM sg a JOIN sg b ON a.c = b.c AND a.sig = b.sig AND a.vec_id < b.vec_id) " +
+        "SELECT ai, bi, cluster, round(cos, 3) AS cos FROM pr WHERE cos >= 0.95 ORDER BY ai, bi"
+    },
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +

@@ -89,6 +89,16 @@ class VectorSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("semdedup finds exactly the planted pairs, scoped to one cluster each") {
+    val r = q("q_semdedup").select("ai", "bi", "cluster")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r.map(p => (p._1, p._2)).toSet ===
+      (0L until 5L).map(i => (i, i + 100000)).toSet)
+    // each pair's shared cluster id is valid (the join already proves
+    // both members share it; clusters may merge at tiny SF)
+    assert(r.forall(p => p._3 >= 0 && p._3 < 8))
+  }
+
   test("k-means clusters partition the corpus and improve on the init assignment") {
     val n = Tables.embeddings(spark, sfDir).count()
     val r = q("q_embed_kmeans").as[(Int, Long, Double)].collect().toSeq
