@@ -232,6 +232,25 @@ object StreamOps {
         col("click_id"), col("value"))
   }
 
+  /** Stream-static anti-join dedup: incoming documents (a stream) are
+    * dropped when their content hash already exists in the STATIC corpus
+    * — the incremental form of q_dedup_exact for continuous ingest.
+    * The static side is re-planned every micro-batch (it may grow
+    * between batches, e.g. as earlier batches land in the corpus), and
+    * the stream side carries NO state store at all — unlike
+    * `dropDuplicates`, which would hold every hash ever seen in state
+    * forever. Dedup-against-history costs one hash anti-join per
+    * micro-batch, and the static side is a normal batch scan: Catalyst
+    * prunes it to the single hash column, and at 100 TB a bucketed/
+    * partitioned corpus layout turns it into a co-located join.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val seen = corpus.select(md5(col("text")).as("h")).distinct()
+    docs.withColumn("h", md5(col("text")))
+      .join(seen, Seq("h"), "left_anti")
+      .drop("h")
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result — test harness for the transforms
     * above (batch parquet in, streaming semantics out).

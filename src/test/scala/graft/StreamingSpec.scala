@@ -192,4 +192,23 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(ids === Seq(1L, 2L))
   }
+
+  test("stream-static dedup drops docs already in the corpus, keeps new ones") {
+    implicit val sq = spark.sqlContext
+    val corpus = Tables.documents(spark, sfDir)
+    val dupText = corpus.select("text").as[String].head()
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.dedupAgainstCorpus(stream, corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("corpus_dedup_spec").start()
+    input.addData((900001L, dupText), (900002L, "a genuinely new document"))
+    q.processAllAvailable()
+    input.addData((900003L, dupText)) // replay of known content, later batch
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("corpus_dedup_spec").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(900002L), "only the unseen document survives")
+  }
 }
