@@ -336,6 +336,59 @@ object Curation {
       .orderBy("user_id", "event_type", "valid_from", "event_id")
   }
 
+  /** Curation funnel report: per source, how many documents survive each
+    * successive gate (length floor → repetition ceiling → language
+    * allowlist) — the daily ops view of a filtering pipeline. One
+    * codegen'd projection + one map-side-combinable hash aggregate;
+    * the gates are conditional sums, so the whole funnel costs a single
+    * pass regardless of gate count.
+    */
+  private def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val dupFrac = (nTok - size(array_distinct(toks))).cast("double") / nTok
+    val g1 = nTok >= 20
+    val g2 = g1 && dupFrac <= 0.75
+    val g3 = g2 && col("lang").isin("en", "de", "fr")
+    Tables.documents(s, dir)
+      .select(col("source"), g1.as("g1"), g2.as("g2"), g3.as("g3"))
+      .groupBy("source")
+      .agg(cnt.as("n_docs"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("pass_len"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("pass_rep"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("pass_lang"))
+      .orderBy("source")
+  }
+
+  /** Incremental aggregate maintenance: the partial-state form of a
+    * materialized view. The event log splits into a BASE half and a
+    * DELTA half (by event_id parity here; in production by ingest
+    * batch); each half reduces to mergeable per-key state (count +
+    * decimal sum + max), and the refresh is a merge of states — never a
+    * re-scan of base. The spec-level claim, asserted by the oracle: the
+    * merged state is IDENTICAL to aggregating the full log directly,
+    * which is exactly the property that lets a 100 TB view refresh at
+    * delta cost. (Count/sum/max are the mergeable trio; the sketch
+    * aggregates q_agg_approx_distinct / q_text_quantiles extend the
+    * same property to distincts and quantiles.)
+    */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def part(pred: org.apache.spark.sql.Column) =
+      ev.filter(pred).groupBy("event_type")
+        .agg(cnt.as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).as("sv"),
+          max(col("ts_us")).as("mx"))
+    val base = part(col("event_id") % 2 === 0)
+    val delta = part(col("event_id") % 2 === 1)
+    base.unionByName(delta)
+      .groupBy("event_type") // merge step: states, not rows
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast(DoubleType).as("sum_value"),
+        max(col("mx")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,7 +402,9 @@ object Curation {
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_value_histogram" -> (valueHistogram _),
     "q_changelog_compact" -> (changelogCompact _),
-    "q_scd2" -> (scd2 _)
+    "q_scd2" -> (scd2 _),
+    "q_curation_funnel" -> (curationFunnel _),
+    "q_incremental_agg" -> (incrementalAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -417,6 +472,23 @@ object Curation {
       ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts, value AS last_value " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q_curation_funnel" ->
+      ("WITH t AS (SELECT source, lang, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT source, len(w) >= 20 AS g1, " +
+        "len(w) >= 20 AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.75 AS g2, " +
+        "len(w) >= 20 AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.75 AND lang IN ('en', 'de', 'fr') AS g3 FROM t) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, " +
+        "CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, " +
+        "CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang " +
+        "FROM g GROUP BY source ORDER BY source"),
+    "q_incremental_agg" ->
+      // the oracle aggregates the FULL log directly — passing proves the
+      // base ⊎ delta state merge is exactly the view over all rows
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+        "CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_scd2" ->
       ("SELECT user_id, event_type, event_id, value, " +
         "CAST(epoch_us(ts) AS BIGINT) AS valid_from, " +

@@ -158,6 +158,27 @@ class CurationSpec extends SparkSpec {
     assert(mismatched === 0)
   }
 
+  test("incremental state merge equals the direct aggregate over the full log") {
+    val merged = q("q_incremental_agg")
+      .as[(String, Long, Double, Long)].collect().map { case (t, n, s, m) => t -> ((n, s, m)) }.toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("s"),
+        max($"ts_us").as("m"))
+      .as[(String, Long, Double, Long)].collect().map { case (t, n, s, m) => t -> ((n, s, m)) }.toMap
+    assert(merged === direct, "base ⊎ delta must reconstruct the full view exactly")
+  }
+
+  test("funnel gates are monotonically non-increasing") {
+    val r = q("q_curation_funnel")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (src, n, g1, g2, g3) =>
+      assert(n >= g1 && g1 >= g2 && g2 >= g3, s"funnel order violated for $src")
+    }
+  }
+
   test("scd2 intervals tile each key's history with one current row") {
     val r = q("q_scd2").cache()
     val ev = Tables.events(spark, sfDir)
