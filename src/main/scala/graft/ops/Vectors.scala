@@ -207,12 +207,13 @@ object Vectors {
     * assignments in both engines).
     */
   /** Two unrolled Lloyd iterations over `e` (vec_id, embedding), init
-    * c₀ = vec_id mod k; returns (vec_id, embedding, c, cos) — the final
-    * assignment with each vector's cosine to its own centroid. Shared by
-    * q_embed_kmeans (cluster profile) and q_semdedup (cluster-scoped
-    * near-dup).
+    * c₀ = vec_id mod k; returns the final assignment (vec_id, embedding,
+    * c, cos — each vector's cosine to its own centroid) AND the trained
+    * centroid table (c, centroid). Shared by q_embed_kmeans (cluster
+    * profile), q_semdedup (cluster-scoped near-dup), and
+    * q_ann_ivf_trained (coarse quantizer).
     */
-  private def kmeansAssign(e: DataFrame, k: Int = 8): DataFrame = {
+  private def kmeansFit(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
     // per-cluster dimension-wise mean, assembled into an ordered array
@@ -238,12 +239,13 @@ object Vectors {
           col("best.c").as("c"), col("best.cos").as("cos"))
 
     val a0 = e.withColumn("c", (col("vec_id") % k).cast("int"))
-    assign(centroids(assign(centroids(a0))))
+    val c2 = centroids(assign(centroids(a0)))
+    (assign(c2), c2)
   }
 
   private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val a2 = kmeansAssign(
+    val (a2, _) = kmeansFit(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
     a2.groupBy(col("c").as("cluster"))
       .agg(cnt.as("n_vecs"),
@@ -270,7 +272,7 @@ object Vectors {
     val sig16 = (0 until 16).map { i =>
       when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val a = kmeansAssign(withPlanted(s, dir))
+    val a = kmeansFit(withPlanted(s, dir))._1
       .select(col("vec_id"), col("embedding"), col("c"))
       .withColumn("sig", sig16)
     a.as("a").join(a.as("b"),
@@ -283,6 +285,37 @@ object Vectors {
       .filter(col("cos") >= 0.95)
       .select(col("ai"), col("bi"), col("cluster"), round(col("cos"), 3).as("cos"))
       .orderBy("ai", "bi")
+  }
+
+  /** IVF ANN over the TRAINED coarse quantizer — the 100 TB path that
+    * q_ann_ivf's doc promises ("you'd k-means the corpus into nlist
+    * centroids"): q_embed_kmeans supplies both the inverted lists (the
+    * final assignment) and the list centroids; the probe ranks lists by
+    * query→centroid cosine, exact-searches only the top-2 lists (~25%
+    * of the corpus at k=8; at scale nlist ≈ √N bounds both sides), and
+    * cuts top-10 on the 4-dp-rounded cosine with vec_id tie-break —
+    * deterministic, so unlike label-list IVF this variant is fully
+    * oracled (DuckDB replays the k-means unroll and the same probe).
+    * Both joins broadcast (centroid table: k rows; probe table: 2 rows).
+    */
+  private def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a2, c2) = kmeansFit(e)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = c2.crossJoin(broadcast(q))
+      .select(col("c"), (dot(col("centroid"), col("qv")) /
+        (norm(col("centroid")) * norm(col("qv")))).as("list_sim"))
+      .orderBy(col("list_sim").desc, col("c"))
+      .limit(2)
+      .select("c")
+    a2.join(broadcast(probed), Seq("c"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("c").as("cluster"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** Multimodal carry-through: documents ⋈ embeddings with the array
@@ -337,6 +370,7 @@ object Vectors {
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
+    "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
@@ -411,6 +445,28 @@ object Vectors {
         s"pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.c AS cluster, ${dcos("a.emb", "b.emb")} AS cos " +
         "FROM sg a JOIN sg b ON a.c = b.c AND a.sig = b.sig AND a.vec_id < b.vec_id) " +
         "SELECT ai, bi, cluster, round(cos, 3) AS cos FROM pr WHERE cos >= 0.95 ORDER BY ai, bi"
+    },
+    "q_ann_ivf_trained" -> {
+      val cent = (src: String) =>
+        s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+          s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+          s"FROM $src CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c)"
+      val dcos = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        s"c1 AS ${cent("a0")}, " +
+        s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+        s"c2 AS ${cent("a1")}, " +
+        s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+        "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1), " +
+        "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+        s"pb AS (SELECT c FROM (SELECT c2.c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q ORDER BY ls DESC, c LIMIT 2)) " +
+        s"SELECT a2.vec_id, a2.c AS cluster, round(${dcos("a2.emb", "qv")}, 4) AS cos " +
+        "FROM a2 JOIN pb ON a2.c = pb.c CROSS JOIN q WHERE a2.vec_id <> 0 " +
+        "ORDER BY cos DESC, a2.vec_id LIMIT 10"
     },
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +

@@ -89,6 +89,19 @@ class VectorSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("trained IVF returns exact cosines from the probed clusters only") {
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    val r = q("q_ann_ivf_trained").select("vec_id", "cluster", "cos")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(r.size === 10)
+    // scores are true cosines (approximation lives only in the probe set)
+    r.foreach { case (id, _, c) => assert(all(id) === c, s"vec $id") }
+    // at most 2 probed lists contribute
+    assert(r.map(_._2).distinct.size <= 2)
+    // descending with vec_id tie-break
+    assert(r.map(_._3) === r.map(_._3).sorted.reverse)
+  }
+
   test("semdedup finds exactly the planted pairs, scoped to one cluster each") {
     val r = q("q_semdedup").select("ai", "bi", "cluster")
       .as[(Long, Long, Int)].collect().toSeq
