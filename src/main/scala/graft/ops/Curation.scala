@@ -227,6 +227,35 @@ object Curation {
           idRe, "<ID>")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Temperature-based source resampling (α = 0.7): per-source keep
+    * probabilities ∝ (n_s/N)^(α−1), normalized so the rarest source
+    * keeps everything — the multilingual-LM mixing rule that upweights
+    * low-resource slices. All weights derive FROM the data (one tiny
+    * per-source count aggregate, broadcast back with the corpus total
+    * and the max raw weight), and the draw is the same md5 uniform as
+    * mixtureSample — deterministic everywhere. The only cross-engine
+    * soft spot is `pow`, whose ≤1-ulp wobble is far below both the
+    * 6-dp-rounded output and any integer-draw threshold boundary.
+    */
+  private def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(cnt.as("n_s"))
+    val total = docs.agg(cnt.as("n"))
+    val raw = counts.crossJoin(broadcast(total))
+      .withColumn("wr", pow(col("n_s").cast("double") / col("n"), lit(-0.3)))
+    val mx = raw.agg(max("wr").as("mw"))
+    val w = raw.crossJoin(broadcast(mx))
+      .select(col("source"), (col("wr") / col("mw")).as("w"))
+    docs.select(col("source"), mdUniform("tmp:", col("doc_id")).as("u"))
+      .join(broadcast(w), "source")
+      .groupBy("source")
+      .agg(cnt.as("n_docs"),
+        sum(when(col("u").cast("double") < col("w") * 16777216.0, 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(first(col("w")), 6).as("keep_prob"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------ passage-level dedup
 
   /** Exact-substring dedup at passage granularity (the tractable
@@ -396,6 +425,7 @@ object Curation {
     "q_shard_write" -> (shardWrite _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_group_sample" -> (groupSample _),
+    "q_temperature_sample" -> (temperatureSample _),
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
@@ -433,6 +463,20 @@ object Curation {
         "s AS (SELECT b.lang, b.doc_id, b.u FROM b JOIN c USING (lang) WHERE b.u < least(16777216, 16777216 * 50 // n_g)), " +
         "r AS (SELECT lang, doc_id, u, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank FROM s) " +
         "SELECT lang, CAST(rank AS INT) AS rank, doc_id, u FROM r WHERE rank <= 3 ORDER BY lang, rank"),
+    "q_temperature_sample" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "w0 AS (SELECT source, n_s, pow(CAST(n_s AS DOUBLE) / n, -0.3) AS wr FROM c CROSS JOIN n), " +
+        "m AS (SELECT max(wr) AS mw FROM w0), " +
+        "w AS (SELECT source, wr / mw AS w FROM w0 CROSS JOIN m), " +
+        "d AS (SELECT source, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c2 -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('tmp:' || CAST(doc_id AS VARCHAR)), CAST(c2 AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS u FROM documents) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN CAST(u AS DOUBLE) < w * 16777216.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(any_value(w), 6) AS keep_prob " +
+        "FROM d JOIN w USING (source) GROUP BY d.source ORDER BY d.source"),
     "q_epoch_order" ->
       ("WITH b AS (SELECT doc_id, epoch, " +
         "CAST(list_reduce(list_transform(range(1, 7), c -> " +

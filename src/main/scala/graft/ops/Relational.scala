@@ -597,6 +597,19 @@ object Relational {
       .na.fill(0.0)
       .orderBy("l_linestatus")
 
+  /** Unpivot/melt — the inverse of q_pivot: three per-row measure
+    * columns become (measure, value) rows via `stack` (a Generator, so
+    * it stays inside whole-stage codegen; ×3 row fan-out, no shuffle).
+    * The wide→long reshape every metrics pipeline needs before a
+    * per-measure groupBy.
+    */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'discount', l_discount, 'price', l_extendedprice, " +
+          "'quantity', l_quantity) AS (measure, value)")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** Higher-order predicates over arrays: exists / forall on the
     * embedding vector, emitted as booleans.
     */
@@ -677,6 +690,7 @@ object Relational {
     "q_uuid_hash" -> (uuidHash _),
     "q_sql_gateway" -> (sqlGateway _),
     "q_pivot" -> (pivotAgg _),
+    "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_first_last" -> (firstLast _)
@@ -782,6 +796,12 @@ object Relational {
         "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS N, " +
         "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS R " +
         "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, measure, value FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, measure"),
     "q_exists_forall" ->
       ("SELECT vec_id, len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg, " +
         "len(list_filter(embedding, x -> NOT abs(x) < 1)) = 0 AS all_small " +

@@ -179,6 +179,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature resampling keeps every doc of the rarest source") {
+    val r = q("q_temperature_sample")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r.nonEmpty)
+    val rarest = r.minBy(_._2)
+    assert(rarest._4 === 1.0, "the rarest source normalizes to keep-prob 1")
+    assert(rarest._3 === rarest._2, "keep-prob 1 must keep every doc")
+    // keep fractions track keep probabilities loosely (hash uniformity)
+    r.foreach { case (src, n, kept, w) =>
+      assert(kept <= n)
+      assert(w > 0 && w <= 1.0, s"$src weight out of range")
+    }
+    // bigger sources get smaller keep probabilities (monotone in n_s)
+    val byN = r.sortBy(_._2).map(_._4)
+    assert(byN === byN.sorted.reverse, "keep-prob must fall as source size grows")
+  }
+
   test("scd2 intervals tile each key's history with one current row") {
     val r = q("q_scd2").cache()
     val ev = Tables.events(spark, sfDir)

@@ -98,4 +98,17 @@ class RelationalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.length === Tables.documents(spark, sfDir).count())
   }
+
+  test("unpivot melts each row into one row per measure") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val r = q("q_unpivot").cache()
+    assert(r.count() === li.count() * 3)
+    val qty = r.filter(col("measure") === "quantity")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val direct = li.agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(qty === direct, "melted values must conserve the column total")
+  }
 }
