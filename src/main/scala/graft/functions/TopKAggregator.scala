@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact per-group top-K as a typed Aggregator.
+  *
+  * A rank window (`row_number().over(partitionBy(g))`) must co-locate
+  * EVERY row of a group on one task — the single-reducer-per-group
+  * bottleneck that kills skewed groups at 100 TB. This aggregator's
+  * buffer is a bounded sorted list of the K best (value, id) pairs,
+  * and `merge` is associative/commutative, so Spark runs it with
+  * partial aggregation: each map task contributes at most K rows per
+  * group to the shuffle regardless of group size, and the final reduce
+  * merges ≤ K·#map-tasks candidates. Ordering is value DESC with id ASC
+  * tie-break — fully deterministic, so results are oracle-comparable
+  * against the window formulation they replace.
+  *
+  * (q_group_sample solves the same problem probabilistically with a
+  * hash threshold; this is the exact algebraic form.)
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+  // insert keeping the buffer sorted (value DESC, id ASC) and bounded:
+  // O(k) per row, allocation-light for the hot reduce path
+  private def insert(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+    val (better, worse) = b.span(e => e._1 > x._1 || (e._1 == x._1 && e._2 < x._2))
+    val merged = better ::: (x :: worse)
+    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+  }
+
+  override def zero: List[(Double, Long)] = Nil
+
+  override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+    insert(b, a)
+
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -177,6 +177,27 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  /** Exact per-group top-K through the custom bounded-buffer Aggregator
+    * (functions/TopKAggregator.scala) instead of a rank window: partial
+    * aggregation ships ≤ K rows per group per map task, so a skewed
+    * group costs the same as a uniform one — the algebraic complement
+    * to groupSample's probabilistic threshold. Oracled against the
+    * window formulation it replaces (identical deterministic ordering).
+    */
+  private def groupedTopk(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("event_id"), col("col._1").as("value"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Epoch-wise corpus reshuffle: a deterministic global training order
     * per epoch (rank = position of the doc's md5 draw within its epoch)
     * WITHOUT a single-task window. The rank is a two-level prefix sum
@@ -426,6 +447,7 @@ object Curation {
     "q_mixture_sample" -> (mixtureSample _),
     "q_group_sample" -> (groupSample _),
     "q_temperature_sample" -> (temperatureSample _),
+    "q_grouped_topk" -> (groupedTopk _),
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
@@ -463,6 +485,10 @@ object Curation {
         "s AS (SELECT b.lang, b.doc_id, b.u FROM b JOIN c USING (lang) WHERE b.u < least(16777216, 16777216 * 50 // n_g)), " +
         "r AS (SELECT lang, doc_id, u, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank FROM s) " +
         "SELECT lang, CAST(rank AS INT) AS rank, doc_id, u FROM r WHERE rank <= 3 ORDER BY lang, rank"),
+    "q_grouped_topk" ->
+      ("SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (" +
+        "SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank FROM events) " +
+        "WHERE rank <= 3 ORDER BY event_type, rank"),
     "q_temperature_sample" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source), " +
         "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +

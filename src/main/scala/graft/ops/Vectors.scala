@@ -139,30 +139,33 @@ object Vectors {
   }
 
 
-  /** IVF-style ANN (⊘ rows-only): the label column plays the coarse
-    * quantizer's inverted lists (at 100 TB you'd k-means the corpus into
-    * nlist centroids; here lists pre-exist). Probe = rank lists by
-    * query→centroid cosine, exact-search only the top-2 lists (~20% of
-    * the corpus). The centroid pass is the same map-side-combinable
-    * reduction as q_embed_centroid; the probe is a partition-pruned scan
-    * shape when the table is written partitioned by list id.
+  /** IVF-style ANN: the label column plays the coarse quantizer's
+    * inverted lists (pre-existing lists; q_ann_ivf_trained is the
+    * variant that trains its own). Probe = rank lists by query→centroid
+    * cosine, exact-search only the top-2 lists (~20% of the corpus).
+    * The centroid pass is the same map-side-combinable DECIMAL-EXACT
+    * reduction as q_embed_centroid — a plain double mean would be
+    * partition-order-dependent, i.e. the probed list could flip between
+    * runs; exactness makes the whole probe deterministic and therefore
+    * fully oracled. The probe is a partition-pruned scan shape when the
+    * table is written partitioned by list id.
     */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    // per-list centroid as array<float> (decimal-exactness not needed —
-    // no oracle; plain double mean)
     val centroids = e
       .select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
-      .agg(avg(col("col").cast(DoubleType)).as("m"))
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(18, 8))).cast(DoubleType) /
+        count(lit(1))).as("m"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m").cast("float")).as("centroid"))
+        x => x.getField("m")).as("centroid"))
     // rank lists by query-centroid similarity, keep top 2
     val probed = centroids.crossJoin(broadcast(q.select(col("qv"))))
-      .select(col("label"), cos(s, col("centroid"), col("qv")).as("list_sim"))
+      .select(col("label"), (dot(col("centroid"), col("qv")) /
+        (norm(col("centroid")) * norm(col("qv")))).as("list_sim"))
       .orderBy(col("list_sim").desc, col("label")) // label breaks cosine ties
       .limit(2)
     // exact search inside the probed lists only
@@ -445,6 +448,20 @@ object Vectors {
         s"pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.c AS cluster, ${dcos("a.emb", "b.emb")} AS cos " +
         "FROM sg a JOIN sg b ON a.c = b.c AND a.sig = b.sig AND a.vec_id < b.vec_id) " +
         "SELECT ai, bi, cluster, round(cos, 3) AS cos FROM pr WHERE cos >= 0.95 ORDER BY ai, bi"
+    },
+    "q_ann_ivf" -> {
+      val dcos = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+      "WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+        "ct AS (SELECT label, list(m ORDER BY pos) AS centroid FROM (" +
+        "SELECT label, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+        "FROM e CROSS JOIN range(1, 65) t(pos) GROUP BY label, pos) GROUP BY label), " +
+        s"pb AS (SELECT label FROM (SELECT ct.label, ${dcos("centroid", "qv")} AS ls FROM ct CROSS JOIN q ORDER BY ls DESC, label LIMIT 2)) " +
+        s"SELECT e.vec_id, e.label, round(${dcos("e.emb", "qv")}, 4) AS cos " +
+        "FROM e JOIN pb USING (label) CROSS JOIN q WHERE e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10"
     },
     "q_ann_ivf_trained" -> {
       val cent = (src: String) =>

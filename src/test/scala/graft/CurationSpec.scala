@@ -179,6 +179,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bounded-buffer top-k equals the rank window it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val got = q("q_grouped_topk")
+      .select("event_type", "rank", "event_id").as[(String, Int, Long)].collect().toSet
+    val w = Window.partitionBy("event_type").orderBy($"value".desc, $"event_id")
+    val want = Tables.events(spark, sfDir)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select("event_type", "rank", "event_id").as[(String, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("temperature resampling keeps every doc of the rarest source") {
     val r = q("q_temperature_sample")
       .as[(String, Long, Long, Double)].collect().toSeq

@@ -160,6 +160,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p.take(1200))
   }
 
+  test("grouped top-k aggregates partially on the map side — no group co-location") {
+    val p = finalPlan("q_grouped_topk")
+    assert(p.contains("partial_topkaggregator"),
+      s"TopKAggregator must run in partial mode before the shuffle:\n${p.take(1200)}")
+    assert(!p.contains("row_number"), "must not fall back to a rank window")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
