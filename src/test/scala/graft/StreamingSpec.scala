@@ -193,6 +193,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("foreachBatch upsert sink converges to latest-per-key across batches") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val q = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
+    input.addData((1L, 7L, "click", 100L, 1.0), (2L, 7L, "click", 200L, 2.0))
+    q.processAllAvailable()
+    input.addData((3L, 7L, "click", 150L, 3.0), (4L, 8L, "view", 50L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(state)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    // (7, click): event 2 wins (ts 200 > 150 > 100); late event 3 ignored
+    assert(rows === Set((7L, "click", 2L, 2.0), (8L, "view", 4L, 4.0)))
+  }
+
   test("stream-static dedup drops docs already in the corpus, keeps new ones") {
     implicit val sq = spark.sqlContext
     val corpus = Tables.documents(spark, sfDir)
