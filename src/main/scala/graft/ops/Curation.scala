@@ -346,6 +346,43 @@ object Curation {
       .agg(cnt.as("n"))
       .orderBy("event_type", "bucket")
 
+  /** The end-to-end curation pipeline as ONE composed plan — exact
+    * dedup → repetition/length gate → language allowlist → temperature
+    * resample → final per-(source, lang) corpus stats. What composition
+    * costs at 100 TB, visible in this single plan: one scan of the
+    * corpus (Catalyst fuses the gates into the scan's filters), one
+    * hash shuffle for the dedup window (partitions are per content
+    * hash — a few rows each), two tiny broadcast-back aggregates for
+    * the sampling weights, and one final stats aggregate. No stage
+    * materializes an intermediate corpus.
+    */
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("dup_frac",
+        (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+    val deduped = base
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val gated = deduped.filter(col("n_tok") >= 20 && col("dup_frac") <= 0.75 &&
+      col("lang").isin("en", "de", "fr"))
+    val counts = gated.groupBy("source").agg(cnt.as("n_s"))
+    val total = gated.agg(cnt.as("n"))
+    val raw = counts.crossJoin(broadcast(total))
+      .withColumn("wr", pow(col("n_s").cast("double") / col("n"), lit(-0.3)))
+    val mx = raw.agg(max("wr").as("mw"))
+    val w = raw.crossJoin(broadcast(mx))
+      .select(col("source"), (col("wr") / col("mw")).as("w"))
+    gated.withColumn("u", mdUniform("pipe:", col("doc_id")))
+      .join(broadcast(w), "source")
+      .filter(col("u").cast("double") < col("w") * 16777216.0)
+      .groupBy("source", "lang")
+      .agg(cnt.as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source", "lang")
+  }
+
   // ------------------------------------------- changelog compaction
 
   /** Changelog compaction (the MERGE/upsert primitive): latest event
@@ -448,6 +485,7 @@ object Curation {
     "q_group_sample" -> (groupSample _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_grouped_topk" -> (groupedTopk _),
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
@@ -485,6 +523,24 @@ object Curation {
         "s AS (SELECT b.lang, b.doc_id, b.u FROM b JOIN c USING (lang) WHERE b.u < least(16777216, 16777216 * 50 // n_g)), " +
         "r AS (SELECT lang, doc_id, u, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank FROM s) " +
         "SELECT lang, CAST(rank AS INT) AS rank, doc_id, u FROM r WHERE rank <= 3 ORDER BY lang, rank"),
+    "q_curation_pipeline" ->
+      ("WITH b AS (SELECT doc_id, source, lang, md5(text) AS h, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "CAST(len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS dup_frac " +
+        "FROM documents), " +
+        "d AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM b) WHERE rn = 1), " +
+        "g AS (SELECT * FROM d WHERE n_tok >= 20 AND dup_frac <= 0.75 AND lang IN ('en', 'de', 'fr')), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM g GROUP BY source), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g), " +
+        "w0 AS (SELECT source, pow(CAST(n_s AS DOUBLE) / n, -0.3) AS wr FROM c CROSS JOIN n), " +
+        "m AS (SELECT max(wr) AS mw FROM w0), " +
+        "w AS (SELECT source, wr / mw AS w FROM w0 CROSS JOIN m), " +
+        "k AS (SELECT g.source, g.lang, g.n_tok FROM g JOIN w USING (source) WHERE " +
+        "CAST(CAST(list_reduce(list_transform(range(1, 7), c2 -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('pipe:' || CAST(doc_id AS VARCHAR)), CAST(c2 AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS DOUBLE) < w * 16777216.0) " +
+        "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+        "FROM k GROUP BY source, lang ORDER BY source, lang"),
     "q_grouped_topk" ->
       ("SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (" +
         "SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank FROM events) " +

@@ -179,6 +179,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("composed pipeline output respects its own gates") {
+    val r = q("q_curation_pipeline").cache()
+    val langs = r.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr")), "language gate must hold")
+    val kept = r.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(kept > 0 && kept <= Tables.documents(spark, sfDir).count())
+    // deterministic end to end
+    val again = q("q_curation_pipeline").collect().toSeq
+    assert(r.collect().toSeq === again)
+  }
+
   test("bounded-buffer top-k equals the rank window it replaces") {
     import org.apache.spark.sql.expressions.Window
     val got = q("q_grouped_topk")
