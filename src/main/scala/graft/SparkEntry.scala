@@ -10,11 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape — scan → filter → project → hash-agg → sort, the spine
-    * of the engine (SURVEY.md §7.2 step 1).
+    * The composed curation pipeline (exact dedup → quality gates →
+    * temperature resample → corpus stats): the engine's reason to exist
+    * in one plan, exercising scan+filter fusion, a hash-window dedup,
+    * broadcast-back aggregates, and the final stats aggregation.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_group")(spark, "/root/testdata/sf0.001")
+    queries("q_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

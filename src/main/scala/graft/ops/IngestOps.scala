@@ -80,6 +80,53 @@ object IngestOps {
     }
   }
 
+  /** Source/sink format matrix (⊘ self-checked side-effect op): the
+    * same 500-document slice round-trips through parquet, ORC, CSV, and
+    * JSON — one row per format with the row count and a content
+    * checksum that must agree across all four (the spec asserts it).
+    * Parquet/ORC are the columnar pair (splittable, predicate-pushdown
+    * capable — the only sane 100 TB formats); CSV/JSON are the
+    * interchange pair every ingest edge still speaks. Text formats
+    * round-trip via explicit casts so type fidelity is part of the
+    * check, not luck.
+    */
+  private def formatMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+    val outPath = java.nio.file.Files.createTempDirectory("graft_formats")
+    val out = outPath.toString
+    try {
+      def check(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)),
+        sum(col("n_chars")),
+        // order-insensitive content checksum: sum of per-row hashes
+        sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("lang"),
+          col("n_chars"), col("h"))), 1, 12), 16, 10).cast("long")))
+        .as[(Long, Long, Long)].head()
+      base.write.mode("overwrite").parquet(s"$out/p")
+      base.write.mode("overwrite").orc(s"$out/o")
+      base.write.mode("overwrite").option("header", "true").csv(s"$out/c")
+      base.write.mode("overwrite").json(s"$out/j")
+      val textual = Seq(
+        "parquet" -> check(s.read.parquet(s"$out/p")),
+        "orc" -> check(s.read.orc(s"$out/o")),
+        "csv" -> check(s.read.option("header", "true").csv(s"$out/c")
+          .select(col("doc_id").cast("long"), col("lang"),
+            col("n_chars").cast("long"), col("h"))),
+        "json" -> check(s.read.json(s"$out/j")
+          .select(col("doc_id").cast("long"), col("lang"),
+            col("n_chars").cast("long"), col("h"))))
+      textual.map { case (f, (n, chars, sum)) => (f, n, chars, sum) }
+        .toDF("format", "n_rows", "sum_chars", "checksum")
+        .orderBy("format")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Compaction as an operator (⊘ self-checked): write 4 small batches
     * into the hour layout (the reference's one-file-per-POST shape),
     * compact, and report file counts + row preservation. The assertion
@@ -150,6 +197,7 @@ object IngestOps {
     "q_ingest_validate" -> (ingestValidate _),
     "q_ingest_explode" -> (ingestExplode _),
     "q_parquet_roundtrip" -> (parquetRoundtrip _),
+    "q_format_matrix" -> (formatMatrix _),
     "q_compact_partitions" -> (compact _),
     "q_state_registers" -> (stateRegisters _),
     "q_hour_partition" -> (hourPartition _)

@@ -143,4 +143,15 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Long]("maxTimestamp") === 500L)     // monotonic high-water mark
     assert(r.getAs[Long]("lastTimeGenerated") === 3L)  // by arrival, not by time
   }
+
+  test("every format in the matrix round-trips the same content") {
+    val rows = q("q_format_matrix")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted === Seq("csv", "json", "orc", "parquet"))
+    // identical row counts, char totals, and content checksums across formats
+    assert(rows.map(_._2).distinct.size === 1, "row counts diverge")
+    assert(rows.map(_._3).distinct.size === 1, "char totals diverge")
+    assert(rows.map(_._4).distinct.size === 1, "content checksums diverge")
+    assert(rows.head._2 === Tables.documents(spark, sfDir).count())
+  }
 }
