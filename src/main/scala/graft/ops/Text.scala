@@ -129,6 +129,47 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter contamination screen: the train split folds into one
+    * fixed-size bitset (functions/BloomAggregator.scala — mergeable, so
+    * partial aggregation ships a few KB per map task, never the keys)
+    * and every eval document probes the broadcast sketch. This is the
+    * 100 TB shape when the train side is too large for the exact
+    * anti-join of q_contamination: cost = one agg pass over train + a
+    * projection over eval, with a bounded false-positive rate and zero
+    * false negatives (the spec plants a true duplicate and asserts it
+    * always flags). Oracled by SEMANTIC equivalence: DuckDB rebuilds
+    * the same probe-position set relationally and re-derives every
+    * verdict — bitset mechanics included, since positions are plain
+    * shift/mod arithmetic on the same 48-bit md5 key.
+    */
+  private def bloomContamination(s: SparkSession, dir: String): DataFrame =
+    bloomScreen(Tables.documents(s, dir))
+
+  /** The screen itself over any (doc_id, text) frame — split out so the
+    * spec can plant a true duplicate and assert zero false negatives.
+    */
+  private[graft] def bloomScreen(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val m = 4096
+    val u = conv(substring(md5(concat(lit("bloom:"), col("text"))), 1, 12), 16, 10)
+      .cast("long")
+    val docs = input.select(col("doc_id"), u.as("u"))
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 4 === 0)
+    val bloomAgg = udaf(new graft.functions.BloomAggregator(m, 3), Encoders.scalaLong)
+    val bloom = train.agg(bloomAgg(col("u")).as("bits"))
+    val hit = (0 until 3).map { i =>
+      val p = shiftright(col("u"), 12 * i) % m
+      // shift amount is a column here, so route through the SQL function
+      (call_function("shiftright",
+        element_at(col("bits"), expr(s"cast(pmod(shiftright(u, ${12 * i}), $m) div 64 as int) + 1")),
+        (p % 64).cast("int")).bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+    evalDocs.crossJoin(broadcast(bloom))
+      .select(col("doc_id"), hit.as("might_contain"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document — the classic relevance/keyword
     * extraction pass of a curation pipeline. Two hash-aggregates (tf per
     * (doc, word); df per word) and one broadcast of the scalar corpus
@@ -686,6 +727,7 @@ object Text {
     "q_quality_filter" -> (qualityFilter _),
     "q_train_split" -> (trainSplit _),
     "q_contamination" -> (contamination _),
+    "q_bloom_contamination" -> (bloomContamination _),
     "q_text_normalize" -> (textNormalize _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
@@ -718,6 +760,16 @@ object Text {
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
         "FROM documents ORDER BY doc_id"),
+    "q_bloom_contamination" ->
+      ("WITH d AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 13), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('bloom:' || text), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS u FROM documents), " +
+        "t AS (SELECT DISTINCT ((u >> (12 * CAST(i AS INT))) % 4096) AS p FROM d CROSS JOIN range(0, 3) r(i) WHERE doc_id % 4 <> 0), " +
+        "e AS (SELECT doc_id, u FROM d WHERE doc_id % 4 = 0), " +
+        "probe AS (SELECT e.doc_id, count(*) AS hits FROM e CROSS JOIN range(0, 3) r(i) " +
+        "JOIN t ON ((e.u >> (12 * CAST(i AS INT))) % 4096) = t.p GROUP BY e.doc_id) " +
+        "SELECT e.doc_id, coalesce(probe.hits, 0) = 3 AS might_contain " +
+        "FROM e LEFT JOIN probe USING (doc_id) ORDER BY doc_id"),
     "q_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
         "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +

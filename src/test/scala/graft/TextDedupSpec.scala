@@ -309,6 +309,25 @@ class TextDedupSpec extends SparkSpec {
     assert(j.count() === 0)
   }
 
+  test("bloom screen flags every true duplicate; false positives stay rare") {
+    // doc 4 (eval: id % 4 == 0) duplicates train doc 1's text exactly
+    val planted = Seq(
+      (1L, "the shared contaminated passage"),
+      (2L, "an unrelated training doc"),
+      (3L, "another training doc entirely"),
+      (4L, "the shared contaminated passage"),
+      (8L, "a clean evaluation doc")
+    ).toDF("doc_id", "text")
+    val flagged = graft.ops.Text.bloomScreen(planted)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flagged(4L), "a true duplicate must never be missed")
+    // corpus-wide: flags on the real (all-unique) eval docs are false
+    // positives and must stay under a loose 5% of the eval split
+    val r = q("q_bloom_contamination").as[(Long, Boolean)].collect()
+    assert(r.count(_._2) <= math.max(1, r.length / 20),
+      s"${r.count(_._2)} of ${r.length} flagged — bloom too dense")
+  }
+
   test("repetition signals match an explode-based relational twin") {
     val r = q("q_repetition").cache()
     // bounds: each fraction in [0,1]; mode covers at least 1/n of tokens
