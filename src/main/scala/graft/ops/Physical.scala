@@ -239,7 +239,37 @@ object Physical {
       rows.toDF("grp", "n", "sum_value")
     }
 
+  /** Z-order (Morton) layout key: interleave the bits of two predicate
+    * dimensions (user grid, value grid — 8 bits each) so that sorting
+    * by the interleaved key clusters rows that are close in BOTH
+    * dimensions. The query reports each key-range bucket's bounding box
+    * (min/max of each dimension): tight boxes are the whole point — at
+    * 100 TB you write files in this order and parquet min/max stats
+    * prune scans on EITHER predicate, where a single-column sort only
+    * prunes its own column. Pure projection + one hash-agg; the bit
+    * interleave is plain shift/mask arithmetic, fully oracled.
+    */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ux = pmod(col("user_id"), lit(256))
+    val vx = least(floor(col("value") / 2).cast("long"), lit(255L))
+    val morton = (0 until 8).map { b =>
+      (shiftright(ux, b) % 2) * lit(1L << (2 * b + 1)) +
+        (shiftright(vx, b) % 2) * lit(1L << (2 * b))
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"), morton.as("z"))
+      .withColumn("bucket", expr("z div 2048")) // 32 key-range buckets
+      .groupBy("bucket")
+      .agg(cnt.as("n"),
+        min(pmod(col("user_id"), lit(256))).as("min_u"),
+        max(pmod(col("user_id"), lit(256))).as("max_u"),
+        min(least(floor(col("value") / 2).cast("long"), lit(255L))).as("min_v"),
+        max(least(floor(col("value") / 2).cast("long"), lit(255L))).as("max_v"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (zorderLayout _),
     "q_skew_salted" -> (skewSalted _),
     "q_skew_aqe" -> (skewAqe _),
     "q_bucketed_join" -> (bucketedJoin _),
@@ -248,6 +278,15 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zorder" ->
+      ("WITH g AS (SELECT user_id % 256 AS ux, least(CAST(floor(value / 2) AS BIGINT), 255) AS vx FROM events), " +
+        "z AS (SELECT ux, vx, " +
+        (0 until 8).map(b =>
+          s"((ux >> $b) % 2) * ${1L << (2 * b + 1)} + ((vx >> $b) % 2) * ${1L << (2 * b)}")
+          .mkString("(", " + ", ")") + " AS z FROM g) " +
+        "SELECT z // 2048 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "min(ux) AS min_u, max(ux) AS max_u, min(vx) AS min_v, max(vx) AS max_v " +
+        "FROM z GROUP BY bucket ORDER BY bucket"),
     "q_skew_salted" ->
       ("WITH skewed AS (SELECT user_id, value FROM events " +
         "UNION ALL SELECT 0 AS user_id, CAST(i * 37 % 1000 AS DOUBLE) / 10.0 AS value FROM range(100000) t(i)) " +

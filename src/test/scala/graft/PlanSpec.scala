@@ -160,6 +160,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p.take(1200))
   }
 
+  test("z-order buckets bound both dimensions at once") {
+    // fixing the top 5 morton bits pins u-bits 7..5 and v-bits 7..6:
+    // every 2048-key bucket's bounding box fits in 32 × 64 — the
+    // two-dimensional locality a single-column sort cannot give
+    val rows = q("q_zorder").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minU, maxU) = (r.getLong(2), r.getLong(3))
+      val (minV, maxV) = (r.getLong(4), r.getLong(5))
+      assert(maxU - minU < 32, s"bucket ${r.getLong(0)}: u-range ${maxU - minU}")
+      assert(maxV - minV < 64, s"bucket ${r.getLong(0)}: v-range ${maxV - minV}")
+    }
+  }
+
   test("grouped top-k aggregates partially on the map side — no group co-location") {
     val p = finalPlan("q_grouped_topk")
     assert(p.contains("partial_topkaggregator"),
