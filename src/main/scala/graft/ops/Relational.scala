@@ -90,6 +90,28 @@ object Relational {
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** Full-outer join: customers ⋈ their order rollup, keeping customers
+    * with no orders (left-only rows — TPC-H guarantees some) AND any
+    * orphan order keys (right-only; none in consistent data, but the
+    * plan must handle them). COALESCE picks the surviving key; the
+    * null-padded aggregate side becomes explicit zeros. Same single
+    * key-shuffle as the inner SMJ — outer-ness changes row emission,
+    * not the exchange shape.
+    */
+  private def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val orderAgg = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(orderAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("<none>")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("custkey")
+  }
+
   /** Star-chain: customer ⋈ nation ⋈ region with both dimensions
     * broadcast — zero shuffles on the fact side regardless of its size.
     */
@@ -655,6 +677,7 @@ object Relational {
     "q_filter_null_zero" -> (filterNullZero _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_smj" -> (joinSmj _),
+    "q_join_full" -> (joinFull _),
     "q_join_multiway" -> (joinMultiway _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
@@ -725,6 +748,12 @@ object Relational {
       "SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
     "q_join_smj" ->
       "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_join_full" ->
+      ("WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend FROM orders GROUP BY o_custkey) " +
+        "SELECT coalesce(c_custkey, o_custkey) AS custkey, coalesce(c_mktsegment, '<none>') AS segment, " +
+        "coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend " +
+        "FROM customer FULL OUTER JOIN oa ON c_custkey = o_custkey ORDER BY custkey"),
     "q_join_multiway" ->
       "SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
     "q_semi_join" ->

@@ -129,6 +129,33 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Sketch-guided exact heavy hitters: find every token occurring ≥ 200
+    * times without a full-vocabulary aggregate. Stage 1 hash-buckets
+    * tokens into 1024 counters (fixed memory, map-side combined);
+    * stage 2 re-aggregates EXACTLY only the tokens whose bucket total
+    * clears the threshold — sound because a token's bucket count is an
+    * upper bound on its own count (zero false negatives; false-positive
+    * buckets only cost extra work, never wrong output). At 100 TB this
+    * is how you take heavy hitters over an unbounded key space (URLs,
+    * n-grams) where the exact groupBy's hash table would not fit; the
+    * oracle is the direct HAVING query, so a pass proves the two-stage
+    * prune changes nothing.
+    */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val thresh = 200L
+    val words = Tables.documents(s, dir)
+      .select(explode(tokens).as("word"))
+      .withColumn("bkt", pmod(xxhash64(col("word")), lit(1024)))
+    val heavyBuckets = words.groupBy("bkt").agg(cnt.as("bn"))
+      .filter(col("bn") >= thresh)
+      .select("bkt")
+    words.join(broadcast(heavyBuckets), "bkt")
+      .groupBy("word")
+      .agg(cnt.as("n"))
+      .filter(col("n") >= thresh)
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** Bloom-filter contamination screen: the train split folds into one
     * fixed-size bitset (functions/BloomAggregator.scala — mergeable, so
     * partial aggregation ships a few KB per map task, never the keys)
@@ -728,6 +755,7 @@ object Text {
     "q_train_split" -> (trainSplit _),
     "q_contamination" -> (contamination _),
     "q_bloom_contamination" -> (bloomContamination _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_text_normalize" -> (textNormalize _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
@@ -760,6 +788,11 @@ object Text {
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
         "FROM documents ORDER BY doc_id"),
+    "q_heavy_hitters" ->
+      // direct form: a pass proves the bucket prune is lossless
+      ("SELECT word, CAST(count(*) AS BIGINT) AS n " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY word HAVING count(*) >= 200 ORDER BY n DESC, word"),
     "q_bloom_contamination" ->
       ("WITH d AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 13), c -> " +
         "CAST(strpos('0123456789abcdef', substr(md5('bloom:' || text), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +

@@ -101,6 +101,17 @@ class RelationalSpec extends SparkSpec {
     assert(a.length === Tables.documents(spark, sfDir).count())
   }
 
+  test("full outer join keeps customers with no orders as zero rows") {
+    val r = q("q_join_full").cache()
+    assert(r.count() === Tables.customer(spark, sfDir).count(),
+      "TPC-H orders reference existing customers, so rows = customers")
+    val without = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(r.filter($"n_orders" === 0).count() === without)
+    assert(r.filter($"n_orders" === 0 && $"spend" =!= 0.0).count() === 0)
+  }
+
   test("unpivot melts each row into one row per measure") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)

@@ -309,6 +309,17 @@ class TextDedupSpec extends SparkSpec {
     assert(j.count() === 0)
   }
 
+  test("bucket-pruned heavy hitters equal the direct HAVING aggregate") {
+    val got = q("q_heavy_hitters").as[(String, Long)].collect().toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 200)
+      .as[(String, Long)].collect().toMap
+    assert(got === want, "the bucket prune must be lossless")
+    assert(got.nonEmpty, "corpus has heavy tokens at every SF")
+  }
+
   test("bloom screen flags every true duplicate; false positives stay rare") {
     // doc 4 (eval: id % 4 == 0) duplicates train doc 1's text exactly
     val planted = Seq(
