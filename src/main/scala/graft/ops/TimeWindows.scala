@@ -83,7 +83,59 @@ object TimeWindows {
       .orderBy("user_id", "event_type")
   }
 
+  /** OHLC candle rollup per (event_type, hour) — the canonical
+    * time-series downsample: open/close via `min_by`/`max_by` on the raw
+    * NANOSECOND timestamp (globally unique in this data; the ns order is
+    * also exactly what DuckDB's arg_min/arg_max see, so the endpoints
+    * are engine-identical), high/low/n as plain aggregates. One
+    * map-side-combinable hash aggregate — min_by partials carry a single
+    * (value, ts) pair per group per task.
+    */
+  private def ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        cnt.as("n"))
+      .orderBy("event_type", "hour")
+
+  /** Dense hourly grid + forward fill per event type — the gap-fill /
+    * resample pass every time-series consumer needs (the reference's
+    * hourly layout makes missing hours structural, not exceptional).
+    * The grid is `sequence(min_hour, max_hour)` exploded from a 1-row
+    * bounds aggregate (broadcast), left-joined to the hourly rollup;
+    * missing hours take the last observed mean via an IGNORE-NULLS
+    * last_value window. The fill window partitions per type — at scale
+    * per (type, day-range) tiles with carried boundaries, same
+    * two-level trick as epoch_order.
+    */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(cnt.as("n"), (dsum(col("value")) / count(lit(1))).as("mean_value"))
+    val bounds = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("min(ts_us div 3600000000)").as("h0"),
+        expr("max(ts_us div 3600000000)").as("h1"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("filled", last(col("mean_value"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("filled").as("mean_value"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> (ohlc _),
+    "q_gap_fill" -> (gapFill _),
     "q_tumbling_window" -> (tumbling _),
     "q_sliding_window" -> (sliding _),
     "q_session_window" -> (session _),
@@ -92,6 +144,24 @@ object TimeWindows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ohlc" ->
+      ("SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
+        "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +
+        "arg_max(value, ts) AS close, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"),
+    "q_gap_fill" ->
+      ("WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_value " +
+        "FROM events GROUP BY event_type, hour), " +
+        "bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY event_type), " +
+        "grid AS (SELECT event_type, h0 + g.i AS hour FROM bounds CROSS JOIN range(0, 100000) g(i) WHERE h0 + g.i <= h1) " +
+        "SELECT grid.event_type, grid.hour, coalesce(hourly.n, 0) AS n, " +
+        "last_value(hourly.mean_value IGNORE NULLS) OVER (PARTITION BY grid.event_type ORDER BY grid.hour " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_value, " +
+        "hourly.n IS NULL AS is_gap " +
+        "FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour " +
+        "ORDER BY grid.event_type, grid.hour"),
     "q_tumbling_window" ->
       ("SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +

@@ -193,6 +193,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("ohlc candles bound their endpoints and gap fill densifies the grid") {
+    val candles = q("q_ohlc")
+    assert(candles.filter($"low" > $"high").count() === 0)
+    assert(candles.filter($"open" < $"low" || $"open" > $"high").count() === 0)
+    assert(candles.filter($"close" < $"low" || $"close" > $"high").count() === 0)
+
+    val filled = q("q_gap_fill").cache()
+    // dense: one row per hour between each type's bounds
+    val expect = filled.groupBy("event_type")
+      .agg((max($"hour") - min($"hour") + 1).as("span"))
+      .agg(sum($"span")).collect()(0).getLong(0)
+    assert(filled.count() === expect, "grid must have no holes")
+    // gap rows carry n=0 and a forward-filled (non-null) mean
+    assert(filled.filter($"is_gap" && $"n" =!= 0).count() === 0)
+    assert(filled.filter($"is_gap" && $"mean_value".isNull).count() === 0,
+      "every gap after the first observation forward-fills")
+    assert(filled.filter($"is_gap").count() > 0, "data has structural gaps")
+  }
+
   test("foreachBatch upsert sink converges to latest-per-key across batches") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
