@@ -383,6 +383,33 @@ object Curation {
       .orderBy("source", "lang")
   }
 
+  /** Sketch-tier incremental maintenance (⊘ rows-only — DuckDB's HLL is
+    * a different implementation): q_incremental_agg's base ⊎ delta
+    * property extended to DISTINCT counts via DataSketches HLL
+    * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`). HLL
+    * registers are order-independent maxima, so union-of-half-sketches
+    * is BIT-IDENTICAL to the one-pass sketch — the spec asserts exact
+    * estimate equality, plus closeness to the exact distinct count.
+    * This is how a 100 TB view maintains distinct users per type at
+    * delta cost, where exact distinct would re-shuffle all history.
+    */
+  private def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def sk(pred: org.apache.spark.sql.Column) =
+      ev.filter(pred).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = sk(col("event_id") % 2 === 0)
+      .unionByName(sk(col("event_id") % 2 === 1))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"), col("est_direct"), col("est_merged"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------- changelog compaction
 
   /** Changelog compaction (the MERGE/upsert primitive): latest event
@@ -494,7 +521,8 @@ object Curation {
     "q_changelog_compact" -> (changelogCompact _),
     "q_scd2" -> (scd2 _),
     "q_curation_funnel" -> (curationFunnel _),
-    "q_incremental_agg" -> (incrementalAgg _)
+    "q_incremental_agg" -> (incrementalAgg _),
+    "q_sketch_merge" -> (sketchMerge _)
   )
 
   val oracleSql: Map[String, String] = Map(

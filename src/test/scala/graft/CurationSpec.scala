@@ -170,6 +170,18 @@ class CurationSpec extends SparkSpec {
     assert(merged === direct, "base ⊎ delta must reconstruct the full view exactly")
   }
 
+  test("HLL sketch union is exactly the one-pass sketch, and near the truth") {
+    val r = q("q_sketch_merge")
+      .as[(String, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (t, exact, direct, merged) =>
+      // register-max semantics: union of half-sketches == one-pass sketch
+      assert(merged === direct, s"$t: sketch merge must be lossless")
+      assert(math.abs(direct - exact) <= math.max(2.0, exact * 0.05),
+        s"$t: estimate $direct too far from exact $exact")
+    }
+  }
+
   test("funnel gates are monotonically non-increasing") {
     val r = q("q_curation_funnel")
       .as[(String, Long, Long, Long, Long)].collect()
