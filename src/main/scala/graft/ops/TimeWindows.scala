@@ -133,7 +133,49 @@ object TimeWindows {
       .orderBy("event_type", "hour")
   }
 
+  /** Linear interpolation over the same dense grid — gapFill's forward
+    * carry replaced by a weighted blend of the surrounding observations:
+    * interp = prev + (next − prev)·(h − h_prev)/(h_next − h_prev).
+    * Four IGNORE-NULLS window scans (prev/next value and hour) over the
+    * per-type hour order; grid edges fall back to the available side.
+    * All arithmetic is integer-ratio × double — engine-identical.
+    */
+  private def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(cnt.as("n"), (dsum(col("value")) / count(lit(1))).as("mv"))
+    val bounds = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("min(ts_us div 3600000000)").as("h0"),
+        expr("max(ts_us div 3600000000)").as("h1"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val back = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("mv").isNotNull, col("hour"))
+    val joined = grid.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("pv", last(col("mv"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+    val blend = when(col("mv").isNotNull, col("mv"))
+      .when(col("pv").isNull, col("nv"))
+      .when(col("nv").isNull, col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) *
+        ((col("hour") - col("ph")).cast("double") /
+          (col("nh") - col("ph")).cast("double")))
+    joined.select(col("event_type"), col("hour"),
+        col("mv").isNull.as("is_gap"),
+        // explicit half-up at 4 dp: round()'s tie rule differs across
+        // engines on blend boundaries (same trick as embed_quantize)
+        (floor(blend * 10000 + 0.5) / 10000).as("value"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpolate" -> (interpolate _),
     "q_ohlc" -> (ohlc _),
     "q_gap_fill" -> (gapFill _),
     "q_tumbling_window" -> (tumbling _),
@@ -144,6 +186,25 @@ object TimeWindows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_interpolate" ->
+      ("WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mv " +
+        "FROM events GROUP BY event_type, hour), " +
+        "bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY event_type), " +
+        "grid AS (SELECT event_type, h0 + g.i AS hour FROM bounds CROSS JOIN range(0, 100000) g(i) WHERE h0 + g.i <= h1), " +
+        "j AS (SELECT grid.event_type, grid.hour, hourly.mv, " +
+        "CASE WHEN hourly.mv IS NOT NULL THEN grid.hour END AS oh " +
+        "FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour), " +
+        "w AS (SELECT event_type, hour, mv, " +
+        "last_value(mv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+        "last_value(oh IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, " +
+        "first_value(mv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+        "first_value(oh IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh " +
+        "FROM j) " +
+        "SELECT event_type, hour, mv IS NULL AS is_gap, " +
+        "floor((CASE WHEN mv IS NOT NULL THEN mv WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (CAST(hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END) * 10000 + 0.5) / 10000 AS value " +
+        "FROM w ORDER BY event_type, hour"),
     "q_ohlc" ->
       ("SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
         "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +

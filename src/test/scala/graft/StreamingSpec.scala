@@ -210,6 +210,16 @@ class StreamingSpec extends SparkSpec {
     assert(filled.filter($"is_gap" && $"mean_value".isNull).count() === 0,
       "every gap after the first observation forward-fills")
     assert(filled.filter($"is_gap").count() > 0, "data has structural gaps")
+
+    // interpolation stays inside the convex hull of its neighbours, so
+    // every value sits within the type's observed [min, max] mean range
+    val interp = q("q_interpolate")
+    val hull = q("q_gap_fill").filter(!$"is_gap")
+      .groupBy("event_type")
+      .agg(min($"mean_value").as("lo"), max($"mean_value").as("hi"))
+    val out = interp.join(hull, "event_type")
+      .filter($"value" < $"lo" - 0.0001 || $"value" > $"hi" + 0.0001).count()
+    assert(out === 0, "linear interpolation cannot leave the observed range")
   }
 
   test("foreachBatch upsert sink converges to latest-per-key across batches") {
