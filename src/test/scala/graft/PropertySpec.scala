@@ -98,4 +98,44 @@ class PropertySpec extends SparkSpec {
     }
     check("dedup-idempotence", prop, samples = 8)
   }
+
+  test("TopKAggregator merge is order-insensitive and equals a direct sort") {
+    // pure aggregator-algebra property: any partitioning of the input
+    // into reduce/merge trees must give the same top-K as sorting
+    val agg = new graft.functions.TopKAggregator(3)
+    val rowsGen = Gen.nonEmptyListOf(for {
+      v <- Gen.chooseNum(-100.0, 100.0)
+      id <- Gen.chooseNum(0L, 50L)
+    } yield (v, id))
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 5)) { (rows, splits) =>
+      val expect = rows.distinct.sortBy { case (v, id) => (-v, id) }.take(3)
+      // arbitrary partitioning: reduce each slice, then merge in order
+      val slices = rows.distinct.grouped(
+        math.max(1, rows.distinct.size / splits)).toList
+      val merged = slices.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge)
+      val rev = slices.reverse.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge) // commuted merge order
+      agg.finish(merged) == expect && agg.finish(rev) == expect
+    }
+    check("topk-merge-algebra", prop, samples = 30)
+  }
+
+  test("BloomAggregator never yields a false negative under any split") {
+    val m = 4096
+    val agg = new graft.functions.BloomAggregator(m, 3)
+    def contains(bits: Array[Long], key: Long): Boolean =
+      (0 until 3).forall { i =>
+        val p = ((key >>> (12 * i)) % m).toInt
+        (bits(p / 64) >>> (p % 64) & 1L) == 1L
+      }
+    val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 48) - 1))
+    val prop = Prop.forAll(keysGen, Gen.chooseNum(1, 4)) { (keys, splits) =>
+      val slices = keys.grouped(math.max(1, keys.size / splits)).toList
+      val bits = slices.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge)
+      keys.forall(contains(bits, _))
+    }
+    check("bloom-no-false-negative", prop, samples = 30)
+  }
 }
