@@ -248,6 +248,23 @@ object Curation {
           idRe, "<ID>")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** (n_s per source) → (source, keep-prob): the temperature-weight
+    * table, computed ENTIRELY on the tiny counts aggregate — the corpus
+    * total and the max raw weight are global windows over the ≤#sources
+    * rows (a deliberate single-task window on a bounded-size table), so
+    * deriving the weights never touches the corpus again. One corpus
+    * stats pass feeds this; separate total/max corpus aggregates would
+    * each re-scan (per-branch pruning defeats exchange reuse).
+    */
+  private def sourceWeights(counts: DataFrame): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    counts
+      .withColumn("n", sum("n_s").over(all))
+      .withColumn("wr", pow(col("n_s").cast("double") / col("n"), lit(-0.3)))
+      .withColumn("mw", max("wr").over(all))
+      .select(col("source"), (col("wr") / col("mw")).as("w"))
+  }
+
   /** Temperature-based source resampling (α = 0.7): per-source keep
     * probabilities ∝ (n_s/N)^(α−1), normalized so the rarest source
     * keeps everything — the multilingual-LM mixing rule that upweights
@@ -260,13 +277,7 @@ object Curation {
     */
   private def temperatureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val counts = docs.groupBy("source").agg(cnt.as("n_s"))
-    val total = docs.agg(cnt.as("n"))
-    val raw = counts.crossJoin(broadcast(total))
-      .withColumn("wr", pow(col("n_s").cast("double") / col("n"), lit(-0.3)))
-    val mx = raw.agg(max("wr").as("mw"))
-    val w = raw.crossJoin(broadcast(mx))
-      .select(col("source"), (col("wr") / col("mw")).as("w"))
+    val w = sourceWeights(docs.groupBy("source").agg(cnt.as("n_s")))
     docs.select(col("source"), mdUniform("tmp:", col("doc_id")).as("u"))
       .join(broadcast(w), "source")
       .groupBy("source")
@@ -349,12 +360,15 @@ object Curation {
   /** The end-to-end curation pipeline as ONE composed plan — exact
     * dedup → repetition/length gate → language allowlist → temperature
     * resample → final per-(source, lang) corpus stats. What composition
-    * costs at 100 TB, visible in this single plan: one scan of the
-    * corpus (Catalyst fuses the gates into the scan's filters), one
-    * hash shuffle for the dedup window (partitions are per content
-    * hash — a few rows each), two tiny broadcast-back aggregates for
-    * the sampling weights, and one final stats aggregate. No stage
-    * materializes an intermediate corpus.
+    * costs at 100 TB, visible in this single plan: ONE scan of the
+    * corpus (gates fused into it), ONE content-hash shuffle for the
+    * dedup window (per-hash partitions, a few rows each) whose exchange
+    * the stats branch REUSES — possible because the weight table's
+    * total/max are windows over the tiny counts aggregate
+    * (sourceWeights), so both corpus branches prune to identical
+    * subtrees. PlanSpec pins the single-scan + ReusedExchange shape;
+    * separate total/max corpus aggregates would have re-scanned per
+    * branch.
     */
   private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
@@ -368,13 +382,7 @@ object Curation {
       .filter(col("rn") === 1)
     val gated = deduped.filter(col("n_tok") >= 20 && col("dup_frac") <= 0.75 &&
       col("lang").isin("en", "de", "fr"))
-    val counts = gated.groupBy("source").agg(cnt.as("n_s"))
-    val total = gated.agg(cnt.as("n"))
-    val raw = counts.crossJoin(broadcast(total))
-      .withColumn("wr", pow(col("n_s").cast("double") / col("n"), lit(-0.3)))
-    val mx = raw.agg(max("wr").as("mw"))
-    val w = raw.crossJoin(broadcast(mx))
-      .select(col("source"), (col("wr") / col("mw")).as("w"))
+    val w = sourceWeights(gated.groupBy("source").agg(cnt.as("n_s")))
     gated.withColumn("u", mdUniform("pipe:", col("doc_id")))
       .join(broadcast(w), "source")
       .filter(col("u").cast("double") < col("w") * 16777216.0)

@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p.take(1200))
   }
 
+  test("curation pipeline scans the corpus once, stats branch reuses the exchange") {
+    val p = finalPlan("q_curation_pipeline")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"),
+      "the stats pass must share the apply pass's hash-window exchange")
+  }
+
   test("z-order buckets bound both dimensions at once") {
     // fixing the top 5 morton bits pins u-bits 7..5 and v-bits 7..6:
     // every 2048-key bucket's bounding box fits in 32 × 64 — the
