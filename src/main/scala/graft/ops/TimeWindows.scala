@@ -174,7 +174,23 @@ object TimeWindows {
       .orderBy("event_type", "hour")
   }
 
+  /** Replay-idempotent id dedup (reference A5 as an operator): the
+    * events table unioned with itself stands in for a replayed ingest
+    * batch; `dropDuplicates("event_id")` collapses it back to exactly
+    * one row per id. Projected to the id so the kept-row arbitrariness
+    * of dropDuplicates can't leak into the comparison — the full-row
+    * deterministic variant is q_dedup_first.
+    */
+  private def dedupIds(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts_us")
+    ev.unionByName(ev) // the replayed batch
+      .dropDuplicates("event_id")
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_ids" -> (dedupIds _),
     "q_interpolate" -> (interpolate _),
     "q_ohlc" -> (ohlc _),
     "q_gap_fill" -> (gapFill _),
@@ -186,6 +202,9 @@ object TimeWindows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_ids" ->
+      ("SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) " +
+        "ORDER BY event_id"),
     "q_interpolate" ->
       ("WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mv " +
