@@ -213,8 +213,13 @@ object Text {
     val tf = words.groupBy("doc_id", "word").agg(cnt.as("tf"))
     // df derives FROM tf (one row per distinct (doc, word) already), not
     // from `words`: branching before the first shuffle would scan and
-    // explode the corpus twice — tf's exchange is the reuse point
-    val df_ = tf.groupBy("word").agg(cnt.as("df"))
+    // explode the corpus twice — tf's exchange is the reuse point.
+    // The tf >= 1 filter is always true but the optimizer can't prove
+    // it, so it CANNOT prune the count from this branch's partial
+    // aggregate — without it the df branch plans a distinct-shaped
+    // exchange (functions=[]) that no longer matches tf's and the scan
+    // re-runs (observed: 3 corpus scans instead of 2)
+    val df_ = tf.filter(col("tf") >= 1).groupBy("word").agg(cnt.as("df"))
     val n = docs.agg(cnt.as("n_docs"))
     val scored = tf.join(df_, "word")
       .crossJoin(broadcast(n))

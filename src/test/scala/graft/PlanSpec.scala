@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p.take(1200))
   }
 
+  test("tfidf's df branch reuses the tf exchange instead of re-exploding") {
+    val p = finalPlan("q_tfidf")
+    assert(p.contains("ReusedExchange"),
+      s"df must reuse tf's (doc_id, word) exchange:\n${p.take(1200)}")
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens === 1, s"corpus must explode once, got $gens")
+  }
+
   test("curation pipeline scans the corpus once, stats branch reuses the exchange") {
     val p = finalPlan("q_curation_pipeline")
     val scans = "Scan parquet".r.findAllIn(p).size
