@@ -128,7 +128,10 @@ object Vectors {
   }
 
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    // repartition on the bucket key so the self-join's two sides share
+    // one exchange (signature computation runs once — see semDedup)
     val all = withPlanted(s, dir).withColumn("sig", lshSig(s, col("embedding")))
+      .repartition(col("sig"))
     all.as("a").join(all.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
@@ -215,6 +218,12 @@ object Vectors {
     * centroid table (c, centroid). Shared by q_embed_kmeans (cluster
     * profile), q_semdedup (cluster-scoped near-dup), and
     * q_ann_ivf_trained (coarse quantizer).
+    *
+    * Each Lloyd pass re-reads the (2-column-pruned) source through its
+    * lineage rather than caching between iterations — correct for the
+    * oracle path and cheap at 2 unrolled iterations; a long-running
+    * production training loop would persist the assignment per round
+    * (the dupClusters localCheckpoint pattern).
     */
   private def kmeansFit(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -275,9 +284,14 @@ object Vectors {
     val sig16 = (0 until 16).map { i =>
       when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // repartition on the join key BEFORE self-joining: both sides then
+    // carry the identical exchange subtree, so the whole k-means
+    // derivation runs ONCE and the second side is a ReusedExchange —
+    // without this the self-join recomputes every upstream pass twice
     val a = kmeansFit(withPlanted(s, dir))._1
       .select(col("vec_id"), col("embedding"), col("c"))
       .withColumn("sig", sig16)
+      .repartition(col("c"), col("sig"))
     a.as("a").join(a.as("b"),
         col("a.c") === col("b.c") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
