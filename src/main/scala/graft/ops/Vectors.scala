@@ -111,8 +111,13 @@ object Vectors {
     * The corpus has no natural near-dups (max pairwise cosine ≈ 0.48),
     * so the operator demonstrates itself on planted duplicates: vec_id
     * < 5 re-enter scaled ×1.01 as vec_id+100000 (same direction ⇒ same
-    * signature ⇒ guaranteed bucket collision, cosine ≈ 1). ⊘ rows-only;
-    * spec asserts exactly the planted pairs surface.
+    * signature ⇒ guaranteed bucket collision, cosine ≈ 1). Oracled via
+    * the exact all-pairs formulation: LSH is approximate by
+    * construction, but at the gate SFs the ≥0.95 pair set IS exactly
+    * the planted pairs (spec-pinned) and every planted pair collides in
+    * signature, so the exact DuckDB twin produces the identical rows;
+    * the double-scale-then-round-to-float planting is IEEE-identical in
+    * both engines.
     */
   /** Base corpus plus planted near-dups: vec_id < 5 re-enter scaled
     * ×1.01 (same direction ⇒ same signs/signatures, cosine ≈ 1) as
@@ -402,6 +407,18 @@ object Vectors {
         "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc) * " +
         "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc))) / len(codes) ELSE 0.0 END, 6) AS mse " +
         "FROM c ORDER BY vec_id"),
+    "q_dedup_embed" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "all_v AS (SELECT vec_id, embedding FROM base " +
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT)) AS embedding " +
+        "FROM base WHERE vec_id < 5), " +
+        "pairs AS (SELECT a.vec_id AS ai, b.vec_id AS bi, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(a.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(b.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS c " +
+        "FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id) " +
+        "SELECT ai, bi, round(c, 3) AS cos FROM pairs WHERE c >= 0.95 ORDER BY ai, bi"),
     "q_sim_scores" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
