@@ -87,11 +87,12 @@ object Vectors {
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate nearest neighbours: probe only the query
-    * vector's signature bucket, exact cosine within it. ⊘ rows-only
-    * (approximate by construction); the spec measures recall against the
-    * brute-force top-k. At 100 TB the bucket join replaces the full scan;
-    * multi-probe (flipping low-margin bits) trades recall for cost —
-    * documented, not implemented.
+    * vector's signature bucket, exact cosine within it. Approximate by
+    * construction vs the brute-force top-k (the spec measures recall),
+    * but DETERMINISTIC given the fixed planes — the oracle inlines the
+    * same plane constants as float literals and replays the probe
+    * exactly. At 100 TB the bucket join replaces the full scan;
+    * multi-probe here is the Hamming≤1 bucket set.
     */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     // 6-bit signature (64 coarse buckets) + Hamming≤1 multi-probe: the
@@ -479,6 +480,28 @@ object Vectors {
         s"pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.c AS cluster, ${dcos("a.emb", "b.emb")} AS cos " +
         "FROM sg a JOIN sg b ON a.c = b.c AND a.sig = b.sig AND a.vec_id < b.vec_id) " +
         "SELECT ai, bi, cluster, round(cos, 3) AS cos FROM pr WHERE cos >= 0.95 ORDER BY ai, bi"
+    },
+    "q_ann_lsh" -> {
+      // the oracle's hyperplanes are generated FROM the same `planes`
+      // constants the Spark operator uses (first 6, float-rounded) —
+      // shortest-round-trip float literals parse back to the identical
+      // float32 in DuckDB, and the double-accumulated dot matches the
+      // native dot_product fold, so both engines compute the same sign
+      // bits and therefore the same probe set
+      def planeSql(p: Int): String =
+        "[" + planes(p).map(x => s"CAST(${x.toFloat} AS FLOAT)").mkString(",") + "]"
+      def dotSql(a: String, b: String): String =
+        s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      def normSql(a: String): String =
+        s"sqrt(list_sum(list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+      val sigSql = (0 until 6).map { p =>
+        s"(CASE WHEN ${dotSql("embedding", planeSql(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH e AS (SELECT vec_id, embedding, ($sigSql) AS sig FROM embeddings), " +
+        "qv AS (SELECT sig AS qsig, embedding AS qe FROM e WHERE vec_id = 0) " +
+        s"SELECT vec_id, round(${dotSql("embedding", "qe")} / (${normSql("embedding")} * ${normSql("qe")}), 4) AS cos " +
+        "FROM e, qv WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT))) <= 1 AND vec_id <> 0 " +
+        "ORDER BY cos DESC, vec_id LIMIT 10"
     },
     "q_ann_ivf" -> {
       val dcos = (a: String, b: String) =>
