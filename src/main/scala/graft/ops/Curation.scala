@@ -84,15 +84,18 @@ object Curation {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
 
-  /** Training-shard export (⊘ self-checked side-effect op): write the
-    * packed corpus as a shard_id-partitioned parquet layout with each
+  /** Training-shard export (side-effect op, oracled on the summary):
+    * write the packed corpus as a shard_id-partitioned parquet layout with each
     * shard's rows sorted by doc_id — the layout a sequential trainer
     * consumes shard-by-shard, and at 100 TB the write pattern that keeps
     * one task per shard (repartition on the partition column so the
     * writer never fans one shard across tasks or one task across many
     * shard directories). Returns roundtrip vs source counts; CurationSpec
     * asserts equality and cross-checks the shard count with
-    * q_pack_sequences.
+    * q_pack_sequences. The DuckDB twin derives every column from the
+    * source table (the shard count via the same prefix-sum formula the
+    * q_pack_sequences oracle proves), so a lossy or duplicating export
+    * breaks the hash.
     */
   private def shardWrite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -534,6 +537,14 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_shard_write" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, length(text) AS ch FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, ch, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT (cum - n_tok) // 2048) AS BIGINT) AS n_shards, " +
+        "CAST(sum(ch) AS BIGINT) AS chars, " +
+        "CAST(count(*) AS BIGINT) AS orig_docs, " +
+        "CAST(sum(ch) AS BIGINT) AS orig_chars FROM c"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +

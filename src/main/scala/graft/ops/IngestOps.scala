@@ -51,10 +51,13 @@ object IngestOps {
         "project", "value", "res", "quality")
       .orderBy("id", "timestamp")
 
-  /** A4/A5/A6 sink semantics, self-checked (⊘ no oracle — exercises the
-    * write path): synthetic batch → hour-partitioned snappy parquet
-    * (dynamic overwrite) → re-read → aggregate. Written twice to assert
-    * overwrite idempotence in the returned counts.
+  /** A4/A5/A6 sink semantics: synthetic batch → hour-partitioned snappy
+    * parquet (dynamic overwrite) → re-read → aggregate. Written twice to
+    * assert overwrite idempotence in the returned counts. Oracled: the
+    * readback aggregate equals the synthetic generator's closed-form
+    * arithmetic (timestamp = 1697049600000 + id·1000), so the DuckDB
+    * twin replays that arithmetic over range(50000) — any doubled,
+    * dropped, or corrupted row breaks the count/min/max/hour equality.
     */
   private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -210,6 +213,12 @@ object IngestOps {
     """[{"timestamp":"BIGINT","timeOffsetHours":"BIGINT","pointId":"VARCHAR","sequence":"BIGINT","project":"VARCHAR","value":"DOUBLE","res":"VARCHAR","quality":"BIGINT"}]"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_parquet_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "min(1697049600000 + i * 1000) AS min_ts, " +
+        "max(1697049600000 + i * 1000) AS max_ts, " +
+        "CAST(count(DISTINCT extract(hour FROM make_timestamp((1697049600000 + i * 1000) * 1000))) AS BIGINT) AS n_hours " +
+        "FROM range(50000) t(i)"),
     "q_ingest_validate" ->
       (s"WITH t(idx, json) AS (VALUES $valuesClause), " +
         "e AS (SELECT idx, json_extract_string(json, '$.file') AS file, " +
