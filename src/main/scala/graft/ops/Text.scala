@@ -569,6 +569,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Overlapping fixed-size token chunking (the pretraining/RAG
+    * chunker): each document is cut into 32-token windows on a 24-token
+    * stride (8-token overlap), the last window truncated at the
+    * document edge — per-DOCUMENT chunking with context overlap, the
+    * complement of q_pack_sequences' concatenate-and-cut. Emitted as
+    * (doc_id, chunk_idx, n_tok, md5-of-chunk) so the transform is
+    * oracle-exact without shipping chunk text through the compare.
+    * Scale shape: tokenize → generator explode → projection — narrow,
+    * no shuffle, no state; the token array materializes once per row
+    * (same CollapseProject note as the shingle path above).
+    */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 32
+    val stride = 24
+    val toks = col("toks")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("n", size(toks).cast("long"))
+      // one k per window start (k*stride < n); n >= 1 always holds for
+      // non-empty text but the guard keeps sequence() from descending
+      // on a pathological empty doc (step defaults to -1 when end < start)
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), toks, col("n"),
+        posexplode(sequence(lit(0L), floor((col("n") - 1) / stride).cast("long")))
+          .as(Seq("chunk_idx", "k")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunk.toLong), col("n") - col("k") * stride).as("n_tok"),
+        md5(concat_ws(" ", slice(toks, (col("k") * stride + 1).cast("int"), lit(chunk))))
+          .as("h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Benchmark decontamination: for every document of the held-out set
     * (here: doc_id < 50 plays the benchmark), count training documents
     * sharing at least one 3-gram and the total shared-gram volume — the
@@ -762,6 +794,7 @@ object Text {
     "q_bloom_contamination" -> (bloomContamination _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_text_normalize" -> (textNormalize _),
+    "q_chunk_docs" -> (chunkDocs _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -793,6 +826,14 @@ object Text {
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
         "FROM documents ORDER BY doc_id"),
+    "q_chunk_docs" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT doc_id, toks, n, unnest(range(0, (n - 1) // 24 + 1)) AS k FROM t WHERE n >= 1) " +
+        "SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, " +
+        "CAST(least(32, n - k * 24) AS BIGINT) AS n_tok, " +
+        "md5(array_to_string(toks[k * 24 + 1 : least(k * 24 + 32, n)], ' ')) AS h " +
+        "FROM s ORDER BY doc_id, chunk_idx"),
     "q_heavy_hitters" ->
       // direct form: a pass proves the bucket prune is lossless
       ("SELECT word, CAST(count(*) AS BIGINT) AS n " +

@@ -32,6 +32,25 @@ class TextDedupSpec extends SparkSpec {
     assert(d.count() === docs.count())
   }
 
+  test("chunking tiles every document: contiguous indices, exact coverage, overlap stride") {
+    val docTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val perDoc = q("q_chunk_docs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"),
+        max(col("chunk_idx") * 24 + col("n_tok")).as("covered"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+      .join(docTok, "doc_id").collect()
+    assert(perDoc.length == docTok.count(), "every document must chunk")
+    perDoc.foreach { r =>
+      val (nChunks, maxIdx) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("max_idx"))
+      assert(maxIdx == nChunks - 1, s"doc ${r.getAs[Long]("doc_id")}: chunk_idx gap")
+      // last window ends exactly at the token count — no token dropped or invented
+      assert(r.getAs[Long]("covered") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("max_tok") <= 32 && r.getAs[Long]("min_tok") >= 1)
+    }
+  }
+
   test("minhash LSH recovers every high-Jaccard pair found by exact n-gram") {
     val exact = q("q_dedup_ngram").filter($"jac" >= 0.5)
       .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
