@@ -569,6 +569,31 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage (the pass run before tokenizer training): rank
+    * words by corpus frequency and emit the top 100 with their running
+    * cumulative token count. Scale shape: the only corpus-sized step is
+    * the word count (one map-side-combinable shuffle); the top-k cut is
+    * a per-partition heap (TakeOrderedAndProject), and the running sum
+    * windows over the 100 SURVIVING rows only — the same tiny-table
+    * single-task window as the pack-sequences bucket offsets, never the
+    * full vocabulary. Cumulative coverage is emitted as an exact integer
+    * token count (ratio left to the caller) — no FP rounding in the
+    * compare.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(explode(tokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(100)
+    val w = Window.orderBy(col("n").desc, col("word"))
+    top.select(
+        row_number().over(w).as("rank"), col("word"), col("n"),
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_tok"))
+      .orderBy("rank")
+  }
+
   /** Overlapping fixed-size token chunking (the pretraining/RAG
     * chunker): each document is cut into 32-token windows on a 24-token
     * stride (8-token overlap), the last window truncated at the
@@ -795,6 +820,7 @@ object Text {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_text_normalize" -> (textNormalize _),
     "q_chunk_docs" -> (chunkDocs _),
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -826,6 +852,13 @@ object Text {
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
         "FROM documents ORDER BY doc_id"),
+    "q_vocab_coverage" ->
+      ("WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), " +
+        "top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 100) " +
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n, " +
+        "CAST(sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok " +
+        "FROM top ORDER BY rank"),
     "q_chunk_docs" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +

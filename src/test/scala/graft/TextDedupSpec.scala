@@ -32,6 +32,19 @@ class TextDedupSpec extends SparkSpec {
     assert(d.count() === docs.count())
   }
 
+  test("vocab coverage: counts non-increasing, cumulative exact against the corpus total") {
+    val rows = q("q_vocab_coverage").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing by rank")
+    assert(rows.map(_.getAs[Long]("n")).sum == rows.last.getAs[Long]("cum_tok"))
+    // this corpus's vocabulary fits inside the top-100 cut, so the last
+    // cumulative count must equal the exact corpus token total
+    val total = Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(rows.last.getAs[Long]("cum_tok") == total)
+  }
+
   test("chunking tiles every document: contiguous indices, exact coverage, overlap stride") {
     val docTok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
