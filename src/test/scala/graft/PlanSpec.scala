@@ -197,6 +197,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), "must not fall back to a rank window")
   }
 
+  test("chunking is a pure narrow pipeline — no exchange at all") {
+    val p = finalPlan("q_chunk_docs")
+    // the only allowed exchange is the final presentation sort's range
+    // partitioning; the tokenize→generate→project body must stay narrow
+    val body = p.substring(p.indexOf("Generate") max 0)
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${p.take(1200)}")
+    assert(p.contains("Generate posexplode"), p.take(800))
+  }
+
+  test("vocab coverage: one combinable shuffle, then a top-k heap — never a full-vocab sort") {
+    val p = finalPlan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 cut must be a per-partition heap, not a global sort:\n${p.take(1200)}")
+    assert(p.contains("partial_count"),
+      s"word count must combine map-side:\n${p.take(1200)}")
+    val firstHash = p.indexOf("Exchange hashpartitioning")
+    assert(firstHash >= 0 && p.indexOf("Exchange hashpartitioning", firstHash + 1) < 0,
+      s"exactly one hash shuffle (the word count) expected:\n${p.take(1500)}")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
