@@ -121,6 +121,23 @@ class PropertySpec extends SparkSpec {
     check("topk-merge-algebra", prop, samples = 30)
   }
 
+  test("SimHashAggregator is split-invariant and equals the direct bit-balance formula") {
+    val agg = graft.functions.SimHashAggregator
+    def direct(hs: List[Long]): Long = {
+      val bal = new Array[Long](64)
+      hs.foreach(h => (0 until 64).foreach(j => bal(j) += ((h >>> j) & 1L) * 2L - 1L))
+      (0 until 64).foldLeft(0L)((s, j) => if (bal(j) > 0) s | (1L << j) else s)
+    }
+    val hsGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val prop = Prop.forAll(hsGen, Gen.chooseNum(1, 5)) { (hs, splits) =>
+      val slices = hs.grouped(math.max(1, hs.size / splits)).toList
+      val merged = slices.map(_.foldLeft(agg.zero)(agg.reduce)).reduceLeft(agg.merge)
+      val rev = slices.reverse.map(_.foldLeft(agg.zero)(agg.reduce)).reduceLeft(agg.merge)
+      agg.finish(merged) == direct(hs) && agg.finish(rev) == direct(hs)
+    }
+    check("simhash-merge-algebra", prop, samples = 30)
+  }
+
   test("BloomAggregator never yields a false negative under any split") {
     val m = 4096
     val agg = new graft.functions.BloomAggregator(m, 3)
