@@ -347,6 +347,41 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** Winsorized (quantile-clipped) robust aggregation per event type:
+    * clip `value` to its type's [p05, p95] band, then aggregate the
+    * clipped values — the outlier-robust complement of the z-score
+    * screen above. Thresholds are pure ORDER STATISTICS (the value at
+    * rank ceil(p·n), ties broken by event_id), never interpolated: an
+    * interpolated percentile is FP arithmetic whose last ulp could
+    * differ cross-engine and flip a clip comparison, while a selected
+    * element is a value both engines read identically from parquet.
+    * One hash exchange on event_type feeds the rank window, the
+    * threshold window (same partitioning — no second shuffle), and the
+    * final aggregate. At 100 TB the per-type sort is the price of
+    * EXACT quantiles; the one-line swap to `approx_percentile`
+    * thresholds keeps the whole clip-aggregate shape and drops the
+    * sort (same trade documented at q_text_quantiles).
+    */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy("event_type")
+    val ranked = ev
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    ranked
+      .withColumn("lo", max(when(
+        col("rn") === greatest(lit(1L), ceil(col("n") * 0.05)), col("value"))).over(byType))
+      .withColumn("hi", max(when(
+        col("rn") === ceil(col("n") * 0.95), col("value"))).over(byType))
+      .groupBy("event_type")
+      .agg(cnt.as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        dsum(least(greatest(col("value"), col("lo")), col("hi"))).as("wsum"))
+      .orderBy("event_type")
+  }
+
   // --------------------------------------------------- histogram
 
   /** Fixed-width value histogram per event type (25-wide buckets,
@@ -528,6 +563,7 @@ object Curation {
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
     "q_zscore_outliers" -> (zscoreOutliers _),
+    "q_winsorize" -> (winsorize _),
     "q_value_histogram" -> (valueHistogram _),
     "q_changelog_compact" -> (changelogCompact _),
     "q_scd2" -> (scd2 _),
@@ -638,6 +674,18 @@ object Curation {
         "round(any_value(st.mean), 4) AS mean, round(any_value(st.std), 4) AS std " +
         "FROM events e JOIN st ON e.event_type = st.event_type " +
         "GROUP BY e.event_type ORDER BY e.event_type"),
+    "q_winsorize" ->
+      ("WITH r AS (SELECT event_type, event_id, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events), " +
+        "t AS (SELECT *, " +
+        "max(CASE WHEN rn = greatest(1, ceil(n * 0.05)) THEN value END) OVER (PARTITION BY event_type) AS lo, " +
+        "max(CASE WHEN rn = ceil(n * 0.95) THEN value END) OVER (PARTITION BY event_type) AS hi FROM r) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo, " +
+        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi, " +
+        "CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,4))) AS DOUBLE) AS wsum " +
+        "FROM t GROUP BY event_type ORDER BY event_type"),
     "q_value_histogram" ->
       ("SELECT event_type, least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket, CAST(count(*) AS BIGINT) AS n " +
         "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"),

@@ -290,4 +290,30 @@ class CurationSpec extends SparkSpec {
     val ord1 = got.filter(_._1 == 1).sortBy(_._2).map(_._3)
     assert(ord0 !== ord1, "epochs must reshuffle the order")
   }
+
+  test("winsorize clips at the rank thresholds: bounded clip counts, sum within band") {
+    val rows = q("q_winsorize").collect()
+    assert(rows.length == 5, "one row per event type")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val (lo, hi) = (r.getAs[Long]("n_clip_lo"), r.getAs[Long]("n_clip_hi"))
+      // strictly-below-p05 rows are at most rank(p05)-1; strictly-above-p95
+      // rows at most n - rank(p95)
+      assert(lo <= math.ceil(n * 0.05).toLong - 1, s"${r.getString(0)}: lo=$lo of n=$n")
+      assert(hi <= n - math.ceil(n * 0.95).toLong, s"${r.getString(0)}: hi=$hi of n=$n")
+      assert(lo + hi > 0, "the band must actually clip something on this data")
+    }
+    // clipped sum is bounded by the unclipped extremes: wsum <= raw sum
+    // only holds when clipping trims the high tail more than it raises
+    // the low tail, so assert the band instead via the raw per-type stats
+    val raw = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (mn, mx, n) = raw(r.getString(0))
+      val w = r.getAs[Double]("wsum")
+      assert(w >= mn * n && w <= mx * n, s"${r.getString(0)}: wsum $w outside [$mn,$mx]*$n")
+    }
+  }
 }
