@@ -41,6 +41,42 @@ object Text {
           element_at(toks, i + 3))))).as("gram"))
   }
 
+  /** N-gram novelty (the curriculum/novelty-ordering signal): for each
+    * document, how many of its distinct 3-grams appear for the FIRST
+    * time in the corpus in this document (first = min doc_id over the
+    * gram's posting). A doc full of already-seen grams is boilerplate;
+    * a high-novelty doc carries new content. Same inverted-index shape
+    * as q_tfidf: one shuffle on the gram key (the 16-byte two-lane
+    * xxhash64 pair — hash equality IS gram equality at that width, the
+    * q_contamination argument), a co-located join back (the gram
+    * exchange is reused), one shuffle on doc_id. The DuckDB twin
+    * compares the gram STRINGS, keeping the hashed path
+    * exactness-checked.
+    */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3))))).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"), xxhash64(lit(1), col("gram")).as("h2"))
+      // pre-partition on the gram key so the min-doc aggregate and the
+      // join back both sit on ONE exchange of the gram stream
+      .repartition(col("h1"), col("h2"))
+    val firsts = grams.groupBy("h1", "h2").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firsts, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup via content hash: one hash-aggregate, the keeper is the
@@ -815,6 +851,7 @@ object Text {
     "q_text_normalize" -> (textNormalize _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_vocab_coverage" -> (vocabCoverage _),
+    "q_ngram_novelty" -> (ngramNovelty _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -886,6 +923,14 @@ object Text {
         "CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM gk e JOIN gk tr ON e.gram = tr.gram AND e.doc_id < 50 AND tr.doc_id >= 50 " +
         "GROUP BY eval_id ORDER BY eval_id"),
+    "q_ngram_novelty" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
+        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"),
     "q_train_split" ->
       ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +

@@ -218,6 +218,14 @@ class PlanSpec extends SparkSpec {
       s"exactly one hash shuffle (the word count) expected:\n${p.take(1500)}")
   }
 
+  test("ngram novelty explodes the corpus once — the firsts side is a ReusedExchange") {
+    val p = finalPlan("q_ngram_novelty")
+    assert(p.contains("ReusedExchange"),
+      s"min-doc aggregate must reuse the gram exchange:\n${p.take(1500)}")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single corpus scan, got $scans:\n${p.take(1500)}")
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

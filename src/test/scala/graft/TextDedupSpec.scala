@@ -32,6 +32,25 @@ class TextDedupSpec extends SparkSpec {
     assert(d.count() === docs.count())
   }
 
+  test("ngram novelty: novel counts partition the distinct-gram universe") {
+    val rows = q("q_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    // every gram is novel in exactly one document (its min-doc), so the
+    // novel counts must sum to the number of distinct grams in the corpus
+    val distinctGrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctGrams)
+    // the earliest document can only contain first-seen grams
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    rows.foreach(r => assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")))
+  }
+
   test("vocab coverage: counts non-increasing, cumulative exact against the corpus total") {
     val rows = q("q_vocab_coverage").collect()
     assert(rows.nonEmpty && rows.length <= 100)
