@@ -382,6 +382,35 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** Deterministic Poisson(1) bootstrap of the event value mean: 32
+    * resamples in ONE pass. Each (event, replica) draws its resample
+    * multiplicity from the md5-uniform (the engine's deterministic RNG —
+    * every run, engine, and executor agrees) thresholded at the
+    * Poisson(1) CDF (P(0)=e⁻¹, capped at 3); per-replica totals are
+    * decimal-exact. This is the scalable bootstrap: no resample is ever
+    * materialized — the ×32 explode combines map-side to 32 partial rows
+    * per task before the only shuffle, so confidence intervals over
+    * 100 TB cost one pass and a 32-row aggregate. Emits exact n_eff and
+    * decimal bsum per replica; the caller derives means/SE (division
+    * left out of the compare).
+    */
+  private def bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("bs:"), col("b").cast("string"),
+      lit(":"), col("event_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("wt",
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.919698602928606, 2L)
+          .otherwise(3L))
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum("wt").as("n_eff"), dsum(col("value") * col("wt")).as("bsum"))
+      .orderBy("b")
+  }
+
   // --------------------------------------------------- histogram
 
   /** Fixed-width value histogram per event type (25-wide buckets,
@@ -564,6 +593,7 @@ object Curation {
     "q_passage_dedup" -> (passageDedup _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
+    "q_bootstrap" -> (bootstrap _),
     "q_value_histogram" -> (valueHistogram _),
     "q_changelog_compact" -> (changelogCompact _),
     "q_scd2" -> (scd2 _),
@@ -674,6 +704,18 @@ object Curation {
         "round(any_value(st.mean), 4) AS mean, round(any_value(st.std), 4) AS std " +
         "FROM events e JOIN st ON e.event_type = st.event_type " +
         "GROUP BY e.event_type ORDER BY e.event_type"),
+    "q_bootstrap" ->
+      ("WITH u AS (SELECT event_id, value, b, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('bs:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x) AS DOUBLE) / 16777216.0 AS r " +
+        "FROM events CROSS JOIN range(0, 32) t(b)), " +
+        "w AS (SELECT b, value, " +
+        "CASE WHEN r < 0.36787944117144233 THEN 0 WHEN r < 0.7357588823428847 THEN 1 " +
+        "WHEN r < 0.919698602928606 THEN 2 ELSE 3 END AS wt FROM u) " +
+        "SELECT CAST(b AS BIGINT) AS b, CAST(sum(wt) AS BIGINT) AS n_eff, " +
+        "CAST(sum(CAST(value * wt AS DECIMAL(18,4))) AS DOUBLE) AS bsum " +
+        "FROM w GROUP BY b ORDER BY b"),
     "q_winsorize" ->
       ("WITH r AS (SELECT event_type, event_id, value, " +
         "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +

@@ -291,6 +291,25 @@ class CurationSpec extends SparkSpec {
     assert(ord0 !== ord1, "epochs must reshuffle the order")
   }
 
+  test("bootstrap: 32 replicas, Poisson(1) mass near n, means bracket the true mean") {
+    val rows = q("q_bootstrap").collect()
+    assert(rows.length == 32)
+    val n = Tables.events(spark, sfDir).count()
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Poisson(1) multiplicities sum to ~n (SD ≈ √n); 10% is ~30 SDs
+      assert(math.abs(nEff - n) < n / 10, s"replica ${r.getAs[Long]("b")}: n_eff $nEff vs n $n")
+    }
+    val trueMean = Tables.events(spark, sfDir)
+      .agg((ops.Ox.dsum(col("value")) / count(lit(1))).as("m")).head.getDouble(0)
+    val bMeans = rows.map(r => r.getAs[Double]("bsum") / r.getAs[Long]("n_eff"))
+    assert(math.abs(bMeans.sum / 32 - trueMean) < trueMean * 0.05,
+      s"bootstrap grand mean ${bMeans.sum / 32} far from $trueMean")
+    // the replica spread is the sampling noise the op exists to measure —
+    // it must be nonzero (resamples differ) yet small relative to the mean
+    assert(bMeans.distinct.length > 1)
+  }
+
   test("winsorize clips at the rank thresholds: bounded clip counts, sum within band") {
     val rows = q("q_winsorize").collect()
     assert(rows.length == 5, "one row per event type")
