@@ -323,39 +323,68 @@ object Text {
     * unit, and the standard speed-for-precision trade in byte-level
     * fuzzy dedup).
     *
-    * 100 TB note: the band alone is a low-cardinality join key (≈ max
-    * doc length / 16 distinct values), so at corpus scale the bucket key
-    * must compose band × a content prefix class (e.g. first-token hash)
-    * exactly like the n-gram/minhash buckets; the band-only form here
-    * keeps the oracle exact while demonstrating the banded-DP shape.
+    * 100 TB blocking: the band alone is a low-cardinality join key (≈ max
+    * doc length / 16 distinct values), so on a real corpus where lengths
+    * concentrate it degenerates to O(m²) pairs inside the dominant band.
+    * The block key therefore composes band × a CONTENT signature, with
+    * two probes per document (md5 of tokens 1-4 and of tokens 5-8 — the
+    * LSH multi-probe shape): a pair is a candidate iff it shares the
+    * band AND at least one token-block. A single localized edit breaks
+    * at most one probe, so prefix near-dups still collide, while
+    * same-length-different-content corpora fan out across the md5 key
+    * space and never go quadratic. Recall is defined BY the blocking
+    * (pairs edited in both token blocks are out of scope, the standard
+    * LSH trade) and the oracle mirrors the same two-probe rule, so
+    * parity is structural, not data-dependent.
     */
-  private def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
-    // explicit NUMBERED repartition by band: the pair verification is
-    // CPU-bound (a 32×32 DP per pair), so its parallelism must come from
-    // the bucket key, not the input's byte-based file splits — a 584 KB
-    // corpus file is one split generating ~4·10⁸ DP cells, and AQE's
-    // size-based coalescing would (correctly by bytes, wrongly by cost)
-    // fold a keyed shuffle back to one task. The explicit partition count
-    // opts out of coalescing; measured 8 s → well under 1 s at sf0.1.
+  private def fuzzyDedup(s: SparkSession, dir: String): DataFrame =
+    verifyPairs(fuzzyCandidates(s, dir))
+
+  /** Candidate stage, exposed for the spec that bounds candidate count. */
+  private[graft] def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    // explicit NUMBERED repartition by the block key: the pair
+    // verification is CPU-bound (a 32×32 DP per pair), so its parallelism
+    // must come from the bucket key, not the input's byte-based file
+    // splits — a 584 KB corpus file is one split, and AQE's size-based
+    // coalescing would (correctly by bytes, wrongly by cost) fold a keyed
+    // shuffle back to one task. The explicit partition count opts out of
+    // coalescing; measured 8 s → well under 1 s at sf0.1.
+    val toks = split(col("text"), " ")
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         // byte→char bijection: char-Levenshtein over this IS byte-Levenshtein
         decode(encode(substring(col("text"), 1, 32), "UTF-8"), "ISO-8859-1")
           .as("prefix"),
-        (col("n_chars") / 16).cast("int").as("band"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("band"))
+        (col("n_chars") / 16).cast("int").as("band"),
+        // md5 fixes the shuffle key at 16 bytes regardless of token width
+        explode(array(
+          struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")),
+          struct(lit(2).as("probe"), md5(array_join(slice(toks, 5, 4), " ")).as("sig"))))
+          .as("p"))
+      .select(col("doc_id"), col("prefix"), col("band"),
+        col("p.probe").as("probe"), col("p.sig").as("sig"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("sig"))
     d.as("a").join(d.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.probe") === col("b.probe") &&
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        col("a.prefix").as("pa"), col("b.prefix").as("pb"))
+      // a pair colliding on both probes must be verified once, not twice
+      .dropDuplicates("ai", "bi")
+  }
+
+  private def verifyPairs(cand: DataFrame): DataFrame =
+    cand
+      .select(col("ai"), col("bi"),
         // thresholded DP: O(len·k) band instead of O(len²) per pair, and
         // most pairs exit as soon as the band exceeds 8 (returned as -1).
         // For pairs within the threshold the distance is exact, so the
         // kept rows are identical to the unthresholded form the DuckDB
         // oracle computes.
-        levenshtein(col("a.prefix"), col("b.prefix"), 8).as("dist"))
+        levenshtein(col("pa"), col("pb"), 8).as("dist"))
       .filter(col("dist") >= 0)
       .orderBy("ai", "bi")
-  }
 
   /** Near-dup cluster assignment — the post-processing step every dedup
     * pipeline ends with: connected components over the candidate-pair
@@ -1009,14 +1038,18 @@ object Text {
         "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
         "FROM words JOIN freq USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "q_fuzzy_dedup" ->
-      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents) " +
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
+        "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
+        "md5(array_to_string(string_split(text, ' ')[5:8], ' ')) AS s2 FROM documents) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
-        "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id AND (a.s1 = b.s1 OR a.s2 = b.s2) " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi"),
     "q_dup_clusters" ->
-      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band FROM documents), " +
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
+        "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
+        "md5(array_to_string(string_split(text, ' ')[5:8], ' ')) AS s2 FROM documents), " +
         "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
-        "WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
+        "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
         "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +
         "reach(node, m) AS (" +
         "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +

@@ -235,6 +235,34 @@ class TextDedupSpec extends SparkSpec {
       s"gibberish must score below fluent text: ${scores(99L)} vs ${fluent.min}")
   }
 
+  test("fuzzy dedup candidates stay sub-quadratic on a same-length corpus") {
+    // 60 docs, ALL in one 16-char length band but with distinct content:
+    // band-only blocking would verify 60·59/2 = 1770 pairs; the two-probe
+    // content signature must collapse that to (near) zero, while a planted
+    // twin pair still collides on a shared token block
+    val n = 60
+    val base = (1 to n).map { i =>
+      val t = f"t$i%03da t$i%03db t$i%03dc t$i%03dd t$i%03de t$i%03df"
+      (i.toLong, t)
+    }
+    val twin = Seq(
+      (900L, "same1 same2 same3 same4 xdiff same6"),
+      (901L, "same1 same2 same3 same4 ydiff same6"))
+    val docs = (base ++ twin).map { case (id, t) => (id, t, "en", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_block").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cand = graft.ops.Text.fuzzyCandidates(spark, dir)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    assert(cand.contains((900L, 901L)), "planted twin must survive blocking")
+    assert(cand.size <= n,
+      s"candidate count ${cand.size} not ≪ ${n * (n - 1) / 2} — blocking regressed to band-only")
+    // and the verified output still pairs exactly the twins
+    val pairs = SparkEntry.queries("q_fuzzy_dedup")(spark, dir)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((900L, 901L)), s"got: $pairs")
+  }
+
   test("fuzzy dedup measures BYTE-level distance on multi-byte scripts") {
     // one CJK char substitution = 3 UTF-8 bytes: doc 2 is 3 byte-edits
     // from doc 1 (pairs), doc 3 is 9 from both (exceeds the 8 cut) —
