@@ -108,7 +108,8 @@ object Vectors {
       .limit(10)
   }
 
-  /** Embedding near-dup pairs via LSH buckets + exact cosine ≥ 0.95.
+  /** Embedding near-dup pairs via k-means-cluster × LSH-signature cells
+    * + exact cosine ≥ 0.95 within a cell.
     * The corpus has no natural near-dups (max pairwise cosine ≈ 0.48),
     * so the operator demonstrates itself on planted duplicates: vec_id
     * < 5 re-enter scaled ×1.01 as vec_id+100000 (same direction ⇒ same
@@ -133,13 +134,28 @@ object Vectors {
           x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding")))
   }
 
+  /** Candidate cells, exposed for the spec that bounds candidate mass:
+    * k-means cluster × 16-bit hyperplane signature. The signature alone
+    * admits ≈ N²/2^16 candidate pairs even on RANDOM vectors (at 10⁹
+    * embeddings that is ~10¹³ pairs); scoping to a cluster first makes
+    * the self-join cost track cell collision rates, not corpus size —
+    * same shape as semDedup, with PRNG planes instead of axis signs.
+    * A scaled duplicate keeps its direction ⇒ same plane signs AND same
+    * argmax cluster, so recall on true near-dups stays structural.
+    */
+  private[graft] def dedupEmbedCells(s: SparkSession, dir: String): DataFrame =
+    kmeansFit(withPlanted(s, dir))._1
+      .select(col("vec_id"), col("embedding"), col("c"))
+      .withColumn("sig", lshSig(s, col("embedding")))
+
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    // repartition on the bucket key so the self-join's two sides share
-    // one exchange (signature computation runs once — see semDedup)
-    val all = withPlanted(s, dir).withColumn("sig", lshSig(s, col("embedding")))
-      .repartition(col("sig"))
+    // repartition on the cell key so the self-join's two sides share
+    // one exchange (k-means + signature derivation runs once — the
+    // ReusedExchange pattern semDedup pioneered)
+    val all = dedupEmbedCells(s, dir).repartition(col("c"), col("sig"))
     all.as("a").join(all.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+        col("a.c") === col("b.c") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
         cos(s, col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.95)

@@ -36,6 +36,39 @@ class VectorSpec extends SparkSpec {
     assert(pairs === (0L until 5L).map(i => (i, i + 100000)).toSet)
   }
 
+  test("near-dup oracle assumption holds: no non-planted pair reaches 0.95") {
+    // q_dedup_embed's DuckDB twin is the EXACT all-pairs cos>=0.95 join;
+    // parity rests on the gate corpora containing no natural >=0.95 pair.
+    // If a data refresh ever violates this, fail HERE with a named
+    // assumption, not as an opaque oracle hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val maxCos = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select(graft.functions.VectorFunctions.cosine_sim(
+          spark, $"a.embedding", $"b.embedding").as("cos"))
+        .agg(max($"cos")).as[Double].head()
+      assert(maxCos < 0.95,
+        s"$dir: natural near-dup pair at cos=$maxCos breaks the exact-oracle assumption")
+    }
+  }
+
+  test("dedup-embed cells bound candidate mass below sig-only blocking") {
+    val cells = graft.ops.Vectors.dedupEmbedCells(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"c", $"sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def mass(key: ((Long, Int, Long)) => Any): Long =
+      cells.groupBy(key).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val cellMass = mass(t => (t._2, t._3))
+    val sigMass = mass(t => t._3)
+    assert(cellMass < sigMass,
+      s"cluster scoping is dead: cell pairs $cellMass !< sig-only pairs $sigMass")
+    // every planted duplicate still shares its original's cell
+    val byId = cells.map(t => t._1 -> (t._2, t._3)).toMap
+    (0L until 5L).foreach { i =>
+      assert(byId(i) === byId(i + 100000), s"planted pair $i split across cells")
+    }
+  }
+
   test("CentroidAggregator matches the relational centroid query") {
     val emb = Tables.embeddings(spark, sfDir)
     val agg = emb.select($"label", $"embedding".as[Array[Float]])
