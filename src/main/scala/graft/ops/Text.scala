@@ -519,34 +519,52 @@ object Text {
   // ------------------------------------------------------------- MinHash
 
   /** MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Per doc:
-    * 32 seeded xxhash64 minima over its shingles → band signatures →
-    * candidate pairs = docs sharing any band bucket → estimated Jaccard =
-    * fraction of matching minhashes. ⊘ rows-only (DuckDB has no xxhash64);
-    * the spec asserts the known planted near-dups are recovered and the
-    * estimate tracks exact Jaccard.
+    * 32 lane minima over its shingles → band buckets → candidate pairs =
+    * docs sharing any band bucket → estimated Jaccard = fraction of
+    * matching minhashes.
     *
-    * Scale: the band self-join keys on (band, 64-bit signature) — bucket
+    * Fully oracled (round 4): the gram's base hash is the first 48 bits
+    * of its md5 reduced mod p = 2³¹−1, and the 32 lanes are Carter-Wegman
+    * universal re-hashes `(aᵢ·h + bᵢ) mod p` whose constants are
+    * themselves md5-derived Scala literals inlined into BOTH the Spark
+    * plan and the DuckDB twin — every intermediate stays < 2⁵⁹, inside
+    * exact BIGINT range in either engine, so the signatures (and thus the
+    * banded candidate set and the n/32 estimate, an exact dyadic double)
+    * replay bit-identically. The previous xxhash64 lanes were ⊘ rows-only
+    * purely because DuckDB lacks xxhash64.
+    *
+    * Scale: the band self-join keys on (band, md5-of-4-lanes) — bucket
     * sizes stay tiny under uniform hashing, so this is the sub-quadratic
-    * path that replaces all-pairs Jaccard at 100 TB.
+    * path that replaces all-pairs Jaccard at 100 TB. 32 min-aggregates
+    * fold in ONE pass over the gram stream (no ×32 explode, no distinct —
+    * min is duplicate-insensitive), and the shuffle carries one 32-long
+    * signature per doc.
     */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 32
     val bandRows = 4
-    // 32 min-aggregates in ONE pass over the gram stream (no ×32 explode,
-    // and no `distinct` — min is duplicate-insensitive, so the dedup
-    // shuffle gramDf pays for Jaccard is skipped here; the shuffle then
-    // carries one 32-long signature per doc instead of 32 rows). The
-    // gram STRING is hashed once; the 32 seeded hashes re-hash the
-    // resulting long (8 bytes, not ~20 chars) — same min-wise
-    // independence, ~4× less hashing work per gram.
-    val sigs = hashedGrams(s, dir)
+    val p = 2147483647L // 2^31 - 1 (Mersenne); lane products stay < 2^59
+    val toks = col("toks")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))).as("gram"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long") % p).as("h"))
+    val sigs = grams
       .groupBy("doc_id")
       .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("gram")))): _*).as("sig"))
-    // band buckets: xxhash64 over each 4-lane slice
+        min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % p)): _*).as("sig"))
+    // band buckets: md5 over the comma-joined 4-lane slice (16-byte
+    // shuffle key; the same string both engines can compute)
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numHashes / bandRows - 1)),
-        b => xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))))))
+        b => md5(concat_ws(",",
+          transform(slice(col("sig"), b * bandRows + 1, lit(bandRows)),
+            x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -555,23 +573,48 @@ object Text {
         col("a.sig").as("siga"), col("b.sig").as("sigb"))
       .distinct()
     cands
-      .withColumn("est_jac", round(
+      // n/32 is a dyadic rational — EXACT in ieee double, no rounding step
+      .withColumn("est_jac",
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes, 4))
+          .cast("double") / numHashes)
       .select("ai", "bi", "est_jac")
       .orderBy("ai", "bi")
   }
 
+  /** Carter-Wegman lane constants, md5-derived so they are reproducible
+    * from the lane index alone (and can be inlined into the DuckDB twin):
+    * aᵢ = first 28 bits of md5("a"+i) + 1 (nonzero), bᵢ likewise from
+    * "b"+i. 28-bit a × 31-bit h < 2⁵⁹: exact in BIGINT everywhere.
+    */
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private[graft] val minhashA: IndexedSeq[Long] =
+    (0 until 32).map(i => java.lang.Long.parseLong(md5hex("a" + i).substring(0, 7), 16) + 1)
+  private[graft] val minhashB: IndexedSeq[Long] =
+    (0 until 32).map(i => java.lang.Long.parseLong(md5hex("b" + i).substring(0, 7), 16))
+
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit tf-weighted SimHash (Charikar) per doc + near-dup pairs via
-    * 8×8-bit block LSH. Bit j of the signature is the sign of
-    * Σ_tokens tf·(±1 by token-hash bit j). Pairs sharing any 8-bit block
-    * are verified by Hamming distance ≤ 7 — by pigeonhole every such pair
-    * shares a clean block, so candidate recall is exact at the threshold
-    * (measured on this corpus: true near-dups ≤ 7, random pairs ≥ 8).
-    * ⊘ rows-only; spec asserts the planted near-dups surface.
+  /** Tf-weighted SimHash (Charikar) per doc + near-dup pairs via
+    * 7-bit block LSH (9 blocks over the 63-bit signature). Bit j of the
+    * signature is the sign of Σ_tokens tf·(±1 by token-hash bit j). Pairs
+    * sharing any block are verified by Hamming distance ≤ 8 — by
+    * pigeonhole (9 blocks, ≤8 flips) every such pair shares a clean
+    * block, so candidate recall is exact at the threshold. The ≤8 cut is
+    * sized to the corpus's ~30-token docs: with N tokens the per-bit
+    * balance is a ±1 walk of length N, so near-dup flips concentrate
+    * under √N-ish Hamming — ≤8 of 63 bits recovers every planted
+    * jac≥0.9 pair at the spec gate (spec-asserted).
+    *
+    * Fully oracled (round 4): the token hash is 63 bits assembled from
+    * two md5 hex slices — `(hi₃₁ << 32) | lo₃₂` stays within signed
+    * BIGINT in both engines (max is exactly Long.Max), and DuckDB replays
+    * the bit-balance fold with a 63-row bit cross join. Bit 63 is
+    * structurally 0 (every token contributes −1), which costs one bit of
+    * discrimination and keeps every intermediate overflow-free; the
+    * balance>0 tie rule matches SimHashAggregator.finish exactly.
     */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // tf-weighted (classic Charikar simhash): near-identical docs have
@@ -586,17 +629,21 @@ object Text {
     // analysis alone at this width.
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("m", md5(col("w")))
+      .withColumn("h",
+        (conv(substring(col("m"), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)) * lit(4294967296L)) +
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
     val simAgg = udaf(graft.functions.SimHashAggregator, org.apache.spark.sql.Encoders.scalaLong)
     val sim = tok
       .groupBy("doc_id")
       .agg(simAgg(col("h")).as("simhash"))
-    // 8 blocks × 8 bits: by pigeonhole, any pair within Hamming ≤ 7 shares
-    // at least one clean block ⇒ candidate generation has perfect recall
-    // for the ≤7 threshold (measured: true near-dups ≤ 7, random pairs ≥ 8)
+    // 9 blocks × 7 bits over the 63-bit signature: by pigeonhole, any
+    // pair within Hamming ≤ 8 shares at least one clean block ⇒ candidate
+    // generation has perfect recall for the ≤8 threshold
     val blocks = sim.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(7))).as("blk"))
-      .withColumn("key", expr("shiftright(simhash, blk * 8) & 255"))
+      explode(sequence(lit(0), lit(8))).as("blk"))
+      .withColumn("key", expr("shiftright(simhash, blk * 7) & 127"))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -605,7 +652,7 @@ object Text {
       // filter BEFORE the dedup shuffle: a pair sharing k blocks is
       // emitted k times, so distinct is needed, but failed candidates
       // need not be shuffled at all
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 8)
       .distinct()
       .orderBy("ai", "bi")
   }
@@ -897,7 +944,57 @@ object Text {
     "q_dup_clusters" -> (dupClusters _)
   )
 
+  /** DuckDB-side hex→BIGINT of `len` hex chars of `inner` starting at
+    * 1-based `start` (DuckDB has no conv(); the fingerprint oracle's
+    * established fold idiom).
+    */
+  private def hexSql(inner: String, start: Int, len: Int): String =
+    s"list_reduce(list_transform(range(1, ${len + 1}), c -> " +
+      s"CAST(strpos('0123456789abcdef', substr($inner, CAST(c + ${start - 1} AS INT), 1)) - 1 AS BIGINT)), " +
+      "(a, b) -> a * 16 + b)"
+
+  /** q_dedup_minhash twin: replays the md5-mod-p base hash, the 32
+    * Carter-Wegman lanes (constants interpolated from the same Scala
+    * values the Spark plan inlines), the md5 band buckets, and the exact
+    * dyadic n/32 estimate.
+    */
+  private def minhashOracle: String = {
+    val p = 2147483647L
+    val lanes = (0 until 32).map(i =>
+      s"min((${minhashA(i)} * h + ${minhashB(i)}) % $p) AS m$i").mkString(", ")
+    val buckets = (0 until 8).map(j =>
+      s"md5(${(0 until 4).map(r => s"m${j * 4 + r}").mkString(" || ',' || ")}) AS k$j").mkString(", ")
+    val bucketOr = (0 until 8).map(j => s"a.k$j = b.k$j").mkString(" OR ")
+    val matches = (0 until 32).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+      "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks), " +
+      s"h AS (SELECT doc_id, ${hexSql("md5(gram)", 1, 12)} % $p AS h FROM g), " +
+      s"s AS (SELECT doc_id, $lanes FROM h GROUP BY doc_id), " +
+      s"sb AS (SELECT *, $buckets FROM s) " +
+      s"SELECT a.doc_id AS ai, b.doc_id AS bi, CAST($matches AS DOUBLE) / 32 AS est_jac " +
+      s"FROM sb a JOIN sb b ON a.doc_id < b.doc_id AND ($bucketOr) ORDER BY ai, bi"
+  }
+
+  /** q_dedup_simhash twin: 63-bit md5 token hash, bit-balance fold over a
+    * 63-row bit cross join with the aggregator's balance>0 tie rule, then
+    * the all-pairs Hamming≤8 join — equivalent to the Spark block-LSH
+    * candidates by pigeonhole (≤8 bit flips over 9 blocks always leave a
+    * clean block), so the blocking needs no replay.
+    */
+  private def simhashOracle: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "th AS (SELECT doc_id, md5(w) AS m FROM tok), " +
+      s"h AS (SELECT doc_id, ((${hexSql("m", 1, 8)}) % 2147483648) * 4294967296 + (${hexSql("m", 9, 8)}) AS h FROM th), " +
+      "bal AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal " +
+      "FROM h CROSS JOIN range(0, 63) t(j) GROUP BY doc_id, j), " +
+      "sig AS (SELECT doc_id, sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash FROM bal GROUP BY doc_id) " +
+      "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY ai, bi"
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_simhash" -> simhashOracle,
     "q_text_quantiles" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.95) AS p95, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"),
