@@ -18,16 +18,26 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * (q_group_sample solves the same problem probabilistically with a
   * hash threshold; this is the exact algebraic form.)
+  *
+  * Semantics are top-K over DISTINCT (value, id) pairs: insert skips a
+  * pair already in the buffer, so a duplicated input row cannot occupy
+  * two of the K slots and evict a real candidate (it also makes merge
+  * idempotent on overlapping partials). With unique ids — the common
+  * case, e.g. q_grouped_topk's event_id — distinct-pair and multiset
+  * top-K coincide.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
-  // insert keeping the buffer sorted (value DESC, id ASC) and bounded:
-  // O(k) per row, allocation-light for the hot reduce path
+  // insert keeping the buffer sorted (value DESC, id ASC), bounded, and
+  // duplicate-free: O(k) per row, allocation-light for the hot reduce path
   private def insert(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
     val (better, worse) = b.span(e => e._1 > x._1 || (e._1 == x._1 && e._2 < x._2))
-    val merged = better ::: (x :: worse)
-    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    if (worse.headOption.contains(x)) b
+    else {
+      val merged = better ::: (x :: worse)
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
   }
 
   override def zero: List[(Double, Long)] = Nil

@@ -173,7 +173,9 @@ object Curation {
     val counts = base.groupBy("lang").agg(cnt.as("n_g"))
     val w = Window.partitionBy("lang").orderBy("u", "doc_id")
     base.join(broadcast(counts), "lang")
-      .filter(col("u") < least(lit(16777216L), lit(16777216L) * 50 / col("n_g")))
+      // integer FLOOR division, matching the oracle's `//` exactly — true
+      // division admitted a boundary u where the two engines disagreed
+      .filter(col("u") < least(lit(16777216L), expr("(16777216 * 50) div n_g")))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
       .select(col("lang"), col("rank"), col("doc_id"), col("u"))

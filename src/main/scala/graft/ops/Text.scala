@@ -1041,8 +1041,8 @@ object Text {
         "FROM e LEFT JOIN probe USING (doc_id) ORDER BY doc_id"),
     "q_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
-        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
-        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks)), " +
         "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) " +
         s"WHERE df <= $defaultMaxPostingDocs) " +
         "SELECT e.doc_id AS eval_id, CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs, " +
@@ -1051,8 +1051,8 @@ object Text {
         "GROUP BY eval_id ORDER BY eval_id"),
     "q_ngram_novelty" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
-        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
-        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks)), " +
         "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram) " +
         "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
         "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
@@ -1077,8 +1077,8 @@ object Text {
         "FROM documents ORDER BY doc_id"),
     "q_dedup_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
-        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram " +
-        "FROM toks CROSS JOIN range(1, 100000) t(i) WHERE i + 2 <= len(w))), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks)), " +
         "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) " +
         s"WHERE df <= $defaultMaxPostingDocs), " +
         "cnts AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id), " +

@@ -270,24 +270,40 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.hadoop.fs.{FileSystem, Path}
         val s = batch.sparkSession
+        val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+        val dst = new Path(stateDir)
+        // "no state yet" is exactly !fs.exists — any OTHER read failure
+        // (corrupt footer, transient FS fault) must propagate: a
+        // catch-all here would silently replace the whole state table
+        // with batch-only content
         val cur =
-          try s.read.parquet(stateDir)
-          catch { case _: Exception => s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs.exists(dst)) s.read.parquet(stateDir)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy(col("ts_us").desc, col("event_id").desc)
         val merged = cur.unionByName(batch)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
         // write-then-swap: parquet can't overwrite its own input in place
-        val tmp = stateDir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(stateDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val tmp = new Path(stateDir + "_next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // swap-then-delete: the live state is renamed ASIDE before the
+        // new state is promoted, so a crash at any step leaves either the
+        // old or the new table present — never neither (the previous
+        // delete-then-rename had a no-state crash window, and checkpoint
+        // replay only redelivers the LAST batch, not history)
+        val old = new Path(stateDir + "_old")
+        fs.delete(old, true) // leftover from an earlier crash, if any
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          throw new java.io.IOException(s"state swap: could not stage $dst aside")
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(old)) fs.rename(old, dst) // roll back to the old state
+          throw new java.io.IOException(s"state swap: could not promote $tmp")
+        }
+        fs.delete(old, true)
         ()
       }
       .start()

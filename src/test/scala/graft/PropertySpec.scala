@@ -108,10 +108,12 @@ class PropertySpec extends SparkSpec {
       id <- Gen.chooseNum(0L, 50L)
     } yield (v, id))
     val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 5)) { (rows, splits) =>
+      // the aggregator's contract is top-K over DISTINCT pairs, so the
+      // sort-based twin distincts while the input keeps its duplicates —
+      // a duplicated pair must not occupy two of the K slots
       val expect = rows.distinct.sortBy { case (v, id) => (-v, id) }.take(3)
       // arbitrary partitioning: reduce each slice, then merge in order
-      val slices = rows.distinct.grouped(
-        math.max(1, rows.distinct.size / splits)).toList
+      val slices = rows.grouped(math.max(1, rows.size / splits)).toList
       val merged = slices.map(_.foldLeft(agg.zero)(agg.reduce))
         .reduceLeft(agg.merge)
       val rev = slices.reverse.map(_.foldLeft(agg.zero)(agg.reduce))
