@@ -187,6 +187,23 @@ object Ingest {
       coalesce(max_by(col("timeGenerated"), col("arrivalSeq")), lit(0L))
         .as("lastTimeGenerated"))
 
+  /** A12 TTL-expiry variant (reference src/cache.go:75-92: every cache
+    * entry carries a TTL and expired entries read as absent). Ledger
+    * analog: registers see only rows whose ingest time (`timeGenerated`)
+    * is within `ttlUs` of the NEWEST ingest — "entries written more than
+    * TTL before the read have expired". An all-expired (or empty) ledger
+    * reads as 0/0, exactly like `GET /` against an empty store. The
+    * expiry edge is one broadcast scalar; the filter then runs pre-agg,
+    * so at 100 TB expiry is a pushed-down predicate, not a state sweep.
+    */
+  def stateRegistersWithTtl(ledger: DataFrame, ttlUs: Long): DataFrame = {
+    val edge = ledger.agg(max(col("timeGenerated")).as("_edge"))
+    stateRegisters(
+      ledger.crossJoin(broadcast(edge))
+        .filter(col("timeGenerated") > col("_edge") - ttlUs)
+        .drop("_edge"))
+  }
+
   /** Deterministic synthetic batch generator (mirrors the reference load
     * generator tests/main.go:66-92, but seeded). Distributed: rows are
     * generated on executors from a range, not collected on the driver.

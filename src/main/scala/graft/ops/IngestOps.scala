@@ -183,6 +183,21 @@ object IngestOps {
         col("ts_us").as("timeGenerated"),
         col("event_id").as("arrivalSeq")))
 
+  /** A12 TTL-expiry registers (reference src/cache.go:75-92): same
+    * ledger as q_state_registers, but rows whose ingest time is more
+    * than 7 days behind the newest ingest have expired and are invisible
+    * to the read — the events table spans ~30 days, so the TTL cut is
+    * live (~77% of the ledger expired) rather than vacuous.
+    */
+  private val registerTtlUs = 7L * 24 * 3600 * 1000000L
+
+  private def stateTtl(s: SparkSession, dir: String): DataFrame =
+    Ingest.stateRegistersWithTtl(
+      Tables.events(s, dir).select(
+        col("ts_us").as("timestamp"),
+        col("ts_us").as("timeGenerated"),
+        col("event_id").as("arrivalSeq")), registerTtlUs)
+
   /** A6 partition-path derivation over real data: YYYY/MM/DD/HH columns
     * from event time, grouped — the layout the reference mandates for
     * "efficient lookups" (README.md:5), which in Spark is partition
@@ -203,6 +218,7 @@ object IngestOps {
     "q_format_matrix" -> (formatMatrix _),
     "q_compact_partitions" -> (compact _),
     "q_state_registers" -> (stateRegisters _),
+    "q_state_ttl" -> (stateTtl _),
     "q_hour_partition" -> (hourPartition _)
   )
 
@@ -253,6 +269,10 @@ object IngestOps {
     "q_state_registers" ->
       ("SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS maxTimestamp, " +
         "CAST(arg_max(epoch_us(ts), event_id) AS BIGINT) AS lastTimeGenerated FROM events"),
+    "q_state_ttl" ->
+      ("SELECT CAST(coalesce(max(epoch_us(ts)), 0) AS BIGINT) AS maxTimestamp, " +
+        "CAST(coalesce(arg_max(epoch_us(ts), event_id), 0) AS BIGINT) AS lastTimeGenerated " +
+        "FROM events WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) FROM events) - 604800000000"),
     "q_hour_partition" ->
       ("SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, " +
         "CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h, " +

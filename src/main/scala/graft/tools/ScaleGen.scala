@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Deterministic corpus tiler for scale validation (VERDICT r3 item 1):
+  * writes `tiles` id-shifted, structure-preserving copies of every
+  * driver table from `inDir` into `outDir`, so the heavy operator
+  * families can be measured at ~N× the largest read-only SF. Tile 0 is
+  * the identity, so the source corpus is a subset of the output.
+  *
+  * Structure preservation per table (what keeps the workload shape
+  * honest rather than just inflating row counts):
+  *  - documents: every token of tile t>0 gets a `~t` suffix — per-tile
+  *    vocabularies are disjoint, so the planted near-dup clusters (and
+  *    gram df distributions, posting-cap behavior, band occupancies)
+  *    replicate per tile instead of collapsing into one giant cross-tile
+  *    dup cluster; corpus-wide frequency tables grow 10× wide, as a real
+  *    10× corpus would.
+  *  - embeddings: tile t applies a deterministic per-dimension ±1 sign
+  *    pattern — an orthogonal transform, so every within-tile pairwise
+  *    cosine (the planted structure, the k-means geometry) is EXACTLY
+  *    preserved while cross-tile cosines scatter like fresh random
+  *    vectors. vec_id shifts by t·10⁷ (planted-dup ids shift with it).
+  *  - events: user_id shifts per tile (10× users with the same per-user
+  *    session/window shape — how event corpora actually grow); event_id
+  *    disambiguates; ts stays a raw epoch-ns long (plain INT64 on
+  *    rewrite — Tables.events reads it identically).
+  *  - TPC-H tables: all foreign keys shift together (customer/orders/
+  *    lineitem/part/supplier stay referentially intact per tile);
+  *    region/nation stay fixed, so low-cardinality dimension groups
+  *    deepen 10× — the skew a real scale-up produces.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleGen <inDir> <outDir> <tiles>"`.
+  */
+object ScaleGen {
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleGen <inDir> <outDir> <tiles>")
+    val (inDir, outDir, tiles) = (args(0), args(1), args(2).toInt)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    def read(name: String) = spark.read.parquet(s"$inDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(name)
+      write((0 until tiles).map(t => f(base, t)).reduce(_ unionByName _), name)
+    }
+
+    // dimensions: fixed — groups get deeper, not wider
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    tiled("customer")((d, t) => d.withColumn("c_custkey", col("c_custkey") + t * Off))
+    tiled("supplier")((d, t) => d.withColumn("s_suppkey", col("s_suppkey") + t * Off))
+    tiled("part")((d, t) => d.withColumn("p_partkey", col("p_partkey") + t * Off))
+    tiled("orders")((d, t) => d
+      .withColumn("o_orderkey", col("o_orderkey") + t * Off)
+      .withColumn("o_custkey", col("o_custkey") + t * Off))
+    tiled("lineitem")((d, t) => d
+      .withColumn("l_orderkey", col("l_orderkey") + t * Off)
+      .withColumn("l_partkey", col("l_partkey") + t * Off)
+      .withColumn("l_suppkey", col("l_suppkey") + t * Off))
+    tiled("events")((d, t) => d
+      .withColumn("event_id", col("event_id") + t * Off)
+      .withColumn("user_id", col("user_id") + t * Off))
+
+    tiled("documents") { (d, t) =>
+      val txt =
+        if (t == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$t"))), " ")
+      d.withColumn("doc_id", col("doc_id") + t * Off)
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(txt))
+    }
+
+    // per-tile ±1 sign pattern: a fixed LCG on (tile, dim) — tile 0 all +1
+    val dim = read("embeddings").select(size(col("embedding"))).as[Int].head()
+    tiled("embeddings") { (d, t) =>
+      val signs = (0 until dim).map { j =>
+        if (t == 0 || (((t * 2654435761L + j * 40503L) >>> 7) & 1L) == 0L) 1.0f else -1.0f
+      }
+      val signLit = array(signs.map(lit): _*)
+      d.withColumn("vec_id", col("vec_id") + t * Off)
+        .withColumn("embedding", zip_with(col("embedding"), signLit, (x, sg) => x * sg))
+    }
+
+    println(s"SCALEGEN wrote ${tiles}x of $inDir to $outDir")
+    spark.stop()
+  }
+}

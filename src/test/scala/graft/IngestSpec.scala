@@ -3,6 +3,25 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ingest.Ingest
 
+/** A registrable non-default Hadoop FileSystem (`graftfs://`) backed by
+  * local disk: proves the ingest sink composes with an alternate scheme
+  * purely through `fs.<scheme>.impl` configuration — the same seam an
+  * `abfss://`/`s3a://` deployment uses. The create counter witnesses
+  * that writes really routed through THIS implementation.
+  */
+class GraftTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    GraftTestFileSystem.initialized.incrementAndGet()
+    super.initialize(uri, conf)
+  }
+}
+object GraftTestFileSystem {
+  val initialized = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Reference ingest semantics (SURVEY.md §5.2 items 1/3/4): validation,
   * zero-value coalesce, partitioned-sink round-trip, overwrite
   * idempotence, state registers.
@@ -84,6 +103,62 @@ class IngestSpec extends SparkSpec {
       Ingest.syntheticBatch(spark, 1000), lit("factory-1"), col("timestamp"))
     Ingest.writeBatch(batch, uri, options = Map("parquet.page.size" -> "1048576"))
     assert(spark.read.parquet(uri).count() === 1000)
+  }
+
+  test("sink round-trips through a NON-default FileSystem scheme with codec intact (A17)") {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_a17")
+    val uri = "graftfs://" + dir.toString
+    val batch = Ingest.withPartitionColumns(
+      Ingest.syntheticBatch(spark, 1000), lit("factory-1"), col("timestamp"))
+    Ingest.writeBatch(batch, uri)
+    // scheme resolution is the routing proof: graftfs:// is only
+    // resolvable through this impl (otherwise "No FileSystem for scheme"),
+    // and the initialize counter witnesses the instance came up
+    assert(GraftTestFileSystem.initialized.get() > 0,
+      "write never routed through the graftfs:// implementation")
+    // read back through the same alternate scheme
+    val back = spark.read.parquet(uri)
+    assert(back.count() === 1000)
+    assert(back.columns.toSet.intersect(
+      Set("source", "year", "month", "day", "hour")).size === 5)
+    // the sink's parquet options survived the scheme indirection: check
+    // the actual footer of a data file (local disk backs graftfs://)
+    val pf = java.nio.file.Files.walk(dir).iterator().asScala
+      .find(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.toUri),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val codecs = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala).map(_.getCodec.toString).toSet
+      assert(codecs === Set("SNAPPY"), s"codec lost through graftfs://: $codecs")
+    } finally reader.close()
+  }
+
+  test("TTL registers: expired ledger rows are invisible, all-expired reads zero (A12)") {
+    // edge = newest timeGenerated (9000); ttl 5000 ⇒ rows with
+    // timeGenerated > 4000 are live. The expired row holds the GLOBAL max
+    // timestamp, so a wrong implementation that filters after aggregating
+    // (or not at all) reports 999 instead of 300.
+    val ledger = Seq((999L, 1000L, 1L), (200L, 5000L, 2L), (300L, 9000L, 3L))
+      .toDF("timestamp", "timeGenerated", "arrivalSeq")
+    val r = Ingest.stateRegistersWithTtl(ledger, 5000L).collect()(0)
+    assert(r.getAs[Long]("maxTimestamp") === 300L)
+    assert(r.getAs[Long]("lastTimeGenerated") === 9000L)
+    // ttl 0: everything written strictly before the edge has expired
+    val r0 = Ingest.stateRegistersWithTtl(ledger, 0L).collect()(0)
+    assert(r0.getAs[Long]("maxTimestamp") === 0L)
+    assert(r0.getAs[Long]("lastTimeGenerated") === 0L)
+    // empty ledger: same zero contract as the base registers
+    val empty = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("timestamp", "timeGenerated", "arrivalSeq")
+    val re = Ingest.stateRegistersWithTtl(empty, 5000L).collect()(0)
+    assert(re.getAs[Long]("maxTimestamp") === 0L)
   }
 
   test("compaction collapses per-batch small files without changing the data") {
