@@ -54,13 +54,12 @@ object Curation {
     * range statistics.
     */
   /** Doc-level shard assignment (the prefix-sum core shared by
-    * q_pack_sequences and q_shard_write): (doc_id, n_tok, shard_id).
+    * q_pack_sequences, q_shard_write, and q_dedup_pack_pipeline):
+    * (doc_id, n_tok) in, (doc_id, n_tok, shard_id) out. `maxId` is a
+    * 1-row (max_id) frame taken from the RAW table so the bucket split
+    * never re-derives the (possibly expensive) upstream of `docs`.
     */
-  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val maxId = docs.agg(max("doc_id").as("max_id"))
+  private def packShards(docs: DataFrame, maxId: DataFrame): DataFrame = {
     val bucketed = docs.crossJoin(broadcast(maxId))
       .withColumn("pid", expr("(doc_id * 32) div (max_id + 1)"))
       .select("doc_id", "n_tok", "pid")
@@ -75,6 +74,13 @@ object Curation {
       .withColumn("cum", col("offset") + sum("n_tok").over(wIn))
       .select(col("doc_id"), col("n_tok"),
         expr("(cum - n_tok) div 2048").as("shard_id"))
+  }
+
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    packShards(docs, docs.agg(max("doc_id").as("max_id")))
   }
 
   private def packSequences(s: SparkSession, dir: String): DataFrame =
@@ -460,6 +466,69 @@ object Curation {
       .orderBy("source", "lang")
   }
 
+  /** Composed dedup→pack pipeline (VERDICT r3 item 8): exact dedup
+    * (md5(text), keep-first) → near-dup collapse (first-8-token md5
+    * fingerprint, keep-first — the cheap leading-content signature that
+    * catches boilerplate-prefix near-dups exact dedup misses) → pack
+    * survivors into 2048-token shards (packShards two-level prefix sum)
+    * → per-shard report. ONE corpus text scan feeds the whole dedup
+    * chain (both windows run over the same scan, back to back: the fp
+    * window consumes the h window's survivors without re-reading);
+    * the only other scan is packShards' 1-row max_id frame, pruned to
+    * doc_id. This is where composition regressions hide at 100 TB — a
+    * naive re-derivation would scan the corpus once per stage (4×).
+    */
+  private def dedupPackPipeline(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      md5(array_join(slice(toks, 1, 8), " ")).as("fp"),
+      size(toks).cast("long").as("n_tok"))
+    val exact = base
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val survivors = exact
+      .withColumn("rn2", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn2") === 1)
+      .select("doc_id", "n_tok")
+    val maxId = Tables.documents(s, dir).agg(max("doc_id").as("max_id"))
+    packShards(survivors, maxId)
+      .groupBy("shard_id")
+      .agg(cnt.as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  /** Composed ingest→state pipeline: the reference's whole batch cycle
+    * (validate → per-key registers) as ONE plan over ONE shuffle.
+    * Validation gate = reject `error` envelopes + require a parseable
+    * props payload (the A2 analog for events); then every register the
+    * reference keeps per key — count (A10), running max (A8), last
+    * value (A9), watermark bounds (B7) — comes out of a single
+    * (user_id, event_type) window: the ordered row_number and the
+    * unbounded count/max/min frames share the one hash exchange, so at
+    * 100 TB this costs exactly one shuffle of the validated stream and
+    * no per-register re-scan. Ordering uses the raw nanosecond `ts`
+    * (exact; µs truncation only on the emitted watermark columns).
+    */
+  private def registerPipeline(s: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy("user_id", "event_type")
+    val ord = part.orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .filter(col("event_type") =!= "error" &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_events", cnt.over(part))
+      .withColumn("max_value", max(col("value")).over(part))
+      .withColumn("first_ts", min(col("ts_us")).over(part))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("max_value"), col("value").as("last_value"),
+        col("ts_us").as("last_ts"), col("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Sketch-tier incremental maintenance (⊘ rows-only — DuckDB's HLL is
     * a different implementation): q_incremental_agg's base ⊎ delta
     * property extended to DISTINCT counts via DataSketches HLL
@@ -590,6 +659,8 @@ object Curation {
     "q_temperature_sample" -> (temperatureSample _),
     "q_grouped_topk" -> (groupedTopk _),
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_dedup_pack_pipeline" -> (dedupPackPipeline _),
+    "q_register_pipeline" -> (registerPipeline _),
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
@@ -605,6 +676,25 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_pack_pipeline" ->
+      ("WITH t AS (SELECT doc_id, md5(text) AS h, " +
+        "md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fp, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "d1 AS (SELECT doc_id, fp, n_tok FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM t) WHERE rn = 1), " +
+        "d2 AS (SELECT doc_id, n_tok FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn2 FROM d1) WHERE rn2 = 1), " +
+        "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d2) " +
+        "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc " +
+        "FROM c GROUP BY shard_id ORDER BY shard_id"),
+    "q_register_pipeline" ->
+      ("SELECT user_id, event_type, n_events, max_value, last_value, last_ts, first_ts FROM (" +
+        "SELECT user_id, event_type, value AS last_value, CAST(epoch_us(ts) AS BIGINT) AS last_ts, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_events, " +
+        "max(value) OVER (PARTITION BY user_id, event_type) AS max_value, " +
+        "min(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id, event_type) AS first_ts " +
+        "FROM events WHERE event_type <> 'error' AND json_extract_string(props, '$.k') IS NOT NULL) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type"),
     "q_shard_write" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, length(text) AS ch FROM documents), " +
         "c AS (SELECT doc_id, n_tok, ch, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +

@@ -399,7 +399,45 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** Composed quantize→cluster pipeline (VERDICT r3 item 8): int8
+    * symmetric quantization (the storage format a 100 TB embedding
+    * corpus actually ships) → dequantize → 2-pass Lloyd k-means over
+    * the RECONSTRUCTED vectors → per-cluster report carrying both the
+    * clustering quality (mean cos to centroid) and the quantization
+    * cost (mean reconstruction MSE). The per-vector MSE rides a
+    * vec_id equi-join back onto the final assignment — co-keyed on the
+    * primary key, so at scale it is one co-partitioned join, never a
+    * broadcast of the corpus. Dequantized values are exact doubles
+    * (floor(v*sc+0.5)/sc) in both engines, so the whole unrolled
+    * k-means stays oracle-exact on top of the quantized corpus.
+    */
+  private def embedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("ma"))
+      .withColumn("sc", when(col("ma") > 0, lit(127.0) / col("ma")).otherwise(lit(0.0)))
+      .withColumn("deq",
+        when(col("ma") > 0, transform(col("embedding"),
+          v => floor(v.cast("double") * col("sc") + lit(0.5)) / col("sc")))
+        .otherwise(transform(col("embedding"), v => v.cast("double"))))
+    val errs = q.select(col("vec_id"),
+      round(aggregate(zip_with(col("embedding"), col("deq"),
+          (v, d) => (v.cast("double") - d) * (v.cast("double") - d)),
+        lit(0.0), (a, x) => a + x) / size(col("embedding")), 10).as("mse"))
+    val (a2, _) = kmeansFit(q.select(col("vec_id"), col("deq").as("embedding")))
+    a2.join(errs, "vec_id")
+      .groupBy(col("c").as("cluster"))
+      .agg(cnt.as("n_vecs"),
+        round(sum(col("cos").cast(DecimalType(30, 12))).cast(DoubleType) /
+          count(lit(1)), 4).as("mean_cos"),
+        round(sum(col("mse").cast(DecimalType(30, 14))).cast(DoubleType) /
+          count(lit(1)), 10).as("mean_mse"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pipeline" -> (embedPipeline _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_scores" -> (simScores _),
     "q_sim_topk" -> (simTopk _),
@@ -414,6 +452,34 @@ object Vectors {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pipeline" -> {
+      val cent = (src: String) =>
+        s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+          s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+          s"FROM $src CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c)"
+      val dcos = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+      "WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
+        "qq AS (SELECT vec_id, embedding, ma, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM m), " +
+        "d AS (SELECT vec_id, embedding, ma, sc, CASE WHEN ma > 0 THEN list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * sc + 0.5) / sc) " +
+        "ELSE list_transform(embedding, v -> CAST(v AS DOUBLE)) END AS emb FROM qq), " +
+        "err AS (SELECT vec_id, round(list_sum(list_transform(range(1, CAST(len(embedding) + 1 AS BIGINT)), i -> " +
+        "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - emb[CAST(i AS INT)]) * " +
+        "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - emb[CAST(i AS INT)]))) / len(embedding), 10) AS mse FROM d), " +
+        "e AS (SELECT vec_id, emb FROM d), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        s"c1 AS ${cent("a0")}, " +
+        s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+        s"c2 AS ${cent("a1")}, " +
+        s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+        "a2 AS (SELECT vec_id, c, cos FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1) " +
+        "SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(CAST(sum(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS mean_cos, " +
+        "round(CAST(sum(CAST(mse AS DECIMAL(30,14))) AS DOUBLE) / count(*), 10) AS mean_mse " +
+        "FROM a2 JOIN err USING (vec_id) GROUP BY c ORDER BY c"
+    },
     "q_embed_quantize" ->
       ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
         "s AS (SELECT vec_id, embedding, ma, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM m), " +

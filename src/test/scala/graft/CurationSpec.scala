@@ -335,4 +335,37 @@ class CurationSpec extends SparkSpec {
       assert(w >= mn * n && w <= mx * n, s"${r.getString(0)}: wsum $w outside [$mn,$mx]*$n")
     }
   }
+
+  test("register pipeline aggregates exactly the validated events") {
+    val out = q("q_register_pipeline").cache()
+    val validated = Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error" &&
+        get_json_object($"props", "$.k").isNotNull)
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) === validated.count(),
+      "per-key counts must partition the validated stream")
+    assert(out.filter($"event_type" === "error").count() === 0L,
+      "the validation gate must drop error envelopes")
+    assert(out.filter($"max_value" < $"last_value").count() === 0L,
+      "the running-max register bounds the last-value register")
+    assert(out.filter($"first_ts" > $"last_ts").count() === 0L)
+    out.unpersist()
+  }
+
+  test("dedup→pack pipeline packs each surviving doc exactly once") {
+    val docs = Tables.documents(spark, sfDir).select(
+      $"doc_id", md5($"text").as("h"),
+      md5(array_join(slice(split($"text", " "), 1, 8), " ")).as("fp"))
+    // independent survivor derivation: keep-first by content hash, then
+    // keep-first by leading-content fingerprint among those firsts
+    val firstByH = docs.groupBy("h")
+      .agg(min(struct($"doc_id", $"fp")).as("m"))
+      .select($"m.doc_id".as("doc_id"), $"m.fp".as("fp"))
+    val survivors = firstByH.groupBy("fp").agg(min("doc_id")).count()
+    val out = q("q_dedup_pack_pipeline").cache()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) === survivors,
+      "every survivor lands in exactly one shard")
+    assert(survivors < Tables.documents(spark, sfDir).count(),
+      "dedup must actually collapse something on the planted corpus")
+    out.unpersist()
+  }
 }

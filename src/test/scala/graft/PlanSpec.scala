@@ -176,6 +176,37 @@ class PlanSpec extends SparkSpec {
       "the stats pass must share the apply pass's hash-window exchange")
   }
 
+  test("register pipeline computes every register off one scan and one hash exchange") {
+    val p = finalPlan("q_register_pipeline")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one events scan, got $scans:\n${p.take(1200)}")
+    // count/max/min frames and the row_number ordering must share the
+    // single (user_id, event_type) exchange; only the final orderBy may
+    // add a range exchange on 600 rows
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"all registers must ride ONE hash exchange, got $hashEx:\n${p.take(1500)}")
+    assert("Window".r.findAllIn(p).size >= 2, "both window operators must survive")
+  }
+
+  test("dedup→pack pipeline: one corpus text scan; offsets branch reuses the dedup chain") {
+    val p = finalPlan("q_dedup_pack_pipeline")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // corpus text scan + the 1-row doc_id-pruned max_id frame — a naive
+    // composition would re-scan the corpus once per stage
+    assert(scans === 2, s"expected text scan + max_id scan, got $scans:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"the shard-offset branch must reuse the survivor exchange:\n${p.take(1500)}")
+  }
+
+  test("embed pipeline joins the MSE back on vec_id without a cartesian") {
+    val p = finalPlan("q_embed_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the vec_id err join must be an equi-join:\n${p.take(1200)}")
+  }
+
   test("z-order buckets bound both dimensions at once") {
     // fixing the top 5 morton bits pins u-bits 7..5 and v-bits 7..6:
     // every 2048-key bucket's bounding box fits in 32 × 64 — the

@@ -164,4 +164,20 @@ class VectorSpec extends SparkSpec {
     val trained = r.map { case (_, nv, mc) => nv * mc }.sum / n
     assert(trained > 0.0, "cosine-to-own-centroid should be positive on real clusters")
   }
+
+  test("embed pipeline: 8 clusters partition the corpus; quantization cost is tiny but real") {
+    val rows = q("q_embed_pipeline").collect()
+    assert(rows.length === 8, "every cluster must survive the quantized re-fit")
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total === Tables.embeddings(spark, sfDir).count(),
+      "clusters must partition the corpus exactly")
+    rows.foreach { r =>
+      val mc = r.getAs[Double]("mean_cos")
+      val mse = r.getAs[Double]("mean_mse")
+      assert(mc > 0.0 && mc <= 1.0, s"cluster ${r.get(0)}: mean_cos $mc")
+      // int8 reconstruction error: nonzero (quantization really happened)
+      // but bounded by (ma/254)^2 per dim — far below 1e-4 on unit-scale floats
+      assert(mse > 0.0 && mse < 1e-4, s"cluster ${r.get(0)}: mean_mse $mse")
+    }
+  }
 }
