@@ -110,6 +110,63 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class TypedEv(event_id: Long, user_id: Long, event_type: String,
+      ts: Long, ts_us: Long, value: Double)
+  case class EventRegisters(user_id: Long, event_type: String, n_events: Long,
+      max_value: Double, last_value: Double, last_ts: Long, first_ts: Long)
+  case class RegState(n: Long, maxValue: Double, lastTsNs: Long, lastId: Long,
+      lastValue: Double, lastTsUs: Long, firstTsUs: Long)
+
+  /** The FULL per-key register set of q_register_pipeline — count (A10),
+    * running max (A8), last value by (ts, event_id) (A9), watermark
+    * bounds (B7) — as one keyed `transformWithState` processor: the
+    * streaming form of the composed batch pipeline, so the same state a
+    * batch job derives with one window shuffle is maintained
+    * incrementally at one ValueState row (7 fields) per live key.
+    * Last-writer is decided by the raw nanosecond (ts, event_id) order —
+    * identical to the batch window's ordering — so replaying the same
+    * events in ANY micro-batch partitioning converges to the identical
+    * registers (StreamingSpec asserts equality against the batch plan).
+    */
+  class EventRegisterProcessor
+      extends StatefulProcessor[(Long, String), TypedEv, EventRegisters] {
+    @transient private var st: ValueState[RegState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RegState]("regs",
+        Encoders.product[RegState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[EventRegisters] = {
+      var s = if (st.exists()) st.get()
+        else RegState(0L, Double.MinValue, Long.MinValue, Long.MinValue,
+          0.0, 0L, Long.MaxValue)
+      rows.foreach { e =>
+        val later = e.ts > s.lastTsNs ||
+          (e.ts == s.lastTsNs && e.event_id > s.lastId)
+        s = RegState(
+          s.n + 1,
+          math.max(s.maxValue, e.value),
+          if (later) e.ts else s.lastTsNs,
+          if (later) e.event_id else s.lastId,
+          if (later) e.value else s.lastValue,
+          if (later) e.ts_us else s.lastTsUs,
+          math.min(s.firstTsUs, e.ts_us))
+      }
+      st.update(s)
+      Iterator.single(EventRegisters(key._1, key._2, s.n, s.maxValue,
+        s.lastValue, s.lastTsUs, s.firstTsUs))
+    }
+  }
+
+  /** `transformWithState` wiring for [[EventRegisterProcessor]]. */
+  def eventRegisterStream(events: Dataset[TypedEv]): Dataset[EventRegisters] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new EventRegisterProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

@@ -105,6 +105,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming event registers replayed in micro-batches equal the batch register pipeline") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the batch pipeline's validation gate, replayed as a stream
+      val evs = Tables.events(spark, sfDir)
+        .filter($"event_type" =!= "error" &&
+          get_json_object($"props", "$.k").isNotNull)
+        .select($"event_id", $"user_id", $"event_type", $"ts", $"ts_us", $"value")
+        .as[StreamOps.TypedEv].collect()
+      val input = MemoryStream[StreamOps.TypedEv]
+      val q2 = StreamOps.eventRegisterStream(input.toDS()).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("evregs_spec").start()
+      // three micro-batches: state must accumulate across them
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        input.addData(chunk.toSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      val streamed = spark.table("evregs_spec")
+        .as[StreamOps.EventRegisters].collect()
+        .groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, rs) => k -> rs.maxBy(_.n_events) } // final emission
+      val batch = q("q_register_pipeline").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r)
+        .toMap
+      assert(streamed.keySet === batch.keySet,
+        "streamed keys must equal the batch pipeline's keys")
+      streamed.foreach { case (k, sr) =>
+        val br = batch(k)
+        assert(sr.n_events === br.getAs[Long]("n_events"), s"$k: count register")
+        assert(sr.max_value === br.getAs[Double]("max_value"), s"$k: running-max register")
+        assert(sr.last_value === br.getAs[Double]("last_value"), s"$k: last-value register")
+        assert(sr.last_ts === br.getAs[Long]("last_ts"), s"$k: watermark")
+        assert(sr.first_ts === br.getAs[Long]("first_ts"), s"$k: first-seen bound")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch lag-gap sessionization") {
     implicit val sq = spark.sqlContext
     val gapUs = 1800L * 1000000L // 30 min, the q_session_window gap
