@@ -326,6 +326,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Passage-level dedup WITH corpus rewrite (the RefinedWeb/CCNet
+    * "remove duplicated spans, keep the rest of the page" op —
+    * q_passage_dedup only reports boilerplate shares, this one emits the
+    * cleaned corpus): cut each doc into consecutive 20-token passages
+    * (tail kept as a short final passage), keep the FIRST occurrence of
+    * each passage corpus-wide (by (doc_id, pos) — deterministic), and
+    * reassemble every doc from its surviving passages in order. Docs
+    * that were pure boilerplate vanish. Cost at 100 TB: one explode, one
+    * passage-hash shuffle (fan-in per key = the passage's duplicate
+    * count), one doc_id shuffle for reassembly — never an all-pairs
+    * comparison and never a global sort of the corpus.
+    */
+  private def passageRewrite(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_chunks", expr("(size(toks) + 19) div 20").cast("long"))
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks").cast("int") - 1),
+          j => concat_ws(" ", slice(col("toks"), j * 20 + 1, lit(20))))))
+      .withColumnRenamed("col", "chunk")
+    chunks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "pos")))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(min("n_chunks").as("n_chunks"), cnt.as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_re"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ outlier screen
 
   /** Z-score outlier screen on event values per type: exact decimal
@@ -664,6 +696,7 @@ object Curation {
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
+    "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
     "q_bootstrap" -> (bootstrap _),
@@ -686,6 +719,17 @@ object Curation {
         "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc " +
         "FROM c GROUP BY shard_id ORDER BY shard_id"),
+    "q_passage_rewrite" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "n AS (SELECT doc_id, toks, CAST((len(toks) + 19) // 20 AS BIGINT) AS n_chunks FROM t), " +
+        "c AS (SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS pos, " +
+        "unnest(list_transform(range(0, n_chunks), j -> " +
+        "array_to_string(list_slice(toks, CAST(j * 20 + 1 AS INT), CAST(j * 20 + 20 AS INT)), ' '))) AS chunk FROM n), " +
+        "d AS (SELECT doc_id, n_chunks, pos, chunk FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn FROM c) WHERE rn = 1) " +
+        "SELECT doc_id, CAST(min(n_chunks) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(chunk, ' ' ORDER BY pos) AS text_re " +
+        "FROM d GROUP BY doc_id ORDER BY doc_id"),
     "q_register_pipeline" ->
       ("SELECT user_id, event_type, n_events, max_value, last_value, last_ts, first_ts FROM (" +
         "SELECT user_id, event_type, value AS last_value, CAST(epoch_us(ts) AS BIGINT) AS last_ts, " +

@@ -336,6 +336,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("passage rewrite keeps exactly one copy of every distinct passage and is lossless on clean docs") {
+    val out = q("q_passage_rewrite").cache()
+    // corpus-wide: kept passages == distinct passage hashes
+    val distinctPassages = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(toks) + 19) div 20 - 1), " +
+          "j -> concat_ws(' ', slice(toks, j * 20 + 1, 20)))")).as("chunk"))
+      .select(md5($"chunk")).distinct().count()
+    assert(out.agg(sum("n_kept")).collect()(0).getLong(0) === distinctPassages,
+      "every distinct passage survives exactly once corpus-wide")
+    // reassembly is lossless where nothing was dropped
+    val clean = out.filter($"n_kept" === $"n_chunks")
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    assert(clean.count() > 0, "some docs must survive intact")
+    assert(clean.filter($"text_re" =!= $"text").count() === 0L,
+      "chunk-join reassembly must reproduce the original text exactly")
+    out.unpersist()
+  }
+
   test("register pipeline aggregates exactly the validated events") {
     val out = q("q_register_pipeline").cache()
     val validated = Tables.events(spark, sfDir)
