@@ -334,9 +334,12 @@ object Curation {
     * each passage corpus-wide (by (doc_id, pos) — deterministic), and
     * reassemble every doc from its surviving passages in order. Docs
     * that were pure boilerplate vanish. Cost at 100 TB: one explode, one
-    * passage-hash shuffle (fan-in per key = the passage's duplicate
-    * count), one doc_id shuffle for reassembly — never an all-pairs
-    * comparison and never a global sort of the corpus.
+    * passage-hash shuffle, one doc_id shuffle for reassembly — never an
+    * all-pairs comparison and never a global sort of the corpus.
+    * Keep-first is a `min_by` HASH AGGREGATE, not a ranked window: a
+    * viral boilerplate passage duplicated 10⁶× collapses map-side to one
+    * candidate per input partition before the shuffle, where a window
+    * would funnel all 10⁶ copies into one task's sort.
     */
   private def passageRewrite(s: SparkSession, dir: String): DataFrame = {
     val chunks = Tables.documents(s, dir)
@@ -347,9 +350,12 @@ object Curation {
           j => concat_ws(" ", slice(col("toks"), j * 20 + 1, lit(20))))))
       .withColumnRenamed("col", "chunk")
     chunks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "pos")))
-      .filter(col("rn") === 1)
+      .groupBy(md5(col("chunk")).as("ph"))
+      .agg(min_by(
+        struct(col("doc_id"), col("n_chunks"), col("pos"), col("chunk")),
+        struct(col("doc_id"), col("pos"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.n_chunks").as("n_chunks"),
+        col("m.pos").as("pos"), col("m.chunk").as("chunk"))
       .groupBy("doc_id")
       .agg(min("n_chunks").as("n_chunks"), cnt.as("n_kept"),
         array_join(transform(

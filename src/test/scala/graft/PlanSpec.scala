@@ -199,6 +199,17 @@ class PlanSpec extends SparkSpec {
       s"the shard-offset branch must reuse the survivor exchange:\n${p.take(1500)}")
   }
 
+  test("passage rewrite's keep-first collapses map-side — no ranked window on the hash") {
+    val p = finalPlan("q_passage_rewrite")
+    // a viral passage must partial-aggregate per input partition; a
+    // Window over the passage hash would sort every copy in one task
+    assert(!p.contains("Window"),
+      s"keep-first must be min_by, not a ranked window:\n${p.take(1200)}")
+    assert(p.contains("partial_min_by") || p.contains("partial min_by") ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected a partial+final aggregate pair:\n${p.take(1200)}")
+  }
+
   test("embed pipeline joins the MSE back on vec_id without a cartesian") {
     val p = finalPlan("q_embed_pipeline")
     assert(!p.contains("CartesianProduct"), p.take(1200))
