@@ -1,0 +1,89 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's full HTTP surface (src/main.go:224-332) with the
+  * transport stripped: every route, status code, validation message,
+  * auth rule, and register side-effect is executable and testable
+  * without a socket. A deployment wraps [[Gateway.handle]] in any HTTP
+  * front end (the reference uses gin; SURVEY §2 A14 keeps transport out
+  * of engine scope) — the engine-visible contract lives here.
+  *
+  * Routes (src/main.go):
+  *   - `GET /` (:234-245) — the two registers as JSON.
+  *   - `POST /` (:248-331) — envelope validation (same messages, same
+  *     order, HTTP 400), parquet write to `<warehouse>/<source>/YYYY/MM/
+  *     DD/HH` (A4/A6), last-writer-wins `lastTimeGenerated` + monotone
+  *     `maxTimestamp` register update (A8/A9), 200 echo of
+  *     {id, timeGenerated, batch maxTimestamp}.
+  *   - `POST /query` (:247) — the reference reverse-proxies to ADX; here
+  *     the engine IS the backend: `spark.sql` over the session catalog,
+  *     rows back as JSON (the executable form of q_sql_gateway).
+  *   - anything else — 404.
+  *   - `?key=` auth (KeyRequired, :77-86): 401 on mismatch when a key is
+  *     configured, before any route logic.
+  *
+  * Registers are process-local like the reference's go-cache
+  * (src/cache.go) — a restart forgets them; the durable truth is the
+  * parquet ledger (q_state_registers re-derives the same values, which
+  * IngestSpec asserts). Divergence from the reference: a malformed JSON
+  * body 400s with the first field message instead of gin's bare 500, and
+  * a failed write raises instead of `log.Fatal`-killing the process.
+  */
+class Gateway(spark: SparkSession, warehouse: String,
+    apiKey: Option[String] = None) {
+  import Gateway._
+
+  @volatile private var lastTimeGenerated: Long = 0L
+  @volatile private var maxTimestamp: Long = 0L
+
+  def handle(req: Request): Response = synchronized {
+    if (apiKey.exists(k => !req.query.get("key").contains(k)))
+      Response(401, """{"error":"unauthorized"}""")
+    else (req.method, req.path) match {
+      case ("GET", "/") =>
+        Response(200, s"""{"lastTimeGenerated":$lastTimeGenerated,""" +
+          s""""maxTimestamp":$maxTimestamp}""")
+      case ("POST", "/") => ingest(req.body)
+      case ("POST", "/query") => query(req.body)
+      case _ => Response(404, """{"error":"not found"}""")
+    }
+  }
+
+  private def ingest(body: String): Response = {
+    import spark.implicits._
+    val env = Ingest.parseEnvelopes(Seq(body).toDF("json")).collect()(0)
+    if (!env.getAs[Boolean]("_valid"))
+      return Response(400,
+        s"""{"error":"Malformed request: ${env.getAs[String]("_reject_reason")}"}""")
+    val envDf = Ingest.parseEnvelopes(Seq(body).toDF("json"))
+    val rows = Ingest.withPartitionColumns(
+      Ingest.explodeContent(envDf),
+      substring_index(col("file"), "/", 1),
+      col("timestamp"))
+    Ingest.writeBatch(rows, warehouse)
+    val batchMax = rows.agg(max("timestamp")).collect()(0).getLong(0)
+    val timeGenerated = env.getAs[Long]("timeGenerated")
+    lastTimeGenerated = timeGenerated // A9: last writer wins
+    if (batchMax > maxTimestamp) maxTimestamp = batchMax // A8: monotone
+    Response(200, s"""{"id":"${env.getAs[String]("id")}",""" +
+      s""""timeGenerated":$timeGenerated,"maxTimestamp":$batchMax}""")
+  }
+
+  private def query(sql: String): Response =
+    try Response(200,
+      spark.sql(sql).toJSON.collect().mkString("[", ",", "]"))
+    catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(_ != '\n').replace("\\", "\\\\").replace("\"", "\\\"")
+        Response(400, s"""{"error":"$msg"}""")
+    }
+}
+
+object Gateway {
+  case class Request(method: String, path: String,
+      query: Map[String, String] = Map.empty, body: String = "")
+  case class Response(status: Int, body: String)
+}

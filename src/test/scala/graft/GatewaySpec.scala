@@ -1,0 +1,118 @@
+package graft
+
+import graft.ingest.Gateway
+import graft.ingest.Gateway.{Request, Response}
+import graft.ops.IngestOps
+
+/** The transport-free gateway must reproduce the reference's route
+  * behavior end to end: statuses, validation messages, register
+  * side-effects, the parquet layout, auth, and the native query route.
+  */
+class GatewaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("graft_gw").toString
+
+  private def rm(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("the ingest cycle: registers start empty, fill monotonically, and match the ledger") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      assert(gw.handle(Request("GET", "/")) ===
+        Response(200, """{"lastTimeGenerated":0,"maxTimestamp":0}"""))
+
+      // happy-path envelope (fixture 1): 200 echoes id/timeGenerated/batch max
+      val r1 = gw.handle(Request("POST", "/", body = IngestOps.fixtures(0)._2))
+      assert(r1.status === 200)
+      assert(r1.body ===
+        """{"id":"batch-1","timeGenerated":1697049600000,"maxTimestamp":1697049601000}""")
+
+      // rows landed in the mandated <source>/year/month/day/hour layout
+      val written = spark.read.parquet(wh)
+      assert(written.count() === 2L)
+      val part = written.select("source", "year", "month", "day", "hour")
+        .distinct().collect()
+      assert(part.length === 1)
+      assert(part(0).getString(0) === "factory-1")
+
+      // registers after batch 1
+      assert(gw.handle(Request("GET", "/")).body ===
+        """{"lastTimeGenerated":1697049600000,"maxTimestamp":1697049601000}""")
+
+      // batch 2 has HIGHER timestamps: both registers advance
+      val r2 = gw.handle(Request("POST", "/", body = IngestOps.fixtures(1)._2))
+      assert(r2.status === 200)
+      assert(gw.handle(Request("GET", "/")).body ===
+        """{"lastTimeGenerated":1697049700000,"maxTimestamp":1697049701000}""")
+
+      // an out-of-order LOWER batch: lastTimeGenerated follows the writer
+      // (A9 last-writer-wins), maxTimestamp must NOT move back (A8)
+      val low = """{"content":[{"timestamp":1697000000000,"value":1.0}],""" +
+        """"id":"late","timeGenerated":1697000000000,""" +
+        """"file":"factory-1/2023/10/11/08/z.parquet"}"""
+      assert(gw.handle(Request("POST", "/", body = low)).status === 200)
+      assert(gw.handle(Request("GET", "/")).body ===
+        """{"lastTimeGenerated":1697000000000,"maxTimestamp":1697049701000}""")
+
+      // the process-local registers agree with the durable ledger (A13):
+      // re-deriving from the written parquet gives the same high-water mark
+      val ledgerMax = spark.read.parquet(wh)
+        .agg(org.apache.spark.sql.functions.max("timestamp"))
+        .collect()(0).getLong(0)
+      assert(ledgerMax === 1697049701000L)
+    } finally rm(wh)
+  }
+
+  test("validation 400s mirror the reference's messages and leave no side effects") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      // fixture 3: missing file; 4: zero timeGenerated; 5: empty content
+      assert(gw.handle(Request("POST", "/", body = IngestOps.fixtures(2)._2)) ===
+        Response(400, """{"error":"Malformed request: file is required"}"""))
+      assert(gw.handle(Request("POST", "/", body = IngestOps.fixtures(3)._2)) ===
+        Response(400, """{"error":"Malformed request: timeGenerated is required"}"""))
+      assert(gw.handle(Request("POST", "/", body = IngestOps.fixtures(4)._2)) ===
+        Response(400, """{"error":"Malformed request: content must be non-empty"}"""))
+      // nothing written, registers untouched
+      assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith("factory")))
+      assert(gw.handle(Request("GET", "/")).body ===
+        """{"lastTimeGenerated":0,"maxTimestamp":0}""")
+      // unknown route
+      assert(gw.handle(Request("GET", "/nope")).status === 404)
+    } finally rm(wh)
+  }
+
+  test("api key gate runs before every route (KeyRequired semantics)") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh, apiKey = Some("s3cret"))
+      assert(gw.handle(Request("GET", "/")).status === 401)
+      assert(gw.handle(Request("POST", "/", body = IngestOps.fixtures(0)._2)).status === 401)
+      assert(gw.handle(Request("GET", "/", query = Map("key" -> "wrong"))).status === 401)
+      assert(gw.handle(Request("GET", "/", query = Map("key" -> "s3cret"))).status === 200)
+    } finally rm(wh)
+  }
+
+  test("the query route runs SQL natively and surfaces engine errors as 400") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("gw_t")
+      val ok = gw.handle(Request("POST", "/query",
+        body = "SELECT k, v FROM gw_t ORDER BY k"))
+      assert(ok === Response(200, """[{"k":1,"v":"a"},{"k":2,"v":"b"}]"""))
+      val bad = gw.handle(Request("POST", "/query", body = "SELECT * FROM no_such"))
+      assert(bad.status === 400)
+      assert(bad.body.contains("error"))
+    } finally rm(wh)
+  }
+}
