@@ -89,6 +89,26 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), cnt.as("n"))
       .orderBy("h")
 
+  /** Quality-aware canonical selection: collapse near-dup groups (the
+    * leading-content fingerprint blocks q_dedup_pack_pipeline uses) but
+    * keep the BEST member — longest doc, doc_id tie-break — instead of
+    * the first. The curation policy real pipelines run (keep the
+    * highest-quality copy of boilerplate-sharing pages, drop the rest).
+    * One `max_by` hash aggregate: combinable map-side, so a viral
+    * template shared by 10⁶ pages ships one candidate per input
+    * partition — same scale shape as q_passage_rewrite's keep-first.
+    */
+  private def dedupBest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(max_by(struct(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), -col("doc_id"))).as("m"), cnt.as("n_group"))
+      .select(col("m.doc_id").as("doc_id"), col("m.n_chars").as("n_chars"),
+        col("n_group"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ text stats
 
   /** Corpus word frequency: tokenize → explode → count. The classic
@@ -918,6 +938,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_best" -> (dedupBest _),
     "q_text_quantiles" -> (textQuantiles _),
     "q_quality_filter" -> (qualityFilter _),
     "q_train_split" -> (trainSplit _),
@@ -1063,6 +1084,12 @@ object Text {
         "FROM documents GROUP BY split ORDER BY split"),
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY h ORDER BY h",
+    "q_dedup_best" ->
+      ("SELECT doc_id, n_chars, n_group FROM (" +
+        "SELECT doc_id, n_chars, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_group, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM (SELECT doc_id, n_chars, md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fp FROM documents)) " +
+        "WHERE rn = 1 ORDER BY doc_id"),
     "q_text_stats" ->
       "SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY word ORDER BY n DESC, word",
     "q_text_quality" ->

@@ -433,4 +433,29 @@ class TextDedupSpec extends SparkSpec {
     val bad = r.join(twin, "doc_id").filter($"top_tok_frac" =!= $"want").count()
     assert(bad === 0, "HOF top-token fraction must equal the relational mode")
   }
+
+  test("quality-aware dedup keeps the longest member of every fingerprint group") {
+    import org.apache.spark.sql.expressions.Window
+    val out = q("q_dedup_best").cache()
+    val docs = Tables.documents(spark, sfDir).select(
+      $"doc_id", $"n_chars",
+      md5(array_join(slice(split($"text", " "), 1, 8), " ")).as("fp"))
+    // independent window twin: rank inside each group by (len desc, id)
+    val twin = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rn" === 1)
+    assert(out.count() === twin.count())
+    assert(out.join(twin.select($"doc_id"), "doc_id").count() === out.count(),
+      "max_by keep-best must pick the window twin's rows exactly")
+    // the kept doc is never shorter than any member of its group
+    val shorterKept = out.join(docs.select($"doc_id", $"fp"), "doc_id")
+      .join(docs.groupBy("fp").agg(max("n_chars").as("mx")), "fp")
+      .filter($"n_chars" < $"mx").count()
+    assert(shorterKept === 0L)
+    // groups are a partition of the corpus
+    assert(out.agg(sum("n_group")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sfDir).count())
+    out.unpersist()
+  }
 }
