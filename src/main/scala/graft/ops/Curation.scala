@@ -90,6 +90,42 @@ object Curation {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
 
+  /** Token-budget selection: keep the highest-quality documents (longest
+    * first, doc_id tie-break) until HALF the corpus's tokens are spent —
+    * the "fill the training budget with the best data" primitive. The
+    * global prefix sum over the quality ordering reuses the two-level
+    * packShards formulation, with the bucket id derived from a 32-band
+    * quantization of the score (monotone in the ordering, so bucket-
+    * ascending + within-bucket (score desc, doc_id) IS the global
+    * order): no single task ever windows the corpus, and the budget and
+    * score bands come from one broadcast 1-row aggregate. A doc is kept
+    * when its STARTING offset is inside the budget (the cut doc stays).
+    */
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val stats = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+      expr("sum(n_tok) div 2").as("budget"))
+    val bucketed = docs.crossJoin(broadcast(stats))
+      .withColumn("pid", expr("((hi - n_chars) * 32) div (hi - lo + 1)"))
+    val offs = bucketed.groupBy("pid").agg(sum("n_tok").as("p_tok"))
+      .withColumn("offset",
+        coalesce(sum("p_tok").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offs), "pid")
+      .withColumn("cum", col("offset") + sum("n_tok").over(wIn))
+      .filter(col("cum") - col("n_tok") < col("budget"))
+      .groupBy("lang")
+      .agg(cnt.as("n_kept"), sum("n_tok").as("tok_kept"),
+        min("n_chars").as("min_len"))
+      .orderBy("lang")
+  }
+
   /** Training-shard export (side-effect op, oracled on the summary):
     * write the packed corpus as a shard_id-partitioned parquet layout with each
     * shard's rows sorted by doc_id — the layout a sequential trainer
@@ -691,6 +727,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (packSequences _),
+    "q_token_budget" -> (tokenBudget _),
     "q_shard_write" -> (shardWrite _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_group_sample" -> (groupSample _),
@@ -725,6 +762,13 @@ object Curation {
         "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc " +
         "FROM c GROUP BY shard_id ORDER BY shard_id"),
+    "q_token_budget" ->
+      ("WITH t AS (SELECT doc_id, lang, n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "b AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM t), " +
+        "c AS (SELECT doc_id, lang, n_chars, n_tok, sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept, " +
+        "CAST(min(n_chars) AS BIGINT) AS min_len " +
+        "FROM c, b WHERE cum - n_tok < budget GROUP BY lang ORDER BY lang"),
     "q_passage_rewrite" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "n AS (SELECT doc_id, toks, CAST((len(toks) + 19) // 20 AS BIGINT) AS n_chunks FROM t), " +

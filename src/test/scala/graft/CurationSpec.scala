@@ -336,6 +336,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token budget keeps the longest docs and lands within one doc of the budget") {
+    val out = q("q_token_budget").cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tok")).cache()
+    val total = docs.agg(sum("n_tok")).collect()(0).getLong(0)
+    val budget = total / 2
+    val kept = out.agg(sum("tok_kept")).collect()(0).getLong(0)
+    val maxDoc = docs.agg(max("n_tok")).collect()(0).getLong(0)
+    // the doc straddling the budget is kept, so the total closes the
+    // budget but overshoots by less than one document
+    assert(kept >= budget && kept < budget + maxDoc,
+      s"kept $kept outside [$budget, $budget+$maxDoc)")
+    // selection is by quality: no dropped doc is longer than a kept one
+    val minKept = out.agg(min("min_len")).collect()(0).getLong(0)
+    val nKept = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val dropped = docs.filter($"n_chars" < minKept).count()
+    assert(dropped <= docs.count() - nKept,
+      "every doc longer than the kept minimum is kept (ties split by doc_id)")
+    docs.unpersist(); out.unpersist()
+  }
+
   test("passage rewrite keeps exactly one copy of every distinct passage and is lossless on clean docs") {
     val out = q("q_passage_rewrite").cache()
     // corpus-wide: kept passages == distinct passage hashes
