@@ -35,38 +35,51 @@ class Gateway(spark: SparkSession, warehouse: String,
     apiKey: Option[String] = None) {
   import Gateway._
 
-  @volatile private var lastTimeGenerated: Long = 0L
-  @volatile private var maxTimestamp: Long = 0L
+  // guarded by `this`: only the register read-modify-write is locked, so
+  // a long-running /query job never blocks ingests or register reads
+  // (route independence the reference's HTTP server has naturally)
+  private var lastTimeGenerated: Long = 0L
+  private var maxTimestamp: Long = 0L
 
-  def handle(req: Request): Response = synchronized {
+  def handle(req: Request): Response =
     if (apiKey.exists(k => !req.query.get("key").contains(k)))
       Response(401, """{"error":"unauthorized"}""")
     else (req.method, req.path) match {
       case ("GET", "/") =>
-        Response(200, s"""{"lastTimeGenerated":$lastTimeGenerated,""" +
-          s""""maxTimestamp":$maxTimestamp}""")
+        val (lg, mx) = synchronized((lastTimeGenerated, maxTimestamp))
+        Response(200, s"""{"lastTimeGenerated":$lg,"maxTimestamp":$mx}""")
       case ("POST", "/") => ingest(req.body)
       case ("POST", "/query") => query(req.body)
       case _ => Response(404, """{"error":"not found"}""")
     }
-  }
 
   private def ingest(body: String): Response = {
     import spark.implicits._
-    val env = Ingest.parseEnvelopes(Seq(body).toDF("json")).collect()(0)
+    // ONE parse: the collected row carries the content array, so the
+    // batch max comes out driver-side and the only other job is the write
+    val envDf = Ingest.parseEnvelopes(Seq(body).toDF("json"))
+    val env = envDf.collect()(0)
     if (!env.getAs[Boolean]("_valid"))
       return Response(400,
         s"""{"error":"Malformed request: ${env.getAs[String]("_reject_reason")}"}""")
-    val envDf = Ingest.parseEnvelopes(Seq(body).toDF("json"))
+    val batchMax = env.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("content")
+      .map(r => Option(r.getAs[java.lang.Long]("timestamp"))
+        .map(_.toLong).getOrElse(0L)).max
     val rows = Ingest.withPartitionColumns(
       Ingest.explodeContent(envDf),
       substring_index(col("file"), "/", 1),
       col("timestamp"))
-    Ingest.writeBatch(rows, warehouse)
-    val batchMax = rows.agg(max("timestamp")).collect()(0).getLong(0)
+    // APPEND, like the reference's one-blob-per-batch upload — dynamic
+    // partition overwrite would erase every earlier batch in the same
+    // hour partition and break A13 ledger re-derivation. The reference's
+    // per-path overwrite idempotence maps to id-dedup at read
+    // (q_dedup_ids) since the rows carry (id, file).
+    Ingest.writeBatch(rows, warehouse, mode = "append")
     val timeGenerated = env.getAs[Long]("timeGenerated")
-    lastTimeGenerated = timeGenerated // A9: last writer wins
-    if (batchMax > maxTimestamp) maxTimestamp = batchMax // A8: monotone
+    synchronized {
+      lastTimeGenerated = timeGenerated // A9: last writer wins
+      if (batchMax > maxTimestamp) maxTimestamp = batchMax // A8: monotone
+    }
     Response(200, s"""{"id":"${env.getAs[String]("id")}",""" +
       s""""timeGenerated":$timeGenerated,"maxTimestamp":$batchMax}""")
   }

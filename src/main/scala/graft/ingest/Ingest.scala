@@ -125,9 +125,10 @@ object Ingest {
     * the process (src/main.go:308-310 log.Fatal kills the service).
     */
   def writeBatch(df: DataFrame, basePath: String,
-      options: Map[String, String] = Map.empty): Unit =
+      options: Map[String, String] = Map.empty,
+      mode: String = "overwrite"): Unit =
     df.write
-      .mode("overwrite")
+      .mode(mode)
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .option("parquet.block.size", (128 * 1024 * 1024).toString)

@@ -376,10 +376,17 @@ object Text {
         decode(encode(substring(col("text"), 1, 32), "UTF-8"), "ISO-8859-1")
           .as("prefix"),
         (col("n_chars") / 16).cast("int").as("band"),
-        // md5 fixes the shuffle key at 16 bytes regardless of token width
-        explode(array(
-          struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")),
-          struct(lit(2).as("probe"), md5(array_join(slice(toks, 5, 4), " ")).as("sig"))))
+        // md5 fixes the shuffle key at 16 bytes regardless of token width.
+        // Probe 2 exists ONLY for docs with ≥5 tokens: slice(toks, 5, 4)
+        // is empty below that, and md5("") would fuse EVERY short doc in
+        // a band into one block — the band-only quadratic this two-probe
+        // scheme exists to prevent (short docs keep full recall through
+        // probe 1, which already spans all their tokens)
+        explode(when(size(toks) >= 5, array(
+            struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")),
+            struct(lit(2).as("probe"), md5(array_join(slice(toks, 5, 4), " ")).as("sig"))))
+          .otherwise(array(
+            struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")))))
           .as("p"))
       .select(col("doc_id"), col("prefix"), col("band"),
         col("p.probe").as("probe"), col("p.sig").as("sig"))
@@ -1164,14 +1171,14 @@ object Text {
     "q_fuzzy_dedup" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
         "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
-        "md5(array_to_string(string_split(text, ' ')[5:8], ' ')) AS s2 FROM documents) " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) END AS s2 FROM documents) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
         "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id AND (a.s1 = b.s1 OR a.s2 = b.s2) " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi"),
     "q_dup_clusters" ->
       ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
         "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
-        "md5(array_to_string(string_split(text, ' ')[5:8], ' ')) AS s2 FROM documents), " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) END AS s2 FROM documents), " +
         "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
         "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
         "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +

@@ -327,10 +327,21 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.hadoop.fs.{FileSystem, Path}
+        import org.apache.hadoop.fs.Path
         val s = batch.sparkSession
-        val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
         val dst = new Path(stateDir)
+        // resolve the FS from the STATE PATH's scheme, not the default FS
+        // — FileSystem.get(conf) would throw "Wrong FS" for any
+        // s3a://-style stateDir on a file:// default
+        val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val old = new Path(stateDir + "_old")
+        // crash recovery FIRST: a crash between staging-aside and
+        // promotion leaves dst absent with the full pre-batch state in
+        // _old — restore it before reading, or this batch would rebuild
+        // the table from its own rows alone
+        if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+          throw new java.io.IOException(s"state swap: could not restore $old")
+        fs.delete(old, true) // now provably stale (dst exists or never did)
         // "no state yet" is exactly !fs.exists — any OTHER read failure
         // (corrupt footer, transient FS fault) must propagate: a
         // catch-all here would silently replace the whole state table
@@ -349,11 +360,9 @@ object StreamOps {
         merged.write.mode("overwrite").parquet(tmp.toString)
         // swap-then-delete: the live state is renamed ASIDE before the
         // new state is promoted, so a crash at any step leaves either the
-        // old or the new table present — never neither (the previous
-        // delete-then-rename had a no-state crash window, and checkpoint
-        // replay only redelivers the LAST batch, not history)
-        val old = new Path(stateDir + "_old")
-        fs.delete(old, true) // leftover from an earlier crash, if any
+        // old or the new table present — never neither — and the
+        // recovery block above restores _old on the next batch if the
+        // crash hit the promotion window
         if (fs.exists(dst) && !fs.rename(dst, old))
           throw new java.io.IOException(s"state swap: could not stage $dst aside")
         if (!fs.rename(tmp, dst)) {

@@ -349,12 +349,21 @@ class CurationSpec extends SparkSpec {
     // budget but overshoots by less than one document
     assert(kept >= budget && kept < budget + maxDoc,
       s"kept $kept outside [$budget, $budget+$maxDoc)")
-    // selection is by quality: no dropped doc is longer than a kept one
-    val minKept = out.agg(min("min_len")).collect()(0).getLong(0)
+    // exact driver-side replay of the selection rule: walk the corpus in
+    // (n_chars desc, doc_id) order keeping docs whose start offset is
+    // inside the budget, and require the SAME kept count and token total
+    val ordered = docs.select($"doc_id", $"n_chars", $"n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, ch, _) => (-ch, id) }
+    var cum = 0L
+    val expect = ordered.filter { case (_, _, t) =>
+      val start = cum; cum += t; start < budget
+    }
     val nKept = out.agg(sum("n_kept")).collect()(0).getLong(0)
-    val dropped = docs.filter($"n_chars" < minKept).count()
-    assert(dropped <= docs.count() - nKept,
-      "every doc longer than the kept minimum is kept (ties split by doc_id)")
+    assert(nKept === expect.length.toLong,
+      "kept-doc count must match the sequential quality-ordered replay")
+    assert(kept === expect.map(_._3).sum,
+      "kept-token total must match the sequential quality-ordered replay")
     docs.unpersist(); out.unpersist()
   }
 

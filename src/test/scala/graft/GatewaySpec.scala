@@ -53,6 +53,12 @@ class GatewaySpec extends SparkSpec {
       assert(gw.handle(Request("GET", "/")).body ===
         """{"lastTimeGenerated":1697049700000,"maxTimestamp":1697049701000}""")
 
+      // batch 2 lands in the SAME hour partition as batch 1 — appending
+      // like the reference's one-blob-per-batch upload, so batch 1's
+      // rows must survive (partition overwrite would erase them)
+      assert(spark.read.parquet(wh).count() === 4L,
+        "same-hour batches must accumulate, not overwrite")
+
       // an out-of-order LOWER batch: lastTimeGenerated follows the writer
       // (A9 last-writer-wins), maxTimestamp must NOT move back (A8)
       val low = """{"content":[{"timestamp":1697000000000,"value":1.0}],""" +
