@@ -40,6 +40,11 @@ class Gateway(spark: SparkSession, warehouse: String,
   // (route independence the reference's HTTP server has naturally)
   private var lastTimeGenerated: Long = 0L
   private var maxTimestamp: Long = 0L
+  // serializes the parquet appends only: concurrent append jobs to one
+  // path share the committer's _temporary staging dir and can clobber
+  // each other's task attempts — the reference has no such hazard because
+  // each batch uploads its own blob
+  private val writeLock = new Object
 
   def handle(req: Request): Response =
     if (apiKey.exists(k => !req.query.get("key").contains(k)))
@@ -74,7 +79,9 @@ class Gateway(spark: SparkSession, warehouse: String,
     // hour partition and break A13 ledger re-derivation. The reference's
     // per-path overwrite idempotence maps to id-dedup at read
     // (q_dedup_ids) since the rows carry (id, file).
-    Ingest.writeBatch(rows, warehouse, mode = "append")
+    writeLock.synchronized {
+      Ingest.writeBatch(rows, warehouse, mode = "append")
+    }
     val timeGenerated = env.getAs[Long]("timeGenerated")
     synchronized {
       lastTimeGenerated = timeGenerated // A9: last writer wins

@@ -59,7 +59,7 @@ object Curation {
     * 1-row (max_id) frame taken from the RAW table so the bucket split
     * never re-derives the (possibly expensive) upstream of `docs`.
     */
-  private def packShards(docs: DataFrame, maxId: DataFrame): DataFrame = {
+  private[graft] def packShards(docs: DataFrame, maxId: DataFrame): DataFrame = {
     val bucketed = docs.crossJoin(broadcast(maxId))
       .withColumn("pid", expr("(doc_id * 32) div (max_id + 1)"))
       .select("doc_id", "n_tok", "pid")

@@ -54,6 +54,32 @@ class PropertySpec extends SparkSpec {
     check("parquet-roundtrip", prop, samples = 6)
   }
 
+  test("packShards two-level prefix sum equals the sequential cut on arbitrary corpora") {
+    // adversarial shapes the fixture corpus can't produce: tiny corpora
+    // (fewer docs than buckets), giant single docs straddling many
+    // shards, zero-token docs, sparse/duplicate-free id spaces
+    val docGen = for {
+      nTok <- Gen.frequency(5 -> Gen.chooseNum(0L, 400L),
+        1 -> Gen.chooseNum(3000L, 9000L))
+    } yield nTok
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(200))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong * 7L, t) })
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "n_tok")
+      val got = graft.ops.Curation.packShards(df,
+          df.agg(max("doc_id").as("max_id")))
+        .select("doc_id", "shard_id")
+        .as[(Long, Long)].collect().toMap
+      // sequential single-pass reference
+      var cum = 0L
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val start = cum; cum += t; id -> start / 2048L
+      }.toMap
+      got == want
+    }
+    check("pack-shards-prefix-sum", prop, samples = 8)
+  }
+
   test("maxTimestamp register is permutation-invariant and monotonic across batches (A8)") {
     val batchesGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(rowGen)).map(_.take(4))
     val prop = Prop.forAll(batchesGen) { batches =>
