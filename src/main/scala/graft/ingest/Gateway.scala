@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * a failed write raises instead of `log.Fatal`-killing the process.
   */
 class Gateway(spark: SparkSession, warehouse: String,
-    apiKey: Option[String] = None) {
+    apiKey: Option[String] = None, maxRows: Int = 10000) {
   import Gateway._
 
   // guarded by `this`: only the register read-modify-write is locked, so
@@ -91,10 +91,20 @@ class Gateway(spark: SparkSession, warehouse: String,
       s""""timeGenerated":$timeGenerated,"maxTimestamp":$batchMax}""")
   }
 
+  /** Result-size guard mirroring the reference backend's behavior: ADX
+    * truncates query results by default rather than streaming unbounded
+    * rows; here anything past `maxRows` is dropped and flagged, so a
+    * SELECT over the 100 TB ledger can never buffer the corpus on the
+    * gateway driver.
+    */
   private def query(sql: String): Response =
-    try Response(200,
-      spark.sql(sql).toJSON.collect().mkString("[", ",", "]"))
-    catch {
+    try {
+      val rows = spark.sql(sql).toJSON.take(maxRows + 1)
+      val body = rows.take(maxRows).mkString("[", ",", "]")
+      if (rows.length > maxRows)
+        Response(200, s"""{"truncated":true,"maxRows":$maxRows,"rows":$body}""")
+      else Response(200, body)
+    } catch {
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .takeWhile(_ != '\n').replace("\\", "\\\\").replace("\"", "\\\"")

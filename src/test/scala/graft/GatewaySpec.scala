@@ -119,6 +119,14 @@ class GatewaySpec extends SparkSpec {
       val bad = gw.handle(Request("POST", "/query", body = "SELECT * FROM no_such"))
       assert(bad.status === 400)
       assert(bad.body.contains("error"))
+      // result truncation (the ADX-default behavior): past maxRows the
+      // payload is cut and flagged, never an unbounded driver collect
+      val small = new Gateway(spark, wh, maxRows = 3)
+      val trunc = small.handle(Request("POST", "/query",
+        body = "SELECT explode(sequence(1, 10)) AS n"))
+      assert(trunc.status === 200)
+      assert(trunc.body.startsWith("""{"truncated":true,"maxRows":3,"""))
+      assert(trunc.body.count(_ == '{') === 4) // 3 row objects + the wrapper
     } finally rm(wh)
   }
 }
