@@ -108,6 +108,33 @@ class GatewaySpec extends SparkSpec {
     } finally rm(wh)
   }
 
+  test("concurrent ingests serialize on the write and converge the registers") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      // 6 distinct envelopes posted from 6 threads: every batch's rows
+      // must land (appends serialized, no clobbered task staging) and
+      // the registers must end at the global maxima
+      val bodies = (1 to 6).map { i =>
+        val ts = 1697049600000L + i * 1000L
+        s"""{"content":[{"timestamp":$ts,"value":$i.0}],"id":"c-$i",""" +
+          s""""timeGenerated":$ts,"file":"factory-$i/2023/10/11/19/x.parquet"}"""
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence(bodies.map(b =>
+          Future(gw.handle(Request("POST", "/", body = b))))), 3.minutes)
+      assert(results.forall(_.status == 200), results.mkString("\n"))
+      assert(spark.read.parquet(wh).count() === 6L,
+        "every concurrent batch's rows must survive the append")
+      assert(gw.handle(Request("GET", "/")).body.contains(
+        s""""maxTimestamp":${1697049600000L + 6000L}"""),
+        "the running-max register must converge to the global max")
+    } finally rm(wh)
+  }
+
   test("the query route runs SQL natively and surfaces engine errors as 400") {
     val wh = tmpWarehouse()
     try {

@@ -218,6 +218,21 @@ class PlanSpec extends SparkSpec {
       s"the vec_id err join must be an equi-join:\n${p.take(1200)}")
   }
 
+  test("no registered query ever plans a CartesianProduct") {
+    // registry-wide guard: every intended all-pairs pattern in this
+    // codebase is a broadcast of a tiny side (BroadcastNestedLoopJoin
+    // over centroids / 1-row aggregates), which Catalyst plans
+    // distinctly from an unbounded CartesianProduct. Side-effect queries
+    // are excluded — calling their builder runs the write itself.
+    val sideEffect = Set("q_shard_write", "q_parquet_roundtrip",
+      "q_compact_partitions", "q_format_matrix", "q_state_registers")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffect).foreach { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${p.take(800)}")
+    }
+  }
+
   test("z-order buckets bound both dimensions at once") {
     // fixing the top 5 morton bits pins u-bits 7..5 and v-bits 7..6:
     // every 2048-key bucket's bounding box fits in 32 × 64 — the
