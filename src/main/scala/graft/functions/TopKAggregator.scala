@@ -33,11 +33,14 @@ class TopKAggregator(k: Int)
   // duplicate-free: O(k) per row, allocation-light for the hot reduce path
   private def insert(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
     val (better, worse) = b.span(e => e._1 > x._1 || (e._1 == x._1 && e._2 < x._2))
-    // duplicate test with the SAME primitive comparison the span uses:
-    // Tuple2.equals boxes the Double (-0.0 != 0.0, NaN == NaN there), so
-    // a (0.0, id) buffer entry would not block an incoming (-0.0, id)
-    // under .contains and one id could occupy two of the K slots
-    if (worse.headOption.exists(e => e._1 == x._1 && e._2 == x._2)) b
+    // duplicate test over the WHOLE buffer with explicit NaN handling:
+    // primitive == alone misses NaN duplicates (NaN != NaN), boxed
+    // Tuple2.equals alone misses -0.0 vs 0.0 (Double.equals separates
+    // them), and NaN entries all pile at the span boundary so a
+    // head-only check is insufficient — an O(k) scan (k is small and
+    // insert is O(k) already) covers every case
+    def sameVal(a: Double, c: Double): Boolean = a == c || (a.isNaN && c.isNaN)
+    if (b.exists(e => sameVal(e._1, x._1) && e._2 == x._2)) b
     else {
       val merged = better ::: (x :: worse)
       if (merged.lengthCompare(k) > 0) merged.take(k) else merged

@@ -67,9 +67,13 @@ class Gateway(spark: SparkSession, warehouse: String,
     if (!env.getAs[Boolean]("_valid"))
       return Response(400,
         s"""{"error":"Malformed request: ${env.getAs[String]("_reject_reason")}"}""")
+    // a null ELEMENT inside content passes validation (the array itself
+    // is non-empty) — Go's unmarshal gives it zero values, and
+    // explodeContent coalesces it to 0; mirror that here instead of NPEing
     val batchMax = env.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("content")
-      .map(r => Option(r.getAs[java.lang.Long]("timestamp"))
-        .map(_.toLong).getOrElse(0L)).max
+      .map(r => Option(r).flatMap(row =>
+        Option(row.getAs[java.lang.Long]("timestamp"))).map(_.toLong)
+        .getOrElse(0L)).max
     val rows = Ingest.withPartitionColumns(
       Ingest.explodeContent(envDf),
       substring_index(col("file"), "/", 1),

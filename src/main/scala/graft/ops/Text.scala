@@ -377,16 +377,23 @@ object Text {
           .as("prefix"),
         (col("n_chars") / 16).cast("int").as("band"),
         // md5 fixes the shuffle key at 16 bytes regardless of token width.
-        // Probe 2 exists ONLY for docs with ≥5 tokens: slice(toks, 5, 4)
-        // is empty below that, and md5("") would fuse EVERY short doc in
-        // a band into one block — the band-only quadratic this two-probe
-        // scheme exists to prevent (short docs keep full recall through
-        // probe 1, which already spans all their tokens)
-        explode(when(size(toks) >= 5, array(
-            struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")),
-            struct(lit(2).as("probe"), md5(array_join(slice(toks, 5, 4), " ")).as("sig"))))
+        // Probes are length-classed: ≥5 tokens → (1-4, 5-8) as designed;
+        // 3-4 tokens → the HALVES (1-2, 3-4), preserving one-substitution
+        // tolerance (an edit localized to one half breaks at most one
+        // probe) without the md5("")-of-an-empty-slice degeneracy that
+        // would fuse every short doc in a band into one block (the
+        // band-only quadratic); ≤2 tokens → a single whole-text probe
+        // (exact-prefix recall only — at that length a one-token edit IS
+        // a rewrite, and no exact-signature scheme can block it)
+        explode(when(size(toks) >= 3, array(
+            struct(lit(1).as("probe"),
+              when(size(toks) >= 5, md5(array_join(slice(toks, 1, 4), " ")))
+                .otherwise(md5(array_join(slice(toks, 1, 2), " "))).as("sig")),
+            struct(lit(2).as("probe"),
+              when(size(toks) >= 5, md5(array_join(slice(toks, 5, 4), " ")))
+                .otherwise(md5(array_join(slice(toks, 3, 2), " "))).as("sig"))))
           .otherwise(array(
-            struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 4), " ")).as("sig")))))
+            struct(lit(1).as("probe"), md5(array_join(slice(toks, 1, 2), " ")).as("sig")))))
           .as("p"))
       .select(col("doc_id"), col("prefix"), col("band"),
         col("p.probe").as("probe"), col("p.sig").as("sig"))
@@ -1170,15 +1177,15 @@ object Text {
         "FROM words JOIN freq USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "q_fuzzy_dedup" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
-        "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
-        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) END AS s2 FROM documents) " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) WHEN len(string_split(text, ' ')) >= 3 THEN md5(array_to_string(string_split(text, ' ')[3:4], ' ')) END AS s2 FROM documents) " +
         "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist " +
         "FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id AND (a.s1 = b.s1 OR a.s2 = b.s2) " +
         "WHERE levenshtein(a.prefix, b.prefix) <= 8 ORDER BY ai, bi"),
     "q_dup_clusters" ->
       ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
-        "md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS s1, " +
-        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) END AS s2 FROM documents), " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) WHEN len(string_split(text, ' ')) >= 3 THEN md5(array_to_string(string_split(text, ' ')[3:4], ' ')) END AS s2 FROM documents), " +
         "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
         "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
         "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +

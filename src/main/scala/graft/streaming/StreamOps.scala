@@ -335,6 +335,13 @@ object StreamOps {
         // s3a://-style stateDir on a file:// default
         val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
         val old = new Path(stateDir + "_old")
+        // The swap protocol below assumes ATOMIC directory rename
+        // (HDFS/POSIX). Object stores emulate rename as copy+delete, so a
+        // mid-rename crash can leave BOTH dirs partially populated — a
+        // state this recovery cannot distinguish from the benign
+        // crash-after-promote case. On s3a/abfss, point stateDir at a
+        // real table format with transactional MERGE instead (see the
+        // method doc); the compaction window itself is unchanged.
         // crash recovery FIRST: a crash between staging-aside and
         // promotion leaves dst absent with the full pre-batch state in
         // _old — restore it before reading, or this batch would rebuild

@@ -222,10 +222,11 @@ class PlanSpec extends SparkSpec {
     // registry-wide guard: every intended all-pairs pattern in this
     // codebase is a broadcast of a tiny side (BroadcastNestedLoopJoin
     // over centroids / 1-row aggregates), which Catalyst plans
-    // distinctly from an unbounded CartesianProduct. Side-effect queries
-    // are excluded — calling their builder runs the write itself.
+    // distinctly from an unbounded CartesianProduct. Only queries whose
+    // BUILDER performs the write are excluded (q_state_registers is a
+    // pure aggregate and stays guarded).
     val sideEffect = Set("q_shard_write", "q_parquet_roundtrip",
-      "q_compact_partitions", "q_format_matrix", "q_state_registers")
+      "q_compact_partitions", "q_format_matrix")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffect).foreach { name =>
       val p = q(name).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

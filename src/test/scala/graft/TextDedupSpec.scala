@@ -434,6 +434,32 @@ class TextDedupSpec extends SparkSpec {
     assert(bad === 0, "HOF top-token fraction must equal the relational mode")
   }
 
+  test("fuzzy blocking keeps one-edit recall for 3-4-token docs without fusing short docs") {
+    // planted corpus: two 4-token near-dups differing in ONE token (must
+    // still be candidates via the surviving half probe), plus unrelated
+    // same-band short docs (must NOT all fuse into one md5-of-empty block)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // pair with 2: edit in second half
+      (2L, "alpha beta gamma DELTA"),
+      (3L, "one two three four"),     // unrelated, same length band
+      (4L, "red green blue cyan"),    // unrelated, same length band
+      (5L, "aa bb")                   // ≤2 tokens: single whole-text probe
+    ).map { case (id, t) => (id, t, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_short").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cand = graft.ops.Text.fuzzyCandidates(spark, dir)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)),
+      "a one-token edit in one half must leave the other half's probe intact")
+    // unrelated docs share a band but no probe: the degenerate md5("")
+    // fusion would have produced ALL within-band pairs here
+    assert(!cand.contains((3L, 4L)) && !cand.contains((1L, 3L)) &&
+      !cand.contains((1L, 4L)),
+      s"unrelated short docs must not become candidates: $cand")
+  }
+
   test("quality-aware dedup keeps the longest member of every fingerprint group") {
     import org.apache.spark.sql.expressions.Window
     val out = q("q_dedup_best").cache()
