@@ -151,6 +151,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event registers converge for random events under random micro-batch splits") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(7L)
+      (1 to 3).foreach { round =>
+        // adversarial shapes: µs-tie timestamps (distinct ns), few keys
+        // so every key spans batches, values with repeats
+        val evs = (1 to 120).map { i =>
+          val ts = 1700000000000000000L + rnd.nextInt(50).toLong * 500L
+          StreamOps.TypedEv(i.toLong, rnd.nextInt(3).toLong,
+            if (rnd.nextBoolean()) "a" else "b", ts, ts / 1000L,
+            rnd.nextInt(5).toDouble)
+        }
+        val input = MemoryStream[StreamOps.TypedEv]
+        val q = StreamOps.eventRegisterStream(input.toDS()).toDF()
+          .writeStream.outputMode("update").format("memory")
+          .queryName(s"evregs_prop_$round").start()
+        var rest = rnd.shuffle(evs)
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(rest.length)
+          input.addData(rest.take(n)); q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        q.stop()
+        val got = spark.table(s"evregs_prop_$round")
+          .as[StreamOps.EventRegisters].collect()
+          .groupBy(r => (r.user_id, r.event_type))
+          .map { case (k, rs) => k -> rs.maxBy(_.n_events) }
+        val want = evs.groupBy(e => (e.user_id, e.event_type)).map { case (k, es) =>
+          val last = es.maxBy(e => (e.ts, e.event_id))
+          k -> StreamOps.EventRegisters(k._1, k._2, es.size.toLong,
+            es.map(_.value).max, last.value, last.ts_us, es.map(_.ts_us).min)
+        }
+        assert(got === want, s"round $round diverged")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch lag-gap sessionization") {
     implicit val sq = spark.sqlContext
     val gapUs = 1800L * 1000000L // 30 min, the q_session_window gap
