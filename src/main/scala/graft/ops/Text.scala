@@ -485,6 +485,26 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Near-dup corpus rewrite off the REAL duplicate graph: q_dup_clusters
+    * assigns every clustered doc its component's min-id keeper; this op
+    * finishes the job — drop every non-keeper member, keep keepers and
+    * unclustered docs, and report the surviving corpus per language.
+    * The drop list is the (tiny) cluster table minus its keepers, so the
+    * corpus-side cost is one left-anti hash join against a table bounded
+    * by the number of DUPLICATED docs — at 100 TB a broadcast or
+    * co-keyed anti-join, never a corpus self-join (the propagation
+    * already paid that, banded).
+    */
+  private def dupRewrite(s: SparkSession, dir: String): DataFrame = {
+    val drop = dupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Tables.documents(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(cnt.as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.05). Candidate
@@ -976,7 +996,8 @@ object Text {
     "q_tfidf" -> (tfidf _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
-    "q_dup_clusters" -> (dupClusters _)
+    "q_dup_clusters" -> (dupClusters _),
+    "q_dup_rewrite" -> (dupRewrite _)
   )
 
   /** DuckDB-side hex→BIGINT of `len` hex chars of `inner` starting at
@@ -1192,6 +1213,20 @@ object Text {
         "reach(node, m) AS (" +
         "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
         "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src) " +
-        "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id")
+        "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id"),
+    "q_dup_rewrite" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) WHEN len(string_split(text, ' ')) >= 3 THEN md5(array_to_string(string_split(text, ' ')[3:4], ' ')) END AS s2 FROM documents), " +
+        "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
+        "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +
+        "reach(node, m) AS (" +
+        "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
+        "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src), " +
+        "cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node), " +
+        "dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept " +
+        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dr) GROUP BY lang ORDER BY lang")
   )
 }

@@ -297,6 +297,13 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
       s"clusters: $got") // 99 has no near pair and stays out
+
+    // the corpus rewrite keeps exactly one doc per cluster plus the
+    // unclustered doc: keeper 10 (min-id of the A-B-C chain) and 99
+    val kept = SparkEntry.queries("q_dup_rewrite")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(kept.toSeq === Seq(("en", 2L, (a.length + far.length).toLong)),
+      s"rewrite: ${kept.toSeq}")
   }
 
   test("language ID predicts constructed sentences correctly") {
