@@ -326,6 +326,60 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public): score
+    * every document by how much its hashed-bigram distribution looks
+    * like a TARGET source mix versus the raw corpus. Features are word
+    * bigrams hashed into 8192 buckets (md5-derived, so the oracle
+    * replays them exactly); per-bucket log-likelihood ratio
+    * ln(p_target(b)) − ln(p_raw(b)) with add-one smoothing; a doc's
+    * weight is the sum of its bigram occurrences' ratios. Both bucket
+    * distributions come out of ONE conditional aggregate over the same
+    * bigram stream (never two corpus passes for the counts), the ratio
+    * table is bounded by the 8192 buckets and broadcast back onto the
+    * stream, and the per-doc sum is a map-side-combinable decimal
+    * aggregate — at 100 TB: two corpus scans (count pass + score pass),
+    * two bounded shuffles, no joins wider than 8192 rows. Per-term
+    * ratios are pre-rounded to a fixed decimal grid so the per-doc sum
+    * is order-invariant and engine-exact (the lm_score idiom).
+    */
+  private def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val buckets = 8192
+    val targetSrcs = Seq("src1", "src2", "src3")
+    val toks = col("toks")
+    val n = size(toks)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens.as("toks"))
+      .filter(n >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), n - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .as("gram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long") % buckets)
+          .as("b"))
+    val counts = grams.groupBy("b").agg(
+      cnt.as("cr"),
+      sum(when(col("source").isin(targetSrcs: _*), 1L).otherwise(0L)).as("ct"))
+    // corpus-wide totals derive from the bucket table (≤8192 rows), not a
+    // second pass over the gram stream
+    val totals = broadcast(counts.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt")))
+    val lr = counts.crossJoin(totals)
+      .select(col("b"),
+        round(
+          log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+            log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double")),
+          8).as("lr"))
+    grams.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_grams"),
+        round(sum(col("lr").cast(DecimalType(18, 8))).cast("double"), 4)
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------- edit-distance dedup
 
   /** Edit-distance fuzzy dedup: Levenshtein over 32-char prefixes,
@@ -997,7 +1051,8 @@ object Text {
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
-    "q_dup_rewrite" -> (dupRewrite _)
+    "q_dup_rewrite" -> (dupRewrite _),
+    "q_importance_weights" -> (importanceWeights _)
   )
 
   /** DuckDB-side hex→BIGINT of `len` hex chars of `inner` starting at
@@ -1227,6 +1282,20 @@ object Text {
         "cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node), " +
         "dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept " +
-        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dr) GROUP BY lang ORDER BY lang")
+        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dr) GROUP BY lang ORDER BY lang"),
+    "q_importance_weights" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, source, " +
+        hexSql("md5(gram)", 1, 12) + " % 8192 AS b FROM (" +
+        "SELECT doc_id, source, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
+        "FROM toks WHERE len(w) >= 2)), " +
+        "c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, " +
+        "CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM g GROUP BY b), " +
+        "t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM c), " +
+        "lr AS (SELECT b, round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 8192 AS DOUBLE)) - " +
+        "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 8192 AS DOUBLE)), 8) AS lr FROM c CROSS JOIN t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "round(CAST(sum(CAST(lr AS DECIMAL(18,8))) AS DOUBLE), 4) AS weight " +
+        "FROM g JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id")
   )
 }

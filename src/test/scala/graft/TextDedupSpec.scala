@@ -235,6 +235,28 @@ class TextDedupSpec extends SparkSpec {
       s"gibberish must score below fluent text: ${scores(99L)} vs ${fluent.min}")
   }
 
+  test("importance weights rank target-source lookalikes above the rest") {
+    // target mix = src1/src2/src3 with a shared "wiki" vocabulary; the
+    // outlier shares no bigrams with the target and must score lowest
+    val docs = Seq(
+      (1L, "the solar system has eight planets orbiting the sun", "src1"),
+      (2L, "the solar system has many moons orbiting the planets", "src2"),
+      (3L, "eight planets orbiting the sun form the solar system", "src3"),
+      (4L, "the solar system has eight planets and the sun", "src9"),
+      (9L, "buy cheap pills now click here win money fast", "src9"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_iw").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SparkEntry.queries("q_importance_weights")(spark, dir)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w.size === 5)
+    // doc 4 is raw-corpus but written in the target distribution — DSIR
+    // must pull it above the spam doc, which shares no target bigrams
+    assert(w(4L) > w(9L), s"target-lookalike vs spam: ${w(4L)} vs ${w(9L)}")
+    assert((1L to 3L).forall(id => w(id) > w(9L)), s"weights: $w")
+  }
+
   test("fuzzy dedup candidates stay sub-quadratic on a same-length corpus") {
     // 60 docs, ALL in one 16-char length band but with distinct content:
     // band-only blocking would verify 60·59/2 = 1770 pairs; the two-probe
