@@ -357,6 +357,49 @@ object Vectors {
       .limit(10)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * (vec_id ≡ 0 mod 100 — a deterministic anchor sample), the top-3
+    * highest-cosine neighbours that are NOT positives (cos < 0.95, the
+    * near-dup threshold — a near-dup is a label-noise positive, not a
+    * negative). Search is IVF-scoped, never brute-force: the trained
+    * k-means quantizer ranks lists per anchor and only the top-2 lists
+    * are exact-searched, exactly the q_ann_ivf_trained probe generalized
+    * from one query to an anchor SET. The probe table (anchors × 2 rows,
+    * with anchor vectors) broadcasts onto the assigned corpus; the
+    * per-anchor top-3 window partitions on a_id over candidates bounded
+    * by two inverted lists (~2·N/nlist rows; nlist ≈ √N at scale keeps
+    * every partition √N-bounded). Deterministic — rank cut on the
+    * 4-dp-rounded cosine with vec_id tie-break — so fully oracled
+    * (DuckDB replays the k-means unroll and the per-anchor probe).
+    */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a2raw, c2) = kmeansFit(e)
+    val a2 = a2raw.select(col("vec_id"), col("embedding"), col("c"))
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val rankW = Window.partitionBy("a_id")
+      .orderBy(col("list_sim").desc, col("c"))
+    val probe = anchors.crossJoin(broadcast(c2))
+      .withColumn("list_sim", dot(col("centroid"), col("av")) /
+        (norm(col("centroid")) * norm(col("av"))))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 2)
+      .select(col("a_id"), col("av"), col("c"))
+    val candW = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    a2.join(broadcast(probe), Seq("c"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .withColumn("cos", round(dot(col("embedding"), col("av")) /
+        (norm(col("embedding")) * norm(col("av"))), 4))
+      .filter(col("cos") < 0.95)
+      .withColumn("rnk", row_number().over(candW))
+      .filter(col("rnk") <= 3)
+      .select(col("a_id"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("a_id", "rnk")
+  }
+
   /** Multimodal carry-through: documents ⋈ embeddings with the array
     * column surviving the join and feeding per-row vector math. Broadcast
     * the smaller side at this SF; key-shuffle co-location at 100 TB.
@@ -448,6 +491,7 @@ object Vectors {
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
@@ -624,6 +668,30 @@ object Vectors {
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +
-        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id")
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+    "q_hard_negatives" -> {
+      val cent = (src: String) =>
+        s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+          s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+          s"FROM $src CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c)"
+      val dcos = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        s"c1 AS ${cent("a0")}, " +
+        s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+        s"c2 AS ${cent("a1")}, " +
+        s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+        "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1), " +
+        "anch AS (SELECT vec_id AS a_id, emb AS av FROM e WHERE vec_id % 100 = 0), " +
+        s"pl AS (SELECT a_id, av, c, ${dcos("centroid", "av")} AS ls FROM c2 CROSS JOIN anch), " +
+        "pr AS (SELECT a_id, av, c FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY ls DESC, c) AS rn FROM pl) WHERE rn <= 2), " +
+        s"cand AS (SELECT pr.a_id, a2.vec_id, round(${dcos("a2.emb", "pr.av")}, 4) AS cos " +
+        "FROM a2 JOIN pr ON a2.c = pr.c WHERE a2.vec_id <> pr.a_id), " +
+        "sel AS (SELECT a_id, vec_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rnk FROM cand WHERE cos < 0.95) " +
+        "SELECT a_id, CAST(rnk AS INT) AS rnk, vec_id, cos FROM sel WHERE rnk <= 3 ORDER BY a_id, rnk"
+    }
   )
 }

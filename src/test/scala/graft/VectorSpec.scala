@@ -36,6 +36,33 @@ class VectorSpec extends SparkSpec {
     assert(pairs === (0L until 5L).map(i => (i, i + 100000)).toSet)
   }
 
+  test("hard negatives are exact cosines, exclude near-dups, and rank correctly") {
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    val hn = q("q_hard_negatives")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(hn.nonEmpty)
+    hn.foreach { case (aId, rnk, vecId, cos) =>
+      assert(vecId !== aId)
+      assert(cos < 0.95, s"near-dup leaked into negatives: $aId -> $vecId @ $cos")
+      assert(rnk >= 1 && rnk <= 3)
+      // anchor 0 is q_sim_scores' query vector: its negatives' cosines
+      // must be the exact corpus cosines (approximation only in the
+      // candidate set, never in the distance)
+      if (aId == 0L) assert(all(vecId) === cos)
+    }
+    // per-anchor: ranks are 1..n with strictly descending rounded cosine
+    // (vec_id tie-break), i.e. the window cut is the real top-3
+    hn.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) === (1 to sorted.size))
+      sorted.sliding(2).foreach {
+        case Seq((_, _, v1, c1), (_, _, v2, c2)) =>
+          assert(c1 > c2 || (c1 == c2 && v1 < v2))
+        case _ =>
+      }
+    }
+  }
+
   test("near-dup oracle assumption holds: no non-planted pair reaches 0.95") {
     // q_dedup_embed's DuckDB twin is the EXACT all-pairs cos>=0.95 join;
     // parity rests on the gate corpora containing no natural >=0.95 pair.
