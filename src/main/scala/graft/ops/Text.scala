@@ -908,16 +908,27 @@ object Text {
       .agg(cnt.as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy("split")
 
-  /** Stratified sampling by language (`sampleBy` — per-stratum Bernoulli):
-    * the curation primitive for rebalancing a corpus. ⊘ rows-only (the
-    * sample is seed-deterministic in Spark but has no DuckDB twin); the
-    * spec bounds realized fractions per stratum.
+  /** Stratified sampling by language (per-stratum Bernoulli): the
+    * curation primitive for rebalancing a corpus. The draw is an
+    * md5-derived uniform on doc_id (the mixtureSample trick) rather than
+    * `sampleBy`'s seeded RNG: identical semantics (independent Bernoulli
+    * per row, per-stratum fraction), but the decision is a pure function
+    * of the row — reproducible across engines, cluster sizes, and
+    * partitionings, which is what a 100 TB rerun actually needs (a
+    * seed+partition-order sample silently changes when the file layout
+    * does). Fully oracled as of round 4 (was ⊘ rows-only under sampleBy).
+    * One projection + one tiny-key hash agg; no shuffle beyond it.
     */
   private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+    val fractions = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
       "es" -> 0.1, "zh" -> 0.1)
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val u = conv(substring(md5(concat(lit("strat:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
     Tables.documents(s, dir)
-      .stat.sampleBy("lang", fractions, seed = 7L)
+      .filter(u.cast("double") < frac * 16777216.0)
       .groupBy("lang")
       .agg(cnt.as("n_sampled"))
       .orderBy("lang")
@@ -1172,6 +1183,14 @@ object Text {
       ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY split ORDER BY split"),
+    "q_stratified_sample" ->
+      ("WITH k AS (SELECT lang, CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS DOUBLE) AS u, " +
+        "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25 " +
+        "WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS fr FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled FROM k " +
+        "WHERE u < fr * 16777216.0 GROUP BY lang ORDER BY lang"),
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY h ORDER BY h",
     "q_dedup_best" ->
