@@ -291,6 +291,64 @@ object Text {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** PMI collocation mining — the phrase-detection pass (Mikolov-style
+    * word2phrase) that decides which adjacent token pairs are real
+    * multiword units worth keeping intact through tokenization. One
+    * corpus scan explodes every position into (token, next-token-or-null)
+    * and ONE (a, b) hash aggregate is the sole corpus-sized shuffle:
+    * unigram counts derive from it by summing over b (every token
+    * occupies exactly one position), bigram counts by filtering b, and
+    * both scalar totals by one agg over the same tiny table — the tfidf
+    * rule (branch after the first shuffle, never re-scan the corpus).
+    * The pair-count table is vocabulary²-bounded in theory but Zipf-
+    * sparse in practice; joins back to unigram counts key on single
+    * tokens (AQE broadcasts them at this SF, plain shuffle-hash at
+    * 100 TB). PMI = log2(P(ab) / (P(a)·P(b))), identical double op
+    * sequence in both engines, rounded to 4 dp; the top-30 cut is a
+    * TakeOrderedAndProject with (pmi DESC, a, b) tie-break, never a
+    * global sort.
+    */
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = Tables.documents(s, dir)
+      .select(tokens.as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w)), i -> named_struct(" +
+          "'a', element_at(w, i), " +
+          "'b', CASE WHEN i < size(w) THEN element_at(w, i + 1) END))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      // provably-true (element_at of a split array), but the optimizer
+      // can't prove it: pins ONE canonical null filter into the shared
+      // subtree so the join-key IsNotNull constraints the uc/bc branches
+      // infer below are already implied — without it each branch pushes
+      // a DIFFERENT filter under the (a, b) exchange, the subtrees stop
+      // canonicalizing equal, and the corpus scans three times (the
+      // tfidf trap, in constraint-propagation form)
+      .filter(col("a").isNotNull)
+      .groupBy("a", "b").agg(cnt.as("c"))
+    val tot = pc.agg(sum(col("c")).as("nu"),
+      sum(when(col("b").isNotNull, col("c"))).as("nb"))
+    // unigram counts: c_a is a window over the pair table (every token
+    // occupies exactly one position as `a`, so Σ_y pc[a, y] = count(a));
+    // the b-side lookup needs the token-keyed table, i.e. one join. The
+    // bc-side IsNotNull(b) the join infers is blocked at Window(a) — b is
+    // not its partition key — so it cannot poison the shared exchange.
+    val uc = pc.groupBy("a").agg(sum(col("c")).as("c_b"))
+    pc.withColumn("c_a", sum(col("c")).over(Window.partitionBy("a")))
+      .filter(col("c") >= 5)
+      .withColumnRenamed("c", "c_ab")
+      .join(uc.select(col("a").as("b"), col("c_b")), "b") // inner drops null b
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log2(
+        (col("c_ab").cast("double") / col("nb")) /
+          ((col("c_a").cast("double") / col("nu")) *
+            (col("c_b").cast("double") / col("nu")))), 4))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
   /** Unigram language-model quality score (perplexity proxy) — the
     * CCNet/KenLM-style curation signal: a document's mean token
     * log-likelihood under the corpus's own unigram distribution. Rare-
@@ -1059,6 +1117,7 @@ object Text {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
+    "q_collocations" -> (collocations _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
@@ -1262,6 +1321,18 @@ object Text {
         "SELECT doc_id, CAST(term_rank AS INT) AS term_rank, word, round(tfidf, 4) AS score " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
+    "q_collocations" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT unnest(list_transform(range(1, len(w) + 1), i -> " +
+        "struct_pack(a := w[CAST(i AS INT)], b := CASE WHEN i < len(w) THEN w[CAST(i + 1 AS INT)] END))) AS g FROM toks), " +
+        "pc AS (SELECT g.a AS a, g.b AS b, count(*) AS c FROM p GROUP BY 1, 2), " +
+        "uc AS (SELECT a, sum(c) AS c_a FROM pc GROUP BY a), " +
+        "tot AS (SELECT sum(c) AS nu, sum(CASE WHEN b IS NOT NULL THEN c END) AS nb FROM pc), " +
+        "bc AS (SELECT a, b, CAST(c AS BIGINT) AS c_ab FROM pc WHERE b IS NOT NULL AND c >= 5) " +
+        "SELECT bc.a, bc.b, c_ab, " +
+        "round(log2((CAST(c_ab AS DOUBLE) / nb) / ((CAST(ua.c_a AS DOUBLE) / nu) * (CAST(ub.c_a AS DOUBLE) / nu))), 4) AS pmi " +
+        "FROM bc JOIN uc ua ON bc.a = ua.a JOIN uc ub ON bc.b = ub.a CROSS JOIN tot " +
+        "ORDER BY pmi DESC, bc.a, bc.b LIMIT 30"),
     "q_lm_score" ->
       ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
         "t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words), " +

@@ -168,6 +168,18 @@ class PlanSpec extends SparkSpec {
     assert(gens === 1, s"corpus must explode once, got $gens")
   }
 
+  test("collocations explode the corpus once — all counts branch off the pair exchange") {
+    val p = finalPlan("q_collocations")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"unigram/total branches must reuse the (a, b) pair exchange:\n${p.take(1500)}")
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens === 1, s"corpus must explode once, got $gens")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 cut must be a per-partition heap, not a global sort:\n${p.take(1500)}")
+  }
+
   test("curation pipeline scans the corpus once, stats branch reuses the exchange") {
     val p = finalPlan("q_curation_pipeline")
     val scans = "Scan parquet".r.findAllIn(p).size

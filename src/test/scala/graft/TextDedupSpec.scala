@@ -406,6 +406,33 @@ class TextDedupSpec extends SparkSpec {
     assert(again === sampled)
   }
 
+  test("collocations rank by PMI with min-count cut; scores recompute from raw counts") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_collocations")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.size === 30)
+    assert(rows.forall(_._3 >= 5), "min-count threshold violated")
+    // ordering: rounded PMI descending with (a, b) tie-break
+    rows.sliding(2).foreach {
+      case Seq((a1, b1, _, p1), (a2, b2, _, p2)) =>
+        assert(p1 > p2 || (p1 == p2 && (a1 < a2 || (a1 == a2 && b1 <= b2))))
+      case _ =>
+    }
+    // independent recomputation of the top pair's PMI from raw counts
+    val (ta, tb, tc, tp) = rows.head
+    val toks = Tables.documents(spark, sfDir)
+      .select(split($"text", " ").as("w")).cache()
+    try {
+      val nu = toks.select(explode($"w").as("t")).count()
+      val ca = toks.select(explode($"w").as("t")).filter($"t" === ta).count()
+      val cb = toks.select(explode($"w").as("t")).filter($"t" === tb).count()
+      val nb = toks.select((size($"w") - 1).as("m")).filter($"m" > 0)
+        .agg(sum($"m")).as[Long].head()
+      val pmi = math.log((tc.toDouble / nb) / ((ca.toDouble / nu) * (cb.toDouble / nu))) / math.log(2)
+      assert(math.abs(pmi - tp) < 1e-3, s"PMI $tp != recomputed $pmi")
+    } finally toks.unpersist()
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
