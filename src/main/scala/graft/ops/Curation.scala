@@ -400,6 +400,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Offset-invariant duplicated-span detection — the sliding-window
+    * form of Lee et al.'s exact-substring dedup that q_passage_dedup's
+    * fixed 20-token chunks cannot express: a span shared between two
+    * docs at DIFFERENT token offsets never aligns to the same chunk
+    * boundary, but every k-token sliding window inside it collides.
+    * Each doc explodes into its n−k+1 window hashes (the honest k×
+    * linear cost of substring-level dedup); a window is duplicated when
+    * its hash occurs in more than one document, detected as
+    * min(doc) ≠ max(doc) over the hash partition — Spark has no
+    * count-distinct-over-window, and min/max are the cheapest
+    * >1-distinct-docs witness (fan-in per hash key = the span's true
+    * duplicate count, as in q_passage_dedup). Consecutive duplicated
+    * positions then collapse to maximal runs via gaps-and-islands
+    * (pos − row_number), giving the longest duplicated token span per
+    * doc = k − 1 + longest run. One window-hash shuffle + two doc-key
+    * shuffles, all linear; never an all-pairs comparison.
+    */
+  private def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val win = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val hw = Window.partitionBy("h")
+    val flagged = win.withColumn("dup",
+      min(col("doc_id")).over(hw) =!= max(col("doc_id")).over(hw))
+    val perDoc = flagged.groupBy("doc_id")
+      .agg(cnt.as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+    val spans = flagged.filter(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp")).agg(cnt.as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+    perDoc.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("max_run") + (k - 1), lit(0L)).as("max_dup_span"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ outlier screen
 
   /** Z-score outlier screen on event values per type: exact decimal
@@ -739,6 +783,7 @@ object Curation {
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
+    "q_span_dedup" -> (spanDedup _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -879,6 +924,18 @@ object Curation {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
         "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 16), " +
+        "win AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 14), i -> " +
+        "struct_pack(pos := i, h := md5(array_to_string(list_slice(w, CAST(i AS INT), CAST(i + 15 AS INT)), ' '))))) AS g FROM t), " +
+        "w2 AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS h FROM win), " +
+        "f AS (SELECT doc_id, pos, (min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h)) AS dup FROM w2), " +
+        "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM f GROUP BY doc_id), " +
+        "sp AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f WHERE dup), " +
+        "r AS (SELECT doc_id, max(c) AS mr FROM (SELECT doc_id, grp, count(*) AS c FROM sp GROUP BY doc_id, grp) GROUP BY doc_id) " +
+        "SELECT d.doc_id, n_windows, n_dup_windows, CAST(coalesce(mr + 15, 0) AS BIGINT) AS max_dup_span " +
+        "FROM d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id"),
     "q_zscore_outliers" ->
       ("WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx, " +

@@ -387,6 +387,36 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("span dedup matches a brute-force sliding-window recomputation") {
+    val k = 16
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // independent local reimplementation: window -> set of docs
+    val owners = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val wins = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val hs = if (w.length >= k) (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+               else IndexedSeq.empty
+      hs.foreach(h => owners.getOrElseUpdate(h, scala.collection.mutable.Set.empty) += id)
+      id -> hs
+    }.toMap
+    val expected = wins.collect { case (id, hs) if hs.nonEmpty =>
+      val dup = hs.map(h => owners(h).size > 1)
+      var best = 0; var run = 0
+      dup.foreach { d => if (d) { run += 1; best = math.max(best, run) } else run = 0 }
+      id -> ((hs.size.toLong, dup.count(identity).toLong,
+        if (best > 0) (best + k - 1).toLong else 0L))
+    }
+    val got = q("q_span_dedup")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nw, nd, ms) => id -> ((nw, nd, ms)) }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) === e, s"doc $id: got ${got(id)}, brute-force $e")
+    }
+    assert(got.values.exists(_._2 > 0), "corpus should contain duplicated spans")
+  }
+
   test("register pipeline aggregates exactly the validated events") {
     val out = q("q_register_pipeline").cache()
     val validated = Tables.events(spark, sfDir)
