@@ -83,6 +83,28 @@ object TimeWindows {
       .orderBy("user_id", "event_type")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavior-modeling / next-event-prediction primitive (and the
+    * bigram statistic sequence models train on). One user-key shuffle for
+    * the `lead` window ((ts_us, event_id) tie-break — same-µs events
+    * would otherwise order nondeterministically), then a hash aggregate
+    * whose key space is |event types|² — BOUNDED, so the row-normalizing
+    * probability window runs over a tiny table regardless of corpus size
+    * (the only safe kind of near-global window). Per-user partitions are
+    * user-activity-bounded, the natural skew unit of event data.
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val c = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(cnt.as("n"))
+    c.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "next_type")
+  }
+
   /** OHLC candle rollup per (event_type, hour) — the canonical
     * time-series downsample: open/close via `min_by`/`max_by` on the raw
     * NANOSECOND timestamp (globally unique in this data; the ns order is
@@ -198,7 +220,8 @@ object TimeWindows {
     "q_sliding_window" -> (sliding _),
     "q_session_window" -> (session _),
     "q_watermark_filter" -> (watermarkFilter _),
-    "q_dedup_first" -> (dedupFirst _)
+    "q_dedup_first" -> (dedupFirst _),
+    "q_event_transitions" -> (eventTransitions _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -266,6 +289,14 @@ object TimeWindows {
     "q_dedup_first" ->
       ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
-        "WHERE rn = 1 ORDER BY user_id, event_type")
+        "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q_event_transitions" ->
+      ("WITH s AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type FROM events), " +
+        "c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n FROM s " +
+        "WHERE next_type IS NOT NULL GROUP BY event_type, next_type) " +
+        "SELECT event_type, next_type, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p " +
+        "FROM c ORDER BY event_type, next_type")
   )
 }

@@ -314,6 +314,22 @@ class StreamingSpec extends SparkSpec {
     assert(out === 0, "linear interpolation cannot leave the observed range")
   }
 
+  test("event transitions form a stochastic matrix over exactly n - users transitions") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_event_transitions")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // each state's outgoing probabilities sum to 1 (up to the 6-dp rounding)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"rows ${g.head._1}")
+    }
+    // every user with k events contributes exactly k - 1 transitions
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers)
+  }
+
   test("foreachBatch upsert sink converges to latest-per-key across batches") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
