@@ -308,7 +308,10 @@ object Text {
     * TakeOrderedAndProject with (pmi DESC, a, b) tie-break, never a
     * global sort.
     */
-  private def collocations(s: SparkSession, dir: String): DataFrame = {
+  private def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsTop(s, dir)
+
+  private def collocationsTop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pc = Tables.documents(s, dir)
       .select(tokens.as("w"))
@@ -347,6 +350,42 @@ object Text {
       .select(col("a"), col("b"), col("c_ab"), col("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(30)
+  }
+
+  /** Phrase rewrite — the word2phrase APPLICATION pass composed with the
+    * mining pass (q_collocations): the mined top-30 collocations merge
+    * back into the corpus as single `a_b` tokens. Greedy left-to-right
+    * with consumption (merging pair i consumes token i+1, blocking pair
+    * i+1 — "new york city" with both pairs mined becomes "new_york
+    * city", never a cascade), implemented as a SEQUENTIAL `aggregate`
+    * HOF fold with a (pieces, skip) struct accumulator — so the rewrite
+    * side is ONE corpus scan with ZERO corpus shuffles: the phrase table
+    * broadcasts as a 1-row array and every doc rewrites inside
+    * whole-stage codegen. This is the 100 TB shape for any
+    * apply-a-small-model-to-every-row pass. The DuckDB twin computes the
+    * same semantics through the independent gaps-and-islands + run-parity
+    * formulation (within a maximal run of mergeable positions, greedy
+    * merges exactly the even offsets), so the oracle cross-checks two
+    * different algorithms for the same spec.
+    */
+  private def phraseRewrite(s: SparkSession, dir: String): DataFrame = {
+    val ph = collocationsTop(s, dir)
+      .agg(collect_list(concat_ws(" ", col("a"), col("b"))).as("ph"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .crossJoin(broadcast(ph))
+      .withColumn("res", expr(
+        "aggregate(sequence(1, size(toks)), " +
+          "named_struct('pieces', CAST(array() AS ARRAY<STRING>), 'skip', false), " +
+          "(acc, i) -> CASE " +
+          "WHEN acc.skip THEN named_struct('pieces', acc.pieces, 'skip', false) " +
+          "WHEN i < size(toks) AND array_contains(ph, concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "THEN named_struct('pieces', concat(acc.pieces, array(concat(element_at(toks, i), '_', element_at(toks, i + 1)))), 'skip', true) " +
+          "ELSE named_struct('pieces', concat(acc.pieces, array(element_at(toks, i))), 'skip', false) END)"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(expr("res.pieces")).cast("long").as("new_n_tok"),
+        md5(array_join(expr("res.pieces"), " ")).as("new_md5"))
+      .orderBy("doc_id")
   }
 
   /** Unigram language-model quality score (perplexity proxy) — the
@@ -1118,6 +1157,7 @@ object Text {
     "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
     "q_collocations" -> (collocations _),
+    "q_phrase_rewrite" -> (phraseRewrite _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
@@ -1172,6 +1212,25 @@ object Text {
       "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
       "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY ai, bi"
+
+  /** Collocation-mining CTE chain + final select, shared by the
+    * q_collocations oracle and the q_phrase_rewrite oracle (which embeds
+    * the same mining stage before applying the phrases).
+    */
+  private val collocCtes =
+    "ctoks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+      "cp AS (SELECT unnest(list_transform(range(1, len(w) + 1), i -> " +
+      "struct_pack(a := w[CAST(i AS INT)], b := CASE WHEN i < len(w) THEN w[CAST(i + 1 AS INT)] END))) AS g FROM ctoks), " +
+      "pc AS (SELECT g.a AS a, g.b AS b, count(*) AS c FROM cp GROUP BY 1, 2), " +
+      "uc AS (SELECT a, sum(c) AS c_a FROM pc GROUP BY a), " +
+      "tot AS (SELECT sum(c) AS nu, sum(CASE WHEN b IS NOT NULL THEN c END) AS nb FROM pc), " +
+      "bc AS (SELECT a, b, CAST(c AS BIGINT) AS c_ab FROM pc WHERE b IS NOT NULL AND c >= 5)"
+
+  private val collocSelect =
+    "SELECT bc.a AS a, bc.b AS b, c_ab, " +
+      "round(log2((CAST(c_ab AS DOUBLE) / nb) / ((CAST(ua.c_a AS DOUBLE) / nu) * (CAST(ub.c_a AS DOUBLE) / nu))), 4) AS pmi " +
+      "FROM bc JOIN uc ua ON bc.a = ua.a JOIN uc ub ON bc.b = ub.a CROSS JOIN tot " +
+      "ORDER BY pmi DESC, bc.a, bc.b LIMIT 30"
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
@@ -1321,18 +1380,26 @@ object Text {
         "SELECT doc_id, CAST(term_rank AS INT) AS term_rank, word, round(tfidf, 4) AS score " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
-    "q_collocations" ->
-      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
-        "p AS (SELECT unnest(list_transform(range(1, len(w) + 1), i -> " +
-        "struct_pack(a := w[CAST(i AS INT)], b := CASE WHEN i < len(w) THEN w[CAST(i + 1 AS INT)] END))) AS g FROM toks), " +
-        "pc AS (SELECT g.a AS a, g.b AS b, count(*) AS c FROM p GROUP BY 1, 2), " +
-        "uc AS (SELECT a, sum(c) AS c_a FROM pc GROUP BY a), " +
-        "tot AS (SELECT sum(c) AS nu, sum(CASE WHEN b IS NOT NULL THEN c END) AS nb FROM pc), " +
-        "bc AS (SELECT a, b, CAST(c AS BIGINT) AS c_ab FROM pc WHERE b IS NOT NULL AND c >= 5) " +
-        "SELECT bc.a, bc.b, c_ab, " +
-        "round(log2((CAST(c_ab AS DOUBLE) / nb) / ((CAST(ua.c_a AS DOUBLE) / nu) * (CAST(ub.c_a AS DOUBLE) / nu))), 4) AS pmi " +
-        "FROM bc JOIN uc ua ON bc.a = ua.a JOIN uc ub ON bc.b = ub.a CROSS JOIN tot " +
-        "ORDER BY pmi DESC, bc.a, bc.b LIMIT 30"),
+    "q_collocations" -> s"WITH $collocCtes $collocSelect",
+    "q_phrase_rewrite" ->
+      (s"WITH $collocCtes, sel AS ($collocSelect), " +
+        "top30 AS (SELECT a || ' ' || b AS phrase FROM sel), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i -> struct_pack(" +
+        "i := i, tok := w[CAST(i AS INT)], " +
+        "pair := CASE WHEN i < len(w) THEN w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] END))) AS g FROM t), " +
+        "f AS (SELECT doc_id, g.i AS i, g.tok AS tok, g.pair AS pair, " +
+        "(g.pair IS NOT NULL AND g.pair IN (SELECT phrase FROM top30)) AS inp FROM pos), " +
+        "runs AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM f WHERE inp), " +
+        "merges AS (SELECT doc_id, i FROM (SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, grp) AS rs FROM runs) " +
+        "WHERE (i - rs) % 2 = 0), " +
+        "pieces AS (SELECT f.doc_id, f.i, " +
+        "CASE WHEN m.i IS NOT NULL THEN replace(f.pair, ' ', '_') ELSE f.tok END AS piece " +
+        "FROM f LEFT JOIN merges m ON f.doc_id = m.doc_id AND f.i = m.i " +
+        "WHERE NOT EXISTS (SELECT 1 FROM merges c WHERE c.doc_id = f.doc_id AND c.i = f.i - 1)), " +
+        "res AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS txt, CAST(count(*) AS BIGINT) AS n_out FROM pieces GROUP BY doc_id) " +
+        "SELECT t.doc_id AS doc_id, CAST(len(w) AS BIGINT) AS n_tok, n_out AS new_n_tok, md5(txt) AS new_md5 " +
+        "FROM t JOIN res USING (doc_id) ORDER BY doc_id"),
     "q_lm_score" ->
       ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
         "t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words), " +

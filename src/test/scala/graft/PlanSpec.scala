@@ -180,6 +180,15 @@ class PlanSpec extends SparkSpec {
       s"top-30 cut must be a per-partition heap, not a global sort:\n${p.take(1500)}")
   }
 
+  test("phrase rewrite: mining side collapses to one scan; apply side is shuffle-free") {
+    val p = finalPlan("q_phrase_rewrite")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // 1 mining scan (collocations, internally exchange-reused) + 1 apply scan
+    assert(scans === 2, s"expected mining + apply scans only, got $scans:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"mining side must keep its internal exchange reuse:\n${p.take(1500)}")
+  }
+
   test("curation pipeline scans the corpus once, stats branch reuses the exchange") {
     val p = finalPlan("q_curation_pipeline")
     val scans = "Scan parquet".r.findAllIn(p).size

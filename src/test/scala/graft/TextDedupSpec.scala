@@ -433,6 +433,37 @@ class TextDedupSpec extends SparkSpec {
     } finally toks.unpersist()
   }
 
+  test("phrase rewrite matches a local greedy-merge recomputation on every doc") {
+    val phrases = q("q_collocations")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => r._1 + " " + r._2).toSet
+    assert(phrases.size === 30)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val got = q("q_phrase_rewrite")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === docs.length)
+    var merged = 0
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i < w.length - 1 && phrases(w(i) + " " + w(i + 1))) {
+          pieces += w(i) + "_" + w(i + 1); i += 2
+        } else { pieces += w(i); i += 1 }
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(pieces.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) === ((w.length.toLong, pieces.size.toLong, md5)),
+        s"doc $id diverged from local greedy merge")
+      if (pieces.size < w.length) merged += 1
+    }
+    assert(merged > 0, "corpus should contain mergeable phrase pairs")
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
