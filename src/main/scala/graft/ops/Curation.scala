@@ -175,8 +175,7 @@ object Curation {
     * Pure projection + one hash-aggregate; nothing global.
     */
   private def mixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(concat(lit("mix:"),
-      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val u = mdUniform("mix:", col("doc_id"))
     val w = when(col("source").isin("src0", "src1", "src2"), 1.0)
       .when(col("source").isin("src3", "src4"), 0.5)
       .otherwise(0.25)
@@ -189,14 +188,6 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_docs"), 4))
       .orderBy("source")
   }
-
-  /** md5-derived uniform in [0, 16^6): the deterministic "random" draw
-    * shared by the samplers here (same trick as mixtureSample — every
-    * run, engine, and executor agrees on a doc's draw).
-    */
-  private def mdUniform(prefix: String, key: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 6), 16, 10)
-      .cast("long")
 
   /** Deterministic per-group sample: the 3 documents per language with
     * the smallest md5-derived uniforms — the "pull K examples per slice"
@@ -428,8 +419,15 @@ object Curation {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
     val hw = Window.partitionBy("h")
+    // pos >= 1 is always true (posexplode + 1) but unprovable: it pins
+    // `pos` into BOTH consumer branches' lineage so column pruning can't
+    // specialize the subtree below the hash exchange per branch — without
+    // it the perDoc branch prunes pos, the subtrees stop canonicalizing
+    // equal, and the corpus explodes twice (the tfidf trap, column-
+    // pruning form)
     val flagged = win.withColumn("dup",
       min(col("doc_id")).over(hw) =!= max(col("doc_id")).over(hw))
+      .filter(col("pos") >= 1L)
     val perDoc = flagged.groupBy("doc_id")
       .agg(cnt.as("n_windows"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))

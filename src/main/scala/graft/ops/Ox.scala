@@ -30,4 +30,16 @@ object Ox {
 
   /** count(*) as BIGINT (DuckDB count is BIGINT already; Spark long). */
   def cnt: Column = count(lit(1))
+
+  /** md5-derived uniform in [0, 16^6): the deterministic "random" draw
+    * shared by every sampler (mixture/group/temperature/stratified/pca):
+    * a pure function of (prefix, key), so every run, engine, executor,
+    * and file layout agrees on a row's draw — the reproducibility a
+    * 100 TB rerun needs, where seed+partition-order sampling silently
+    * changes with the layout. DuckDB twin: fold the first 6 hex chars of
+    * md5(prefix || key) to the same integer.
+    */
+  def mdUniform(prefix: String, key: Column): Column =
+    conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long")
 }

@@ -308,10 +308,7 @@ object Text {
     * TakeOrderedAndProject with (pmi DESC, a, b) tie-break, never a
     * global sort.
     */
-  private def collocations(s: SparkSession, dir: String): DataFrame =
-    collocationsTop(s, dir)
-
-  private def collocationsTop(s: SparkSession, dir: String): DataFrame = {
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pc = Tables.documents(s, dir)
       .select(tokens.as("w"))
@@ -369,7 +366,7 @@ object Text {
     * different algorithms for the same spec.
     */
   private def phraseRewrite(s: SparkSession, dir: String): DataFrame = {
-    val ph = collocationsTop(s, dir)
+    val ph = collocations(s, dir)
       .agg(collect_list(concat_ws(" ", col("a"), col("b"))).as("ph"))
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens.as("toks"))
@@ -1022,8 +1019,7 @@ object Text {
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
       when(col("lang") === l, lit(f)).otherwise(acc)
     }
-    val u = conv(substring(md5(concat(lit("strat:"),
-      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val u = mdUniform("strat:", col("doc_id"))
     Tables.documents(s, dir)
       .filter(u.cast("double") < frac * 16777216.0)
       .groupBy("lang")

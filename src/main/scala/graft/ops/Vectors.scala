@@ -365,12 +365,18 @@ object Vectors {
     * k-means quantizer ranks lists per anchor and only the top-2 lists
     * are exact-searched, exactly the q_ann_ivf_trained probe generalized
     * from one query to an anchor SET. The probe table (anchors × 2 rows,
-    * with anchor vectors) broadcasts onto the assigned corpus; the
-    * per-anchor top-3 window partitions on a_id over candidates bounded
-    * by two inverted lists (~2·N/nlist rows; nlist ≈ √N at scale keeps
-    * every partition √N-bounded). Deterministic — rank cut on the
-    * 4-dp-rounded cosine with vec_id tie-break — so fully oracled
-    * (DuckDB replays the k-means unroll and the per-anchor probe).
+    * with anchor vectors) broadcasts onto the assigned corpus at gate
+    * SFs — but it is O(anchors), so at 100 TB the broadcast stops
+    * fitting and the probe join flips to a shuffle-hash join
+    * co-partitioned on the list id `c` (both sides already carry it;
+    * Catalyst makes the same flip once the size estimate crosses the
+    * broadcast threshold), with the anchor set itself τ-sampled the way
+    * q_embed_pca bounds its covariance sample. The per-anchor top-3
+    * window partitions on a_id over candidates bounded by two inverted
+    * lists (~2·N/nlist rows; nlist ≈ √N at scale keeps every partition
+    * √N-bounded). Deterministic — rank cut on the 4-dp-rounded cosine
+    * with vec_id tie-break — so fully oracled (DuckDB replays the
+    * k-means unroll and the per-anchor probe).
     */
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -428,9 +434,7 @@ object Vectors {
   private def embedPca(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val samp = e.filter(
-      conv(substring(md5(concat(lit("pca:"), col("vec_id").cast("string"))),
-        1, 6), 16, 10).cast("long") < 8388608L)
+    val samp = e.filter(mdUniform("pca:", col("vec_id")) < 8388608L)
     val cells = samp
       .select(col("embedding").as("e"))
       .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
@@ -464,7 +468,7 @@ object Vectors {
           "transform(yv, x -> x / sqrt(aggregate(transform(yv, t -> t * t), 0D, (a, b) -> a + b)))")
           .as("v"))
     val v0 = s.range(1)
-      .select(expr("transform(sequence(1, 64), x -> 1.0D)").as("v"))
+      .select(expr(s"transform(sequence(1, $dim), x -> 1.0D)").as("v"))
     val v3 = step(step(step(v0)))
     e.crossJoin(broadcast(v3))
       .select(col("vec_id"), round(dot(col("embedding"), col("v")), 4).as("pc1"))
@@ -780,15 +784,15 @@ object Vectors {
       "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
         s"samp AS (SELECT vec_id, emb FROM e WHERE $mdU < 8388608), " +
         "cells AS (SELECT ii.i AS i, jj.j AS j, emb[CAST(ii.i AS INT)] * emb[CAST(jj.j AS INT)] AS p " +
-        "FROM samp CROSS JOIN range(1, 65) ii(i) CROSS JOIN range(1, 65) jj(j)), " +
+        s"FROM samp CROSS JOIN range(1, ${dim + 1}) ii(i) CROSS JOIN range(1, ${dim + 1}) jj(j)), " +
         "sxx AS (SELECT i, j, CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) AS sv FROM cells GROUP BY i, j), " +
         "sx AS (SELECT ii.i AS i, CAST(sum(CAST(emb[CAST(ii.i AS INT)] AS DECIMAL(30,14))) AS DOUBLE) AS sx " +
-        "FROM samp CROSS JOIN range(1, 65) ii(i) GROUP BY 1), " +
+        s"FROM samp CROSS JOIN range(1, ${dim + 1}) ii(i) GROUP BY 1), " +
         "nn AS (SELECT count(*) AS n FROM samp), " +
         "m AS (SELECT sxx.i AS i, sxx.j AS j, CAST(n AS DOUBLE) * sxx.sv - sa.sx * sb.sx AS m " +
         "FROM sxx JOIN sx sa ON sxx.i = sa.i JOIN sx sb ON sxx.j = sb.i CROSS JOIN nn), " +
         "mr AS (SELECT i, list(m ORDER BY j) AS marr FROM m GROUP BY i), " +
-        "v0 AS (SELECT list_transform(range(1, 65), x -> 1.0) AS v), " +
+        s"v0 AS (SELECT list_transform(range(1, ${dim + 1}), x -> 1.0) AS v), " +
         steps + " " +
         "SELECT vec_id, round(list_sum(list_transform(list_zip(emb, v), x -> x[1] * x[2])), 4) AS pc1 " +
         "FROM e CROSS JOIN v3 ORDER BY vec_id"

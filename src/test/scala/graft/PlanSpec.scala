@@ -180,6 +180,34 @@ class PlanSpec extends SparkSpec {
       s"top-30 cut must be a per-partition heap, not a global sort:\n${p.take(1500)}")
   }
 
+  test("span dedup explodes the corpus once — both stats branches share the hash exchange") {
+    val p = finalPlan("q_span_dedup")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"per-doc and span branches must share the window-hash exchange:\n${p.take(1500)}")
+  }
+
+  test("embed pca: three unrolled iterations collapse to one moment computation") {
+    val p = finalPlan("q_embed_pca")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // 3 τ-bounded sample reads (moments, sums, count) + exactly 1 full
+    // corpus pass (the projection); without exchange reuse the three
+    // power-iteration steps would re-derive the moments (≥9 scans)
+    assert(scans === 4, s"expected 3 sample reads + 1 corpus pass, got $scans:\n${p.take(1500)}")
+    assert("ReusedExchange".r.findAllIn(p).size === 3,
+      s"each unrolled iteration must reuse the moment exchanges:\n${p.take(1500)}")
+  }
+
+  test("hard negatives: kmeans derivation is exchange-reused, probe joins broadcast") {
+    val p = finalPlan("q_hard_negatives")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"scan count regressed past the pinned shape:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"the trained-quantizer derivation must not recompute per consumer:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "probe joins must broadcast at gate SFs")
+  }
+
   test("phrase rewrite: mining side collapses to one scan; apply side is shuffle-free") {
     val p = finalPlan("q_phrase_rewrite")
     val scans = "Scan parquet".r.findAllIn(p).size
