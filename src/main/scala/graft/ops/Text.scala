@@ -385,6 +385,62 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer training, two unrolled merge iterations — the
+    * Sennrich-style trainer in its scale-correct distributed shape: ONE
+    * corpus pass builds the word-frequency table, and every iteration
+    * after that runs on the VOCABULARY-bounded table (~10⁷ rows at
+    * 100 TB, vs 10¹² corpus tokens) — pair counting is a per-word
+    * explode weighted by word frequency (map-side-combined hash agg on
+    * symbol pairs), the argmax pair is a TakeOrderedAndProject
+    * broadcast as one row, and the merge application is the same
+    * sequential greedy `aggregate` fold q_phrase_rewrite proved — at
+    * symbol level, with consumption, no cascades. Deterministic
+    * (count DESC, pair ASC tie-break), so both unrolled iterations are
+    * fully oracled — the DuckDB twin replays each merge through the
+    * independent gaps-and-islands + run-parity formulation. Output: the
+    * top-5 candidate pairs per iteration (rank 1 of step k = the merge
+    * applied before step k+1).
+    */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mergeExpr =
+      "CASE WHEN size(syms) < 2 THEN syms ELSE aggregate(sequence(1, size(syms)), " +
+        "named_struct('pieces', CAST(array() AS ARRAY<STRING>), 'skip', false), " +
+        "(acc, i) -> CASE " +
+        "WHEN acc.skip THEN named_struct('pieces', acc.pieces, 'skip', false) " +
+        "WHEN i < size(syms) AND element_at(syms, i) = ta AND element_at(syms, i + 1) = tb " +
+        "THEN named_struct('pieces', concat(acc.pieces, array(concat(element_at(syms, i), element_at(syms, i + 1)))), 'skip', true) " +
+        "ELSE named_struct('pieces', concat(acc.pieces, array(element_at(syms, i))), 'skip', false) END).pieces END"
+    def pairCounts(t: DataFrame): DataFrame = t
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum(col("f")).as("c"))
+    // rank window runs on the 5 rows surviving the TakeOrderedAndProject
+    // cut, never on the vocab²-sized pair table
+    def top5(pc: DataFrame, step: Int): DataFrame = pc
+      .orderBy(col("c").desc, col("a"), col("b")).limit(5)
+      .withColumn("step", lit(step))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c").desc, col("a"), col("b"))))
+    val w0 = Tables.documents(s, dir)
+      .select(explode(tokens).as("w"))
+      .groupBy("w").agg(cnt.as("f"))
+    val ch = w0.withColumn("syms", expr(
+      "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
+    val p1 = pairCounts(ch)
+    val t1 = p1.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      .select(col("a").as("ta"), col("b").as("tb"))
+    val ch2 = ch.crossJoin(broadcast(t1)).withColumn("syms", expr(mergeExpr))
+    val p2 = pairCounts(ch2)
+    top5(p1, 1).unionByName(top5(p2, 2))
+      .select(col("step"), col("rnk"), col("a"), col("b"), col("c"))
+      .orderBy("step", "rnk")
+  }
+
   /** Unigram language-model quality score (perplexity proxy) — the
     * CCNet/KenLM-style curation signal: a document's mean token
     * log-likelihood under the corpus's own unigram distribution. Rare-
@@ -1154,6 +1210,7 @@ object Text {
     "q_tfidf" -> (tfidf _),
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
@@ -1377,6 +1434,26 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
+    "q_bpe_train" ->
+      ("WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+        "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
+        "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
+        "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
+        "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
+        "mflag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM ch CROSS JOIN t1), " +
+        "mf AS (SELECT w, g.i AS i FROM mflag WHERE g.inp), " +
+        "runs AS (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp FROM mf), " +
+        "mg AS (SELECT w, i FROM (SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS rs FROM runs) WHERE (i - rs) % 2 = 0), " +
+        "ap AS (SELECT w, f, g.i AS i, g.s AS s, g.nxt AS nxt FROM (SELECT w, f, unnest(list_transform(range(1, len(syms) + 1), i -> struct_pack(i := i, s := syms[CAST(i AS INT)], nxt := CASE WHEN i < len(syms) THEN syms[CAST(i + 1 AS INT)] END))) AS g FROM ch)), " +
+        "pieces AS (SELECT ap.w AS w, ap.f AS f, ap.i AS i, CASE WHEN mg.i IS NOT NULL THEN ap.s || ap.nxt ELSE ap.s END AS piece " +
+        "FROM ap LEFT JOIN mg ON ap.w = mg.w AND ap.i = mg.i " +
+        "WHERE NOT EXISTS (SELECT 1 FROM mg c WHERE c.w = ap.w AND c.i = ap.i - 1)), " +
+        "ch2 AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces GROUP BY w), " +
+        "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2), " +
+        "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
+        "r1 AS (SELECT 1 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p1), " +
+        "r2 AS (SELECT 2 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p2) " +
+        "SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM (SELECT * FROM r1 WHERE rnk <= 5 UNION ALL SELECT * FROM r2 WHERE rnk <= 5) ORDER BY step, rnk"),
     "q_phrase_rewrite" ->
       (s"WITH $collocCtes, sel AS ($collocSelect), " +
         "top30 AS (SELECT a || ' ' || b AS phrase FROM sel), " +

@@ -464,6 +464,43 @@ class TextDedupSpec extends SparkSpec {
     assert(merged > 0, "corpus should contain mergeable phrase pairs")
   }
 
+  test("bpe training matches a local two-merge recomputation") {
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.documents(spark, sfDir).select($"text").as[String].collect()
+      .foreach(_.split(" ", -1).foreach(w => freq(w) += 1L))
+    var syms: Map[String, (IndexedSeq[String], Long)] =
+      freq.toMap.map { case (w, f) => w -> ((w.map(_.toString), f)) }
+    def pairCounts: Map[(String, String), Long] = {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      syms.values.foreach { case (ss, f) =>
+        (0 until ss.length - 1).foreach(i => pc((ss(i), ss(i + 1))) += f)
+      }
+      pc.toMap
+    }
+    def top(pc: Map[(String, String), Long], k: Int) =
+      pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(k)
+    val got = q("q_bpe_train").as[(Int, Int, String, String, Long)].collect()
+      .groupBy(_._1).map { case (st, rs) => st -> rs.sortBy(_._2).toSeq }
+    (1 to 2).foreach { step =>
+      val pc = pairCounts
+      val expect = top(pc, 5)
+      expect.zip(got(step)).foreach { case (((a, b), c), (_, _, ga, gb, gc)) =>
+        assert((a, b, c) === ((ga, gb, gc)), s"step $step diverged")
+      }
+      val (ta, tb) = expect.head._1
+      syms = syms.map { case (w, (ss, f)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i < ss.length - 1 && ss(i) == ta && ss(i + 1) == tb) {
+            out += ta + tb; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        w -> ((out.toIndexedSeq, f))
+      }
+    }
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
