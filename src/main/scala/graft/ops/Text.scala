@@ -369,19 +369,14 @@ object Text {
     val ph = collocations(s, dir)
       .agg(collect_list(concat_ws(" ", col("a"), col("b"))).as("ph"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), tokens.as("syms"))
       .crossJoin(broadcast(ph))
-      .withColumn("res", expr(
-        "aggregate(sequence(1, size(toks)), " +
-          "named_struct('pieces', CAST(array() AS ARRAY<STRING>), 'skip', false), " +
-          "(acc, i) -> CASE " +
-          "WHEN acc.skip THEN named_struct('pieces', acc.pieces, 'skip', false) " +
-          "WHEN i < size(toks) AND array_contains(ph, concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
-          "THEN named_struct('pieces', concat(acc.pieces, array(concat(element_at(toks, i), '_', element_at(toks, i + 1)))), 'skip', true) " +
-          "ELSE named_struct('pieces', concat(acc.pieces, array(element_at(toks, i))), 'skip', false) END)"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
-        size(expr("res.pieces")).cast("long").as("new_n_tok"),
-        md5(array_join(expr("res.pieces"), " ")).as("new_md5"))
+      .withColumn("pieces", expr(Text.greedyFoldExpr(
+        "array_contains(ph, concat(element_at(syms, i), ' ', element_at(syms, i + 1)))",
+        "concat(element_at(syms, i), '_', element_at(syms, i + 1))")))
+      .select(col("doc_id"), size(col("syms")).cast("long").as("n_tok"),
+        size(col("pieces")).cast("long").as("new_n_tok"),
+        md5(array_join(col("pieces"), " ")).as("new_md5"))
       .orderBy("doc_id")
   }
 
@@ -404,13 +399,9 @@ object Text {
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mergeExpr =
-      "CASE WHEN size(syms) < 2 THEN syms ELSE aggregate(sequence(1, size(syms)), " +
-        "named_struct('pieces', CAST(array() AS ARRAY<STRING>), 'skip', false), " +
-        "(acc, i) -> CASE " +
-        "WHEN acc.skip THEN named_struct('pieces', acc.pieces, 'skip', false) " +
-        "WHEN i < size(syms) AND element_at(syms, i) = ta AND element_at(syms, i + 1) = tb " +
-        "THEN named_struct('pieces', concat(acc.pieces, array(concat(element_at(syms, i), element_at(syms, i + 1)))), 'skip', true) " +
-        "ELSE named_struct('pieces', concat(acc.pieces, array(element_at(syms, i))), 'skip', false) END).pieces END"
+      "CASE WHEN size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
+        "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
+        "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
     def pairCounts(t: DataFrame): DataFrame = t
       .filter(size(col("syms")) >= 2)
       .select(col("f"), explode(expr(
@@ -1265,6 +1256,31 @@ object Text {
       "SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
       "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY ai, bi"
+
+  /** Greedy left-to-right merge fold over a `syms` array column: at each
+    * position i, if `pred` holds (and the previous position didn't merge
+    * — consumption, no cascades) emit `mergedPiece` and skip i+1, else
+    * emit the symbol. This SEQUENTIAL `aggregate` HOF is the shared
+    * engine of q_phrase_rewrite (phrase application) and q_bpe_train
+    * (symbol-pair merge); its equivalence to the oracle twins'
+    * gaps-and-islands + run-parity formulation is property-tested
+    * (PropertySpec) against a local reference on random inputs. `pred`
+    * and `mergedPiece` may reference `syms` and the loop index `i`;
+    * i+1 accesses are guarded by the short-circuit `i < size(syms)`.
+    * The empty-array guard is load-bearing: Spark's sequence(1, 0) is
+    * the DESCENDING [1, 0], not empty, so an unguarded fold over an
+    * empty syms would index past the array (found by PropertySpec).
+    */
+  private[graft] def greedyFoldExpr(pred: String, mergedPiece: String): String =
+    "CASE WHEN size(syms) < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+      "aggregate(sequence(1, size(syms)), " +
+      "named_struct('pieces', CAST(array() AS ARRAY<STRING>), 'skip', false), " +
+      "(acc, i) -> CASE " +
+      "WHEN acc.skip THEN named_struct('pieces', acc.pieces, 'skip', false) " +
+      s"WHEN i < size(syms) AND ($pred) " +
+      s"THEN named_struct('pieces', concat(acc.pieces, array($mergedPiece)), 'skip', true) " +
+      "ELSE named_struct('pieces', concat(acc.pieces, array(element_at(syms, i))), 'skip', false) END" +
+      ").pieces END"
 
   /** Collocation-mining CTE chain + final select, shared by the
     * q_collocations oracle and the q_phrase_rewrite oracle (which embeds

@@ -125,6 +125,39 @@ class PropertySpec extends SparkSpec {
     check("dedup-idempotence", prop, samples = 8)
   }
 
+  test("greedy merge fold equals the local greedy reference on random inputs") {
+    // the production expr builder (shared by q_phrase_rewrite and
+    // q_bpe_train) vs a direct sequential reimplementation — the same
+    // semantics the DuckDB oracles express via islands + run parity
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokGen)
+      nP <- Gen.chooseNum(0, 6)
+      phrases <- Gen.listOfN(nP,
+        for { x <- tokGen; y <- tokGen } yield s"$x $y")
+    } yield (toks, phrases.distinct)
+    val prop = Prop.forAll(caseGen) { case (toks, phrases) =>
+      val local = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && phrases.contains(toks(i) + " " + toks(i + 1))) {
+            out += toks(i) + "_" + toks(i + 1); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.toSeq
+      }
+      val got = Seq((toks, phrases)).toDF("syms", "ph")
+        .select(expr(graft.ops.Text.greedyFoldExpr(
+          "array_contains(ph, concat(element_at(syms, i), ' ', element_at(syms, i + 1)))",
+          "concat(element_at(syms, i), '_', element_at(syms, i + 1))")).as("p"))
+        .as[Seq[String]].head()
+      got == local
+    }
+    check("greedy fold", prop, 40)
+  }
+
   test("TopKAggregator merge is order-insensitive and equals a direct sort") {
     // pure aggregator-algebra property: any partitioning of the input
     // into reduce/merge trees must give the same top-K as sorting
