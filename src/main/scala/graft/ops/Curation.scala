@@ -326,6 +326,29 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * k docs drawn with probability proportional to length, as one
+    * top-k — each doc gets the key ln(u)/w (u an md5-derived uniform in
+    * (0, 1], w = n_chars) and the k largest keys ARE the weighted
+    * sample. The classic distributed form: no rejection loop, no
+    * sequential reservoir, just a TakeOrderedAndProject over a pure
+    * projection — one pass, no shuffle, any scale. Deterministic u ⇒
+    * fully oracled (ln on identical doubles, rank tie-break doc_id).
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (mdUniform("ws:", col("doc_id")).cast("double") + 1.0) / 16777216.0
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("k", log(u) / col("n_chars"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("k").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("n_chars"),
+        round(col("k"), 8).as("key"))
+      .orderBy("rnk")
+  }
+
   // ------------------------------------------ passage-level dedup
 
   /** Exact-substring dedup at passage granularity (the tractable
@@ -782,6 +805,7 @@ object Curation {
     "q_pii_redact" -> (piiRedact _),
     "q_passage_dedup" -> (passageDedup _),
     "q_span_dedup" -> (spanDedup _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -922,6 +946,15 @@ object Curation {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
         "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_weighted_sample" ->
+      ("WITH k AS (SELECT doc_id, n_chars, " +
+        "ln((CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS DOUBLE) + 1) / 16777216.0) / n_chars AS k " +
+        "FROM documents WHERE n_chars > 0), " +
+        "r AS (SELECT doc_id, n_chars, k, row_number() OVER (ORDER BY k DESC, doc_id) AS rnk FROM k) " +
+        "SELECT CAST(rnk AS INT) AS rnk, doc_id, n_chars, round(k, 8) AS key " +
+        "FROM r WHERE rnk <= 20 ORDER BY rnk"),
     "q_span_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 16), " +
         "win AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 14), i -> " +

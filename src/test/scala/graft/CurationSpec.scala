@@ -387,6 +387,33 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("weighted sample equals the local A-ES top-k") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h.take(6), 16).toDouble + 1.0) / 16777216.0
+      math.log(u) / w
+    }
+    val expect = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(20)
+    val got = q("q_weighted_sample").as[(Int, Long, Long, Double)].collect()
+    assert(got.length === 20)
+    got.zip(expect).foreach { case ((rnk, id, w, k), (eid, ew, ek)) =>
+      assert(id === eid && w === ew, s"rank $rnk diverged from local A-ES")
+      assert(math.abs(k - ek) < 1e-7)
+    }
+    // ranks follow strictly descending keys (a wrong weight exponent or
+    // sign flip would scramble this against the exact-match check above)
+    got.sliding(2).foreach {
+      case Array((_, id1, _, k1), (_, id2, _, k2)) =>
+        assert(k1 > k2 || (k1 == k2 && id1 < id2))
+      case _ =>
+    }
+  }
+
   test("span dedup matches a brute-force sliding-window recomputation") {
     val k = 16
     val docs = Tables.documents(spark, sfDir)
