@@ -380,6 +380,59 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram language-model score — q_lm_score with context:
+    * mean ln(λ·P(b|a) + (1−λ)·P(b)) per document (λ = 0.7), the
+    * KenLM-shaped fluency signal that catches wrong-order-but-common-
+    * vocabulary gibberish the unigram score can't. Every distribution
+    * derives from ONE (a, b∨null) pair aggregate (the q_collocations
+    * table): bigram counts from the b≠null rows, context totals
+    * c(a·) = Σ_b c(a,b), unigram counts and the token total from the
+    * full table — so the model side is vocabulary²-bounded and the
+    * per-pair log-likelihood is pre-rounded to the 8-dp decimal grid
+    * (the q_lm_score trick) before broadcasting onto the positional
+    * pair stream; the per-doc mean is then decimal-exact and
+    * partition-order-invariant. Two corpus explodes (model + scoring,
+    * the q_tfidf-accepted shape), one broadcast, one doc-key aggregate.
+    */
+  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pc = Tables.documents(s, dir)
+      .select(tokens.as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w)), i -> named_struct(" +
+          "'a', element_at(w, i), " +
+          "'b', CASE WHEN i < size(w) THEN element_at(w, i + 1) END))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .filter(col("a").isNotNull) // canonical no-op (cf. collocations)
+      .groupBy("a", "b").agg(cnt.as("c"))
+    val uc = pc.groupBy("a").agg(sum(col("c")).as("cu"))
+    val ctx = pc.filter(col("b").isNotNull)
+      .groupBy("a").agg(sum(col("c")).as("cc"))
+    val nu = pc.agg(sum(col("c")).as("nu"))
+    val ll = pc.filter(col("b").isNotNull)
+      .join(ctx, "a")
+      .join(uc.select(col("a").as("b"), col("cu")), "b")
+      .crossJoin(broadcast(nu))
+      .select(col("a"), col("b"), round(log(
+        lit(0.7) * (col("c").cast("double") / col("cc")) +
+          lit(0.3) * (col("cu").cast("double") / col("nu"))), 8).as("ll"))
+    val stream = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct(" +
+          "'a', element_at(w, i), 'b', element_at(w, i + 1)))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    stream.join(broadcast(ll), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_bigrams"),
+        (sum(col("ll").cast(DecimalType(18, 8))).cast("double") /
+          cnt.cast("double")).as("mean_ll"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("mean_ll"), 4).as("mean_ll"))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer training, two unrolled merge iterations — the
     * Sennrich-style trainer in its scale-correct distributed shape: ONE
     * corpus pass builds the word-frequency table, and every iteration
@@ -1202,6 +1255,7 @@ object Text {
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bigram_lm" -> (bigramLm _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
@@ -1450,6 +1504,17 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
+    "q_bigram_lm" ->
+      (s"WITH $collocCtes, " +
+        "ctx AS (SELECT a, sum(c) AS cc FROM pc WHERE b IS NOT NULL GROUP BY a), " +
+        "ll AS (SELECT pc.a AS a, pc.b AS b, round(ln(0.7 * (CAST(pc.c AS DOUBLE) / cc) + 0.3 * (CAST(ub.c_a AS DOUBLE) / nu)), 8) AS ll " +
+        "FROM pc JOIN ctx ON pc.a = ctx.a JOIN uc ub ON pc.b = ub.a CROSS JOIN tot WHERE pc.b IS NOT NULL), " +
+        "st AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(a := w[CAST(i AS INT)], b := w[CAST(i + 1 AS INT)]))) AS g " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2)), " +
+        "sc AS (SELECT doc_id, ll.ll AS ll FROM st JOIN ll ON st.g.a = ll.a AND st.g.b = ll.b) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     "q_bpe_train" ->
       ("WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
         "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +

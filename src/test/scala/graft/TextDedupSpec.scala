@@ -501,6 +501,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bigram lm matches a local interpolated recomputation") {
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val ctx = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    var nu = 0L
+    texts.foreach { case (_, t) =>
+      val w = t.split(" ", -1)
+      w.foreach { x => uni(x) += 1; nu += 1 }
+      (0 until w.length - 1).foreach { i =>
+        ctx(w(i)) += 1; bi((w(i), w(i + 1))) += 1
+      }
+    }
+    def ll(a: String, b: String): Double = {
+      val v = math.log(0.7 * (bi((a, b)).toDouble / ctx(a)) +
+        0.3 * (uni(b).toDouble / nu))
+      math.rint(v * 1e8) / 1e8
+    }
+    val got = q("q_bigram_lm").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val scored = texts.filter(_._2.split(" ", -1).length >= 2)
+    assert(got.size === scored.length)
+    scored.foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      val lls = (0 until w.length - 1).map(i => ll(w(i), w(i + 1)))
+      val mean = lls.sum / lls.size
+      val (nb, gmean) = got(id)
+      assert(nb === w.length - 1L)
+      assert(math.abs(gmean - mean) < 1e-3, s"doc $id: got $gmean, local $mean")
+      assert(gmean <= 0.0, "log-probabilities must be non-positive")
+    }
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
