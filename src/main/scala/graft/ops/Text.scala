@@ -308,9 +308,22 @@ object Text {
     * TakeOrderedAndProject with (pmi DESC, a, b) tie-break, never a
     * global sort.
     */
-  private def collocations(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pc = Tables.documents(s, dir)
+  /** The corpus's (token, successor-or-null) pair aggregate — every
+    * position contributes one row (doc-final tokens with b = null), so
+    * unigram counts, context counts, bigram counts, and both scalar
+    * totals all derive from this ONE table (shared by q_collocations and
+    * q_bigram_lm). The explicit a-IsNotNull filter is provably true
+    * (element_at of a split array) but the optimizer can't prove it: it
+    * pins ONE canonical null filter into the shared subtree so the
+    * join-key IsNotNull constraints the consumer branches infer below
+    * are already implied — without it each branch pushes a DIFFERENT
+    * filter under the (a, b) exchange, the subtrees stop canonicalizing
+    * equal, and the corpus scans once per consumer (the tfidf trap, in
+    * constraint-propagation form). Do not change one consumer's shape
+    * without re-running the PlanSpec scan-count guards.
+    */
+  private def pairAggregate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(tokens.as("w"))
       .select(explode(expr(
         "transform(sequence(1, size(w)), i -> named_struct(" +
@@ -318,15 +331,12 @@ object Text {
           "'b', CASE WHEN i < size(w) THEN element_at(w, i + 1) END))"))
         .as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
-      // provably-true (element_at of a split array), but the optimizer
-      // can't prove it: pins ONE canonical null filter into the shared
-      // subtree so the join-key IsNotNull constraints the uc/bc branches
-      // infer below are already implied — without it each branch pushes
-      // a DIFFERENT filter under the (a, b) exchange, the subtrees stop
-      // canonicalizing equal, and the corpus scans three times (the
-      // tfidf trap, in constraint-propagation form)
       .filter(col("a").isNotNull)
       .groupBy("a", "b").agg(cnt.as("c"))
+
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = pairAggregate(s, dir)
     val tot = pc.agg(sum(col("c")).as("nu"),
       sum(when(col("b").isNotNull, col("c"))).as("nb"))
     // unigram counts: c_a is a window over the pair table (every token
@@ -389,29 +399,28 @@ object Text {
     * c(a·) = Σ_b c(a,b), unigram counts and the token total from the
     * full table — so the model side is vocabulary²-bounded and the
     * per-pair log-likelihood is pre-rounded to the 8-dp decimal grid
-    * (the q_lm_score trick) before broadcasting onto the positional
-    * pair stream; the per-doc mean is then decimal-exact and
-    * partition-order-invariant. Two corpus explodes (model + scoring,
-    * the q_tfidf-accepted shape), one broadcast, one doc-key aggregate.
+    * (the q_lm_score trick) before joining onto the positional pair
+    * stream (AQE broadcasts the model at gate SFs; size-based planning
+    * picks shuffle-hash on the pair keys at 100 TB); the per-doc mean is
+    * then decimal-exact and partition-order-invariant. Two corpus
+    * explodes (model + scoring, the q_tfidf-accepted shape), one
+    * doc-key aggregate.
     */
   private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val pc = Tables.documents(s, dir)
-      .select(tokens.as("w"))
-      .select(explode(expr(
-        "transform(sequence(1, size(w)), i -> named_struct(" +
-          "'a', element_at(w, i), " +
-          "'b', CASE WHEN i < size(w) THEN element_at(w, i + 1) END))"))
-        .as("g"))
-      .select(col("g.a").as("a"), col("g.b").as("b"))
-      .filter(col("a").isNotNull) // canonical no-op (cf. collocations)
-      .groupBy("a", "b").agg(cnt.as("c"))
+    val pc = pairAggregate(s, dir)
     val uc = pc.groupBy("a").agg(sum(col("c")).as("cu"))
-    val ctx = pc.filter(col("b").isNotNull)
-      .groupBy("a").agg(sum(col("c")).as("cc"))
     val nu = pc.agg(sum(col("c")).as("nu"))
-    val ll = pc.filter(col("b").isNotNull)
-      .join(ctx, "a")
+    // context totals c(a·) as a conditional WINDOW over the pair table,
+    // not a filtered pre-aggregate: a filter on group key b would push
+    // below pc's exchange and fork the model-side corpus scan (the same
+    // reason collocations windows its c_a); the explicit b-filter here
+    // stays blocked at Window(a) since b is not its partition key
+    val ll = pc
+      .withColumn("cc", sum(when(col("b").isNotNull, col("c")))
+        .over(Window.partitionBy("a")))
+      .filter(col("b").isNotNull)
       .join(uc.select(col("a").as("b"), col("cu")), "b")
       .crossJoin(broadcast(nu))
       .select(col("a"), col("b"), round(log(
@@ -424,7 +433,11 @@ object Text {
         "transform(sequence(1, size(w) - 1), i -> named_struct(" +
           "'a', element_at(w, i), 'b', element_at(w, i + 1)))")).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
-    stream.join(broadcast(ll), Seq("a", "b"))
+    // no broadcast() hint: the ll table is vocabulary²-bounded, which
+    // AQE happily broadcasts at gate SFs but which cannot be FORCED to
+    // the driver at 100 TB — size-based planning picks shuffle-hash on
+    // the (a, b) keys there, exactly the fallback a hint would disable
+    stream.join(ll, Seq("a", "b"))
       .groupBy("doc_id")
       .agg(cnt.as("n_bigrams"),
         (sum(col("ll").cast(DecimalType(18, 8))).cast("double") /

@@ -405,11 +405,12 @@ class CurationSpec extends SparkSpec {
       assert(id === eid && w === ew, s"rank $rnk diverged from local A-ES")
       assert(math.abs(k - ek) < 1e-7)
     }
-    // ranks follow strictly descending keys (a wrong weight exponent or
-    // sign flip would scramble this against the exact-match check above)
+    // ranks follow descending keys (a wrong weight exponent or sign flip
+    // would scramble this against the exact-match check above); output
+    // keys are 8-dp-rounded while the rank used unrounded keys, so equal
+    // rounded keys carry no id-order guarantee
     got.sliding(2).foreach {
-      case Array((_, id1, _, k1), (_, id2, _, k2)) =>
-        assert(k1 > k2 || (k1 == k2 && id1 < id2))
+      case Array((_, _, _, k1), (_, _, _, k2)) => assert(k1 >= k2)
       case _ =>
     }
   }

@@ -208,6 +208,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe joins must broadcast at gate SFs")
   }
 
+  test("bigram lm: one model-side scan (pair exchange shared) + one scoring scan") {
+    val p = finalPlan("q_bigram_lm")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected model + scoring scans only, got $scans:\n${p.take(1500)}")
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"uc/nu/ll must all derive from ONE pair exchange:\n${p.take(1500)}")
+  }
+
+  test("bpe training: one corpus scan; argmax pair is a top-k, never a global sort") {
+    val p = finalPlan("q_bpe_train")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"word-frequency derivation forked the corpus scan ($scans):\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair argmax/top-5 must be per-partition heaps:\n${p.take(1500)}")
+    assert(p.contains("ReusedExchange"),
+      s"iteration consumers must share the vocab exchange:\n${p.take(1500)}")
+  }
+
   test("phrase rewrite: mining side collapses to one scan; apply side is shuffle-free") {
     val p = finalPlan("q_phrase_rewrite")
     val scans = "Scan parquet".r.findAllIn(p).size

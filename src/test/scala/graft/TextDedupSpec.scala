@@ -484,6 +484,8 @@ class TextDedupSpec extends SparkSpec {
     (1 to 2).foreach { step =>
       val pc = pairCounts
       val expect = top(pc, 5)
+      assert(got(step).length === expect.length,
+        s"step $step returned ${got(step).length} of ${expect.length} rows")
       expect.zip(got(step)).foreach { case (((a, b), c), (_, _, ga, gb, gc)) =>
         assert((a, b, c) === ((ga, gb, gc)), s"step $step diverged")
       }
