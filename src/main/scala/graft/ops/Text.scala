@@ -446,6 +446,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Feature-hashing vectorizer (the Weinberger et al. hashing trick) —
+    * the no-vocabulary text featurizer that turns every document into a
+    * fixed 64-dim signed-count vector in one pass: each token hashes to
+    * a bucket (md5-derived, 12 hex chars) and a ± sign, signs summed per
+    * (doc, bucket) — INTEGER arithmetic end to end, so the oracle is
+    * exact with no decimal routing at all. The dense vector assembles
+    * per doc from a map lookup over sequence(0, 63) (absent buckets are
+    * true zeros, not nulls). Scale: one token explode, one map-side-
+    * combined (doc, bucket) aggregate (≤64 rows per doc reach the
+    * shuffle), one doc-key gather — linear at any corpus size, and the
+    * output embeds directly into the Vectors tier (ANN, k-means, PCA)
+    * without any trained vocabulary object.
+    */
+  private def hashEmbed(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("word"))
+      .withColumn("h", conv(substring(md5(concat(lit("fh:"), col("word"))),
+        1, 12), 16, 10).cast("long"))
+      .select(col("doc_id"), (col("h") % 64).as("bucket"),
+        when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sg"))
+      .groupBy("doc_id", "bucket").agg(sum(col("sg")).as("sv"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("sv")))).as("m"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), j -> coalesce(element_at(m, CAST(j AS BIGINT)), 0L))").as("v"))
+      .select(col("doc_id"),
+        expr("size(filter(v, x -> x != 0))").as("nnz"),
+        round(sqrt(expr("aggregate(v, 0D, (a, x) -> a + CAST(x * x AS DOUBLE))")), 4).as("l2"),
+        md5(expr("array_join(transform(v, x -> CAST(x AS STRING)), ',')")).as("vhash"))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer training, two unrolled merge iterations — the
     * Sennrich-style trainer in its scale-correct distributed shape: ONE
     * corpus pass builds the word-frequency table, and every iteration
@@ -1269,6 +1301,7 @@ object Text {
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bigram_lm" -> (bigramLm _),
+    "q_hash_embed" -> (hashEmbed _),
     "q_lm_score" -> (lmScore _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
@@ -1517,6 +1550,21 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
+    "q_hash_embed" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "hh AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 13), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('fh:' || word), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS h FROM tk), " +
+        "sb AS (SELECT doc_id, h % 64 AS bucket, CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM hh), " +
+        "pb AS (SELECT doc_id, bucket, CAST(sum(sg) AS BIGINT) AS sv FROM sb GROUP BY doc_id, bucket), " +
+        "dv AS (SELECT d.doc_id AS doc_id, j.j AS j, coalesce(pb.sv, 0) AS x " +
+        "FROM (SELECT DISTINCT doc_id FROM tk) d CROSS JOIN range(0, 64) j(j) " +
+        "LEFT JOIN pb ON pb.doc_id = d.doc_id AND pb.bucket = j.j), " +
+        "vv AS (SELECT doc_id, list(x ORDER BY j) AS v FROM dv GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(len(list_filter(v, x -> x != 0)) AS INT) AS nnz, " +
+        "round(sqrt(list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE)))), 4) AS l2, " +
+        "md5(array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ',')) AS vhash " +
+        "FROM vv ORDER BY doc_id"),
     "q_bigram_lm" ->
       (s"WITH $collocCtes, " +
         "ctx AS (SELECT a, sum(c) AS cc FROM pc WHERE b IS NOT NULL GROUP BY a), " +

@@ -537,6 +537,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("hash embed matches a local hashing-trick recomputation") {
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def fh(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fh:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(12), 16)
+    }
+    val got = q("q_hash_embed").as[(Long, Int, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === texts.length)
+    texts.foreach { case (id, t) =>
+      val v = Array.fill(64)(0L)
+      t.split(" ", -1).foreach { tok =>
+        val h = fh(tok)
+        v((h % 64).toInt) += (if ((h / 64) % 2 == 0) 1L else -1L)
+      }
+      val nnz = v.count(_ != 0)
+      val l2 = math.rint(math.sqrt(v.map(x => (x * x).toDouble).sum) * 1e4) / 1e4
+      val vhash = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id) === ((nnz, l2, vhash)), s"doc $id diverged")
+    }
+  }
+
   test("text quality signals are consistent") {
     val r = q("q_text_quality")
     assert(r.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
