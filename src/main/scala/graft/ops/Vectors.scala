@@ -475,6 +475,29 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** Cluster profiling — the composed cross-TABLE pipeline: the trained
+    * k-means assignment (embeddings tier) joined back onto document
+    * metadata (relational tier) for per-cluster language mix and size
+    * stats, i.e. "what is each topic cluster made of" — the first
+    * question anyone asks of a clustered corpus. One equi-join on the
+    * shared id (broadcast at gate SFs, co-partitioned shuffle-hash at
+    * 100 TB — both sides key on it anyway) and one bounded
+    * (cluster × lang) hash aggregate; the mean is decimal-routed
+    * (Ox.davg) so the profile hash-matches the DuckDB replay of the
+    * full k-means unroll.
+    */
+  private def clusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a2, _) = kmeansFit(e)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    a2.select(col("vec_id"), col("c").as("cluster"))
+      .join(d, col("vec_id") === col("doc_id"))
+      .groupBy("cluster", "lang")
+      .agg(cnt.as("n_docs"), round(davg(col("n_chars")), 2).as("mean_chars"))
+      .orderBy("cluster", "lang")
+  }
+
   /** Multimodal carry-through: documents ⋈ embeddings with the array
     * column surviving the join and feeding per-row vector math. Broadcast
     * the smaller side at this SF; key-shuffle co-location at 100 TB.
@@ -568,8 +591,37 @@ object Vectors {
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_embed_pca" -> (embedPca _),
+    "q_cluster_profile" -> (clusterProfile _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
+
+  /** DuckDB double cosine over list columns (≡ the Spark dot/norm HOF
+    * fold order — proven bit-identical across the vector oracles).
+    */
+  private def dcos(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+
+  /** Decimal-exact per-cluster centroids of `src` (the kmeansFit twin). */
+  private def cent(src: String): String =
+    s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
+      s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
+      s"FROM $src CROSS JOIN range(1, ${dim + 1}) t(pos) GROUP BY c, pos) GROUP BY c)"
+
+  /** The two unrolled Lloyd iterations exactly as kmeansFit runs them:
+    * e → a0 (deterministic init) → c1 → a1 → c2 → a2 (final assignment),
+    * shared by every oracle that replays the trained quantizer
+    * (q_hard_negatives, q_cluster_profile).
+    */
+  private val kmeansUnrollCtes: String =
+    "e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+      "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+      s"c1 AS ${cent("a0")}, " +
+      s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+      "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+      s"c2 AS ${cent("a1")}, " +
+      s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+      "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1)"
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_pipeline" -> {
@@ -745,22 +797,14 @@ object Vectors {
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+    "q_cluster_profile" ->
+      (s"WITH $kmeansUnrollCtes " +
+        "SELECT a2.c AS cluster, d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(CAST(sum(CAST(d.n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS mean_chars " +
+        "FROM a2 JOIN documents d ON a2.vec_id = d.doc_id " +
+        "GROUP BY a2.c, d.lang ORDER BY cluster, lang"),
     "q_hard_negatives" -> {
-      val cent = (src: String) =>
-        s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
-          s"SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
-          s"FROM $src CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c)"
-      val dcos = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
-          s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
-      "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
-        s"c1 AS ${cent("a0")}, " +
-        s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
-        "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
-        s"c2 AS ${cent("a1")}, " +
-        s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
-        "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1), " +
+      s"WITH $kmeansUnrollCtes, " +
         "anch AS (SELECT vec_id AS a_id, emb AS av FROM e WHERE vec_id % 100 = 0), " +
         s"pl AS (SELECT a_id, av, c, ${dcos("centroid", "av")} AS ls FROM c2 CROSS JOIN anch), " +
         "pr AS (SELECT a_id, av, c FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY ls DESC, c) AS rn FROM pl) WHERE rn <= 2), " +

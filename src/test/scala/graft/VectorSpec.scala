@@ -102,6 +102,20 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("cluster profile partitions the joined corpus exactly once per doc") {
+    val rows = q("q_cluster_profile")
+      .as[(Int, String, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.sorted === (0 until 8))
+    // every doc with an embedding lands in exactly one (cluster, lang) cell
+    val joined = Tables.documents(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir),
+        $"doc_id" === $"vec_id").count()
+    assert(rows.map(_._3).sum === joined)
+    rows.foreach { case (_, lang, n, mc) =>
+      assert(lang.nonEmpty && n > 0 && mc > 0)
+    }
+  }
+
   test("near-dup oracle assumption holds: no non-planted pair reaches 0.95") {
     // q_dedup_embed's DuckDB twin is the EXACT all-pairs cos>=0.95 join;
     // parity rests on the gate corpora containing no natural >=0.95 pair.
