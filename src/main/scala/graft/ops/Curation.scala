@@ -465,6 +465,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus datasheet — the dataset-card summary block (doc/token/lang/
+    * source counts, exact-dup rate, length stats, short-doc rate) in ONE
+    * corpus scan: a single multi-aggregate (Spark expands the three
+    * DISTINCTs into one Expand pass — still one scan, map-side partials
+    * throughout) unpivoted to (metric, value) rows via `stack`. The
+    * exact count(DISTINCT md5) is the oracle-able form; at 100 TB the
+    * same line swaps to approx_count_distinct (the HLL path
+    * q_agg_approx_distinct demonstrates) and everything else is already
+    * sketch- or sum-shaped. Exact mean via decimal routing; p50 via
+    * `percentile` ≡ DuckDB quantile_cont (the q_text_quantiles-proven
+    * pair).
+    */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .agg(
+        cnt.as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        dsum(col("n_chars")).as("sum_chars"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+      .select(expr(
+        "stack(8, " +
+          "'doc_count', CAST(n_docs AS DOUBLE), " +
+          "'dup_rate', round(1.0D - CAST(n_uniq AS DOUBLE) / n_docs, 4), " +
+          "'lang_count', CAST(n_langs AS DOUBLE), " +
+          "'mean_chars', round(sum_chars / n_docs, 4), " +
+          "'p50_chars', CAST(p50_chars AS DOUBLE), " +
+          "'short_rate', round(CAST(n_short AS DOUBLE) / n_docs, 4), " +
+          "'source_count', CAST(n_sources AS DOUBLE), " +
+          "'token_count', CAST(n_tokens AS DOUBLE)) AS (metric, value)"))
+      .orderBy("metric")
+  }
+
   // ------------------------------------------------ outlier screen
 
   /** Z-score outlier screen on event values per type: exact decimal
@@ -806,6 +842,7 @@ object Curation {
     "q_passage_dedup" -> (passageDedup _),
     "q_span_dedup" -> (spanDedup _),
     "q_weighted_sample" -> (weightedSample _),
+    "q_corpus_report" -> (corpusReport _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -946,6 +983,24 @@ object Curation {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
         "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_corpus_report" ->
+      ("WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq, " +
+        "CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS sum_chars, " +
+        "quantile_cont(n_chars, 0.5) AS p50, " +
+        "CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short FROM documents) " +
+        "SELECT metric, value FROM (" +
+        "SELECT 'doc_count' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a UNION ALL " +
+        "SELECT 'dup_rate', round(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 4) FROM a UNION ALL " +
+        "SELECT 'lang_count', CAST(n_langs AS DOUBLE) FROM a UNION ALL " +
+        "SELECT 'mean_chars', round(sum_chars / n_docs, 4) FROM a UNION ALL " +
+        "SELECT 'p50_chars', CAST(p50 AS DOUBLE) FROM a UNION ALL " +
+        "SELECT 'short_rate', round(CAST(n_short AS DOUBLE) / n_docs, 4) FROM a UNION ALL " +
+        "SELECT 'source_count', CAST(n_sources AS DOUBLE) FROM a UNION ALL " +
+        "SELECT 'token_count', CAST(n_tokens AS DOUBLE) FROM a) ORDER BY metric"),
     "q_weighted_sample" ->
       ("WITH k AS (SELECT doc_id, n_chars, " +
         "ln((CAST(list_reduce(list_transform(range(1, 7), c -> " +

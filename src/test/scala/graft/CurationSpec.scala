@@ -387,6 +387,21 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("corpus report metrics cross-check against the component operators") {
+    val m = q("q_corpus_report").as[(String, Double)].collect().toMap
+    assert(m.keySet.size === 8)
+    val d = Tables.documents(spark, sfDir)
+    assert(m("doc_count") === d.count().toDouble)
+    // dup_rate from the exact-dedup operator's keep-one-per-hash table
+    val uniq = q("q_dedup_exact").count().toDouble
+    assert(math.abs(m("dup_rate") - (1.0 - uniq / d.count())) < 1e-4)
+    // token_count from the token-count operator's whitespace column
+    val toks = q("q_token_count").agg(sum($"ws_tokens")).as[Long].head()
+    assert(m("token_count") === toks.toDouble)
+    assert(m("short_rate") >= 0 && m("short_rate") <= 1)
+    assert(m("p50_chars") > 0 && m("mean_chars") > 0)
+  }
+
   test("weighted sample equals the local A-ES top-k") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
