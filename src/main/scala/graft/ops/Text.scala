@@ -1552,9 +1552,7 @@ object Text {
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
     "q_hash_embed" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-        "hh AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 13), c -> " +
-        "CAST(strpos('0123456789abcdef', substr(md5('fh:' || word), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
-        "(a, b) -> a * 16 + b) AS BIGINT) AS h FROM tk), " +
+        s"hh AS (SELECT doc_id, CAST(${hexSql("md5('fh:' || word)", 1, 12)} AS BIGINT) AS h FROM tk), " +
         "sb AS (SELECT doc_id, h % 64 AS bucket, CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM hh), " +
         "pb AS (SELECT doc_id, bucket, CAST(sum(sg) AS BIGINT) AS sv FROM sb GROUP BY doc_id, bucket), " +
         "dv AS (SELECT d.doc_id AS doc_id, j.j AS j, coalesce(pb.sv, 0) AS x " +

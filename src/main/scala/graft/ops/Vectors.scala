@@ -491,10 +491,15 @@ object Vectors {
     val (a2, _) = kmeansFit(e)
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+    // mean emitted UNROUNDED (the davg precedent): IEEE division of the
+    // decimal-exact sum by the count is engine-identical, while a 2-dp
+    // round hits structural half-way ties (group mean granularity is
+    // 1/n) that Spark and DuckDB break differently — found by the sf0.1
+    // oracle run, which sf0.001/sf0.01 masked
     a2.select(col("vec_id"), col("c").as("cluster"))
       .join(d, col("vec_id") === col("doc_id"))
       .groupBy("cluster", "lang")
-      .agg(cnt.as("n_docs"), round(davg(col("n_chars")), 2).as("mean_chars"))
+      .agg(cnt.as("n_docs"), davg(col("n_chars")).as("mean_chars"))
       .orderBy("cluster", "lang")
   }
 
@@ -800,7 +805,7 @@ object Vectors {
     "q_cluster_profile" ->
       (s"WITH $kmeansUnrollCtes " +
         "SELECT a2.c AS cluster, d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "round(CAST(sum(CAST(d.n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS mean_chars " +
+        "CAST(sum(CAST(d.n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_chars " +
         "FROM a2 JOIN documents d ON a2.vec_id = d.doc_id " +
         "GROUP BY a2.c, d.lang ORDER BY cluster, lang"),
     "q_hard_negatives" -> {
