@@ -91,33 +91,97 @@ class Gateway(spark: SparkSession, warehouse: String,
       lastTimeGenerated = timeGenerated // A9: last writer wins
       if (batchMax > maxTimestamp) maxTimestamp = batchMax // A8: monotone
     }
-    Response(200, s"""{"id":"${env.getAs[String]("id")}",""" +
+    // the envelope schema puts no character restriction on id, so it must
+    // be escaped on the way back out or a quote in it breaks the body
+    Response(200, s"""{"id":"${jsonEscape(env.getAs[String]("id"))}",""" +
       s""""timeGenerated":$timeGenerated,"maxTimestamp":$batchMax}""")
   }
 
-  /** Result-size guard mirroring the reference backend's behavior: ADX
+  /** The query route, speaking BOTH of the reference's dialects:
+    *
+    *   - the body may be the reference's verbatim ADX envelope
+    *     `{"db":..., "csl":"OmyaData | take 100", ...}`
+    *     (tests/test.http:44-66) — the `csl` field is extracted and the
+    *     rest ignored, exactly what the proxied backend does;
+    *   - or the bare query text itself (this engine's native extension).
+    *
+    * The text then dispatches on shape: a CSL pipeline goes through
+    * [[Kql.translate]] (read-only by construction), anything else is
+    * Spark SQL — but parsed FIRST and rejected with 400 if the plan is a
+    * command (DDL/DML/SET). The reference's `/query` proxies to an ADX
+    * *query* endpoint, which cannot mutate; without this gate,
+    * `spark.sql` would happily run `DROP TABLE` from an outward-facing
+    * route and widen that contract.
+    *
+    * Result-size guard mirroring the reference backend's behavior: ADX
     * truncates query results by default rather than streaming unbounded
     * rows; here anything past `maxRows` is dropped and flagged, so a
     * SELECT over the 100 TB ledger can never buffer the corpus on the
     * gateway driver.
     */
-  private def query(sql: String): Response =
+  private def query(body: String): Response =
     try {
-      val rows = spark.sql(sql).toJSON.take(maxRows + 1)
-      val body = rows.take(maxRows).mkString("[", ",", "]")
-      if (rows.length > maxRows)
-        Response(200, s"""{"truncated":true,"maxRows":$maxRows,"rows":$body}""")
-      else Response(200, body)
+      val text = extractCsl(body).getOrElse(body)
+      if (Kql.looksLikeCsl(text)) respond(Kql.translate(spark, text))
+      else {
+        import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+        val plan = spark.sessionState.sqlParser.parsePlan(text)
+        // tree-wide, not root-only: an INSERT parses to a statement node
+        // that may sit under wrappers (CTE), and Command covers every
+        // runnable DDL/DML/config plan the SparkSqlParser can produce
+        val mutates = plan.exists {
+          case _: Command | _: ParsedStatement => true
+          case _ => false
+        }
+        if (mutates)
+          Response(400,
+            """{"error":"only read-only queries are accepted on /query"}""")
+        else respond(spark.sql(text))
+      }
     } catch {
       case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .takeWhile(_ != '\n').replace("\\", "\\\\").replace("\"", "\\\"")
+        val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(_ != '\n'))
         Response(400, s"""{"error":"$msg"}""")
     }
+
+  private def respond(df: org.apache.spark.sql.DataFrame): Response = {
+    val rows = df.toJSON.take(maxRows + 1)
+    val body = rows.take(maxRows).mkString("[", ",", "]")
+    if (rows.length > maxRows)
+      Response(200, s"""{"truncated":true,"maxRows":$maxRows,"rows":$body}""")
+    else Response(200, body)
+  }
+
+  /** The reference's request body is the ADX REST envelope; pull out its
+    * `csl` field when the body is such an object, else None (bare text).
+    */
+  private def extractCsl(body: String): Option[String] = {
+    val t = body.trim
+    if (!t.startsWith("{")) None
+    else
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+        Option(node.get("csl")).filter(_.isTextual).map(_.asText)
+      } catch { case _: Exception => None }
+  }
 }
 
 object Gateway {
   case class Request(method: String, path: String,
       query: Map[String, String] = Map.empty, body: String = "")
   case class Response(status: Int, body: String)
+
+  /** Minimal JSON string-content escape (quote, backslash, control
+    * chars) — every interpolated free-text value in a response body goes
+    * through this, matching what the reference gets for free from gin's
+    * JSON marshaller.
+    */
+  private[ingest] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
 }

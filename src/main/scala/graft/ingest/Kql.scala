@@ -1,0 +1,264 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Kusto CSL front end covering the reference's published query
+  * shapes — its shipped test file posts `OmyaData | take 100` and
+  * `TelemetryData | count` to `POST /query` (reference
+  * `tests/test.http:49,62`, proxied at `src/main.go:88-116,247`) — plus
+  * the `where` / `project` / `sort by` / `limit` operators those
+  * pipelines compose with in ADX.
+  *
+  * Translation is to a Spark [[DataFrame]], never to SQL text: a CSL
+  * pipeline is already a linear logical plan (table, then a chain of
+  * operators), so each stage maps 1:1 onto a DataFrame transform and
+  * Catalyst sees exactly the plan the query describes — `where` becomes a
+  * pushable Filter, `project` a pruning Project, `take` a CollectLimit.
+  * There is no interpreter in the data path, so a translated query scales
+  * identically to its hand-written DataFrame twin.
+  *
+  * ADX semantics preserved here:
+  *   - `count` emits one row with the ADX column name `Count`.
+  *   - `sort by` defaults to DESCENDING (ADX default), `asc` to override.
+  *   - `contains` / `startswith` / `endswith` are case-INsensitive;
+  *     `_cs` variants are case-sensitive — matching ADX's operator table.
+  *   - `take` and `limit` are synonyms, `order by` aliases `sort by`.
+  *
+  * Everything expressible here is read-only by construction — the
+  * gateway's query route leans on that to keep CSL inside the
+  * reference's query-only contract.
+  */
+object Kql {
+
+  /** Shape test for dialect dispatch at the gateway: a CSL query is a
+    * bare table identifier optionally followed by `| stage` pipes. No
+    * SQL statement begins with a bare non-keyword identifier, so a text
+    * matching this shape cannot be valid SQL and the dispatch is
+    * unambiguous (and vice versa: `SELECT ...` never matches).
+    */
+  def looksLikeCsl(text: String): Boolean =
+    try {
+      tokenize(text) match {
+        case Vector(TIdent(t)) => !sqlStarters(t.toLowerCase)
+        case TIdent(t) +: TSym("|") +: _ => !sqlStarters(t.toLowerCase)
+        case _ => false
+      }
+    } catch { case _: IllegalArgumentException => false }
+
+  /** Translate a CSL pipeline to a DataFrame over the session catalog.
+    * Throws IllegalArgumentException with a position-free message on any
+    * construct outside the supported subset (the gateway surfaces it as
+    * an HTTP 400, like the reference's proxied ADX errors).
+    */
+  def translate(s: SparkSession, text: String): DataFrame = {
+    val stages = splitPipes(tokenize(text))
+    val source = stages.head match {
+      case Vector(TIdent(t)) => s.table(t)
+      case _ => fail("a CSL query must start with a table name")
+    }
+    stages.tail.foldLeft(source)(applyStage)
+  }
+
+  // SQL statement-leading keywords: a pipeline can't start with these, a
+  // SQL text always does — the dispatch hinge for looksLikeCsl
+  private val sqlStarters = Set(
+    "select", "with", "values", "table", "from", "explain", "describe",
+    "desc", "show", "set", "reset", "use", "insert", "update", "delete",
+    "merge", "create", "drop", "alter", "truncate", "cache", "uncache",
+    "refresh", "analyze", "grant", "revoke", "msck", "load", "declare",
+    "begin", "commit", "rollback", "start", "call", "optimize", "vacuum")
+
+  // ------------------------------------------------------------ tokens
+
+  private sealed trait Tok
+  private final case class TIdent(v: String) extends Tok
+  private final case class TNum(v: String) extends Tok
+  private final case class TStr(v: String) extends Tok
+  private final case class TSym(v: String) extends Tok
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CSL: $msg")
+
+  private val twoCharSyms = Set("==", "!=", "<=", ">=", "<>")
+
+  private def tokenize(text: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
+        out += TIdent(text.substring(j, i))
+      } else if (c.isDigit ||
+          (c == '-' && i + 1 < n && text(i + 1).isDigit)) {
+        val j = i
+        i += 1
+        while (i < n && (text(i).isDigit || text(i) == '.')) i += 1
+        out += TNum(text.substring(j, i))
+      } else if (c == '"' || c == '\'') {
+        val q = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && text(i) != q) {
+          if (text(i) == '\\' && i + 1 < n) { sb += text(i + 1); i += 2 }
+          else { sb += text(i); i += 1 }
+        }
+        if (i >= n) fail("unterminated string literal")
+        i += 1
+        out += TStr(sb.toString)
+      } else {
+        val two = if (i + 1 < n) text.substring(i, i + 2) else ""
+        if (twoCharSyms(two)) { out += TSym(two); i += 2 }
+        else if ("|(),<>=!".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+        else fail(s"unexpected character '$c'")
+      }
+    }
+    out.result()
+  }
+
+  // top-level split only: '|' inside string literals is already consumed
+  // by the tokenizer, so every TSym("|") is a stage boundary
+  private def splitPipes(toks: Vector[Tok]): Vector[Vector[Tok]] = {
+    val stages = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach {
+      case TSym("|") => stages += cur.result(); cur = Vector.newBuilder[Tok]
+      case t => cur += t
+    }
+    stages += cur.result()
+    val out = stages.result()
+    if (out.exists(_.isEmpty)) fail("empty pipeline stage")
+    out
+  }
+
+  // ------------------------------------------------------------ stages
+
+  private def applyStage(df: DataFrame, st: Vector[Tok]): DataFrame =
+    st match {
+      case Vector(TIdent(op), TNum(k)) if op == "take" || op == "limit" =>
+        df.limit(k.toInt)
+      case Vector(TIdent("count")) =>
+        df.agg(count(lit(1)).as("Count"))
+      case TIdent("where") +: rest =>
+        df.filter(parsePredicate(rest))
+      case TIdent("project") +: rest =>
+        df.select(parseProjection(rest): _*)
+      case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
+        df.orderBy(parseSortKeys(rest): _*)
+      case TIdent(op) +: _ =>
+        fail(s"unsupported operator '$op'")
+      case _ =>
+        fail("malformed pipeline stage")
+    }
+
+  // ---------------------------------------------------------- predicate
+  //   orExpr  := andExpr ('or' andExpr)*
+  //   andExpr := term ('and' term)*
+  //   term    := '(' orExpr ')' | 'not' term | operand CMP operand
+
+  private final class Cur(toks: Vector[Tok]) {
+    private var i = 0
+    def peek: Option[Tok] = toks.lift(i)
+    def next(): Tok =
+      { val t = toks.lift(i).getOrElse(fail("unexpected end of expression")); i += 1; t }
+    def done: Boolean = i >= toks.length
+    def expect(t: Tok): Unit = if (next() != t) fail(s"expected $t")
+  }
+
+  private def parsePredicate(toks: Vector[Tok]): Column = {
+    val c = new Cur(toks)
+    val e = parseOr(c)
+    if (!c.done) fail("trailing tokens after predicate")
+    e
+  }
+
+  private def parseOr(c: Cur): Column = {
+    var l = parseAnd(c)
+    while (c.peek.contains(TIdent("or"))) { c.next(); l = l || parseAnd(c) }
+    l
+  }
+
+  private def parseAnd(c: Cur): Column = {
+    var l = parseTerm(c)
+    while (c.peek.contains(TIdent("and"))) { c.next(); l = l && parseTerm(c) }
+    l
+  }
+
+  private def parseTerm(c: Cur): Column = c.peek match {
+    case Some(TSym("(")) =>
+      c.next(); val e = parseOr(c); c.expect(TSym(")")); e
+    case Some(TIdent("not")) =>
+      c.next(); !parseTerm(c)
+    case _ =>
+      val l = operand(c)
+      c.next() match {
+        case TSym("==") | TSym("=") => l === operand(c)
+        case TSym("!=") | TSym("<>") => l =!= operand(c)
+        case TSym("<") => l < operand(c)
+        case TSym("<=") => l <= operand(c)
+        case TSym(">") => l > operand(c)
+        case TSym(">=") => l >= operand(c)
+        // ADX: bare string operators are case-INsensitive, _cs exact
+        case TIdent("contains") => lower(l).contains(lower(operand(c)))
+        case TIdent("contains_cs") => l.contains(operand(c))
+        case TIdent("startswith") => lower(l).startsWith(lower(operand(c)))
+        case TIdent("startswith_cs") => l.startsWith(operand(c))
+        case TIdent("endswith") => lower(l).endsWith(lower(operand(c)))
+        case TIdent("endswith_cs") => l.endsWith(operand(c))
+        case t => fail(s"unsupported comparison $t")
+      }
+  }
+
+  private def operand(c: Cur): Column = c.next() match {
+    case TIdent("true") => lit(true)
+    case TIdent("false") => lit(false)
+    case TIdent(name) => col(name)
+    case TNum(v) =>
+      if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
+    case TStr(v) => lit(v)
+    case t => fail(s"expected a column, number, or string, got $t")
+  }
+
+  // --------------------------------------------------------- projection
+  //   project := item (',' item)*
+  //   item    := ident | ident '=' ident        (ADX rename form)
+
+  private def parseProjection(toks: Vector[Tok]): Seq[Column] = {
+    val items = splitOn(toks, TSym(","))
+    if (items.isEmpty) fail("project needs at least one column")
+    items.map {
+      case Vector(TIdent(a)) => col(a)
+      case Vector(TIdent(alias), TSym("="), TIdent(src)) => col(src).as(alias)
+      case _ => fail("project items must be `col` or `alias = col`")
+    }
+  }
+
+  // ----------------------------------------------------------- sort by
+  //   keys := key (',' key)* ; key := ident ['asc' | 'desc']
+  //   ADX default order is DESCENDING.
+
+  private def parseSortKeys(toks: Vector[Tok]): Seq[Column] =
+    splitOn(toks, TSym(",")).map {
+      case Vector(TIdent(a)) => col(a).desc
+      case Vector(TIdent(a), TIdent("desc")) => col(a).desc
+      case Vector(TIdent(a), TIdent("asc")) => col(a).asc
+      case _ => fail("sort keys must be `col [asc|desc]`")
+    }
+
+  private def splitOn(toks: Vector[Tok], sep: Tok): Vector[Vector[Tok]] = {
+    val parts = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach {
+      case t if t == sep => parts += cur.result(); cur = Vector.newBuilder[Tok]
+      case t => cur += t
+    }
+    parts += cur.result()
+    val out = parts.result()
+    if (out.exists(_.isEmpty)) fail("empty list item")
+    out
+  }
+}

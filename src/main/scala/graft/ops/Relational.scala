@@ -604,6 +604,25 @@ object Relational {
     s.sql(gatewaySql)
   }
 
+  /** Reference B5, Kusto dialect: the reference's `/query` speaks ADX CSL
+    * (its shipped examples are `OmyaData | take 100` and
+    * `TelemetryData | count`, tests/test.http:49,62). [[graft.ingest.Kql]]
+    * translates the published subset straight to DataFrame transforms, so
+    * a CSL `where` is a pushable Catalyst Filter and a `project` prunes
+    * the scan — the oracle is the SQL the pipeline denotes.
+    */
+  private def kqlFilter(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'click' and value >= 120.5 " +
+        "| project event_id, user_id, value | sort by event_id asc | take 500")
+  }
+
+  private def kqlCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s, "events_csl | count")
+  }
+
 
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
@@ -712,6 +731,8 @@ object Relational {
     "q_map_funcs" -> (mapFuncs _),
     "q_uuid_hash" -> (uuidHash _),
     "q_sql_gateway" -> (sqlGateway _),
+    "q_kql_filter" -> (kqlFilter _),
+    "q_kql_count" -> (kqlCount _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -848,6 +869,12 @@ object Relational {
         "(SELECT event_id, MAP(['k', 'type'], [json_extract_string(props, '$.k'), event_type]) AS m FROM events) " +
         "ORDER BY event_id"),
     "q_sql_gateway" -> gatewaySql,
+    "q_kql_filter" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "WHERE event_type = 'click' AND value >= 120.5 " +
+        "ORDER BY event_id ASC LIMIT 500"),
+    "q_kql_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS \"Count\" FROM events",
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
   )

@@ -156,4 +156,87 @@ class GatewaySpec extends SparkSpec {
       assert(trunc.body.count(_ == '{') === 4) // 3 row objects + the wrapper
     } finally rm(wh)
   }
+
+  test("the query route rejects DDL/DML with 400 — /query matches the reference's read-only contract") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("gw_ro")
+      for (stmt <- Seq(
+          "DROP TABLE gw_ro",
+          "DROP VIEW gw_ro",
+          "CREATE TABLE gw_new AS SELECT 1 AS x",
+          "INSERT INTO gw_ro VALUES (9, 'z')",
+          "SET spark.sql.shuffle.partitions=1",
+          "CACHE TABLE gw_ro")) {
+        val r = gw.handle(Request("POST", "/query", body = stmt))
+        assert(r.status === 400, s"$stmt must be rejected, got $r")
+        assert(r.body.contains("read-only"), s"$stmt: $r")
+      }
+      // the catalog is untouched: the view still answers queries
+      assert(gw.handle(Request("POST", "/query",
+        body = "SELECT k FROM gw_ro")).status === 200)
+      assert(!spark.catalog.tableExists("gw_new"))
+    } finally rm(wh)
+  }
+
+  test("the ingest echo escapes the envelope id (a quote in id must not break the JSON body)") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      val id = """b\"atch\\1""" // raw: b"atch\1 — legal JSON string content
+      val body = """{"content":[{"timestamp":1697049600000,"value":1.0}],""" +
+        s""""id":"$id","timeGenerated":1697049600000,""" +
+        """"file":"factory-1/2023/10/11/16/x.parquet"}"""
+      val r = gw.handle(Request("POST", "/", body = body))
+      assert(r.status === 200)
+      // the response body must be valid JSON carrying the exact id back
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body)
+      assert(node.get("id").asText() === "b\"atch\\1")
+    } finally rm(wh)
+  }
+
+  test("the query route replays the reference's own CSL envelopes verbatim") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      // the reference's two shipped queries target tables named OmyaData
+      // and TelemetryData (tests/test.http:49,62); stand them up as views
+      // orderBy+limit so the view's 42 rows are the SAME set on every
+      // execution (a bare limit may pick different rows per run)
+      Tables.events(spark, sfDir).orderBy("event_id").limit(42)
+        .createOrReplaceTempView("OmyaData")
+      Tables.events(spark, sfDir).createOrReplaceTempView("TelemetryData")
+      // envelope bodies copied verbatim from tests/test.http
+      val take = gw.handle(Request("POST", "/query", body =
+        """{
+          |    "db":"adxdbhisv2",
+          |    "csl":"OmyaData | take 100",
+          |    "properties": {
+          |        "Options":{ "queryconsistency": "strongconsistency"}
+          |    }
+          |}""".stripMargin))
+      assert(take.status === 200, take)
+      val sqlTwin = gw.handle(Request("POST", "/query",
+        body = "SELECT * FROM OmyaData LIMIT 100"))
+      // 42 < 100 rows: take and LIMIT both return the whole view, so the
+      // two dialects must produce the SAME row set
+      def rowSet(body: String) =
+        body.stripPrefix("[").stripSuffix("]").split("\\},\\{").toSet
+      assert(rowSet(take.body) === rowSet(sqlTwin.body))
+      assert(rowSet(take.body).size === 42)
+
+      val cnt = gw.handle(Request("POST", "/query", body =
+        """{
+          |    "db":"adxdbbuzox",
+          |    "csl":"TelemetryData | count",
+          |    "properties": {
+          |            "Options":{ "queryconsistency": "strongconsistency"}
+          |    }
+          |}""".stripMargin))
+      assert(cnt.status === 200, cnt)
+      val n = Tables.events(spark, sfDir).count()
+      assert(cnt.body === s"""[{"Count":$n}]""")
+    } finally rm(wh)
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ingest.Kql
+import org.apache.spark.sql.functions._
+
+/** The CSL subset translator must (a) dispatch unambiguously against
+  * SQL, (b) reproduce ADX operator semantics (default-desc sort,
+  * case-insensitive string operators, the `Count` column), and (c) map
+  * every stage to the pushable/prunable Catalyst node its DataFrame twin
+  * would produce.
+  */
+class KqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = Tables.events(spark, sfDir)
+
+  test("dialect dispatch: CSL shapes match, SQL shapes never do") {
+    for (csl <- Seq("T", "OmyaData | take 100", "TelemetryData | count",
+        "t | where a == 1 | project a"))
+      assert(Kql.looksLikeCsl(csl), csl)
+    for (sql <- Seq("SELECT 1", "select * from t", "WITH c AS (SELECT 1) SELECT * FROM c",
+        "DROP TABLE t", "VALUES (1)", "SHOW TABLES", "SET x=1", "", "| take 5"))
+      assert(!Kql.looksLikeCsl(sql), sql)
+    // a malformed pipeline is still CSL-SHAPED: it dispatches to the CSL
+    // parser and fails THERE with a parse error, not over in spark.sql
+    assert(Kql.looksLikeCsl("T | take"))
+  }
+
+  test("where/project/sort/take translate to their SQL denotation") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | where event_type == 'click' and value >= 150.0 " +
+        "| project event_id, user_id, value | sort by event_id asc | take 100")
+      .collect().toSeq
+    val want = ev.filter(col("event_type") === "click" && col("value") >= 150.0)
+      .select("event_id", "user_id", "value")
+      .orderBy(col("event_id").asc).limit(100)
+      .collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("count emits the ADX column name Count; sort defaults to descending") {
+    ev.createOrReplaceTempView("kql_events")
+    val cnt = Kql.translate(spark, "kql_events | count")
+    assert(cnt.columns.toSeq === Seq("Count"))
+    assert(cnt.as[Long].head() === ev.count())
+    // ADX `sort by x` is DESCENDING unless asc is given
+    val top = Kql.translate(spark,
+      "kql_events | sort by event_id | take 1 | project event_id")
+      .as[Long].head()
+    assert(top === ev.agg(max("event_id")).as[Long].head())
+  }
+
+  test("string operators are case-insensitive bare, case-sensitive with _cs") {
+    Seq((1L, "Hello World"), (2L, "hello world"), (3L, "goodbye"))
+      .toDF("id", "s").createOrReplaceTempView("kql_strs")
+    def ids(csl: String) = Kql.translate(spark, csl)
+      .select("id").as[Long].collect().toSet
+    assert(ids("kql_strs | where s contains 'HELLO'") === Set(1L, 2L))
+    assert(ids("kql_strs | where s contains_cs 'Hello'") === Set(1L))
+    assert(ids("kql_strs | where s startswith 'heL'") === Set(1L, 2L))
+    assert(ids("kql_strs | where s endswith 'WORLD'") === Set(1L, 2L))
+    assert(ids("kql_strs | where s endswith_cs 'World'") === Set(1L))
+    assert(ids("kql_strs | where not (s contains 'hello')") === Set(3L))
+    assert(ids("kql_strs | where id == 3 or s contains_cs 'Hello'") === Set(1L, 3L))
+  }
+
+  test("project supports the ADX rename form and take/limit are synonyms") {
+    ev.createOrReplaceTempView("kql_events")
+    val renamed = Kql.translate(spark,
+      "kql_events | project eid = event_id, value | sort by eid asc | limit 3")
+    assert(renamed.columns.toSeq === Seq("eid", "value"))
+    assert(renamed.count() === 3L)
+  }
+
+  test("a CSL where reaches the parquet scan as a pushed filter") {
+    ev.createOrReplaceTempView("kql_events")
+    val plan = Kql.translate(spark,
+      "kql_events | where event_type == 'click' | project event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      plan)
+  }
+
+  test("constructs outside the subset fail loudly, never silently") {
+    ev.createOrReplaceTempView("kql_events")
+    for (bad <- Seq(
+        "kql_events | summarize count() by event_type",
+        "kql_events | take",
+        "kql_events | where value ~ 3",
+        "kql_events | project ",
+        "kql_events |"))
+      intercept[IllegalArgumentException] { Kql.translate(spark, bad) }
+  }
+}

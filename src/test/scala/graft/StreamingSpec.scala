@@ -381,6 +381,41 @@ class StreamingSpec extends SparkSpec {
       "the crash-staged state must be restored, not rebuilt from one batch")
   }
 
+  test("upsert sink aborts on unreadable state instead of overwriting it") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_bad").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val q = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
+    input.addData((1L, 7L, "click", 100L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // corrupt the live state table: truncate every parquet part file to
+    // garbage so the read fails with a footer error, NOT path-not-found
+    val stateDir = new java.io.File(state)
+    val parts = stateDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+    val q2 = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
+    input.addData((2L, 8L, "view", 200L, 2.0))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // the batch must ABORT: the corrupt table is still in place for an
+    // operator to repair — not silently replaced with batch-only content
+    val after = stateDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(after.map(_.getName).toSet === parts.map(_.getName).toSet)
+    assert(after.forall(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)) ==
+        "not a parquet file"),
+      "a state-read failure must propagate, not wipe the state table")
+  }
+
   test("stream-static dedup drops docs already in the corpus, keeps new ones") {
     implicit val sq = spark.sqlContext
     val corpus = Tables.documents(spark, sfDir)
