@@ -32,7 +32,16 @@ class TopKAggregator(k: Int)
   // insert keeping the buffer sorted (value DESC, id ASC), bounded, and
   // duplicate-free: O(k) per row, allocation-light for the hot reduce path
   private def insert(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
-    val (better, worse) = b.span(e => e._1 > x._1 || (e._1 == x._1 && e._2 < x._2))
+    // TOTAL order via Double.compare, not primitive >: with IEEE
+    // comparisons a NaN key makes every test false, so NaN inserts at
+    // the head AND later finite keys insert ahead of it — buffer order
+    // then depends on arrival order and take(k) may evict a larger
+    // finite value. Double.compare ranks NaN above +Inf consistently,
+    // so ordering and truncation are arrival-independent for any keys.
+    val (better, worse) = b.span { e =>
+      val c = java.lang.Double.compare(e._1, x._1)
+      c > 0 || (c == 0 && e._2 < x._2)
+    }
     // duplicate test over the WHOLE buffer with explicit NaN handling:
     // primitive == alone misses NaN duplicates (NaN != NaN), boxed
     // Tuple2.equals alone misses -0.0 vs 0.0 (Double.equals separates

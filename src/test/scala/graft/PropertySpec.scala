@@ -162,22 +162,42 @@ class PropertySpec extends SparkSpec {
     // pure aggregator-algebra property: any partitioning of the input
     // into reduce/merge trees must give the same top-K as sorting
     val agg = new graft.functions.TopKAggregator(3)
+    // NaN and infinities included: the buffer order must be a TOTAL
+    // order (Double.compare ranks NaN above +Inf), or NaN keys make the
+    // result depend on arrival order
     val rowsGen = Gen.nonEmptyListOf(for {
-      v <- Gen.chooseNum(-100.0, 100.0)
+      v <- Gen.frequency(
+        8 -> Gen.chooseNum(-100.0, 100.0),
+        1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
       id <- Gen.chooseNum(0L, 50L)
     } yield (v, id))
     val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 5)) { (rows, splits) =>
       // the aggregator's contract is top-K over DISTINCT pairs, so the
       // sort-based twin distincts while the input keeps its duplicates —
-      // a duplicated pair must not occupy two of the K slots
-      val expect = rows.distinct.sortBy { case (v, id) => (-v, id) }.take(3)
+      // a duplicated pair must not occupy two of the K slots. The twin
+      // must use the AGGREGATOR's value-equivalence (NaN ≡ NaN), not
+      // Scala tuple ==, whose primitive NaN != NaN would keep NaN
+      // duplicates the aggregator rightly merges and makes any list
+      // containing a NaN entry compare unequal to itself
+      def sameVal(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+      def samePairs(x: Seq[(Double, Long)], y: Seq[(Double, Long)]) =
+        x.size == y.size && x.zip(y).forall {
+          case (p, q) => sameVal(p._1, q._1) && p._2 == q._2
+        }
+      val expect = rows.foldLeft(List.empty[(Double, Long)]) { (acc, p) =>
+        if (acc.exists(e => sameVal(e._1, p._1) && e._2 == p._2)) acc
+        else acc :+ p
+      }.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }.take(3)
       // arbitrary partitioning: reduce each slice, then merge in order
       val slices = rows.grouped(math.max(1, rows.size / splits)).toList
       val merged = slices.map(_.foldLeft(agg.zero)(agg.reduce))
         .reduceLeft(agg.merge)
       val rev = slices.reverse.map(_.foldLeft(agg.zero)(agg.reduce))
         .reduceLeft(agg.merge) // commuted merge order
-      agg.finish(merged) == expect && agg.finish(rev) == expect
+      samePairs(agg.finish(merged), expect) && samePairs(agg.finish(rev), expect)
     }
     check("topk-merge-algebra", prop, samples = 30)
   }
