@@ -29,6 +29,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_discount,0.05)"), p.take(800))
   }
 
+  test("events time predicates push into the canonical parquet scan") {
+    import org.apache.spark.sql.functions._
+    // regression guard for the fixture-normalization layer: if ts / ts_us /
+    // ts_ts ever become derived expressions again (round-6 regression),
+    // these literals stop reaching PushedFilters and row-group min/max
+    // pruning on the fact table's time column is silently lost
+    val ev = Tables.events(spark, sfDir)
+    val pNs = ev.filter(col("ts") >= 1600000000000000000L).select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(pNs.contains("PushedFilters"), pNs.take(600))
+    assert(pNs.contains("GreaterThanOrEqual(ts,1600000000000000000)"), pNs.take(900))
+    val pUs = ev.filter(col("ts_us") >= 1600000000000000L).select("event_id")
+      .queryExecution.executedPlan.toString
+    assert(pUs.contains("GreaterThanOrEqual(ts_us,1600000000000000)"), pUs.take(900))
+    // column pruning must hold through the normalization layer too
+    assert(pNs.contains("ReadSchema: struct<event_id:bigint,ts:bigint>"), pNs.take(900))
+  }
+
+  test("documents scan: predicate pushdown and column pruning") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(600))
+    assert(p.contains("EqualTo(lang,en)"), p.take(900))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(900))
+  }
+
   test("column pruning reaches the scan") {
     val p = q("q_scan_project").queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
