@@ -123,7 +123,9 @@ object Vectors {
     */
   /** Base corpus plus planted near-dups: vec_id < 5 re-enter scaled
     * ×1.01 (same direction ⇒ same signs/signatures, cosine ≈ 1) as
-    * vec_id + 100000 (≡ 0 mod 8 ⇒ same k-means init cluster too).
+    * vec_id + 100000. Same direction also means identical cosine to
+    * every centroid, so after the first Lloyd reassignment both members
+    * of a planted pair land in the same cluster regardless of init.
     */
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -218,8 +220,9 @@ object Vectors {
       .orderBy("label", "pos")
   }
 
-  /** Distributed Lloyd's k-means over the embedding corpus (k = 8, two
-    * unrolled iterations, deterministic init c₀ = vec_id mod k) — the
+  /** Distributed Lloyd's k-means over the embedding corpus (nlist =
+    * ceil(√N) derived from the corpus count, two unrolled iterations,
+    * deterministic init c₀ = vec_id mod nlist) — the
     * clustering pass that would train q_ann_ivf's coarse quantizer and
     * the first stage of SemDeDup-style semantic dedup (cluster, then
     * near-dup only within clusters). Per iteration: ONE map-side-
@@ -247,8 +250,15 @@ object Vectors {
     * production training loop would persist the assignment per round
     * (the dupClusters localCheckpoint pattern).
     */
-  private def kmeansFit(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
+  private def kmeansFit(e: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+    // nlist ≈ √N, derived from the corpus itself as a broadcast 1-row
+    // scalar (never a driver-side collect): each inverted list stays
+    // ≈ √N members as the corpus grows, so a probe's exact-search cost
+    // is √N-bounded — a fixed test knob (the old k = 8) makes per-list
+    // scans grow LINEARLY with corpus size instead
+    val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
 
     // per-cluster dimension-wise mean, assembled into an ordered array
     def centroids(assigned: DataFrame): DataFrame =
@@ -272,7 +282,9 @@ object Vectors {
         .select(col("vec_id"), col("best.embedding").as("embedding"),
           col("best.c").as("c"), col("best.cos").as("cos"))
 
-    val a0 = e.withColumn("c", (col("vec_id") % k).cast("int"))
+    val a0 = e.crossJoin(broadcast(nlist))
+      .withColumn("c", (col("vec_id") % col("nlist")).cast("int"))
+      .drop("nlist")
     val c2 = centroids(assign(centroids(a0)))
     (assign(c2), c2)
   }
@@ -330,8 +342,9 @@ object Vectors {
     * q_ann_ivf's doc promises ("you'd k-means the corpus into nlist
     * centroids"): q_embed_kmeans supplies both the inverted lists (the
     * final assignment) and the list centroids; the probe ranks lists by
-    * query→centroid cosine, exact-searches only the top-2 lists (~25%
-    * of the corpus at k=8; at scale nlist ≈ √N bounds both sides), and
+    * query→centroid cosine, exact-searches only the top-2 lists
+    * (nlist = ceil(√N) is data-derived, so each list — and the probe's
+    * exact-search cost — stays ≈ √N-bounded at any corpus size), and
     * cuts top-10 on the 4-dp-rounded cosine with vec_id tie-break —
     * deterministic, so unlike label-list IVF this variant is fully
     * oracled (DuckDB replays the k-means unroll and the same probe).
@@ -620,7 +633,7 @@ object Vectors {
     */
   private val kmeansUnrollCtes: String =
     "e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-      "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+      "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
       s"c1 AS ${cent("a0")}, " +
       s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
       "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
@@ -645,7 +658,7 @@ object Vectors {
         "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - emb[CAST(i AS INT)]) * " +
         "(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - emb[CAST(i AS INT)]))) / len(embedding), 10) AS mse FROM d), " +
         "e AS (SELECT vec_id, emb FROM d), " +
-        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
         s"c1 AS ${cent("a0")}, " +
         s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
         "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
@@ -697,7 +710,7 @@ object Vectors {
         "FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, pos ORDER BY label, pos"),
     "q_embed_kmeans" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
         "c1 AS (SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
         "SELECT c, pos, CAST(sum(CAST(emb[CAST(pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m " +
         "FROM a0 CROSS JOIN range(1, 65) t(pos) GROUP BY c, pos) GROUP BY c), " +
@@ -728,7 +741,7 @@ object Vectors {
       "WITH p AS (SELECT vec_id + 100000 AS vec_id, list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.01 AS FLOAT)) AS fe FROM embeddings WHERE vec_id < 5), " +
         "eb AS (SELECT vec_id, embedding AS fe FROM embeddings UNION ALL SELECT vec_id, fe FROM p), " +
         "e AS (SELECT vec_id, list_transform(fe, v -> CAST(v AS DOUBLE)) AS emb FROM eb), " +
-        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
         s"c1 AS ${cent("a0")}, " +
         s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
         "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
@@ -785,7 +798,7 @@ object Vectors {
         s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
           s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
       "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-        "a0 AS (SELECT vec_id, emb, CAST(vec_id % 8 AS INT) AS c FROM e), " +
+        "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
         s"c1 AS ${cent("a0")}, " +
         s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
         "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
