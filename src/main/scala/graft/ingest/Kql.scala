@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * shapes — its shipped test file posts `OmyaData | take 100` and
   * `TelemetryData | count` to `POST /query` (reference
   * `tests/test.http:49,62`, proxied at `src/main.go:88-116,247`) — plus
-  * the `where` / `project` / `sort by` / `limit` operators those
-  * pipelines compose with in ADX.
+  * the operators an ADX user reaches next: `where` / `project` /
+  * `project-away` / `extend` (with +,-,*,/ arithmetic) / `summarize`
+  * (count/sum/avg/min/max/dcount, with `by` keys) / `top` / `distinct` /
+  * `sort by` / `limit`.
   *
   * Translation is to a Spark [[DataFrame]], never to SQL text: a CSL
   * pipeline is already a linear logical plan (table, then a chain of
@@ -86,19 +88,30 @@ object Kql {
     val out = Vector.newBuilder[Tok]
     val n = text.length
     var i = 0
+    // '-' before a digit is a numeric sign only in unary position (start
+    // of expression or after an operator); after an ident/number/')' it
+    // is the arithmetic/`project-away` symbol
+    var prev: Option[Tok] = None
+    def emit(t: Tok): Unit = { out += t; prev = Some(t) }
+    def unaryCtx: Boolean = prev match {
+      case None => true
+      case Some(TSym(")")) => false
+      case Some(TSym(_)) => true
+      case _ => false
+    }
     while (i < n) {
       val c = text(i)
       if (c.isWhitespace) i += 1
       else if (c.isLetter || c == '_') {
         val j = i
         while (i < n && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
-        out += TIdent(text.substring(j, i))
+        emit(TIdent(text.substring(j, i)))
       } else if (c.isDigit ||
-          (c == '-' && i + 1 < n && text(i + 1).isDigit)) {
+          (c == '-' && i + 1 < n && text(i + 1).isDigit && unaryCtx)) {
         val j = i
         i += 1
         while (i < n && (text(i).isDigit || text(i) == '.')) i += 1
-        out += TNum(text.substring(j, i))
+        emit(TNum(text.substring(j, i)))
       } else if (c == '"' || c == '\'') {
         val q = c
         val sb = new StringBuilder
@@ -109,11 +122,11 @@ object Kql {
         }
         if (i >= n) fail("unterminated string literal")
         i += 1
-        out += TStr(sb.toString)
+        emit(TStr(sb.toString))
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
-        if (twoCharSyms(two)) { out += TSym(two); i += 2 }
-        else if ("|(),<>=!".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+        if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
+        else if ("|(),<>=!+-*/".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -145,14 +158,91 @@ object Kql {
         df.agg(count(lit(1)).as("Count"))
       case TIdent("where") +: rest =>
         df.filter(parsePredicate(rest))
+      // project-away tokenizes as ident '-' ident: ADX's drop-columns op
+      case TIdent("project") +: TSym("-") +: TIdent("away") +: rest =>
+        df.drop(parseNameList(rest): _*)
       case TIdent("project") +: rest =>
         df.select(parseProjection(rest): _*)
+      case TIdent("summarize") +: rest =>
+        applySummarize(df, rest)
+      case TIdent("extend") +: rest =>
+        parseExtendItems(rest).foldLeft(df) { case (d, (name, e)) =>
+          d.withColumn(name, e)
+        }
+      case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
+        // ADX `top N by key [asc|desc]`, default DESCENDING — orderBy +
+        // limit compiles to TakeOrderedAndProject (per-partition heap)
+        df.orderBy(parseSortKeys(rest): _*).limit(k.toInt)
+      case Vector(TIdent("distinct"), TSym("*")) =>
+        df.distinct()
+      case TIdent("distinct") +: rest =>
+        df.select(parseNameList(rest).map(col): _*).distinct()
       case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
         df.orderBy(parseSortKeys(rest): _*)
       case TIdent(op) +: _ =>
         fail(s"unsupported operator '$op'")
       case _ =>
         fail("malformed pipeline stage")
+    }
+
+  // --------------------------------------------------------- summarize
+  //   summarize := aggItem (',' aggItem)* ['by' ident (',' ident)*]
+  //   aggItem   := [ident '='] aggCall
+  //   aggCall   := count '(' ')' | (sum|avg|min|max|dcount) '(' arith ')'
+  //   Default ADX-style output names: count_ / sum_x / avg_x / ...
+  //   `dcount` is translated to the EXACT distinct count (ADX's is an
+  //   HLL estimate) — exactness keeps the result oracle-comparable; the
+  //   approximate twin is q_agg_approx_distinct.
+
+  private def applySummarize(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+    val byIdx = toks.indexOf(TIdent("by"))
+    val (aggToks, keys) =
+      if (byIdx < 0) (toks, Vector.empty[String])
+      else (toks.take(byIdx), parseNameList(toks.drop(byIdx + 1)))
+    val aggs = splitOn(aggToks, TSym(",")).map(parseAggItem)
+    if (aggs.isEmpty) fail("summarize needs at least one aggregate")
+    val grouped =
+      if (keys.isEmpty) df.groupBy()
+      else df.groupBy(keys.map(col): _*)
+    grouped.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def parseAggItem(toks: Vector[Tok]): Column = toks match {
+    case TIdent(alias) +: TSym("=") +: callToks =>
+      parseAggCall(callToks).as(alias)
+    case callToks =>
+      parseAggCall(callToks) // carries its ADX default name
+  }
+
+  private def parseAggCall(toks: Vector[Tok]): Column = toks match {
+    case Vector(TIdent("count"), TSym("("), TSym(")")) =>
+      count(lit(1)).as("count_")
+    case TIdent(fn) +: TSym("(") +: inner :+ TSym(")") =>
+      val defaultName = inner match {
+        case Vector(TIdent(c)) => s"${fn}_$c"
+        case _ => s"${fn}_"
+      }
+      val arg = parseArithToks(inner)
+      val agg = fn match {
+        case "sum" => sum(arg)
+        case "avg" => avg(arg)
+        case "min" => min(arg)
+        case "max" => max(arg)
+        case "dcount" => count_distinct(arg)
+        case other => fail(s"unsupported aggregate '$other'")
+      }
+      agg.as(defaultName)
+    case _ => fail("aggregates must be `[alias =] fn(expr)`")
+  }
+
+  // ------------------------------------------------------------ extend
+  //   extend := item (',' item)* ; item := ident '=' arith
+
+  private def parseExtendItems(toks: Vector[Tok]): Vector[(String, Column)] =
+    splitOn(toks, TSym(",")).map {
+      case TIdent(name) +: TSym("=") +: expr if expr.nonEmpty =>
+        (name, parseArithToks(expr))
+      case _ => fail("extend items must be `name = expression`")
     }
 
   // ---------------------------------------------------------- predicate
@@ -194,14 +284,14 @@ object Kql {
     case Some(TIdent("not")) =>
       c.next(); !parseTerm(c)
     case _ =>
-      val l = operand(c)
+      val l = parseArith(c)
       c.next() match {
-        case TSym("==") | TSym("=") => l === operand(c)
-        case TSym("!=") | TSym("<>") => l =!= operand(c)
-        case TSym("<") => l < operand(c)
-        case TSym("<=") => l <= operand(c)
-        case TSym(">") => l > operand(c)
-        case TSym(">=") => l >= operand(c)
+        case TSym("==") | TSym("=") => l === parseArith(c)
+        case TSym("!=") | TSym("<>") => l =!= parseArith(c)
+        case TSym("<") => l < parseArith(c)
+        case TSym("<=") => l <= parseArith(c)
+        case TSym(">") => l > parseArith(c)
+        case TSym(">=") => l >= parseArith(c)
         // ADX: bare string operators are case-INsensitive, _cs exact
         case TIdent("contains") => lower(l).contains(lower(operand(c)))
         case TIdent("contains_cs") => l.contains(operand(c))
@@ -211,6 +301,45 @@ object Kql {
         case TIdent("endswith_cs") => l.endsWith(operand(c))
         case t => fail(s"unsupported comparison $t")
       }
+  }
+
+  // --------------------------------------------------------- arithmetic
+  //   arith := mul (('+'|'-') mul)* ; mul := atom (('*'|'/') atom)*
+  //   atom  := '(' arith ')' | column | number | string
+
+  private def parseArithToks(toks: Vector[Tok]): Column = {
+    val c = new Cur(toks)
+    val e = parseArith(c)
+    if (!c.done) fail("trailing tokens after expression")
+    e
+  }
+
+  private def parseArith(c: Cur): Column = {
+    var l = parseMul(c)
+    var cont = true
+    while (cont) c.peek match {
+      case Some(TSym("+")) => c.next(); l = l + parseMul(c)
+      case Some(TSym("-")) => c.next(); l = l - parseMul(c)
+      case _ => cont = false
+    }
+    l
+  }
+
+  private def parseMul(c: Cur): Column = {
+    var l = parseAtom(c)
+    var cont = true
+    while (cont) c.peek match {
+      case Some(TSym("*")) => c.next(); l = l * parseAtom(c)
+      case Some(TSym("/")) => c.next(); l = l / parseAtom(c)
+      case _ => cont = false
+    }
+    l
+  }
+
+  private def parseAtom(c: Cur): Column = c.peek match {
+    case Some(TSym("(")) =>
+      c.next(); val e = parseArith(c); c.expect(TSym(")")); e
+    case _ => operand(c)
   }
 
   private def operand(c: Cur): Column = c.next() match {
@@ -247,6 +376,13 @@ object Kql {
       case Vector(TIdent(a), TIdent("desc")) => col(a).desc
       case Vector(TIdent(a), TIdent("asc")) => col(a).asc
       case _ => fail("sort keys must be `col [asc|desc]`")
+    }
+
+  /** Comma-separated bare column names (project-away, distinct, by). */
+  private def parseNameList(toks: Vector[Tok]): Vector[String] =
+    splitOn(toks, TSym(",")).map {
+      case Vector(TIdent(a)) => a
+      case other => fail(s"expected a column name, got $other")
     }
 
   private def splitOn(toks: Vector[Tok], sep: Tok): Vector[Vector[Tok]] = {

@@ -623,6 +623,35 @@ object Relational {
     graft.ingest.Kql.translate(s, "events_csl | count")
   }
 
+  /** KQL `summarize ... by` — the first operator a real ADX user types
+    * beyond the shipped take/count. The sums aggregate INTEGRAL columns
+    * so the oracle compare is exact (a double sum's value depends on
+    * partition order; `dcount` maps to the exact distinct count).
+    * Translates to one hash aggregate — partial/final, map-side
+    * combined, same plan as the native groupBy twin.
+    */
+  private def kqlSummarize(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where value >= 10 " +
+        "| summarize n = count(), users = dcount(user_id), " +
+        "first_id = min(event_id), total = sum(event_id) by event_type " +
+        "| sort by event_type asc")
+  }
+
+  /** KQL `extend` (arithmetic) + `top N by` + `project`: top compiles to
+    * TakeOrderedAndProject (per-partition heap, never a global sort);
+    * the sort key is the unique event_id so the cut is deterministic.
+    */
+  private def kqlTop(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' " +
+        "| extend double_v = value * 2 " +
+        "| top 50 by event_id " +
+        "| project event_id, user_id, double_v")
+  }
+
 
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
@@ -733,6 +762,8 @@ object Relational {
     "q_sql_gateway" -> (sqlGateway _),
     "q_kql_filter" -> (kqlFilter _),
     "q_kql_count" -> (kqlCount _),
+    "q_kql_summarize" -> (kqlSummarize _),
+    "q_kql_top" -> (kqlTop _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -875,6 +906,15 @@ object Relational {
         "ORDER BY event_id ASC LIMIT 500"),
     "q_kql_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS \"Count\" FROM events",
+    "q_kql_summarize" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS users, " +
+        "CAST(min(event_id) AS BIGINT) AS first_id, " +
+        "CAST(sum(event_id) AS BIGINT) AS total " +
+        "FROM events WHERE value >= 10 GROUP BY event_type ORDER BY event_type ASC"),
+    "q_kql_top" ->
+      ("SELECT event_id, user_id, value * 2 AS double_v FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50"),
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
   )

@@ -83,10 +83,72 @@ class KqlSpec extends SparkSpec {
       plan)
   }
 
+  test("summarize: ADX default names, aliases, by-keys, exact dcount") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | summarize count(), mx = max(value), dcount(user_id) by event_type " +
+        "| sort by event_type asc").collect().toSeq
+    val want = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("count_"), max("value").as("mx"),
+        count_distinct(col("user_id")).as("dcount_user_id"))
+      .orderBy(col("event_type").asc).collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // global (no `by`) summarize produces one row
+    val g = Kql.translate(spark, "kql_events | summarize n = count(), s = sum(event_id)")
+    assert(g.columns.toSeq === Seq("n", "s"))
+    assert(g.count() === 1L)
+  }
+
+  test("extend evaluates arithmetic with precedence and parentheses") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | extend a = value * 2 + 1, b = (value + 1) / 2 - user_id " +
+        "| project event_id, a, b | sort by event_id asc | take 5").collect().toSeq
+    val want = ev
+      .withColumn("a", col("value") * 2 + 1)
+      .withColumn("b", (col("value") + 1) / 2 - col("user_id"))
+      .select("event_id", "a", "b").orderBy(col("event_id").asc).limit(5)
+      .collect().toSeq
+    assert(got === want)
+    // unary minus still parses in comparisons and arithmetic
+    assert(Kql.translate(spark,
+      "kql_events | where value > -5 | extend c = value - 1 | count")
+      .as[Long].head() === ev.filter(col("value") > -5).count())
+  }
+
+  test("top N by defaults to descending and compiles to a top-k, not a global sort") {
+    ev.createOrReplaceTempView("kql_events")
+    val df = Kql.translate(spark, "kql_events | top 3 by event_id | project event_id")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val want = ev.orderBy(col("event_id").desc).limit(3)
+      .select("event_id").as[Long].collect().toSeq
+    assert(df.as[Long].collect().toSeq === want)
+    val asc = Kql.translate(spark, "kql_events | top 1 by event_id asc | project event_id")
+      .as[Long].head()
+    assert(asc === ev.agg(min("event_id")).as[Long].head())
+  }
+
+  test("distinct and project-away translate to their DataFrame twins") {
+    ev.createOrReplaceTempView("kql_events")
+    val d = Kql.translate(spark, "kql_events | distinct event_type")
+      .as[String].collect().toSet
+    assert(d === ev.select("event_type").distinct().as[String].collect().toSet)
+    val away = Kql.translate(spark, "kql_events | project-away props, ts_ts")
+    assert(away.columns.toSet === ev.columns.toSet -- Set("props", "ts_ts"))
+    // distinct * dedups whole rows
+    val star = Kql.translate(spark, "kql_events | distinct * | count").as[Long].head()
+    assert(star === ev.distinct().count())
+  }
+
   test("constructs outside the subset fail loudly, never silently") {
     ev.createOrReplaceTempView("kql_events")
     for (bad <- Seq(
-        "kql_events | summarize count() by event_type",
+        "kql_events | mv-expand props",
+        "kql_events | render timechart",
+        "kql_events | join kind=inner kql_events on event_id",
+        "kql_events | summarize percentile(value, 95) by event_type",
+        "kql_events | extend a = ",
         "kql_events | take",
         "kql_events | where value ~ 3",
         "kql_events | project ",
