@@ -319,6 +319,24 @@ object StreamOps {
     * batch at this scale; at 100 TB the same fold targets a format with
     * real MERGE (the compaction logic — ranked window over the natural
     * key — is unchanged).
+    *
+    * State layout and commit protocol (object-store safe): `stateDir` is
+    * a ROOT holding immutable version directories `v<N>` plus
+    * zero-length commit markers `_committed_<N>`. The live state is the
+    * version with the HIGHEST marker; a version directory without its
+    * marker is an uncommitted orphan and invisible. Publishing a new
+    * version is therefore a single marker-file create — never a
+    * directory rename — so visibility does not depend on rename
+    * atomicity: on HDFS/POSIX a create is atomic, and on object stores
+    * (s3a/abfss) it is one PUT, equally atomic, where the previous
+    * design's dst→old→dst rename dance could crash mid-copy+delete and
+    * leave two half-populated directories. Crash anywhere:
+    *   - before/while writing `v<N+1>` → no marker, next attempt
+    *     re-resolves `v<N>` and OVERWRITES the orphan;
+    *   - after the marker create → `v<N+1>` is live, the superseded
+    *     `v<N>` is garbage the next successful batch collects;
+    *   - during GC → stale versions linger harmlessly (max-marker wins).
+    * Readers resolve the live version with [[upsertState]].
     */
   def upsertSink(updates: DataFrame, stateDir: String,
       checkpoint: String): StreamingQuery = {
@@ -329,57 +347,63 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.hadoop.fs.Path
         val s = batch.sparkSession
-        val dst = new Path(stateDir)
+        val root = new Path(stateDir)
         // resolve the FS from the STATE PATH's scheme, not the default FS
         // — FileSystem.get(conf) would throw "Wrong FS" for any
         // s3a://-style stateDir on a file:// default
-        val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val old = new Path(stateDir + "_old")
-        // The swap protocol below assumes ATOMIC directory rename
-        // (HDFS/POSIX). Object stores emulate rename as copy+delete, so a
-        // mid-rename crash can leave BOTH dirs partially populated — a
-        // state this recovery cannot distinguish from the benign
-        // crash-after-promote case. On s3a/abfss, point stateDir at a
-        // real table format with transactional MERGE instead (see the
-        // method doc); the compaction window itself is unchanged.
-        // crash recovery FIRST: a crash between staging-aside and
-        // promotion leaves dst absent with the full pre-batch state in
-        // _old — restore it before reading, or this batch would rebuild
-        // the table from its own rows alone
-        if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
-          throw new java.io.IOException(s"state swap: could not restore $old")
-        fs.delete(old, true) // now provably stale (dst exists or never did)
-        // "no state yet" is exactly !fs.exists — any OTHER read failure
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cur = currentVersion(fs, root)
+        // "no state yet" is exactly cur < 0 — any OTHER read failure
         // (corrupt footer, transient FS fault) must propagate: a
         // catch-all here would silently replace the whole state table
         // with batch-only content
-        val cur =
-          if (fs.exists(dst)) s.read.parquet(stateDir)
+        val curDf =
+          if (cur >= 0) s.read.parquet(new Path(root, s"v$cur").toString)
           else s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy(col("ts_us").desc, col("event_id").desc)
-        val merged = cur.unionByName(batch)
+        val merged = curDf.unionByName(batch)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-        // write-then-swap: parquet can't overwrite its own input in place
-        val tmp = new Path(stateDir + "_next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // swap-then-delete: the live state is renamed ASIDE before the
-        // new state is promoted, so a crash at any step leaves either the
-        // old or the new table present — never neither — and the
-        // recovery block above restores _old on the next batch if the
-        // crash hit the promotion window
-        if (fs.exists(dst) && !fs.rename(dst, old))
-          throw new java.io.IOException(s"state swap: could not stage $dst aside")
-        if (!fs.rename(tmp, dst)) {
-          if (fs.exists(old)) fs.rename(old, dst) // roll back to the old state
-          throw new java.io.IOException(s"state swap: could not promote $tmp")
+        val next = cur + 1
+        // overwrite clobbers any orphan a crashed earlier attempt left
+        merged.write.mode("overwrite")
+          .parquet(new Path(root, s"v$next").toString)
+        // the atomic publish: one zero-length marker file. create(false)
+        // fails if the marker exists — a lost race against another
+        // writer aborts THIS batch instead of silently double-committing
+        fs.create(new Path(root, s"_committed_$next"), false).close()
+        // best-effort GC of superseded versions (crash here is benign)
+        (0L until next).foreach { v =>
+          fs.delete(new Path(root, s"v$v"), true)
+          fs.delete(new Path(root, s"_committed_$v"), false)
         }
-        fs.delete(old, true)
         ()
       }
       .start()
+  }
+
+  /** Largest committed version under an upsert state root, -1 if none. */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong)
+      .foldLeft(-1L)(math.max)
+
+  /** Read the live version of an [[upsertSink]] state root (the highest
+    * committed version; uncommitted orphans are invisible). Throws if no
+    * version has ever committed.
+    */
+  def upsertState(s: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = currentVersion(fs, root)
+    require(cur >= 0, s"no committed upsert state under $stateDir")
+    s.read.parquet(new Path(root, s"v$cur").toString)
   }
 
   /** Drive a streaming DataFrame to completion against a memory sink and

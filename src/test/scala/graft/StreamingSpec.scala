@@ -7,6 +7,28 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{Ev, UserMax}
 
+/** A registrable Hadoop FileSystem (`graftns://`, local-disk backed)
+  * whose rename is the OBJECT-STORE emulation: copy everything, then
+  * delete the source — functional but non-atomic, exactly the semantics
+  * that make directory-rename swap protocols unsafe on s3a/abfss. The
+  * upsert-sink spec runs against it to prove the commit-marker protocol
+  * never leans on rename atomicity for visibility.
+  */
+class NonAtomicRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftns"
+  override def getUri: java.net.URI = java.net.URI.create("graftns:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    NonAtomicRenameFileSystem.renames.incrementAndGet()
+    if (exists(dst)) super.rename(src, dst) // keep native into-dir semantics
+    else org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      false, getConf) && delete(src, true)
+  }
+}
+object NonAtomicRenameFileSystem {
+  val renames = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Structured-Streaming semantics driven through MemoryStream
   * (SURVEY.md §5.2 item 5): the streaming formulations must agree with
   * their batch twins, and keyed state must behave like the reference's
@@ -343,14 +365,19 @@ class StreamingSpec extends SparkSpec {
     input.addData((3L, 7L, "click", 150L, 3.0), (4L, 8L, "view", 50L, 4.0))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(state)
+    val rows = StreamOps.upsertState(spark, state)
       .select("user_id", "event_type", "event_id", "value")
       .as[(Long, String, Long, Double)].collect().toSet
     // (7, click): event 2 wins (ts 200 > 150 > 100); late event 3 ignored
     assert(rows === Set((7L, "click", 2L, 2.0), (8L, "view", 4L, 4.0)))
+    // superseded versions were collected: exactly one committed version
+    // (plus its marker) remains under the root
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("_committed_")) === 1, names)
+    assert(names.count(_.startsWith("v")) === 1, names)
   }
 
-  test("upsert sink recovers full state after a crash in the promotion window") {
+  test("upsert sink recovers full state after a crash between data write and commit") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_cr").toString
     val state = s"$dir/state"
@@ -361,24 +388,56 @@ class StreamingSpec extends SparkSpec {
     input.addData((1L, 7L, "click", 100L, 1.0), (2L, 8L, "view", 200L, 2.0))
     q.processAllAvailable()
     q.stop()
-    // simulate a crash between rename(dst→old) and rename(tmp→dst):
-    // the live table sits ONLY in _old, dst is gone
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(state), new Path(state + "_old")))
+    // simulate the crash window: a writer died AFTER fully writing the
+    // next version's data but BEFORE creating its commit marker. The
+    // orphan — here with data that would poison the state if believed —
+    // must stay invisible to readers and be clobbered by the next batch.
+    Seq((99L, 7L, "click", 999L, 9.9))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      .write.mode("overwrite").parquet(s"$state/v1")
+    val visible = StreamOps.upsertState(spark, state)
+      .select("event_id").as[Long].collect().toSet
+    assert(visible === Set(1L, 2L), "an uncommitted orphan version leaked to readers")
     // restart the stream on the same checkpoint with one more batch
     val q2 = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
     input.addData((3L, 9L, "click", 300L, 3.0))
     q2.processAllAvailable()
     q2.stop()
-    val rows = spark.read.parquet(state)
+    val rows = StreamOps.upsertState(spark, state)
       .select("user_id", "event_type", "event_id", "value")
       .as[(Long, String, Long, Double)].collect().toSet
-    // keys 7 and 8 lived only in the staged-aside table; losing them is
-    // the data-loss path the recovery block exists to close
+    // keys 7 and 8 come from the committed v0; the orphan's event 99
+    // (ts 999 would have beaten event 1) must be gone
     assert(rows === Set((7L, "click", 1L, 1.0), (8L, "view", 2L, 2.0),
       (9L, "click", 3L, 3.0)),
-      "the crash-staged state must be restored, not rebuilt from one batch")
+      "recovery must resume from the last COMMITTED version")
+  }
+
+  test("upsert sink is object-store safe: converges on a copy+delete-rename FS") {
+    // graftns:// renames are NON-atomic copy-then-delete (the object-store
+    // failure mode that broke the old dst→old→dst swap design). The
+    // commit-marker protocol never depends on rename for visibility, so
+    // the sink must converge identically here.
+    implicit val sq = spark.sqlContext
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftns.impl", classOf[NonAtomicRenameFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ns").toString
+    val state = s"graftns://$dir/state"
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val q = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
+    input.addData((1L, 7L, "click", 100L, 1.0), (2L, 8L, "view", 200L, 2.0))
+    q.processAllAvailable()
+    input.addData((3L, 7L, "click", 300L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(NonAtomicRenameFileSystem.renames.get() > 0,
+      "the run never exercised the non-atomic rename path (task commits rename)")
+    val rows = StreamOps.upsertState(spark, state)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows === Set((7L, "click", 3L, 3.0), (8L, "view", 2L, 2.0)))
   }
 
   test("upsert sink aborts on unreadable state instead of overwriting it") {
@@ -394,7 +453,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // corrupt the live state table: truncate every parquet part file to
     // garbage so the read fails with a footer error, NOT path-not-found
-    val stateDir = new java.io.File(state)
+    val stateDir = new java.io.File(state, "v0")
     val parts = stateDir.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(parts.nonEmpty)
     parts.foreach { f =>
