@@ -199,9 +199,11 @@ object Physical {
     * production default skew threshold is 256 MB). AQE re-optimizes at
     * RUNTIME with the LIVE session confs, so unlike the planning-time
     * pins elsewhere in this file the join must MATERIALIZE while the
-    * pins hold: the query collects the 10-row aggregate inside the conf
-    * window (same eager pattern as the side-effect ops) and returns it
-    * as a local relation.
+    * pins hold: the query localCheckpoints (eager) inside the conf
+    * window — the adaptive plan executes once and the 10 aggregate rows
+    * stay as executor-resident partitions; nothing is collected to the
+    * driver and consumers read the checkpointed result instead of
+    * re-planning outside the window.
     */
   private def skewAqe(s: SparkSession, dir: String): DataFrame =
     withConfs(s,
@@ -233,10 +235,11 @@ object Physical {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .cast("double").as("sum_value"))
         .orderBy("grp")
-      val rows = joined.collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val out = joined.localCheckpoint(true)
+      // localCheckpoint executed THIS queryExecution's adaptive plan, so
+      // the final plan (with the runtime skew decision) is readable here
       lastSkewAqePlan = joined.queryExecution.executedPlan.toString
-      rows.toDF("grp", "n", "sum_value")
+      out
     }
 
   /** Z-order (Morton) layout key: interleave the bits of two predicate
