@@ -10,6 +10,12 @@ import graft.{GraftSession, SparkEntry}
   *
   * Run: `sbt "runMain graft.tools.Profile [reps] [query ...]"` — both
   * optional; a non-numeric first arg is treated as a query name.
+  *
+  * When `SPARK_GRAFT_PROFILE_OUT` is set, also writes the full table as
+  * one JSON file (per-query warm min + median, total of mins, host-load
+  * averages before and after the run) — the driver's BENCH tail
+  * truncates, so this is the complete builder-owned bench artifact each
+  * round's BASELINE.md comparison cites.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -27,6 +33,11 @@ object Profile {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     names.foreach { n =>
       val warmOk =
         try { SparkEntry.queries(n)(spark, sfDir).count(); true }
@@ -43,8 +54,22 @@ object Profile {
         val median =
           if (times.size % 2 == 1) times(times.size / 2)
           else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+        results(n) = (times.head, median)
         println(f"PROF $n%-24s min=${times.head}%.2fs median=$median%.2fs reps=$reps")
       }
+    }
+    sys.env.get("SPARK_GRAFT_PROFILE_OUT").foreach { out =>
+      val qjson = results.map { case (n, (mn, md)) =>
+        f""""$n":{"min":$mn%.3f,"median":$md%.3f}"""
+      }.mkString(",")
+      val total = results.valuesIterator.map(_._1).sum
+      val json = f"""{"sf_dir":"$sfDir","reps":$reps,""" +
+        f""""total_min_sec":$total%.3f,"n_queries":${results.size},""" +
+        f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAvg%.2f,""" +
+        s""""queries":{$qjson}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes("UTF-8"))
+      println(s"PROF wrote $out")
     }
     spark.stop()
   }
