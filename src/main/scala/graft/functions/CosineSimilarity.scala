@@ -7,11 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two `array<float>`
-  * columns in ONE codegen'd loop (dot product and both norms accumulated
+/** Native Catalyst expression: cosine similarity of two numeric-array
+  * columns (each side independently `array<float>` or `array<double>`)
+  * in ONE codegen'd loop (dot product and both norms accumulated
   * together), versus the composed higher-order-function form
   * (`aggregate(zip_with(...)) / (sqrt(aggregate(...)) * ...)`) which
   * allocates an intermediate array and walks each input three times.
+  * The double side exists for the k-means assignment path, whose
+  * centroids are double arrays: the HOF form there is interpreted
+  * (HigherOrderFunction is CodegenFallback), and the assignment
+  * evaluates N × nlist cosines per Lloyd pass.
   *
   * Accumulation order (index-ascending, double precision) is identical to
   * the HOF form, so results are bit-identical and oracle-safe — the spec
@@ -25,14 +30,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), got " +
+      s"cosine_sim expects numeric arrays (float/double), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -42,12 +50,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
+    val (fa, fb) = (isFloat(left), isFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -61,6 +70,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // unbraced when both children are non-nullable, so fixed names would
       // collide across two instances in one generated function (Janino
       // error → silent interpreted fallback)
+      val getA = if (isFloat(left)) "getFloat" else "getDouble"
+      val getB = if (isFloat(right)) "getFloat" else "getDouble"
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
@@ -75,8 +86,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = (double) $a.getFloat($i);
-         |    double $y = (double) $b.getFloat($i);
+         |    double $x = (double) $a.$getA($i);
+         |    double $y = (double) $b.$getB($i);
          |    $dot += $x * $y;
          |    $na += $x * $x;
          |    $nb += $y * $y;

@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd dot product of two `array<float>` columns: one loop,
-  * no intermediate array — versus `aggregate(zip_with(...))`, which
+/** Native codegen'd dot product of two numeric-array columns (each side
+  * independently `array<float>` or `array<double>`): one loop, no
+  * intermediate array — versus `aggregate(zip_with(...))`, which
   * allocates a zipped array per evaluation. The LSH signature path
   * evaluates 16 dots per row (one per hyperplane), so the per-call
-  * allocation matters there.
+  * allocation matters there; the k-means assignment path evaluates one
+  * per (vector × centroid) with a double-array centroid side, which is
+  * why both element widths are supported.
   *
   * Accumulation order is index-ascending in double precision — identical
   * to the HOF fold, so swapping forms never changes results.
@@ -22,14 +25,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects (array<float>, array<float>), got " +
+      s"dot_product expects numeric arrays (float/double), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -39,11 +45,14 @@ case class DotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
+    val (fa, fb) = (isFloat(left), isFloat(right))
     var dot = 0.0
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
       i += 1
     }
     java.lang.Double.valueOf(dot)
@@ -56,6 +65,8 @@ case class DotProduct(left: Expression, right: Expression)
       // collide across two instances in one generated function (Janino
       // error → silent interpreted fallback). The LSH path emits 16 of
       // these per projection.
+      val getA = if (isFloat(left)) "getFloat" else "getDouble"
+      val getB = if (isFloat(right)) "getFloat" else "getDouble"
       val dot = ctx.freshName("dot")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -66,7 +77,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  double $dot = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $dot += (double) $a.$getA($i) * (double) $b.$getB($i);
          |  }
          |  ${ev.value} = $dot;
          |}

@@ -191,8 +191,8 @@ object Vectors {
         x => x.getField("m")).as("centroid"))
     // rank lists by query-centroid similarity, keep top 2
     val probed = centroids.crossJoin(broadcast(q.select(col("qv"))))
-      .select(col("label"), (dot(col("centroid"), col("qv")) /
-        (norm(col("centroid")) * norm(col("qv")))).as("list_sim"))
+      .select(col("label"),
+        cos(s, col("centroid"), col("qv")).as("list_sim"))
       .orderBy(col("list_sim").desc, col("label")) // label breaks cosine ties
       .limit(2)
     // exact search inside the probed lists only
@@ -274,8 +274,8 @@ object Vectors {
     // keep the argmax-cosine row per vector (hash agg, not a window)
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
-        .withColumn("cos", dot(col("embedding"), col("centroid")) /
-          (norm(col("embedding")) * norm(col("centroid"))))
+        .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(
+          e.sparkSession, col("embedding"), col("centroid")))
         .groupBy("vec_id")
         .agg(max_by(struct(col("c"), col("embedding"), col("cos")),
           struct(col("cos"), -col("c"))).as("best"))
@@ -331,8 +331,7 @@ object Vectors {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
         col("a.c").as("cluster"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          (norm(col("a.embedding")) * norm(col("b.embedding")))).as("cos"))
+        cos(s, col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.95)
       .select(col("ai"), col("bi"), col("cluster"), round(col("cos"), 3).as("cos"))
       .orderBy("ai", "bi")
@@ -355,8 +354,8 @@ object Vectors {
     val (a2, c2) = kmeansFit(e)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val probed = c2.crossJoin(broadcast(q))
-      .select(col("c"), (dot(col("centroid"), col("qv")) /
-        (norm(col("centroid")) * norm(col("qv")))).as("list_sim"))
+      .select(col("c"),
+        cos(s, col("centroid"), col("qv")).as("list_sim"))
       .orderBy(col("list_sim").desc, col("c"))
       .limit(2)
       .select("c")
@@ -364,8 +363,7 @@ object Vectors {
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("c").as("cluster"),
-        round(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos"))
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -401,8 +399,7 @@ object Vectors {
     val rankW = Window.partitionBy("a_id")
       .orderBy(col("list_sim").desc, col("c"))
     val probe = anchors.crossJoin(broadcast(c2))
-      .withColumn("list_sim", dot(col("centroid"), col("av")) /
-        (norm(col("centroid")) * norm(col("av"))))
+      .withColumn("list_sim", cos(s, col("centroid"), col("av")))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 2)
       .select(col("a_id"), col("av"), col("c"))
@@ -410,8 +407,7 @@ object Vectors {
       .orderBy(col("cos").desc, col("vec_id"))
     a2.join(broadcast(probe), Seq("c"))
       .filter(col("vec_id") =!= col("a_id"))
-      .withColumn("cos", round(dot(col("embedding"), col("av")) /
-        (norm(col("embedding")) * norm(col("av"))), 4))
+      .withColumn("cos", round(cos(s, col("embedding"), col("av")), 4))
       .filter(col("cos") < 0.95)
       .withColumn("rnk", row_number().over(candW))
       .filter(col("rnk") <= 3)
