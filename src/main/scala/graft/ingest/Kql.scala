@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * shapes — its shipped test file posts `OmyaData | take 100` and
   * `TelemetryData | count` to `POST /query` (reference
   * `tests/test.http:49,62`, proxied at `src/main.go:88-116,247`) — plus
-  * the operators an ADX user reaches next: `where` / `project` /
+  * the operators an ADX user reaches next: `where` (incl. `in`/`!in`
+  * literal lists and inclusive `between (lo .. hi)`) / `project` /
   * `project-away` / `extend` (with +,-,*,/ arithmetic) / `summarize`
   * (count/sum/avg/min/max/dcount, with `by` keys) / `top` / `distinct` /
   * `sort by` / `limit`.
@@ -110,7 +111,14 @@ object Kql {
           (c == '-' && i + 1 < n && text(i + 1).isDigit && unaryCtx)) {
         val j = i
         i += 1
-        while (i < n && (text(i).isDigit || text(i) == '.')) i += 1
+        // at most one decimal point, and only digit-adjacent — so the
+        // between-range `1..5` lexes as 1, '.', '.', 5, not "1..5"
+        var seenDot = false
+        while (i < n && (text(i).isDigit ||
+            (text(i) == '.' && !seenDot && i + 1 < n && text(i + 1).isDigit))) {
+          if (text(i) == '.') seenDot = true
+          i += 1
+        }
         emit(TNum(text.substring(j, i)))
       } else if (c == '"' || c == '\'') {
         val q = c
@@ -126,7 +134,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/.".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -299,8 +307,40 @@ object Kql {
         case TIdent("startswith_cs") => l.startsWith(operand(c))
         case TIdent("endswith") => lower(l).endsWith(lower(operand(c)))
         case TIdent("endswith_cs") => l.endsWith(operand(c))
+        // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
+        case TIdent("in") => l.isin(parseLitList(c): _*)
+        case TSym("!") if c.peek.contains(TIdent("in")) =>
+          c.next(); !l.isin(parseLitList(c): _*)
+        case TIdent("between") =>
+          // ADX: `x between (lo .. hi)`, bounds inclusive
+          c.expect(TSym("("))
+          val lo = parseArith(c)
+          c.expect(TSym(".")); c.expect(TSym("."))
+          val hi = parseArith(c)
+          c.expect(TSym(")"))
+          l >= lo && l <= hi
         case t => fail(s"unsupported comparison $t")
       }
+  }
+
+  /** Parenthesized literal list for `in`: '(' lit (',' lit)* ')'. */
+  private def parseLitList(c: Cur): Seq[Any] = {
+    c.expect(TSym("("))
+    val items = Seq.newBuilder[Any]
+    var done = false
+    while (!done) {
+      items += (c.next() match {
+        case TNum(v) => if (v.contains('.')) v.toDouble else v.toLong
+        case TStr(v) => v
+        case t => fail(s"in-list items must be literals, got $t")
+      })
+      c.next() match {
+        case TSym(",") => ()
+        case TSym(")") => done = true
+        case t => fail(s"expected ',' or ')' in list, got $t")
+      }
+    }
+    items.result()
   }
 
   // --------------------------------------------------------- arithmetic

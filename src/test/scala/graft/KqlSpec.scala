@@ -141,6 +141,27 @@ class KqlSpec extends SparkSpec {
     assert(star === ev.distinct().count())
   }
 
+  test("in / !in literal lists and inclusive between translate correctly") {
+    ev.createOrReplaceTempView("kql_events")
+    def n(csl: String) = Kql.translate(spark, s"kql_events | where $csl | count")
+      .as[Long].head()
+    assert(n("event_type in ('click', 'purchase')") ===
+      ev.filter(col("event_type").isin("click", "purchase")).count())
+    assert(n("event_type !in ('click', 'purchase')") ===
+      ev.filter(!col("event_type").isin("click", "purchase")).count())
+    // ADX between is INCLUSIVE on both bounds
+    assert(n("user_id between (10 .. 20)") ===
+      ev.filter(col("user_id") >= 10 && col("user_id") <= 20).count())
+    // fractional bounds and the no-space form both lex correctly
+    assert(n("value between (0.5 .. 99.5)") ===
+      ev.filter(col("value") >= 0.5 && col("value") <= 99.5).count())
+    assert(n("user_id between (10..20)") === n("user_id between (10 .. 20)"))
+    // malformed lists still 400
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | where event_type in (event_type)")
+    }
+  }
+
   test("constructs outside the subset fail loudly, never silently") {
     ev.createOrReplaceTempView("kql_events")
     for (bad <- Seq(
