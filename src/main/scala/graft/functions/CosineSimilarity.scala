@@ -125,6 +125,10 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")))
       reg.createOrReplaceTempFunction(
         "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("argmax_cosine")))
+      reg.createOrReplaceTempFunction(
+        "argmax_cosine", exprs => ArgmaxCosine(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
@@ -137,5 +141,13 @@ object VectorFunctions {
   def dot_product(s: SparkSession, a: Column, b: Column): Column = {
     register(s)
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
+  }
+
+  /** Column API: `argmax_cosine($"vec", $"packedCentroids")` →
+    * `struct<c, cos>` (see [[ArgmaxCosine]]).
+    */
+  def argmax_cosine(s: SparkSession, v: Column, cents: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("argmax_cosine", v, cents)
   }
 }

@@ -270,17 +270,23 @@ object Vectors {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("centroid"))
 
-    // nearest-centroid assignment: broadcast the tiny centroid table,
-    // keep the argmax-cosine row per vector (hash agg, not a window)
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(
-          e.sparkSession, col("embedding"), col("centroid")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("c"), col("embedding"), col("cos")),
-          struct(col("cos"), -col("c"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
+    // nearest-centroid assignment: the WHOLE centroid table packs into
+    // ONE c-sorted array row (a few KB) broadcast onto the corpus, and
+    // the argmax runs as a single codegen'd projection loop per vector
+    // (graft.functions.ArgmaxCosine — identical cosine accumulation and
+    // lowest-c tie-break, so the crossJoin-replaying oracles hold). The
+    // crossJoin + max_by twin materializes N × nlist joined rows per
+    // pass — with nlist = √N that is N^1.5 rows of join traffic at
+    // scale; this form has no row explosion and nothing to re-aggregate
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(
+        sort_array(collect_list(struct(col("c"), col("centroid")))).as("cents"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+          e.sparkSession, col("embedding"), col("cents")))
+        .select(col("vec_id"), col("embedding"),
           col("best.c").as("c"), col("best.cos").as("cos"))
+    }
 
     val a0 = e.crossJoin(broadcast(nlist))
       .withColumn("c", (col("vec_id") % col("nlist")).cast("int"))

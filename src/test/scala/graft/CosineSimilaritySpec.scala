@@ -96,6 +96,48 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got(5L) === None)
   }
 
+  test("argmax_cosine equals the crossJoin + max_by twin exactly") {
+    // the k-means assignment path: pack synthetic double-array centroids,
+    // compare the single-projection argmax against the row-exploding
+    // formulation it replaces — winner AND cosine must agree bitwise,
+    // including the lowest-c tie-break
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < 7)
+      .select(($"vec_id" % 7).cast("int").as("c"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val packed = cents.agg(
+      sort_array(collect_list(struct($"c", $"centroid"))).as("cents"))
+    val native = e.crossJoin(broadcast(packed))
+      .select($"vec_id",
+        VectorFunctions.argmax_cosine(spark, $"embedding", $"cents").as("best"))
+      .select($"vec_id", $"best.c".as("c"), $"best.cos".as("cos"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val twin = e.crossJoin(broadcast(cents))
+      .withColumn("cos", VectorFunctions.cosine_sim(spark, $"embedding", $"centroid"))
+      .groupBy("vec_id")
+      .agg(max_by(struct($"c", $"cos"), struct($"cos", -$"c")).as("b"))
+      .select($"vec_id", $"b.c".as("c"), $"b.cos".as("cos"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(native.length === twin.length && native.nonEmpty)
+    native.zip(twin).foreach { case ((vi, ci, si), (vj, cj, sj)) =>
+      assert(vi === vj && ci === cj, s"vec $vi: cluster $ci vs $cj")
+      assert(java.lang.Double.doubleToLongBits(si) ===
+        java.lang.Double.doubleToLongBits(sj), s"vec $vi cos")
+    }
+    // a literal tie: two identical centroids must pick the LOWER c
+    val tie = Seq((Array(1f, 0f), 0)).toDF("v", "ignore")
+      .select(VectorFunctions.argmax_cosine(spark, $"v",
+        expr("array(named_struct('c', 3, 'centroid', array(1.0D, 0.0D)), " +
+          "named_struct('c', 5, 'centroid', array(1.0D, 0.0D)))")).as("best"))
+      .select($"best.c").as[Int].head()
+    assert(tie === 3, "exact ties must keep the lowest cluster id")
+    // zero-norm vector and empty candidate set → NULL
+    val edge = Seq((Array(0f, 0f), 0)).toDF("v", "ignore")
+      .select(VectorFunctions.argmax_cosine(spark, $"v",
+        expr("array(named_struct('c', 1, 'centroid', array(1.0D, 0.0D)))")).as("b"))
+    assert(edge.filter($"b".isNull).count() === 1)
+  }
+
   test("works through SQL registration") {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_cos_spec")
