@@ -1147,6 +1147,41 @@ object Text {
       .agg(cnt.as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy("split")
 
+  /** Leakage-safe train/val split: q_train_split's hash split applied at
+    * near-dup-CLUSTER granularity instead of per-doc, so two near-
+    * duplicate documents can never straddle the split boundary. Per-doc
+    * hashing leaks train content into val through a document's near-dup
+    * twin — the contamination mode q_contamination screens for AFTER the
+    * fact; keying the split on q_dup_clusters' component label prevents
+    * it BY CONSTRUCTION (the split is a pure function of the cluster
+    * id, so a cluster is train or val wholesale — the Dolma/RefinedWeb
+    * split discipline). Unclustered docs are their own singleton
+    * cluster. Cost at 100 TB: the cluster table is bounded by the
+    * number of DUPLICATED docs (broadcast or co-keyed left join onto
+    * the corpus); everything else is a projection + a 2-key aggregate.
+    * Fully oracled — DuckDB replays the recursive-CTE closure and the
+    * identical md5 split rule.
+    */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    docsWithClusterSplit(s, dir)
+      .groupBy("split")
+      .agg(cnt.as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+
+  /** Per-doc (cluster_id, split) assignment — shared by the registry
+    * aggregate and the spec that asserts no near-dup pair straddles.
+    */
+  private[graft] def docsWithClusterSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(dupClusters(s, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(concat(lit("lsplit:"),
+          col("cluster_id").cast("string"))), 1, 1)
+          .isin("c", "d", "e", "f"), "val").otherwise("train"))
+
   /** Stratified sampling by language (per-stratum Bernoulli): the
     * curation primitive for rebalancing a corpus. The draw is an
     * md5-derived uniform on doc_id (the mixtureSample trick) rather than
@@ -1279,6 +1314,7 @@ object Text {
     "q_text_quantiles" -> (textQuantiles _),
     "q_quality_filter" -> (qualityFilter _),
     "q_train_split" -> (trainSplit _),
+    "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_contamination" -> (contamination _),
     "q_bloom_contamination" -> (bloomContamination _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -1470,6 +1506,25 @@ object Text {
       ("SELECT CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e', 'f') THEN 'val' ELSE 'train' END AS split, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY split ORDER BY split"),
+    "q_leakage_safe_split" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) WHEN len(string_split(text, ' ')) >= 3 THEN md5(array_to_string(string_split(text, ' ')[3:4], ' ')) END AS s2 FROM documents), " +
+        "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
+        "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +
+        "reach(node, m) AS (" +
+        "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
+        "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src), " +
+        "cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node), " +
+        "j AS (SELECT doc_id, n_chars, COALESCE(cl.cluster_id, documents.doc_id) AS cluster_id " +
+        "FROM documents LEFT JOIN cl USING (doc_id)), " +
+        "sp AS (SELECT cluster_id, n_chars, CASE WHEN substr(md5('lsplit:' || CAST(cluster_id AS VARCHAR)), 1, 1) " +
+        "IN ('c', 'd', 'e', 'f') THEN 'val' ELSE 'train' END AS split FROM j) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM sp GROUP BY split ORDER BY split"),
     "q_stratified_sample" ->
       ("WITH k AS (SELECT lang, CAST(list_reduce(list_transform(range(1, 7), c -> " +
         "CAST(strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +

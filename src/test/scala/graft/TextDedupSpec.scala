@@ -328,6 +328,31 @@ class TextDedupSpec extends SparkSpec {
       s"rewrite: ${kept.toSeq}")
   }
 
+  test("leakage-safe split: no near-dup pair straddles train/val; per-doc hashing would") {
+    // the whole point of cluster-keyed splitting: every near-dup pair
+    // shares its cluster's split, structurally
+    val perDoc = graft.ops.Text.docsWithClusterSplit(spark, sfDir)
+      .select($"doc_id", $"cluster_id", $"split")
+    val pairs = SparkEntry.queries("q_fuzzy_dedup")(spark, sfDir)
+      .select($"ai", $"bi")
+    val straddling = pairs
+      .join(perDoc.select($"doc_id".as("ai"), $"split".as("sa")), "ai")
+      .join(perDoc.select($"doc_id".as("bi"), $"split".as("sb")), "bi")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddling === 0, "a near-dup pair crossed the split boundary")
+    // the split partitions the corpus exactly, and a cluster is never
+    // counted in both splits
+    val agg = SparkEntry.queries("q_leakage_safe_split")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(agg.map(_._2).sum === Tables.documents(spark, sfDir).count())
+    val clustersBoth = perDoc.select($"cluster_id", $"split").distinct()
+      .groupBy("cluster_id").count().filter($"count" > 1).count()
+    assert(clustersBoth === 0, "a cluster appears in both splits")
+    // determinism: two runs agree row-for-row
+    assert(agg === SparkEntry.queries("q_leakage_safe_split")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq)
+  }
+
   test("language ID predicts constructed sentences correctly") {
     val samples = Seq(
       (1L, "the cat is in the house and it is warm"),
