@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * `tests/test.http:49,62`, proxied at `src/main.go:88-116,247`) — plus
   * the operators an ADX user reaches next: `where` (incl. `in`/`!in`
   * literal lists and inclusive `between (lo .. hi)`) / `project` /
-  * `project-away` / `extend` (with +,-,*,/ arithmetic) / `summarize`
-  * (count/sum/avg/min/max/dcount, with `by` keys) / `top` / `distinct` /
-  * `sort by` / `limit`.
+  * `project-away` / `project-keep` / `project-rename` / `extend` (with
+  * +,-,*,/ arithmetic) / `summarize` (count/sum/avg/min/max/dcount,
+  * with `by` keys) / `top` / `distinct` / `sort by` / `limit`.
   *
   * Translation is to a Spark [[DataFrame]], never to SQL text: a CSL
   * pipeline is already a linear logical plan (table, then a chain of
@@ -166,9 +166,18 @@ object Kql {
         df.agg(count(lit(1)).as("Count"))
       case TIdent("where") +: rest =>
         df.filter(parsePredicate(rest))
-      // project-away tokenizes as ident '-' ident: ADX's drop-columns op
+      // the project-* family tokenizes as ident '-' ident
       case TIdent("project") +: TSym("-") +: TIdent("away") +: rest =>
         df.drop(parseNameList(rest): _*)
+      case TIdent("project") +: TSym("-") +: TIdent("keep") +: rest =>
+        // ADX keeps the TABLE's column order, not the list's
+        val keep = parseNameList(rest).toSet
+        df.select(df.columns.filter(keep).map(col).toSeq: _*)
+      case TIdent("project") +: TSym("-") +: TIdent("rename") +: rest =>
+        // project-rename new = old, ...: renames in place, keeps the rest
+        parseRenameItems(rest).foldLeft(df) { case (d, (to, from)) =>
+          d.withColumnRenamed(from, to)
+        }
       case TIdent("project") +: rest =>
         df.select(parseProjection(rest): _*)
       case TIdent("summarize") +: rest =>
@@ -416,6 +425,13 @@ object Kql {
       case Vector(TIdent(a), TIdent("desc")) => col(a).desc
       case Vector(TIdent(a), TIdent("asc")) => col(a).asc
       case _ => fail("sort keys must be `col [asc|desc]`")
+    }
+
+  /** project-rename items: `new = old` pairs. */
+  private def parseRenameItems(toks: Vector[Tok]): Vector[(String, String)] =
+    splitOn(toks, TSym(",")).map {
+      case Vector(TIdent(to), TSym("="), TIdent(from)) => (to, from)
+      case _ => fail("project-rename items must be `newName = oldName`")
     }
 
   /** Comma-separated bare column names (project-away, distinct, by). */

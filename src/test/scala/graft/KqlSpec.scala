@@ -129,13 +129,20 @@ class KqlSpec extends SparkSpec {
     assert(asc === ev.agg(min("event_id")).as[Long].head())
   }
 
-  test("distinct and project-away translate to their DataFrame twins") {
+  test("distinct and the project-* family translate to their DataFrame twins") {
     ev.createOrReplaceTempView("kql_events")
     val d = Kql.translate(spark, "kql_events | distinct event_type")
       .as[String].collect().toSet
     assert(d === ev.select("event_type").distinct().as[String].collect().toSet)
     val away = Kql.translate(spark, "kql_events | project-away props, ts_ts")
     assert(away.columns.toSet === ev.columns.toSet -- Set("props", "ts_ts"))
+    // project-keep preserves the TABLE's column order regardless of the list
+    val keep = Kql.translate(spark, "kql_events | project-keep value, event_id")
+    assert(keep.columns.toSeq === Seq("event_id", "value"))
+    // project-rename renames in place, everything else untouched
+    val ren = Kql.translate(spark, "kql_events | project-rename id = event_id, v = value")
+    assert(ren.columns.toSet ===
+      ev.columns.toSet -- Set("event_id", "value") ++ Set("id", "v"))
     // distinct * dedups whole rows
     val star = Kql.translate(spark, "kql_events | distinct * | count").as[Long].head()
     assert(star === ev.distinct().count())
