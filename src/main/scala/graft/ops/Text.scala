@@ -530,6 +530,56 @@ object Text {
       .orderBy("step", "rnk")
   }
 
+  /** BPE ENCODING — the step after q_bpe_train: apply the two trained
+    * merges to the whole corpus and count tokens per document under the
+    * TRAINED tokenizer (vs q_token_count's whitespace count — the
+    * number that actually prices a document against a training budget).
+    * The scale shape is the important part: merges are applied on the
+    * VOCABULARY (a word's encoding depends only on its string, so the
+    * merge fold runs once per distinct word, never per occurrence), and
+    * the per-word piece count joins back onto the word stream — at
+    * 100 TB that is a bounded vocab-table derivation plus one
+    * broadcast/co-keyed join on the corpus scan. Fully oracled: DuckDB
+    * replays the training argmaxes and both greedy merge rounds via the
+    * islands+parity formulation q_bpe_train proved, then the same
+    * vocab join.
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val mergeExpr =
+      "CASE WHEN size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
+        "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
+        "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
+    def pairCounts(t: DataFrame): DataFrame = t
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+        .as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum(col("f")).as("c"))
+    def argmax(pc: DataFrame): DataFrame = pc
+      .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      .select(col("a").as("ta"), col("b").as("tb"))
+    val w0 = Tables.documents(s, dir)
+      .select(explode(tokens).as("w"))
+      .groupBy("w").agg(cnt.as("f"))
+    val ch = w0.withColumn("syms", expr(
+      "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
+    val ch2 = ch.crossJoin(broadcast(argmax(pairCounts(ch))))
+      .withColumn("syms", expr(mergeExpr)).drop("ta", "tb")
+    val ch3 = ch2.crossJoin(broadcast(argmax(pairCounts(ch2))))
+      .withColumn("syms", expr(mergeExpr))
+    val wlen = ch3.select(col("w"), size(col("syms")).as("n_bpe"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .join(wlen, "w")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_words"),
+        sum(length(col("w"))).as("n_chars_sym"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model quality score (perplexity proxy) — the
     * CCNet/KenLM-style curation signal: a document's mean token
     * log-likelihood under the corpus's own unigram distribution. Rare-
@@ -1336,6 +1386,7 @@ object Text {
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_bigram_lm" -> (bigramLm _),
     "q_hash_embed" -> (hashEmbed _),
     "q_lm_score" -> (lmScore _),
@@ -1353,6 +1404,23 @@ object Text {
     s"list_reduce(list_transform(range(1, ${len + 1}), c -> " +
       s"CAST(strpos('0123456789abcdef', substr($inner, CAST(c + ${start - 1} AS INT), 1)) - 1 AS BIGINT)), " +
       "(a, b) -> a * 16 + b)"
+
+  /** One greedy BPE merge round as DuckDB CTEs (the islands+parity
+    * replay q_bpe_train proved): applies the 1-row merge table `$tsel`
+    * (columns ta, tb) to the symbolized vocab `$src` (w, f, syms),
+    * emitting `$out` with the merged syms. `$tag` uniquifies the
+    * intermediate CTE names so two rounds can chain in one WITH.
+    */
+  private def bpeMergeCtes(src: String, tsel: String, out: String, tag: String): String =
+    s"mflag$tag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM $src CROSS JOIN $tsel), " +
+      s"mf$tag AS (SELECT w, g.i AS i FROM mflag$tag WHERE g.inp), " +
+      s"runs$tag AS (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp FROM mf$tag), " +
+      s"mg$tag AS (SELECT w, i FROM (SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS rs FROM runs$tag) WHERE (i - rs) % 2 = 0), " +
+      s"ap$tag AS (SELECT w, f, g.i AS i, g.s AS s, g.nxt AS nxt FROM (SELECT w, f, unnest(list_transform(range(1, len(syms) + 1), i -> struct_pack(i := i, s := syms[CAST(i AS INT)], nxt := CASE WHEN i < len(syms) THEN syms[CAST(i + 1 AS INT)] END))) AS g FROM $src)), " +
+      s"pieces$tag AS (SELECT ap$tag.w AS w, ap$tag.f AS f, ap$tag.i AS i, CASE WHEN mg$tag.i IS NOT NULL THEN ap$tag.s || ap$tag.nxt ELSE ap$tag.s END AS piece " +
+      s"FROM ap$tag LEFT JOIN mg$tag ON ap$tag.w = mg$tag.w AND ap$tag.i = mg$tag.i " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM mg$tag c WHERE c.w = ap$tag.w AND c.i = ap$tag.i - 1)), " +
+      s"$out AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces$tag GROUP BY w)"
 
   /** q_dedup_minhash twin: replays the md5-mod-p base hash, the 32
     * Carter-Wegman lanes (constants interpolated from the same Scala
@@ -1649,6 +1717,23 @@ object Text {
         "r1 AS (SELECT 1 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p1), " +
         "r2 AS (SELECT 2 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p2) " +
         "SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM (SELECT * FROM r1 WHERE rnk <= 5 UNION ALL SELECT * FROM r2 WHERE rnk <= 5) ORDER BY step, rnk"),
+    "q_bpe_encode" ->
+      ("WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+        "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
+        "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
+        "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
+        "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
+        bpeMergeCtes("ch", "t1", "ch2", "x") + ", " +
+        "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2 WHERE len(syms) >= 2), " +
+        "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
+        "t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY c DESC, a, b LIMIT 1), " +
+        bpeMergeCtes("ch2", "t2", "ch3", "y") + ", " +
+        "wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch3), " +
+        "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_chars_sym, " +
+        "CAST(sum(n_bpe) AS BIGINT) AS n_bpe " +
+        "FROM dw JOIN wlen USING (w) GROUP BY doc_id ORDER BY doc_id"),
     "q_phrase_rewrite" ->
       (s"WITH $collocCtes, sel AS ($collocSelect), " +
         "top30 AS (SELECT a || ' ' || b AS phrase FROM sel), " +
