@@ -22,6 +22,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
+            # negative zero equals zero: Spark's BigDecimal round drops
+            # the sign of -0.0, DuckDB's round keeps it — numerically
+            # identical values must not string-mismatch
+            if v == 0.0:
+                return "0.0"
             return repr(v)
         return str(v)
     out = df.apply(lambda col: col.map(norm))
@@ -32,7 +37,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; ScaleGen corpora are Spark
+        # output DIRECTORIES of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
