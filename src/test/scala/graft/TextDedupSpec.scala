@@ -328,6 +328,24 @@ class TextDedupSpec extends SparkSpec {
       s"rewrite: ${kept.toSeq}")
   }
 
+  test("bpe encode: piece counts bounded by chars and words, merges actually fire") {
+    val r = q("q_bpe_encode").as[(Long, Long, Long, Long)].collect()
+    assert(r.length === Tables.documents(spark, sfDir).count(),
+      "every document must be priced")
+    r.foreach { case (id, nWords, nChars, nBpe) =>
+      assert(nBpe >= nWords, s"doc $id: every word is at least one piece")
+      assert(nBpe <= nChars, s"doc $id: pieces cannot exceed char symbols")
+    }
+    // two merges were trained on this corpus; each merge's argmax pair
+    // occurs by construction, so the encoded corpus is strictly shorter
+    // than its char-symbol form
+    assert(r.map(_._4).sum < r.map(_._3).sum,
+      "the trained merges must fire at least once corpus-wide")
+    // deterministic: re-running the whole train+encode pipeline agrees
+    assert(q("q_bpe_encode").as[(Long, Long, Long, Long)].collect().toSeq
+      === r.toSeq)
+  }
+
   test("leakage-safe split: no near-dup pair straddles train/val; per-doc hashing would") {
     // the whole point of cluster-keyed splitting: every near-dup pair
     // shares its cluster's split, structurally
