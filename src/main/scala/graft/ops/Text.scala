@@ -496,8 +496,13 @@ object Text {
     */
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `ta IS NULL` guard: when the corpus yields no pairs at all (only
+    // 1-char words) the argmax table is EMPTY; the merge is applied via a
+    // left join on true, so absent merge rows arrive as nulls and the
+    // round degrades to a no-op — matching the oracle's LEFT JOIN
+    // formulation instead of emptying the vocab through a crossJoin
     val mergeExpr =
-      "CASE WHEN size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
+      "CASE WHEN ta IS NULL OR size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
         "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
         "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
     def pairCounts(t: DataFrame): DataFrame = t
@@ -523,7 +528,8 @@ object Text {
     val p1 = pairCounts(ch)
     val t1 = p1.orderBy(col("c").desc, col("a"), col("b")).limit(1)
       .select(col("a").as("ta"), col("b").as("tb"))
-    val ch2 = ch.crossJoin(broadcast(t1)).withColumn("syms", expr(mergeExpr))
+    val ch2 = ch.join(broadcast(t1), lit(true), "left")
+      .withColumn("syms", expr(mergeExpr))
     val p2 = pairCounts(ch2)
     top5(p1, 1).unionByName(top5(p2, 2))
       .select(col("step"), col("rnk"), col("a"), col("b"), col("c"))
@@ -545,8 +551,10 @@ object Text {
     * vocab join.
     */
   private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    // same null-guard as bpeTrain: an empty argmax (no pairs anywhere)
+    // left-joins in as null ta/tb and the merge round is a no-op
     val mergeExpr =
-      "CASE WHEN size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
+      "CASE WHEN ta IS NULL OR size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
         "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
         "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
     def pairCounts(t: DataFrame): DataFrame = t
@@ -565,9 +573,9 @@ object Text {
     val ch = w0.withColumn("syms", expr(
       "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
         "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
-    val ch2 = ch.crossJoin(broadcast(argmax(pairCounts(ch))))
+    val ch2 = ch.join(broadcast(argmax(pairCounts(ch))), lit(true), "left")
       .withColumn("syms", expr(mergeExpr)).drop("ta", "tb")
-    val ch3 = ch2.crossJoin(broadcast(argmax(pairCounts(ch2))))
+    val ch3 = ch2.join(broadcast(argmax(pairCounts(ch2))), lit(true), "left")
       .withColumn("syms", expr(mergeExpr))
     val wlen = ch3.select(col("w"), size(col("syms")).as("n_bpe"))
     Tables.documents(s, dir)
@@ -1420,7 +1428,12 @@ object Text {
       s"pieces$tag AS (SELECT ap$tag.w AS w, ap$tag.f AS f, ap$tag.i AS i, CASE WHEN mg$tag.i IS NOT NULL THEN ap$tag.s || ap$tag.nxt ELSE ap$tag.s END AS piece " +
       s"FROM ap$tag LEFT JOIN mg$tag ON ap$tag.w = mg$tag.w AND ap$tag.i = mg$tag.i " +
       s"WHERE NOT EXISTS (SELECT 1 FROM mg$tag c WHERE c.w = ap$tag.w AND c.i = ap$tag.i - 1)), " +
-      s"$out AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces$tag GROUP BY w)"
+      s"$out AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces$tag GROUP BY w " +
+      // zero-length words have no ap rows (range over len(syms)=0 is
+      // empty) and would vanish from the round; pass them through so the
+      // downstream vocab join keeps their occurrences with n_bpe=0,
+      // matching the Spark side's empty-syms guard
+      s"UNION ALL SELECT w, f, syms FROM $src WHERE len(syms) = 0)"
 
   /** q_dedup_minhash twin: replays the md5-mod-p base hash, the 32
     * Carter-Wegman lanes (constants interpolated from the same Scala

@@ -320,90 +320,143 @@ object StreamOps {
     * real MERGE (the compaction logic — ranked window over the natural
     * key — is unchanged).
     *
-    * State layout and commit protocol (object-store safe): `stateDir` is
-    * a ROOT holding immutable version directories `v<N>` plus
-    * zero-length commit markers `_committed_<N>`. The live state is the
-    * version with the HIGHEST marker; a version directory without its
-    * marker is an uncommitted orphan and invisible. Publishing a new
-    * version is therefore a single marker-file create — never a
-    * directory rename — so visibility does not depend on rename
-    * atomicity: on HDFS/POSIX a create is atomic, and on object stores
-    * (s3a/abfss) it is one PUT, equally atomic, where the previous
-    * design's dst→old→dst rename dance could crash mid-copy+delete and
-    * leave two half-populated directories. Crash anywhere:
-    *   - before/while writing `v<N+1>` → no marker, next attempt
-    *     re-resolves `v<N>` and OVERWRITES the orphan;
-    *   - after the marker create → `v<N+1>` is live, the superseded
-    *     `v<N>` is garbage the next successful batch collects;
-    *   - during GC → stale versions linger harmlessly (max-marker wins).
+    * State layout and commit protocol (object-store safe, multi-writer
+    * safe): `stateDir` is a ROOT holding immutable WRITER-UNIQUE data
+    * directories `v<N>-<token>` plus commit markers `_committed_<N>`
+    * whose CONTENT names the data directory they publish. The live
+    * state is the directory named by the HIGHEST marker; a data
+    * directory no marker names is an uncommitted orphan and invisible.
+    * Publishing is a single `create(overwrite=false)` of the marker —
+    * never a directory rename — so visibility does not depend on rename
+    * atomicity: on HDFS/POSIX a create is atomic, on object stores
+    * (s3a/abfss) it is one PUT, equally atomic. The token makes the
+    * data path unique PER ATTEMPT: two writers racing to version N+1
+    * each write their own `v<N+1>-<token>` and contend only on the
+    * marker create — the loser's exception aborts its batch with the
+    * winner's part files untouched (a shared `v<N+1>` path would let
+    * the loser's overwrite clobber data the winner already committed).
+    * Crash anywhere:
+    *   - before/while writing `v<N+1>-<t>` → no marker, the dir is an
+    *     invisible orphan a later successful batch collects;
+    *   - after the marker create → that dir is live, superseded
+    *     versions are garbage the next successful batch collects;
+    *   - during GC → stale versions linger harmlessly (max-marker wins);
+    *   - between marker create and content close (HDFS-only window; an
+    *     object-store PUT lands whole) → readers skip the empty marker
+    *     and resolve the previous version until the content lands.
+    * GC works off the directory listing already in hand — one pass over
+    * what EXISTS, never a version-counter sweep that would issue
+    * O(all versions ever) delete RPCs per batch on an object store.
     * Readers resolve the live version with [[upsertState]].
     */
   def upsertSink(updates: DataFrame, stateDir: String,
-      checkpoint: String): StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
+      checkpoint: String): StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.hadoop.fs.Path
-        val s = batch.sparkSession
-        val root = new Path(stateDir)
-        // resolve the FS from the STATE PATH's scheme, not the default FS
-        // — FileSystem.get(conf) would throw "Wrong FS" for any
-        // s3a://-style stateDir on a file:// default
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val cur = currentVersion(fs, root)
-        // "no state yet" is exactly cur < 0 — any OTHER read failure
-        // (corrupt footer, transient FS fault) must propagate: a
-        // catch-all here would silently replace the whole state table
-        // with batch-only content
-        val curDf =
-          if (cur >= 0) s.read.parquet(new Path(root, s"v$cur").toString)
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val w = Window.partitionBy("user_id", "event_type")
-          .orderBy(col("ts_us").desc, col("event_id").desc)
-        val merged = curDf.unionByName(batch)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        val next = cur + 1
-        // overwrite clobbers any orphan a crashed earlier attempt left
-        merged.write.mode("overwrite")
-          .parquet(new Path(root, s"v$next").toString)
-        // the atomic publish: one zero-length marker file. create(false)
-        // fails if the marker exists — a lost race against another
-        // writer aborts THIS batch instead of silently double-committing
-        fs.create(new Path(root, s"_committed_$next"), false).close()
-        // best-effort GC of superseded versions (crash here is benign)
-        (0L until next).foreach { v =>
-          fs.delete(new Path(root, s"v$v"), true)
-          fs.delete(new Path(root, s"_committed_$v"), false)
-        }
-        ()
+        upsertMerge(batch, stateDir)
       }
       .start()
+
+  /** One merge round of the [[upsertSink]] protocol: resolve the live
+    * version, fold the batch in, stage to a writer-unique directory,
+    * publish via the marker create. Package-private so the concurrency
+    * spec can race real writers through the real code path; throws
+    * (batch aborts) on a lost marker race.
+    */
+  private[graft] def upsertMerge(batch: DataFrame, stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val root = new Path(stateDir)
+    // resolve the FS from the STATE PATH's scheme, not the default FS
+    // — FileSystem.get(conf) would throw "Wrong FS" for any
+    // s3a://-style stateDir on a file:// default
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (cur, curDir) = currentState(fs, root)
+    // "no state yet" is exactly cur < 0 — any OTHER read failure
+    // (corrupt footer, transient FS fault) must propagate: a
+    // catch-all here would silently replace the whole state table
+    // with batch-only content
+    val curDf =
+      if (cur >= 0) s.read.parquet(curDir.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val merged = curDf.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val next = cur + 1
+    // writer-unique staging: a concurrent attempt at the same
+    // version writes somewhere else entirely
+    val token = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val dataDir = new Path(root, s"v$next-$token")
+    merged.write.mode("overwrite").parquet(dataDir.toString)
+    // the atomic publish: create(false) fails if the marker exists —
+    // a lost race against another writer aborts THIS batch (the
+    // streaming engine retries it against the winner's state)
+    // instead of silently double-committing; the content names the
+    // data dir this marker publishes
+    val mk = fs.create(new Path(root, s"_committed_$next"), false)
+    try mk.write(dataDir.getName.getBytes("UTF-8")) finally mk.close()
+    // best-effort GC of superseded versions (crash here is benign):
+    // one listing, delete only entries that exist and are settled —
+    // version ≤ next and not the dir just published. A staging dir
+    // for version next+1 (a concurrent writer already past our
+    // commit) is deliberately left alone.
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("_committed_")) {
+        if (nm.stripPrefix("_committed_").toLong < next)
+          fs.delete(st.getPath, false)
+      } else if (nm.startsWith("v") && nm != dataDir.getName) {
+        val ver = nm.drop(1).takeWhile(_.isDigit)
+        if (ver.nonEmpty && ver.toLong <= next)
+          fs.delete(st.getPath, true)
+      }
+    }
+    ()
   }
 
-  /** Largest committed version under an upsert state root, -1 if none. */
-  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Long =
-    if (!fs.exists(root)) -1L
-    else fs.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("_committed_"))
-      .map(_.stripPrefix("_committed_").toLong)
-      .foldLeft(-1L)(math.max)
+  /** Resolve the live (version, dataDir) under an upsert state root:
+    * the highest marker whose content names an existing directory.
+    * A marker whose content has not landed yet (the HDFS create→close
+    * window) or whose directory is missing is skipped and the previous
+    * version resolves instead — readers never observe a half-published
+    * commit. Returns (-1, null) when nothing has ever committed.
+    */
+  private def currentState(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, org.apache.hadoop.fs.Path) = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(root)) return (-1L, null)
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    val versions = names.filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong).toSeq.sorted.reverse
+    versions.iterator.flatMap { v =>
+      val content = {
+        val in = fs.open(new Path(root, s"_committed_$v"))
+        try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      }
+      if (content.nonEmpty && names.contains(content))
+        Some((v, new Path(root, content)))
+      else None
+    }.nextOption().getOrElse((-1L, null))
+  }
 
   /** Read the live version of an [[upsertSink]] state root (the highest
-    * committed version; uncommitted orphans are invisible). Throws if no
-    * version has ever committed.
+    * fully-published version; uncommitted orphans and in-flight markers
+    * are invisible). Throws if no version has ever committed.
     */
   def upsertState(s: SparkSession, stateDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(stateDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cur = currentVersion(fs, root)
+    val (cur, dir) = currentState(fs, root)
     require(cur >= 0, s"no committed upsert state under $stateDir")
-    s.read.parquet(new Path(root, s"v$cur").toString)
+    s.read.parquet(dir.toString)
   }
 
   /** Drive a streaming DataFrame to completion against a memory sink and

@@ -19,6 +19,10 @@ import graft.{GraftSession, SparkEntry}
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats through the JVM default locale; under a
+    // comma-decimal locale (de_DE, fr_FR) the emitted artifact would not
+    // be valid JSON — pin ROOT before any formatting happens
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (reps, nameArgs) = args.headOption.flatMap(_.toIntOption) match {
       case Some(r) => (math.max(1, r), args.drop(1).toSeq)
       case None => (3, args.toSeq)

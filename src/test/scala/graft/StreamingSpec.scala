@@ -440,6 +440,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((7L, "click", 3L, 3.0), (8L, "view", 2L, 2.0)))
   }
 
+  test("upsert multi-writer race: losers abort and retry, no committed row is ever lost") {
+    // The reference runs 1-10 gateway replicas against one store and its
+    // read-compare-set registers race (SURVEY §7.4). Here 4 writers × 5
+    // batches race through the REAL merge path concurrently: a lost
+    // marker create aborts that attempt (the streaming engine's batch
+    // retry), the writer re-resolves and retries. Writer-unique staging
+    // dirs mean a loser's overwrite can never touch a winner's committed
+    // part files — the exactly-once claim under contention.
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mw").toString
+    val state = s"$dir/state"
+    val writers = 4
+    val rounds = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until writers).foreach { wtr =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            (0 until rounds).foreach { r =>
+              val id = (wtr * rounds + r + 1).toLong
+              val batch = Seq((id, id % 3, "click", 1000L + id, id.toDouble))
+                .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+              var attempts = 0
+              var committed = false
+              while (!committed) {
+                try { StreamOps.upsertMerge(batch, state); committed = true }
+                catch {
+                  // lost race (marker exists) or state read torn by a
+                  // concurrent winner's GC — both abort-and-retry paths
+                  case e: Exception if attempts < 200 =>
+                    attempts += 1; retries.incrementAndGet()
+                }
+              }
+            }
+          } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs)
+    // every one of the 20 rows committed exactly once: the final state is
+    // the latest row per key over ALL rows — max event_id per user_id
+    val rows = StreamOps.upsertState(spark, state)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (0L, "click", 18L, 18.0), (1L, "click", 19L, 19.0), (2L, "click", 20L, 20.0)))
+    // versions are a contiguous ledger: one marker per committed version,
+    // the highest one resolving — 20 successful merges = versions 0..19
+    val names = new java.io.File(state).listFiles().map(_.getName)
+    val markers = names.filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong)
+    assert(markers.max === 19L, names.toSeq)
+  }
+
   test("upsert sink aborts on unreadable state instead of overwriting it") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_bad").toString
@@ -453,7 +509,9 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // corrupt the live state table: truncate every parquet part file to
     // garbage so the read fails with a footer error, NOT path-not-found
-    val stateDir = new java.io.File(state, "v0")
+    // (the live dir carries a writer-unique token: v0-<token>)
+    val stateDir = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v0")).head
     val parts = stateDir.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(parts.nonEmpty)
     parts.foreach { f =>
