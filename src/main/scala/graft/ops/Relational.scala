@@ -652,6 +652,66 @@ object Relational {
         "| project event_id, user_id, double_v")
   }
 
+  /** The canonical ADX telemetry query — datetime-literal range filter +
+    * `summarize ... by bin(ts, 1h)` — the query shape the reference's
+    * entire hour-partitioned storage layout exists to serve
+    * (`/root/reference/README.md:5`; its `/query` endpoint proxies the
+    * full dialect, `src/main.go:88-116`). `bin` floors epoch-µs with
+    * exact integer arithmetic inside the scan-adjacent projection, and
+    * the datetime predicates push to the parquet scan. The binned key
+    * (a timestamp) is projected to epoch-µs after translation so the
+    * µs-precision DuckDB oracle compares exactly.
+    */
+  private def kqlTimebin(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where ts_ts >= datetime(2024-01-05) and ts_ts < datetime(2024-01-20) " +
+        "| summarize n = count(), users = dcount(user_id), first_id = min(event_id) by bin(ts_ts, 1h) " +
+        "| sort by ts_ts asc")
+      .select(unix_micros(col("ts_ts")).as("bin_us"),
+        col("n"), col("users"), col("first_id"))
+  }
+
+  /** KQL `join` with a full sub-pipeline right side: per-user purchase
+    * rows joined to each user's click count. The right side is its own
+    * CSL pipeline (scan → filter → summarize), so Catalyst sees a real
+    * aggregated dimension and broadcasts it under AQE — the ADX
+    * telemetry-to-dimension join as one declarative plan.
+    */
+  private def kqlJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' | project user_id, event_id, value " +
+        "| join kind=inner (events_csl | where event_type == 'click' " +
+        "| summarize clicks = count() by user_id) on user_id " +
+        "| summarize purchases = count(), clicks = max(clicks) by user_id " +
+        "| sort by user_id asc")
+  }
+
+  /** KQL `mv-expand` — the dynamic-array unnest, here over the embedding
+    * vector: explode is a Generator inside whole-stage codegen, ×dim row
+    * fan-out with no shuffle; the summarize after it is the one hash
+    * exchange.
+    */
+  private def kqlMvexpand(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_csl")
+    graft.ingest.Kql.translate(s,
+      "embeddings_csl | project vec_id, embedding | mv-expand embedding " +
+        "| summarize dim = count() by vec_id | sort by vec_id asc")
+  }
+
+  /** KQL `parse kind=simple` — pattern extraction compiled to ONE
+    * anchored regex evaluated as a codegen'd projection (regexp_extract
+    * per captured column), the ADX idiom for pulling fields out of
+    * semi-structured text without a JSON parser in the hot path.
+    */
+  private def kqlParse(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | parse props with '{\"k\": ' kv '}' " +
+        "| summarize n = count() by kv | sort by kv asc")
+  }
+
 
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
@@ -764,6 +824,10 @@ object Relational {
     "q_kql_count" -> (kqlCount _),
     "q_kql_summarize" -> (kqlSummarize _),
     "q_kql_top" -> (kqlTop _),
+    "q_kql_timebin" -> (kqlTimebin _),
+    "q_kql_join" -> (kqlJoin _),
+    "q_kql_mvexpand" -> (kqlMvexpand _),
+    "q_kql_parse" -> (kqlParse _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -915,6 +979,27 @@ object Relational {
     "q_kql_top" ->
       ("SELECT event_id, user_id, value * 2 AS double_v FROM events " +
         "WHERE event_type = 'purchase' ORDER BY event_id DESC LIMIT 50"),
+    "q_kql_timebin" ->
+      ("SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bin_us, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS users, " +
+        "CAST(min(event_id) AS BIGINT) AS first_id " +
+        "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05' " +
+        "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_kql_join" ->
+      ("WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS clicks FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') " +
+        "SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS purchases, " +
+        "CAST(max(c.clicks) AS BIGINT) AS clicks " +
+        "FROM p JOIN c USING (user_id) GROUP BY 1 ORDER BY 1"),
+    "q_kql_mvexpand" ->
+      ("SELECT vec_id, CAST(count(*) AS BIGINT) AS dim FROM " +
+        "(SELECT vec_id, unnest(embedding) AS e FROM embeddings) " +
+        "GROUP BY vec_id ORDER BY vec_id"),
+    "q_kql_parse" ->
+      ("SELECT regexp_extract(props, '^\\{\"k\": (.*?)\\}', 1) AS kv, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"),
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
   )

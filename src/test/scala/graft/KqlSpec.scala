@@ -81,6 +81,12 @@ class KqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
       plan)
+    // datetime range predicates push too — at 100 TB this is what turns
+    // an hour-window query into a handful of row groups
+    val tplan = Kql.translate(spark,
+      "kql_events | where ts_ts >= datetime(2024-01-05) | project event_id")
+      .queryExecution.executedPlan.toString
+    assert(tplan.contains("GreaterThanOrEqual(ts_ts,2024-01-05 00:00:00.0)"), tplan)
   }
 
   test("summarize: ADX default names, aliases, by-keys, exact dcount") {
@@ -169,16 +175,150 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("datetime literals and timespan comparisons filter on the timestamp column") {
+    ev.createOrReplaceTempView("kql_events")
+    def n(csl: String) = Kql.translate(spark, s"kql_events | where $csl | count")
+      .as[Long].head()
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    assert(n("ts_ts >= datetime(2024-01-15)") ===
+      ev.filter(col("ts_ts") >= cut).count())
+    // time-of-day and fractional-second forms parse too
+    assert(n("ts_ts < datetime(2024-01-15 06:30:00)") ===
+      ev.filter(col("ts_ts") < java.sql.Timestamp.valueOf("2024-01-15 06:30:00")).count())
+    assert(n("ts_ts < datetime(2024-01-15T06:30:00.5)") ===
+      ev.filter(col("ts_ts") < java.sql.Timestamp.valueOf("2024-01-15 06:30:00.5")).count())
+    // timespan arithmetic against a datetime: ts < datetime(...) - 1d
+    assert(n("ts_ts < datetime(2024-01-16) - 1d") === n("ts_ts < datetime(2024-01-15)"))
+    // a malformed datetime is a loud 400, never a silent empty result
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | where ts_ts > datetime(notadate)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | where ts_ts > datetime(2024-13-40)")
+    }
+  }
+
+  test("ago()/now() evaluate against an injectable now for deterministic replays") {
+    ev.createOrReplaceTempView("kql_events")
+    // pin "now" to 2024-01-16T00:00:00Z: ago(1d) is then 2024-01-15
+    val now = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    val got = Kql.translate(spark,
+      "kql_events | where ts_ts >= ago(1d) and ts_ts < now() | count",
+      Some(now)).as[Long].head()
+    val want = ev.filter(
+      col("ts_ts") >= java.sql.Timestamp.valueOf("2024-01-15 00:00:00") &&
+        col("ts_ts") < java.sql.Timestamp.valueOf("2024-01-16 00:00:00")).count()
+    assert(got === want)
+    assert(got > 0)
+    // without injection, ago() runs against the wall clock: the whole
+    // 2024 fixture is in the past, so ago(1h) matches nothing
+    assert(Kql.translate(spark, "kql_events | where ts_ts > ago(1h) | count")
+      .as[Long].head() === 0L)
+  }
+
+  test("bin() floors timestamps onto the grid and numbers onto multiples") {
+    ev.createOrReplaceTempView("kql_events")
+    // 15-minute bins: every bin key is a multiple of 900s and each
+    // event's key is its own floor
+    val binned = Kql.translate(spark,
+      "kql_events | summarize n = count() by bin(ts_ts, 15m) | sort by ts_ts asc")
+    val keys = binned.select(unix_micros(col("ts_ts"))).as[Long].collect()
+    assert(keys.nonEmpty)
+    assert(keys.forall(_ % (15L * 60 * 1000000) == 0))
+    assert(binned.agg(sum("n")).as[Long].head() === ev.count())
+    // the by-key keeps the source column's name (ADX behavior)
+    assert(binned.columns.toSeq === Seq("ts_ts", "n"))
+    // numeric bin: value floored to multiples of 50
+    val nb = Kql.translate(spark,
+      "kql_events | summarize n = count() by bin(value, 50) | sort by value asc")
+    val nkeys = nb.select("value").as[Double].collect()
+    assert(nkeys.forall(v => v % 50.0 == 0.0))
+  }
+
+  test("join: sub-pipeline right side, explicit kinds, innerunique default dedup") {
+    ev.createOrReplaceTempView("kql_events")
+    val joined = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| join kind=inner (kql_events | where event_type == 'click' " +
+        "| summarize clicks = count() by user_id) on user_id " +
+        "| summarize n = count(), c = max(clicks) by user_id | sort by user_id asc")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("clicks"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("clicks").as("c"))
+      .orderBy("user_id").collect().toSeq
+    assert(joined.collect().toSeq === want)
+    assert(want.nonEmpty)
+    // leftouter keeps purchase users with no clicks (count stays bigger)
+    val lo = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| join kind=leftouter (kql_events | where event_type == 'click' " +
+        "| summarize clicks = count() by user_id) on user_id | count").as[Long].head()
+    val inner = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| join kind=inner (kql_events | where event_type == 'click' " +
+        "| summarize clicks = count() by user_id) on user_id | count").as[Long].head()
+    assert(lo >= inner)
+    assert(lo === ev.filter(col("event_type") === "purchase").count())
+    // ADX default (no kind=) is innerunique: left deduplicated on the key
+    val iu = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' | project user_id " +
+        "| join (kql_events | where event_type == 'click' " +
+        "| summarize clicks = count() by user_id) on user_id | count").as[Long].head()
+    val distinctBuyers = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+      .join(clicks, Seq("user_id")).count()
+    assert(iu === distinctBuyers)
+    // anti joins translate too
+    val anti = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| join kind=leftanti (kql_events | where event_type == 'click') on user_id " +
+        "| count").as[Long].head()
+    // anti and inner partition the purchase rows between them
+    assert(anti + inner === lo)
+  }
+
+  test("mv-expand unnests arrays; parse extracts via one anchored regex") {
+    Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq.empty[String]))
+      .toDF("id", "xs").createOrReplaceTempView("kql_arrays")
+    val ex = Kql.translate(spark,
+      "kql_arrays | mv-expand xs | summarize n = count() by id | sort by id asc")
+      .as[(Long, Long)].collect().toSeq
+    // ADX default: the empty array row vanishes
+    assert(ex === Seq((1L, 3L), (2L, 1L)))
+    Seq((1L, "k=alpha;v=1"), (2L, "k=beta;v=2"), (3L, "garbage"))
+      .toDF("id", "s").createOrReplaceTempView("kql_parse")
+    val p = Kql.translate(spark,
+      "kql_parse | parse s with 'k=' key ';v=' ver " +
+        "| project id, key, ver | sort by id asc")
+      .as[(Long, String, String)].collect().toSeq
+    // non-matching rows keep empty strings (regexp_extract semantics)
+    assert(p === Seq((1L, "alpha", "1"), (2L, "beta", "2"), (3L, "", "")))
+    // kind=simple is accepted, other kinds 400
+    assert(Kql.translate(spark,
+      "kql_parse | parse kind=simple s with 'k=' key ';' * | count")
+      .as[Long].head() === 3L)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_parse | parse kind=regex s with 'k=(.*)'")
+    }
+  }
+
   test("constructs outside the subset fail loudly, never silently") {
     ev.createOrReplaceTempView("kql_events")
     for (bad <- Seq(
-        "kql_events | mv-expand props",
         "kql_events | render timechart",
-        "kql_events | join kind=inner kql_events on event_id",
+        "kql_events | mv-apply x on (summarize count())",
+        "kql_events | make-series n = count() on ts_ts step 1h",
+        "kql_events | lookup kql_events on event_id",
+        "kql_events | join kind=rightsemi (kql_events) on event_id",
+        "kql_events | join kind=inner kql_events",
         "kql_events | summarize percentile(value, 95) by event_type",
         "kql_events | extend a = ",
         "kql_events | take",
         "kql_events | where value ~ 3",
+        "kql_events | where ts_ts > ago(5x)",
         "kql_events | project ",
         "kql_events |"))
       intercept[IllegalArgumentException] { Kql.translate(spark, bad) }
