@@ -1818,7 +1818,8 @@ object Text {
         "lr AS (SELECT b, round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 8192 AS DOUBLE)) - " +
         "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 8192 AS DOUBLE)), 8) AS lr FROM c CROSS JOIN t) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
-        "round(CAST(sum(CAST(lr AS DECIMAL(18,8))) AS DOUBLE), 4) AS weight " +
+        // + 0.0 scrubs IEEE negative zero (cf. q_sim_scores)
+        "round(CAST(sum(CAST(lr AS DECIMAL(18,8))) AS DOUBLE), 4) + 0.0 AS weight " +
         "FROM g JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id")
   )
 }

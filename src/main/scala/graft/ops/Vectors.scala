@@ -560,6 +560,99 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search" — public; the FAISS `PQ` index): split the
+    * 64-dim vector into M=4 subspaces of 16 dims, train a tiny k=4
+    * codebook per subspace with the same 2-pass unrolled Lloyd shape as
+    * [[kmeansFit]] (L2 argmin instead of cosine — PQ quantizes
+    * POSITIONS), and encode every vector as 4 sub-codes. Output carries
+    * the reconstruction MSE next to q_embed_quantize's int8 baseline —
+    * the compression-vs-fidelity trade a 100 TB embedding store is
+    * priced on (PQ here is 4 bytes/vector vs int8's 64).
+    *
+    * Scale shape: codebooks are (M × k) rows → packed per subspace and
+    * BROADCAST; encoding is a per-row fold over k=4 candidates (no join
+    * explosion); the only shuffles are the bounded centroid aggregates
+    * (decimal-exact dimension means, the kmeansFit idiom) and the final
+    * per-vector regroup, both map-side combinable. Fully oracled: DuckDB
+    * replays both Lloyd rounds per subspace and the same L2 argmin with
+    * the (d2, c) tie order.
+    */
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 4
+    val subDim = dim / m
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+    // one row per (vector, subspace): slice is a narrow array op
+    val sv = e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), mm -> " +
+        s"struct(mm AS m, slice(emb, mm * $subDim + 1, $subDim) AS sv))")).as("g"))
+      .select(col("vec_id"), col("g.m").as("m"), col("g.sv").as("sv"))
+
+    // per-(subspace, code) dimension-wise decimal-exact mean
+    def centroids(assigned: DataFrame): DataFrame =
+      assigned.select(col("m"), col("c"), posexplode(col("sv")))
+        .groupBy("m", "c", "pos")
+        .agg((sum(col("col").cast(DecimalType(18, 8))).cast(DoubleType) /
+          count(lit(1))).as("mu"))
+        .groupBy("m", "c")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("centroid"))
+
+    // L2² argmin over the packed per-subspace codebook: a per-row fold
+    // over k=4 candidates; strict < keeps the earlier (lower) code on
+    // ties, matching the oracle's ORDER BY d2, c
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.groupBy("m")
+        .agg(sort_array(collect_list(struct(col("c"), col("centroid"))))
+          .as("codebook"))
+      sv.join(broadcast(packed), "m")
+        .withColumn("best", expr(
+          "aggregate(codebook, " +
+            "named_struct('c', -1, 'd2', CAST('Infinity' AS DOUBLE)), " +
+            "(acc, cb) -> CASE WHEN aggregate(zip_with(sv, cb.centroid, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y) < acc.d2 " +
+            "THEN named_struct('c', cb.c, 'd2', " +
+            "aggregate(zip_with(sv, cb.centroid, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (x, y) -> x + y)) ELSE acc END)"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          col("best.c").as("c"), col("best.d2").as("d2"))
+    }
+
+    val a0 = sv.withColumn("c", (col("vec_id") % m).cast("int"))
+    val a2 = assign(centroids(assign(centroids(a0))))
+    val codes = a2.groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("c"))).as("c0"),
+        max(when(col("m") === 1, col("c"))).as("c1"),
+        max(when(col("m") === 2, col("c"))).as("c2"),
+        max(when(col("m") === 3, col("c"))).as("c3"),
+        // decimal routing: the 4 subspace errors sum in arbitrary order
+        (sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType) /
+          lit(dim)).as("mse_pq"))
+    // the int8 baseline (q_embed_quantize's exact formula), co-keyed on
+    // vec_id — broadcast at gate SFs, co-partitioned at scale
+    val int8 = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("ma"))
+      .withColumn("sc", when(col("ma") > 0, lit(127.0) / col("ma")).otherwise(lit(0.0)))
+      .withColumn("codes", transform(col("embedding"),
+        v => floor(v.cast("double") * col("sc") + lit(0.5)).cast("long")))
+      .select(col("vec_id"),
+        round(
+          when(col("ma") > 0,
+            aggregate(zip_with(col("embedding"), col("codes"), (v, c) =>
+              (v.cast("double") - c.cast("double") / col("sc")) *
+                (v.cast("double") - c.cast("double") / col("sc"))),
+              lit(0.0), (a, x) => a + x) / size(col("codes")))
+            .otherwise(lit(0.0)), 6).as("mse_int8"))
+    codes.join(int8, "vec_id")
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("mse_pq"), 6).as("mse_pq"), col("mse_int8"))
+      .orderBy("vec_id")
+  }
+
   /** Composed quantize→cluster pipeline (VERDICT r3 item 8): int8
     * symmetric quantization (the storage format a 100 TB embedding
     * corpus actually ships) → dequantize → 2-pass Lloyd k-means over
@@ -605,6 +698,7 @@ object Vectors {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embed" -> (dedupEmbed _),
+    "q_pq_encode" -> (pqEncode _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
@@ -672,6 +766,27 @@ object Vectors {
         "round(CAST(sum(CAST(mse AS DECIMAL(30,14))) AS DOUBLE) / count(*), 10) AS mean_mse " +
         "FROM a2 JOIN err USING (vec_id) GROUP BY c ORDER BY c"
     },
+    "q_pq_encode" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "sub AS (SELECT vec_id, CAST(mm.m AS INT) AS m, emb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM e CROSS JOIN range(0, 4) mm(m)), " +
+        "a0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM sub), " +
+        // round 1: decimal-exact per-(subspace, code) means, L2 argmin
+        // with the (d2, c) tie order — kmeansFit's unroll, per subspace
+        "ce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM a0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+        "cb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM ce1 GROUP BY m, c), " +
+        "d1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, list_sum(list_transform(list_zip(s.sv, b.centroid), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2 FROM sub s JOIN cb1 b USING (m)), " +
+        "a1 AS (SELECT vec_id, m, sv, c, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM d1) WHERE rn = 1), " +
+        "ce2 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM a1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+        "cb2 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM ce2 GROUP BY m, c), " +
+        "d2r AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, list_sum(list_transform(list_zip(s.sv, b.centroid), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2 FROM sub s JOIN cb2 b USING (m)), " +
+        "a2 AS (SELECT vec_id, m, c, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM d2r) WHERE rn = 1), " +
+        "codes AS (SELECT vec_id, CAST(max(CASE WHEN m = 0 THEN c END) AS INT) AS c0, CAST(max(CASE WHEN m = 1 THEN c END) AS INT) AS c1, CAST(max(CASE WHEN m = 2 THEN c END) AS INT) AS c2, CAST(max(CASE WHEN m = 3 THEN c END) AS INT) AS c3, CAST(sum(CAST(d2 AS DECIMAL(30,12))) AS DOUBLE) / 64 AS mser FROM a2 GROUP BY vec_id), " +
+        // the int8 baseline replay (q_embed_quantize's exact formula)
+        "mm8 AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
+        "s8 AS (SELECT vec_id, embedding, ma, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM mm8), " +
+        "c8 AS (SELECT vec_id, embedding, ma, sc, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * sc + 0.5) AS BIGINT)) AS codes FROM s8), " +
+        "q8 AS (SELECT vec_id, round(CASE WHEN ma > 0 THEN list_sum(list_transform(range(1, CAST(len(codes) + 1 AS BIGINT)), i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc) * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - codes[CAST(i AS INT)] / sc))) / len(codes) ELSE 0.0 END, 6) AS mse_int8 FROM c8) " +
+        "SELECT codes.vec_id AS vec_id, c0, c1, c2, c3, round(mser, 6) AS mse_pq, mse_int8 FROM codes JOIN q8 USING (vec_id) ORDER BY vec_id"),
     "q_embed_quantize" ->
       ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
         "s AS (SELECT vec_id, embedding, ma, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM m), " +
@@ -698,7 +813,9 @@ object Vectors {
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
         "(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
-        "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cos " +
+        // + 0.0 scrubs IEEE negative zero: Spark's round() drops the
+        // sign, DuckDB's keeps it — normalize where the value is produced
+        "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) + 0.0 AS cos " +
         "FROM embeddings, q ORDER BY vec_id"),
     "q_sim_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
@@ -858,7 +975,8 @@ object Vectors {
         "mr AS (SELECT i, list(m ORDER BY j) AS marr FROM m GROUP BY i), " +
         s"v0 AS (SELECT list_transform(range(1, ${dim + 1}), x -> 1.0) AS v), " +
         steps + " " +
-        "SELECT vec_id, round(list_sum(list_transform(list_zip(emb, v), x -> x[1] * x[2])), 4) AS pc1 " +
+        // + 0.0 scrubs IEEE negative zero (cf. q_sim_scores)
+        "SELECT vec_id, round(list_sum(list_transform(list_zip(emb, v), x -> x[1] * x[2])), 4) + 0.0 AS pc1 " +
         "FROM e CROSS JOIN v3 ORDER BY vec_id"
     }
   )

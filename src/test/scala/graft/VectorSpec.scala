@@ -206,6 +206,29 @@ class VectorSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("product quantization: valid codes, honest MSE ordering vs int8") {
+    val r = q("q_pq_encode").cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    // one code row per vector, every sub-code a trained codeword id
+    assert(r.count() === n)
+    for (c <- Seq("c0", "c1", "c2", "c3"))
+      assert(r.filter(col(c) < 0 || col(c) > 3).count() === 0, c)
+    // PQ at 4 bytes/vector is LOSSIER than int8 at 64 bytes — if pq's
+    // reconstruction error ever undercuts int8's, the encoding is broken
+    assert(r.filter($"mse_pq" <= 0).count() === 0)
+    val cheaper = r.filter($"mse_pq" < $"mse_int8").count()
+    assert(cheaper === 0,
+      s"$cheaper vectors reconstruct better from 4 PQ bytes than 64 int8 bytes")
+    // all 4 codewords of at least one subspace are actually used (the
+    // 2-pass Lloyd didn't collapse the codebook)
+    val used = r.select("c0").distinct().count()
+    assert(used === 4, s"subspace 0 uses $used of 4 codewords")
+    // deterministic: the same corpus encodes to the same codes
+    val a = r.select("c0", "c1", "c2", "c3").collect().toSeq
+    val b = q("q_pq_encode").select("c0", "c1", "c2", "c3").collect().toSeq
+    assert(a === b)
+  }
+
   test("trained IVF returns exact cosines from the probed clusters only") {
     val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
     val r = q("q_ann_ivf_trained").select("vec_id", "cluster", "cos")
