@@ -54,8 +54,13 @@ object Tables {
       // cache key covers the fixture's byte identity: a driver
       // regeneration (new mtime/size) gets a fresh normalization
       val key = md5Hex(s"${srcPath.getAbsolutePath}:${srcPath.length}:${srcPath.lastModified}")
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_events_norm_$key")
+      // the normalized-output root is configurable: on a cluster it must
+      // be SHARED storage every executor can read (the normalize-at-
+      // ingest job's published table), not the driver's local tmpdir —
+      // which remains the single-node harness default
+      val rootDir = s.conf.get("spark.graft.events.normRoot",
+        System.getProperty("java.io.tmpdir"))
+      val base = new java.io.File(rootDir, s"graft_events_norm_$key")
       val dest = new java.io.File(base, "events.parquet")
       if (dest.exists()) dest.getPath
       else {

@@ -43,8 +43,17 @@ class Gateway(spark: SparkSession, warehouse: String,
   // serializes the parquet appends only: concurrent append jobs to one
   // path share the committer's _temporary staging dir and can clobber
   // each other's task attempts — the reference has no such hazard because
-  // each batch uploads its own blob
-  private val writeLock = new Object
+  // each batch uploads its own blob. The lock is JVM-wide PER WAREHOUSE
+  // (companion registry), not per instance: the reference runs 1-10
+  // replicas against one store (its infra scales the container out), and
+  // the harness's co-located form of that is N Gateway instances in one
+  // JVM sharing a ledger — their appends must serialize across instances
+  // or the committer race corrupts the ledger. Separate-JVM replicas
+  // need a commit protocol the committer lacks (a real table format);
+  // the register SEMANTICS are already replica-safe because the durable
+  // truth is the agg-over-ledger derivation (q_state_registers), not the
+  // in-memory counters.
+  private val writeLock = Gateway.writeLockFor(warehouse)
 
   def handle(req: Request): Response =
     if (apiKey.exists(k => !req.query.get("key").contains(k)))
@@ -171,6 +180,13 @@ object Gateway {
   case class Request(method: String, path: String,
       query: Map[String, String] = Map.empty, body: String = "")
   case class Response(status: Int, body: String)
+
+  // one append lock per warehouse path, shared by every Gateway instance
+  // in the JVM (see the writeLock note in the class)
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ingest] def writeLockFor(warehouse: String): Object =
+    writeLocks.computeIfAbsent(warehouse, _ => new Object)
 
   /** Minimal JSON string-content escape (quote, backslash, control
     * chars) — every interpolated free-text value in a response body goes

@@ -394,13 +394,11 @@ object StreamOps {
     val token = java.util.UUID.randomUUID().toString.substring(0, 8)
     val dataDir = new Path(root, s"v$next-$token")
     merged.write.mode("overwrite").parquet(dataDir.toString)
-    // the atomic publish: create(false) fails if the marker exists —
-    // a lost race against another writer aborts THIS batch (the
-    // streaming engine retries it against the winner's state)
-    // instead of silently double-committing; the content names the
-    // data dir this marker publishes
-    val mk = fs.create(new Path(root, s"_committed_$next"), false)
-    try mk.write(dataDir.getName.getBytes("UTF-8")) finally mk.close()
+    // the atomic publish: exactly ONE writer's marker create succeeds —
+    // a lost race aborts THIS batch (the streaming engine retries it
+    // against the winner's state) instead of silently double-committing;
+    // the content names the data dir this marker publishes
+    publishMarker(fs, new Path(root, s"_committed_$next"), dataDir.getName)
     // best-effort GC of superseded versions (crash here is benign):
     // one listing, delete only entries that exist and are settled —
     // version ≤ next and not the dir just published. A staging dir
@@ -409,7 +407,7 @@ object StreamOps {
     fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith("_committed_")) {
-        if (nm.stripPrefix("_committed_").toLong < next)
+        if (nm.stripPrefix("_committed_").toLongOption.exists(_ < next))
           fs.delete(st.getPath, false)
       } else if (nm.startsWith("v") && nm != dataDir.getName) {
         val ver = nm.drop(1).takeWhile(_.isDigit)
@@ -418,6 +416,35 @@ object StreamOps {
       }
     }
     ()
+  }
+
+  /** Win-or-throw marker creation. On HDFS `create(overwrite=false)` is
+    * an atomic namenode op, so the plain path is safe. On LOCAL
+    * filesystems it is an exists-check followed by an open — two racers
+    * can BOTH pass the check, both "win", and interleave content; each
+    * one's GC then deletes the dir the other published, wedging the
+    * marker on a dangling reference (found by the multi-writer race
+    * spec). There the arbiter is the POSIX lock-file idiom instead:
+    * write the content to a writer-unique sibling, then `link(2)` it to
+    * the marker name — hard-linking is kernel-atomic and fails with
+    * EEXIST for every racer but one, and the winner's content is fully
+    * visible the instant the name exists (no create→close window).
+    */
+  private def publishMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, content: String): Unit = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+        _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val m = java.nio.file.Paths.get(marker.toUri.getPath)
+      // dot-prefixed so neither GC's "v"/"_committed_" branches nor
+      // currentState's marker parse ever see it; writer-unique via the
+      // tokened dir name; removed in finally even on a lost race
+      val tmp = m.resolveSibling(s".marker-$content")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(m, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    case _ =>
+      val out = fs.create(marker, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Resolve the live (version, dataDir) under an upsert state root:
@@ -433,7 +460,7 @@ object StreamOps {
     if (!fs.exists(root)) return (-1L, null)
     val names = fs.listStatus(root).map(_.getPath.getName).toSet
     val versions = names.filter(_.startsWith("_committed_"))
-      .map(_.stripPrefix("_committed_").toLong).toSeq.sorted.reverse
+      .flatMap(_.stripPrefix("_committed_").toLongOption).toSeq.sorted.reverse
     versions.iterator.flatMap { v =>
       val content = {
         val in = fs.open(new Path(root, s"_committed_$v"))

@@ -99,6 +99,70 @@ class GatewaySocketSpec extends SparkSpec {
     }
   }
 
+  test("two gateway replicas over one ledger: exact row count, agg-derived register wins") {
+    // The reference scales to 1-10 replicas against one store, and its
+    // read-compare-set registers race across them (SURVEY §7.4). Here
+    // TWO Gateway instances share one warehouse; 4 clients fire 40
+    // interleaved batches across both sockets concurrently. The claim
+    // under test: the ledger is exact (per-warehouse append lock — no
+    // committer clobber), and the DURABLE register — the aggregation
+    // over the ledger — equals the true max no matter which replica
+    // served which batch, where each replica's in-memory counter only
+    // saw its own subset.
+    val wh = java.nio.file.Files.createTempDirectory("graft_sock_mw").toString
+    val h1 = GatewaySocket.start(new Gateway(spark, wh))
+    val h2 = GatewaySocket.start(new Gateway(spark, wh))
+    try {
+      val bases = Seq(s"http://127.0.0.1:${h1.port}", s"http://127.0.0.1:${h2.port}")
+      val t0 = 1697049600000L
+      def env(id: Int): String = {
+        val ts = t0 + id * 1000L
+        s"""{"content":[{"timestamp":$ts,"value":1.0},{"timestamp":${ts - 5},"value":2.0}],""" +
+          s""""id":"mw-$id","timeGenerated":$ts,""" +
+          s""""file":"factory-mw/2023/10/26/19/b$id.parquet"}"""
+      }
+      val writers = 4
+      val perWriter = 10
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      (0 until writers).foreach { w =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            (0 until perWriter).foreach { i =>
+              val id = w * perWriter + i
+              // interleave across the two replicas
+              val r = post(s"${bases(id % 2)}/", env(id))
+              if (r.statusCode() != 200)
+                failures.add(s"batch $id -> ${r.statusCode()}: ${r.body()}")
+            }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(failures.isEmpty, failures)
+      val trueMax = t0 + (writers * perWriter - 1) * 1000L
+      // ledger exactness: every row of every batch landed exactly once
+      val ledger = spark.read.parquet(wh)
+      assert(ledger.count() === (writers * perWriter * 2).toLong)
+      assert(ledger.select("id").distinct().count() === (writers * perWriter).toLong)
+      // the agg-over-ledger register (q_state_registers' derivation) is
+      // exact regardless of replica routing
+      import org.apache.spark.sql.functions.max
+      assert(ledger.agg(max("timestamp")).head().getLong(0) === trueMax)
+      // each replica's in-memory view is a monotone UNDER-approximation
+      // (it saw only its own batches) — their max is the true max only
+      // because together they saw everything; the reference's replica
+      // race is exactly trusting these counters individually
+      def regMax(base: String): Long = {
+        val b = get(s"$base/").body()
+        """"maxTimestamp":(\d+)""".r.findFirstMatchIn(b).get.group(1).toLong
+      }
+      val views = bases.map(regMax)
+      views.foreach(v => assert(v <= trueMax))
+      assert(views.max === trueMax)
+    } finally { h1.stop(); h2.stop() }
+  }
+
   test("POST /query speaks the ADX CSL envelope and native SQL over the socket") {
     withServer() { (base, _) =>
       Tables.events(spark, sfDir).orderBy("event_id").limit(42)

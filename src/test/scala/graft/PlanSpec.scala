@@ -47,6 +47,29 @@ class PlanSpec extends SparkSpec {
     assert(pNs.contains("ReadSchema: struct<event_id:bigint,ts:bigint>"), pNs.take(900))
   }
 
+  test("events normalization root is configurable to shared storage") {
+    import org.apache.spark.sql.functions._
+    // on a cluster the normalized table must land somewhere every
+    // executor reads (spark.graft.events.normRoot), not the driver's
+    // tmpdir; point a fresh fixture copy at a custom root and check the
+    // published table lands under it
+    val root = java.nio.file.Files.createTempDirectory("graft_norm_root")
+    val fixture = java.nio.file.Files.createTempDirectory("graft_norm_fix")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      fixture.resolve("events.parquet"))
+    spark.conf.set("spark.graft.events.normRoot", root.toString)
+    try {
+      val df = Tables.events(spark, fixture.toString)
+      assert(df.filter(col("ts_us") > 0).count() > 0)
+      val published = root.toFile.listFiles()
+      assert(published != null &&
+        published.exists(_.getName.startsWith("graft_events_norm_")),
+        s"normalized table not under the configured root: " +
+          published.map(_.getName).mkString(","))
+    } finally spark.conf.unset("spark.graft.events.normRoot")
+  }
+
   test("documents scan: predicate pushdown and column pruning") {
     import org.apache.spark.sql.functions._
     val p = Tables.documents(spark, sfDir)
