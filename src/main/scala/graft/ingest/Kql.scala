@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * `TelemetryData | count` to `POST /query` (reference
   * `tests/test.http:49,62`, proxied at `src/main.go:88-116,247`) — plus
   * the operators an ADX user reaches next: `where` (incl. `in`/`!in`
-  * literal lists and inclusive `between (lo .. hi)`) / `project` /
-  * `project-away` / `project-keep` / `project-rename` / `extend` (with
-  * +,-,*,/ arithmetic) / `summarize` (count/sum/avg/min/max/dcount,
-  * with `by` keys including `bin(...)`) / `top` / `distinct` /
-  * `sort by` / `limit` / `join` / `mv-expand` / `parse`.
+  * literal lists, inclusive `between (lo .. hi)`, and bare boolean
+  * terms like `isempty(x)`) / `project` / `project-away` /
+  * `project-keep` / `project-rename` / `extend` (full scalar
+  * expression grammar) / `summarize` (count/sum/avg/min/max/dcount,
+  * conditional countif/sumif/minif/maxif/dcountif, arg_max/arg_min,
+  * exact percentile, stdev/variance, make_list/make_set, with `by`
+  * keys including `bin(...)`) / `top` / `distinct` / `sort by` /
+  * `limit` / `join` / `mv-expand` / `parse` / `union` (outer/inner
+  * column alignment) / `make-series` (the ADX time-series
+  * materializer) — plus `let` statements (scalar constants and
+  * tabular sub-pipelines, the CSL analog of CTEs) and a scalar
+  * function library (iff/case/strcat/substring/extract/split/
+  * conversions/date parts/null tests — see [[Translator.parseFnCall]]).
   *
   * TEMPORAL tier (the queries the reference's hour-partitioned layout
   * exists to serve, `/root/reference/README.md:5`): `datetime(...)`
@@ -67,6 +75,9 @@ object Kql {
       tokenize(text) match {
         case Vector(TIdent(t)) => !sqlStarters(t.toLowerCase)
         case TIdent(t) +: TSym("|") +: _ => !sqlStarters(t.toLowerCase)
+        // `let name = ...;` can only open a CSL statement list — no SQL
+        // statement starts with the bare word `let`
+        case TIdent("let") +: TIdent(_) +: TSym("=") +: _ => true
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -84,8 +95,35 @@ object Kql {
     * making temporal queries deterministic for tests and replays.
     */
   def translate(s: SparkSession, text: String,
-      now: Option[java.time.Instant]): DataFrame =
-    new Translator(s, now).pipeline(splitPipes(tokenize(text)))
+      now: Option[java.time.Instant]): DataFrame = {
+    // statement list: zero or more `let name = ...;` bindings, then the
+    // query pipeline. Split on depth-0 ';' (a trailing ';' is tolerated).
+    val stmts0 = splitStatements(tokenize(text))
+    val stmts = if (stmts0.length > 1 && stmts0.last.isEmpty) stmts0.init else stmts0
+    if (stmts.exists(_.isEmpty)) fail("empty statement")
+    val tr = new Translator(s, now)
+    stmts.init.foreach(tr.defineLet)
+    tr.pipeline(splitPipes(stmts.last))
+  }
+
+  private def splitStatements(toks: Vector[Tok]): Vector[Vector[Tok]] = {
+    val parts = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    var depth = 0
+    toks.foreach {
+      case TSym(";") if depth == 0 =>
+        parts += cur.result(); cur = Vector.newBuilder[Tok]
+      case t =>
+        t match {
+          case TSym("(") => depth += 1
+          case TSym(")") => depth -= 1
+          case _ => ()
+        }
+        cur += t
+    }
+    parts += cur.result()
+    parts.result()
+  }
 
   // SQL statement-leading keywords: a pipeline can't start with these, a
   // SQL text always does — the dispatch hinge for looksLikeCsl
@@ -218,7 +256,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/.".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/.;".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -282,9 +320,38 @@ object Kql {
       nowOverride.map(i => lit(java.sql.Timestamp.from(i)))
         .getOrElse(current_timestamp())
 
+    // `let` bindings, in statement order. A tabular let is a full
+    // translated pipeline (a DataFrame — i.e. a named logical plan, like
+    // a SQL CTE); a scalar let is a foldable Column constant.
+    private val letTables = scala.collection.mutable.Map.empty[String, DataFrame]
+    private val letScalars = scala.collection.mutable.Map.empty[String, Column]
+
+    /** `let name = <pipeline or scalar expression>` (statements before
+      * the final pipeline). Tabular vs scalar is decided by the RHS
+      * head: a known table name (catalog or earlier tabular let) —
+      * optionally followed by pipes — is tabular; anything else parses
+      * as a constant scalar expression.
+      */
+    def defineLet(st: Vector[Tok]): Unit = st match {
+      case TIdent("let") +: TIdent(name) +: TSym("=") +: rhs if rhs.nonEmpty =>
+        val tabular = rhs.head match {
+          case TIdent(t) if rhs.length == 1 || rhs(1) == TSym("|") =>
+            letTables.contains(t) || s.catalog.tableExists(t)
+          case _ => false
+        }
+        if (tabular) letTables(name) = pipeline(splitPipes(rhs))
+        else letScalars(name) = parseArithToks(rhs)
+      case _ =>
+        fail("only `let name = ...;` statements may precede the query")
+    }
+
+    /** Table reference: tabular lets shadow the session catalog. */
+    private def sourceTable(name: String): DataFrame =
+      letTables.getOrElse(name, s.table(name))
+
     def pipeline(stages: Vector[Vector[Tok]]): DataFrame = {
       val source = stages.head match {
-        case Vector(TIdent(t)) => s.table(t)
+        case Vector(TIdent(t)) => sourceTable(t)
         case _ => fail("a CSL query must start with a table name")
       }
       stages.tail.foldLeft(source)(applyStage)
@@ -340,6 +407,10 @@ object Kql {
           }
         case TIdent("parse") +: rest =>
           applyParse(df, rest)
+        case TIdent("union") +: rest =>
+          applyUnion(df, rest)
+        case TIdent("make") +: TSym("-") +: TIdent("series") +: rest =>
+          applyMakeSeries(df, rest)
         case TIdent(op) +: _ =>
           fail(s"unsupported operator '$op'")
         case _ =>
@@ -392,6 +463,149 @@ object Kql {
         case "leftanti" | "anti" => df.join(right, keys, "left_anti")
         case "leftsemi" => df.join(right, keys, "left_semi")
         case other => fail(s"unsupported join kind '$other'")
+      }
+    }
+
+    // ----------------------------------------------------------- union
+    //   union := ['kind' '=' ('outer'|'inner')] side (',' side)*
+    //   side  := table | '(' pipeline ')'
+    //   ADX default is kind=outer: the result has the UNION of the
+    //   columns, missing ones null — Spark's unionByName with
+    //   allowMissingColumns. kind=inner keeps only columns common to
+    //   every side (left side's column order). Each side is a full
+    //   sub-pipeline, so Catalyst sees one Union node over N scans and
+    //   pushes downstream filters into every branch.
+
+    private def applyUnion(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      var rem = toks
+      val kind = rem match {
+        case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
+        case _ => "outer"
+      }
+      if (rem.isEmpty) fail("union needs at least one side")
+      val others = splitOn(rem, TSym(",")).map {
+        case Vector(TIdent(t)) => sourceTable(t)
+        case TSym("(") +: inner :+ TSym(")") => pipeline(splitPipes(inner))
+        case other => fail(s"union sides must be a table or (pipeline), got $other")
+      }
+      kind match {
+        case "outer" =>
+          others.foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
+        case "inner" =>
+          val all = df +: others
+          val common = all.map(_.columns.toSeq)
+            .reduce((x, y) => x.filter(y.toSet))
+          if (common.isEmpty) fail("union kind=inner: no common columns")
+          all.map(_.select(common.map(col): _*)).reduce(_.unionByName(_))
+        case other => fail(s"unsupported union kind '$other'")
+      }
+    }
+
+    // ----------------------------------------------------- make-series
+    //   make-series := item (',' item)* 'on' tsCol
+    //                  'from' expr 'to' expr 'step' timespan
+    //                  ['by' byItem (',' byItem)*]
+    //   item := [ident '='] aggCall ['default' '=' number]
+    //   The ADX time-series materializer: one row per group, each
+    //   aggregate an ARRAY with exactly (to-from)/step slots — empty
+    //   bins filled with the item's default (null if none) — plus the
+    //   time axis as an array of bin timestamps, named after the on
+    //   column. Bins are anchored at `from` (ADX semantics), the range
+    //   is [from, to).
+    //
+    //   Plan shape (scales like a groupBy, not like a generator): one
+    //   hash aggregate over (keys, bin) on the filtered scan, a
+    //   key-distinct × foldable sequence() grid (bin count is
+    //   (to-from)/step, independent of row count), a left join to fill
+    //   gaps, then collect_list sorted by bin. The grid join is
+    //   broadcast-size as long as |keys|×|bins| is small — which is the
+    //   regime make-series is for (rendering/anomaly windows, not raw
+    //   scans).
+
+    private def applyMakeSeries(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val onIdx = toks.indexOf(TIdent("on"))
+      if (onIdx < 0) fail("make-series requires `on <timestamp column>`")
+      val items = splitOn(toks.take(onIdx), TSym(",")).map(parseSeriesItem)
+      var rem = toks.drop(onIdx + 1)
+      val tsCol = rem match {
+        case TIdent(c) +: t => rem = t; c
+        case _ => fail("make-series `on` needs a column name")
+      }
+      def cutAt(kw: String, upto: Set[String]): Vector[Tok] = rem match {
+        case TIdent(`kw`) +: t =>
+          val end = t.indexWhere {
+            case TIdent(w) => upto(w)
+            case _ => false
+          }
+          if (end < 0) { rem = Vector.empty; t }
+          else { rem = t.drop(end); t.take(end) }
+        case _ => fail(s"make-series requires `$kw ...` (explicit range keeps the series deterministic)")
+      }
+      val fromC = parseArithToks(cutAt("from", Set("to")))
+      val toC = parseArithToks(cutAt("to", Set("step")))
+      val stepUs = rem match {
+        case TIdent("step") +: TSpan(us) +: t =>
+          if (us <= 0) fail("make-series step must be positive")
+          rem = t; us
+        case _ => fail("make-series requires `step <timespan>`")
+      }
+      val byKeys: Vector[Column] = rem match {
+        case TIdent("by") +: t => parseByItems(t)
+        case Vector() => Vector.empty
+        case other => fail(s"unexpected tokens after step: $other")
+      }
+      if (byKeys.isEmpty) fail("make-series needs `by <keys>` in this subset")
+
+      // everything in exact epoch-µs integer arithmetic, bins anchored
+      // at `from`: bin(u) = u - (u - from) mod step
+      val fromUs = unix_micros(fromC.cast("timestamp"))
+      val toUs = unix_micros(toC.cast("timestamp"))
+      val u = unix_micros(col(tsCol).cast("timestamp"))
+      val binU = (u - pmod(u - fromUs, lit(stepUs))).as("__bin_us")
+
+      val keyNames = byKeys.map(k => df.select(k).columns.head)
+      val inRange = df.filter(u >= fromUs && u < toUs)
+      val agged = inRange
+        .groupBy((byKeys :+ binU): _*)
+        .agg(items.head.agg, items.tail.map(_.agg): _*)
+      // the time grid: foldable sequence() over the closed [from, to-1]
+      // µs range — exactly the bins < to — crossed with the observed keys
+      val grid = inRange.select(byKeys: _*).distinct()
+        .select(col("*"),
+          explode(sequence(fromUs, toUs - lit(1), lit(stepUs))).as("__bin_us"))
+      val filled = grid.join(agged, keyNames :+ "__bin_us", "left")
+      // pack (bin, aggs...) per group, sort by bin, then unzip each
+      // aggregate into its own array column; the time axis array takes
+      // the on-column's name (ADX behavior)
+      val packed = sort_array(collect_list(struct(
+        (col("__bin_us") +: items.map(it =>
+          coalesce(col(it.name), it.default).as(it.name))): _*)))
+      val g = filled.groupBy(keyNames.map(col): _*)
+        .agg(packed.as("__packed"))
+      val seriesCols = items.map(it =>
+        transform(col("__packed"), x => x(it.name)).as(it.name))
+      val axis = transform(col("__packed"),
+        x => timestamp_micros(x("__bin_us"))).as(tsCol)
+      g.select((keyNames.map(col) ++ seriesCols :+ axis): _*)
+    }
+
+    private case class SeriesItem(name: String, agg: Column, default: Column)
+
+    private def parseSeriesItem(toks: Vector[Tok]): SeriesItem = {
+      // strip a trailing `default = <number>` (depth-0 scan from the end)
+      val (callToks, default) = toks match {
+        case init :+ TIdent("default") :+ TSym("=") :+ TNum(v) =>
+          (init, if (v.contains('.')) lit(v.toDouble) else lit(v.toLong))
+        case _ => (toks, lit(null))
+      }
+      callToks match {
+        case TIdent(alias) +: TSym("=") +: call =>
+          val (_, agg) = parseAggCallNamed(call)
+          SeriesItem(alias, agg.as(alias), default)
+        case call =>
+          // the aggregate's ADX default name
+          val (name, agg) = parseAggCallNamed(call)
+          SeriesItem(name, agg.as(name), default)
       }
     }
 
@@ -477,24 +691,65 @@ object Kql {
         parseAggCall(callToks) // carries its ADX default name
     }
 
-    private def parseAggCall(toks: Vector[Tok]): Column = toks match {
+    private def parseAggCall(toks: Vector[Tok]): Column = {
+      val (name, agg) = parseAggCallNamed(toks)
+      agg.as(name)
+    }
+
+    /** Aggregate call → (ADX default output name, unaliased Column).
+      * Beyond the tier-1 set: conditional aggregates (countif/sumif/
+      * minif/maxif/dcountif — the predicate argument goes through the
+      * full predicate grammar), arg_max/arg_min (→ max_by/min_by, ADX
+      * argument order `(exprToRank, exprToReturn)`), exact percentile
+      * (ADX's is a T-digest estimate; exact keeps the result
+      * oracle-comparable, the approximate twin is percentile_approx),
+      * stdev/variance (sample, matching ADX), and the collectors
+      * make_list / make_set (make_set is returned SORTED so the result
+      * is deterministic — ADX's set order is unspecified anyway).
+      */
+    private def parseAggCallNamed(toks: Vector[Tok]): (String, Column) = toks match {
       case Vector(TIdent("count"), TSym("("), TSym(")")) =>
-        count(lit(1)).as("count_")
+        ("count_", count(lit(1)))
       case TIdent(fn) +: TSym("(") +: inner :+ TSym(")") =>
-        val defaultName = inner match {
-          case Vector(TIdent(c)) => s"${fn}_$c"
+        val groups: Vector[Vector[Tok]] =
+          if (inner.isEmpty) Vector.empty else splitOn(inner, TSym(","))
+        def arg(i: Int): Column = parseArithToks(groups(i))
+        def pred(i: Int): Column = parsePredicate(groups(i))
+        def nArgs(n: Int): Unit =
+          if (groups.length != n)
+            fail(s"$fn() takes $n argument(s), got ${groups.length}")
+        val defaultName = groups.headOption match {
+          case Some(Vector(TIdent(c))) => s"${fn}_$c"
           case _ => s"${fn}_"
         }
-        val arg = parseArithToks(inner)
         val agg = fn match {
-          case "sum" => sum(arg)
-          case "avg" => avg(arg)
-          case "min" => min(arg)
-          case "max" => max(arg)
-          case "dcount" => count_distinct(arg)
+          case "sum" => nArgs(1); sum(arg(0))
+          case "avg" => nArgs(1); avg(arg(0))
+          case "min" => nArgs(1); min(arg(0))
+          case "max" => nArgs(1); max(arg(0))
+          case "dcount" => nArgs(1); count_distinct(arg(0))
+          case "stdev" => nArgs(1); stddev_samp(arg(0))
+          case "variance" => nArgs(1); var_samp(arg(0))
+          case "countif" => nArgs(1); count_if(pred(0))
+          case "sumif" => nArgs(2); sum(when(pred(1), arg(0)))
+          case "minif" => nArgs(2); min(when(pred(1), arg(0)))
+          case "maxif" => nArgs(2); max(when(pred(1), arg(0)))
+          case "dcountif" => nArgs(2); count_distinct(when(pred(1), arg(0)))
+          case "arg_max" => nArgs(2); max_by(arg(1), arg(0))
+          case "arg_min" => nArgs(2); min_by(arg(1), arg(0))
+          case "percentile" =>
+            nArgs(2)
+            val p = groups(1) match {
+              case Vector(TNum(v)) => v.toDouble
+              case other => fail(s"percentile() rank must be a number, got $other")
+            }
+            if (p < 0 || p > 100) fail("percentile() rank must be in [0, 100]")
+            percentile(arg(0), lit(p / 100.0))
+          case "make_list" => nArgs(1); collect_list(arg(0))
+          case "make_set" => nArgs(1); array_sort(collect_set(arg(0)))
           case other => fail(s"unsupported aggregate '$other'")
         }
-        agg.as(defaultName)
+        (defaultName, agg)
       case _ => fail("aggregates must be `[alias =] fn(expr)`")
     }
 
@@ -533,40 +788,48 @@ object Kql {
     }
 
     private def parseTerm(c: Cur): Column = c.peek match {
-      case Some(TSym("(")) =>
-        c.next(); val e = parseOr(c); c.expect(TSym(")")); e
       case Some(TIdent("not")) =>
         c.next(); !parseTerm(c)
       case _ =>
+        // parseArith handles '(' grouping itself, so `(a + b) > 3`,
+        // `(x > 1 or y > 2)` — via the boolean fall-through — and a bare
+        // boolean term (`isempty(x)`, a bool column) all parse here
         val l = parseArith(c)
-        c.next() match {
-          case TSym("==") | TSym("=") => l === parseArith(c)
-          case TSym("!=") | TSym("<>") => l =!= parseArith(c)
-          case TSym("<") => l < parseArith(c)
-          case TSym("<=") => l <= parseArith(c)
-          case TSym(">") => l > parseArith(c)
-          case TSym(">=") => l >= parseArith(c)
-          // ADX: bare string operators are case-INsensitive, _cs exact
-          case TIdent("contains") => lower(l).contains(lower(operand(c)))
-          case TIdent("contains_cs") => l.contains(operand(c))
-          case TIdent("startswith") => lower(l).startsWith(lower(operand(c)))
-          case TIdent("startswith_cs") => l.startsWith(operand(c))
-          case TIdent("endswith") => lower(l).endsWith(lower(operand(c)))
-          case TIdent("endswith_cs") => l.endsWith(operand(c))
-          // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
-          case TIdent("in") => l.isin(parseLitList(c): _*)
-          case TSym("!") if c.peek.contains(TIdent("in")) =>
-            c.next(); !l.isin(parseLitList(c): _*)
-          case TIdent("between") =>
-            // ADX: `x between (lo .. hi)`, bounds inclusive
-            c.expect(TSym("("))
-            val lo = parseArith(c)
-            c.expect(TSym(".")); c.expect(TSym("."))
-            val hi = parseArith(c)
-            c.expect(TSym(")"))
-            l >= lo && l <= hi
-          case t => fail(s"unsupported comparison $t")
-        }
+        cmpSuffix(c, l)
+    }
+
+    /** Optional comparison suffix after an arithmetic/boolean term; with
+      * no recognized operator the term IS the predicate (boolean column
+      * or boolean-returning function).
+      */
+    private def cmpSuffix(c: Cur, l: Column): Column = c.peek match {
+      case Some(TSym("==")) | Some(TSym("=")) => c.next(); l === parseArith(c)
+      case Some(TSym("!=")) | Some(TSym("<>")) => c.next(); l =!= parseArith(c)
+      case Some(TSym("<")) => c.next(); l < parseArith(c)
+      case Some(TSym("<=")) => c.next(); l <= parseArith(c)
+      case Some(TSym(">")) => c.next(); l > parseArith(c)
+      case Some(TSym(">=")) => c.next(); l >= parseArith(c)
+      // ADX: bare string operators are case-INsensitive, _cs exact
+      case Some(TIdent("contains")) => c.next(); lower(l).contains(lower(operand(c)))
+      case Some(TIdent("contains_cs")) => c.next(); l.contains(operand(c))
+      case Some(TIdent("startswith")) => c.next(); lower(l).startsWith(lower(operand(c)))
+      case Some(TIdent("startswith_cs")) => c.next(); l.startsWith(operand(c))
+      case Some(TIdent("endswith")) => c.next(); lower(l).endsWith(lower(operand(c)))
+      case Some(TIdent("endswith_cs")) => c.next(); l.endsWith(operand(c))
+      // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
+      case Some(TIdent("in")) => c.next(); l.isin(parseLitList(c): _*)
+      case Some(TSym("!")) if c.peek2.contains(TIdent("in")) =>
+        c.next(); c.next(); !l.isin(parseLitList(c): _*)
+      case Some(TIdent("between")) =>
+        // ADX: `x between (lo .. hi)`, bounds inclusive
+        c.next()
+        c.expect(TSym("("))
+        val lo = parseArith(c)
+        c.expect(TSym(".")); c.expect(TSym("."))
+        val hi = parseArith(c)
+        c.expect(TSym(")"))
+        l >= lo && l <= hi
+      case _ => l
     }
 
     /** Parenthesized literal list for `in`: '(' lit (',' lit)* ')'. */
@@ -625,51 +888,203 @@ object Kql {
 
     private def parseAtom(c: Cur): Column = (c.peek, c.peek2) match {
       case (Some(TSym("(")), _) =>
-        c.next(); val e = parseArith(c); c.expect(TSym(")")); e
+        // parens admit the FULL predicate grammar: parseOr falls through
+        // to plain arithmetic when no boolean operator is present, so
+        // `(a + b) * 2`, `(a + b) > 3` and `(x == 1 or y == 2) and z`
+        // all parse through this one branch
+        c.next(); val e = parseOr(c); c.expect(TSym(")")); e
       case (Some(TIdent(fn)), Some(TSym("("))) => parseFnCall(c, fn)
       case _ => operand(c)
     }
 
+    /** Consume `... )` after an already-consumed `fn (`, splitting the
+      * argument tokens on depth-0 commas. `now()` yields zero groups.
+      */
+    private def argGroups(c: Cur): Vector[Vector[Tok]] = {
+      val groups = Vector.newBuilder[Vector[Tok]]
+      var cur = Vector.newBuilder[Tok]
+      var depth = 0
+      var closed = false
+      var nGroups = 0
+      while (!closed) c.next() match {
+        case TSym(")") if depth == 0 => closed = true
+        case TSym(",") if depth == 0 =>
+          groups += cur.result(); nGroups += 1; cur = Vector.newBuilder[Tok]
+        case t =>
+          t match {
+            case TSym("(") => depth += 1
+            case TSym(")") => depth -= 1
+            case _ => ()
+          }
+          cur += t
+      }
+      val last = cur.result()
+      val out = if (nGroups == 0 && last.isEmpty) Vector.empty[Vector[Tok]]
+                else groups.result() :+ last
+      if (out.exists(_.isEmpty)) fail("empty function argument")
+      out
+    }
+
+    /** Scalar function calls. Temporal (`now`/`ago`/`bin`), conditional
+      * (`iff`/`case` — their predicate arguments go through the full
+      * predicate grammar), strings (`strcat`/`strlen`/`substring` —
+      * ADX's 0-based start — /`split`/`extract`/`tolower`/`toupper`/
+      * `trim`/`replace_string`), math (`round`/`abs`/`floor`/`sqrt`/
+      * `exp`/`log`/`log10`/`pow`/`sign`/`min_of`/`max_of`), conversions
+      * (`tostring`/`toint`/`tolong`/`todouble`/`toreal`/`todatetime` —
+      * numeric narrowing TRUNCATES toward zero, the ADX/Spark shared
+      * semantic, where DuckDB's CAST would round), date parts
+      * (`startofday`/`startofhour`/`startofmonth`/`datetime_part`), and
+      * null tests (`isnull`/`isnotnull`/`isempty`/`isnotempty` —
+      * boolean-returning, usable bare in `where` via the predicate
+      * fall-through, and `coalesce`). All translate to codegen'd
+      * built-ins — no UDF anywhere in the dialect.
+      */
     private def parseFnCall(c: Cur, fn: String): Column = {
       c.next(); c.next() // consume ident and '('
+      val groups = argGroups(c)
+      def nArgs(ns: Int*): Unit =
+        if (!ns.contains(groups.length))
+          fail(s"$fn() takes ${ns.mkString(" or ")} argument(s), got ${groups.length}")
+      def arg(i: Int): Column = parseArithToks(groups(i))
+      def pred(i: Int): Column = parsePredicate(groups(i))
+      def litStr(i: Int): String = groups(i) match {
+        case Vector(TStr(v)) => v
+        case other => fail(s"$fn() argument ${i + 1} must be a string literal, got $other")
+      }
+      def litInt(i: Int): Int = groups(i) match {
+        case Vector(TNum(v)) if !v.contains('.') => v.toInt
+        case other => fail(s"$fn() argument ${i + 1} must be an integer literal, got $other")
+      }
       fn match {
-        case "now" =>
-          c.expect(TSym(")"))
-          nowTs
+        case "now" => nArgs(0); nowTs
         case "ago" =>
-          val d = c.next() match {
-            case TSpan(us) => us
-            case t => fail(s"ago() takes a timespan literal, got $t")
+          nArgs(1)
+          groups(0) match {
+            case Vector(TSpan(us)) =>
+              nowTs - lit(java.time.Duration.of(us,
+                java.time.temporal.ChronoUnit.MICROS))
+            case other => fail(s"ago() takes a timespan literal, got $other")
           }
-          c.expect(TSym(")"))
-          nowTs - lit(java.time.Duration.of(d,
-            java.time.temporal.ChronoUnit.MICROS))
-        case "bin" =>
-          val x = parseArith(c)
-          c.expect(TSym(","))
-          val out = c.next() match {
-            case TSpan(us) =>
-              if (us <= 0) fail("bin() width must be positive")
+        case "bin" | "bin_at" =>
+          // bin(x, width) floors onto the width grid; bin_at adds an
+          // anchor: bin_at(x, width, anchor) aligns the grid to anchor
+          nArgs(if (fn == "bin") 2 else 3)
+          val x = arg(0)
+          groups(1) match {
+            case Vector(TSpan(us)) =>
+              if (us <= 0) fail(s"$fn() width must be positive")
               // exact epoch-µs floor onto the grid — integer arithmetic,
               // so row-group stats and pushdown survive the projection
               val u = unix_micros(x.cast("timestamp"))
-              timestamp_micros(u - pmod(u, lit(us)))
-            case TNum(v) =>
+              val anchor: Column =
+                if (fn == "bin_at") unix_micros(arg(2).cast("timestamp"))
+                else lit(0L)
+              timestamp_micros(u - pmod(u - anchor, lit(us)))
+            case Vector(TNum(v)) =>
               val width: Column =
                 if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
-              x - pmod(x, width)
-            case t => fail(s"bin() width must be a timespan or number, got $t")
+              val anchor: Column = if (fn == "bin_at") arg(2) else lit(0L)
+              x - pmod(x - anchor, width)
+            case other => fail(s"$fn() width must be a timespan or number, got $other")
           }
-          c.expect(TSym(")"))
-          out
+        case "iff" | "iif" =>
+          nArgs(3); when(pred(0), arg(1)).otherwise(arg(2))
+        case "case" =>
+          // case(pred1, val1, ..., predN, valN, default)
+          if (groups.length < 3 || groups.length % 2 == 0)
+            fail("case() takes pred1, val1, ..., default (an odd count ≥ 3)")
+          val default = arg(groups.length - 1)
+          (0 until groups.length - 1 by 2).foldRight(default) { (i, acc) =>
+            when(pred(i), arg(i + 1)).otherwise(acc)
+          }
+        case "coalesce" =>
+          if (groups.isEmpty) fail("coalesce() needs at least one argument")
+          coalesce(groups.indices.map(arg): _*)
+        case "strcat" =>
+          if (groups.isEmpty) fail("strcat() needs at least one argument")
+          concat(groups.indices.map(i => arg(i).cast("string")): _*)
+        case "strlen" => nArgs(1); length(arg(0))
+        case "tolower" => nArgs(1); lower(arg(0))
+        case "toupper" => nArgs(1); upper(arg(0))
+        case "trim" =>
+          // ADX trim(regex, text); the common `trim(" ", s)` whitespace
+          // form maps to btrim (literal char-set trim, not regex)
+          nArgs(2); btrim(arg(1), lit(litStr(0)))
+        case "replace_string" =>
+          nArgs(3)
+          // replace_string(text, lookup, rewrite) — literal, not regex
+          replace(arg(0), arg(1), arg(2))
+        case "substring" =>
+          // ADX substring(source, start[, length]) with 0-BASED start;
+          // Column.substr is 1-based
+          nArgs(2, 3)
+          val len: Column = if (groups.length == 3) arg(2) else lit(Int.MaxValue)
+          arg(0).substr(arg(1).cast("int") + lit(1), len)
+        case "split" =>
+          // split(source, delimiter) — ADX delimiter is a LITERAL string,
+          // Spark's is a regex: quote it
+          nArgs(2)
+          split(arg(0), java.util.regex.Pattern.quote(litStr(1)))
+        case "extract" =>
+          // extract(regex, captureGroup, text)
+          nArgs(3); regexp_extract(arg(2), litStr(0), litInt(1))
+        case "round" =>
+          nArgs(1, 2)
+          if (groups.length == 2) round(arg(0), litInt(1)) else round(arg(0))
+        case "abs" => nArgs(1); abs(arg(0))
+        case "floor" => nArgs(2); parseFnBinFallback(groups) // floor ≡ bin in ADX
+        case "sqrt" => nArgs(1); sqrt(arg(0))
+        case "exp" => nArgs(1); exp(arg(0))
+        case "log" => nArgs(1); log(arg(0))
+        case "log10" => nArgs(1); log10(arg(0))
+        case "pow" => nArgs(2); pow(arg(0), arg(1))
+        case "sign" => nArgs(1); signum(arg(0))
+        case "min_of" =>
+          if (groups.length < 2) fail("min_of() needs at least two arguments")
+          least(groups.indices.map(arg): _*)
+        case "max_of" =>
+          if (groups.length < 2) fail("max_of() needs at least two arguments")
+          greatest(groups.indices.map(arg): _*)
+        case "tostring" => nArgs(1); arg(0).cast("string")
+        case "toint" => nArgs(1); arg(0).cast("int")
+        case "tolong" => nArgs(1); arg(0).cast("long")
+        case "todouble" | "toreal" => nArgs(1); arg(0).cast("double")
+        case "todatetime" => nArgs(1); arg(0).cast("timestamp")
+        case "startofday" => nArgs(1); date_trunc("day", arg(0))
+        case "startofhour" => nArgs(1); date_trunc("hour", arg(0))
+        case "startofmonth" => nArgs(1); date_trunc("month", arg(0))
+        case "datetime_part" =>
+          // datetime_part("hour", ts) → int, ADX part names lowercased
+          nArgs(2); date_part(lit(litStr(0).toLowerCase), arg(1)).cast("int")
+        case "isnull" => nArgs(1); arg(0).isNull
+        case "isnotnull" => nArgs(1); arg(0).isNotNull
+        case "isempty" => nArgs(1); coalesce(arg(0).cast("string"), lit("")) === lit("")
+        case "isnotempty" => nArgs(1); coalesce(arg(0).cast("string"), lit("")) =!= lit("")
         case other => fail(s"unsupported function '$other'")
+      }
+    }
+
+    /** ADX `floor` is an alias of numeric/timespan `bin`. */
+    private def parseFnBinFallback(groups: Vector[Vector[Tok]]): Column = {
+      val x = parseArithToks(groups(0))
+      groups(1) match {
+        case Vector(TSpan(us)) =>
+          val u = unix_micros(x.cast("timestamp"))
+          timestamp_micros(u - pmod(u, lit(us)))
+        case Vector(TNum(v)) =>
+          val width: Column =
+            if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
+          x - pmod(x, width)
+        case other => fail(s"floor() width must be a timespan or number, got $other")
       }
     }
 
     private def operand(c: Cur): Column = c.next() match {
       case TIdent("true") => lit(true)
       case TIdent("false") => lit(false)
-      case TIdent(name) => col(name)
+      // scalar lets shadow column references, like ADX's symbol scoping
+      case TIdent(name) => letScalars.getOrElse(name, col(name))
       case TNum(v) =>
         if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
       case TStr(v) => lit(v)
@@ -683,15 +1098,16 @@ object Kql {
 
     // ------------------------------------------------------ projection
     //   project := item (',' item)*
-    //   item    := ident | ident '=' ident        (ADX rename form)
+    //   item    := arith | ident '=' arith     (ADX computed-column form)
 
     private def parseProjection(toks: Vector[Tok]): Seq[Column] = {
       val items = splitOn(toks, TSym(","))
       if (items.isEmpty) fail("project needs at least one column")
       items.map {
         case Vector(TIdent(a)) => col(a)
-        case Vector(TIdent(alias), TSym("="), TIdent(src)) => col(src).as(alias)
-        case _ => fail("project items must be `col` or `alias = col`")
+        case TIdent(alias) +: TSym("=") +: expr if expr.nonEmpty =>
+          parseArithToks(expr).as(alias)
+        case expr => parseArithToks(expr)
       }
     }
 

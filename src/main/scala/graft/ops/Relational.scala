@@ -713,6 +713,122 @@ object Relational {
   }
 
 
+  /** KQL `let` statements — scalar constants and tabular sub-pipelines,
+    * the CSL analog of CTEs. A tabular let is just a named logical plan:
+    * referencing it inlines the plan, so Catalyst optimizes the whole
+    * statement list as one tree (the filter below lands on the scan
+    * through both lets).
+    */
+  private def kqlLet(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "let cutoff = 100.0; " +
+        "let clicks = events_csl | where event_type == 'click'; " +
+        "clicks | where value >= cutoff " +
+        "| summarize n = count(), vmax = max(value), first_id = min(event_id) by user_id " +
+        "| sort by user_id asc")
+  }
+
+  /** KQL `union kind=outer` (the ADX default): result columns are the
+    * UNION of the sides' columns, missing ones null — Spark's
+    * unionByName(allowMissingColumns). One Union node over two filtered
+    * scans of the same table; Catalyst pushes each side's predicate
+    * into its own scan branch.
+    */
+  private def kqlUnion(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'click' | project event_id, user_id " +
+        "| union (events_csl | where event_type == 'purchase' | project event_id, value) " +
+        "| sort by event_id asc")
+  }
+
+  /** KQL `make-series` — the ADX time-series materializer: one row per
+    * group, each aggregate an array with exactly (to-from)/step slots,
+    * empty bins filled with the declared default. The plan is one hash
+    * aggregate over (key, bin) + a key×bin grid left-join + a sorted
+    * collect_list — bin count is range/step, independent of row count,
+    * so the fill cost does not grow with the corpus. Arrays are joined
+    * to strings for the oracle compare (element-exact: counts are
+    * longs, the axis is epoch-µs).
+    */
+  private def kqlMakeSeries(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| sort by event_type asc")
+      .select(col("event_type"),
+        array_join(transform(col("n"), _.cast("string")), ",").as("series"),
+        array_join(transform(col("ts_ts"),
+          x => unix_micros(x).cast("string")), ",").as("axis"))
+  }
+
+  /** KQL `arg_max`/`arg_min` in summarize — ADX argument order is
+    * (exprToRank, exprToReturn), translated to Spark's max_by/min_by;
+    * one hash aggregate, partial/final combinable (the pair (rank, val)
+    * is the merge state). Ranked on the unique event_id so the result
+    * is deterministic.
+    */
+  private def kqlArgmax(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | summarize last_value = arg_max(event_id, value), " +
+        "first_value = arg_min(event_id, value), last_id = max(event_id) by user_id " +
+        "| sort by user_id asc")
+  }
+
+  /** KQL exact `percentile` + `stdev`: ADX's percentile is a T-digest
+    * estimate; the translation is the EXACT order statistic (sort-based
+    * per group) so the DuckDB quantile_cont oracle compares — the
+    * approximate path at 100 TB is percentile_approx
+    * (q_text_quantiles). Interpolated doubles rounded to 4 for
+    * cross-engine ulp hygiene.
+    */
+  private def kqlPercentile(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | summarize p50 = percentile(value, 50), " +
+        "p95 = percentile(value, 95), sd = stdev(value), n = count() by event_type " +
+        "| sort by event_type asc")
+      .select(col("event_type"), round(col("p50"), 4).as("p50"),
+        round(col("p95"), 4).as("p95"), round(col("sd"), 4).as("sd"), col("n"))
+  }
+
+  /** KQL conditional aggregates (countif/sumif/dcountif/maxif/minif) —
+    * each translates to the built-in FILTER/CASE aggregate form, so the
+    * whole row stays one map-side-combinable hash aggregate rather than
+    * N filtered passes over the corpus.
+    */
+  private def kqlCondAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | summarize n = count(), hi = countif(value > 100), " +
+        "hi_users = dcountif(user_id, value > 100), " +
+        "lo_sum = sumif(event_id, value < 50), " +
+        "vmax_hi = maxif(value, value >= 100), vmin_hi = minif(value, value >= 100) " +
+        "by event_type | sort by event_type asc")
+  }
+
+  /** KQL scalar-function library in extend/project/where: iff, case,
+    * strcat, toupper, substring (ADX 0-based start), toint (truncating
+    * conversion — ADX/Spark semantics; the oracle uses trunc() because
+    * DuckDB's CAST rounds), datetime_part, isnotempty as a bare boolean
+    * predicate. All codegen'd built-ins — the translated plan is one
+    * projection over the scan, no UDF.
+    */
+  private def kqlScalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where isnotempty(props) " +
+        "| extend band = case(value < 50.0, 'low', value < 150.0, 'mid', 'high'), " +
+        "flag = iff(value >= 100, 'hi', 'lo'), " +
+        "tag = strcat(toupper(event_type), ':', substring(event_type, 0, 2)), " +
+        "vi = toint(value), hod = datetime_part('hour', ts_ts) " +
+        "| project event_id, band, flag, tag, vi, hod " +
+        "| sort by event_id asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -828,6 +944,13 @@ object Relational {
     "q_kql_join" -> (kqlJoin _),
     "q_kql_mvexpand" -> (kqlMvexpand _),
     "q_kql_parse" -> (kqlParse _),
+    "q_kql_let" -> (kqlLet _),
+    "q_kql_union" -> (kqlUnion _),
+    "q_kql_makeseries" -> (kqlMakeSeries _),
+    "q_kql_argmax" -> (kqlArgmax _),
+    "q_kql_percentile" -> (kqlPercentile _),
+    "q_kql_condagg" -> (kqlCondAgg _),
+    "q_kql_scalar" -> (kqlScalar _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1000,6 +1123,54 @@ object Relational {
     "q_kql_parse" ->
       ("SELECT regexp_extract(props, '^\\{\"k\": (.*?)\\}', 1) AS kv, " +
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"),
+    "q_kql_let" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n, max(value) AS vmax, " +
+        "CAST(min(event_id) AS BIGINT) AS first_id FROM events " +
+        "WHERE event_type = 'click' AND value >= 100.0 " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "q_kql_union" ->
+      ("SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events WHERE event_type = 'click' " +
+        "UNION ALL " +
+        "SELECT event_id, CAST(NULL AS BIGINT) AS user_id, value FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY event_id"),
+    "q_kql_makeseries" ->
+      ("WITH keys AS (SELECT DISTINCT event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+        "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+        "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b)), " +
+        "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY 1, 2) " +
+        "SELECT g.event_type, " +
+        "array_to_string(list(CAST(COALESCE(a.n, 0) AS VARCHAR) ORDER BY g.b), ',') AS series, " +
+        "array_to_string(list(CAST(epoch_us(g.b) AS VARCHAR) ORDER BY g.b), ',') AS axis " +
+        "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b " +
+        "GROUP BY g.event_type ORDER BY g.event_type"),
+    "q_kql_argmax" ->
+      ("SELECT user_id, arg_max(value, event_id) AS last_value, " +
+        "arg_min(value, event_id) AS first_value, CAST(max(event_id) AS BIGINT) AS last_id " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_kql_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.95), 4) AS p95, " +
+        "round(stddev_samp(value), 4) AS sd, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_kql_condagg" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS hi, " +
+        "CAST(count(DISTINCT CASE WHEN value > 100 THEN user_id END) AS BIGINT) AS hi_users, " +
+        "CAST(sum(event_id) FILTER (WHERE value < 50) AS BIGINT) AS lo_sum, " +
+        "max(value) FILTER (WHERE value >= 100) AS vmax_hi, " +
+        "min(value) FILTER (WHERE value >= 100) AS vmin_hi " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_kql_scalar" ->
+      ("SELECT event_id, " +
+        "CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' ELSE 'high' END AS band, " +
+        "CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS flag, " +
+        "upper(event_type) || ':' || substring(event_type, 1, 2) AS tag, " +
+        "CAST(trunc(value) AS INT) AS vi, " +
+        "CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hod " +
+        "FROM events WHERE COALESCE(CAST(props AS VARCHAR), '') <> '' " +
+        "ORDER BY event_id"),
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2 FROM embeddings ORDER BY vec_id"
   )

@@ -314,7 +314,13 @@ class KqlSpec extends SparkSpec {
         "kql_events | lookup kql_events on event_id",
         "kql_events | join kind=rightsemi (kql_events) on event_id",
         "kql_events | join kind=inner kql_events",
-        "kql_events | summarize percentile(value, 95) by event_type",
+        "kql_events | summarize hll(user_id) by event_type",
+        "kql_events | summarize percentile(value, 950) by event_type",
+        "kql_events | extend a = case(value > 1, 'x', 'y', 'z')",
+        "kql_events | union kind=sideways kql_events",
+        "kql_events | make-series n = count() on ts_ts from datetime(2024-01-01) to datetime(2024-01-02) step 0h by user_id",
+        "let ; kql_events | count",
+        "kql_events | count; let x = 1",
         "kql_events | extend a = ",
         "kql_events | take",
         "kql_events | where value ~ 3",
@@ -322,5 +328,118 @@ class KqlSpec extends SparkSpec {
         "kql_events | project ",
         "kql_events |"))
       intercept[IllegalArgumentException] { Kql.translate(spark, bad) }
+  }
+
+  test("let: scalar constants and tabular sub-pipelines, CTE-style") {
+    ev.createOrReplaceTempView("kql_events")
+    assert(Kql.looksLikeCsl("let x = 1; T | count"))
+    val got = Kql.translate(spark,
+      "let cutoff = 150.0; " +
+        "let clicks = kql_events | where event_type == 'click'; " +
+        "clicks | where value >= cutoff | summarize n = count() by user_id " +
+        "| sort by user_id asc").collect().toSeq
+    val want = ev.filter(col("event_type") === "click" && col("value") >= 150.0)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc).collect().toSeq
+    assert(got === want && got.nonEmpty)
+    // a scalar let shadows nothing it shouldn't: columns still resolve
+    val mixed = Kql.translate(spark,
+      "let k = 2; kql_events | extend d = value * k | project event_id, d | take 1")
+    assert(mixed.columns.toSeq === Seq("event_id", "d"))
+  }
+
+  test("union: outer aligns by name with nulls, inner keeps common columns") {
+    ev.createOrReplaceTempView("kql_events")
+    val outer = Kql.translate(spark,
+      "kql_events | where event_type == 'click' | project event_id, user_id " +
+        "| union (kql_events | where event_type == 'purchase' | project event_id, value)")
+    assert(outer.columns.toSeq === Seq("event_id", "user_id", "value"))
+    val nClick = ev.filter(col("event_type") === "click").count()
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(outer.count() === nClick + nPurch)
+    assert(outer.filter(col("value").isNull).count() === nClick)
+    val inner = Kql.translate(spark,
+      "kql_events | where event_type == 'click' | project event_id, user_id " +
+        "| union kind=inner (kql_events | where event_type == 'purchase' | project value, event_id)")
+    assert(inner.columns.toSeq === Seq("event_id"))
+    assert(inner.count() === nClick + nPurch)
+  }
+
+  test("make-series: fixed slot count, anchored bins, default fill, time axis") {
+    ev.createOrReplaceTempView("kql_events")
+    val df = Kql.translate(spark,
+      "kql_events | make-series n = count() default = 0, vm = max(value) " +
+        "on ts_ts from datetime(2024-01-01) to datetime(2024-01-08) step 1d by event_type")
+    assert(df.columns.toSeq === Seq("event_type", "n", "vm", "ts_ts"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exactly (to-from)/step slots per group, axis sorted on the grid
+      assert(r.getSeq[Long](1).length === 7)
+      assert(r.getSeq[Any](3).length === 7)
+    }
+    // the total of the count series equals the range's row count
+    val total = rows.map(_.getSeq[Long](1).sum).sum
+    val want = ev.filter(col("ts_ts") >= "2024-01-01" && col("ts_ts") < "2024-01-08").count()
+    assert(total === want)
+  }
+
+  test("summarize tier 2: arg_max/arg_min, conditional aggs, percentile, make_set") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | summarize am = arg_max(event_id, value), an = arg_min(event_id, value), " +
+        "hi = countif(value > 100), s = sumif(event_id, value < 50), " +
+        "p = percentile(value, 50), st = stdev(value), ms = make_set(event_type) " +
+        "by user_id | sort by user_id asc")
+    val want = ev.groupBy("user_id").agg(
+      max_by(col("value"), col("event_id")).as("am"),
+      min_by(col("value"), col("event_id")).as("an"),
+      count_if(col("value") > 100).as("hi"),
+      sum(when(col("value") < 50, col("event_id"))).as("s"),
+      percentile(col("value"), lit(0.5)).as("p"),
+      stddev_samp(col("value")).as("st"),
+      array_sort(collect_set(col("event_type"))).as("ms"))
+      .orderBy(col("user_id").asc)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("scalar functions: conditionals, strings, truncating conversions, date parts") {
+    Seq((1L, "Alpha", 2.9, "2024-03-05 14:30:00"),
+        (2L, "beta", -2.9, "2024-07-01 03:00:00"),
+        (3L, null.asInstanceOf[String], 0.0, "2024-01-01 00:00:00"))
+      .toDF("id", "s", "v", "t")
+      .withColumn("ts", to_timestamp($"t"))
+      .createOrReplaceTempView("kql_fn")
+    val r = Kql.translate(spark,
+      "kql_fn | extend i = toint(v), c = iff(v > 0, 'pos', 'nonpos'), " +
+        "b = case(v > 1.0, 'big', v > -1.0, 'small', 'neg'), " +
+        "t3 = strcat(tolower(s), '/', substring(s, 1, 2)), " +
+        "h = datetime_part('hour', ts), e = isempty(s), " +
+        "m = max_of(v, 0.5), piece = split('a-b-c', '-'), " +
+        "x = extract('([0-9]+)', 1, strcat('v', tostring(id))) " +
+        "| project id, i, c, b, t3, h, e, m, x, piece " +
+        "| sort by id asc").collect()
+    // toint TRUNCATES toward zero (ADX/Spark), never rounds
+    assert(r.map(_.getInt(1)).toSeq === Seq(2, -2, 0))
+    assert(r.map(_.getString(2)).toSeq === Seq("pos", "nonpos", "nonpos"))
+    assert(r.map(_.getString(3)).toSeq === Seq("big", "neg", "small"))
+    // ADX substring START IS 0-BASED: substring('Alpha', 1, 2) = 'lp'
+    assert(r(0).getString(4) === "alpha/lp")
+    assert(r(2).getString(4) === null) // strcat over null stays null-safe? concat yields null
+    assert(r.map(_.getInt(5)).toSeq === Seq(14, 3, 0))
+    assert(r.map(_.getBoolean(6)).toSeq === Seq(false, false, true))
+    assert(r.map(_.getDouble(7)).toSeq === Seq(2.9, 0.5, 0.5))
+    assert(r.map(_.getString(8)).toSeq === Seq("1", "2", "3"))
+    assert(r(0).getSeq[String](9) === Seq("a", "b", "c"))
+  }
+
+  test("where accepts bare boolean terms and parenthesized arithmetic comparisons") {
+    ev.createOrReplaceTempView("kql_events")
+    val a = Kql.translate(spark,
+      "kql_events | where isnotempty(event_type) and (value + 10) > 100 | count")
+      .as[Long].head()
+    val b = ev.filter(col("event_type").isNotNull &&
+      col("event_type") =!= "" && (col("value") + 10) > 100).count()
+    assert(a === b && a > 0)
   }
 }
