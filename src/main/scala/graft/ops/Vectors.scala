@@ -578,17 +578,28 @@ object Vectors {
     * replays both Lloyd rounds per subspace and the same L2 argmin with
     * the (d2, c) tie order.
     */
-  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val m = 4
+  /** Slice (id, arr) rows into one row per (vector, subspace):
+    * (vec_id, m, sv) with sv = arr[m·subDim+1 .. (m+1)·subDim]. Extra
+    * input columns are preserved.
+    */
+  private def subspaces(e: DataFrame, arr: String, m: Int): DataFrame = {
     val subDim = dim / m
-    val e = Tables.embeddings(s, dir).select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
-    // one row per (vector, subspace): slice is a narrow array op
-    val sv = e.select(col("vec_id"), explode(expr(
+    e.withColumn("g", explode(expr(
       s"transform(sequence(0, ${m - 1}), mm -> " +
-        s"struct(mm AS m, slice(emb, mm * $subDim + 1, $subDim) AS sv))")).as("g"))
-      .select(col("vec_id"), col("g.m").as("m"), col("g.sv").as("sv"))
+        s"struct(mm AS m, slice($arr, mm * $subDim + 1, $subDim) AS sv))")))
+      .select((e.columns.filter(_ != arr).map(col) :+
+        col("g.m").as("m") :+ col("g.sv").as("sv")): _*)
+  }
+
+  /** Two unrolled Lloyd iterations per subspace over `sub`
+    * (vec_id, m, sv): init c₀ = vec_id mod k, per-(subspace, code)
+    * decimal-exact dimension means, L2² argmin assignment. Returns the
+    * final assignment (vec_id, m, sv, c, d2) AND the trained codebooks
+    * (m, c, centroid). Shared by q_pq_encode (encode the corpus) and
+    * q_ann_ivfpq (encode coarse residuals + ADC lookup tables).
+    */
+  private def pqFit(sub: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
     // per-(subspace, code) dimension-wise decimal-exact mean
     def centroids(assigned: DataFrame): DataFrame =
@@ -601,13 +612,13 @@ object Vectors {
           x => x.getField("mu")).as("centroid"))
 
     // L2² argmin over the packed per-subspace codebook: a per-row fold
-    // over k=4 candidates; strict < keeps the earlier (lower) code on
+    // over k candidates; strict < keeps the earlier (lower) code on
     // ties, matching the oracle's ORDER BY d2, c
     def assign(cents: DataFrame): DataFrame = {
       val packed = cents.groupBy("m")
         .agg(sort_array(collect_list(struct(col("c"), col("centroid"))))
           .as("codebook"))
-      sv.join(broadcast(packed), "m")
+      sub.join(broadcast(packed), "m")
         .withColumn("best", expr(
           "aggregate(codebook, " +
             "named_struct('c', -1, 'd2', CAST('Infinity' AS DOUBLE)), " +
@@ -620,8 +631,20 @@ object Vectors {
           col("best.c").as("c"), col("best.d2").as("d2"))
     }
 
-    val a0 = sv.withColumn("c", (col("vec_id") % m).cast("int"))
-    val a2 = assign(centroids(assign(centroids(a0))))
+    val a0 = sub.select(col("vec_id"), col("m"), col("sv"))
+      .withColumn("c", (col("vec_id") % k).cast("int"))
+    val cb2 = centroids(assign(centroids(a0)))
+    (assign(cb2), cb2)
+  }
+
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 4
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+    // one row per (vector, subspace): slice is a narrow array op
+    val sv = subspaces(e, "emb", m)
+    val (a2, _) = pqFit(sv, m)
     val codes = a2.groupBy("vec_id")
       .agg(
         max(when(col("m") === 0, col("c"))).as("c0"),
@@ -651,6 +674,74 @@ object Vectors {
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         round(col("mse_pq"), 6).as("mse_pq"), col("mse_int8"))
       .orderBy("vec_id")
+  }
+
+  /** IVF-PQ with asymmetric distance computation (ADC) — the composed
+    * index FAISS ships as `IVFPQ` (Jégou et al. 2011 §IV): the coarse
+    * k-means quantizer ([[kmeansFit]], nlist ≈ √N) routes each vector to
+    * an inverted list, PQ ([[pqFit]], M=4 × k=4) encodes each vector's
+    * RESIDUAL from its list centroid, and a query scans only its top-2
+    * probed lists scoring candidates from their 4-byte codes — never
+    * touching the original vectors. ADC: per probed list, the query's
+    * residual is sliced into subspaces and a (list × M × k) = 32-entry
+    * distance table is precomputed; a candidate's estimated distance is
+    * the sum of its 4 table entries.
+    *
+    * Scale shape: the distance table is O(probes·M·k) — bytes, always
+    * broadcast; candidates join it on (list, m, code) with no vector
+    * arithmetic in the scan loop, which is the property that makes
+    * IVF-PQ the 100 TB serving standard (scan cost is a table lookup
+    * per code, memory is 4 B/vector). Residual sums are
+    * decimal-routed so the 4 subspace distances add identically in both
+    * engines; the cut is on the 4-dp-rounded ADC with vec_id tie-break,
+    * so the query is fully oracled — DuckDB replays the coarse unroll,
+    * the residual PQ unroll, and the same table-lookup scoring.
+    */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 4
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+    val (a2, c2) = kmeansFit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    // residual from the assigned coarse centroid — what PQ quantizes
+    val res = a2.join(broadcast(c2), "c")
+      .select(col("vec_id"), col("c").as("cl"),
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => a.cast("double") - b).as("remb"))
+    val (pa2, pcb2) = pqFit(subspaces(res, "remb", m), m)
+
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    // probe: top-2 coarse lists by query→centroid cosine (the house
+    // metric, consistent with q_ann_ivf_trained's probe)
+    val pb = c2.crossJoin(broadcast(q))
+      .select(col("c").as("cl"), col("centroid"),
+        cos(s, col("centroid"), col("qv")).as("ls"))
+      .orderBy(col("ls").desc, col("cl"))
+      .limit(2)
+      .select(col("cl"), col("centroid"))
+    // per-list query residual, sliced into subspaces → the ADC table
+    val qr = pb.crossJoin(broadcast(q))
+      .select(col("cl"),
+        zip_with(col("qv"), col("centroid"), (a, b) => a - b).as("qres"))
+    val adcT = subspaces(qr, "qres", m)
+      .join(broadcast(pcb2), "m")
+      .select(col("cl"), col("m"), col("c").as("code"),
+        aggregate(zip_with(col("sv"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+    // candidates = PQ codes of vectors in the probed lists; the inner
+    // join against the broadcast ADC table both restricts to the probe
+    // set and scores each code in one lookup
+    pa2.select(col("vec_id"), col("m"), col("c").as("code"))
+      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+      .join(broadcast(adcT), Seq("cl", "m", "code"))
+      .filter(col("vec_id") =!= 0)
+      .groupBy("vec_id", "cl")
+      .agg(sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType).as("adc0"))
+      .select(col("vec_id"), col("cl").as("cluster"),
+        round(col("adc0"), 4).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(10)
   }
 
   /** Composed quantize→cluster pipeline (VERDICT r3 item 8): int8
@@ -699,6 +790,7 @@ object Vectors {
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_pq_encode" -> (pqEncode _),
+    "q_ann_ivfpq" -> (annIvfPq _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
@@ -929,6 +1021,36 @@ object Vectors {
         s"SELECT a2.vec_id, a2.c AS cluster, round(${dcos("a2.emb", "qv")}, 4) AS cos " +
         "FROM a2 JOIN pb ON a2.c = pb.c CROSS JOIN q WHERE a2.vec_id <> 0 " +
         "ORDER BY cos DESC, a2.vec_id LIMIT 10"
+    },
+    "q_ann_ivfpq" -> {
+      def l2(a: String, b: String): String =
+        s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+      s"WITH $kmeansUnrollCtes, " +
+        // residual from the assigned coarse centroid
+        "res AS (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
+        "rsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
+        // two unrolled Lloyd rounds per subspace over the residuals
+        "p0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM rsub), " +
+        "pce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+        "pcb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
+        s"pd1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
+        "pa1 AS (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
+        "pce2 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+        "pcb2 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
+        s"pd2 AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
+        "pa2 AS (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
+        // probe: top-2 coarse lists by query->centroid cosine
+        "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+        s"pb AS (SELECT c AS cl, centroid FROM (SELECT c2.c, c2.centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q ORDER BY ls DESC, c LIMIT 2)), " +
+        // per-list query residual -> (list, m, code) ADC table
+        "qr AS (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
+        "qrs AS (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
+        s"adc AS (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${l2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
+        "cand AS (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id) WHERE pa2.vec_id <> 0) " +
+        "SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
+        "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+        "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
+        "GROUP BY cand.vec_id, cand.cl ORDER BY adc, vec_id LIMIT 10"
     },
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +

@@ -274,6 +274,28 @@ class VectorSpec extends SparkSpec {
     assert(trained > 0.0, "cosine-to-own-centroid should be positive on real clusters")
   }
 
+  test("IVF-PQ: probed-list candidates, code-table scoring, ADC ranks near-neighbours first") {
+    val rows = q("q_ann_ivfpq").collect()
+    assert(rows.length === 10)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 10 && !ids.contains(0L),
+      "distinct candidates, query excluded")
+    // candidates come from at most the 2 probed coarse lists
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length <= 2)
+    // ADC distances are non-negative and the cut is sorted ascending
+    val adcs = rows.map(_.getAs[Double]("adc"))
+    assert(adcs.forall(_ >= 0.0))
+    assert(adcs.sameElements(adcs.sorted))
+    // the approximation is doing its job: the ADC winner set overlaps
+    // the exact brute-force cosine top-10 (same query vector) — PQ on
+    // coarse residuals keeps enough signal to rank true neighbours up
+    val brute = q("q_sim_topk").as[(Long, Double)].collect().map(_._1).toSet
+    assert(ids.toSet.intersect(brute).nonEmpty,
+      "ADC top-10 should recover at least one exact top-10 neighbour")
+    // deterministic end to end (coarse unroll + PQ unroll + table cut)
+    assert(q("q_ann_ivfpq").collect().toSeq === rows.toSeq)
+  }
+
   test("embed pipeline: √N clusters partition the corpus; quantization cost is tiny but real") {
     val rows = q("q_embed_pipeline").collect()
     // nlist = ceil(√N) is data-derived; Lloyd reassignment may empty a
