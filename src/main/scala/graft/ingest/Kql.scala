@@ -78,6 +78,8 @@ object Kql {
         // `let name = ...;` can only open a CSL statement list — no SQL
         // statement starts with the bare word `let`
         case TIdent("let") +: TIdent(_) +: TSym("=") +: _ => true
+        // the `range x from ... to ... step ...` table generator
+        case TIdent("range") +: TIdent(_) +: TIdent("from") +: _ => true
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -352,9 +354,42 @@ object Kql {
     def pipeline(stages: Vector[Vector[Tok]]): DataFrame = {
       val source = stages.head match {
         case Vector(TIdent(t)) => sourceTable(t)
-        case _ => fail("a CSL query must start with a table name")
+        case TIdent("range") +: rest => rangeSource(rest)
+        case _ => fail("a CSL query must start with a table name or range")
       }
       stages.tail.foldLeft(source)(applyStage)
+    }
+
+    // ------------------------------------------------------------ range
+    //   range name from start to stop step step
+    //   The ADX table generator: one column, values start, start+step,
+    //   ... up to AND INCLUDING stop (when it lands on the grid) — the
+    //   semantics of Spark's sequence(), which stays a foldable
+    //   expression: numeric ranges and datetime/timespan ranges both
+    //   materialize without a driver loop.
+
+    private def rangeSource(toks: Vector[Tok]): DataFrame = toks match {
+      case TIdent(name) +: TIdent("from") +: rest =>
+        val toIdx = rest.indexOf(TIdent("to"))
+        val stepIdx = rest.indexOf(TIdent("step"))
+        if (toIdx < 0 || stepIdx < 0 || stepIdx < toIdx)
+          fail("range needs `from <start> to <stop> step <step>`")
+        val fromE = parseArithToks(rest.take(toIdx))
+        val toE = parseArithToks(rest.slice(toIdx + 1, stepIdx))
+        val stepToks = rest.drop(stepIdx + 1)
+        stepToks match {
+          case Vector(TSpan(us)) =>
+            if (us <= 0) fail("range step must be positive")
+            // datetime range: sequence over epoch-µs, back to timestamps
+            s.range(1).select(explode(sequence(
+              unix_micros(fromE.cast("timestamp")),
+              unix_micros(toE.cast("timestamp")), lit(us))).as("u"))
+              .select(timestamp_micros(col("u")).as(name))
+          case _ =>
+            val stepE = parseArithToks(stepToks)
+            s.range(1).select(explode(sequence(fromE, toE, stepE)).as(name))
+        }
+      case _ => fail("range needs `range <name> from <start> to <stop> step <step>`")
     }
 
     // ---------------------------------------------------------- stages
@@ -387,6 +422,8 @@ object Kql {
           parseExtendItems(rest).foldLeft(df) { case (d, (name, e)) =>
             d.withColumn(name, e)
           }
+        case TIdent("top") +: TSym("-") +: TIdent("nested") +: rest =>
+          applyTopNested(df, rest)
         case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
           // ADX `top N by key [asc|desc]`, default DESCENDING — orderBy +
           // limit compiles to TakeOrderedAndProject (per-partition heap)
@@ -464,6 +501,93 @@ object Kql {
         case "leftsemi" => df.join(right, keys, "left_semi")
         case other => fail(s"unsupported join kind '$other'")
       }
+    }
+
+    // ------------------------------------------------------ top-nested
+    //   top-nested := clause (',' 'top' '-' 'nested' clause)*
+    //   clause     := N 'of' keyCol 'by' [alias '='] aggCall
+    //   Hierarchical top-N (ADX drill-down): level 1 keeps the top-N₁
+    //   keys by their aggregate over the whole input; level 2 keeps the
+    //   top-N₂ sub-keys WITHIN each kept level-1 key; and so on. Output
+    //   carries every level's key and aggregate.
+    //
+    //   Plan: one hash aggregate over the full key tuple (the finest
+    //   grain — ONE corpus-sized shuffle), then each level derives by
+    //   re-aggregating the bounded previous result and cutting with a
+    //   rank window partitioned by the kept prefix — every post-corpus
+    //   stage operates on ≤ Π Nᵢ × |keys| rows, so the drill-down is
+    //   corpus-scan-bounded no matter how many levels. Determinism: ADX
+    //   leaves aggregate ties unspecified; this cut breaks them by key
+    //   ascending.
+
+    private def applyTopNested(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      case class Level(n: Int, key: String, aggName: String, fn: String, agg: Column)
+      val frags = splitOn(toks, TSym(","))
+      val levels = frags.zipWithIndex.map { case (f, i) =>
+        val body = if (i == 0) f
+        else f match {
+          case TIdent("top") +: TSym("-") +: TIdent("nested") +: rest => rest
+          case _ => fail("top-nested clauses must each start with `top-nested`")
+        }
+        body match {
+          case TNum(n) +: TIdent("of") +: TIdent(key) +: TIdent("by") +: aggToks =>
+            val (alias, call) = aggToks match {
+              case TIdent(a) +: TSym("=") +: c => (Some(a), c)
+              case c => (None, c)
+            }
+            val fn = call.headOption match {
+              case Some(TIdent(f)) => f
+              case _ => fail("top-nested clause must end `by [alias =] agg()`")
+            }
+            // the fine table's per-group partials must merge into the
+            // coarser levels' totals — only decomposable aggregates
+            if (!Set("count", "countif", "sum", "sumif",
+                "min", "minif", "max", "maxif")(fn))
+              fail(s"top-nested aggregate '$fn' is not decomposable " +
+                "(use count/sum/min/max or their *if forms)")
+            val (dflt, agg) = parseAggCallNamed(call)
+            Level(n.toInt, key, alias.getOrElse(dflt), fn, agg)
+          case _ => fail("top-nested clause must be `N of key by [alias =] agg()`")
+        }
+      }
+      /** merge per-fine-group partials one level up */
+      def reAgg(fn: String, partial: Column): Column = fn match {
+        case "count" | "countif" | "sum" | "sumif" => sum(partial)
+        case "min" | "minif" => min(partial)
+        case "max" | "maxif" => max(partial)
+      }
+      // ONE corpus-sized aggregate at the finest key grain; every level
+      // is a rollup of this bounded table, so the drill-down adds no
+      // further corpus scans or corpus-sized shuffles
+      val keyCols = levels.map(_.key)
+      val fine = df.groupBy(keyCols.map(col): _*)
+        .agg(levels.head.agg.as("__a0"),
+          levels.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") }: _*)
+      levels.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
+        val prefixKeys = keyCols.take(i)
+        val grouped = prev match {
+          case None =>
+            fine.groupBy(col(l.key)).agg(reAgg(l.fn, col("__a0")).as(l.aggName))
+          case Some(p) =>
+            // restrict to the surviving prefix (broadcast — ≤ Π Nⱼ rows),
+            // carry its aggregates along, group one key deeper
+            val carried = p.columns.filterNot(prefixKeys.contains).toSeq
+            fine.join(broadcast(p), prefixKeys)
+              .groupBy((prefixKeys ++ carried :+ l.key).map(col): _*)
+              .agg(reAgg(l.fn, col(s"__a$i")).as(l.aggName))
+        }
+        if (prefixKeys.isEmpty)
+          // level 1's cut is a global top-N — TakeOrderedAndProject
+          // (per-partition heap), never an empty-partition window
+          Some(grouped.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
+        else {
+          val w = Window.partitionBy(prefixKeys.map(col): _*)
+            .orderBy(col(l.aggName).desc, col(l.key).asc)
+          Some(grouped.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= l.n).drop("__rn"))
+        }
+      }.get
     }
 
     // ----------------------------------------------------------- union

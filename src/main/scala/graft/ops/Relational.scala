@@ -829,6 +829,30 @@ object Relational {
         "| sort by event_id asc")
   }
 
+  /** KQL `top-nested` — hierarchical drill-down top-N (top event types,
+    * then top users within each): ONE corpus-sized aggregate at the
+    * finest key grain, every level a rollup of that bounded table with a
+    * prefix-partitioned rank cut (level 1 is a TakeOrderedAndProject,
+    * never an empty-partition window). Aggregate ties broken by key
+    * ascending so the cut is deterministic in both engines.
+    */
+  private def kqlTopNested(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | top-nested 2 of event_type by cnt = count(), " +
+        "top-nested 3 of user_id by s = sum(event_id) " +
+        "| sort by event_type asc, user_id asc")
+  }
+
+  /** KQL `range` table generator + arithmetic over it — a foldable
+    * sequence() explode, no driver loop; the summarize collapses it to
+    * one row, so the whole plan is generator → projection → agg.
+    */
+  private def kqlRange(s: SparkSession, dir: String): DataFrame =
+    graft.ingest.Kql.translate(s,
+      "range x from 1 to 1000 step 7 | extend y = x * 2 " +
+        "| summarize n = count(), s = sum(y), mx = max(x)")
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -951,6 +975,8 @@ object Relational {
     "q_kql_percentile" -> (kqlPercentile _),
     "q_kql_condagg" -> (kqlCondAgg _),
     "q_kql_scalar" -> (kqlScalar _),
+    "q_kql_topnested" -> (kqlTopNested _),
+    "q_kql_range" -> (kqlRange _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1162,6 +1188,20 @@ object Relational {
         "max(value) FILTER (WHERE value >= 100) AS vmax_hi, " +
         "min(value) FILTER (WHERE value >= 100) AS vmin_hi " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_kql_topnested" ->
+      ("WITH fine AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS a0, " +
+        "CAST(sum(event_id) AS BIGINT) AS a1 FROM events GROUP BY 1, 2), " +
+        "l1 AS (SELECT event_type, CAST(sum(a0) AS BIGINT) AS cnt FROM fine " +
+        "GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 2), " +
+        "l2 AS (SELECT f.event_type, l1.cnt, f.user_id, CAST(sum(f.a1) AS BIGINT) AS s " +
+        "FROM fine f JOIN l1 USING (event_type) GROUP BY 1, 2, 3), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY s DESC, user_id ASC) AS rn FROM l2) " +
+        "SELECT event_type, cnt, user_id, s FROM r WHERE rn <= 3 " +
+        "ORDER BY event_type, user_id"),
+    "q_kql_range" ->
+      ("WITH r AS (SELECT unnest(generate_series(1, 1000, 7)) AS x) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x * 2) AS BIGINT) AS s, " +
+        "CAST(max(x) AS BIGINT) AS mx FROM r"),
     "q_kql_scalar" ->
       ("SELECT event_id, " +
         "CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' ELSE 'high' END AS band, " +

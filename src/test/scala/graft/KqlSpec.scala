@@ -433,6 +433,42 @@ class KqlSpec extends SparkSpec {
     assert(r(0).getSeq[String](9) === Seq("a", "b", "c"))
   }
 
+  test("top-nested: hierarchical top-N with per-prefix cuts and key tie-break") {
+    ev.createOrReplaceTempView("kql_events")
+    val rows = Kql.translate(spark,
+      "kql_events | top-nested 2 of event_type by cnt = count(), " +
+        "top-nested 3 of user_id by s = sum(event_id) " +
+        "| sort by event_type asc, user_id asc").collect()
+    assert(rows.map(_.getString(0)).distinct.length === 2, "exactly 2 level-1 keys")
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length <= 3, "at most 3 level-2 keys per level-1 key")
+    }
+    // level-1 keys are THE top-2 event types by count
+    val want = ev.groupBy("event_type").count()
+      .orderBy(col("count").desc, col("event_type")).limit(2)
+      .select("event_type").as[String].collect().toSet
+    assert(rows.map(_.getString(0)).toSet === want)
+    // non-decomposable aggregates are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | top-nested 2 of event_type by a = avg(value)")
+    }
+  }
+
+  test("range generates inclusive arithmetic and datetime sequences") {
+    val n = Kql.translate(spark, "range x from 1 to 10 step 3 | count")
+      .as[Long].head()
+    assert(n === 4) // 1, 4, 7, 10 — stop inclusive when on the grid
+    val days = Kql.translate(spark,
+      "range d from datetime(2024-01-01) to datetime(2024-01-05) step 1d | count")
+      .as[Long].head()
+    assert(days === 5)
+    assert(Kql.looksLikeCsl("range x from 1 to 5 step 1 | count"))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "range x from 1 to 10")
+    }
+  }
+
   test("where accepts bare boolean terms and parenthesized arithmetic comparisons") {
     ev.createOrReplaceTempView("kql_events")
     val a = Kql.translate(spark,
