@@ -744,6 +744,31 @@ object Vectors {
       .limit(10)
   }
 
+  /** ANN evaluation harness — recall@10 of every index family (LSH
+    * multi-probe, trained IVF, IVF-PQ/ADC) against the exact brute-force
+    * top-10, in one query: the acceptance gate a production vector-store
+    * rollout runs before switching index types. Composes the existing
+    * operators unchanged; the brute set (10 rows) broadcasts onto the
+    * tagged candidate union. Every branch is deterministic, so the
+    * recall table itself is fully oracled — the DuckDB twin recomposes
+    * the same four oracle replays.
+    */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = simTopk(s, dir).select(col("vec_id"), lit(1).as("hit"))
+    val cands = annLsh(s, dir).select(lit("lsh").as("method"), col("vec_id"))
+      .unionByName(annIvfTrained(s, dir)
+        .select(lit("ivf").as("method"), col("vec_id")))
+      .unionByName(annIvfPq(s, dir)
+        .select(lit("ivfpq").as("method"), col("vec_id")))
+    cands.join(broadcast(brute), Seq("vec_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(col("method"), col("n_candidates"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall_at_10"))
+      .orderBy("method")
+  }
+
   /** Composed quantize→cluster pipeline (VERDICT r3 item 8): int8
     * symmetric quantization (the storage format a 100 TB embedding
     * corpus actually ships) → dequantize → 2-pass Lloyd k-means over
@@ -791,6 +816,7 @@ object Vectors {
     "q_dedup_embed" -> (dedupEmbed _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_recall" -> (annRecall _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
@@ -829,7 +855,7 @@ object Vectors {
       s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
       "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1)"
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_embed_pipeline" -> {
       val cent = (src: String) =>
         s"(SELECT c, list(m ORDER BY pos) AS centroid FROM (" +
@@ -1102,4 +1128,21 @@ object Vectors {
         "FROM e CROSS JOIN v3 ORDER BY vec_id"
     }
   )
+
+  /** q_ann_recall's oracle composes the three index oracles and the
+    * brute-force oracle verbatim as subqueries (DuckDB allows WITH
+    * inside a derived table), so the recall numbers grade against the
+    * exact same replays the per-index queries do.
+    */
+  val oracleSql: Map[String, String] = oracleBase +
+    ("q_ann_recall" ->
+      (s"WITH brute AS (SELECT vec_id FROM (${oracleBase("q_sim_topk")})), " +
+        s"cands AS (SELECT 'lsh' AS method, vec_id FROM (${oracleBase("q_ann_lsh")}) " +
+        s"UNION ALL SELECT 'ivf' AS method, vec_id FROM (${oracleBase("q_ann_ivf_trained")}) " +
+        s"UNION ALL SELECT 'ivfpq' AS method, vec_id FROM (${oracleBase("q_ann_ivfpq")})) " +
+        "SELECT method, CAST(count(*) AS BIGINT) AS n_candidates, " +
+        "CAST(count(b.vec_id) AS BIGINT) AS hits, " +
+        "round(CAST(count(b.vec_id) AS DOUBLE) / 10, 2) AS recall_at_10 " +
+        "FROM cands c LEFT JOIN brute b USING (vec_id) " +
+        "GROUP BY method ORDER BY method"))
 }

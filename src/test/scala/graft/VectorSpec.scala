@@ -296,6 +296,24 @@ class VectorSpec extends SparkSpec {
     assert(q("q_ann_ivfpq").collect().toSeq === rows.toSeq)
   }
 
+  test("ANN recall harness grades every index family against brute force") {
+    val rows = q("q_ann_recall").collect()
+    assert(rows.map(_.getAs[String]("method")).toSet === Set("lsh", "ivf", "ivfpq"))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_candidates")
+      val hits = r.getAs[Long]("hits")
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(n === 10L, "each index returns a top-10")
+      assert(hits >= 0 && hits <= 10)
+      assert(rec === hits / 10.0)
+    }
+    // cross-check one method against its standalone query
+    val lshHits = q("q_ann_lsh").select("vec_id").as[Long].collect().toSet
+      .intersect(q("q_sim_topk").select("vec_id").as[Long].collect().toSet).size
+    assert(rows.find(_.getAs[String]("method") == "lsh").get
+      .getAs[Long]("hits") === lshHits.toLong)
+  }
+
   test("embed pipeline: √N clusters partition the corpus; quantization cost is tiny but real") {
     val rows = q("q_embed_pipeline").collect()
     // nlist = ceil(√N) is data-derived; Lloyd reassignment may empty a
