@@ -239,4 +239,34 @@ class GatewaySpec extends SparkSpec {
       assert(cnt.body === s"""[{"Count":$n}]""")
     } finally rm(wh)
   }
+
+  test("the query route speaks the full dialect tier: let/temporal/summarize/top-nested") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      Tables.events(spark, sfDir).createOrReplaceTempView("TelemetryData")
+      // the canonical ADX telemetry shape through the envelope: datetime
+      // range + summarize by bin — the query the reference's hour layout
+      // exists to serve, now expressible end-to-end at the endpoint
+      val binned = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | where ts_ts >= datetime(2024-01-02) and ts_ts < datetime(2024-01-03) | summarize n = count() by bin(ts_ts, 6h) | sort by ts_ts asc"}"""))
+      assert(binned.status === 200, binned)
+      assert(binned.body.split("\\},\\{").length === 4, binned.body)
+      // let statements + conditional aggregates through the same route
+      val let = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"let hi = 400.0; TelemetryData | summarize n = countif(value >= hi)"}"""))
+      assert(let.status === 200, let)
+      val want = Tables.events(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("value") >= 400.0).count()
+      assert(let.body === s"""[{"n":$want}]""")
+      // top-nested drill-down stays read-only and runs at the endpoint
+      val tn = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | top-nested 1 of event_type by c = count() | project event_type"}"""))
+      assert(tn.status === 200, tn)
+      // unsupported dialect still 400s with the parse error, never 500s
+      val bad = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | render timechart"}"""))
+      assert(bad.status === 400, bad)
+    } finally rm(wh)
+  }
 }
