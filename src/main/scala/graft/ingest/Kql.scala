@@ -328,6 +328,10 @@ object Kql {
     private val letTables = scala.collection.mutable.Map.empty[String, DataFrame]
     private val letScalars = scala.collection.mutable.Map.empty[String, Column]
 
+    // the most recent `sort by` keys — what `serialize`'s row numbering
+    // is defined over (ADX: serialize freezes the current sorted order)
+    private var lastSort: Option[Seq[Column]] = None
+
     /** `let name = <pipeline or scalar expression>` (statements before
       * the final pipeline). Tabular vs scalar is decided by the RHS
       * head: a known table name (catalog or earlier tabular let) —
@@ -433,7 +437,10 @@ object Kql {
         case TIdent("distinct") +: rest =>
           df.select(parseNameList(rest).map(col): _*).distinct()
         case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
-          df.orderBy(parseSortKeys(rest): _*)
+          lastSort = Some(parseSortKeys(rest))
+          df.orderBy(lastSort.get: _*)
+        case TIdent("serialize") +: rest =>
+          applySerialize(df, rest)
         case TIdent("join") +: rest =>
           applyJoin(df, rest)
         case TIdent("mv") +: TSym("-") +: TIdent("expand") +: rest =>
@@ -500,6 +507,35 @@ object Kql {
         case "leftanti" | "anti" => df.join(right, keys, "left_anti")
         case "leftsemi" => df.join(right, keys, "left_semi")
         case other => fail(s"unsupported join kind '$other'")
+      }
+    }
+
+    // -------------------------------------------------------- serialize
+    //   serialize name '=' row_number() (',' name '=' row_number())*
+    //   ADX's serialize freezes row order and row_number() numbers the
+    //   frozen sequence 1..N. This subset requires a PRECEDING `sort by`
+    //   (an unsorted table has no deterministic order to freeze — the
+    //   same reason ADX marks bare serialize results "unspecified") and
+    //   numbers over those sort keys.
+    //
+    //   Scale note: a global row numbering is inherently sequential —
+    //   this window's ORDER BY with no PARTITION BY plans as a
+    //   single-partition sort, the honest cost of the ADX semantic. For
+    //   corpus-scale sequence numbering use the two-level prefix-sum
+    //   shape (q_epoch_order / q_pack_sequences) instead of serialize.
+
+    private def applySerialize(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val keys = lastSort.getOrElse(
+        fail("serialize requires a preceding `sort by` (no deterministic order to freeze)"))
+      splitOn(toks, TSym(",")).foldLeft(df) { (d, item) =>
+        item match {
+          case Vector(TIdent(name), TSym("="), TIdent("row_number"),
+              TSym("("), TSym(")")) =>
+            d.withColumn(name, row_number().over(Window.orderBy(keys: _*)))
+          case other =>
+            fail(s"serialize items must be `name = row_number()`, got $other")
+        }
       }
     }
 

@@ -853,6 +853,19 @@ object Relational {
       "range x from 1 to 1000 step 7 | extend y = x * 2 " +
         "| summarize n = count(), s = sum(y), mx = max(x)")
 
+  /** KQL `serialize` + `row_number()` — ADX's frozen-order sequence
+    * numbering over the preceding `sort by` keys. The rn≤100 cut after
+    * it mirrors the paging idiom ADX users run; numbering is
+    * deterministic because the sort ends on the unique event_id.
+    */
+  private def kqlSerialize(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' " +
+        "| sort by value desc, event_id asc | serialize rn = row_number() " +
+        "| where rn <= 100 | project rn, event_id, value")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -977,6 +990,7 @@ object Relational {
     "q_kql_scalar" -> (kqlScalar _),
     "q_kql_topnested" -> (kqlTopNested _),
     "q_kql_range" -> (kqlRange _),
+    "q_kql_serialize" -> (kqlSerialize _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1198,6 +1212,10 @@ object Relational {
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY s DESC, user_id ASC) AS rn FROM l2) " +
         "SELECT event_type, cnt, user_id, s FROM r WHERE rn <= 3 " +
         "ORDER BY event_type, user_id"),
+    "q_kql_serialize" ->
+      ("SELECT rn, event_id, value FROM (SELECT event_id, value, " +
+        "CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INT) AS rn " +
+        "FROM events WHERE event_type = 'purchase') WHERE rn <= 100 ORDER BY rn"),
     "q_kql_range" ->
       ("WITH r AS (SELECT unnest(generate_series(1, 1000, 7)) AS x) " +
         "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x * 2) AS BIGINT) AS s, " +

@@ -469,6 +469,19 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("serialize numbers the frozen sort order; bare serialize is rejected") {
+    ev.createOrReplaceTempView("kql_events")
+    val r = Kql.translate(spark,
+      "kql_events | sort by event_id asc | serialize rn = row_number() | take 5")
+      .select("rn", "event_id").as[(Int, Long)].collect().toSeq
+    assert(r.map(_._1) === Seq(1, 2, 3, 4, 5))
+    assert(r.map(_._2) === r.map(_._2).sorted, "numbering follows the sort")
+    // no preceding sort → no deterministic order to freeze → 400
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | serialize rn = row_number()")
+    }
+  }
+
   test("where accepts bare boolean terms and parenthesized arithmetic comparisons") {
     ev.createOrReplaceTempView("kql_events")
     val a = Kql.translate(spark,
