@@ -598,7 +598,13 @@ object Text {
     * routing on the log-likelihood sum keeps the per-doc mean
     * partition-order-invariant, so the score is hash-checked.
     */
-  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    docLmScores(s, dir).orderBy("doc_id")
+
+  /** Per-doc (doc_id, n_tokens, mean_ll-rounded-4dp) — lm_score's body,
+    * shared with q_perplexity_buckets.
+    */
+  private def docLmScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
@@ -620,7 +626,35 @@ object Text {
         (sum(col("ll").cast(DecimalType(18, 8))).cast("double") /
           cnt.cast("double")).as("mean_ll"))
       .select(col("doc_id"), col("n_tokens"), round(col("mean_ll"), 4).as("mean_ll"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * — public): per language, split the corpus into head/middle/tail
+    * thirds by LM score (head = most fluent) and report each bucket's
+    * size and score envelope — the table that decides which third of a
+    * crawl a training mix keeps. Bucketing is `ntile(3)` over
+    * (mean_ll desc, doc_id): a RANK cut, not an interpolated-threshold
+    * comparison, so no boundary can flip on a floating-point ulp (the
+    * q_winsorize rule) and the tie-break makes it deterministic in both
+    * engines. Cost on top of the lm_score aggregate: one per-language
+    * window over the per-DOC score table (corpus-row-count rows, not
+    * token rows) and a 3·|langs| aggregate.
+    */
+  private def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("lang").orderBy(col("mean_ll").desc, col("doc_id"))
+    docLmScores(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy("lang", "bucket")
+      .agg(cnt.as("n_docs"),
+        round(sum(col("mean_ll").cast(DecimalType(18, 4))).cast("double") /
+          cnt.cast("double"), 4).as("avg_ll"),
+        min(col("mean_ll")).as("worst_ll"),
+        max(col("mean_ll")).as("best_ll"))
+      .orderBy("lang", "bucket")
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
@@ -1398,6 +1432,7 @@ object Text {
     "q_bigram_lm" -> (bigramLm _),
     "q_hash_embed" -> (hashEmbed _),
     "q_lm_score" -> (lmScore _),
+    "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
     "q_dup_rewrite" -> (dupRewrite _),
@@ -1774,6 +1809,20 @@ object Text {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
         "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
         "FROM words JOIN freq USING (word) GROUP BY doc_id ORDER BY doc_id"),
+    "q_perplexity_buckets" ->
+      ("WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words), " +
+        "freq AS (SELECT word, round(ln(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE)), 8) AS ll " +
+        "FROM words CROSS JOIN t GROUP BY word, t), " +
+        "scored AS (SELECT doc_id, round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
+        "FROM words JOIN freq USING (word) GROUP BY doc_id), " +
+        "b AS (SELECT d.lang AS lang, s.mean_ll AS mean_ll, " +
+        "CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.mean_ll DESC, s.doc_id) AS INT) AS bucket " +
+        "FROM scored s JOIN documents d USING (doc_id)) " +
+        "SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(CAST(sum(CAST(mean_ll AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_ll, " +
+        "min(mean_ll) AS worst_ll, max(mean_ll) AS best_ll " +
+        "FROM b GROUP BY lang, bucket ORDER BY lang, bucket"),
     "q_fuzzy_dedup" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
         "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +

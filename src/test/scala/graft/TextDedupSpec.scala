@@ -688,6 +688,30 @@ class TextDedupSpec extends SparkSpec {
       s"unrelated short docs must not become candidates: $cand")
   }
 
+  test("perplexity buckets split each language into ordered thirds") {
+    val rows = q("q_perplexity_buckets").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val langDocs = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, g) =>
+      assert(g.map(_.getAs[Int]("bucket")).sorted.toSeq === Seq(1, 2, 3))
+      val sizes = g.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("n_docs"))
+      // ntile thirds: sizes differ by at most 1 and partition the language
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes: ${sizes.toSeq}")
+      assert(sizes.sum === langDocs(lang))
+      // head is the most fluent third: avg scores are non-increasing and
+      // the buckets' score envelopes do not interleave
+      val sorted = g.sortBy(_.getAs[Int]("bucket"))
+      val avgs = sorted.map(_.getAs[Double]("avg_ll"))
+      assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b }, s"$lang: ${avgs.toSeq}")
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("worst_ll") >= lo.getAs[Double]("best_ll") - 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
   test("quality-aware dedup keeps the longest member of every fingerprint group") {
     import org.apache.spark.sql.expressions.Window
     val out = q("q_dedup_best").cache()
