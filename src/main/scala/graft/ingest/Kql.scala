@@ -443,6 +443,8 @@ object Kql {
           applySerialize(df, rest)
         case TIdent("join") +: rest =>
           applyJoin(df, rest)
+        case TIdent("lookup") +: rest =>
+          applyLookup(df, rest)
         case TIdent("mv") +: TSym("-") +: TIdent("expand") +: rest =>
           rest match {
             // ADX default: a null/empty array contributes no rows
@@ -474,7 +476,27 @@ object Kql {
         case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
         case _ => "innerunique" // the ADX default
       }
-      val (rightToks, afterRight) = rem match {
+      val (right, keys) = joinRightSide(rem)
+      kind match {
+        case "inner" => df.join(right, keys, "inner")
+        // ADX innerunique: left side deduplicated on the keys first
+        // (which left row survives is arbitrary — same as ADX)
+        case "innerunique" => df.dropDuplicates(keys).join(right, keys, "inner")
+        case "leftouter" => df.join(right, keys, "left")
+        case "rightouter" => df.join(right, keys, "right")
+        case "fullouter" => df.join(right, keys, "full")
+        case "leftanti" | "anti" => df.join(right, keys, "left_anti")
+        case "leftsemi" => df.join(right, keys, "left_semi")
+        case other => fail(s"unsupported join kind '$other'")
+      }
+    }
+
+    /** Shared join/lookup right-side parse: `(pipeline)` or a table
+      * name, followed by `on key[, key]` (equality keys only). Returns
+      * the translated right side and the key names.
+      */
+    private def joinRightSide(toks: Vector[Tok]): (DataFrame, Seq[String]) = {
+      val (rightToks, afterRight) = toks match {
         case TSym("(") +: t =>
           var depth = 1
           var idx = 0
@@ -495,19 +517,7 @@ object Kql {
         case TIdent("on") +: keyToks => parseNameList(keyToks)
         case _ => fail("join requires `on key[, key]` (equality keys only)")
       }
-      val right = pipeline(splitPipes(rightToks))
-      kind match {
-        case "inner" => df.join(right, keys, "inner")
-        // ADX innerunique: left side deduplicated on the keys first
-        // (which left row survives is arbitrary — same as ADX)
-        case "innerunique" => df.dropDuplicates(keys).join(right, keys, "inner")
-        case "leftouter" => df.join(right, keys, "left")
-        case "rightouter" => df.join(right, keys, "right")
-        case "fullouter" => df.join(right, keys, "full")
-        case "leftanti" | "anti" => df.join(right, keys, "left_anti")
-        case "leftsemi" => df.join(right, keys, "left_semi")
-        case other => fail(s"unsupported join kind '$other'")
-      }
+      (pipeline(splitPipes(rightToks)), keys)
     }
 
     // -------------------------------------------------------- serialize
@@ -769,6 +779,28 @@ object Kql {
       }
     }
 
+    // ---------------------------------------------------------- lookup
+    //   lookup := ['kind' '=' ('leftouter'|'inner')] side 'on' keys
+    //   ADX's dimension-table join: like join but the right side is BY
+    //   CONTRACT the small dimension — so the translation pins a
+    //   broadcast hint on it (ADX's own optimizer does the equivalent),
+    //   left rows are never deduplicated, and the default kind is
+    //   leftouter (keep every fact row, null-extend missing dims).
+
+    private def applyLookup(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      var rem = toks
+      val kind = rem match {
+        case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
+        case _ => "leftouter"
+      }
+      val (right, keys) = joinRightSide(rem)
+      kind match {
+        case "leftouter" => df.join(broadcast(right), keys, "left")
+        case "inner" => df.join(broadcast(right), keys, "inner")
+        case other => fail(s"unsupported lookup kind '$other' (leftouter|inner)")
+      }
+    }
+
     // ----------------------------------------------------------- parse
     //   parse := ['kind' '=' 'simple'] column 'with' item+
     //   item  := string-literal | '*' | ident (a captured column)
@@ -976,10 +1008,30 @@ object Kql {
       case Some(TIdent("startswith_cs")) => c.next(); l.startsWith(operand(c))
       case Some(TIdent("endswith")) => c.next(); lower(l).endsWith(lower(operand(c)))
       case Some(TIdent("endswith_cs")) => c.next(); l.endsWith(operand(c))
+      // ADX `has`: whole-TERM match (alphanumeric boundaries), the
+      // operator ADX users reach before contains because it rides the
+      // term index; here a boundary regex — case-insensitive bare,
+      // exact with _cs. The needle must be a literal (it builds the
+      // pattern).
+      case Some(TIdent("has")) => c.next(); hasTerm(l, c, cs = false)
+      case Some(TIdent("has_cs")) => c.next(); hasTerm(l, c, cs = true)
       // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
       case Some(TIdent("in")) => c.next(); l.isin(parseLitList(c): _*)
       case Some(TSym("!")) if c.peek2.contains(TIdent("in")) =>
         c.next(); c.next(); !l.isin(parseLitList(c): _*)
+      // negated string operators: !contains / !startswith / !endswith / !has
+      case Some(TSym("!")) if c.peek2.exists {
+          case TIdent(op) => Set("contains", "startswith", "endswith", "has")(op)
+          case _ => false
+        } =>
+        c.next()
+        c.next() match {
+          case TIdent("contains") => !lower(l).contains(lower(operand(c)))
+          case TIdent("startswith") => !lower(l).startsWith(lower(operand(c)))
+          case TIdent("endswith") => !lower(l).endsWith(lower(operand(c)))
+          case TIdent("has") => !hasTerm(l, c, cs = false)
+          case t => fail(s"unsupported negated operator $t")
+        }
       case Some(TIdent("between")) =>
         // ADX: `x between (lo .. hi)`, bounds inclusive
         c.next()
@@ -990,6 +1042,19 @@ object Kql {
         c.expect(TSym(")"))
         l >= lo && l <= hi
       case _ => l
+    }
+
+    /** `has` term predicate: the needle must appear as a whole term —
+      * bounded by non-alphanumerics or string edges.
+      */
+    private def hasTerm(l: Column, c: Cur, cs: Boolean): Column = {
+      val needle = c.next() match {
+        case TStr(v) => v
+        case t => fail(s"has takes a string literal, got $t")
+      }
+      val q = java.util.regex.Pattern.quote(needle)
+      val flags = if (cs) "" else "(?i)"
+      l.rlike(s"$flags(^|[^A-Za-z0-9_])$q($$|[^A-Za-z0-9_])")
     }
 
     /** Parenthesized literal list for `in`: '(' lit (',' lit)* ')'. */

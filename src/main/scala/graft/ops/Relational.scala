@@ -866,6 +866,21 @@ object Relational {
         "| where rn <= 100 | project rn, event_id, value")
   }
 
+  /** KQL `lookup` — the dimension-table join: right side is by contract
+    * the small dimension, so the translation pins a broadcast hint on
+    * it; default kind=leftouter keeps every fact row and null-extends
+    * missing dimensions (here: purchases looked up against each user's
+    * first signup time).
+    */
+  private def kqlLookup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' | project event_id, user_id, value " +
+        "| lookup (events_csl | where event_type == 'signup' " +
+        "| summarize signup_ts = min(ts_us) by user_id) on user_id " +
+        "| sort by event_id asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -991,6 +1006,7 @@ object Relational {
     "q_kql_topnested" -> (kqlTopNested _),
     "q_kql_range" -> (kqlRange _),
     "q_kql_serialize" -> (kqlSerialize _),
+    "q_kql_lookup" -> (kqlLookup _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1212,6 +1228,12 @@ object Relational {
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY s DESC, user_id ASC) AS rn FROM l2) " +
         "SELECT event_type, cnt, user_id, s FROM r WHERE rn <= 3 " +
         "ORDER BY event_type, user_id"),
+    "q_kql_lookup" ->
+      ("WITH s AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_ts " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT p.event_id, p.user_id, p.value, s.signup_ts " +
+        "FROM events p LEFT JOIN s USING (user_id) " +
+        "WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
     "q_kql_serialize" ->
       ("SELECT rn, event_id, value FROM (SELECT event_id, value, " +
         "CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INT) AS rn " +

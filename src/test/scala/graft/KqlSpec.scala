@@ -311,7 +311,7 @@ class KqlSpec extends SparkSpec {
         "kql_events | render timechart",
         "kql_events | mv-apply x on (summarize count())",
         "kql_events | make-series n = count() on ts_ts step 1h",
-        "kql_events | lookup kql_events on event_id",
+        "kql_events | facet by event_type",
         "kql_events | join kind=rightsemi (kql_events) on event_id",
         "kql_events | join kind=inner kql_events",
         "kql_events | summarize hll(user_id) by event_type",
@@ -479,6 +479,42 @@ class KqlSpec extends SparkSpec {
     // no preceding sort → no deterministic order to freeze → 400
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_events | serialize rn = row_number()")
+    }
+  }
+
+  test("has matches whole terms; negated string operators invert their base forms") {
+    Seq((1L, "error in disk subsystem"), (2L, "terror alert"), (3L, "no ERRORS here"),
+        (4L, "ERROR: disk full"))
+      .toDF("id", "msg").createOrReplaceTempView("kql_has")
+    def ids(csl: String) = Kql.translate(spark, csl)
+      .select("id").as[Long].collect().toSet
+    // term boundaries: 'terror' and 'errors' do NOT match `has 'error'`
+    assert(ids("kql_has | where msg has 'error'") === Set(1L, 4L))
+    assert(ids("kql_has | where msg has_cs 'error'") === Set(1L))
+    assert(ids("kql_has | where msg !has 'error'") === Set(2L, 3L))
+    assert(ids("kql_has | where msg !contains 'disk'") === Set(2L, 3L))
+    assert(ids("kql_has | where msg !startswith 'error'") === Set(2L, 3L))
+  }
+
+  test("lookup: broadcast dimension join, leftouter default keeps every fact row") {
+    ev.createOrReplaceTempView("kql_events")
+    val out = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' | project event_id, user_id " +
+        "| lookup (kql_events | where event_type == 'signup' " +
+        "| summarize n_signups = count() by user_id) on user_id")
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(out.count() === nPurch, "leftouter keeps every fact row")
+    // the dimension side carries a broadcast hint into the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "lookup must broadcast the dimension")
+    // kind=inner drops unmatched facts
+    val inner = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' | project event_id, user_id " +
+        "| lookup kind=inner (kql_events | where event_type == 'signup' " +
+        "| summarize n_signups = count() by user_id) on user_id")
+    assert(inner.count() <= nPurch)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | lookup kind=rightouter kql_events on event_id")
     }
   }
 
