@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * conditional countif/sumif/minif/maxif/dcountif, arg_max/arg_min,
   * exact percentile, stdev/variance, make_list/make_set, with `by`
   * keys including `bin(...)`) / `top` / `distinct` / `sort by` /
-  * `limit` / `join` / `mv-expand` / `parse` / `union` (outer/inner
-  * column alignment) / `make-series` (the ADX time-series
-  * materializer) — plus `let` statements (scalar constants and
-  * tabular sub-pipelines, the CSL analog of CTEs) and a scalar
-  * function library (iff/case/strcat/substring/extract/split/
+  * `limit` / `join` / `lookup` (broadcast dimension join) /
+  * `mv-expand` / `parse` / `union` (outer/inner column alignment) /
+  * `make-series` (the ADX time-series materializer) / `top-nested`
+  * (hierarchical drill-down) / `serialize` + `row_number()` / the
+  * `range` table generator — plus `let` statements (scalar constants
+  * and tabular sub-pipelines, the CSL analog of CTEs), `has`/`has_cs`
+  * whole-term matching with the negated string-operator family, and a
+  * scalar function library (iff/case/strcat/substring/extract/split/
   * conversions/date parts/null tests — see [[Translator.parseFnCall]]).
   *
   * TEMPORAL tier (the queries the reference's hour-partitioned layout
