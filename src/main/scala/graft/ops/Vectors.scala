@@ -358,6 +358,16 @@ object Vectors {
   private def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val (a2, c2) = kmeansFit(e)
+    ivfTrainedSearch(s, dir, a2, c2)
+  }
+
+  /** The trained-IVF probe given an already-fitted quantizer — shared by
+    * q_ann_ivf_trained (own fit) and q_ann_recall (ONE fit for all
+    * index branches).
+    */
+  private def ivfTrainedSearch(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val probed = c2.crossJoin(broadcast(q))
       .select(col("c"),
@@ -611,22 +621,22 @@ object Vectors {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
           x => x.getField("mu")).as("centroid"))
 
-    // L2² argmin over the packed per-subspace codebook: a per-row fold
-    // over k candidates; strict < keeps the earlier (lower) code on
-    // ties, matching the oracle's ORDER BY d2, c
+    // L2² argmin over the packed per-subspace codebook: each candidate's
+    // distance is computed ONCE (the old CASE-fold form evaluated the
+    // zip_with twice per candidate — once to compare, once to keep), and
+    // array_min over (d2, c) structs selects min distance with the
+    // earlier (lower) code on ties — field-by-field struct ordering,
+    // matching the oracle's ORDER BY d2, c exactly
     def assign(cents: DataFrame): DataFrame = {
       val packed = cents.groupBy("m")
         .agg(sort_array(collect_list(struct(col("c"), col("centroid"))))
           .as("codebook"))
       sub.join(broadcast(packed), "m")
         .withColumn("best", expr(
-          "aggregate(codebook, " +
-            "named_struct('c', -1, 'd2', CAST('Infinity' AS DOUBLE)), " +
-            "(acc, cb) -> CASE WHEN aggregate(zip_with(sv, cb.centroid, " +
-            "(a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y) < acc.d2 " +
-            "THEN named_struct('c', cb.c, 'd2', " +
-            "aggregate(zip_with(sv, cb.centroid, (a, b) -> (a - b) * (a - b)), " +
-            "0D, (x, y) -> x + y)) ELSE acc END)"))
+          "array_min(transform(codebook, cb -> named_struct(" +
+            "'d2', aggregate(zip_with(sv, cb.centroid, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y), " +
+            "'c', cb.c)))"))
         .select(col("vec_id"), col("m"), col("sv"),
           col("best.c").as("c"), col("best.d2").as("d2"))
     }
@@ -698,12 +708,20 @@ object Vectors {
     * the residual PQ unroll, and the same table-lookup scoring.
     */
   private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansFit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    ivfPqSearch(s, dir, a2, c2)
+  }
+
+  /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
+    * shared by q_ann_ivfpq (own fit) and q_ann_recall (one fit).
+    */
+  private def ivfPqSearch(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val m = 4
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
-    val (a2, c2) = kmeansFit(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
     // residual from the assigned coarse centroid — what PQ quantizes
     val res = a2.join(broadcast(c2), "c")
       .select(col("vec_id"), col("c").as("cl"),
@@ -754,11 +772,16 @@ object Vectors {
     * the same four oracle replays.
     */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    // ONE coarse quantizer fit feeds both the IVF and IVF-PQ branches:
+    // the shared a2/c2 lineage gives Catalyst identical exchange
+    // subtrees to reuse, instead of re-running the Lloyd passes per index
+    val (a2, c2) = kmeansFit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
     val brute = simTopk(s, dir).select(col("vec_id"), lit(1).as("hit"))
     val cands = annLsh(s, dir).select(lit("lsh").as("method"), col("vec_id"))
-      .unionByName(annIvfTrained(s, dir)
+      .unionByName(ivfTrainedSearch(s, dir, a2, c2)
         .select(lit("ivf").as("method"), col("vec_id")))
-      .unionByName(annIvfPq(s, dir)
+      .unionByName(ivfPqSearch(s, dir, a2, c2)
         .select(lit("ivfpq").as("method"), col("vec_id")))
     cands.join(broadcast(brute), Seq("vec_id"), "left")
       .groupBy("method")
