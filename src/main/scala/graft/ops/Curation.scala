@@ -477,6 +477,43 @@ object Curation {
     * `percentile` ≡ DuckDB quantile_cont (the q_text_quantiles-proven
     * pair).
     */
+  /** Mixture-drift monitor: per-source KL divergence of the source's
+    * language distribution from the corpus-wide one — the dashboard
+    * number that catches a crawl source silently changing composition
+    * between snapshots (a jump in KL(source ‖ corpus) = investigate).
+    * Add-one smoothing over the full source × lang grid keeps every
+    * term finite; ONE corpus-sized (source, lang) aggregate feeds
+    * everything (per-source totals, per-lang totals, the grand total
+    * all derive from it — the tfidf branch-after-shuffle rule), and the
+    * grid is |sources|×|langs| rows, never corpus-sized. Per-term
+    * contributions are pre-rounded to the 8-dp decimal grid so the
+    * per-source sum is order-invariant and engine-exact (the lm_score
+    * idiom; all inputs are integer-derived doubles, so ln() is
+    * IEEE-identical in both engines).
+    */
+  private def driftKl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.documents(s, dir).groupBy("source", "lang").agg(cnt.as("n"))
+    val bySrc = c.groupBy("source").agg(sum(col("n")).as("ns"))
+    val byLang = c.groupBy("lang").agg(sum(col("n")).as("nl"))
+    val tot = byLang.agg(sum(col("nl")).as("nn"), cnt.as("nlangs"))
+    val grid = bySrc.crossJoin(byLang)
+      .join(c, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+    val p = (col("n") + lit(1)).cast("double") /
+      (col("ns") + col("nlangs")).cast("double")
+    val q = (col("nl") + lit(1)).cast("double") /
+      (col("nn") + col("nlangs")).cast("double")
+    grid.select(col("source"), col("ns"),
+        round(p * log(p / q), 8).as("term"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_docs"),
+        round(sum(col("term").cast(DecimalType(18, 8))).cast("double"), 6)
+          .as("kl_nats"))
+      .orderBy("source")
+  }
+
   private def corpusReport(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .agg(
@@ -843,6 +880,7 @@ object Curation {
     "q_span_dedup" -> (spanDedup _),
     "q_weighted_sample" -> (weightedSample _),
     "q_corpus_report" -> (corpusReport _),
+    "q_drift_kl" -> (driftKl _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -983,6 +1021,20 @@ object Curation {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
         "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_drift_kl" ->
+      ("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), " +
+        "bs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1), " +
+        "bl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nl) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS nlangs FROM bl), " +
+        "grid AS (SELECT bs.source, bl.lang, bs.ns, bl.nl, COALESCE(c.n, 0) AS n, tot.nn, tot.nlangs " +
+        "FROM bs CROSS JOIN bl CROSS JOIN tot LEFT JOIN c ON c.source = bs.source AND c.lang = bl.lang), " +
+        "terms AS (SELECT source, ns, round(" +
+        "(CAST(n + 1 AS DOUBLE) / CAST(ns + nlangs AS DOUBLE)) * " +
+        "ln((CAST(n + 1 AS DOUBLE) / CAST(ns + nlangs AS DOUBLE)) / " +
+        "(CAST(nl + 1 AS DOUBLE) / CAST(nn + nlangs AS DOUBLE))), 8) AS term FROM grid) " +
+        "SELECT source, CAST(max(ns) AS BIGINT) AS n_docs, " +
+        "round(CAST(sum(CAST(term AS DECIMAL(18,8))) AS DOUBLE), 6) AS kl_nats " +
+        "FROM terms GROUP BY source ORDER BY source"),
     "q_corpus_report" ->
       ("WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +

@@ -492,4 +492,31 @@ class CurationSpec extends SparkSpec {
       "dedup must actually collapse something on the planted corpus")
     out.unpersist()
   }
+
+  test("KL drift is non-negative per source and matches a local recompute") {
+    val rows = q("q_drift_kl").collect()
+    val srcCount = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length === srcCount, "one row per source")
+    // smoothed p and q are both proper distributions over the same
+    // support, so KL >= 0 (Gibbs), up to the 8-dp per-term rounding
+    rows.foreach(r =>
+      assert(r.getAs[Double]("kl_nats") >= -1e-6, r.toString))
+    // local recompute for one source pins the formula
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+    val langs = counts.map(_._2).distinct.sorted
+    val nn = counts.map(_._3).sum
+    val byLang = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val src = rows.head.getAs[String]("source")
+    val ns = counts.filter(_._1 == src).map(_._3).sum
+    val want = langs.map { l =>
+      val n = counts.find(c => c._1 == src && c._2 == l).map(_._3).getOrElse(0L)
+      val p = (n + 1).toDouble / (ns + langs.length)
+      val qd = (byLang(l) + 1).toDouble / (nn + langs.length)
+      BigDecimal(p * math.log(p / qd)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getAs[Double]("kl_nats") - want) < 2e-6)
+  }
 }
