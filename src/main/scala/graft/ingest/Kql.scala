@@ -742,8 +742,11 @@ object Kql {
         .groupBy((byKeys :+ binU): _*)
         .agg(items.head.agg, items.tail.map(_.agg): _*)
       // the time grid: foldable sequence() over the closed [from, to-1]
-      // µs range — exactly the bins < to — crossed with the observed keys
-      val grid = inRange.select(byKeys: _*).distinct()
+      // µs range — exactly the bins < to — crossed with the observed
+      // keys. Keys derive from the BOUNDED aggregate (keys × bins rows),
+      // not a second distinct pass over the corpus: a key is observed
+      // iff it aggregated at least one in-range row
+      val grid = agged.select(keyNames.map(col): _*).distinct()
         .select(col("*"),
           explode(sequence(fromUs, toUs - lit(1), lit(stepUs))).as("__bin_us"))
       val filled = grid.join(agged, keyNames :+ "__bin_us", "left")
