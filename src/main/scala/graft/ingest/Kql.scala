@@ -560,18 +560,22 @@ object Kql {
     //   top-N₂ sub-keys WITHIN each kept level-1 key; and so on. Output
     //   carries every level's key and aggregate.
     //
-    //   Plan: one hash aggregate over the full key tuple (the finest
-    //   grain — ONE corpus-sized shuffle), then each level derives by
-    //   re-aggregating the bounded previous result and cutting with a
-    //   rank window partitioned by the kept prefix — every post-corpus
-    //   stage operates on ≤ Π Nᵢ × |keys| rows, so the drill-down is
-    //   corpus-scan-bounded no matter how many levels. Determinism: ADX
-    //   leaves aggregate ties unspecified; this cut breaks them by key
+    //   Plan: ONE pass — every level's aggregate is computed at its own
+    //   grain in a single GROUPING SETS aggregate over the key-tuple
+    //   prefixes (one corpus scan, one Expand + hash aggregate;
+    //   grouping_id() separates the levels). Computing each grain
+    //   directly — instead of rolling up finest-grain partials — is
+    //   also what lets ANY summarize aggregate appear here, including
+    //   non-decomposable ones (avg, dcount, percentile). The per-level
+    //   cuts then operate on bounded rollup rows only: level 1 is a
+    //   TakeOrderedAndProject, deeper levels a broadcast prefix-join +
+    //   rank window over ≤ Π Nⱼ × |keys| rows. Determinism: ADX leaves
+    //   aggregate ties unspecified; this cut breaks them by key
     //   ascending.
 
     private def applyTopNested(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      case class Level(n: Int, key: String, aggName: String, fn: String, agg: Column)
+      case class Level(n: Int, key: String, aggName: String, agg: Column)
       val frags = splitOn(toks, TSym(","))
       val levels = frags.zipWithIndex.map { case (f, i) =>
         val body = if (i == 0) f
@@ -585,56 +589,51 @@ object Kql {
               case TIdent(a) +: TSym("=") +: c => (Some(a), c)
               case c => (None, c)
             }
-            val fn = call.headOption match {
-              case Some(TIdent(f)) => f
-              case _ => fail("top-nested clause must end `by [alias =] agg()`")
-            }
-            // the fine table's per-group partials must merge into the
-            // coarser levels' totals — only decomposable aggregates
-            if (!Set("count", "countif", "sum", "sumif",
-                "min", "minif", "max", "maxif")(fn))
-              fail(s"top-nested aggregate '$fn' is not decomposable " +
-                "(use count/sum/min/max or their *if forms)")
             val (dflt, agg) = parseAggCallNamed(call)
-            Level(n.toInt, key, alias.getOrElse(dflt), fn, agg)
+            Level(n.toInt, key, alias.getOrElse(dflt), agg)
           case _ => fail("top-nested clause must be `N of key by [alias =] agg()`")
         }
       }
-      /** merge per-fine-group partials one level up */
-      def reAgg(fn: String, partial: Column): Column = fn match {
-        case "count" | "countif" | "sum" | "sumif" => sum(partial)
-        case "min" | "minif" => min(partial)
-        case "max" | "maxif" => max(partial)
-      }
-      // ONE corpus-sized aggregate at the finest key grain; every level
-      // is a rollup of this bounded table, so the drill-down adds no
-      // further corpus scans or corpus-sized shuffles
       val keyCols = levels.map(_.key)
-      val fine = df.groupBy(keyCols.map(col): _*)
+      val nLevels = levels.length
+      // one grouping-sets aggregate over all key-tuple prefixes: set i
+      // (prefix length i+1) carries level i's aggregate; grouping_id's
+      // low bits mark the grouped-out suffix columns, so prefix length p
+      // ⇒ gid = 2^(L-p) - 1 (never null-testing key values — a real
+      // null key stays a legal group)
+      // eagerly materialized (bounded: Σ per-grain cardinalities): every
+      // level filters this table, and without the checkpoint each
+      // consumer would re-derive the aggregate with its own pruned
+      // column set — L corpus scans instead of one (the dupClusters
+      // localCheckpoint idiom; PlanSpec pins the final plan corpus-free)
+      val rolled = df
+        .groupingSets(
+          levels.indices.map(i => keyCols.take(i + 1).map(col)),
+          keyCols.map(col): _*)
         .agg(levels.head.agg.as("__a0"),
-          levels.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") }: _*)
+          (levels.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") } :+
+            grouping_id().as("__gid")): _*)
+        .localCheckpoint(true)
       levels.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
-        val prefixKeys = keyCols.take(i)
-        val grouped = prev match {
+        val p = i + 1
+        val gid = (1 << (nLevels - p)) - 1
+        val cur = rolled.filter(col("__gid") === gid)
+          .select((keyCols.take(p).map(col) :+ col(s"__a$i").as(l.aggName)): _*)
+        prev match {
           case None =>
-            fine.groupBy(col(l.key)).agg(reAgg(l.fn, col("__a0")).as(l.aggName))
-          case Some(p) =>
-            // restrict to the surviving prefix (broadcast — ≤ Π Nⱼ rows),
-            // carry its aggregates along, group one key deeper
-            val carried = p.columns.filterNot(prefixKeys.contains).toSeq
-            fine.join(broadcast(p), prefixKeys)
-              .groupBy((prefixKeys ++ carried :+ l.key).map(col): _*)
-              .agg(reAgg(l.fn, col(s"__a$i")).as(l.aggName))
-        }
-        if (prefixKeys.isEmpty)
-          // level 1's cut is a global top-N — TakeOrderedAndProject
-          // (per-partition heap), never an empty-partition window
-          Some(grouped.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
-        else {
-          val w = Window.partitionBy(prefixKeys.map(col): _*)
-            .orderBy(col(l.aggName).desc, col(l.key).asc)
-          Some(grouped.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= l.n).drop("__rn"))
+            // level 1's cut is a global top-N — TakeOrderedAndProject
+            // (per-partition heap), never an empty-partition window
+            Some(cur.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
+          case Some(kept) =>
+            // restrict to the surviving prefix (broadcast — ≤ Π Nⱼ
+            // rows), carry its aggregates along, cut within each prefix
+            val w = Window.partitionBy(keyCols.take(i).map(col): _*)
+              .orderBy(col(l.aggName).desc, col(l.key).asc)
+            Some(cur.join(broadcast(kept), keyCols.take(i))
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= l.n).drop("__rn")
+              .select((keyCols.take(i) ++ kept.columns.filterNot(keyCols.contains) ++
+                Seq(l.key, l.aggName)).map(col): _*))
         }
       }.get
     }
@@ -737,7 +736,14 @@ object Kql {
       val binU = (u - pmod(u - fromUs, lit(stepUs))).as("__bin_us")
 
       val keyNames = byKeys.map(k => df.select(k).columns.head)
-      val inRange = df.filter(u >= fromUs && u < toUs)
+      // the range filter compares the COLUMN against foldable timestamp
+      // literals — `unix_micros(ts) >= c` is an expression predicate
+      // parquet can't push, `ts >= timestamp` is an attribute predicate
+      // that reaches PushedFilters and prunes row groups (PlanSpec pins
+      // this); the µs integer forms above stay for the bin arithmetic
+      val tsc = col(tsCol).cast("timestamp")
+      val inRange = df.filter(tsc >= timestamp_micros(fromUs) &&
+        tsc < timestamp_micros(toUs))
       val agged = inRange
         .groupBy((byKeys :+ binU): _*)
         .agg(items.head.agg, items.tail.map(_.agg): _*)

@@ -448,11 +448,14 @@ class KqlSpec extends SparkSpec {
       .orderBy(col("count").desc, col("event_type")).limit(2)
       .select("event_type").as[String].collect().toSet
     assert(rows.map(_.getString(0)).toSet === want)
-    // non-decomposable aggregates are rejected, not silently wrong
-    intercept[IllegalArgumentException] {
-      Kql.translate(spark,
-        "kql_events | top-nested 2 of event_type by a = avg(value)")
-    }
+    // every grain is aggregated DIRECTLY (grouping sets), so
+    // non-decomposable aggregates are legal at any level
+    val byAvg = Kql.translate(spark,
+      "kql_events | top-nested 2 of event_type by a = avg(value)").collect()
+    assert(byAvg.length === 2)
+    val wantAvg = ev.groupBy("event_type").agg(avg("value").as("a"))
+      .orderBy(col("a").desc, col("event_type")).limit(2).collect()
+    assert(byAvg.map(_.getString(0)).toSeq === wantAvg.map(_.getString(0)).toSeq)
   }
 
   test("range generates inclusive arithmetic and datetime sequences") {

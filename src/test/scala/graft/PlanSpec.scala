@@ -404,6 +404,31 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single corpus scan, got $scans:\n${p.take(1500)}")
   }
 
+  test("make-series pushes its datetime range into the events scan") {
+    val p = plan("q_kql_makeseries")
+    // the range filter must be attribute-vs-timestamp-literal, never
+    // unix_micros(col) >= c — the expression form silently loses
+    // row-group pruning on the fact table's time column
+    assert(p.contains("PushedFilters: [IsNotNull(ts_ts), GreaterThanOrEqual(ts_ts,"), p.take(1200))
+    assert(p.contains("LessThan(ts_ts,"), p.take(1200))
+  }
+
+  test("top-nested: one corpus aggregate, level-1 cut is a top-k heap") {
+    val p = finalPlan("q_kql_topnested")
+    // the grouping-sets rollup is computed ONCE (eager checkpoint) and
+    // every level cuts the materialized bounded table — the final plan
+    // must not touch the corpus at all (without the checkpoint each
+    // level's differently-pruned consumer re-scans parquet)
+    assert(p.split("Scan parquet").length - 1 === 0, p.take(1200))
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("lookup pins a broadcast on the dimension side") {
+    val p = finalPlan("q_kql_lookup")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("salted aggregation equals plain aggregation semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
