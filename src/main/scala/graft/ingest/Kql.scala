@@ -364,7 +364,13 @@ object Kql {
         case TIdent("range") +: rest => rangeSource(rest)
         case _ => fail("a CSL query must start with a table name or range")
       }
-      stages.tail.foldLeft(source)(applyStage)
+      // `lastSort` is scoped per pipeline: a sort inside a tabular let
+      // or a join/lookup/union sub-pipeline must not satisfy an OUTER
+      // serialize's required-preceding-sort invariant
+      val saved = lastSort
+      lastSort = None
+      try stages.tail.foldLeft(source)(applyStage)
+      finally lastSort = saved
     }
 
     // ------------------------------------------------------------ range
@@ -387,12 +393,30 @@ object Kql {
         stepToks match {
           case Vector(TSpan(us)) =>
             if (us <= 0) fail("range step must be positive")
+            (rest.take(toIdx), rest.slice(toIdx + 1, stepIdx)) match {
+              case (Vector(TDate(a)), Vector(TDate(b))) if a > b =>
+                fail("range start must be <= stop")
+              case _ => ()
+            }
             // datetime range: sequence over epoch-µs, back to timestamps
             s.range(1).select(explode(sequence(
               unix_micros(fromE.cast("timestamp")),
               unix_micros(toE.cast("timestamp")), lit(us))).as("u"))
               .select(timestamp_micros(col("u")).as(name))
           case _ =>
+            // validate what is literally visible at parse time so a bad
+            // range surfaces as a clean CSL 400, not an executor-time
+            // sequence error
+            stepToks match {
+              case Vector(TNum(v)) if v.toDouble <= 0 =>
+                fail("range step must be positive")
+              case _ => ()
+            }
+            (rest.take(toIdx), rest.slice(toIdx + 1, stepIdx)) match {
+              case (Vector(TNum(a)), Vector(TNum(b))) if a.toDouble > b.toDouble =>
+                fail("range start must be <= stop")
+              case _ => ()
+            }
             val stepE = parseArithToks(stepToks)
             s.range(1).select(explode(sequence(fromE, toE, stepE)).as(name))
         }
@@ -401,7 +425,25 @@ object Kql {
 
     // ---------------------------------------------------------- stages
 
-    private def applyStage(df: DataFrame, st: Vector[Tok]): DataFrame =
+    /** Row-order bookkeeping around [[applyStage0]]: stages that keep
+      * row identity (filter/projection families) preserve the pending
+      * `sort by` keys for a later `serialize`; everything else —
+      * aggregation, joins, unions, expansions — destroys the frozen
+      * order, so serialize after them is rejected again.
+      */
+    private def applyStage(df: DataFrame, st: Vector[Tok]): DataFrame = {
+      val out = applyStage0(df, st)
+      st match {
+        case TIdent("top") +: TSym("-") +: TIdent("nested") +: _ =>
+          lastSort = None // the drill-down aggregates; frozen order gone
+        case TIdent(op) +: _ if Set("where", "project", "extend", "parse",
+            "take", "limit", "sort", "order", "top", "serialize")(op) => ()
+        case _ => lastSort = None
+      }
+      out
+    }
+
+    private def applyStage0(df: DataFrame, st: Vector[Tok]): DataFrame =
       st match {
         case Vector(TIdent(op), TNum(k)) if op == "take" || op == "limit" =>
           df.limit(k.toInt)
@@ -433,8 +475,10 @@ object Kql {
           applyTopNested(df, rest)
         case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
           // ADX `top N by key [asc|desc]`, default DESCENDING — orderBy +
-          // limit compiles to TakeOrderedAndProject (per-partition heap)
-          df.orderBy(parseSortKeys(rest): _*).limit(k.toInt)
+          // limit compiles to TakeOrderedAndProject (per-partition heap).
+          // top's result is ordered, so a following serialize may number it
+          lastSort = Some(parseSortKeys(rest))
+          df.orderBy(lastSort.get: _*).limit(k.toInt)
         case Vector(TIdent("distinct"), TSym("*")) =>
           df.distinct()
         case TIdent("distinct") +: rest =>
@@ -594,8 +638,17 @@ object Kql {
           case _ => fail("top-nested clause must be `N of key by [alias =] agg()`")
         }
       }
-      val keyCols = levels.map(_.key)
-      val nLevels = levels.length
+      // de-duplicate default output names (`by count(), ... by count()`
+      // both default to count_): later collisions get a level suffix, as
+      // ADX generates distinct aggregated_* names per level
+      val seenNames = scala.collection.mutable.Set.empty[String]
+      val levelsU = levels.zipWithIndex.map { case (l, i) =>
+        val nm = if (seenNames.add(l.aggName)) l.aggName
+        else { val u = s"${l.aggName}${i + 1}"; seenNames.add(u); u }
+        l.copy(aggName = nm)
+      }
+      val keyCols = levelsU.map(_.key)
+      val nLevels = levelsU.length
       // one grouping-sets aggregate over all key-tuple prefixes: set i
       // (prefix length i+1) carries level i's aggregate; grouping_id's
       // low bits mark the grouped-out suffix columns, so prefix length p
@@ -608,13 +661,13 @@ object Kql {
       // localCheckpoint idiom; PlanSpec pins the final plan corpus-free)
       val rolled = df
         .groupingSets(
-          levels.indices.map(i => keyCols.take(i + 1).map(col)),
+          levelsU.indices.map(i => keyCols.take(i + 1).map(col)),
           keyCols.map(col): _*)
-        .agg(levels.head.agg.as("__a0"),
-          (levels.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") } :+
+        .agg(levelsU.head.agg.as("__a0"),
+          (levelsU.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") } :+
             grouping_id().as("__gid")): _*)
         .localCheckpoint(true)
-      levels.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
+      levelsU.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
         val p = i + 1
         val gid = (1 << (nLevels - p)) - 1
         val cur = rolled.filter(col("__gid") === gid)
@@ -626,14 +679,22 @@ object Kql {
             Some(cur.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
           case Some(kept) =>
             // restrict to the surviving prefix (broadcast — ≤ Π Nⱼ
-            // rows), carry its aggregates along, cut within each prefix
-            val w = Window.partitionBy(keyCols.take(i).map(col): _*)
+            // rows), carry its aggregates along, cut within each prefix.
+            // Prefix equality is null-SAFE: a NULL key that survived a
+            // shallower cut must keep its whole sub-tree, and a plain
+            // equality join would drop it
+            val prefix = keyCols.take(i)
+            val keptR = kept.toDF(kept.columns.map(c => s"__p_$c").toIndexedSeq: _*)
+            val cond = prefix.map(k => col(k) <=> col(s"__p_$k")).reduce(_ && _)
+            val carried = kept.columns.filterNot(prefix.contains).toSeq
+            val w = Window.partitionBy(prefix.map(col): _*)
               .orderBy(col(l.aggName).desc, col(l.key).asc)
-            Some(cur.join(broadcast(kept), keyCols.take(i))
+            Some(cur.join(broadcast(keptR), cond)
               .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") <= l.n).drop("__rn")
-              .select((keyCols.take(i) ++ kept.columns.filterNot(keyCols.contains) ++
-                Seq(l.key, l.aggName)).map(col): _*))
+              .filter(col("__rn") <= l.n)
+              .select((prefix.map(col) ++
+                carried.map(c => col(s"__p_$c").as(c)) ++
+                Seq(col(l.key), col(l.aggName))): _*))
         }
       }.get
     }
@@ -755,7 +816,15 @@ object Kql {
       val grid = agged.select(keyNames.map(col): _*).distinct()
         .select(col("*"),
           explode(sequence(fromUs, toUs - lit(1), lit(stepUs))).as("__bin_us"))
-      val filled = grid.join(agged, keyNames :+ "__bin_us", "left")
+      // null-SAFE key equality: a NULL by-key value is a legal group
+      // (both sides carry it), and a plain equality join would silently
+      // fill that group's bins with defaults even where data exists
+      val aggedR = agged.toDF(agged.columns.map(c => s"__r_$c").toIndexedSeq: _*)
+      val joinCond = (keyNames.map(k => col(k) <=> col(s"__r_$k")) :+
+        (col("__bin_us") === col(s"__r___bin_us"))).reduce(_ && _)
+      val filled = grid.join(aggedR, joinCond, "left")
+        .select((grid.columns.map(col) ++
+          items.map(it => col(s"__r_${it.name}").as(it.name))): _*)
       // pack (bin, aggs...) per group, sort by bin, then unzip each
       // aggregate into its own array column; the time axis array takes
       // the on-column's name (ADX behavior)
@@ -1203,10 +1272,11 @@ object Kql {
                 java.time.temporal.ChronoUnit.MICROS))
             case other => fail(s"ago() takes a timespan literal, got $other")
           }
-        case "bin" | "bin_at" =>
-          // bin(x, width) floors onto the width grid; bin_at adds an
-          // anchor: bin_at(x, width, anchor) aligns the grid to anchor
-          nArgs(if (fn == "bin") 2 else 3)
+        case "bin" | "bin_at" | "floor" =>
+          // bin(x, width) floors onto the width grid (`floor` is ADX's
+          // documented alias); bin_at adds an anchor: bin_at(x, width,
+          // anchor) aligns the grid to anchor
+          nArgs(if (fn == "bin_at") 3 else 2)
           val x = arg(0)
           groups(1) match {
             case Vector(TSpan(us)) =>
@@ -1240,7 +1310,9 @@ object Kql {
           coalesce(groups.indices.map(arg): _*)
         case "strcat" =>
           if (groups.isEmpty) fail("strcat() needs at least one argument")
-          concat(groups.indices.map(i => arg(i).cast("string")): _*)
+          // ADX strcat treats null arguments as empty strings — concat_ws
+          // skips nulls, where concat would null the whole result
+          concat_ws("", groups.indices.map(i => arg(i).cast("string")): _*)
         case "strlen" => nArgs(1); length(arg(0))
         case "tolower" => nArgs(1); lower(arg(0))
         case "toupper" => nArgs(1); upper(arg(0))
@@ -1270,7 +1342,6 @@ object Kql {
           nArgs(1, 2)
           if (groups.length == 2) round(arg(0), litInt(1)) else round(arg(0))
         case "abs" => nArgs(1); abs(arg(0))
-        case "floor" => nArgs(2); parseFnBinFallback(groups) // floor ≡ bin in ADX
         case "sqrt" => nArgs(1); sqrt(arg(0))
         case "exp" => nArgs(1); exp(arg(0))
         case "log" => nArgs(1); log(arg(0))
@@ -1302,20 +1373,6 @@ object Kql {
       }
     }
 
-    /** ADX `floor` is an alias of numeric/timespan `bin`. */
-    private def parseFnBinFallback(groups: Vector[Vector[Tok]]): Column = {
-      val x = parseArithToks(groups(0))
-      groups(1) match {
-        case Vector(TSpan(us)) =>
-          val u = unix_micros(x.cast("timestamp"))
-          timestamp_micros(u - pmod(u, lit(us)))
-        case Vector(TNum(v)) =>
-          val width: Column =
-            if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
-          x - pmod(x, width)
-        case other => fail(s"floor() width must be a timespan or number, got $other")
-      }
-    }
 
     private def operand(c: Cur): Column = c.next() match {
       case TIdent("true") => lit(true)

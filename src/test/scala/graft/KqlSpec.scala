@@ -425,7 +425,8 @@ class KqlSpec extends SparkSpec {
     assert(r.map(_.getString(3)).toSeq === Seq("big", "neg", "small"))
     // ADX substring START IS 0-BASED: substring('Alpha', 1, 2) = 'lp'
     assert(r(0).getString(4) === "alpha/lp")
-    assert(r(2).getString(4) === null) // strcat over null stays null-safe? concat yields null
+    // ADX strcat treats null arguments as EMPTY strings, never nulls
+    assert(r(2).getString(4) === "/")
     assert(r.map(_.getInt(5)).toSeq === Seq(14, 3, 0))
     assert(r.map(_.getBoolean(6)).toSeq === Seq(false, false, true))
     assert(r.map(_.getDouble(7)).toSeq === Seq(2.9, 0.5, 0.5))
@@ -483,6 +484,54 @@ class KqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_events | serialize rn = row_number()")
     }
+    // sort keys are SCOPED: a sort inside a tabular let or a join
+    // sub-pipeline must not satisfy the outer pipeline's invariant...
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "let d = kql_events | sort by value desc; " +
+          "kql_events | serialize rn = row_number()")
+    }
+    // ...and an order-destroying stage (summarize) clears the frozen order
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | sort by value desc | summarize n = count() by event_type " +
+          "| serialize rn = row_number()")
+    }
+    // `top N by` yields an ordered result, so serialize after it works
+    val topRn = Kql.translate(spark,
+      "kql_events | top 3 by event_id | serialize rn = row_number()")
+      .select("rn").as[Int].collect().toSeq
+    assert(topRn === Seq(1, 2, 3))
+  }
+
+  test("top-nested auto-disambiguates colliding default aggregate names") {
+    ev.createOrReplaceTempView("kql_events")
+    val df = Kql.translate(spark,
+      "kql_events | top-nested 2 of event_type by count(), " +
+        "top-nested 2 of user_id by count()")
+    assert(df.columns.toSeq === Seq("event_type", "count_", "user_id", "count_2"))
+    assert(df.count() <= 4)
+  }
+
+  test("make-series and top-nested keep NULL by-keys as legal groups") {
+    Seq((1L, Some("a"), "2024-01-01 01:00:00"), (2L, None, "2024-01-01 02:00:00"),
+        (3L, None, "2024-01-02 03:00:00"), (4L, Some("b"), "2024-01-02 04:00:00"))
+      .toDF("id", "k", "t")
+      .withColumn("ts", to_timestamp($"t"))
+      .createOrReplaceTempView("kql_nullkey")
+    val ms = Kql.translate(spark,
+      "kql_nullkey | make-series n = count() default = 0 on ts " +
+        "from datetime(2024-01-01) to datetime(2024-01-03) step 1d by k")
+      .collect()
+    val nullRow = ms.find(_.isNullAt(0)).get
+    // the NULL group's real counts must survive the grid join, never be
+    // zero-filled by a null-unequal equality join
+    assert(nullRow.getSeq[Long](1) === Seq(1L, 1L))
+    val tn = Kql.translate(spark,
+      "kql_nullkey | top-nested 3 of k by c = count(), " +
+        "top-nested 2 of id by m = max(id)").collect()
+    // the NULL level-1 key keeps its whole sub-tree at level 2
+    assert(tn.count(_.isNullAt(0)) === 2, tn.mkString("; "))
   }
 
   test("has matches whole terms; negated string operators invert their base forms") {
