@@ -1338,6 +1338,34 @@ object Kql {
         case "extract" =>
           // extract(regex, captureGroup, text)
           nArgs(3); regexp_extract(arg(2), litStr(0), litInt(1))
+        case "extractjson" =>
+          // extractjson(jsonPath, text) — JSONPath literal, string out
+          nArgs(2); get_json_object(arg(1), litStr(0))
+        case "indexof" =>
+          // ADX indexof(source, lookup): 0-based, -1 when absent —
+          // instr is 1-based with 0-absent, so the -1 shift covers both
+          nArgs(2); (instr(arg(0), arg(1)) - lit(1)).cast("int")
+        case "countof" =>
+          // NON-overlapping occurrence count (ADX's default counts
+          // overlapping matches — divergence documented; the replace
+          // form keeps the expression codegen'd and oracle-replayable)
+          nArgs(2)
+          val sub = litStr(1)
+          if (sub.isEmpty) fail("countof() search term must be non-empty")
+          ((length(arg(0)) - length(replace(arg(0), lit(sub), lit("")))) /
+            lit(sub.length)).cast("int")
+        case "reverse" => nArgs(1); reverse(arg(0))
+        case "strcat_delim" =>
+          if (groups.length < 2)
+            fail("strcat_delim() needs a delimiter and at least one argument")
+          concat_ws(litStr(0),
+            (1 until groups.length).map(i => arg(i).cast("string")): _*)
+        case "format_datetime" =>
+          // pattern literal passes through to date_format: the common
+          // ADX specifiers (yyyy MM dd HH mm ss) share Java semantics
+          nArgs(2); date_format(arg(0), litStr(1))
+        case "tohex" => nArgs(1); lower(hex(arg(0)))
+        case "isnan" => nArgs(1); isnan(arg(0))
         case "round" =>
           nArgs(1, 2)
           if (groups.length == 2) round(arg(0), litInt(1)) else round(arg(0))

@@ -881,6 +881,21 @@ object Relational {
         "| sort by event_id asc")
   }
 
+  /** KQL string/JSON scalar batch — extractjson (JSONPath field pull,
+    * the telemetry props idiom), indexof (ADX 0-based/-1-absent),
+    * countof, reverse, strcat_delim, format_datetime, all codegen'd
+    * built-ins evaluated in one projection over the scan.
+    */
+  private def kqlStrings(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend k = extractjson('$.k', props), " +
+        "idx = indexof(event_type, 'c'), rev = reverse(event_type), " +
+        "tag = strcat_delim('-', event_type, tostring(event_id)), " +
+        "d = format_datetime(ts_ts, 'yyyy-MM-dd'), ne = countof(event_type, 'e') " +
+        "| project event_id, k, idx, rev, tag, d, ne | sort by event_id asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -1007,6 +1022,7 @@ object Relational {
     "q_kql_range" -> (kqlRange _),
     "q_kql_serialize" -> (kqlSerialize _),
     "q_kql_lookup" -> (kqlLookup _),
+    "q_kql_strings" -> (kqlStrings _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1234,6 +1250,14 @@ object Relational {
         "SELECT p.event_id, p.user_id, p.value, s.signup_ts " +
         "FROM events p LEFT JOIN s USING (user_id) " +
         "WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+    "q_kql_strings" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k, " +
+        "CAST(strpos(event_type, 'c') - 1 AS INT) AS idx, " +
+        "reverse(event_type) AS rev, " +
+        "concat_ws('-', event_type, CAST(event_id AS VARCHAR)) AS tag, " +
+        "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +
+        "CAST((length(event_type) - length(replace(event_type, 'e', ''))) / 1 AS INT) AS ne " +
+        "FROM events ORDER BY event_id"),
     "q_kql_serialize" ->
       ("SELECT rn, event_id, value FROM (SELECT event_id, value, " +
         "CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INT) AS rn " +

@@ -570,6 +570,27 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("string/json scalar batch: extractjson, indexof, countof, strcat_delim") {
+    Seq((1L, """{"k": 42}""", "hello"), (2L, """{"x": 1}""", "aha"))
+      .toDF("id", "js", "s").createOrReplaceTempView("kql_str2")
+    val r = Kql.translate(spark,
+      "kql_str2 | extend k = extractjson('$.k', js), i = indexof(s, 'h'), " +
+        "miss = indexof(s, 'z'), n = countof(s, 'l'), rv = reverse(s), " +
+        "t = strcat_delim('|', s, tostring(id)), hx = tohex(id) " +
+        "| sort by id asc").collect()
+    assert(r(0).getAs[String]("k") === "42" && r(1).getAs[String]("k") === null)
+    // ADX indexof is 0-based, -1 when absent
+    assert(r(0).getAs[Int]("i") === 0 && r(1).getAs[Int]("i") === 1)
+    assert(r(0).getAs[Int]("miss") === -1)
+    assert(r(0).getAs[Int]("n") === 2 && r(1).getAs[Int]("n") === 0)
+    assert(r(0).getAs[String]("rv") === "olleh")
+    assert(r(0).getAs[String]("t") === "hello|1")
+    assert(r(1).getAs[String]("hx") === "2")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_str2 | extend n = countof(s, '')")
+    }
+  }
+
   test("where accepts bare boolean terms and parenthesized arithmetic comparisons") {
     ev.createOrReplaceTempView("kql_events")
     val a = Kql.translate(spark,
