@@ -83,6 +83,8 @@ object Kql {
         case TIdent("let") +: TIdent(_) +: TSym("=") +: _ => true
         // the `range x from ... to ... step ...` table generator
         case TIdent("range") +: TIdent(_) +: TIdent("from") +: _ => true
+        // a `datatable(col: type, ...)[...]` literal source
+        case TIdent("datatable") +: TSym("(") +: _ => true
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -261,7 +263,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/.;".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/.;[]:".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -344,6 +346,8 @@ object Kql {
     def defineLet(st: Vector[Tok]): Unit = st match {
       case TIdent("let") +: TIdent(name) +: TSym("=") +: rhs if rhs.nonEmpty =>
         val tabular = rhs.head match {
+          // the table generators are tabular regardless of what follows
+          case TIdent("datatable") | TIdent("range") => true
           case TIdent(t) if rhs.length == 1 || rhs(1) == TSym("|") =>
             letTables.contains(t) || s.catalog.tableExists(t)
           case _ => false
@@ -362,7 +366,8 @@ object Kql {
       val source = stages.head match {
         case Vector(TIdent(t)) => sourceTable(t)
         case TIdent("range") +: rest => rangeSource(rest)
-        case _ => fail("a CSL query must start with a table name or range")
+        case TIdent("datatable") +: rest => datatableSource(rest)
+        case _ => fail("a CSL query must start with a table name, range, or datatable")
       }
       // `lastSort` is scoped per pipeline: a sort inside a tabular let
       // or a join/lookup/union sub-pipeline must not satisfy an OUTER
@@ -371,6 +376,76 @@ object Kql {
       lastSort = None
       try stages.tail.foldLeft(source)(applyStage)
       finally lastSort = saved
+    }
+
+    // -------------------------------------------------------- datatable
+    //   datatable '(' name ':' type (',' name ':' type)* ')'
+    //             '[' literal (',' literal)* ']'
+    //   Inline literal table (row-major values) — the ADX idiom for a
+    //   small dimension right in the query text (typically behind a
+    //   tabular let, joined via lookup). Translates to a LocalRelation:
+    //   a handful of driver-local rows that broadcast like any other
+    //   small dimension, never a scan.
+
+    private def datatableSource(toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.types._
+      var rem = toks match {
+        case TSym("(") +: t => t
+        case _ => fail("datatable needs a (name: type, ...) schema")
+      }
+      // schema items up to the closing ')'
+      val fields = Vector.newBuilder[StructField]
+      var inSchema = true
+      while (inSchema) rem match {
+        case TIdent(nm) +: TSym(":") +: TIdent(ty) +: t =>
+          val dt = ty match {
+            case "string" => StringType
+            case "long" => LongType
+            case "int" => IntegerType
+            case "real" | "double" => DoubleType
+            case "bool" | "boolean" => BooleanType
+            case "datetime" => TimestampType
+            case other => fail(s"unsupported datatable column type '$other'")
+          }
+          fields += StructField(nm, dt, nullable = true)
+          t match {
+            case TSym(",") +: t2 => rem = t2
+            case TSym(")") +: t2 => rem = t2; inSchema = false
+            case _ => fail("datatable schema items must be `name: type`")
+          }
+        case _ => fail("datatable schema items must be `name: type`")
+      }
+      val schema = StructType(fields.result())
+      val vals = rem match {
+        case TSym("[") +: inner :+ TSym("]") =>
+          if (inner.isEmpty) Vector.empty[Vector[Tok]]
+          else splitOn(inner, TSym(","))
+        case _ => fail("datatable needs a [v1, v2, ...] value list")
+      }
+      if (schema.isEmpty) fail("datatable needs at least one column")
+      if (vals.length % schema.length != 0)
+        fail(s"datatable value count ${vals.length} is not a multiple of " +
+          s"the ${schema.length}-column schema")
+      def cell(toks: Vector[Tok], dt: DataType): Any = (toks, dt) match {
+        case (Vector(TStr(v)), StringType) => v
+        case (Vector(TNum(v)), LongType) if !v.contains('.') => v.toLong
+        case (Vector(TNum(v)), IntegerType) if !v.contains('.') => v.toInt
+        case (Vector(TNum(v)), DoubleType) => v.toDouble
+        case (Vector(TIdent("true")), BooleanType) => true
+        case (Vector(TIdent("false")), BooleanType) => false
+        case (Vector(TDate(us)), TimestampType) =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            us / 1000000L, (us % 1000000L) * 1000L))
+        case (Vector(TIdent("null")), _) => null
+        case (other, _) => fail(s"datatable value $other does not fit type $dt")
+      }
+      val rows = vals.grouped(schema.length).map { group =>
+        org.apache.spark.sql.Row.fromSeq(
+          group.zip(schema.fields).map { case (t, f) => cell(t, f.dataType) })
+      }.toSeq
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
     }
 
     // ------------------------------------------------------------ range

@@ -896,6 +896,21 @@ object Relational {
         "| project event_id, k, idx, rev, tag, d, ne | sort by event_id asc")
   }
 
+  /** KQL `datatable` — an inline literal dimension behind a tabular let,
+    * looked up against the fact stream: the ADX idiom for small
+    * query-local reference data. The literal rows are a LocalRelation
+    * that broadcasts; no scan, no shuffle for the dimension.
+    */
+  private def kqlDatatable(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "let weights = datatable(event_type: string, weight: long)" +
+        "['click', 2, 'purchase', 5, 'signup', 3]; " +
+        "events_csl | lookup weights on event_type " +
+        "| summarize n = count(), w = sum(weight) by event_type " +
+        "| sort by event_type asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -1023,6 +1038,7 @@ object Relational {
     "q_kql_serialize" -> (kqlSerialize _),
     "q_kql_lookup" -> (kqlLookup _),
     "q_kql_strings" -> (kqlStrings _),
+    "q_kql_datatable" -> (kqlDatatable _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1250,6 +1266,12 @@ object Relational {
         "SELECT p.event_id, p.user_id, p.value, s.signup_ts " +
         "FROM events p LEFT JOIN s USING (user_id) " +
         "WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+    "q_kql_datatable" ->
+      ("WITH weights(event_type, weight) AS (VALUES ('click', 2), ('purchase', 5), ('signup', 3)) " +
+        "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(w.weight) AS BIGINT) AS w " +
+        "FROM events e LEFT JOIN weights w USING (event_type) " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
     "q_kql_strings" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k, " +
         "CAST(strpos(event_type, 'c') - 1 AS INT) AS idx, " +

@@ -591,6 +591,27 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("datatable: inline literal source with typed columns, nulls, negatives") {
+    val df = Kql.translate(spark,
+      "datatable(s: string, n: long, v: real, b: bool, t: datetime)" +
+        "['a', 1, 1.5, true, datetime(2024-01-02 03:00:00), " +
+        "'b', -2, null, false, null] | sort by n asc")
+    assert(df.columns.toSeq === Seq("s", "n", "v", "b", "t"))
+    val r = df.collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(1) === -2L && r(0).isNullAt(2) && r(0).isNullAt(4))
+    assert(r(1).getString(0) === "a" && r(1).getDouble(2) === 1.5 && r(1).getBoolean(3))
+    assert(r(1).getTimestamp(4).toInstant.toString === "2024-01-02T03:00:00Z")
+    // row-major value count must tile the schema exactly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "datatable(a: long, b: long)[1, 2, 3]")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "datatable(a: guid)[1]")
+    }
+    assert(Kql.looksLikeCsl("datatable(a: long)[1] | count"))
+  }
+
   test("where accepts bare boolean terms and parenthesized arithmetic comparisons") {
     ev.createOrReplaceTempView("kql_events")
     val a = Kql.translate(spark,
