@@ -236,4 +236,88 @@ class PropertySpec extends SparkSpec {
     }
     check("bloom-no-false-negative", prop, samples = 30)
   }
+
+  test("KQL predicate grammar is equivalent to its DataFrame denotation on random trees") {
+    import org.apache.spark.sql.Column
+    // a random predicate AST rendered BOTH as CSL text and as the Column
+    // it should denote: the translated filter must select exactly the
+    // same rows. Exercises precedence, parens, not, in/!in, between, and
+    // typed comparisons — the parser paths a fixed fixture can't sweep.
+    sealed trait P
+    case class Cmp(c: String, op: String, lit: String) extends P
+    case class InL(c: String, vals: List[String], neg: Boolean) extends P
+    case class Btw(c: String, lo: Long, hi: Long) extends P
+    case class AndP(a: P, b: P) extends P
+    case class OrP(a: P, b: P) extends P
+    case class NotP(a: P) extends P
+
+    val ops = Seq("==", "!=", "<", "<=", ">", ">=")
+    val cmpGen: Gen[P] = for {
+      pair <- Gen.oneOf(
+        Gen.chooseNum(-5L, 5L).map(v => ("a", v.toString)),
+        Gen.chooseNum(-4, 4).map(v => ("b", s"$v.5")),
+        Gen.oneOf("x", "y", "zz").map(v => ("s", s"'$v'")))
+      op <- Gen.oneOf(ops)
+    } yield Cmp(pair._1, op, pair._2)
+    val inGen: Gen[P] = for {
+      vals <- Gen.nonEmptyListOf(Gen.oneOf("x", "y", "zz")).map(_.distinct)
+      neg <- Gen.oneOf(true, false)
+    } yield InL("s", vals, neg)
+    val btwGen: Gen[P] = for {
+      lo <- Gen.chooseNum(-5L, 3L)
+      span <- Gen.chooseNum(0L, 4L)
+    } yield Btw("a", lo, lo + span)
+    def pGen(depth: Int): Gen[P] =
+      if (depth <= 0) Gen.oneOf(cmpGen, inGen, btwGen)
+      else Gen.frequency(
+        3 -> cmpGen, 1 -> inGen, 1 -> btwGen,
+        2 -> Gen.zip(pGen(depth - 1), pGen(depth - 1)).map(t => AndP(t._1, t._2)),
+        2 -> Gen.zip(pGen(depth - 1), pGen(depth - 1)).map(t => OrP(t._1, t._2)),
+        1 -> pGen(depth - 1).map(NotP))
+
+    def csl(p: P): String = p match {
+      case Cmp(c, op, l) => s"$c $op $l"
+      case InL(c, vs, neg) =>
+        s"$c ${if (neg) "!in" else "in"} (${vs.map(v => s"'$v'").mkString(", ")})"
+      case Btw(c, lo, hi) => s"$c between ($lo .. $hi)"
+      case AndP(a, b) => s"(${csl(a)}) and (${csl(b)})"
+      case OrP(a, b) => s"(${csl(a)}) or (${csl(b)})"
+      case NotP(a) => s"not (${csl(a)})"
+    }
+    def colOf(p: P): Column = p match {
+      case Cmp(c, op, l) =>
+        val lc: Column =
+          if (l.startsWith("'")) lit(l.stripPrefix("'").stripSuffix("'"))
+          else if (l.contains('.')) lit(l.toDouble) else lit(l.toLong)
+        op match {
+          case "==" => col(c) === lc
+          case "!=" => col(c) =!= lc
+          case "<" => col(c) < lc
+          case "<=" => col(c) <= lc
+          case ">" => col(c) > lc
+          case ">=" => col(c) >= lc
+        }
+      case InL(c, vs, neg) =>
+        val e = col(c).isin(vs: _*); if (neg) !e else e
+      case Btw(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case AndP(a, b) => colOf(a) && colOf(b)
+      case OrP(a, b) => colOf(a) || colOf(b)
+      case NotP(a) => !colOf(a)
+    }
+
+    val rows = for {
+      id <- 0L until 60L
+    } yield (id, id % 11 - 5, (id % 9 - 4) + 0.5, Seq("x", "y", "zz", "w")((id % 4).toInt))
+    val df = rows.toDF("id", "a", "b", "s")
+    df.createOrReplaceTempView("kql_prop")
+
+    val prop = Prop.forAll(pGen(2)) { p =>
+      val got = graft.ingest.Kql.translate(spark,
+        s"kql_prop | where ${csl(p)} | project id")
+        .as[Long].collect().sorted.toSeq
+      val want = df.filter(colOf(p)).select("id").as[Long].collect().sorted.toSeq
+      got == want
+    }
+    check("kql-predicate-equivalence", prop, samples = 40)
+  }
 }
