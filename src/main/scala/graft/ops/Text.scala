@@ -550,7 +550,22 @@ object Text {
     * islands+parity formulation q_bpe_train proved, then the same
     * vocab join.
     */
-  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .join(bpeWordLengths(s, dir), "w")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_words"),
+        sum(length(col("w"))).as("n_chars_sym"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** The trained tokenizer's per-VOCABULARY-WORD piece counts
+    * (w, n_bpe): both bpeTrain merges applied to every distinct word —
+    * the bounded table q_bpe_encode and q_tokenizer_fertility both join
+    * back onto their word streams.
+    */
+  private def bpeWordLengths(s: SparkSession, dir: String): DataFrame = {
     // same null-guard as bpeTrain: an empty argmax (no pairs anywhere)
     // left-joins in as null ta/tb and the merge round is a no-op
     val mergeExpr =
@@ -577,15 +592,33 @@ object Text {
       .withColumn("syms", expr(mergeExpr)).drop("ta", "tb")
     val ch3 = ch2.join(broadcast(argmax(pairCounts(ch2))), lit(true), "left")
       .withColumn("syms", expr(mergeExpr))
-    val wlen = ch3.select(col("w"), size(col("syms")).as("n_bpe"))
+    ch3.select(col("w"), size(col("syms")).as("n_bpe"))
+  }
+
+  /** Tokenizer fertility per language — BPE tokens per whitespace word
+    * and characters per BPE token under the TRAINED tokenizer: the
+    * numbers that decide whether a tokenizer is fair to a language (high
+    * fertility = that language pays more sequence length per word, the
+    * standard multilingual-tokenizer audit). Same scale shape as
+    * q_bpe_encode: the merges fold once per distinct vocabulary word,
+    * the bounded (w, n_bpe) table joins back onto the word stream, and
+    * the per-language aggregate is map-side combinable. Ratios divide
+    * exact longs once at the end — deterministic in both engines.
+    */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens).as("w"))
-      .join(wlen, "w")
-      .groupBy("doc_id")
+      .select(col("lang"), explode(tokens).as("w"))
+      .join(bpeWordLengths(s, dir), "w")
+      .groupBy("lang")
       .agg(cnt.as("n_words"),
-        sum(length(col("w"))).as("n_chars_sym"),
-        sum(col("n_bpe")).as("n_bpe"))
-      .orderBy("doc_id")
+        sum(col("n_bpe")).as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
   }
 
   /** Unigram language-model quality score (perplexity proxy) — the
@@ -1433,6 +1466,7 @@ object Text {
     "q_hash_embed" -> (hashEmbed _),
     "q_lm_score" -> (lmScore _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
+    "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_fuzzy_dedup" -> (fuzzyDedup _),
     "q_dup_clusters" -> (dupClusters _),
     "q_dup_rewrite" -> (dupRewrite _),
@@ -1454,6 +1488,23 @@ object Text {
     * emitting `$out` with the merged syms. `$tag` uniquifies the
     * intermediate CTE names so two rounds can chain in one WITH.
     */
+  /** The trained tokenizer's (w, n_bpe) vocabulary table as CTEs — the
+    * full bpeTrain replay (two argmaxes + two greedy merge rounds) up to
+    * `wlen`; q_bpe_encode and q_tokenizer_fertility both close over it.
+    */
+  private def bpeWlenCtes: String =
+    "wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+      "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
+      "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
+      "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
+      "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
+      bpeMergeCtes("ch", "t1", "ch2", "x") + ", " +
+      "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2 WHERE len(syms) >= 2), " +
+      "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
+      "t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY c DESC, a, b LIMIT 1), " +
+      bpeMergeCtes("ch2", "t2", "ch3", "y") + ", " +
+      "wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch3)"
+
   private def bpeMergeCtes(src: String, tsel: String, out: String, tag: String): String =
     s"mflag$tag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM $src CROSS JOIN $tsel), " +
       s"mf$tag AS (SELECT w, g.i AS i FROM mflag$tag WHERE g.inp), " +
@@ -1766,22 +1817,22 @@ object Text {
         "r2 AS (SELECT 2 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p2) " +
         "SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM (SELECT * FROM r1 WHERE rnk <= 5 UNION ALL SELECT * FROM r2 WHERE rnk <= 5) ORDER BY step, rnk"),
     "q_bpe_encode" ->
-      ("WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
-        "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
-        "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
-        "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
-        "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
-        bpeMergeCtes("ch", "t1", "ch2", "x") + ", " +
-        "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2 WHERE len(syms) >= 2), " +
-        "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
-        "t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY c DESC, a, b LIMIT 1), " +
-        bpeMergeCtes("ch2", "t2", "ch3", "y") + ", " +
-        "wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch3), " +
+      (s"WITH $bpeWlenCtes, " +
         "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
         "CAST(sum(len(w)) AS BIGINT) AS n_chars_sym, " +
         "CAST(sum(n_bpe) AS BIGINT) AS n_bpe " +
         "FROM dw JOIN wlen USING (w) GROUP BY doc_id ORDER BY doc_id"),
+    "q_tokenizer_fertility" ->
+      (s"WITH $bpeWlenCtes, " +
+        "dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(n_bpe) AS BIGINT) AS n_tokens, CAST(sum(len(w)) AS BIGINT) AS n_chars " +
+        "FROM dw JOIN wlen USING (w) GROUP BY lang) " +
+        "SELECT lang, n_words, n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS fertility, " +
+        "round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS chars_per_token " +
+        "FROM g ORDER BY lang"),
     "q_phrase_rewrite" ->
       (s"WITH $collocCtes, sel AS ($collocSelect), " +
         "top30 AS (SELECT a || ' ' || b AS phrase FROM sel), " +

@@ -712,6 +712,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility: per-language ratios are consistent with the encode pass") {
+    val rows = q("q_tokenizer_fertility").collect()
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(rows.map(_.getAs[String]("lang")).toSet === langs)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val t = r.getAs[Long]("n_tokens")
+      // every word is >= 1 piece, every piece >= 1 char
+      assert(t >= w, r.toString)
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // the language totals tile the corpus-wide encode totals exactly
+    val total = q("q_bpe_encode").agg(sum("n_bpe")).as[Long].head()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+  }
+
   test("quality-aware dedup keeps the longest member of every fingerprint group") {
     import org.apache.spark.sql.expressions.Window
     val out = q("q_dedup_best").cache()
