@@ -1012,12 +1012,19 @@ object Text {
     * min is duplicate-insensitive), and the shuffle carries one 32-long
     * signature per doc.
     */
-  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig, band, bucket) MinHash band table for any
+    * (doc_id, text) frame — the signature/banding stage of
+    * [[dedupMinhash]], also the index/probe builder for
+    * StreamOps.nearDupAgainstCorpus (incremental dedup of a stream
+    * against a static corpus). Docs under 3 tokens have no 3-gram and
+    * drop out, matching the batch operator's filter.
+    */
+  private[graft] def minhashBandTable(docs: DataFrame): DataFrame = {
     val numHashes = 32
     val bandRows = 4
     val p = 2147483647L // 2^31 - 1 (Mersenne); lane products stay < 2^59
     val toks = col("toks")
-    val grams = Tables.documents(s, dir)
+    val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(toks) >= 3)
       .select(col("doc_id"), explode(transform(
@@ -1032,12 +1039,25 @@ object Text {
         min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % p)): _*).as("sig"))
     // band buckets: md5 over the comma-joined 4-lane slice (16-byte
     // shuffle key; the same string both engines can compute)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numHashes / bandRows - 1)),
         b => md5(concat_ws(",",
           transform(slice(col("sig"), b * bandRows + 1, lit(bandRows)),
             x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Exact per-lane agreement fraction of two 32-lane signatures —
+    * n/32 is a dyadic rational, exact in IEEE double.
+    */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+      .cast("double") / 32
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBandTable(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1046,10 +1066,7 @@ object Text {
       .distinct()
     cands
       // n/32 is a dyadic rational — EXACT in ieee double, no rounding step
-      .withColumn("est_jac",
-        aggregate(zip_with(col("siga"), col("sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes)
+      .withColumn("est_jac", estJaccard(col("siga"), col("sigb")))
       .select("ai", "bi", "est_jac")
       .orderBy("ai", "bi")
   }

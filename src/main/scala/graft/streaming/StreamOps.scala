@@ -308,6 +308,54 @@ object StreamOps {
       .drop("h")
   }
 
+  /** Static MinHash/LSH index over a (doc_id, text) corpus — build ONCE,
+    * then every incoming micro-batch probes it. The index is the banded
+    * signature table (band, bucket → signature): bucket collisions are
+    * the only candidates a probe ever verifies, so the per-batch cost is
+    * bound by collision rate, never corpus size (the q_dedup_minhash
+    * blocking, turned into an incremental-ingest gate).
+    */
+  def minhashIndex(corpus: DataFrame): DataFrame =
+    graft.ops.Text.minhashBandTable(corpus)
+      .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
+
+  /** One micro-batch of candidate docs filtered against the static
+    * index: a doc is dropped when ANY bucket collision verifies at
+    * estimated Jaccard ≥ minJac. Batch-mode semantics (runs inside
+    * foreachBatch): band join → per-lane verify → anti-join survivors.
+    * Docs too short to carry a 3-gram (no signature) pass through — the
+    * near-dup gate only speaks for docs it can fingerprint.
+    */
+  def nearDupFilterBatch(batch: DataFrame, corpusIdx: DataFrame,
+      minJac: Double): DataFrame = {
+    val probe = graft.ops.Text.minhashBandTable(batch)
+    val dupIds = probe.join(corpusIdx, Seq("band", "bucket"))
+      .filter(graft.ops.Text.estJaccard(col("sig"), col("corpus_sig")) >= minJac)
+      .select("doc_id").distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Streaming near-dup dedup against a static corpus — the incremental
+    * form of fuzzy-dedup a continuously-ingesting training pipeline
+    * needs: new docs land only if nothing ≥ minJac-similar already
+    * exists in the reference corpus. `foreachBatch` gives each
+    * micro-batch full batch semantics (the band join + verify +
+    * anti-join above); the index is computed once outside the loop and
+    * reused every batch, and survivors append to a parquet sink. Exact
+    * duplicates are a special case (estimated Jaccard 1.0), so this
+    * strictly subsumes [[dedupAgainstCorpus]] for fingerprintable docs.
+    */
+  def nearDupSink(docs: DataFrame, corpusIdx: DataFrame, outDir: String,
+      checkpoint: String, minJac: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nearDupFilterBatch(batch, corpusIdx, minJac)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming upsert sink via `foreachBatch` — the lakehouse MERGE loop:
     * each micro-batch folds into a keyed parquet state table as
     * "latest row per (user_id, event_type) wins", i.e. q_changelog_compact

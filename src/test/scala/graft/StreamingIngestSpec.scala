@@ -71,4 +71,50 @@ class StreamingIngestSpec extends SparkSpec {
     assert(regs.getLong(0) === 1697139000000L) // maxTimestamp high-water mark
     assert(regs.getLong(1) === 1697139000000L) // lastTimeGenerated
   }
+
+  test("streaming near-dup gate drops corpus look-alikes, passes fresh docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // reference corpus: two documents with distinctive token streams
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idx = StreamOps.minhashIndex(corpus)
+
+    val in = MemoryStream[(Long, String)]
+    val out = tmp("graft_nds"); val cp = tmp("graft_ndcp")
+    val q = StreamOps.nearDupSink(
+      in.toDF().toDF("doc_id", "text"), idx, out, cp, minJac = 0.5)
+
+    // batch 1: an exact copy (dropped), a near copy with one token
+    // changed (dropped), a fresh doc (kept)
+    in.addData(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (103L, "red orange yellow green blue indigo violet pink brown black"))
+    q.processAllAvailable()
+    // batch 2: a near copy of corpus doc 2 (dropped) and a short doc
+    // below the 3-gram floor (passes through — no fingerprint to judge)
+    in.addData(
+      (201L, "one two three four five six seven eight nine eleven"),
+      (202L, "tiny doc"))
+    q.processAllAvailable()
+    q.stop()
+
+    val survivors = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(survivors === Set(103L, 202L), survivors.toString)
+
+    // batch-parity: the per-micro-batch gate equals one batch pass
+    val all = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (103L, "red orange yellow green blue indigo violet pink brown black"),
+      (201L, "one two three four five six seven eight nine eleven"),
+      (202L, "tiny doc")).toDF("doc_id", "text")
+    val batchSurvivors = StreamOps.nearDupFilterBatch(all, idx, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvivors === survivors)
+  }
 }
