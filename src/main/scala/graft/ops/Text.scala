@@ -1055,6 +1055,35 @@ object Text {
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
       .cast("double") / 32
 
+  /** Dedup-family evaluation harness — banded MinHash graded against the
+    * exact n-gram Jaccard pair set at the 0.5 near-dup threshold, in one
+    * query: recall (what fraction of true near-dup pairs the banded
+    * search surfaces) and precision (what fraction of its candidates are
+    * real) — the q_ann_recall idea applied to the text-dedup tier, the
+    * numbers that justify trusting banded LSH as the 100 TB substitute
+    * for all-pairs Jaccard. Both sides are deterministic, so the tiny
+    * summary row is fully oracled (DuckDB recomposes the two pair-set
+    * replays). The exact side is defined over dedupNgram's capped gram
+    * universe (stop-grams dropped) — the same universe its own oracle
+    * grades.
+    */
+  private def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val ex = dedupNgram(s, dir).filter(col("jac") >= 0.5)
+      .select(col("ai"), col("bi"), lit(1L).as("e"))
+    val ca = dedupMinhash(s, dir).filter(col("est_jac") >= 0.5)
+      .select(col("ai"), col("bi"), lit(1L).as("c"))
+    ex.join(ca, Seq("ai", "bi"), "full")
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("e").isNotNull && col("c").isNotNull, 1L)),
+          lit(0L)).as("hits"))
+      .select(col("n_exact"), col("n_cand"), col("hits"),
+        when(col("n_exact") > 0,
+          round(col("hits").cast("double") / col("n_exact"), 4)).as("recall"),
+        when(col("n_cand") > 0,
+          round(col("hits").cast("double") / col("n_cand"), 4)).as("precision"))
+  }
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBandTable(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
@@ -1469,6 +1498,7 @@ object Text {
     "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_recall" -> (dedupRecall _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_lang_id" -> (langId _),
@@ -1621,7 +1651,7 @@ object Text {
       "FROM bc JOIN uc ua ON bc.a = ua.a JOIN uc ub ON bc.b = ub.a CROSS JOIN tot " +
       "ORDER BY pmi DESC, bc.a, bc.b LIMIT 30"
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_text_quantiles" ->
@@ -1939,4 +1969,20 @@ object Text {
         "round(CAST(sum(CAST(lr AS DECIMAL(18,8))) AS DOUBLE), 4) + 0.0 AS weight " +
         "FROM g JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id")
   )
+
+  /** q_dedup_recall's oracle recomposes the exact n-gram Jaccard replay
+    * and the banded MinHash replay verbatim as subqueries, grading the
+    * same pair sets the per-operator oracles grade.
+    */
+  val oracleSql: Map[String, String] = oracleBase +
+    ("q_dedup_recall" ->
+      (s"WITH ex AS (SELECT ai, bi FROM (${oracleBase("q_dedup_ngram")}) WHERE jac >= 0.5), " +
+        s"ca AS (SELECT ai, bi FROM (${oracleBase("q_dedup_minhash")}) WHERE est_jac >= 0.5), " +
+        "st AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact, " +
+        "CAST((SELECT count(*) FROM ca) AS BIGINT) AS n_cand, " +
+        "CAST((SELECT count(*) FROM ex JOIN ca USING (ai, bi)) AS BIGINT) AS hits) " +
+        "SELECT n_exact, n_cand, hits, " +
+        "round(CAST(hits AS DOUBLE) / NULLIF(n_exact, 0), 4) AS recall, " +
+        "round(CAST(hits AS DOUBLE) / NULLIF(n_cand, 0), 4) AS precision " +
+        "FROM st"))
 }

@@ -729,6 +729,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
   }
 
+  test("dedup recall harness cross-checks against the standalone pair queries") {
+    val r = q("q_dedup_recall").collect().head
+    val exact = q("q_dedup_ngram").filter($"jac" >= 0.5)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    val cand = q("q_dedup_minhash").filter($"est_jac" >= 0.5)
+      .select("ai", "bi").as[(Long, Long)].collect().toSet
+    assert(r.getAs[Long]("n_exact") === exact.size.toLong)
+    assert(r.getAs[Long]("n_cand") === cand.size.toLong)
+    assert(r.getAs[Long]("hits") === exact.intersect(cand).size.toLong)
+    // the planted duplicates guarantee a non-trivial evaluation set, and
+    // banded MinHash must find every identical-text pair (identical
+    // signatures collide in every band)
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Double]("recall") > 0.9)
+  }
+
   test("quality-aware dedup keeps the longest member of every fingerprint group") {
     import org.apache.spark.sql.expressions.Window
     val out = q("q_dedup_best").cache()
