@@ -1012,15 +1012,22 @@ object Text {
     * min is duplicate-insensitive), and the shuffle carries one 32-long
     * signature per doc.
     */
+  /** Signature width shared by [[minhashBandTable]] (lane count) and
+    * [[estJaccard]] (agreement divisor) — one constant so the two can
+    * never skew: a wider signature automatically re-scales the estimate.
+    */
+  private[graft] val MinhashLanes = 32
+
   /** (doc_id, sig, band, bucket) MinHash band table for any
     * (doc_id, text) frame — the signature/banding stage of
-    * [[dedupMinhash]], also the index/probe builder for
-    * StreamOps.nearDupAgainstCorpus (incremental dedup of a stream
-    * against a static corpus). Docs under 3 tokens have no 3-gram and
-    * drop out, matching the batch operator's filter.
+    * [[dedupMinhash]], also the index/probe builder for the streaming
+    * near-dup gate (StreamOps.minhashIndex / nearDupFilterBatch /
+    * nearDupSink: incremental dedup of a stream against a corpus).
+    * Docs under 3 tokens have no 3-gram and drop out, matching the
+    * batch operator's filter.
     */
   private[graft] def minhashBandTable(docs: DataFrame): DataFrame = {
-    val numHashes = 32
+    val numHashes = MinhashLanes
     val bandRows = 4
     val p = 2147483647L // 2^31 - 1 (Mersenne); lane products stay < 2^59
     val toks = col("toks")
@@ -1047,13 +1054,13 @@ object Text {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
-  /** Exact per-lane agreement fraction of two 32-lane signatures —
-    * n/32 is a dyadic rational, exact in IEEE double.
+  /** Exact per-lane agreement fraction of two [[MinhashLanes]]-lane
+    * signatures — n/32 is a dyadic rational, exact in IEEE double.
     */
   private[graft] def estJaccard(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-      .cast("double") / 32
+      .cast("double") / MinhashLanes
 
   /** Dedup-family evaluation harness — banded MinHash graded against the
     * exact n-gram Jaccard pair set at the 0.5 near-dup threshold, in one

@@ -335,24 +335,106 @@ object StreamOps {
     batch.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** One micro-batch filtered against the index AND against itself:
+    * a doc is dropped when a bucket collision verifies at est-Jaccard
+    * ≥ minJac against the index, or against any LOWER-doc_id doc of the
+    * same frame. The lowest id of each within-frame near-dup group is
+    * the canonical survivor — the same keep-lowest convention the batch
+    * dedup family uses (q_dup_rewrite's cluster canonical), chosen over
+    * "drop only vs surviving lower ids" because it is one shuffle round
+    * with no sequential chain dependence. Consequence (documented, not
+    * hidden): a doc similar ONLY to an index-dropped batch-mate is
+    * dropped here but would survive a strict sequential replay.
+    */
+  def nearDupFilterSelf(batch: DataFrame, idx: DataFrame,
+      minJac: Double): DataFrame = {
+    val probe = graft.ops.Text.minhashBandTable(batch)
+    val vsIdx = probe.join(idx, Seq("band", "bucket"))
+      .filter(graft.ops.Text.estJaccard(col("sig"), col("corpus_sig")) >= minJac)
+      .select("doc_id")
+    val vsSelf = probe.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .filter(graft.ops.Text.estJaccard(col("a.sig"), col("b.sig")) >= minJac)
+      .select(col("a.doc_id").as("doc_id"))
+    batch.join(vsIdx.union(vsSelf).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Streaming near-dup dedup against a static corpus — the incremental
     * form of fuzzy-dedup a continuously-ingesting training pipeline
     * needs: new docs land only if nothing ≥ minJac-similar already
     * exists in the reference corpus. `foreachBatch` gives each
     * micro-batch full batch semantics (the band join + verify +
     * anti-join above); the index is computed once outside the loop and
-    * reused every batch, and survivors append to a parquet sink. Exact
-    * duplicates are a special case (estimated Jaccard 1.0), so this
-    * strictly subsumes [[dedupAgainstCorpus]] for fingerprintable docs.
+    * reused every batch. Exact duplicates are a special case (estimated
+    * Jaccard 1.0), so this strictly subsumes [[dedupAgainstCorpus]] for
+    * fingerprintable docs.
+    *
+    * Survivors land in a PER-BATCH subdirectory `bid=<batchId>` written
+    * with overwrite — a micro-batch replayed after a crash between the
+    * write and the checkpoint commit overwrites its own partition
+    * instead of re-appending, so the gate can never emit duplicate rows
+    * (a plain append sink would). Readers see one hive-partitioned
+    * table at `outDir` (bid is just a partition column).
+    *
+    * This variant probes the STATIC index only: two near-copies
+    * arriving in different micro-batches both land. Use
+    * [[nearDupSelfSink]] for the self-updating gate.
     */
   def nearDupSink(docs: DataFrame, corpusIdx: DataFrame, outDir: String,
       checkpoint: String, minJac: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupFilterBatch(batch, corpusIdx, minJac)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+      }
+      .start()
+
+  /** The SELF-UPDATING near-dup gate: the stream dedups against the
+    * seed corpus AND against itself. Each micro-batch probes
+    * corpus index ∪ all prior batches' survivor index, self-dedups
+    * within the batch ([[nearDupFilterSelf]]), then appends its own
+    * survivors' band rows to the accumulated index — so a doc admitted
+    * in batch 1 blocks its near-copy in batch 3, which the static-index
+    * gate cannot do. This is the reference's continuous-ingest loop
+    * (src/main.go:248-329, every batch lands in the same corpus the
+    * next batch is judged against) with near-dup semantics.
+    *
+    * Idempotence under replay: BOTH sinks write per-batch partitions
+    * `bid=<batchId>` with overwrite, and the prior-index read takes
+    * only `bid < batchId` — a replayed batch never probes the partial
+    * index rows its crashed attempt may have written, so it recomputes
+    * the identical survivor set and overwrites both partitions.
+    *
+    * Scale: the accumulated index grows with ADMITTED docs only
+    * (bounded by unique content, not stream length), is partitioned by
+    * batch, and each probe is still a (band, bucket) equi-join — cost
+    * per batch is collision rate × index size, the same blocking bound
+    * as the batch operator; at 100 TB the index compacts into bucketed
+    * layout like any dimension table.
+    */
+  def nearDupSelfSink(docs: DataFrame, corpusIdx: DataFrame, outDir: String,
+      idxDir: String, checkpoint: String, minJac: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val idxRoot = new org.apache.hadoop.fs.Path(idxDir)
+        val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(idxRoot) && fs.listStatus(idxRoot).nonEmpty)
+            s.read.parquet(idxDir).filter(col("bid") < batchId)
+              .select("band", "bucket", "corpus_sig")
+          else corpusIdx.limit(0)
+        val idx = corpusIdx.unionByName(prior)
+        val survivors = nearDupFilterSelf(batch, idx, minJac).localCheckpoint()
+        survivors.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+        graft.ops.Text.minhashBandTable(survivors)
+          .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
+          .write.mode("overwrite").parquet(s"$idxDir/bid=$batchId")
       }
       .start()
 

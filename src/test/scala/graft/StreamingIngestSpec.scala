@@ -117,4 +117,77 @@ class StreamingIngestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(batchSurvivors === survivors)
   }
+
+  test("self-updating near-dup gate: stream dedups against itself across and within batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idx = StreamOps.minhashIndex(corpus)
+
+    val in = MemoryStream[(Long, String)]
+    val out = tmp("graft_sds"); val idxDir = tmp("graft_sdsidx")
+    val cp = tmp("graft_sdscp")
+    val q = StreamOps.nearDupSelfSink(
+      in.toDF().toDF("doc_id", "text"), idx, out, idxDir, cp, minJac = 0.5)
+
+    // batch 1: a corpus copy (dropped) and a FRESH doc (admitted — and
+    // from now on part of the index)
+    in.addData(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (103L, "red orange yellow green blue indigo violet pink brown black"))
+    q.processAllAvailable()
+    // batch 2: nothing similar — admitted
+    in.addData(
+      (301L, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"))
+    q.processAllAvailable()
+    // batch 3: a near-copy of batch-1 survivor 103 (MUST drop — the
+    // static gate would admit it), plus an intra-batch near-dup pair
+    // (lower id 402 is the canonical survivor, 403 drops)
+    in.addData(
+      (401L, "red orange yellow green blue indigo violet pink brown white"),
+      (402L, "cat dog bird fish horse cow sheep goat pig duck"),
+      (403L, "cat dog bird fish horse cow sheep goat pig swan"))
+    q.processAllAvailable()
+    q.stop()
+
+    val survivors = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(survivors === Set(103L, 301L, 402L), survivors.toString)
+
+    // the accumulated index holds band rows for every admitted doc
+    val idxBids = spark.read.parquet(idxDir).select("bid")
+      .as[Int].distinct().collect().toSet
+    assert(idxBids === Set(0, 1, 2), idxBids.toString)
+
+    // batch-parity: the incremental gate equals ONE self-dedup batch
+    // pass over the full stream against the seed index
+    val all = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (103L, "red orange yellow green blue indigo violet pink brown black"),
+      (301L, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"),
+      (401L, "red orange yellow green blue indigo violet pink brown white"),
+      (402L, "cat dog bird fish horse cow sheep goat pig duck"),
+      (403L, "cat dog bird fish horse cow sheep goat pig swan"))
+      .toDF("doc_id", "text")
+    val onePass = StreamOps.nearDupFilterSelf(all, idx, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(onePass === survivors)
+
+    // replay idempotence: re-running a batch's merge overwrites its own
+    // bid partition — row count is unchanged (the ADVICE crash window)
+    val b3 = Seq(
+      (401L, "red orange yellow green blue indigo violet pink brown white"),
+      (402L, "cat dog bird fish horse cow sheep goat pig duck"),
+      (403L, "cat dog bird fish horse cow sheep goat pig swan"))
+      .toDF("doc_id", "text")
+    val priorIdx = spark.read.parquet(idxDir).filter($"bid" < 2)
+      .select("band", "bucket", "corpus_sig")
+    StreamOps.nearDupFilterSelf(b3, idx.unionByName(priorIdx), 0.5)
+      .write.mode("overwrite").parquet(s"$out/bid=2")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      === survivors)
+  }
 }
