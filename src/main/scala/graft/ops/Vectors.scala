@@ -365,15 +365,33 @@ object Vectors {
     * q_ann_ivf_trained (own fit) and q_ann_recall (ONE fit for all
     * index branches).
     */
+  /** Probe count derived from the index geometry the way nlist is
+    * derived from N: nprobe = ⌈√nlist⌉ (≈ N^(1/4)), computed FROM the
+    * centroid table itself as a broadcast 1-row frame — no driver
+    * collect, no hand-tuned constant that silently under-probes when
+    * the corpus grows. Callers pass Some(n) to pin a count (the
+    * recall harness's nprobe-trade rows).
+    */
+  private def nprobeDf(s: SparkSession, c2: DataFrame,
+      nprobe: Option[Int]): DataFrame = nprobe match {
+    case Some(n) => s.range(1).select(lit(n).cast("int").as("np"))
+    case None => c2.agg(ceil(sqrt(count(lit(1)))).cast("int").as("np"))
+  }
+
   private def ivfTrainedSearch(s: SparkSession, dir: String,
-      a2: DataFrame, c2: DataFrame): DataFrame = {
+      a2: DataFrame, c2: DataFrame, nprobe: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // rank-filter instead of limit so the cut can be the DATA-DERIVED
+    // nprobe; the single-partition window ranks only nlist ≈ √N rows
+    val rankW = Window.orderBy(col("list_sim").desc, col("c"))
     val probed = c2.crossJoin(broadcast(q))
       .select(col("c"),
         cos(s, col("centroid"), col("qv")).as("list_sim"))
-      .orderBy(col("list_sim").desc, col("c"))
-      .limit(2)
+      .withColumn("rn", row_number().over(rankW))
+      .crossJoin(broadcast(nprobeDf(s, c2, nprobe)))
+      .filter(col("rn") <= col("np"))
       .select("c")
     a2.join(broadcast(probed), Seq("c"))
       .crossJoin(broadcast(q))
@@ -713,11 +731,15 @@ object Vectors {
     ivfPqSearch(s, dir, a2, c2)
   }
 
-  /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
-    * shared by q_ann_ivfpq (own fit) and q_ann_recall (one fit).
+  /** The ADC-scored candidate set (vec_id, cluster, adc) of the IVF-PQ
+    * index for the probed lists, UN-cut — the shared core of
+    * q_ann_ivfpq (direct top-10), q_ann_rerank (top-50 shortlist →
+    * exact re-rank), and the recall harness's nprobe-trade rows.
+    * nprobe defaults to the data-derived ⌈√nlist⌉ ([[nprobeDf]]).
     */
-  private def ivfPqSearch(s: SparkSession, dir: String,
-      a2: DataFrame, c2: DataFrame): DataFrame = {
+  private def ivfPqScores(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame, nprobe: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val m = 4
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
@@ -730,13 +752,16 @@ object Vectors {
     val (pa2, pcb2) = pqFit(subspaces(res, "remb", m), m)
 
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
-    // probe: top-2 coarse lists by query→centroid cosine (the house
-    // metric, consistent with q_ann_ivf_trained's probe)
+    // probe: top-nprobe coarse lists by query→centroid cosine (the
+    // house metric, consistent with q_ann_ivf_trained's probe); the
+    // rank window orders only nlist ≈ √N rows
+    val rankW = Window.orderBy(col("ls").desc, col("cl"))
     val pb = c2.crossJoin(broadcast(q))
       .select(col("c").as("cl"), col("centroid"),
         cos(s, col("centroid"), col("qv")).as("ls"))
-      .orderBy(col("ls").desc, col("cl"))
-      .limit(2)
+      .withColumn("rn", row_number().over(rankW))
+      .crossJoin(broadcast(nprobeDf(s, c2, nprobe)))
+      .filter(col("rn") <= col("np"))
       .select(col("cl"), col("centroid"))
     // per-list query residual, sliced into subspaces → the ADC table
     val qr = pb.crossJoin(broadcast(q))
@@ -758,8 +783,48 @@ object Vectors {
       .agg(sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType).as("adc0"))
       .select(col("vec_id"), col("cl").as("cluster"),
         round(col("adc0"), 4).as("adc"))
+  }
+
+  /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
+    * shared by q_ann_ivfpq (own fit) and q_ann_recall (one fit).
+    */
+  private def ivfPqSearch(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame, nprobe: Option[Int] = None): DataFrame =
+    ivfPqScores(s, dir, a2, c2, nprobe)
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(10)
+
+  /** IVF-PQ with an EXACT re-rank tier — the production FAISS serving
+    * pipeline (Jégou et al. 2011 §V.B): the 4-byte ADC codes cut a
+    * cheap top-50 shortlist (5× the answer size), then ONLY those 50
+    * vectors are fetched and scored with the exact cosine against the
+    * query, and the final top-10 cut is on the exact score. This is
+    * what recovers the recall the lossy codes give up: an answer
+    * mis-ranked 11th..50th by quantization error is re-admitted by the
+    * exact pass, while the scan still never touches more than
+    * shortlist + probed-codes rows. At 100 TB the shortlist fetch is a
+    * 50-row primary-key join against the vector store — the only place
+    * full vectors are read at all.
+    */
+  private def ivfPqRerank(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame, nprobe: Option[Int] = None): DataFrame = {
+    val short = ivfPqScores(s, dir, a2, c2, nprobe)
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(50)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    short.join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cluster"), col("adc"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansFit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    ivfPqRerank(s, dir, a2, c2)
   }
 
   /** ANN evaluation harness — recall@10 of every index family (LSH
@@ -783,6 +848,13 @@ object Vectors {
         .select(lit("ivf").as("method"), col("vec_id")))
       .unionByName(ivfPqSearch(s, dir, a2, c2)
         .select(lit("ivfpq").as("method"), col("vec_id")))
+      // the nprobe trade: the same index probed at nprobe=1 — the row
+      // that shows what the derived ⌈√nlist⌉ probe count buys
+      .unionByName(ivfPqSearch(s, dir, a2, c2, nprobe = Some(1))
+        .select(lit("ivfpq_np1").as("method"), col("vec_id")))
+      // ADC shortlist → exact re-rank: recall(rerank) ≥ recall(ivfpq)
+      .unionByName(ivfPqRerank(s, dir, a2, c2)
+        .select(lit("rerank").as("method"), col("vec_id")))
     cands.join(broadcast(brute), Seq("vec_id"), "left")
       .groupBy("method")
       .agg(count(lit(1)).as("n_candidates"),
@@ -839,6 +911,7 @@ object Vectors {
     "q_dedup_embed" -> (dedupEmbed _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_rerank" -> (annRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_embed_centroid" -> (embedCentroid _),
     "q_embed_kmeans" -> (embedKmeans _),
@@ -877,6 +950,50 @@ object Vectors {
       s"c2 AS ${cent("a1")}, " +
       s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
       "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1)"
+
+  /** The derived probe count, computed from the trained centroid table
+    * exactly as the Spark side's [[nprobeDf]]: nprobe = ⌈√nlist⌉.
+    */
+  private val derivedProbeCut: String =
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c2)"
+
+  /** Shared IVF-PQ/ADC oracle chain through `scored` (the un-cut
+    * candidate table), parameterized by the probe-stage rank cut so
+    * q_ann_ivfpq, q_ann_rerank and the recall harness's nprobe-trade
+    * row all replay the identical quantizer/encode/ADC stages.
+    */
+  private def ivfPqOracleCtes(probeCut: String): String = {
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    s"$kmeansUnrollCtes, " +
+      // residual from the assigned coarse centroid
+      "res AS (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
+      "rsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
+      // two unrolled Lloyd rounds per subspace over the residuals
+      "p0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM rsub), " +
+      "pce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      "pcb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
+      s"pd1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
+      "pa1 AS (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
+      "pce2 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      "pcb2 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
+      s"pd2 AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
+      "pa2 AS (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
+      // probe: top-nprobe coarse lists by query->centroid cosine
+      "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+      s"pbl AS (SELECT c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
+      "pbr AS (SELECT cl, centroid, row_number() OVER (ORDER BY ls DESC, cl) AS rn FROM pbl), " +
+      s"pb AS (SELECT cl, centroid FROM pbr WHERE rn <= $probeCut), " +
+      // per-list query residual -> (list, m, code) ADC table
+      "qr AS (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
+      "qrs AS (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
+      s"adc AS (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${l2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
+      "cand AS (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id) WHERE pa2.vec_id <> 0), " +
+      "scored AS (SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
+      "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
+      "GROUP BY cand.vec_id, cand.cl)"
+  }
 
   private val oracleBase: Map[String, String] = Map(
     "q_embed_pipeline" -> {
@@ -1066,41 +1183,23 @@ object Vectors {
         s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
         "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1), " +
         "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
-        s"pb AS (SELECT c FROM (SELECT c2.c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q ORDER BY ls DESC, c LIMIT 2)) " +
+        s"pbl AS (SELECT c2.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
+        "pbr AS (SELECT c, row_number() OVER (ORDER BY ls DESC, c) AS rn FROM pbl), " +
+        s"pb AS (SELECT c FROM pbr WHERE rn <= $derivedProbeCut) " +
         s"SELECT a2.vec_id, a2.c AS cluster, round(${dcos("a2.emb", "qv")}, 4) AS cos " +
         "FROM a2 JOIN pb ON a2.c = pb.c CROSS JOIN q WHERE a2.vec_id <> 0 " +
         "ORDER BY cos DESC, a2.vec_id LIMIT 10"
     },
-    "q_ann_ivfpq" -> {
-      def l2(a: String, b: String): String =
-        s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
-      s"WITH $kmeansUnrollCtes, " +
-        // residual from the assigned coarse centroid
-        "res AS (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
-        "rsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
-        // two unrolled Lloyd rounds per subspace over the residuals
-        "p0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM rsub), " +
-        "pce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-        "pcb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
-        s"pd1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
-        "pa1 AS (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
-        "pce2 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-        "pcb2 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
-        s"pd2 AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
-        "pa2 AS (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
-        // probe: top-2 coarse lists by query->centroid cosine
-        "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
-        s"pb AS (SELECT c AS cl, centroid FROM (SELECT c2.c, c2.centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q ORDER BY ls DESC, c LIMIT 2)), " +
-        // per-list query residual -> (list, m, code) ADC table
-        "qr AS (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
-        "qrs AS (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
-        s"adc AS (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${l2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
-        "cand AS (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id) WHERE pa2.vec_id <> 0) " +
-        "SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
-        "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
-        "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
-        "GROUP BY cand.vec_id, cand.cl ORDER BY adc, vec_id LIMIT 10"
-    },
+    "q_ann_ivfpq" ->
+      (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
+        "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
+    "q_ann_rerank" ->
+      (s"WITH ${ivfPqOracleCtes(derivedProbeCut)}, " +
+        "short AS (SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 50) " +
+        s"SELECT sh.vec_id AS vec_id, sh.cluster AS cluster, sh.adc AS adc, " +
+        s"round(${dcos("e.emb", "qv")}, 4) AS cos " +
+        "FROM short sh JOIN e ON sh.vec_id = e.vec_id CROSS JOIN q " +
+        "ORDER BY cos DESC, vec_id LIMIT 10"),
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +
@@ -1162,7 +1261,11 @@ object Vectors {
       (s"WITH brute AS (SELECT vec_id FROM (${oracleBase("q_sim_topk")})), " +
         s"cands AS (SELECT 'lsh' AS method, vec_id FROM (${oracleBase("q_ann_lsh")}) " +
         s"UNION ALL SELECT 'ivf' AS method, vec_id FROM (${oracleBase("q_ann_ivf_trained")}) " +
-        s"UNION ALL SELECT 'ivfpq' AS method, vec_id FROM (${oracleBase("q_ann_ivfpq")})) " +
+        s"UNION ALL SELECT 'ivfpq' AS method, vec_id FROM (${oracleBase("q_ann_ivfpq")}) " +
+        // the nprobe trade: the same IVF-PQ chain probed at nprobe=1
+        s"UNION ALL SELECT 'ivfpq_np1' AS method, vec_id FROM (WITH ${ivfPqOracleCtes("1")} " +
+        "SELECT vec_id FROM scored ORDER BY adc, vec_id LIMIT 10) " +
+        s"UNION ALL SELECT 'rerank' AS method, vec_id FROM (${oracleBase("q_ann_rerank")})) " +
         "SELECT method, CAST(count(*) AS BIGINT) AS n_candidates, " +
         "CAST(count(b.vec_id) AS BIGINT) AS hits, " +
         "round(CAST(count(b.vec_id) AS DOUBLE) / 10, 2) AS recall_at_10 " +

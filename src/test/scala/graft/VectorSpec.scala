@@ -236,8 +236,12 @@ class VectorSpec extends SparkSpec {
     assert(r.size === 10)
     // scores are true cosines (approximation lives only in the probe set)
     r.foreach { case (id, _, c) => assert(all(id) === c, s"vec $id") }
-    // at most 2 probed lists contribute
-    assert(r.map(_._2).distinct.size <= 2)
+    // at most nprobe = ceil(sqrt(nlist)) probed lists contribute (the
+    // data-derived probe count, nlist = ceil(sqrt(N)))
+    val nlist = math.ceil(math.sqrt(
+      Tables.embeddings(spark, sfDir).count().toDouble))
+    val np = math.ceil(math.sqrt(nlist)).toInt
+    assert(r.map(_._2).distinct.size <= np)
     // descending with vec_id tie-break
     assert(r.map(_._3) === r.map(_._3).sorted.reverse)
   }
@@ -280,8 +284,12 @@ class VectorSpec extends SparkSpec {
     val ids = rows.map(_.getAs[Long]("vec_id"))
     assert(ids.distinct.length === 10 && !ids.contains(0L),
       "distinct candidates, query excluded")
-    // candidates come from at most the 2 probed coarse lists
-    assert(rows.map(_.getAs[Int]("cluster")).distinct.length <= 2)
+    // candidates come from at most the nprobe = ceil(sqrt(nlist))
+    // probed coarse lists (data-derived probe count)
+    val nlist = math.ceil(math.sqrt(
+      Tables.embeddings(spark, sfDir).count().toDouble))
+    val np = math.ceil(math.sqrt(nlist)).toInt
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length <= np)
     // ADC distances are non-negative and the cut is sorted ascending
     val adcs = rows.map(_.getAs[Double]("adc"))
     assert(adcs.forall(_ >= 0.0))
@@ -296,17 +304,43 @@ class VectorSpec extends SparkSpec {
     assert(q("q_ann_ivfpq").collect().toSeq === rows.toSeq)
   }
 
+  test("IVF-PQ re-rank: exact cosines over the ADC shortlist, descending cut") {
+    val rows = q("q_ann_rerank").collect()
+    assert(rows.length === 10)
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    // the re-rank scores are TRUE cosines (the whole point of the tier)
+    rows.foreach { r =>
+      assert(all(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos"))
+    }
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs === cs.sorted.reverse, "cut on exact cosine, descending")
+    // deterministic end to end
+    assert(q("q_ann_rerank").collect().toSeq === rows.toSeq)
+  }
+
   test("ANN recall harness grades every index family against brute force") {
     val rows = q("q_ann_recall").collect()
-    assert(rows.map(_.getAs[String]("method")).toSet === Set("lsh", "ivf", "ivfpq"))
+    assert(rows.map(_.getAs[String]("method")).toSet ===
+      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank"))
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
       val hits = r.getAs[Long]("hits")
       val rec = r.getAs[Double]("recall_at_10")
-      assert(n === 10L, "each index returns a top-10")
+      // nprobe=1 may probe a list smaller than 10; every other index
+      // returns a full top-10
+      if (r.getAs[String]("method") == "ivfpq_np1") assert(n <= 10L)
+      else assert(n === 10L, "each index returns a top-10")
       assert(hits >= 0 && hits <= 10)
       assert(rec === hits / 10.0)
     }
+    // the exact re-rank tier can only recover recall over raw ADC:
+    // ivfpq's top-10 is a subset of rerank's top-50 shortlist, and any
+    // brute member in the shortlist outranks every non-member on the
+    // exact score the brute set itself is cut on
+    def rec(m: String) = rows.find(_.getAs[String]("method") == m).get
+      .getAs[Double]("recall_at_10")
+    assert(rec("rerank") >= rec("ivfpq"),
+      s"rerank ${rec("rerank")} < ivfpq ${rec("ivfpq")}")
     // cross-check one method against its standalone query
     val lshHits = q("q_ann_lsh").select("vec_id").as[Long].collect().toSet
       .intersect(q("q_sim_topk").select("vec_id").as[Long].collect().toSet).size
