@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * exact percentile, stdev/variance, make_list/make_set, with `by`
   * keys including `bin(...)`) / `top` / `distinct` / `sort by` /
   * `limit` / `join` / `lookup` (broadcast dimension join) /
-  * `mv-expand` / `parse` / `union` (outer/inner column alignment) /
-  * `make-series` (the ADX time-series materializer) / `top-nested`
-  * (hierarchical drill-down) / `serialize` + `row_number()` / the
+  * `mv-expand` / `mv-apply` (per-row subquery over an expanded array;
+  * row-wise stages only) / `parse` / `union` (outer/inner column
+  * alignment) / `make-series` (the ADX time-series materializer) /
+  * `top-nested` (hierarchical drill-down) / `serialize` with the
+  * serialized-window family (`row_number()` / `prev()` / `next()` /
+  * `row_cumsum()`) / the DYNAMIC tier (`todynamic()` + dot/bracket
+  * path access compiled to JSON-path extraction — see `dynPath`) / the
   * `range` table generator — plus `let` statements (scalar constants
   * and tabular sub-pipelines, the CSL analog of CTEs), `has`/`has_cs`
   * whole-term matching with the negated string-operator family, and a
@@ -573,6 +577,8 @@ object Kql {
             case Vector(TIdent(c)) => df.withColumn(c, explode(col(c)))
             case _ => fail("mv-expand takes exactly one array column")
           }
+        case TIdent("mv") +: TSym("-") +: TIdent("apply") +: rest =>
+          applyMvApply(df, rest)
         case TIdent("parse") +: rest =>
           applyParse(df, rest)
         case TIdent("union") +: rest =>
@@ -642,31 +648,109 @@ object Kql {
       (pipeline(splitPipes(rightToks)), keys)
     }
 
+    // -------------------------------------------------------- mv-apply
+    //   mv-apply := [name '='] arrExpr 'on' '(' stage ('|' stage)* ')'
+    //   ADX's per-row subquery: the array expands to one row per
+    //   element (alias `name`, parent columns carried along), the
+    //   parenthesized pipeline runs over the expanded rows, and the
+    //   result IS the output — the element-level filter/derive idiom
+    //   (`mv-apply d = todynamic(tags) on (where d.score > 0.5)`).
+    //   This subset admits only ROW-WISE stages inside the subquery
+    //   (where / extend / project family): they distribute over the
+    //   per-row grouping, so explode-then-stage is exactly the ADX
+    //   semantics with no row-identity bookkeeping. Aggregating stages
+    //   (summarize/top/...) would need a per-parent-row regroup — out
+    //   of subset, rejected loudly.
+    private def applyMvApply(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      // split at the depth-0 `on`
+      var depth = 0
+      val onIdx = toks.indexWhere {
+        case TSym("(") => depth += 1; false
+        case TSym(")") => depth -= 1; false
+        case TIdent("on") => depth == 0
+        case _ => false
+      }
+      if (onIdx < 0) fail("mv-apply needs `on (subquery)`")
+      val (head, tail) = (toks.take(onIdx), toks.drop(onIdx + 1))
+      val (alias, arrE) = head match {
+        case TIdent(n) +: TSym("=") +: e if e.nonEmpty => (n, parseArithToks(e))
+        case Vector(TIdent(n)) => (n, col(n))
+        case _ => fail("mv-apply takes `name = arrayExpr` or a bare array column")
+      }
+      val inner = tail match {
+        case TSym("(") +: body :+ TSym(")") => body
+        case _ => fail("mv-apply needs `on (subquery)`")
+      }
+      // validate the subquery's stage set BEFORE touching the frame, so
+      // an out-of-subset stage fails as a parse error even when the
+      // array expression itself would not resolve
+      val stages = splitPipes(inner)
+      stages.foreach {
+        case TIdent(op) +: _ if Set("where", "project", "extend")(op) => ()
+        case TIdent(op) +: _ =>
+          fail(s"mv-apply subquery supports only where/extend/project stages, got '$op'")
+        case _ => fail("malformed mv-apply subquery stage")
+      }
+      stages.foldLeft(df.withColumn(alias, explode(arrE)))(applyStage0)
+    }
+
     // -------------------------------------------------------- serialize
-    //   serialize name '=' row_number() (',' name '=' row_number())*
-    //   ADX's serialize freezes row order and row_number() numbers the
-    //   frozen sequence 1..N. This subset requires a PRECEDING `sort by`
-    //   (an unsorted table has no deterministic order to freeze — the
-    //   same reason ADX marks bare serialize results "unspecified") and
-    //   numbers over those sort keys.
+    //   serialize item (',' item)*
+    //   item := name '=' (row_number() | prev(col[, n]) | next(col[, n])
+    //           | row_cumsum(expr))
+    //   ADX's serialize freezes row order; the serialized-window family
+    //   computes over the frozen sequence — row_number() numbers 1..N,
+    //   prev/next are lag/lead (null beyond the edges, the ADX
+    //   default), row_cumsum is the running sum over ROWS (not RANGE:
+    //   ties must not sum together — each row sees strictly its
+    //   prefix). This subset requires a PRECEDING `sort by` (an
+    //   unsorted table has no deterministic order to freeze — the same
+    //   reason ADX marks bare serialize results "unspecified") and
+    //   computes over those sort keys.
     //
-    //   Scale note: a global row numbering is inherently sequential —
-    //   this window's ORDER BY with no PARTITION BY plans as a
-    //   single-partition sort, the honest cost of the ADX semantic. For
-    //   corpus-scale sequence numbering use the two-level prefix-sum
-    //   shape (q_epoch_order / q_pack_sequences) instead of serialize.
+    //   Scale note: a global window is inherently sequential — ORDER BY
+    //   with no PARTITION BY plans as a single-partition sort, the
+    //   honest cost of the ADX semantic. For corpus-scale sequence
+    //   numbering use the two-level prefix-sum shape (q_epoch_order /
+    //   q_pack_sequences) instead of serialize.
 
     private def applySerialize(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val keys = lastSort.getOrElse(
         fail("serialize requires a preceding `sort by` (no deterministic order to freeze)"))
+      val w = Window.orderBy(keys: _*)
       splitOn(toks, TSym(",")).foldLeft(df) { (d, item) =>
         item match {
-          case Vector(TIdent(name), TSym("="), TIdent("row_number"),
-              TSym("("), TSym(")")) =>
-            d.withColumn(name, row_number().over(Window.orderBy(keys: _*)))
+          case TIdent(name) +: TSym("=") +: TIdent(fn) +: TSym("(") +: rest
+              if rest.lastOption.contains(TSym(")")) =>
+            val inner = rest.dropRight(1)
+            val e = fn match {
+              case "row_number" =>
+                if (inner.nonEmpty) fail("row_number() takes no arguments")
+                row_number()
+              case "prev" | "next" =>
+                val (colE, off) = splitOn(inner, TSym(",")) match {
+                  case Vector(ce) => (parseArithToks(ce), 1)
+                  case Vector(ce, Vector(TNum(n))) if !n.contains('.') =>
+                    (parseArithToks(ce), n.toInt)
+                  case _ => fail(s"$fn takes (column[, offset])")
+                }
+                if (fn == "prev") lag(colE, off) else lead(colE, off)
+              case "row_cumsum" =>
+                if (inner.isEmpty) fail("row_cumsum needs a term")
+                sum(parseArithToks(inner))
+              case other =>
+                fail(s"unsupported serialize function '$other' " +
+                  "(row_number/prev/next/row_cumsum)")
+            }
+            val framed = fn match {
+              case "row_cumsum" => e.over(w.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow))
+              case _ => e.over(w)
+            }
+            d.withColumn(name, framed)
           case other =>
-            fail(s"serialize items must be `name = row_number()`, got $other")
+            fail(s"serialize items must be `name = fn(...)`, got $other")
         }
       }
     }
@@ -1267,7 +1351,9 @@ object Kql {
       l
     }
 
-    private def parseAtom(c: Cur): Column = (c.peek, c.peek2) match {
+    private def parseAtom(c: Cur): Column = dynPath(c, parseAtom0(c))
+
+    private def parseAtom0(c: Cur): Column = (c.peek, c.peek2) match {
       case (Some(TSym("(")), _) =>
         // parens admit the FULL predicate grammar: parseOr falls through
         // to plain arithmetic when no boolean operator is present, so
@@ -1276,6 +1362,32 @@ object Kql {
         c.next(); val e = parseOr(c); c.expect(TSym(")")); e
       case (Some(TIdent(fn)), Some(TSym("("))) => parseFnCall(c, fn)
       case _ => operand(c)
+    }
+
+    /** Postfix `dynamic` path access (the ADX telemetry idiom):
+      * `p.key`, `p.a.b`, `p[0]`, `p['key']` compile to ONE
+      * `get_json_object` over the JSON text with the accumulated
+      * JSONPath — a codegen'd scan-side projection, never a parsed
+      * object graph in the data path (`todynamic` itself is an
+      * identity: dynamic IS the JSON text in this dialect, and every
+      * access names its path explicitly). Values come back as strings,
+      * exactly ADX's "dynamic access returns dynamic: wrap in
+      * tolong()/todouble() to type it". `between (lo .. hi)`'s dot-dot
+      * never matches (the second token is not a field name).
+      */
+    private def dynPath(c: Cur, base: Column): Column = {
+      val path = new StringBuilder
+      var cont = true
+      while (cont) (c.peek, c.peek2) match {
+        case (Some(TSym(".")), Some(TIdent(f))) =>
+          c.next(); c.next(); path ++= s".$f"
+        case (Some(TSym("[")), Some(TNum(i))) if !i.contains('.') =>
+          c.next(); c.next(); c.expect(TSym("]")); path ++= s"[$i]"
+        case (Some(TSym("[")), Some(TStr(k))) =>
+          c.next(); c.next(); c.expect(TSym("]")); path ++= s"['$k']"
+        case _ => cont = false
+      }
+      if (path.isEmpty) base else get_json_object(base, "$" + path)
     }
 
     /** Consume `... )` after an already-consumed `fn (`, splitting the
@@ -1391,10 +1503,19 @@ object Kql {
         case "strlen" => nArgs(1); length(arg(0))
         case "tolower" => nArgs(1); lower(arg(0))
         case "toupper" => nArgs(1); upper(arg(0))
+        case "todynamic" | "parse_json" =>
+          // dynamic IS the JSON text in this dialect (see [[dynPath]]):
+          // the conversion is an identity and every access compiles to
+          // get_json_object with its explicit path
+          nArgs(1); arg(0)
         case "trim" =>
-          // ADX trim(regex, text); the common `trim(" ", s)` whitespace
-          // form maps to btrim (literal char-set trim, not regex)
-          nArgs(2); btrim(arg(1), lit(litStr(0)))
+          // ADX trim(regex, text): remove ALL leading and trailing
+          // matches of the regex — `^(re)+|(re)+$` via regexp_replace
+          // (btrim would be char-SET semantics: trim('ab','ba') strips
+          // everything where ADX strips nothing)
+          nArgs(2)
+          val re = litStr(0)
+          regexp_replace(arg(1), "^(" + re + ")+|(" + re + ")+$", "")
         case "replace_string" =>
           nArgs(3)
           // replace_string(text, lookup, rewrite) — literal, not regex
@@ -1421,14 +1542,27 @@ object Kql {
           // instr is 1-based with 0-absent, so the -1 shift covers both
           nArgs(2); (instr(arg(0), arg(1)) - lit(1)).cast("int")
         case "countof" =>
-          // NON-overlapping occurrence count (ADX's default counts
-          // overlapping matches — divergence documented; the replace
-          // form keeps the expression codegen'd and oracle-replayable)
+          // OVERLAPPING occurrence count — ADX's documented default
+          // (countof('aaa','aa') = 2): one fold over every start
+          // position. Needles that cannot self-overlap take the cheap
+          // codegen'd replace form instead; the fold is reserved for
+          // the needles where the semantics actually differ.
           nArgs(2)
           val sub = litStr(1)
           if (sub.isEmpty) fail("countof() search term must be non-empty")
-          ((length(arg(0)) - length(replace(arg(0), lit(sub), lit("")))) /
-            lit(sub.length)).cast("int")
+          val L = sub.length
+          val selfOverlaps =
+            (1 until L).exists(k => sub.substring(k) == sub.substring(0, L - k))
+          if (!selfOverlaps)
+            ((length(arg(0)) - length(replace(arg(0), lit(sub), lit("")))) /
+              lit(L)).cast("int")
+          else {
+            val n = length(arg(0)) - lit(L - 1)
+            when(n >= 1, aggregate(sequence(lit(1), n), lit(0),
+              (acc, i) => acc +
+                when(arg(0).substr(i, lit(L)) === lit(sub), 1).otherwise(0)))
+              .otherwise(lit(0)).cast("int")
+          }
         case "reverse" => nArgs(1); reverse(arg(0))
         case "strcat_delim" =>
           if (groups.length < 2)

@@ -866,6 +866,56 @@ object Relational {
         "| where rn <= 100 | project rn, event_id, value")
   }
 
+  /** KQL serialized-window family — `prev()` / `next()` / `row_cumsum()`
+    * over the order a preceding `sort by` froze: lag/lead and the
+    * ROWS-framed running sum, the ADX session-sequence idiom. The
+    * running sum folds an INTEGER term so the prefix sums are exact in
+    * both engines; the global window is the honest single-partition
+    * cost of the ADX semantic (corpus-scale numbering uses the
+    * two-level prefix-sum shape instead — q_epoch_order).
+    */
+  private def kqlPrev(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' | sort by event_id asc " +
+        "| serialize rn = row_number(), pv = prev(value), nv = next(value), " +
+        "cum = row_cumsum(tolong(value)) " +
+        "| where rn <= 100 | project rn, event_id, pv, nv, cum")
+  }
+
+  /** KQL dynamic tier — `todynamic()` + dot-path access over the events
+    * `props` JSON column, the single most common ADX telemetry idiom
+    * (`| extend k = tolong(todynamic(props).k)`): the path access
+    * compiles to ONE codegen'd get_json_object in the scan-side
+    * projection — the JSON text is never parsed into an object graph,
+    * and the filter on the extracted value prunes before the aggregate.
+    */
+  private def kqlDynamic(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend k = tolong(todynamic(props).k) " +
+        "| where k >= 10 | summarize n = count(), ksum = sum(k) by event_type " +
+        "| sort by event_type asc")
+  }
+
+  /** KQL `mv-apply` — the per-row subquery over an expanded array:
+    * elements explode to rows (parent columns carried), the
+    * parenthesized pipeline filters/derives per ELEMENT, and the
+    * result re-aggregates. Row-wise subquery stages distribute over
+    * the expansion, so the plan is explode → filter → project inside
+    * one codegen span — no per-row interpreter, no regroup shuffle
+    * until the explicit summarize.
+    */
+  private def kqlMvapply(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'click' " +
+        "| extend ds = split(tostring(event_id), '0') " +
+        "| mv-apply d = ds on (where strlen(d) >= 1 | extend dv = tolong(d)) " +
+        "| summarize n_parts = count(), dmax = max(dv) by user_id " +
+        "| sort by user_id asc")
+  }
+
   /** KQL `lookup` — the dimension-table join: right side is by contract
     * the small dimension, so the translation pins a broadcast hint on
     * it; default kind=leftouter keeps every fact row and null-extends
@@ -1036,6 +1086,9 @@ object Relational {
     "q_kql_topnested" -> (kqlTopNested _),
     "q_kql_range" -> (kqlRange _),
     "q_kql_serialize" -> (kqlSerialize _),
+    "q_kql_prev" -> (kqlPrev _),
+    "q_kql_dynamic" -> (kqlDynamic _),
+    "q_kql_mvapply" -> (kqlMvapply _),
     "q_kql_lookup" -> (kqlLookup _),
     "q_kql_strings" -> (kqlStrings _),
     "q_kql_datatable" -> (kqlDatatable _),
@@ -1284,6 +1337,25 @@ object Relational {
       ("SELECT rn, event_id, value FROM (SELECT event_id, value, " +
         "CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INT) AS rn " +
         "FROM events WHERE event_type = 'purchase') WHERE rn <= 100 ORDER BY rn"),
+    "q_kql_prev" ->
+      ("SELECT rn, event_id, pv, nv, cum FROM (SELECT event_id, " +
+        "CAST(row_number() OVER w AS INT) AS rn, " +
+        "lag(value, 1) OVER w AS pv, lead(value, 1) OVER w AS nv, " +
+        "CAST(sum(CAST(trunc(value) AS BIGINT)) OVER " +
+        "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "FROM events WHERE event_type = 'purchase' WINDOW w AS (ORDER BY event_id)" +
+        ") WHERE rn <= 100 ORDER BY rn"),
+    "q_kql_dynamic" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(k) AS BIGINT) AS ksum FROM (" +
+        "SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events) WHERE k >= 10 GROUP BY event_type ORDER BY event_type"),
+    "q_kql_mvapply" ->
+      ("WITH c AS (SELECT user_id, CAST(event_id AS VARCHAR) AS s FROM events WHERE event_type = 'click'), " +
+        "e AS (SELECT user_id, unnest(string_split(s, '0')) AS d FROM c), " +
+        "f AS (SELECT user_id, d, CAST(d AS BIGINT) AS dv FROM e WHERE len(d) >= 1) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_parts, " +
+        "CAST(max(dv) AS BIGINT) AS dmax FROM f GROUP BY user_id ORDER BY user_id"),
     "q_kql_range" ->
       ("WITH r AS (SELECT unnest(generate_series(1, 1000, 7)) AS x) " +
         "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x * 2) AS BIGINT) AS s, " +

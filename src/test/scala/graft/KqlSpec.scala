@@ -621,4 +621,116 @@ class KqlSpec extends SparkSpec {
       col("event_type") =!= "" && (col("value") + 10) > 100).count()
     assert(a === b && a > 0)
   }
+
+  test("dynamic tier: todynamic + dot/bracket paths compile to JSON-path extraction") {
+    ev.createOrReplaceTempView("kql_events")
+    // dot access == bracket access == the DataFrame get_json_object twin
+    val dot = Kql.translate(spark,
+      "kql_events | extend k = tolong(todynamic(props).k) " +
+        "| where k >= 50 | project event_id, k | sort by event_id asc | take 50")
+      .collect().toSeq
+    val brk = Kql.translate(spark,
+      "kql_events | extend k = tolong(todynamic(props)['k']) " +
+        "| where k >= 50 | project event_id, k | sort by event_id asc | take 50")
+      .collect().toSeq
+    val want = ev
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") >= 50).select("event_id", "k")
+      .orderBy(col("event_id").asc).limit(50).collect().toSeq
+    assert(dot === want && brk === want && dot.nonEmpty)
+    // a chained path over a nested literal
+    val nested = Kql.translate(spark,
+      "datatable(j: string)['{\"a\": {\"b\": [1, 7]}}'] " +
+        "| project v = tolong(todynamic(j).a.b[1])").as[Long].head()
+    assert(nested === 7L)
+    // still-unsupported dynamic forms fail loudly: non-literal index,
+    // unknown bag functions
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | extend x = todynamic(props)[event_id]")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | extend x = bag_keys(todynamic(props))")
+    }
+  }
+
+  test("mv-apply: per-element subquery; aggregating stages inside are rejected") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | where event_type == 'click' " +
+        "| extend ds = split(tostring(event_id), '1') " +
+        "| mv-apply d = ds on (where strlen(d) >= 1 | extend dv = tolong(d)) " +
+        "| summarize n = count() by user_id | sort by user_id asc")
+      .as[(Long, Long)].collect().toSeq
+    val want = ev.filter(col("event_type") === "click")
+      .withColumn("d", explode(split(col("event_id").cast("string"), "1")))
+      .filter(length(col("d")) >= 1)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want && got.nonEmpty)
+    // bare-column form expands the column itself
+    val bare = Kql.translate(spark,
+      "kql_events | where event_type == 'click' " +
+        "| extend ds = split(tostring(event_id), '1') " +
+        "| mv-apply ds on (where strlen(ds) >= 1) | count").as[Long].head()
+    assert(bare === want.map(_._2).sum)
+    // aggregates need a per-parent-row regroup — out of subset, loud
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | extend ds = split(tostring(event_id), '1') " +
+          "| mv-apply d = ds on (summarize c = count())")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | mv-apply event_type") // no `on`
+    }
+  }
+
+  test("serialized windows: prev/next/row_cumsum over the frozen order") {
+    import org.apache.spark.sql.expressions.Window
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | where event_type == 'view' | sort by event_id asc " +
+        "| serialize rn = row_number(), pv = prev(value), n2 = next(value, 2), " +
+        "cum = row_cumsum(tolong(value)) " +
+        "| where rn <= 20 | project rn, event_id, pv, n2, cum")
+      .collect().toSeq
+    val w = Window.orderBy(col("event_id").asc)
+    val want = ev.filter(col("event_type") === "view")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("n2", lead(col("value"), 2).over(w))
+      .withColumn("cum", sum(col("value").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn") <= 20).select("rn", "event_id", "pv", "n2", "cum")
+      .collect().toSeq
+    assert(got === want && got.size === 20)
+    // first row has no prev; the cumsum is strictly the row prefix
+    assert(got.head.isNullAt(2))
+    // the family still requires the frozen order
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | serialize pv = prev(value)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | sort by event_id asc | serialize x = rank()")
+    }
+  }
+
+  test("trim is regex semantics; countof counts overlapping matches") {
+    // ADX: trim('ab','ba') strips NOTHING (no leading/trailing 'ab'
+    // match) — char-set semantics would strip everything
+    val t = Kql.translate(spark,
+      "datatable(s: string)['ba'] | project v = trim('ab', s)").as[String].head()
+    assert(t === "ba")
+    val t2 = Kql.translate(spark,
+      "datatable(s: string)['aaabaa'] | project v = trim('a+', s)").as[String].head()
+    assert(t2 === "b")
+    // ADX countof default counts OVERLAPPING occurrences
+    val c = Kql.translate(spark,
+      "datatable(s: string)['aaa'] | project v = countof(s, 'aa')").as[Int].head()
+    assert(c === 2)
+    val c2 = Kql.translate(spark,
+      "datatable(s: string)['abcabc'] | project v = countof(s, 'abc')").as[Int].head()
+    assert(c2 === 2)
+  }
 }
