@@ -787,6 +787,31 @@ object Curation {
       .orderBy("user_id", "event_type")
   }
 
+  /** Changelog compaction WITH tombstones — the other half of the
+    * lakehouse MERGE contract next to [[changelogCompact]]: the
+    * changelog carries an op column (op='D' = CDC delete; here derived
+    * deterministically from the row so the fixture exercises both
+    * paths), and a key whose LATEST row is a tombstone leaves the
+    * compacted table entirely — MERGE ... WHEN MATCHED AND op='D' THEN
+    * DELETE. Same single ranked-window shuffle as the plain
+    * compaction; the delete is one more filter on the rank-1 row, so
+    * tombstones cost nothing extra at any scale. The streaming twin is
+    * upsertSink's op-aware fold (StreamingSpec: tombstoned keys vanish
+    * from state, later inserts resurrect them).
+    */
+  private def changelogDelete(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("op", when(col("value") < 10.0, lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us").as("last_ts"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** SCD type-2 history build — the other half of the CDC story next to
     * changelogCompact: turn the event changelog into validity intervals
     * [valid_from, valid_to) per natural key, latest row flagged current.
@@ -887,6 +912,7 @@ object Curation {
     "q_bootstrap" -> (bootstrap _),
     "q_value_histogram" -> (valueHistogram _),
     "q_changelog_compact" -> (changelogCompact _),
+    "q_changelog_delete" -> (changelogDelete _),
     "q_scd2" -> (scd2 _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_incremental_agg" -> (incrementalAgg _),
@@ -1116,6 +1142,11 @@ object Curation {
       ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts, value AS last_value " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q_changelog_delete" ->
+      ("SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts, value AS last_value " +
+        "FROM (SELECT *, CASE WHEN value < 10.0 THEN 'D' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND op <> 'D' ORDER BY user_id, event_type"),
     "q_curation_funnel" ->
       ("WITH t AS (SELECT source, lang, string_split(text, ' ') AS w FROM documents), " +
         "g AS (SELECT source, len(w) >= 20 AS g1, " +

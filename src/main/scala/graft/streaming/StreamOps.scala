@@ -515,9 +515,21 @@ object StreamOps {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts_us").desc, col("event_id").desc)
-    val merged = curDf.unionByName(batch)
+    // CDC contract: an optional `op` column carries tombstones — a
+    // batch row with op='D' is a MERGE DELETE: if it is the LATEST row
+    // for its key, the key leaves the state entirely (a later insert
+    // resurrects it — the tombstone itself is not stored, so there is
+    // nothing for the resurrection to fight). Rows without an op
+    // column (or with op null) are upserts, so pure-upsert callers and
+    // pre-CDC state tables fold unchanged (allowMissingColumns aligns
+    // the schemas, absent op arriving as null).
+    val hasOps = curDf.columns.contains("op") || batch.columns.contains("op")
+    val folded = curDf.unionByName(batch, allowMissingColumns = true)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    val merged =
+      if (hasOps) folded.filter(coalesce(col("op"), lit("U")) =!= "D")
+      else folded
     val next = cur + 1
     // writer-unique staging: a concurrent attempt at the same
     // version writes somewhere else entirely

@@ -377,6 +377,37 @@ class StreamingSpec extends SparkSpec {
     assert(names.count(_.startsWith("v")) === 1, names)
   }
 
+  test("upsert sink honors CDC tombstones: delete removes the key, a later insert resurrects it") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_del").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[(Long, Long, String, Long, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value", "op")
+    val q = StreamOps.upsertSink(stream, state, s"$dir/ckpt")
+    // batch 1: two live keys
+    input.addData((1L, 7L, "click", 100L, 1.0, "U"), (2L, 8L, "view", 200L, 2.0, "U"))
+    q.processAllAvailable()
+    // batch 2: tombstone key 7 — it must LEAVE the state table
+    input.addData((3L, 7L, "click", 300L, 0.0, "D"))
+    q.processAllAvailable()
+    val afterDelete = StreamOps.upsertState(spark, state)
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(afterDelete === Set((8L, "view")), s"tombstoned key survived: $afterDelete")
+    // batch 3: an out-of-order row OLDER than the tombstone must NOT
+    // resurrect (the tombstone was the latest fold decision and the key
+    // is gone — but within one batch the rank still decides); then a
+    // genuinely newer insert resurrects the key
+    input.addData((4L, 7L, "click", 400L, 4.0, "U"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = StreamOps.upsertState(spark, state)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows === Set((7L, "click", 4L, 4.0), (8L, "view", 2L, 2.0)),
+      s"resurrection after tombstone failed: $rows")
+  }
+
   test("upsert sink recovers full state after a crash between data write and commit") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_cr").toString
