@@ -63,17 +63,33 @@ object Profile {
       }
     }
     sys.env.get("SPARK_GRAFT_PROFILE_OUT").foreach { out =>
-      val qjson = results.map { case (n, (mn, md)) =>
+      // a SUBSET run merges into an existing artifact instead of
+      // replacing it, and the summary fields are ALWAYS re-derived from
+      // the merged per-query map at write time — a partial re-measure
+      // can no longer leave total_min_sec/n_queries describing a stale
+      // map (the round-8 artifact bug)
+      val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+      val path = java.nio.file.Paths.get(out)
+      if (nameArgs.nonEmpty && java.nio.file.Files.exists(path)) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = m.readTree(java.nio.file.Files.readAllBytes(path))
+        val qs = root.get("queries")
+        qs.fieldNames().forEachRemaining { n =>
+          merged(n) = (qs.get(n).get("min").asDouble(),
+            qs.get(n).get("median").asDouble())
+        }
+      }
+      results.foreach { case (n, v) => merged(n) = v }
+      val qjson = merged.toSeq.sortBy(_._1).map { case (n, (mn, md)) =>
         f""""$n":{"min":$mn%.3f,"median":$md%.3f}"""
       }.mkString(",")
-      val total = results.valuesIterator.map(_._1).sum
+      val total = merged.valuesIterator.map(_._1).sum
       val json = f"""{"sf_dir":"$sfDir","reps":$reps,""" +
-        f""""total_min_sec":$total%.3f,"n_queries":${results.size},""" +
+        f""""total_min_sec":$total%.3f,"n_queries":${merged.size},""" +
         f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAvg%.2f,""" +
         s""""queries":{$qjson}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        json.getBytes("UTF-8"))
-      println(s"PROF wrote $out")
+      java.nio.file.Files.write(path, json.getBytes("UTF-8"))
+      println(s"PROF wrote $out (${merged.size} queries, total ${f"$total%.1f"}s)")
     }
     spark.stop()
   }
