@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * `mv-expand` / `mv-apply` (per-row subquery over an expanded array;
   * row-wise stages only) / `parse` / `union` (outer/inner column
   * alignment) / `make-series` (the ADX time-series materializer) /
-  * `top-nested` (hierarchical drill-down) / `serialize` with the
+  * `top-nested` (hierarchical drill-down) / `top-hitters` (exact, ADX
+  * `approximate_*` column contract) / `evaluate pivot` (value-set
+  * columns, ADX group-column rules) / `getschema` (plan-time schema
+  * introspection, a LocalRelation) / `serialize` with the
   * serialized-window family (`row_number()` / `prev()` / `next()` /
   * `row_cumsum()`) / the DYNAMIC tier (`todynamic()` + dot/bracket
   * path access compiled to JSON-path extraction — see `dynPath`) / the
@@ -267,7 +270,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/.;[]:".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/%.;[]:".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -513,8 +516,9 @@ object Kql {
     private def applyStage(df: DataFrame, st: Vector[Tok]): DataFrame = {
       val out = applyStage0(df, st)
       st match {
-        case TIdent("top") +: TSym("-") +: TIdent("nested") +: _ =>
-          lastSort = None // the drill-down aggregates; frozen order gone
+        case TIdent("top") +: TSym("-") +: TIdent(sub) +: _
+            if sub == "nested" || sub == "hitters" =>
+          lastSort = None // both drill-down forms aggregate; frozen order gone
         case TIdent(op) +: _ if Set("where", "project", "extend", "parse",
             "take", "limit", "sort", "order", "top", "serialize")(op) => ()
         case _ => lastSort = None
@@ -552,6 +556,16 @@ object Kql {
           }
         case TIdent("top") +: TSym("-") +: TIdent("nested") +: rest =>
           applyTopNested(df, rest)
+        case TIdent("top") +: TSym("-") +: TIdent("hitters") +: rest =>
+          applyTopHitters(df, rest)
+        case TIdent("evaluate") +: TIdent("pivot") +: TSym("(") +: inner :+ TSym(")") =>
+          applyPivot(df, inner)
+        case TIdent("evaluate") +: TIdent(plugin) +: _ =>
+          fail(s"unsupported evaluate plugin '$plugin'")
+        case Vector(TIdent("getschema")) =>
+          applyGetschema(df)
+        case TIdent("partition") +: rest =>
+          applyPartitionBy(df, rest)
         case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
           // ADX `top N by key [asc|desc]`, default DESCENDING — orderBy +
           // limit compiles to TakeOrderedAndProject (per-partition heap).
@@ -856,6 +870,154 @@ object Kql {
                 Seq(col(l.key), col(l.aggName))): _*))
         }
       }.get
+    }
+
+    // ------------------------------------------- top-hitters / pivot /
+    // getschema (tier 7)
+
+    /** `top-hitters N of col [by sumCol]` — ADX's heavy-hitters
+      * operator. ADX computes it with a count-min-sketch approximation;
+      * this engine computes the EXACT answer (one map-side-combined
+      * hash aggregate + TakeOrderedAndProject) and keeps ADX's
+      * `approximate_*` output-column contract — the same documented
+      * exact-for-approx swap as q_corpus_report's distincts, in the
+      * other direction: exact is oracle-comparable, and the sketch
+      * (q_heavy_hitters' bounded-bucket pruner) remains the 100 TB
+      * drop-in when the group cardinality itself is the bottleneck.
+      * Deterministic tie-break on the hitter column (ADX leaves ties
+      * unspecified).
+      */
+    private def applyTopHitters(df: DataFrame, toks: Vector[Tok]): DataFrame =
+      toks match {
+        case TNum(k) +: TIdent("of") +: TIdent(c) +: rest =>
+          val (aggCol, name) = rest match {
+            case Vector() =>
+              (count(lit(1)), s"approximate_count_$c")
+            case Vector(TIdent("by"), TIdent(s0)) =>
+              (sum(col(s0)), s"approximate_sum_$s0")
+            case other => fail(s"top-hitters: expected `by column`, got $other")
+          }
+          df.groupBy(c).agg(aggCol.as(name))
+            .orderBy(col(name).desc, col(c))
+            .limit(k.toInt)
+        case _ => fail("top-hitters syntax: top-hitters N of col [by col]")
+      }
+
+    /** `evaluate pivot(pivotCol [, agg() [, byCol ...]])` — the ADX
+      * pivot plugin: one output column per distinct pivot value. The
+      * distinct value set is collected by Spark's own
+      * `RelationalGroupedDataset.pivot` (a driver-side distinct bounded
+      * by the pivot column's cardinality — the documented cost of a
+      * schema that depends on the data; `spark.sql.pivotMaxValues`
+      * bounds it), values become columns in SORTED order so the output
+      * schema is deterministic. Absent (group, value) cells are null in
+      * both ADX and Spark. When the group columns are omitted, ADX's
+      * rule applies: every remaining column (all but the pivot column
+      * and the aggregate's input) groups.
+      */
+    private def applyPivot(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val groups =
+        if (toks.isEmpty) Vector.empty else splitOn(toks, TSym(","))
+      if (groups.isEmpty || groups(0).isEmpty) fail("pivot() needs a pivot column")
+      val pcol = groups(0) match {
+        case Vector(TIdent(c)) => c
+        case other => fail(s"pivot column must be a plain column, got $other")
+      }
+      val agg =
+        if (groups.length >= 2) parseAggCall(groups(1))
+        else count(lit(1)).as("count_")
+      val aggInput: Option[String] =
+        if (groups.length < 2) None
+        else groups(1) match {
+          case TIdent(_) +: TSym("(") +: rest :+ TSym(")") => rest match {
+            case Vector(TIdent(c)) => Some(c)
+            case _ => None
+          }
+          case _ => None
+        }
+      val by: Seq[String] =
+        if (groups.length >= 3) groups.drop(2).map {
+          case Vector(TIdent(c)) => c
+          case other => fail(s"pivot group columns must be plain columns, got $other")
+        }
+        else df.columns.toSeq.filterNot(c => c == pcol || aggInput.contains(c))
+      if (by.isEmpty) fail("pivot() needs at least one group column")
+      df.groupBy(by.map(col): _*).pivot(pcol).agg(agg)
+    }
+
+    /** `partition by Col ( subquery )` — ADX runs the subquery once per
+      * distinct value of Col and unions the results. This dialect
+      * compiles the restricted stage set to PER-PARTITION SEMANTICS
+      * instead of per-partition execution — the 100 TB form (a literal
+      * per-value loop is a driver-side anti-pattern; ADX's own native
+      * strategy does the same collapse):
+      *   - row-wise stages (`where` / `extend` / the `project` family /
+      *     `parse`) are partition-invariant and apply directly;
+      *   - `top N by keys` becomes a rank cut over a Col-partitioned
+      *     window — hash-partitioned across executors, never a
+      *     per-value subjob;
+      *   - `summarize ... by keys` gains Col as an extra group key
+      *     (ADX's output contract for aggregating subqueries).
+      * Anything else inside the parens fails loudly. Stages that need
+      * the partition column check it still exists (a project can drop
+      * it — ADX would too).
+      */
+    private def applyPartitionBy(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val (pcol, inner) = toks match {
+        case TIdent("by") +: TIdent(c) +: TSym("(") +: rest :+ TSym(")") =>
+          (c, rest)
+        case _ => fail("partition syntax: partition by Col ( subquery )")
+      }
+      if (!df.columns.contains(pcol))
+        fail(s"partition column '$pcol' not in the frame")
+      splitPipes(inner).foldLeft(df) { (d, st) =>
+        st match {
+          case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
+            if (!d.columns.contains(pcol))
+              fail(s"partition column '$pcol' was projected away before top")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(pcol)).orderBy(parseSortKeys(rest): _*)
+            d.withColumn("__p_rnk", row_number().over(w))
+              .filter(col("__p_rnk") <= k.toInt).drop("__p_rnk")
+          case TIdent("summarize") +: rest =>
+            if (!d.columns.contains(pcol))
+              fail(s"partition column '$pcol' was projected away before summarize")
+            val ext =
+              if (rest.contains(TIdent("by"))) rest ++ Vector(TSym(","), TIdent(pcol))
+              else rest ++ Vector(TIdent("by"), TIdent(pcol))
+            applySummarize(d, ext)
+          case TIdent(op) +: _
+              if Set("where", "extend", "project", "parse")(op) =>
+            applyStage0(d, st)
+          case TIdent(op) +: _ =>
+            fail(s"unsupported operator '$op' inside partition by")
+          case _ => fail("malformed pipeline stage inside partition by")
+        }
+      }
+    }
+
+    /** `getschema` — schema introspection as a table, the ADX contract:
+      * (ColumnName, ColumnOrdinal, DataType, ColumnType). Compiles to a
+      * LocalRelation off the frame's resolved schema — no data is
+      * touched at all.
+      */
+    private def applyGetschema(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types._
+      import df.sparkSession.implicits._
+      def kqlType(dt: DataType): (String, String) = dt match {
+        case StringType => ("System.String", "string")
+        case LongType => ("System.Int64", "long")
+        case IntegerType => ("System.Int32", "int")
+        case DoubleType | FloatType => ("System.Double", "real")
+        case BooleanType => ("System.SByte", "bool")
+        case TimestampType | TimestampNTZType => ("System.DateTime", "datetime")
+        case _: DecimalType => ("System.Data.SqlTypes.SqlDecimal", "decimal")
+        case _ => ("System.Object", "dynamic")
+      }
+      df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        val (dn, ct) = kqlType(f.dataType)
+        (f.name, i.toLong, dn, ct)
+      }.toDF("ColumnName", "ColumnOrdinal", "DataType", "ColumnType")
     }
 
     // ----------------------------------------------------------- union
@@ -1346,6 +1508,9 @@ object Kql {
       while (cont) c.peek match {
         case Some(TSym("*")) => c.next(); l = l * parseAtom(c)
         case Some(TSym("/")) => c.next(); l = l / parseAtom(c)
+        // ADX % is C-style remainder (sign of the dividend) — exactly
+        // Spark's Remainder, and DuckDB's % for the oracle
+        case Some(TSym("%")) => c.next(); l = l % parseAtom(c)
         case _ => cont = false
       }
       l

@@ -886,6 +886,197 @@ object Curation {
       .orderBy("event_type")
   }
 
+  // --------------------------------------- quality classifier (GD loop)
+
+  /** Oracled gradient-descent depth of the quality classifier: the
+    * driver loop runs this many full-batch rounds, replayed 1:1 by the
+    * DuckDB oracle's composed CTE chain; deeper tiers (CurationSpec
+    * checks depth 10) run the same loop against a local sequential
+    * recompute. One constant so the Spark loop and the oracle chain can
+    * never skew.
+    */
+  private[graft] val ClassifierRounds = 3
+
+  /** The "curated" label sources — the classifier's positive class (the
+    * GPT-3 setup: a linear model trained to tell curated seed data from
+    * the raw crawl, whose score then gates the crawl).
+    */
+  private[graft] val CuratedSources = Seq("src0", "src1")
+
+  /** Hashed bag-of-words features + intercept for the classifier:
+    * q_hash_embed's 64-bucket signed-count hashing trick (same 'fh:'
+    * hash, so the featurizer IS the one the embedding tier ships) plus
+    * a constant bucket −1 as the bias term. Integer-valued, so every
+    * weight·feature product is an exact 8-dp decimal.
+    */
+  private def classifierFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", conv(substring(md5(concat(lit("fh:"), col("word"))),
+        1, 12), 16, 10).cast("long"))
+      .select(col("doc_id"), (col("h") % 64).as("bucket"),
+        when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sg"))
+      .groupBy("doc_id", "bucket").agg(sum(col("sg")).as("sv"))
+      .unionByName(docs.select(col("doc_id"), lit(-1L).as("bucket"),
+        lit(1L).as("sv")))
+
+  /** Margin → probability squashing, shared by every round and the
+    * final scoring pass. Softsign-logistic p = 0.5 + 0.5·m/(1+|m|)
+    * instead of 1/(1+e^−m): same monotone S-shape, same 0.5 decision
+    * boundary at m = 0, but PURE IEEE arithmetic (add/abs/divide) — a
+    * transcendental exp() is only library-accurate, so two engines can
+    * disagree by an ulp and flip an 8-dp rounding; softsign cannot.
+    * The margin itself arrives as an exact decimal sum cast to double,
+    * identical in both engines by construction.
+    */
+  private def squash(m: org.apache.spark.sql.Column) =
+    round(lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m)), 8)
+
+  /** Distributed full-batch GD: one weight-update round. Weights are a
+    * 65-row (bucket, w) frame broadcast onto the checkpointed feature
+    * table; the per-doc margin is an exact decimal sum (w is 8-dp
+    * rounded, sv integer ⇒ every product is exactly representable at
+    * scale 8), the gradient Σ(p−y)·sv map-side-combines down to 65 rows
+    * before its only shuffle, and the update divides by n once at the
+    * end — the LMS/perceptron pseudo-gradient for a monotone link.
+    */
+  private def classifierRound(feats: DataFrame, labels: DataFrame,
+      n: DataFrame, w: DataFrame): DataFrame = {
+    val margins = feats.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum((col("w") * col("sv")).cast(DecimalType(18, 8))).as("m"))
+      .select(col("doc_id"), squash(col("m").cast(DoubleType)).as("p"))
+    val grad = feats
+      .join(margins.join(labels.select("doc_id", "y"), "doc_id"), "doc_id")
+      .groupBy("bucket")
+      .agg(sum(((col("p") - col("y")) * col("sv"))
+        .cast(DecimalType(18, 8))).as("g"))
+    w.join(grad, Seq("bucket"), "left").crossJoin(broadcast(n))
+      .select(col("bucket"),
+        round(col("w") - lit(0.5) * coalesce(col("g").cast(DoubleType), lit(0.0))
+          / col("n").cast(DoubleType), 8).as("w"))
+  }
+
+  /** The trained weight table after `rounds` full-batch GD rounds — the
+    * checkpointed driver-loop pattern (q_dup_clusters / bpeLoop): the
+    * 65-row weight state materializes per round with `localCheckpoint`
+    * and the superseded round's blocks release immediately, so plan
+    * depth stays constant at any training depth. The feature table is
+    * checkpointed ONCE and every round re-reads the materialized blocks
+    * — the corpus is scanned exactly once no matter how many rounds run
+    * (at 100 TB the featurize pass dominates; each round after it costs
+    * two map-side-combined aggregates over the bounded feature table).
+    */
+  private[graft] def classifierWeights(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = classifierFeatures(docs).localCheckpoint(true)
+    val labels = docs.select(col("doc_id"),
+      when(col("source").isin(CuratedSources: _*), 1L).otherwise(0L).as("y"))
+      .localCheckpoint(true)
+    val n = labels.agg(cnt.as("n"))
+    var w: DataFrame = s.range(-1, 64)
+      .select(col("id").as("bucket"), lit(0.0).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = classifierRound(feats, labels, n, w).localCheckpoint(true)
+      Text.releaseCheckpoint(w)
+      w = next
+    }
+    Text.releaseCheckpoint(feats)
+    Text.releaseCheckpoint(labels)
+    w
+  }
+
+  /** fastText/GPT-3-style quality classifier, trained AND applied in one
+    * query (public method: Brown et al. 2020 App. A — a linear
+    * classifier over hashed text features separates curated seed
+    * sources from the rest of the crawl, and its score decides what the
+    * training mix keeps). [[ClassifierRounds]] full-batch GD rounds via
+    * the checkpointed driver loop, then one scoring pass with the final
+    * broadcast weights and a per-source report: docs, kept count/rate,
+    * mean score — the table that shows which crawl sources the
+    * classifier would admit. The keep rule is the production one: not
+    * an absolute probability cut (a barely-informative classifier
+    * scores everything near the base rate and a fixed 0.5 keeps
+    * nothing) but a SCORE-QUANTILE budget — each language's top
+    * quarter by classifier score survives, `ntile(4)` over
+    * (p desc, doc_id): a rank cut on a per-language partitioned window
+    * (the q_perplexity_buckets shape — CCNet's own bucketing), so no
+    * boundary can flip on an ulp and the window scales by language.
+    * Fully oracled: margins are exact decimal sums, the softsign link
+    * is pure IEEE arithmetic (see [[squash]]), so every round replays
+    * bit-identically in DuckDB.
+    */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = classifierWeights(s, dir, ClassifierRounds)
+    val scores = classifierFeatures(docs).join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum((col("w") * col("sv")).cast(DecimalType(18, 8))).as("m"))
+      .select(col("doc_id"), squash(col("m").cast(DoubleType)).as("p"))
+    val keepW = Window.partitionBy("lang")
+      .orderBy(col("p").desc, col("doc_id"))
+    scores
+      .join(docs.select(col("doc_id"), col("lang"), col("source"),
+        when(col("source").isin(CuratedSources: _*), 1L).otherwise(0L).as("y")),
+        "doc_id")
+      .withColumn("keep", when(ntile(4).over(keepW) === 1, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(max(col("y")).as("curated"), cnt.as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("p").cast(DecimalType(18, 8))).as("sp"))
+      .select(col("source"), col("curated"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("keep_rate"),
+        round(col("sp").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("mean_p"))
+      .orderBy("source")
+  }
+
+  // -------------------------------------------- eval-set decontamination
+
+  /** Benchmark decontamination (Brown et al. 2020 App. C — public): a
+    * training document is CONTAMINATED if it shares any 8-token n-gram
+    * with the held-out evaluation set, and the per-source contamination
+    * table is what decides whether a source ships. The eval split is a
+    * deterministic md5 draw (~5% here; in production the actual
+    * benchmark suite), gram identity is an 8-byte hashed fingerprint —
+    * only 8-byte longs ever reach the shuffle, never gram text. Scale
+    * shape: eval-side grams are bounded by the EVAL corpus (tiny at
+    * 100 TB — benchmarks are megabytes against terabytes, so AQE
+    * broadcasts the distinct-gram set), the train side streams through
+    * one explode + left-semi probe, and the per-source rollup is
+    * map-side combinable. Docs under 8 tokens carry no gram and cannot
+    * be flagged — the documented n-gram-decontamination blind spot.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("is_eval", mdUniform("ev:", col("doc_id")) % 20 === 0)
+    def grams(side: DataFrame) = side
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+          "i -> array_join(slice(w, i, 8), ' ')) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g8"))
+      .select(col("doc_id"), conv(substring(md5(concat(lit("dg:"), col("g8"))),
+        1, 12), 16, 10).cast("long").as("gh"))
+    val evalGrams = grams(docs.filter(col("is_eval"))).select("gh").distinct()
+    val contaminated = grams(docs.filter(!col("is_eval")))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(!col("is_eval") && col("hit").isNotNull, 1L).otherwise(0L))
+          .as("n_contam"))
+      .select(col("source"), col("n_train"), col("n_eval"), col("n_contam"),
+        when(col("n_train") > 0,
+          round(col("n_contam").cast(DoubleType) / col("n_train").cast(DoubleType), 4))
+          .otherwise(lit(0.0)).as("contam_rate"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -916,10 +1107,76 @@ object Curation {
     "q_scd2" -> (scd2 _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_incremental_agg" -> (incrementalAgg _),
-    "q_sketch_merge" -> (sketchMerge _)
+    "q_sketch_merge" -> (sketchMerge _),
+    "q_quality_classifier" -> (qualityClassifier _),
+    "q_decontaminate" -> (decontaminate _)
   )
 
+  /** The classifier GD chain as DuckDB CTEs: features fb, labels lab,
+    * corpus size nn, zero weights w0, then per round k the margin table
+    * mm{k} → squashed m{k} → gradient g{k} → weights w{k}
+    * (MATERIALIZED — inlining would recompute the whole prefix chain
+    * once per downstream reference). Mirrors [[classifierRound]] 1:1.
+    */
+  private def classifierCtes: String = {
+    val base =
+      "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        s"hh AS (SELECT doc_id, CAST(${Text.hexSql("md5('fh:' || word)", 1, 12)} AS BIGINT) AS h FROM tk), " +
+        "fx AS (SELECT doc_id, h % 64 AS bucket, CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sv FROM hh GROUP BY doc_id, bucket), " +
+        "fb AS MATERIALIZED (SELECT doc_id, bucket, sv FROM fx " +
+        "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents), " +
+        "lab AS (SELECT doc_id, source, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "w0 AS (SELECT CAST(j AS BIGINT) AS bucket, CAST(0 AS DOUBLE) AS w FROM range(-1, 64) t(j))"
+    val rounds = (1 to ClassifierRounds).map { k =>
+      s"mm$k AS (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
+        s"FROM fb f JOIN w${k - 1} w USING (bucket) GROUP BY f.doc_id), " +
+        s"m$k AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p FROM mm$k), " +
+        s"g$k AS (SELECT f.bucket AS bucket, CAST(sum(CAST((m.p - l.y) * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS g " +
+        s"FROM fb f JOIN m$k m USING (doc_id) JOIN lab l USING (doc_id) GROUP BY f.bucket), " +
+        s"w$k AS MATERIALIZED (SELECT w.bucket AS bucket, round(w.w - 0.5 * coalesce(g.g, 0.0) / nn.n, 8) AS w " +
+        s"FROM w${k - 1} w LEFT JOIN g$k g USING (bucket) CROSS JOIN nn)"
+    }.mkString(", ")
+    s"$base, $rounds"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      (s"WITH $classifierCtes, " +
+        s"sc AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +
+        s"FROM (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
+        s"FROM fb f JOIN w$ClassifierRounds w USING (bucket) GROUP BY f.doc_id)) " +
+        "SELECT source, CAST(max(y) AS BIGINT) AS curated, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(keep) AS BIGINT) AS n_keep, " +
+        "round(CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate, " +
+        "round(CAST(sum(CAST(p AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_p " +
+        "FROM (SELECT l.source AS source, l.y AS y, sc.p AS p, " +
+        "CASE WHEN ntile(4) OVER (PARTITION BY d.lang ORDER BY sc.p DESC, sc.doc_id) = 1 THEN 1 ELSE 0 END AS keep " +
+        "FROM sc JOIN lab l USING (doc_id) JOIN documents d USING (doc_id)) " +
+        "GROUP BY source ORDER BY source"),
+    "q_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, source, text, " +
+        "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('ev:' || CAST(doc_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) % 20 = 0 AS is_eval FROM documents), " +
+        "gr AS (SELECT doc_id, is_eval, " +
+        "unnest(CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS g8 " +
+        "FROM (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM d)), " +
+        s"gh AS (SELECT doc_id, is_eval, CAST(${Text.hexSql("md5('dg:' || g8)", 1, 12)} AS BIGINT) AS gh FROM gr), " +
+        "ev AS (SELECT DISTINCT gh FROM gh WHERE is_eval), " +
+        "ct AS (SELECT DISTINCT t.doc_id AS doc_id FROM gh t JOIN ev USING (gh) WHERE NOT t.is_eval) " +
+        "SELECT d.source AS source, " +
+        "CAST(sum(CASE WHEN NOT d.is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN d.is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval, " +
+        "CAST(sum(CASE WHEN NOT d.is_eval AND ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam, " +
+        "CASE WHEN sum(CASE WHEN NOT d.is_eval THEN 1 ELSE 0 END) > 0 THEN " +
+        "round(CAST(sum(CASE WHEN NOT d.is_eval AND ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(CASE WHEN NOT d.is_eval THEN 1 ELSE 0 END) AS DOUBLE), 4) ELSE 0.0 END AS contam_rate " +
+        "FROM d LEFT JOIN ct ON d.doc_id = ct.doc_id " +
+        "GROUP BY d.source ORDER BY source"),
     "q_dedup_pack_pipeline" ->
       ("WITH t AS (SELECT doc_id, md5(text) AS h, " +
         "md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fp, " +

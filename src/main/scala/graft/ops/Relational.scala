@@ -961,6 +961,61 @@ object Relational {
         "| sort by event_type asc")
   }
 
+  /** KQL `evaluate pivot` — the ADX pivot plugin over the telemetry
+    * table: event counts per (user bucket × event type), the pivot
+    * VALUE SET discovered from the data (vs q_pivot's pinned list —
+    * that query documents why pinning is what a 100 TB plan wants; this
+    * one implements the ADX contract where the schema follows the
+    * data, with Spark's own bounded driver-side distinct doing the
+    * discovery). Absent cells stay null, matching ADX.
+    */
+  private def kqlPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend ub = user_id % 10 " +
+        "| evaluate pivot(event_type, count(), ub) " +
+        "| sort by ub asc")
+  }
+
+  /** KQL `top-hitters` — exact heavy hitters under the ADX
+    * `approximate_*` output contract (see the translator note: exact is
+    * the oracle-comparable form, the CM-sketch is the documented
+    * approximate swap). One hash aggregate + TakeOrderedAndProject.
+    */
+  private def kqlTophitters(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | top-hitters 8 of user_id by event_id")
+  }
+
+  /** KQL `partition by` — the per-key subquery operator, compiled to
+    * per-partition SEMANTICS (a Col-partitioned rank window for the
+    * `top` stage) instead of ADX's per-value subquery loop: the form
+    * that hash-partitions across a cluster. Deterministic tie-break on
+    * event_id.
+    */
+  private def kqlPartition(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by event_type (" +
+        "where value >= 5.0 | top 3 by value desc, event_id asc) " +
+        "| project event_type, event_id, value " +
+        "| sort by event_type asc, event_id asc")
+  }
+
+  /** KQL `getschema` — schema introspection as a table (the ADX
+    * debugging idiom): resolved entirely at plan time, a LocalRelation
+    * that never touches data. The projection in front proves the
+    * schema reflects the PIPELINE's frame, not the source table.
+    */
+  private def kqlGetschema(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | project event_id, event_type, value, ts_ts " +
+        "| extend vdoub = value * 2.0 " +
+        "| getschema | sort by ColumnOrdinal asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -1092,6 +1147,10 @@ object Relational {
     "q_kql_lookup" -> (kqlLookup _),
     "q_kql_strings" -> (kqlStrings _),
     "q_kql_datatable" -> (kqlDatatable _),
+    "q_kql_pivot" -> (kqlPivot _),
+    "q_kql_tophitters" -> (kqlTophitters _),
+    "q_kql_getschema" -> (kqlGetschema _),
+    "q_kql_partition" -> (kqlPartition _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_exists_forall" -> (existsForall _),
@@ -1199,6 +1258,33 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price, abs(l_discount - 0.05) AS adisc, sqrt(l_quantity) AS sqrt_qty, l_quantity * l_quantity AS qty_sq, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_json_get" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, json_extract_string(props, '$.missing') AS miss FROM events ORDER BY event_id",
+    "q_kql_pivot" ->
+      ("WITH e AS (SELECT user_id % 10 AS ub, event_type FROM events) " +
+        "SELECT ub, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS \"view\" " +
+        "FROM e GROUP BY ub ORDER BY ub"),
+    "q_kql_tophitters" ->
+      ("SELECT user_id, CAST(sum(event_id) AS BIGINT) AS approximate_sum_event_id " +
+        "FROM events GROUP BY user_id " +
+        "ORDER BY approximate_sum_event_id DESC, user_id LIMIT 8"),
+    "q_kql_partition" ->
+      ("SELECT event_type, event_id, value FROM (" +
+        "SELECT event_type, event_id, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk " +
+        "FROM events WHERE value >= 5.0) WHERE rnk <= 3 " +
+        "ORDER BY event_type, event_id"),
+    "q_kql_getschema" ->
+      ("SELECT * FROM (VALUES " +
+        "('event_id', CAST(0 AS BIGINT), 'System.Int64', 'long'), " +
+        "('event_type', CAST(1 AS BIGINT), 'System.String', 'string'), " +
+        "('value', CAST(2 AS BIGINT), 'System.Double', 'real'), " +
+        "('ts_ts', CAST(3 AS BIGINT), 'System.DateTime', 'datetime'), " +
+        "('vdoub', CAST(4 AS BIGINT), 'System.Double', 'real')" +
+        ") t(ColumnName, ColumnOrdinal, DataType, ColumnType) ORDER BY ColumnOrdinal"),
     "q_pivot" ->
       ("SELECT l_linestatus, " +
         "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS A, " +

@@ -896,7 +896,7 @@ object Text {
     * memory and each run gets slower than the last (measured 5.7 s →
     * 33.8 s across three back-to-back reps at sf0.1).
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -1569,7 +1569,7 @@ object Text {
     * 1-based `start` (DuckDB has no conv(); the fingerprint oracle's
     * established fold idiom).
     */
-  private def hexSql(inner: String, start: Int, len: Int): String =
+  private[graft] def hexSql(inner: String, start: Int, len: Int): String =
     s"list_reduce(list_transform(range(1, ${len + 1}), c -> " +
       s"CAST(strpos('0123456789abcdef', substr($inner, CAST(c + ${start - 1} AS INT), 1)) - 1 AS BIGINT)), " +
       "(a, b) -> a * 16 + b)"

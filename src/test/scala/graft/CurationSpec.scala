@@ -519,4 +519,123 @@ class CurationSpec extends SparkSpec {
     }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(rows.head.getAs[Double]("kl_nats") - want) < 2e-6)
   }
+
+  // ---- quality classifier --------------------------------------------
+
+  /** Local sequential GD replay mirroring the distributed loop's exact
+    * arithmetic: double products, per-term HALF_UP cast to scale 8
+    * (Spark's double→decimal path goes through BigDecimal.valueOf),
+    * exact decimal sums, softsign link with an 8-dp round.
+    */
+  private def localClassifierWeights(rounds: Int): Map[Long, Double] = {
+    def round8(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec8(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val feats: Map[Long, Map[Long, Long]] = docs.map { case (id, text, _) =>
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      text.split(" ").foreach { w =>
+        val h = java.lang.Long.parseLong(md5hex("fh:" + w).take(12), 16)
+        val b = h % 64
+        val sg = if ((h / 64) % 2 == 0) 1L else -1L
+        m(b) = m.getOrElse(b, 0L) + sg
+      }
+      m(-1L) = 1L // intercept
+      id -> m.toMap
+    }.toMap
+    val y = docs.map { case (id, _, src) =>
+      id -> (if (Set("src0", "src1")(src)) 1L else 0L)
+    }.toMap
+    val n = docs.length
+    var w: Map[Long, Double] = (-1L until 64L).map(_ -> 0.0).toMap
+    for (_ <- 1 to rounds) {
+      val p = feats.map { case (id, fv) =>
+        val m = fv.toSeq.map { case (b, sv) => dec8(w(b) * sv) }.sum.toDouble
+        id -> round8(0.5 + 0.5 * m / (1.0 + math.abs(m)))
+      }
+      val g = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      feats.foreach { case (id, fv) =>
+        val r = p(id) - y(id)
+        fv.foreach { case (b, sv) =>
+          g(b) = g.getOrElse(b, BigDecimal(0)) + dec8(r * sv)
+        }
+      }
+      w = w.map { case (b, wv) =>
+        b -> round8(wv - 0.5 * g.getOrElse(b, BigDecimal(0)).toDouble / n)
+      }
+    }
+    w
+  }
+
+  test("classifier GD loop equals the sequential recompute at depth 10") {
+    // depth 10 — past the oracled tier, exercising the checkpointed
+    // driver loop at a depth the CTE chain never sees
+    val dist = ops.Curation.classifierWeights(spark, sfDir, 10)
+      .as[(Long, Double)].collect().toMap
+    val local = localClassifierWeights(10)
+    assert(dist.keySet === local.keySet)
+    dist.foreach { case (b, wv) =>
+      assert(wv === local(b), s"bucket $b: dist $wv vs local ${local(b)}")
+    }
+    // training moved: at least one weight is nonzero after 10 rounds
+    assert(dist.values.exists(_ != 0.0), "GD must update the weights")
+  }
+
+  test("classifier report keeps each language's top quarter") {
+    val rows = q("q_quality_classifier").cache()
+    val srcCount = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.count() === srcCount, "one row per source")
+    val total = rows.agg(sum("n_docs")).collect()(0).getLong(0)
+    val kept = rows.agg(sum("n_keep")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sfDir).count())
+    // ntile(4) = 1 keeps between 1/4 and (1/4 + one per language)
+    val langCount = Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(kept >= total / 4 && kept <= total / 4 + langCount,
+      s"quantile budget: kept $kept of $total")
+    rows.collect().foreach { r =>
+      val p = r.getAs[Double]("mean_p")
+      assert(p > 0.0 && p < 1.0, s"mean_p out of (0,1): $r")
+    }
+  }
+
+  // ---- decontamination -----------------------------------------------
+
+  test("decontaminate equals a direct 8-gram intersection recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    def isEval(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex("ev:" + id).take(6), 16) % 20 == 0
+    def grams(text: String): Set[String] = {
+      val w = text.split(" ")
+      if (w.length < 8) Set.empty
+      else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(d => isEval(d._1)).flatMap(d => grams(d._2)).toSet
+    val wantBySource = docs.groupBy(_._3).view.mapValues { ds =>
+      val train = ds.filterNot(d => isEval(d._1))
+      val contam = train.count(d => grams(d._2).exists(evalGrams))
+      (train.length.toLong, ds.length.toLong - train.length, contam.toLong)
+    }.toMap
+    val got = q("q_decontaminate")
+      .select("source", "n_train", "n_eval", "n_contam")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === wantBySource.size)
+    got.foreach { case (src, tr, ev, ct) =>
+      assert((tr, ev, ct) === wantBySource(src), s"source $src")
+    }
+    // the split itself is non-degenerate at this SF
+    assert(got.map(_._3).sum > 0, "the eval split must be non-empty")
+  }
 }

@@ -733,4 +733,110 @@ class KqlSpec extends SparkSpec {
       "datatable(s: string)['abcabc'] | project v = countof(s, 'abc')").as[Int].head()
     assert(c2 === 2)
   }
+
+  test("evaluate pivot matches the conditional-aggregation twin") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | extend ub = user_id % 4 " +
+        "| evaluate pivot(event_type, count(), ub) | sort by ub asc")
+    // pivot values become columns in sorted order after the group keys
+    assert(got.columns.toSeq ===
+      Seq("ub", "click", "error", "purchase", "signup", "view"))
+    val want = ev.withColumn("ub", col("user_id") % 4)
+      .groupBy("ub").pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1))).orderBy("ub").collect().toSeq
+    assert(got.collect().toSeq === want)
+    // omitted group columns = every remaining column (all but the pivot
+    // column and the aggregate input)
+    val implicitBy = Kql.translate(spark,
+      "kql_events | project event_type, user_id " +
+        "| evaluate pivot(event_type, dcount(event_type))")
+    assert(implicitBy.columns.head === "user_id")
+    // unknown plugins and computed pivot columns fail loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | evaluate bag_unpack(props)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | evaluate pivot(user_id + 1)")
+    }
+  }
+
+  test("top-hitters is the exact heavy-hitter cut with ADX column names") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark, "kql_events | top-hitters 3 of event_type")
+    assert(got.columns.toSeq === Seq("event_type", "approximate_count_event_type"))
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(got.as[(String, Long)].collect().toSeq === want)
+    val bySum = Kql.translate(spark,
+      "kql_events | top-hitters 5 of user_id by value")
+    assert(bySum.columns.toSeq === Seq("user_id", "approximate_sum_value"))
+    assert(bySum.count() === 5)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | top-hitters 3 of event_type from x")
+    }
+  }
+
+  test("getschema reflects the pipeline frame, not the source table") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | project event_id, event_type | getschema")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("event_id", 0L, "System.Int64", "long"),
+      ("event_type", 1L, "System.String", "string")))
+    // a LocalRelation: getschema never scans data
+    val plan = Kql.translate(spark, "kql_events | getschema")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"))
+    assert(!plan.toLowerCase.contains("parquet"))
+  }
+
+  test("partition by: per-key top via rank window, summarize gains the key") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | partition by event_type (top 2 by value desc, event_id asc) " +
+        "| project event_type, event_id | sort by event_type asc, event_id asc")
+      .as[(String, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val want = ev.withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+      .select("event_type", "event_id").orderBy("event_type", "event_id")
+      .as[(String, Long)].collect().toSeq
+    assert(got === want)
+    // aggregating subquery: the partition column joins the group keys
+    val agg = Kql.translate(spark,
+      "kql_events | partition by event_type (summarize n = count()) " +
+        "| sort by event_type asc")
+    assert(agg.columns.toSet === Set("n", "event_type"))
+    assert(agg.count() === ev.select("event_type").distinct().count())
+    // row-wise stages apply; anything else fails loudly
+    val filtered = Kql.translate(spark,
+      "kql_events | partition by event_type (where value >= 100.0 | top 1 by event_id asc)")
+    assert(filtered.count() === ev.filter(col("value") >= 100.0)
+      .select("event_type").distinct().count())
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | partition by event_type (sort by event_id asc)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | partition by event_type (project event_id | top 1 by event_id asc)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | partition by missing_col (top 1 by event_id asc)")
+    }
+  }
+
+  test("% is C-style remainder, same as the engine twin") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | project event_id, m = user_id % 7 | sort by event_id asc")
+      .as[(Long, Long)].collect().toSeq
+    val want = ev.select(col("event_id"), (col("user_id") % 7).as("m"))
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
 }
