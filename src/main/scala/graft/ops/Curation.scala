@@ -967,8 +967,11 @@ object Curation {
     * two map-side-combined aggregates over the bounded feature table).
     */
   private[graft] def classifierWeights(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
-    val docs = Tables.documents(s, dir)
+      rounds: Int, trainOnly: Boolean = false): DataFrame = {
+    val all = Tables.documents(s, dir)
+    // q_train_split's content-hash rule: first md5 nibble d-f is the
+    // held-out val set (~19%); training never sees those rows
+    val docs = if (trainOnly) all.filter(!valPred) else all
     val feats = classifierFeatures(docs).localCheckpoint(true)
     val labels = docs.select(col("doc_id"),
       when(col("source").isin(CuratedSources: _*), 1L).otherwise(0L).as("y"))
@@ -985,6 +988,60 @@ object Curation {
     Text.releaseCheckpoint(feats)
     Text.releaseCheckpoint(labels)
     w
+  }
+
+  /** The held-out split predicate shared by training and evaluation —
+    * q_train_split's deterministic content-hash rule, so the split
+    * survives re-runs, re-shards, and engine changes.
+    */
+  private def valPred: org.apache.spark.sql.Column =
+    substring(md5(col("text")), 1, 1).isin("d", "e", "f")
+
+  /** Classifier evaluation harness — the q_ann_recall/q_dedup_recall
+    * idea applied to the quality model: train on the content-hash TRAIN
+    * split only, score the held-out val split, and report the exact
+    * rank-based AUC (Mann-Whitney: average tie ranks, so the statistic
+    * is the textbook one and every quantity stays exact integer/half-
+    * integer arithmetic until one final division — no threshold, no
+    * transcendental, fully oracled) plus the mean score of each class,
+    * the separation the number summarizes. The AUC window runs over the
+    * VAL split only — bounded the way every eval harness is (at 100 TB
+    * an audit scores a held-out sample, not the corpus). Guarded NULL
+    * if the val split degenerates to one class.
+    */
+  private def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = classifierWeights(s, dir, ClassifierRounds, trainOnly = true)
+    val valDocs = docs.filter(valPred)
+    val scores = classifierFeatures(valDocs).join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum((col("w") * col("sv")).cast(DecimalType(18, 8))).as("m"))
+      .select(col("doc_id"), squash(col("m").cast(DoubleType)).as("p"))
+      .join(valDocs.select(col("doc_id"),
+        when(col("source").isin(CuratedSources: _*), 1L).otherwise(0L).as("y")),
+        "doc_id")
+    // average rank of each tied score group: min-rank + (ties-1)/2
+    val byP = Window.orderBy("p")
+    val ar = rank().over(byP).cast(DoubleType) +
+      (cnt.over(Window.partitionBy("p")).cast(DoubleType) - 1.0) / 2.0
+    val nTrain = broadcast(docs.filter(!valPred).agg(cnt.as("n_train")))
+    scores.withColumn("ar", ar)
+      .agg(cnt.as("n_val"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1, col("ar"))).as("sp"),
+        sum(when(col("y") === 1, col("p").cast(DecimalType(18, 8)))).as("spp"),
+        sum(when(col("y") === 0, col("p").cast(DecimalType(18, 8)))).as("spn"))
+      .crossJoin(nTrain)
+      .select(col("n_train"), col("n_val"), col("n_pos"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n_val"),
+          round((col("sp") - col("n_pos").cast(DoubleType) *
+            (col("n_pos").cast(DoubleType) + 1.0) / 2.0) /
+            (col("n_pos").cast(DoubleType) *
+              (col("n_val") - col("n_pos")).cast(DoubleType)), 4))
+          .as("auc"),
+        round(col("spp").cast(DoubleType) / col("n_pos").cast(DoubleType), 4)
+          .as("mean_p_pos"),
+        round(col("spn").cast(DoubleType) /
+          (col("n_val") - col("n_pos")).cast(DoubleType), 4).as("mean_p_neg"))
   }
 
   /** fastText/GPT-3-style quality classifier, trained AND applied in one
@@ -1109,24 +1166,36 @@ object Curation {
     "q_incremental_agg" -> (incrementalAgg _),
     "q_sketch_merge" -> (sketchMerge _),
     "q_quality_classifier" -> (qualityClassifier _),
+    "q_classifier_eval" -> (classifierEval _),
     "q_decontaminate" -> (decontaminate _)
   )
 
-  /** The classifier GD chain as DuckDB CTEs: features fb, labels lab,
-    * corpus size nn, zero weights w0, then per round k the margin table
-    * mm{k} → squashed m{k} → gradient g{k} → weights w{k}
-    * (MATERIALIZED — inlining would recompute the whole prefix chain
-    * once per downstream reference). Mirrors [[classifierRound]] 1:1.
+  /** DuckDB val-split predicate — q_train_split's content-hash rule. */
+  private val valPredSql = "substr(md5(text), 1, 1) IN ('d', 'e', 'f')"
+
+  /** The hashing-trick feature chain as DuckDB CTEs (tk/hh/fx/fb with a
+    * name suffix so train and val chains can coexist in one WITH),
+    * restricted to documents matching `pred`.
     */
-  private def classifierCtes: String = {
+  private def classifierFeatureCtes(sfx: String, pred: String): String =
+    s"tk$sfx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE $pred), " +
+      s"hh$sfx AS (SELECT doc_id, CAST(${Text.hexSql("md5('fh:' || word)", 1, 12)} AS BIGINT) AS h FROM tk$sfx), " +
+      s"fx$sfx AS (SELECT doc_id, h % 64 AS bucket, CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sv FROM hh$sfx GROUP BY doc_id, bucket), " +
+      s"fb$sfx AS MATERIALIZED (SELECT doc_id, bucket, sv FROM fx$sfx " +
+      s"UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents WHERE $pred)"
+
+  /** The classifier GD chain as DuckDB CTEs over documents matching
+    * `pred`: features fb, labels lab, corpus size nn, zero weights w0,
+    * then per round k the margin table mm{k} → squashed m{k} → gradient
+    * g{k} → weights w{k} (MATERIALIZED — inlining would recompute the
+    * whole prefix chain once per downstream reference). Mirrors
+    * [[classifierRound]] 1:1.
+    */
+  private def classifierCtes(pred: String = "TRUE"): String = {
     val base =
-      "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-        s"hh AS (SELECT doc_id, CAST(${Text.hexSql("md5('fh:' || word)", 1, 12)} AS BIGINT) AS h FROM tk), " +
-        "fx AS (SELECT doc_id, h % 64 AS bucket, CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sv FROM hh GROUP BY doc_id, bucket), " +
-        "fb AS MATERIALIZED (SELECT doc_id, bucket, sv FROM fx " +
-        "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents), " +
-        "lab AS (SELECT doc_id, source, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents), " +
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      classifierFeatureCtes("", pred) + ", " +
+        s"lab AS (SELECT doc_id, source, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents WHERE $pred), " +
+        s"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE $pred), " +
         "w0 AS (SELECT CAST(j AS BIGINT) AS bucket, CAST(0 AS DOUBLE) AS w FROM range(-1, 64) t(j))"
     val rounds = (1 to ClassifierRounds).map { k =>
       s"mm$k AS (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
@@ -1141,8 +1210,29 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_classifier_eval" ->
+      (s"WITH ${classifierCtes(s"NOT ($valPredSql)")}, " +
+        s"${classifierFeatureCtes("v", valPredSql)}, " +
+        s"labv AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents WHERE $valPredSql), " +
+        s"scv AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +
+        s"FROM (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
+        s"FROM fbv f JOIN w$ClassifierRounds w USING (bucket) GROUP BY f.doc_id)), " +
+        "rk AS (SELECT l.y AS y, s.p AS p, " +
+        "CAST(rank() OVER (ORDER BY s.p) AS DOUBLE) + (CAST(count(*) OVER (PARTITION BY s.p) AS DOUBLE) - 1.0) / 2.0 AS ar " +
+        "FROM scv s JOIN labv l USING (doc_id)), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_val, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "sum(CASE WHEN y = 1 THEN ar END) AS sp, " +
+        "sum(CASE WHEN y = 1 THEN CAST(p AS DECIMAL(18,8)) END) AS spp, " +
+        "sum(CASE WHEN y = 0 THEN CAST(p AS DECIMAL(18,8)) END) AS spn FROM rk) " +
+        "SELECT nn.n AS n_train, ag.n_val AS n_val, ag.n_pos AS n_pos, " +
+        "CASE WHEN ag.n_pos > 0 AND ag.n_pos < ag.n_val THEN " +
+        "round((ag.sp - CAST(ag.n_pos AS DOUBLE) * (CAST(ag.n_pos AS DOUBLE) + 1.0) / 2.0) / " +
+        "(CAST(ag.n_pos AS DOUBLE) * CAST(ag.n_val - ag.n_pos AS DOUBLE)), 4) END AS auc, " +
+        "round(CAST(ag.spp AS DOUBLE) / CAST(ag.n_pos AS DOUBLE), 4) AS mean_p_pos, " +
+        "round(CAST(ag.spn AS DOUBLE) / CAST(ag.n_val - ag.n_pos AS DOUBLE), 4) AS mean_p_neg " +
+        "FROM ag CROSS JOIN nn"),
     "q_quality_classifier" ->
-      (s"WITH $classifierCtes, " +
+      (s"WITH ${classifierCtes()}, " +
         s"sc AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +
         s"FROM (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
         s"FROM fb f JOIN w$ClassifierRounds w USING (bucket) GROUP BY f.doc_id)) " +

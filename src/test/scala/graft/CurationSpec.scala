@@ -527,18 +527,16 @@ class CurationSpec extends SparkSpec {
     * (Spark's double→decimal path goes through BigDecimal.valueOf),
     * exact decimal sums, softsign link with an 8-dp round.
     */
-  private def localClassifierWeights(rounds: Int): Map[Long, Double] = {
-    def round8(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def dec8(x: Double): BigDecimal =
-      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    val docs = Tables.documents(spark, sfDir)
-      .select("doc_id", "text", "source")
-      .as[(Long, String, String)].collect()
-    val feats: Map[Long, Map[Long, Long]] = docs.map { case (id, text, _) =>
+  private def round8(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def dec8(x: Double): BigDecimal =
+    BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def localFeats(docs: Array[(Long, String, String)]): Map[Long, Map[Long, Long]] =
+    docs.map { case (id, text, _) =>
       val m = scala.collection.mutable.Map.empty[Long, Long]
       text.split(" ").foreach { w =>
         val h = java.lang.Long.parseLong(md5hex("fh:" + w).take(12), 16)
@@ -549,6 +547,20 @@ class CurationSpec extends SparkSpec {
       m(-1L) = 1L // intercept
       id -> m.toMap
     }.toMap
+
+  private def localSquash(m: Double): Double =
+    round8(0.5 + 0.5 * m / (1.0 + math.abs(m)))
+
+  private def localMargin(fv: Map[Long, Long], w: Map[Long, Double]): Double =
+    fv.toSeq.map { case (b, sv) => dec8(w(b) * sv) }.sum.toDouble
+
+  private def localClassifierWeights(rounds: Int,
+      trainOnly: Boolean = false): Map[Long, Double] = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+      .filter(d => !trainOnly || !Set("d", "e", "f")(md5hex(d._2).take(1)))
+    val feats = localFeats(docs)
     val y = docs.map { case (id, _, src) =>
       id -> (if (Set("src0", "src1")(src)) 1L else 0L)
     }.toMap
@@ -556,8 +568,7 @@ class CurationSpec extends SparkSpec {
     var w: Map[Long, Double] = (-1L until 64L).map(_ -> 0.0).toMap
     for (_ <- 1 to rounds) {
       val p = feats.map { case (id, fv) =>
-        val m = fv.toSeq.map { case (b, sv) => dec8(w(b) * sv) }.sum.toDouble
-        id -> round8(0.5 + 0.5 * m / (1.0 + math.abs(m)))
+        id -> localSquash(localMargin(fv, w))
       }
       val g = scala.collection.mutable.Map.empty[Long, BigDecimal]
       feats.foreach { case (id, fv) =>
@@ -604,6 +615,38 @@ class CurationSpec extends SparkSpec {
       val p = r.getAs[Double]("mean_p")
       assert(p > 0.0 && p < 1.0, s"mean_p out of (0,1): $r")
     }
+  }
+
+  test("classifier eval: AUC and class means equal the local recompute") {
+    val wTrain = localClassifierWeights(3, trainOnly = true)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val valDocs = docs.filter(d => Set("d", "e", "f")(md5hex(d._2).take(1)))
+    val feats = localFeats(valDocs)
+    val scored = valDocs.map { d =>
+      val p = localSquash(localMargin(feats(d._1), wTrain))
+      (p, if (Set("src0", "src1")(d._3)) 1L else 0L)
+    }
+    // Mann-Whitney AUC with average tie ranks
+    val byP = scored.sortBy(_._1)
+    val avgRank = byP.zipWithIndex.groupBy(_._1._1).toSeq.flatMap { case (_, g) =>
+      val ar = g.map(_._2 + 1).sum.toDouble / g.length
+      g.map { case ((_, yy), _) => (yy, ar) }
+    }
+    val nPos = scored.count(_._2 == 1L)
+    val nNeg = scored.length - nPos
+    val sp = avgRank.filter(_._1 == 1L).map(_._2).sum
+    val wantAuc = BigDecimal.valueOf(
+      (sp - nPos.toDouble * (nPos + 1.0) / 2.0) / (nPos.toDouble * nNeg))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = q("q_classifier_eval").collect()(0)
+    assert(r.getAs[Long]("n_val") === valDocs.length.toLong)
+    assert(r.getAs[Long]("n_train") === (docs.length - valDocs.length).toLong)
+    assert(r.getAs[Long]("n_pos") === nPos.toLong)
+    assert(r.getAs[Double]("auc") === wantAuc)
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
   }
 
   // ---- decontamination -----------------------------------------------
