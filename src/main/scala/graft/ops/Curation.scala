@@ -968,6 +968,19 @@ object Curation {
     */
   private[graft] def classifierWeights(s: SparkSession, dir: String,
       rounds: Int, trainOnly: Boolean = false): DataFrame = {
+    val (w, feats, labels) = classifierFit(s, dir, rounds, trainOnly)
+    Text.releaseCheckpoint(feats)
+    Text.releaseCheckpoint(labels)
+    w
+  }
+
+  /** The GD fit, returning the trained weights PLUS the checkpointed
+    * feature/label tables so a scoring consumer can reuse them instead
+    * of re-featurizing the corpus (one saved corpus pass — the caller
+    * owns the release).
+    */
+  private def classifierFit(s: SparkSession, dir: String, rounds: Int,
+      trainOnly: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val all = Tables.documents(s, dir)
     // q_train_split's content-hash rule: first md5 nibble d-f is the
     // held-out val set (~19%); training never sees those rows
@@ -985,9 +998,7 @@ object Curation {
       Text.releaseCheckpoint(w)
       w = next
     }
-    Text.releaseCheckpoint(feats)
-    Text.releaseCheckpoint(labels)
-    w
+    (w, feats, labels)
   }
 
   /** The held-out split predicate shared by training and evaluation —
@@ -1066,8 +1077,12 @@ object Curation {
     */
   private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val w = classifierWeights(s, dir, ClassifierRounds)
-    val scores = classifierFeatures(docs).join(broadcast(w), "bucket")
+    // scoring reuses the fit's checkpointed feature table — the corpus
+    // is featurized exactly once across training AND application
+    val (w, feats, labels) = classifierFit(s, dir, ClassifierRounds,
+      trainOnly = false)
+    Text.releaseCheckpoint(labels)
+    val scores = feats.join(broadcast(w), "bucket")
       .groupBy("doc_id")
       .agg(sum((col("w") * col("sv")).cast(DecimalType(18, 8))).as("m"))
       .select(col("doc_id"), squash(col("m").cast(DoubleType)).as("p"))

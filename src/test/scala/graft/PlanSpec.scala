@@ -450,4 +450,17 @@ class PlanSpec extends SparkSpec {
       .select("n").as[Long].collect().head
     assert(n0 >= 100000L)
   }
+
+  test("classifier scoring reuses the fit's features and broadcasts weights") {
+    val p = finalPlan("q_quality_classifier")
+    // weights arrive broadcast (65 rows), never shuffled onto features
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the corpus is featurized ONCE (the checkpointed table feeds both
+    // training and scoring): the final plan scans documents parquet only
+    // for the lang/source report join, not a second featurize pass
+    val docScans = "Scan parquet".r.findAllIn(p).length
+    assert(docScans <= 1, s"expected <=1 parquet scan, got $docScans:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("ExistingRDD"), "scoring must read the checkpointed features")
+  }
 }
