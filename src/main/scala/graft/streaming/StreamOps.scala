@@ -271,8 +271,17 @@ object StreamOps {
     * store would grow forever — the condition is load-bearing, not a
     * filter.
     */
+  /** `joinType` "inner" (default) emits attributed purchases only;
+    * "leftOuter" ALSO emits every unattributed purchase null-extended —
+    * the revenue-completeness variant (every purchase lands in the
+    * output exactly once, attributed or not). Outer emission is
+    * watermark-driven: a purchase's null row appears only once the
+    * watermark proves no in-window click can still arrive, which is the
+    * same state-eviction bound as the inner case — state stays
+    * rate × window at any scale for both types.
+    */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-      windowUs: Long): DataFrame = {
+      windowUs: Long, joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts_ts", "1 hour")
       .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
@@ -284,7 +293,8 @@ object StreamOps {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("value"))
   }
@@ -480,12 +490,12 @@ object StreamOps {
     * Readers resolve the live version with [[upsertState]].
     */
   def upsertSink(updates: DataFrame, stateDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, retainVersions: Int = 1): StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertMerge(batch, stateDir)
+        upsertMerge(batch, stateDir, retainVersions)
       }
       .start()
 
@@ -495,7 +505,8 @@ object StreamOps {
     * spec can race real writers through the real code path; throws
     * (batch aborts) on a lost marker race.
     */
-  private[graft] def upsertMerge(batch: DataFrame, stateDir: String): Unit = {
+  private[graft] def upsertMerge(batch: DataFrame, stateDir: String,
+      retainVersions: Int = 1): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
@@ -542,18 +553,38 @@ object StreamOps {
     // the content names the data dir this marker publishes
     publishMarker(fs, new Path(root, s"_committed_$next"), dataDir.getName)
     // best-effort GC of superseded versions (crash here is benign):
-    // one listing, delete only entries that exist and are settled —
-    // version ≤ next and not the dir just published. A staging dir
-    // for version next+1 (a concurrent writer already past our
-    // commit) is deliberately left alone.
-    fs.listStatus(root).foreach { st =>
+    // one listing, delete only entries that exist and are settled.
+    // `retainVersions` is the time-travel retention window: the newest
+    // R committed versions (marker + marker-referenced dir) survive,
+    // so [[upsertStateAt]] can read them — the lakehouse MERGE story's
+    // other half. R = 1 (the default) is the pre-retention behavior:
+    // only the version just published survives, with zero extra marker
+    // reads. Lost-race staging dirs of RETAINED versions still go (a
+    // kept version's only live dir is the one its marker names), and a
+    // staging dir for version next+1 (a concurrent writer already past
+    // our commit) is deliberately left alone.
+    val keepFloor = next - math.max(1, retainVersions)
+    val entries = fs.listStatus(root)
+    def markerContent(v: Long): Option[String] = {
+      val m = new Path(root, s"_committed_$v")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        val c = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        if (c.nonEmpty) Some(c) else None
+      }
+    }
+    val referenced: Set[String] = ((keepFloor + 1) to next).flatMap { v =>
+      if (v == next) Some(dataDir.getName) else markerContent(v)
+    }.toSet
+    entries.foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith("_committed_")) {
-        if (nm.stripPrefix("_committed_").toLongOption.exists(_ < next))
+        if (nm.stripPrefix("_committed_").toLongOption.exists(_ <= keepFloor))
           fs.delete(st.getPath, false)
-      } else if (nm.startsWith("v") && nm != dataDir.getName) {
+      } else if (nm.startsWith("v")) {
         val ver = nm.drop(1).takeWhile(_.isDigit)
-        if (ver.nonEmpty && ver.toLong <= next)
+        if (ver.nonEmpty && ver.toLong <= next && !referenced.contains(nm))
           fs.delete(st.getPath, true)
       }
     }
@@ -625,6 +656,31 @@ object StreamOps {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val (cur, dir) = currentState(fs, root)
     require(cur >= 0, s"no committed upsert state under $stateDir")
+    s.read.parquet(dir.toString)
+  }
+
+  /** Time-travel read: the state table exactly as `version` published
+    * it — the lakehouse VERSION AS OF contract on top of the sink's
+    * immutable version dirs + commit markers (nothing is recomputed;
+    * the historical dir is simply still there). Only versions inside
+    * the sink's `retainVersions` window are readable — older ones were
+    * GC'd — and the error says so rather than resolving to the wrong
+    * snapshot.
+    */
+  def upsertStateAt(s: SparkSession, stateDir: String,
+      version: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_committed_$version")
+    require(fs.exists(marker),
+      s"version $version of $stateDir is not available " +
+        "(never committed, or outside the sink's retainVersions window)")
+    val in = fs.open(marker)
+    val content = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    val dir = new Path(root, content)
+    require(content.nonEmpty && fs.exists(dir),
+      s"version $version marker of $stateDir references a missing data dir")
     s.read.parquet(dir.toString)
   }
 

@@ -582,4 +582,73 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(kept === Seq(900002L), "only the unseen document survives")
   }
+
+  test("upsert retention keeps a time-travel window; default retains only the live version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_tt").toString
+    val state = s"$dir/state"
+    def batch(rows: (Long, Long, String, Long, Double)*) =
+      spark.createDataFrame(rows.toSeq)
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    // three merges with a 3-version retention window
+    StreamOps.upsertMerge(batch((1L, 7L, "click", 100L, 1.0)), state, 3)
+    StreamOps.upsertMerge(batch((2L, 8L, "view", 200L, 2.0)), state, 3)
+    StreamOps.upsertMerge(batch((3L, 7L, "click", 300L, 3.0)), state, 3)
+    def keysAt(v: Long) = StreamOps.upsertStateAt(spark, state, v)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(keysAt(0L) === Set((7L, 1L)))
+    assert(keysAt(1L) === Set((7L, 1L), (8L, 2L)))
+    assert(keysAt(2L) === Set((7L, 3L), (8L, 2L)),
+      "the live version folds the key-7 update")
+    // the live read and the newest time-travel read agree
+    assert(StreamOps.upsertState(spark, state)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet === keysAt(2L))
+    // a fourth merge at the same retention slides the window: v0 goes
+    StreamOps.upsertMerge(batch((4L, 9L, "error", 400L, 4.0)), state, 3)
+    intercept[IllegalArgumentException] { keysAt(0L) }
+    assert(keysAt(1L) === Set((7L, 1L), (8L, 2L)), "v1 still inside the window")
+    // default retention (1): history is GC'd at the next merge
+    val state2 = s"$dir/state2"
+    StreamOps.upsertMerge(batch((1L, 7L, "click", 100L, 1.0)), state2)
+    StreamOps.upsertMerge(batch((2L, 8L, "view", 200L, 2.0)), state2)
+    intercept[IllegalArgumentException] {
+      StreamOps.upsertStateAt(spark, state2, 0L)
+    }
+    assert(StreamOps.upsertStateAt(spark, state2, 1L).count() === 2L)
+  }
+
+  test("stream-stream left-outer join emits unattributed purchases after the watermark") {
+    implicit val sq = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamOps.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts_ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts_ts", "value"),
+      windowUs = 600L * 1000000L, joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_spec").start()
+    clicks.addData((100L, 1L, ts(1000)))
+    purchases.addData(
+      (200L, 1L, ts(1300), 9.99), // in-window → attributed
+      (202L, 3L, ts(1100), 1.00)) // no click for user 3 → null row later
+    q.processAllAvailable()
+    // push the watermark far past purchase 202's eviction bound on BOTH
+    // sides, then trigger again so the evicted row's null-extension emits
+    clicks.addData((101L, 2L, ts(100000)))
+    purchases.addData((201L, 2L, ts(100000), 5.00))
+    q.processAllAvailable()
+    clicks.addData((102L, 2L, ts(200000)))
+    purchases.addData((203L, 2L, ts(200000), 5.00))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_outer_spec")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // attributed purchase joins; the clickless one lands exactly once,
+    // null-extended — no purchase is silently dropped
+    assert(got.contains((1L, 200L, 100L)), s"attribution missing: $got")
+    assert(got.contains((3L, 202L, -1L)), s"outer null row missing: $got")
+    assert(got.count(_._2 == 202L) <= 1, s"outer row must emit once: $got")
+  }
 }
