@@ -269,4 +269,32 @@ class GatewaySpec extends SparkSpec {
       assert(bad.status === 400, bad)
     } finally rm(wh)
   }
+
+  test("the query route speaks tier 7: pivot, top-hitters, partition by, getschema") {
+    val wh = tmpWarehouse()
+    try {
+      val gw = new Gateway(spark, wh)
+      Tables.events(spark, sfDir).createOrReplaceTempView("TelemetryData")
+      val pv = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | extend ub = user_id % 4 | evaluate pivot(event_type, count(), ub) | sort by ub asc"}"""))
+      assert(pv.status === 200, pv)
+      assert(pv.body.contains("\"purchase\""), pv.body.take(300))
+      val th = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | top-hitters 2 of event_type"}"""))
+      assert(th.status === 200, th)
+      assert(th.body.contains("approximate_count_event_type"), th.body.take(300))
+      val pb = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | partition by event_type (top 1 by value desc, event_id asc) | project event_type, event_id"}"""))
+      assert(pb.status === 200, pb)
+      val gs = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | project event_id, value | getschema"}"""))
+      assert(gs.status === 200, gs)
+      assert(gs.body.contains("\"ColumnName\":\"event_id\""), gs.body.take(300))
+      // an aggregating stage inside partition-by parens that the subset
+      // does not admit still 400s cleanly
+      val bad = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | partition by event_type (sort by value desc)"}"""))
+      assert(bad.status === 400, bad)
+    } finally rm(wh)
+  }
 }
