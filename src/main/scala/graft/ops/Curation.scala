@@ -1105,6 +1105,85 @@ object Curation {
       .orderBy("source")
   }
 
+  // ---------------------------------------- domain mixture optimization
+
+  /** Multiplicative-weights rounds of the domain reweighter — one
+    * constant shared by the Spark loop and the oracle CTE chain.
+    */
+  private[graft] val DomainRounds = 5
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023 — public): learn
+    * the training-mixture weights from a quality signal instead of
+    * fixing them by hand (q_temperature_sample's rule) — domains with
+    * above-average loss get UPWEIGHTED so the mix spends budget where
+    * the model is worst. Signal: per-source unigram-LM loss (−mean
+    * log-likelihood, the q_lm_score body — DoReMi's proxy-model excess
+    * loss swaps in unchanged at 100 TB). Optimizer: mirror-descent
+    * multiplicative weights with the RATIONAL update
+    * w ← w·(1 + η·(loss − ⟨w, loss⟩)) / Z — the exp-free variant of
+    * exponentiated gradient (same ascent direction, first-order
+    * identical for small η), chosen because it is pure IEEE arithmetic:
+    * every round replays bit-identically in DuckDB where exp() could
+    * drift an ulp. Scale shape: ONE corpus pass builds the per-source
+    * loss table; every round after that is arithmetic on the
+    * |sources|-row table (localCheckpoint'd so round r+1 does not
+    * re-derive the corpus scan through round r's lineage) with two
+    * broadcast 1-row reductions. Weights sum to 1 by construction.
+    */
+  private def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val freqRaw = words.groupBy("word").agg(cnt.as("wc"))
+    val freq = freqRaw
+      .crossJoin(broadcast(freqRaw.agg(sum(col("wc")).as("t"))))
+      .select(col("word"),
+        round(log(col("wc").cast(DoubleType) / col("t").cast(DoubleType)), 8)
+          .as("ll"))
+    val srcLoss = words.join(broadcast(freq), "word")
+      .groupBy("source")
+      .agg(cnt.as("n_tokens"),
+        (sum(col("ll").cast(DecimalType(18, 8))).cast(DoubleType) /
+          cnt.cast(DoubleType)).as("mll"))
+      .select(col("source"), col("n_tokens"), round(-col("mll"), 4).as("loss"))
+      .localCheckpoint(true)
+    // weight rounding is the EXPLICIT half-up floor(x·1e8 + 0.5)/1e8
+    // (the q_interpolate rule): the weight dynamics systematically land
+    // near the 8-dp grid (uniform 1/k start, 4-dp losses), and the
+    // engines' round() tie paths diverge exactly there — floor over
+    // identical doubles cannot
+    def r8(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1.0e8) + lit(0.5)) / lit(1.0e8)
+    var t = srcLoss
+      .crossJoin(broadcast(srcLoss.agg(cnt.as("k"))))
+      .select(col("source"), col("n_tokens"), col("loss"),
+        r8(lit(1.0) / col("k").cast(DoubleType)).as("w"))
+      .localCheckpoint(true)
+    Text.releaseCheckpoint(srcLoss)
+    for (_ <- 1 to DomainRounds) {
+      // ⟨w, loss⟩ multiplies in DECIMAL: w (8-dp grid) × loss (4-dp
+      // grid) is exactly a 12-dp value, so decimal×decimal is EXACT —
+      // a double product cast to scale 8 would round, and grid×grid
+      // products sit on the cast's tie systematically (the engines'
+      // double→decimal tie paths diverge; found by the sf0.01 gate)
+      val wl = t.agg(sum(col("w").cast(DecimalType(10, 8)) *
+          col("loss").cast(DecimalType(8, 4)))
+        .cast(DoubleType).as("wl"))
+      val f = t.crossJoin(broadcast(wl))
+        .select(col("source"), col("n_tokens"), col("loss"),
+          (col("w") * (lit(1.0) + lit(0.5) * (col("loss") - col("wl")))).as("wf"))
+      val z = f.agg(sum(col("wf").cast(DecimalType(18, 8)))
+        .cast(DoubleType).as("z"))
+      val next = f.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"), col("loss"),
+          r8(col("wf") / col("z")).as("w"))
+        .localCheckpoint(true)
+      Text.releaseCheckpoint(t)
+      t = next
+    }
+    t.select(col("source"), col("n_tokens"), col("loss"), col("w").as("weight"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------- eval-set decontamination
 
   /** Benchmark decontamination (Brown et al. 2020 App. C — public): a
@@ -1182,7 +1261,8 @@ object Curation {
     "q_sketch_merge" -> (sketchMerge _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_classifier_eval" -> (classifierEval _),
-    "q_decontaminate" -> (decontaminate _)
+    "q_decontaminate" -> (decontaminate _),
+    "q_domain_reweight" -> (domainReweight _)
   )
 
   /** DuckDB val-split predicate — q_train_split's content-hash rule. */
@@ -1225,6 +1305,26 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_domain_reweight" -> {
+      val rounds = (1 to DomainRounds).map { i =>
+        val prev = s"d${i - 1}"
+        s"wl$i AS (SELECT CAST(sum(CAST(w AS DECIMAL(10,8)) * CAST(loss AS DECIMAL(8,4))) AS DOUBLE) AS wl FROM $prev), " +
+          s"f$i AS (SELECT source, n_tokens, loss, w * (1.0 + 0.5 * (loss - wl)) AS wf FROM $prev CROSS JOIN wl$i), " +
+          s"z$i AS (SELECT CAST(sum(CAST(wf AS DECIMAL(18,8))) AS DOUBLE) AS z FROM f$i), " +
+          s"d$i AS MATERIALIZED (SELECT source, n_tokens, loss, floor(wf / z * 1e8 + 0.5) / 1e8 AS w FROM f$i CROSS JOIN z$i)"
+      }.mkString(", ")
+      "WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words), " +
+        "freq AS (SELECT word, round(ln(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE)), 8) AS ll " +
+        "FROM words CROSS JOIN tt GROUP BY word, t), " +
+        "sl AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(-(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4) AS loss " +
+        "FROM words JOIN freq USING (word) GROUP BY source), " +
+        "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sl), " +
+        "d0 AS (SELECT source, n_tokens, loss, floor(1.0 / CAST(k AS DOUBLE) * 1e8 + 0.5) / 1e8 AS w FROM sl CROSS JOIN kk), " +
+        s"$rounds " +
+        s"SELECT source, n_tokens, loss, w AS weight FROM d$DomainRounds ORDER BY source"
+    },
     "q_classifier_eval" ->
       (s"WITH ${classifierCtes(s"NOT ($valPredSql)")}, " +
         s"${classifierFeatureCtes("v", valPredSql)}, " +

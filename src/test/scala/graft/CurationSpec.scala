@@ -649,6 +649,40 @@ class CurationSpec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("domain reweighting: proper distribution, upweights lossy domains, matches local fold") {
+    val got = q("q_domain_reweight")
+      .select("source", "loss", "weight")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    // weights form a distribution (8-dp rounding slack per source)
+    val total = got.map(_._3).sum
+    assert(math.abs(total - 1.0) < got.length * 1e-8 + 1e-9, s"sum $total")
+    // multiplicative weights from a uniform start preserve the loss
+    // order: the lossiest domain ends with the largest weight
+    val byLoss = got.sortBy(_._2)
+    assert(byLoss.last._3 >= byLoss.head._3,
+      s"lossiest ${byLoss.last} must outweigh least-lossy ${byLoss.head}")
+    assert(got.map(_._3).distinct.length > 1, "weights must move off uniform")
+    // exact local replay of the 5 multiplicative-weight rounds
+    def half8(x: Double): Double = math.floor(x * 1.0e8 + 0.5) / 1.0e8
+    val loss = got.map(g => g._1 -> g._2).toMap
+    var w: Map[String, Double] = loss.keys.map(_ -> half8(1.0 / loss.size)).toMap
+    for (_ <- 1 to 5) {
+      val wl = loss.keys.toSeq.sorted
+        .map(s => (BigDecimal.valueOf(w(s)).setScale(8) *
+          BigDecimal.valueOf(loss(s)).setScale(4)).setScale(12))
+        .sum.toDouble
+      val wf = loss.keys.map(s => s -> w(s) * (1.0 + 0.5 * (loss(s) - wl))).toMap
+      val z = loss.keys.toSeq.sorted
+        .map(s => BigDecimal.valueOf(wf(s))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      w = loss.keys.map(s => s -> half8(wf(s) / z)).toMap
+    }
+    got.foreach { case (s, _, weight) =>
+      assert(weight === w(s), s"source $s: dist $weight vs local ${w(s)}")
+    }
+  }
+
   // ---- decontamination -----------------------------------------------
 
   test("decontaminate equals a direct 8-gram intersection recompute") {
