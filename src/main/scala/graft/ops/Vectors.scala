@@ -590,22 +590,34 @@ object Vectors {
 
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search" — public; the FAISS `PQ` index): split the
-    * 64-dim vector into M=4 subspaces of 16 dims, train a tiny k=4
-    * codebook per subspace with the same 2-pass unrolled Lloyd shape as
-    * [[kmeansFit]] (L2 argmin instead of cosine — PQ quantizes
-    * POSITIONS), and encode every vector as 4 sub-codes. Output carries
+    * 64-dim vector into M=4 subspaces of 16 dims, train a
+    * k=[[PqCodewords]] codebook per subspace with the same 2-pass
+    * unrolled Lloyd shape as [[kmeansFit]] (L2 argmin instead of cosine
+    * — PQ quantizes POSITIONS), and encode every vector as 4 sub-codes
+    * (4 bits each — 2 B/vector packed, vs int8's 64 B). Output carries
     * the reconstruction MSE next to q_embed_quantize's int8 baseline —
     * the compression-vs-fidelity trade a 100 TB embedding store is
-    * priced on (PQ here is 4 bytes/vector vs int8's 64).
+    * priced on.
     *
     * Scale shape: codebooks are (M × k) rows → packed per subspace and
-    * BROADCAST; encoding is a per-row fold over k=4 candidates (no join
+    * BROADCAST; encoding is a per-row fold over k candidates (no join
     * explosion); the only shuffles are the bounded centroid aggregates
     * (decimal-exact dimension means, the kmeansFit idiom) and the final
     * per-vector regroup, both map-side combinable. Fully oracled: DuckDB
     * replays both Lloyd rounds per subspace and the same L2 argmin with
     * the (d2, c) tie order.
     */
+  /** Codewords per PQ subspace (4-bit codes). Round 8 shipped k = 4
+    * (2-bit) as the demo size; the ~sf1 recall harness then measured
+    * exactly what that costs — ADC recall 0.0 at 20 k vectors while
+    * exact-distance IVF held 0.5, because 4 subspaces × 2 bits = 256
+    * distinct codes cannot rank 20 k candidates. One constant, shared
+    * by the Spark fit and every oracle replay; the FAISS-default next
+    * step (k = 256, 8-bit) is the same plan with a bigger bounded
+    * codebook table.
+    */
+  private[graft] val PqCodewords = 16
+
   /** Slice (id, arr) rows into one row per (vector, subspace):
     * (vec_id, m, sv) with sv = arr[m·subDim+1 .. (m+1)·subDim]. Extra
     * input columns are preserved.
@@ -672,7 +684,7 @@ object Vectors {
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
     // one row per (vector, subspace): slice is a narrow array op
     val sv = subspaces(e, "emb", m)
-    val (a2, _) = pqFit(sv, m)
+    val (a2, _) = pqFit(sv, PqCodewords)
     val codes = a2.groupBy("vec_id")
       .agg(
         max(when(col("m") === 0, col("c"))).as("c0"),
@@ -707,19 +719,19 @@ object Vectors {
   /** IVF-PQ with asymmetric distance computation (ADC) — the composed
     * index FAISS ships as `IVFPQ` (Jégou et al. 2011 §IV): the coarse
     * k-means quantizer ([[kmeansFit]], nlist ≈ √N) routes each vector to
-    * an inverted list, PQ ([[pqFit]], M=4 × k=4) encodes each vector's
-    * RESIDUAL from its list centroid, and a query scans only its top-2
-    * probed lists scoring candidates from their 4-byte codes — never
-    * touching the original vectors. ADC: per probed list, the query's
-    * residual is sliced into subspaces and a (list × M × k) = 32-entry
+    * an inverted list, PQ ([[pqFit]], M=4 × k=[[PqCodewords]]) encodes
+    * each vector's RESIDUAL from its list centroid, and a query scans
+    * only its probed lists scoring candidates from their 2-byte codes —
+    * never touching the original vectors. ADC: per probed list, the
+    * query's residual is sliced into subspaces and a (list × M × k)
     * distance table is precomputed; a candidate's estimated distance is
     * the sum of its 4 table entries.
     *
-    * Scale shape: the distance table is O(probes·M·k) — bytes, always
-    * broadcast; candidates join it on (list, m, code) with no vector
-    * arithmetic in the scan loop, which is the property that makes
-    * IVF-PQ the 100 TB serving standard (scan cost is a table lookup
-    * per code, memory is 4 B/vector). Residual sums are
+    * Scale shape: the distance table is O(probes·M·k) — kilobytes,
+    * always broadcast; candidates join it on (list, m, code) with no
+    * vector arithmetic in the scan loop, which is the property that
+    * makes IVF-PQ the 100 TB serving standard (scan cost is a table
+    * lookup per code, memory is bytes/vector). Residual sums are
     * decimal-routed so the 4 subspace distances add identically in both
     * engines; the cut is on the 4-dp-rounded ADC with vec_id tie-break,
     * so the query is fully oracled — DuckDB replays the coarse unroll,
@@ -749,7 +761,7 @@ object Vectors {
       .select(col("vec_id"), col("c").as("cl"),
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("remb"))
-    val (pa2, pcb2) = pqFit(subspaces(res, "remb", m), m)
+    val (pa2, pcb2) = pqFit(subspaces(res, "remb", m), PqCodewords)
 
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
     // probe: top-nprobe coarse lists by query→centroid cosine (the
@@ -970,7 +982,7 @@ object Vectors {
       "res AS (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
       "rsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
       // two unrolled Lloyd rounds per subspace over the residuals
-      "p0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM rsub), " +
+      s"p0 AS (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub), " +
       "pce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
       "pcb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
       s"pd1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
@@ -1027,7 +1039,7 @@ object Vectors {
     "q_pq_encode" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
         "sub AS (SELECT vec_id, CAST(mm.m AS INT) AS m, emb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM e CROSS JOIN range(0, 4) mm(m)), " +
-        "a0 AS (SELECT vec_id, m, sv, CAST(vec_id % 4 AS INT) AS c FROM sub), " +
+        s"a0 AS (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM sub), " +
         // round 1: decimal-exact per-(subspace, code) means, L2 argmin
         // with the (d2, c) tie order — kmeansFit's unroll, per subspace
         "ce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM a0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +

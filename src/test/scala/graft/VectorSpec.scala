@@ -211,18 +211,21 @@ class VectorSpec extends SparkSpec {
     val n = Tables.embeddings(spark, sfDir).count()
     // one code row per vector, every sub-code a trained codeword id
     assert(r.count() === n)
+    val k = ops.Vectors.PqCodewords
     for (c <- Seq("c0", "c1", "c2", "c3"))
-      assert(r.filter(col(c) < 0 || col(c) > 3).count() === 0, c)
-    // PQ at 4 bytes/vector is LOSSIER than int8 at 64 bytes — if pq's
+      assert(r.filter(col(c) < 0 || col(c) > k - 1).count() === 0, c)
+    // PQ at 2 bytes/vector is LOSSIER than int8 at 64 bytes — if pq's
     // reconstruction error ever undercuts int8's, the encoding is broken
     assert(r.filter($"mse_pq" <= 0).count() === 0)
     val cheaper = r.filter($"mse_pq" < $"mse_int8").count()
     assert(cheaper === 0,
-      s"$cheaper vectors reconstruct better from 4 PQ bytes than 64 int8 bytes")
-    // all 4 codewords of at least one subspace are actually used (the
-    // 2-pass Lloyd didn't collapse the codebook)
+      s"$cheaper vectors reconstruct better from PQ codes than 64 int8 bytes")
+    // the 2-pass Lloyd keeps a healthy codebook: most codewords of
+    // subspace 0 survive with members (exact k is data-dependent —
+    // Lloyd may empty a cell — but a collapse toward a handful of live
+    // codes would void the 4-bit claim)
     val used = r.select("c0").distinct().count()
-    assert(used === 4, s"subspace 0 uses $used of 4 codewords")
+    assert(used > k / 2 && used <= k, s"subspace 0 uses $used of $k codewords")
     // deterministic: the same corpus encodes to the same codes
     val a = r.select("c0", "c1", "c2", "c3").collect().toSeq
     val b = q("q_pq_encode").select("c0", "c1", "c2", "c3").collect().toSeq
