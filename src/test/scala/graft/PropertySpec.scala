@@ -320,4 +320,76 @@ class PropertySpec extends SparkSpec {
     }
     check("kql-predicate-equivalence", prop, samples = 40)
   }
+
+  test("KQL arithmetic grammar is equivalent to its Column denotation on random trees") {
+    import org.apache.spark.sql.Column
+    // random arithmetic ASTs rendered with MINIMAL parentheses — a
+    // child keeps parens only where standard precedence/left-
+    // associativity requires them — so strings like `a + b * c` and
+    // `a - (b - c)` arise naturally and the parser must rebuild exactly
+    // the AST that produced them. Division/modulo by zero are legal
+    // inputs: both sides are Spark, so the null/NaN semantics agree by
+    // construction and the property checks the PARSE, not the divisor.
+    sealed trait E
+    case class LitE(v: Long) extends E
+    case class ColE(c: String) extends E
+    case class BinE(op: String, a: E, b: E) extends E
+    def prec(op: String): Int = op match {
+      case "+" | "-" => 1
+      case _ => 2 // * / %
+    }
+    val leafGen: Gen[E] = Gen.oneOf(
+      Gen.chooseNum(-7L, 7L).map(LitE),
+      Gen.oneOf("a", "id").map(ColE))
+    def eGen(depth: Int): Gen[E] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        2 -> leafGen,
+        5 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/", "%")
+          x <- eGen(depth - 1)
+          // ANSI mode: /0 and %0 THROW (identically on both sides, but
+          // an exception is not a comparable result) — divisors are
+          // nonzero literals
+          y <- if (op == "/" || op == "%")
+            Gen.oneOf(Gen.chooseNum(1L, 7L), Gen.chooseNum(-7L, -1L)).map(LitE(_): E)
+          else eGen(depth - 1)
+        } yield BinE(op, x, y)))
+    def render(e: E): String = e match {
+      case LitE(v) => v.toString
+      case ColE(c) => c
+      case BinE(op, a, b) =>
+        val l = a match {
+          case BinE(lo, _, _) if prec(lo) < prec(op) => s"(${render(a)})"
+          case _ => render(a)
+        }
+        val r = b match {
+          case BinE(ro, _, _) if prec(ro) <= prec(op) => s"(${render(b)})"
+          case _ => render(b)
+        }
+        s"$l $op $r"
+    }
+    def colOf(e: E): Column = e match {
+      case LitE(v) => lit(v)
+      case ColE(c) => col(c)
+      case BinE("+", a, b) => colOf(a) + colOf(b)
+      case BinE("-", a, b) => colOf(a) - colOf(b)
+      case BinE("*", a, b) => colOf(a) * colOf(b)
+      case BinE("/", a, b) => colOf(a) / colOf(b)
+      case BinE("%", a, b) => colOf(a) % colOf(b)
+      case _ => fail("unreachable")
+    }
+    val rows = (0L until 40L).map(id => (id, id % 11 - 5))
+    val df = rows.toDF("id", "a")
+    df.createOrReplaceTempView("kql_arith_prop")
+    val prop = Prop.forAll(eGen(3)) { e =>
+      val got = graft.ingest.Kql.translate(spark,
+        s"kql_arith_prop | extend m = ${render(e)} | project id, m")
+        .collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
+      val want = df.select(col("id"), colOf(e).as("m"))
+        .collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
+      got == want
+    }
+    check("kql-arith-equivalence", prop, samples = 40)
+  }
 }
