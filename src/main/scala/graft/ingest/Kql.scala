@@ -560,6 +560,8 @@ object Kql {
           applyTopHitters(df, rest)
         case TIdent("evaluate") +: TIdent("pivot") +: TSym("(") +: inner :+ TSym(")") =>
           applyPivot(df, inner)
+        case TIdent("evaluate") +: TIdent("bag_unpack") +: TSym("(") +: inner :+ TSym(")") =>
+          applyBagUnpack(df, inner)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -994,6 +996,40 @@ object Kql {
           case _ => fail("malformed pipeline stage inside partition by")
         }
       }
+    }
+
+    /** `evaluate bag_unpack(col [, 'prefix'])` — expand a dynamic
+      * property bag into one column per key, the ADX plugin whose
+      * output schema follows the data. The key set is discovered with a
+      * bounded distinct-keys aggregate (explode of `json_object_keys` —
+      * the same driver-side bounded discovery `evaluate pivot` uses,
+      * capped by the bag's schema arity, SORTED so the output schema is
+      * deterministic); each key then compiles to ONE codegen'd
+      * `get_json_object`, and the bag column is replaced by its
+      * unpacked columns (ADX drops it too). Values come back as strings
+      * — dynamic access returns dynamic, the tier-6 rule; wrap in
+      * tolong()/todouble() to type them. Keys outside [A-Za-z0-9_]+
+      * (dots, quotes — JSONPath metacharacters) fail loudly rather than
+      * silently extracting the wrong path.
+      */
+    private def applyBagUnpack(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val (c, prefix) = toks match {
+        case Vector(TIdent(c0)) => (c0, "")
+        case Vector(TIdent(c0), TSym(","), TStr(p)) => (c0, p)
+        case other => fail(s"bag_unpack takes (column [, 'prefix']), got $other")
+      }
+      if (!df.columns.contains(c)) fail(s"bag_unpack: no column '$c'")
+      val keys = df.select(explode(json_object_keys(col(c))).as("k"))
+        .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+      if (keys.isEmpty) fail(s"bag_unpack: column '$c' holds no object keys")
+      keys.filterNot(_.matches("[A-Za-z0-9_]+")) match {
+        case bad if bad.nonEmpty =>
+          fail(s"bag_unpack: unsupported key(s) ${bad.mkString(", ")}")
+        case _ => ()
+      }
+      val others = df.columns.filterNot(_ == c).map(col).toSeq
+      df.select(others ++ keys.map(k =>
+        get_json_object(col(c), s"$$.$k").as(prefix + k)): _*)
     }
 
     /** `getschema` — schema introspection as a table, the ADX contract:

@@ -1003,6 +1003,21 @@ object Relational {
         "| sort by event_type asc, event_id asc")
   }
 
+  /** KQL `evaluate bag_unpack` — the property-bag expander over the
+    * events telemetry bag: keys discovered from the data (bounded
+    * distinct, sorted), each compiled to one codegen'd JSON-path
+    * extraction, typed downstream with the conversion library. The
+    * multi-key case is KqlSpec-driven through a datatable (the fixture
+    * bag carries one key).
+    */
+  private def kqlBagUnpack(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate bag_unpack(props) " +
+        "| summarize n = count(), kmin = min(tolong(k)), kmax = max(tolong(k)) by event_type " +
+        "| sort by event_type asc")
+  }
+
   /** KQL `getschema` — schema introspection as a table (the ADX
     * debugging idiom): resolved entirely at plan time, a LocalRelation
     * that never touches data. The projection in front proves the
@@ -1150,6 +1165,7 @@ object Relational {
     "q_kql_pivot" -> (kqlPivot _),
     "q_kql_tophitters" -> (kqlTophitters _),
     "q_kql_getschema" -> (kqlGetschema _),
+    "q_kql_bagunpack" -> (kqlBagUnpack _),
     "q_kql_partition" -> (kqlPartition _),
     "q_pivot" -> (pivotAgg _),
     "q_unpivot" -> (unpivotMeasures _),
@@ -1271,6 +1287,11 @@ object Relational {
       ("SELECT user_id, CAST(sum(event_id) AS BIGINT) AS approximate_sum_event_id " +
         "FROM events GROUP BY user_id " +
         "ORDER BY approximate_sum_event_id DESC, user_id LIMIT 8"),
+    "q_kql_bagunpack" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmin, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmax " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_kql_partition" ->
       ("SELECT event_type, event_id, value FROM (" +
         "SELECT event_type, event_id, value, " +

@@ -755,7 +755,7 @@ class KqlSpec extends SparkSpec {
     assert(implicitBy.columns.head === "user_id")
     // unknown plugins and computed pivot columns fail loudly
     intercept[IllegalArgumentException] {
-      Kql.translate(spark, "kql_events | evaluate bag_unpack(props)")
+      Kql.translate(spark, "kql_events | evaluate narrow(props)")
     }
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_events | evaluate pivot(user_id + 1)")
@@ -827,6 +827,33 @@ class KqlSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_events | partition by missing_col (top 1 by event_id asc)")
+    }
+  }
+
+  test("evaluate bag_unpack expands discovered keys, sorted, with null for absent") {
+    val t = Kql.translate(spark,
+      "datatable(id: long, j: string)" +
+        "[1, '{\"b\": \"x\", \"a\": 1}', 2, '{\"a\": 2}'] " +
+        "| evaluate bag_unpack(j)")
+    // carried columns first, then the discovered keys in sorted order;
+    // the bag column itself is dropped (the ADX contract)
+    assert(t.columns.toSeq === Seq("id", "a", "b"))
+    val rows = t.orderBy("id").collect()
+    assert(rows(0).getString(1) === "1" && rows(0).getString(2) === "x")
+    assert(rows(1).getString(1) === "2" && rows(1).isNullAt(2))
+    // prefix form
+    val p = Kql.translate(spark,
+      "datatable(id: long, j: string)[1, '{\"a\": 1}'] " +
+        "| evaluate bag_unpack(j, 'p_')")
+    assert(p.columns.toSeq === Seq("id", "p_a"))
+    // JSONPath metacharacters in keys and unknown columns fail loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "datatable(j: string)['{\"x.y\": 1}'] | evaluate bag_unpack(j)")
+    }
+    ev.createOrReplaceTempView("kql_events")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | evaluate bag_unpack(missing)")
     }
   }
 
