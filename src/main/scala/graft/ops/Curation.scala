@@ -166,6 +166,47 @@ object Curation {
     }
   }
 
+  /** Write-time stats manifest: shard the corpus (the q_shard_write
+    * layout), then build the per-file manifest a lakehouse table format
+    * keeps — for each data file its row count and the min/max of the
+    * clustering key — by grouping the read-back over
+    * `input_file_name()`. This is the metadata that makes 100 TB reads
+    * prune by key range WITHOUT opening files (parquet footers answer
+    * per-file, the manifest answers per-TABLE; q_agg_pushdown is the
+    * footer half of the same story). `n_files` is asserted per shard:
+    * `repartition(shard_id)` hash-co-locates each shard into exactly one
+    * task, so the layout contract is one file per shard — the manifest
+    * proves the writer kept it. The manifest is O(shards) by
+    * construction (32 here, bounded by the packer), so the local
+    * materialization before the temp dir is deleted is a metadata-sized
+    * collect, same as shardWrite's.
+    */
+  private def fileManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outPath = java.nio.file.Files.createTempDirectory("graft_manifest")
+    val out = outPath.toString
+    try {
+      Tables.documents(s, dir)
+        .join(packedDocs(s, dir).select("doc_id", "shard_id"), "doc_id")
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+      val manifest = s.read.parquet(out)
+        .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
+          input_file_name().as("f"))
+        .groupBy("shard_id")
+        .agg(countDistinct(col("f")).as("n_files"), cnt.as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      manifest.toDF("shard_id", "n_files", "n_docs", "min_doc", "max_doc")
+        .orderBy("shard_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---------------------------------------------------------- mixing
 
   /** Weighted source mixing: keep each document with per-source
@@ -1234,6 +1275,7 @@ object Curation {
     "q_pack_sequences" -> (packSequences _),
     "q_token_budget" -> (tokenBudget _),
     "q_shard_write" -> (shardWrite _),
+    "q_file_manifest" -> (fileManifest _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_group_sample" -> (groupSample _),
     "q_temperature_sample" -> (temperatureSample _),
@@ -1427,6 +1469,12 @@ object Curation {
         "CAST(sum(ch) AS BIGINT) AS chars, " +
         "CAST(count(*) AS BIGINT) AS orig_docs, " +
         "CAST(sum(ch) AS BIGINT) AS orig_chars FROM c"),
+    "q_file_manifest" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id, CAST(1 AS BIGINT) AS n_files, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM c GROUP BY shard_id ORDER BY shard_id"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +

@@ -114,6 +114,33 @@ object Physical {
     }
   }
 
+  /** Parquet aggregate pushdown (DSv2): COUNT/MIN/MAX answered from
+    * row-group footer statistics without decoding a single data page.
+    * The v2 parquet scan (v1 source list cleared for this plan) accepts
+    * the whole aggregate when every function is pushable — the scan node
+    * advertises `PushedAggregation` and returns one pre-aggregated row
+    * per file split. At 100 TB this turns a full-table min/max/count into
+    * an O(files) metadata pass — the same footer stats a lakehouse
+    * manifest (q_file_manifest) persists at write time. Results are
+    * engine-identical with the pushdown on or off (footer stats are
+    * exact, not sketches), so the oracle is the plain aggregate;
+    * PlanSpec pins the PushedAggregation plan shape and cross-checks the
+    * footer-served values against the decoded-page path.
+    */
+  private def aggPushdown(s: SparkSession, dir: String): DataFrame =
+    withConfs(s,
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true") {
+      s.read.parquet(s"$dir/lineitem.parquet").agg(
+        count(col("l_orderkey")).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_linenumber")).as("min_lnum"),
+        max(col("l_linenumber")).as("max_lnum"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    }
+
   /** Runtime Bloom-filter-pruned join: a selective dimension filter
     * (one brand of 25) injects a `bloom_filter_agg`/`might_contain` pair
     * so the FACT side drops non-qualifying rows BEFORE its shuffle — at
@@ -277,7 +304,8 @@ object Physical {
     "q_skew_aqe" -> (skewAqe _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_join_bloom" -> (bloomJoin _),
-    "q_join_dpp" -> (dppJoin _)
+    "q_join_dpp" -> (dppJoin _),
+    "q_agg_pushdown" -> (aggPushdown _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -316,6 +344,11 @@ object Physical {
         "SELECT day_id, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
         "FROM (SELECT epoch_us(ts) // 86400000000 AS day_id, value FROM events) e " +
-        "JOIN dim USING (day_id) WHERE week = 1 GROUP BY day_id ORDER BY day_id")
+        "JOIN dim USING (day_id) WHERE week = 1 GROUP BY day_id ORDER BY day_id"),
+    "q_agg_pushdown" ->
+      ("SELECT CAST(count(l_orderkey) AS BIGINT) AS n_rows, " +
+        "min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, " +
+        "min(l_linenumber) AS min_lnum, max(l_linenumber) AS max_lnum, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem")
   )
 }

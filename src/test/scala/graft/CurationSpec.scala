@@ -63,6 +63,27 @@ class CurationSpec extends SparkSpec {
       "one shard directory per q_pack_sequences shard")
   }
 
+  test("file manifest: one file per shard, disjoint ordered key ranges, lossless") {
+    val m = q("q_file_manifest").collect()
+    assert(m.nonEmpty)
+    // the write-layout contract: repartition(shard_id) co-locates each
+    // shard into exactly one task, hence one data file
+    m.foreach(r => assert(r.getLong(1) === 1L,
+      s"shard ${r.getLong(0)} split across ${r.getLong(1)} files"))
+    // the packer assigns docs in doc_id order, so manifest key ranges
+    // must tile the id space disjointly in shard order — the property
+    // that makes range pruning on the manifest sound
+    val ranges = m.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    ranges.foreach { case (_, lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) =>
+        assert(hi < lo, "manifest key ranges must be disjoint and ordered")
+      case _ => ()
+    }
+    assert(m.map(_.getLong(2)).sum === Tables.documents(spark, sfDir).count(),
+      "manifest row counts must cover the corpus exactly")
+  }
+
   test("mixture sampling is deterministic and tracks its weights") {
     val a = q("q_mixture_sample").collect()
     val b = q("q_mixture_sample").collect()

@@ -451,6 +451,25 @@ class PlanSpec extends SparkSpec {
     assert(n0 >= 100000L)
   }
 
+  test("aggregate pushdown answers from parquet footer statistics") {
+    // withConfs forced + cached the physical plan under the pushdown
+    // confs, so the v2 scan node must advertise the whole aggregate
+    val df = q("q_agg_pushdown")
+    val p = df.queryExecution.executedPlan.toString
+    // the scan's toString truncates the list, so pin the head of it and
+    // the stats-typed output schema rather than the full function list
+    assert(p.contains("PushedAggregation: [COUNT(l_orderkey), MIN(l_orderkey)"),
+      p.take(1400))
+    assert(p.contains("count(l_orderkey):bigint"), p.take(1400))
+    // footer honesty: the stats-served row must equal the decoded-page path
+    import org.apache.spark.sql.functions._
+    val want = spark.read.parquet(s"$sfDir/lineitem.parquet").agg(
+      count(col("l_orderkey")), min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_linenumber")), max(col("l_linenumber")),
+      min(col("l_quantity")), max(col("l_quantity"))).collect()(0)
+    assert(df.collect()(0).toSeq === want.toSeq)
+  }
+
   test("classifier scoring reuses the fit's features and broadcasts weights") {
     val p = finalPlan("q_quality_classifier")
     // weights arrive broadcast (65 rows), never shuffled onto features
