@@ -751,19 +751,42 @@ object Vectors {
     */
   private def ivfPqScores(s: SparkSession, dir: String,
       a2: DataFrame, c2: DataFrame, nprobe: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val m = 4
-    val e = Tables.embeddings(s, dir).select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
-    // residual from the assigned coarse centroid — what PQ quantizes
+    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2)
+    ivfPqServe(s, dir, c2, pcb2, codes, asgn, nprobe)
+  }
+
+  /** The PQ half of the IVF-PQ index, built from a fitted coarse
+    * quantizer: residuals from the assigned list centroid are PQ-encoded
+    * ([[pqFit]]). Returns the three tables that, with the coarse
+    * centroids themselves, ARE the index: codebooks (m, c, centroid),
+    * codes (vec_id, m, code), list assignments (vec_id, cl).
+    */
+  private def ivfPqIndexTables(
+      a2: DataFrame, c2: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val res = a2.join(broadcast(c2), "c")
       .select(col("vec_id"), col("c").as("cl"),
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("remb"))
-    val (pa2, pcb2) = pqFit(subspaces(res, "remb", m), PqCodewords)
+    val (pa2, pcb2) = pqFit(subspaces(res, "remb", 4), PqCodewords)
+    (pcb2, pa2.select(col("vec_id"), col("m"), col("c").as("code")),
+      res.select(col("vec_id"), col("cl")))
+  }
 
-    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+  /** ADC scoring from the four index tables ALONE — coarse centroids
+    * (c, centroid), PQ codebooks (m, c, centroid), codes
+    * (vec_id, m, code), list assignments (vec_id, cl) — plus the query
+    * vector. This is the serving contract: no corpus vector is ever
+    * read, which is why the same function serves both the in-memory fit
+    * (ivfPqScores) and a parquet-persisted index (q_ann_persist).
+    */
+  private def ivfPqServe(s: SparkSession, dir: String, c2: DataFrame,
+      pcb2: DataFrame, codes: DataFrame, asgn: DataFrame,
+      nprobe: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 4
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
     // probe: top-nprobe coarse lists by query→centroid cosine (the
     // house metric, consistent with q_ann_ivf_trained's probe); the
     // rank window orders only nlist ≈ √N rows
@@ -787,14 +810,52 @@ object Vectors {
     // candidates = PQ codes of vectors in the probed lists; the inner
     // join against the broadcast ADC table both restricts to the probe
     // set and scores each code in one lookup
-    pa2.select(col("vec_id"), col("m"), col("c").as("code"))
-      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+    codes
+      .join(asgn, "vec_id")
       .join(broadcast(adcT), Seq("cl", "m", "code"))
       .filter(col("vec_id") =!= 0)
       .groupBy("vec_id", "cl")
       .agg(sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType).as("adc0"))
       .select(col("vec_id"), col("cl").as("cluster"),
         round(col("adc0"), 4).as("adc"))
+  }
+
+  /** Index persistence round-trip — the production index lifecycle
+    * that q_ann_ivfpq's one-shot fit elides: BUILD the IVF-PQ index
+    * tables once, WRITE them as parquet (coarse centroids, PQ
+    * codebooks, codes, list assignments — bytes per vector, the only
+    * state a serving tier holds), READ them back, and SERVE the query
+    * from the loaded tables through the same [[ivfPqServe]] ADC path.
+    * At 100 TB build and serve are different clusters on different
+    * days; this query proves the hand-off loses nothing — it is oracled
+    * against the SAME DuckDB twin as q_ann_ivfpq, so the parquet
+    * round-trip must reproduce the in-memory answer bit-for-bit. The
+    * result is checkpointed before the temp index dir is deleted.
+    */
+  private def annPersist(s: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansFit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+    val idx = idxPath.toString
+    try {
+      c2.write.mode("overwrite").parquet(s"$idx/coarse")
+      pcb2.write.mode("overwrite").parquet(s"$idx/codebooks")
+      codes.write.mode("overwrite").parquet(s"$idx/codes")
+      asgn.write.mode("overwrite").parquet(s"$idx/assign")
+      ivfPqServe(s, dir,
+        s.read.parquet(s"$idx/coarse"),
+        s.read.parquet(s"$idx/codebooks"),
+        s.read.parquet(s"$idx/codes"),
+        s.read.parquet(s"$idx/assign"), None)
+        .orderBy(col("adc").asc, col("vec_id"))
+        .limit(10)
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idxPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
@@ -923,6 +984,7 @@ object Vectors {
     "q_dedup_embed" -> (dedupEmbed _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_persist" -> (annPersist _),
     "q_ann_rerank" -> (annRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_embed_centroid" -> (embedCentroid _),
@@ -1203,6 +1265,11 @@ object Vectors {
         "ORDER BY cos DESC, a2.vec_id LIMIT 10"
     },
     "q_ann_ivfpq" ->
+      (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
+        "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
+    // the persisted-index serve must reproduce the in-memory IVF-PQ
+    // answer exactly — same oracle as q_ann_ivfpq by construction
+    "q_ann_persist" ->
       (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
         "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
     "q_ann_rerank" ->

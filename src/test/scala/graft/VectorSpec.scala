@@ -351,6 +351,17 @@ class VectorSpec extends SparkSpec {
       .getAs[Long]("hits") === lshHits.toLong)
   }
 
+  test("persisted IVF-PQ index serves the in-memory answer bit-for-bit") {
+    // the production hand-off: build → write parquet → load → serve.
+    // Any loss in the round-trip (type widening, row drop, codebook
+    // reorder) shows up as a ranking difference against the direct fit
+    val persisted = q("q_ann_persist").collect().toSeq
+    val direct = q("q_ann_ivfpq").collect().toSeq
+    assert(persisted === direct,
+      "loaded-index serve must equal the one-shot in-memory IVF-PQ")
+    assert(persisted.length === 10)
+  }
+
   test("embed pipeline: √N clusters partition the corpus; quantization cost is tiny but real") {
     val rows = q("q_embed_pipeline").collect()
     // nlist = ceil(√N) is data-derived; Lloyd reassignment may empty a
