@@ -229,7 +229,20 @@ object StreamOps {
       Ingest.explodeContent(Ingest.parseEnvelopes(raw)),
       substring_index(col("file"), "/", 1),
       col("timestamp"))
-    rows.writeStream
+    // per-micro-batch data-quality counters, computed ON the rows as
+    // they pass to the sink (observe piggybacks on the batch's own
+    // action — no second scan, which is the only affordable shape at
+    // scale): row count, event-time bounds (the freshness/watermark-lag
+    // signal), and null-timestamp count. Surfaced through
+    // StreamingQueryProgress.observedMetrics("ingest_quality") for the
+    // monitoring agent the reference's ingest loop logs to stdout.
+    rows
+      .observe("ingest_quality",
+        count(lit(1)).as("rows"),
+        min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"),
+        sum(col("timestamp").isNull.cast("long")).as("null_ts"))
+      .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)

@@ -46,10 +46,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rejects.select("reject_reason").as[String].collect().toSet ===
       Set("file is required", "timeGenerated is required", "content must be non-empty"))
 
+    // observe() metrics rode along with batch 1's own action — no
+    // second scan: 4 rows, event-time bounds, zero null timestamps
+    val quality = q1.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+    assert(quality.nonEmpty, "ingest_quality must be observed on data batches")
+    val qrow = quality.filter(_.getAs[Long]("rows") > 0).last
+    assert(qrow.getAs[Long]("rows") === 4L)
+    assert(qrow.getAs[Long]("null_ts") === 0L)
+    assert(qrow.getAs[Long]("max_ts") >= qrow.getAs[Long]("min_ts"))
+
     // batch 2: a new file arrives; only it is processed (no re-ingest of b1)
     Files.write(Paths.get(in, "b2.json"),
       """{"content":[{"timestamp":1697139000000,"value":9.9}],"id":"batch-6","timeGenerated":1697139000000,"file":"factory-2/2023/10/12/17/e.parquet"}""".getBytes)
     q1.processAllAvailable(); q2.processAllAvailable()
+
+    // batch 2's metrics: the single factory-2 row with its event time
+    val q2row = q1.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+      .filter(_.getAs[Long]("rows") > 0).last
+    assert(q2row.getAs[Long]("rows") === 1L)
+    assert(q2row.getAs[Long]("max_ts") === 1697139000000L)
     q1.stop(); q2.stop()
 
     val after = spark.read.parquet(out)
