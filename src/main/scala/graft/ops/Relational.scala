@@ -346,6 +346,60 @@ object Relational {
         col("n"), col("sum_base"))
       .orderBy("rf", "ls")
 
+  /** Autocluster-style segment mining (the ADX `evaluate autocluster`
+    * workload, deterministic variant): find the attribute-combination
+    * segments that explain the data — "error events from user band u1
+    * are 12% of traffic" — over (event_type, user band, value band).
+    * One CUBE Expand pass counts every pattern in a single shuffle
+    * (null = wildcard; the derived attributes are never null, and
+    * grouping_id separates the grand-total row). Coverage and dominance
+    * thresholds are INTEGER arithmetic (n·20 ≥ total ⇔ ≥5%; no
+    * ratio ever computed), so the query is exactly oracled. The
+    * dominance prune runs on the BOUNDED pattern table (≤ |et|·|ub|·|vb|
+    * rows regardless of data size): a general segment is dropped when a
+    * strictly more specific refinement keeps ≥ half its rows — the
+    * anti-join is broadcast, never a data-sized shuffle. At 100 TB the
+    * cost is the one cube aggregate; everything after is metadata-sized.
+    */
+  private def autoSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_type").as("et"),
+      concat(lit("u"), pmod(col("user_id"), lit(4))).as("ub"),
+      when(col("value") < 10, "low").when(col("value") < 100, "mid")
+        .otherwise("high").as("vb"))
+    // the cube result is bounded (≤ Π(|attr|+1) ≈ 240 rows) but fans out
+    // to FOUR consumers (total + pattern side + both dominance sides) —
+    // without the checkpoint each reference re-derives the whole
+    // corpus-sized Expand pass (4 scans observed in the plan)
+    val cubed = ev.cube(col("et"), col("ub"), col("vb"))
+      .agg(cnt.as("n"), grouping_id().cast("long").as("gid"))
+      .localCheckpoint(true)
+    val total = cubed.filter(col("gid") === 7).select(col("n").as("total"))
+    val pats = cubed.filter(col("gid") =!= 7)
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 20 >= col("total"))
+      .withColumn("spec",
+        (lit(3L) - (col("gid") % 2 + shiftright(col("gid"), 1) % 2 +
+          shiftright(col("gid"), 2) % 2)).cast("long"))
+      .select("et", "ub", "vb", "n", "spec")
+    val q = pats.select(col("et").as("q_et"), col("ub").as("q_ub"),
+      col("vb").as("q_vb"), col("n").as("q_n"), col("spec").as("q_spec"))
+    pats.join(broadcast(q),
+        (col("q_spec") > col("spec")) &&
+          (col("et").isNull || col("q_et") === col("et")) &&
+          (col("ub").isNull || col("q_ub") === col("ub")) &&
+          (col("vb").isNull || col("q_vb") === col("vb")) &&
+          (col("q_n") * 2 >= col("n")),
+        "left_anti")
+      .select(
+        coalesce(col("et"), lit("*")).as("seg_type"),
+        coalesce(col("ub"), lit("*")).as("seg_user_band"),
+        coalesce(col("vb"), lit("*")).as("seg_value_band"),
+        col("n"), col("spec").as("specificity"))
+      .orderBy(col("n").desc, col("seg_type"), col("seg_user_band"),
+        col("seg_value_band"))
+  }
+
   /** Explicit GROUPING SETS ((rf), (ls)) — two independent groupings in
     * one pass over the data.
     */
@@ -1119,6 +1173,7 @@ object Relational {
     "q_stats_profile" -> (statsProfile _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
+    "q_auto_segments" -> (autoSegments _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank" -> (windowRank _),
     "q_window_ntile" -> (windowNtile _),
@@ -1239,6 +1294,22 @@ object Relational {
       "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls",
     "q_cube" ->
       "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "q_auto_segments" ->
+      ("WITH ev AS (SELECT event_type AS et, 'u' || CAST(user_id % 4 AS VARCHAR) AS ub, " +
+        "CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS vb FROM events), " +
+        "cube_t AS (SELECT et, ub, vb, CAST(count(*) AS BIGINT) AS n, " +
+        "GROUPING(et) * 4 + GROUPING(ub) * 2 + GROUPING(vb) AS gid " +
+        "FROM ev GROUP BY CUBE (et, ub, vb)), " +
+        "total AS (SELECT n AS total FROM cube_t WHERE gid = 7), " +
+        "pats AS (SELECT et, ub, vb, n, " +
+        "CAST(3 - (gid % 2 + (gid // 2) % 2 + (gid // 4) % 2) AS BIGINT) AS spec " +
+        "FROM cube_t, total WHERE gid <> 7 AND n * 20 >= total) " +
+        "SELECT COALESCE(p.et, '*') AS seg_type, COALESCE(p.ub, '*') AS seg_user_band, " +
+        "COALESCE(p.vb, '*') AS seg_value_band, p.n AS n, p.spec AS specificity " +
+        "FROM pats p WHERE NOT EXISTS (SELECT 1 FROM pats q WHERE q.spec > p.spec " +
+        "AND (p.et IS NULL OR q.et = p.et) AND (p.ub IS NULL OR q.ub = p.ub) " +
+        "AND (p.vb IS NULL OR q.vb = p.vb) AND q.n * 2 >= p.n) " +
+        "ORDER BY n DESC, seg_type, seg_user_band, seg_value_band"),
     "q_grouping_sets" ->
       "SELECT COALESCE(l_returnflag, '<all>') AS rf, COALESCE(l_linestatus, '<all>') AS ls, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY rf, ls",
     "q_window_ntile" ->

@@ -60,6 +60,44 @@ class RelationalSpec extends SparkSpec {
     assert(total === li.count())
   }
 
+  test("auto segments equal an exact sequential pattern-mining recompute") {
+    val raw = Tables.events(spark, sfDir)
+      .select("event_type", "user_id", "value").collect()
+      .map { r =>
+        val v = r.getDouble(2)
+        (r.getString(0), "u" + (r.getLong(1) % 4),
+          if (v < 10) "low" else if (v < 100) "mid" else "high")
+      }
+    val total = raw.length
+    def key(t: (String, String, String), mask: Int) =
+      (if ((mask & 4) == 0) Some(t._1) else None,
+        if ((mask & 2) == 0) Some(t._2) else None,
+        if ((mask & 1) == 0) Some(t._3) else None)
+    val counts = scala.collection.mutable.Map
+      .empty[(Option[String], Option[String], Option[String]), Long]
+      .withDefaultValue(0L)
+    for (t <- raw; m <- 0 to 6) counts(key(t, m)) += 1
+    val pats = counts.toMap.filter(_._2 * 20 >= total)
+    def spec(k: (Option[String], Option[String], Option[String])) =
+      k.productIterator.count(_.asInstanceOf[Option[_]].isDefined)
+    def refines(q: (Option[String], Option[String], Option[String]),
+        p: (Option[String], Option[String], Option[String])) =
+      (p._1.isEmpty || q._1 == p._1) && (p._2.isEmpty || q._2 == p._2) &&
+        (p._3.isEmpty || q._3 == p._3)
+    val want = pats.filterNot { case (p, n) =>
+      pats.exists { case (qk, qn) =>
+        spec(qk) > spec(p) && refines(qk, p) && qn * 2 >= n
+      }
+    }.map { case (p, n) =>
+      (p._1.getOrElse("*"), p._2.getOrElse("*"), p._3.getOrElse("*"), n)
+    }.toSet
+    val got = q("q_auto_segments").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === want, "distributed cube+dominance must equal the local fold")
+    assert(got.nonEmpty)
+  }
+
   test("approx distinct stays within its 2% error budget") {
     val r = q("q_agg_approx_distinct")
     assert(r.filter($"rel_err" > 0.05).count() === 0)
