@@ -638,7 +638,17 @@ object Vectors {
     * (m, c, centroid). Shared by q_pq_encode (encode the corpus) and
     * q_ann_ivfpq (encode coarse residuals + ADC lookup tables).
     */
-  private def pqFit(sub: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  /** `checkpointFit = true` materializes the trained codebooks (≤ m·k
+    * rows) eagerly — for consumers that trigger SEPARATE actions over
+    * the fit (q_ann_persist writes four index tables; without it each
+    * write re-derives the two-round unroll). Default false: single-action
+    * consumers (ivfpq / rerank / recall) share the fit subtree via
+    * exchange reuse within their one action, and the recall harness
+    * constructs the chain three times — eager jobs there would fit the
+    * same codebooks thrice at construction.
+    */
+  private def pqFit(sub: DataFrame, k: Int,
+      checkpointFit: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
     // per-(subspace, code) dimension-wise decimal-exact mean
@@ -673,7 +683,8 @@ object Vectors {
 
     val a0 = sub.select(col("vec_id"), col("m"), col("sv"))
       .withColumn("c", (col("vec_id") % k).cast("int"))
-    val cb2 = centroids(assign(centroids(a0)))
+    val cb2raw = centroids(assign(centroids(a0)))
+    val cb2 = if (checkpointFit) cb2raw.localCheckpoint(true) else cb2raw
     (assign(cb2), cb2)
   }
 
@@ -761,13 +772,14 @@ object Vectors {
     * centroids themselves, ARE the index: codebooks (m, c, centroid),
     * codes (vec_id, m, code), list assignments (vec_id, cl).
     */
-  private def ivfPqIndexTables(
-      a2: DataFrame, c2: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def ivfPqIndexTables(a2: DataFrame, c2: DataFrame,
+      checkpointFit: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val res = a2.join(broadcast(c2), "c")
       .select(col("vec_id"), col("c").as("cl"),
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("remb"))
-    val (pa2, pcb2) = pqFit(subspaces(res, "remb", 4), PqCodewords)
+    val (pa2, pcb2) =
+      pqFit(subspaces(res, "remb", 4), PqCodewords, checkpointFit)
     (pcb2, pa2.select(col("vec_id"), col("m"), col("c").as("code")),
       res.select(col("vec_id"), col("cl")))
   }
@@ -835,7 +847,7 @@ object Vectors {
   private def annPersist(s: SparkSession, dir: String): DataFrame = {
     val (a2, c2) = kmeansFit(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2)
+    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2, checkpointFit = true)
     val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
     val idx = idxPath.toString
     try {
@@ -1015,15 +1027,19 @@ object Vectors {
     * shared by every oracle that replays the trained quantizer
     * (q_hard_negatives, q_cluster_profile).
     */
+  // every CTE is MATERIALIZED: the unroll is a deep reference DAG and
+  // DuckDB's inlining heuristic can re-expand it as a tree — at ~sf1 the
+  // q_ann_recall composition (5 replays) ran the buffer pool out of
+  // memory before these hints (the bpeMergeCtes lesson, same cause)
   private val kmeansUnrollCtes: String =
-    "e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-      "a0 AS (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
-      s"c1 AS ${cent("a0")}, " +
-      s"s1 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
-      "a1 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
-      s"c2 AS ${cent("a1")}, " +
-      s"s2 AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
-      "a2 AS (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1)"
+    "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+      "a0 AS MATERIALIZED (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
+      s"c1 AS MATERIALIZED ${cent("a0")}, " +
+      s"s1 AS MATERIALIZED (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
+      "a1 AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1) WHERE rn = 1), " +
+      s"c2 AS MATERIALIZED ${cent("a1")}, " +
+      s"s2 AS MATERIALIZED (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2), " +
+      "a2 AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2) WHERE rn = 1)"
 
   /** The derived probe count, computed from the trained centroid table
     * exactly as the Spark side's [[nprobeDf]]: nprobe = ⌈√nlist⌉.
@@ -1041,29 +1057,29 @@ object Vectors {
       s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
     s"$kmeansUnrollCtes, " +
       // residual from the assigned coarse centroid
-      "res AS (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
-      "rsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
+      "res AS MATERIALIZED (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
+      "rsub AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
       // two unrolled Lloyd rounds per subspace over the residuals
-      s"p0 AS (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub), " +
-      "pce1 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-      "pcb1 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
-      s"pd1 AS (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
-      "pa1 AS (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
-      "pce2 AS (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-      "pcb2 AS (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
-      s"pd2 AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
-      "pa2 AS (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
+      s"p0 AS MATERIALIZED (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub), " +
+      "pce1 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      "pcb1 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
+      s"pd1 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
+      "pa1 AS MATERIALIZED (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
+      "pce2 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      "pcb2 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
+      s"pd2 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
+      "pa2 AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
       // probe: top-nprobe coarse lists by query->centroid cosine
-      "q AS (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
-      s"pbl AS (SELECT c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
-      "pbr AS (SELECT cl, centroid, row_number() OVER (ORDER BY ls DESC, cl) AS rn FROM pbl), " +
-      s"pb AS (SELECT cl, centroid FROM pbr WHERE rn <= $probeCut), " +
+      "q AS MATERIALIZED (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+      s"pbl AS MATERIALIZED (SELECT c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
+      "pbr AS MATERIALIZED (SELECT cl, centroid, row_number() OVER (ORDER BY ls DESC, cl) AS rn FROM pbl), " +
+      s"pb AS MATERIALIZED (SELECT cl, centroid FROM pbr WHERE rn <= $probeCut), " +
       // per-list query residual -> (list, m, code) ADC table
-      "qr AS (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
-      "qrs AS (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
-      s"adc AS (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${l2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
-      "cand AS (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id) WHERE pa2.vec_id <> 0), " +
-      "scored AS (SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
+      "qr AS MATERIALIZED (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
+      "qrs AS MATERIALIZED (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
+      s"adc AS MATERIALIZED (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${l2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
+      "cand AS MATERIALIZED (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id) WHERE pa2.vec_id <> 0), " +
+      "scored AS MATERIALIZED (SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
       "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
       "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
       "GROUP BY cand.vec_id, cand.cl)"
