@@ -583,6 +583,8 @@ object Kql {
           df.orderBy(lastSort.get: _*)
         case TIdent("serialize") +: rest =>
           applySerialize(df, rest)
+        case TIdent("scan") +: rest =>
+          applyScan(df, rest, Nil, lastSort)
         case TIdent("join") +: rest =>
           applyJoin(df, rest)
         case TIdent("lookup") +: rest =>
@@ -769,6 +771,65 @@ object Kql {
             fail(s"serialize items must be `name = fn(...)`, got $other")
         }
       }
+    }
+
+    // ------------------------------------------------------------ scan
+    //   scan := 'with' '(' step (';' step)* [';'] ')'
+    //   step := 'step' name ':' predicate
+    //   ADX's sequence-matching operator, restricted to the first-match
+    //   funnel fragment: over the order a preceding `sort by` froze,
+    //   step k admits exactly the FIRST row satisfying its predicate
+    //   strictly after step k-1's matched row; matched rows are emitted
+    //   with their original columns (a stalled chain still emits the
+    //   prefix it matched — ADX's output=all default for a single
+    //   non-repeating sequence). Greedy step repeats, concurrent
+    //   matches, and declare-state assignments are out of subset and
+    //   rejected loudly.
+    //
+    //   Plan: rn = row_number over the frozen order, then ONE
+    //   whole-frame conditional-min window per step (min(rn) where
+    //   step-k predicate AND rn > r_{k-1}) — k window passes over a
+    //   single sort, no self-join, no driver loop. Bare scan pays the
+    //   serialize single-partition cost (the honest ADX semantic);
+    //   `partition by Key (sort by ... | scan ...)` runs the identical
+    //   cascade per key, fully distributed — the shape a per-entity
+    //   funnel takes at corpus scale.
+    private def applyScan(df: DataFrame, toks: Vector[Tok],
+        part: Seq[Column], order: Option[Seq[Column]]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val keys = order.getOrElse(
+        fail("scan requires a preceding `sort by` (no deterministic order to scan)"))
+      val inner = toks match {
+        case TIdent("with") +: TSym("(") +: body :+ TSym(")") => body
+        case TIdent("declare") +: _ =>
+          fail("scan declare-state is out of subset (first-match steps only)")
+        case _ => fail("scan needs `with (step name: predicate; ...)`")
+      }
+      // ADX allows a trailing `;` after the last step
+      val stepToks =
+        if (inner.lastOption.contains(TSym(";"))) inner.dropRight(1) else inner
+      val steps = splitOn(stepToks, TSym(";")).map {
+        case TIdent("step") +: TIdent(name) +: TSym(":") +: p if p.nonEmpty =>
+          (name, parsePredicate(p))
+        case _ => fail("scan steps must be `step name: predicate`")
+      }
+      if (steps.isEmpty) fail("scan needs at least one step")
+      val wOrd =
+        if (part.isEmpty) Window.orderBy(keys: _*)
+        else Window.partitionBy(part: _*).orderBy(keys: _*)
+      val wAll =
+        if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part: _*)
+      val rn = col("__scan_rn")
+      val base = df.withColumn("__scan_rn", row_number().over(wOrd))
+      val marked = steps.zipWithIndex.foldLeft(base) { case (d, ((_, p), i)) =>
+        // rn > NULL is NULL, so a stalled previous step stalls this one
+        val after = if (i == 0) lit(true) else rn > col(s"__scan_r${i - 1}")
+        d.withColumn(s"__scan_r$i", min(when(p && after, rn)).over(wAll))
+      }
+      val isMatch = steps.indices.map(i => rn === col(s"__scan_r$i")).reduce(_ || _)
+      marked.filter(isMatch)
+        .drop(("__scan_rn" +: steps.indices.map(i => s"__scan_r$i")): _*)
     }
 
     // ------------------------------------------------------ top-nested
@@ -972,8 +1033,33 @@ object Kql {
       }
       if (!df.columns.contains(pcol))
         fail(s"partition column '$pcol' not in the frame")
-      splitPipes(inner).foldLeft(df) { (d, st) =>
+      // per-partition frozen order for a following scan: `sort by`
+      // inside the parens records the keys WITHOUT a global sort (the
+      // partition semantics make cross-key order meaningless, and the
+      // scan's own partitioned window supplies the per-key ordering).
+      // A sort nothing consumes stays rejected — accepting a silent
+      // no-op would diverge from ADX without telling the user.
+      val stages = splitPipes(inner)
+      stages.zipWithIndex.foreach {
+        case (TIdent(op) +: TIdent("by") +: _, i) if op == "sort" || op == "order" =>
+          val consumed = stages.drop(i + 1).exists {
+            case TIdent("scan") +: _ => true
+            case _ => false
+          }
+          if (!consumed)
+            fail(s"unsupported operator '$op' inside partition by " +
+              "(only a `sort by` feeding a later `scan` is in subset)")
+        case _ => ()
+      }
+      var innerSort: Option[Seq[Column]] = None
+      stages.foldLeft(df) { (d, st) =>
         st match {
+          case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
+            innerSort = Some(parseSortKeys(rest)); d
+          case TIdent("scan") +: rest =>
+            if (!d.columns.contains(pcol))
+              fail(s"partition column '$pcol' was projected away before scan")
+            applyScan(d, rest, Seq(col(pcol)), innerSort)
           case TIdent("top") +: TNum(k) +: TIdent("by") +: rest =>
             if (!d.columns.contains(pcol))
               fail(s"partition column '$pcol' was projected away before top")

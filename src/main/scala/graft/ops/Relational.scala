@@ -937,6 +937,27 @@ object Relational {
         "| where rn <= 100 | project rn, event_id, pv, nv, cum")
   }
 
+  /** KQL `scan` — ADX's sequence-matching operator, first-match funnel
+    * fragment: per user (via `partition by`), in (ts, event_id) order,
+    * step k admits the FIRST row satisfying its predicate strictly
+    * after step k-1's row; a stalled chain emits the prefix it matched.
+    * Compiles to one partitioned row_number plus one conditional-min
+    * window per step over the SAME partitioning — one shuffle on
+    * user_id total, no self-join, fully distributed per entity (the
+    * bare unpartitioned form pays the serialize single-partition cost
+    * instead). The signup→click→purchase funnel here is the canonical
+    * ADX process-mining query.
+    */
+  private def kqlScan(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by user_id (sort by ts asc, event_id asc " +
+        "| scan with (step s1: event_type == 'signup'; " +
+        "step s2: event_type == 'click'; step s3: event_type == 'purchase';)) " +
+        "| project user_id, event_id, event_type " +
+        "| sort by user_id asc, event_id asc")
+  }
+
   /** KQL dynamic tier — `todynamic()` + dot-path access over the events
     * `props` JSON column, the single most common ADX telemetry idiom
     * (`| extend k = tolong(todynamic(props).k)`): the path access
@@ -1212,6 +1233,7 @@ object Relational {
     "q_kql_range" -> (kqlRange _),
     "q_kql_serialize" -> (kqlSerialize _),
     "q_kql_prev" -> (kqlPrev _),
+    "q_kql_scan" -> (kqlScan _),
     "q_kql_dynamic" -> (kqlDynamic _),
     "q_kql_mvapply" -> (kqlMvapply _),
     "q_kql_lookup" -> (kqlLookup _),
@@ -1523,6 +1545,17 @@ object Relational {
         "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
         "FROM events WHERE event_type = 'purchase' WINDOW w AS (ORDER BY event_id)" +
         ") WHERE rn <= 100 ORDER BY rn"),
+    "q_kql_scan" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "m1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r1 FROM b), " +
+        "m2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > r1 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r2 FROM m1), " +
+        "m3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > r2 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r3 FROM m2) " +
+        "SELECT user_id, event_id, event_type FROM m3 " +
+        "WHERE rn IN (r1, r2, r3) ORDER BY user_id, event_id"),
     "q_kql_dynamic" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS ksum FROM (" +

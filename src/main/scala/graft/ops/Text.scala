@@ -291,6 +291,60 @@ object Text {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** BM25 top-10 retrieval for a fixed query — the sparse-retrieval
+    * baseline (Robertson/Okapi, the Lucene `+1` IDF variant) that a
+    * training-data pipeline runs for retrieval-based decontamination
+    * and DSIR-style relevance selection; q_tfidf ranks terms WITHIN a
+    * document, this ranks documents FOR a query, with tf saturation
+    * (k1 = 1.2) and length normalization (b = 0.75).
+    *
+    * Scale shape is the inverted-index probe: the query-term filter
+    * sits UNDER the (doc, word, dl) aggregate, so the only corpus-sized
+    * shuffle carries the query terms' postings — at 100 TB that is
+    * O(posting lists), not O(corpus), exactly what serving from a real
+    * inverted index costs (the fixture's word-soup vocabulary makes
+    * postings dense here; Zipf makes them sparse in real corpora). The
+    * df table is |Q|-bounded and the (n_docs, total_tokens) stats are
+    * one scalar row — both broadcast. Per-term contributions sum in
+    * DECIMAL(18,8) (order-independent, engine-exact; generic doubles
+    * never sit on the cast tie) and the top-10 is a
+    * TakeOrderedAndProject over (rounded score DESC, doc_id) — both
+    * engines rank the same rounded value, so a sub-4dp score tie cannot
+    * flip the cut.
+    */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val qTerms = Seq("scan", "merge", "window")
+    val base = Tables.documents(s, dir).select(col("doc_id"), tokens.as("w"))
+    // one scalar row: corpus size + total token count -> avgdl
+    val stats = base.agg(cnt.as("n_docs"),
+      sum(size(col("w")).cast("long")).as("tot"))
+    // postings of the query terms only: dl rides the explode so no
+    // second corpus scan / doc-length join is needed; dl is functionally
+    // dependent on doc_id so adding it to the grouping key is free
+    val cand = base
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("word"))
+      .filter(col("word").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "word").agg(cnt.as("tf"))
+    // df per query term derives from the aggregated postings (branch
+    // after the shuffle, never re-scan), |Q| rows. The always-true
+    // tf >= 1 filter is the q_tfidf exchange-reuse pin: without it this
+    // branch prunes tf away, its partial aggregate stops canonicalizing
+    // equal to cand's, and the corpus scans twice (plan-verified).
+    val dfq = cand.filter(col("tf") >= 1).groupBy("word").agg(cnt.as("df"))
+    val avgdl = col("tot").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfd = col("tf").cast(DoubleType)
+    val part = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    cand.join(broadcast(dfq), "word")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum((idf * part).cast(DecimalType(18, 8))).as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast(DoubleType), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
   /** PMI collocation mining — the phrase-detection pass (Mikolov-style
     * word2phrase) that decides which adjacent token pairs are real
     * multiword units worth keeping intact through tokenization. One
@@ -1550,6 +1604,7 @@ object Text {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
+    "q_bm25" -> (bm25 _),
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
@@ -1878,6 +1933,19 @@ object Text {
         "SELECT doc_id, CAST(term_rank AS INT) AS term_rank, word, round(tfidf, 4) AS score " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
+    "q_bm25" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM t), " +
+        "cand AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, CAST(len(w) AS INT) AS dl, unnest(w) AS word FROM t) " +
+        "WHERE word IN ('scan', 'merge', 'window') GROUP BY doc_id, dl, word), " +
+        "dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY word), " +
+        "sc AS (SELECT doc_id, sum(CAST(" +
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+        "AS DECIMAL(18,8))) AS sdec FROM cand JOIN dfq USING (word) CROSS JOIN st GROUP BY doc_id) " +
+        "SELECT doc_id, round(CAST(sdec AS DOUBLE), 4) AS bm25 FROM sc " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 10"),
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
     "q_hash_embed" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +

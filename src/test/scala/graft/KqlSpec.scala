@@ -857,6 +857,43 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("scan admits the first-eligible row per step and emits stalled prefixes") {
+    Seq(
+      (1L, 1L, "signup"), (1L, 2L, "click"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "signup"), (2L, 3L, "click"),
+      (3L, 1L, "purchase"), (3L, 2L, "error")
+    ).toDF("uid", "seq", "et").createOrReplaceTempView("kql_scan_t")
+    // per-entity funnel via partition by: uid 1 completes (1, 2, 4 —
+    // the SECOND click at 3 must not re-match step b), uid 2 stalls
+    // after click (prefix emitted), uid 3 never starts (purchase
+    // before signup must not match)
+    val got = Kql.translate(spark,
+      "kql_scan_t | partition by uid (sort by seq asc | scan with (" +
+        "step a: et == 'signup'; step b: et == 'click'; step c: et == 'purchase';))" +
+        " | project uid, seq | sort by uid asc, seq asc")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 2L), (2L, 3L)))
+    // bare scan runs over the whole frozen order
+    val g = Kql.translate(spark,
+      "kql_scan_t | sort by uid asc, seq asc | scan with (" +
+        "step a: et == 'signup'; step b: et == 'purchase') | project uid, seq")
+      .as[(Long, Long)].collect().toSeq
+    assert(g === Seq((1L, 1L), (1L, 4L)))
+    // no preceding sort -> no deterministic order to scan -> 400
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_t | scan with (step a: et == 'signup')")
+    }
+    // declare-state is out of subset and must fail loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_t | sort by seq asc " +
+        "| scan declare (m: long) with (step a: et == 'signup')")
+    }
+    // steps must be `step name: predicate`
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_t | sort by seq asc | scan with (et == 'x')")
+    }
+  }
+
   test("% is C-style remainder, same as the engine twin") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,

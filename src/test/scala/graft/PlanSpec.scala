@@ -221,6 +221,25 @@ class PlanSpec extends SparkSpec {
     assert(gens === 1, s"corpus must explode once, got $gens")
   }
 
+  test("bm25's df branch reuses the postings exchange; the corpus explodes once") {
+    val p = finalPlan("q_bm25")
+    assert(p.contains("ReusedExchange"),
+      s"df must reuse the (doc, dl, word) postings exchange:\n${p.take(1500)}")
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens === 1, s"corpus must explode once, got $gens:\n${p.take(1500)}")
+  }
+
+  test("kql scan: one hash exchange on the partition key feeds every step window") {
+    val p = finalPlan("q_kql_scan")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"per-entity scan must shuffle on user_id exactly once, got $hashEx:\n${p.take(1500)}")
+    assert(p.contains("row_number()"), p.take(1500))
+    // three first-match steps = three conditional-min windows
+    val mins = "min\\(_w".r.findAllIn(p).size
+    assert(mins >= 3, s"expected the per-step conditional minima, got $mins")
+  }
+
   test("collocations explode the corpus once — all counts branch off the pair exchange") {
     val p = finalPlan("q_collocations")
     val scans = "Scan parquet".r.findAllIn(p).size

@@ -188,6 +188,37 @@ class TextDedupSpec extends SparkSpec {
     assert(ranks.forall(_ == Seq(1, 2, 3)))
   }
 
+  test("bm25 top-10 matches a local recompute over the raw corpus") {
+    val rows = q("q_bm25").as[(Long, Double)].collect().toSeq
+    assert(rows.length === 10)
+    assert(rows.map(-_._2) === rows.map(-_._2).sorted, "scores descend")
+    // full local recompute, mirroring the engine's double->decimal path
+    // (BigDecimal.valueOf = shortest repr, matching Decimal.set(double))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val qts = Seq("scan", "merge", "window")
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = qts.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val want = toks.map { case (id, w) =>
+      val dl = w.length.toDouble
+      val s = qts.map { t =>
+        val tf = w.count(_ == t).toDouble
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val part = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          BigDecimal.valueOf(idf * part)
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      (id, BigDecimal.valueOf(s.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(rows === want)
+  }
+
   test("fuzzy dedup pairs planted prefix twins, skips distinct docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
