@@ -1850,6 +1850,39 @@ object Kql {
                 when(arg(0).substr(i, lit(L)) === lit(sub), 1).otherwise(0)))
               .otherwise(lit(0)).cast("int")
           }
+        case "series_outliers" =>
+          // ADX series anomaly scoring over a make-series array —
+          // Tukey fence scores from EXACT interpolated percentiles:
+          // kind 'ctukey' (default) fences at p10/p90, 'tukey' at
+          // p25/p75; score = (x - hi)/(hi - lo) above the fence,
+          // (x - lo)/(hi - lo) below, 0 inside (and 0 everywhere when
+          // the fence collapses). ADX computes the same fences from
+          // sampled percentiles on long series; this subset's exact
+          // interpolation is the deterministic, oracle-able form —
+          // per-row array arithmetic only, nothing leaves the row.
+          nArgs(1, 2)
+          val kind = if (groups.length == 2) litStr(1) else "ctukey"
+          val (pLo, pHi) = kind match {
+            case "ctukey" => (0.10, 0.90)
+            case "tukey" => (0.25, 0.75)
+            case other => fail(s"series_outliers kind '$other' (ctukey/tukey)")
+          }
+          val ad = transform(arg(0), x => x.cast("double"))
+          val srt = array_sort(ad)
+          def pct(p: Double): Column = {
+            val pos = (size(srt) - 1).cast("double") * lit(p)
+            val frac = pos - floor(pos)
+            element_at(srt, floor(pos).cast("int") + 1) * (lit(1.0) - frac) +
+              element_at(srt, ceil(pos).cast("int") + 1) * frac
+          }
+          val lo = pct(pLo)
+          val hi = pct(pHi)
+          val d = hi - lo
+          transform(ad, x => round(
+            when(d <= 0, lit(0.0))
+              .when(x > hi, (x - hi) / d)
+              .when(x < lo, (x - lo) / d)
+              .otherwise(lit(0.0)), 4))
         case "reverse" => nArgs(1); reverse(arg(0))
         case "strcat_delim" =>
           if (groups.length < 2)

@@ -818,6 +818,29 @@ object Relational {
           x => unix_micros(x).cast("string")), ",").as("axis"))
   }
 
+  /** KQL series anomaly tier — `series_outliers()` over make-series
+    * arrays: Tukey fence scores from exact interpolated percentiles
+    * (ctukey = p10/p90 default, tukey = p25/p75), the ADX time-series
+    * anomaly idiom (`make-series | extend ol = series_outliers(n)`).
+    * The scoring is per-row array arithmetic over the bounded
+    * keys×bins series table — nothing new leaves the row, so the whole
+    * anomaly pass costs exactly what make-series costs. Output explodes
+    * to one row per (key, bin) so scores oracle as plain doubles.
+    */
+  private def kqlAnomaly(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend ol = series_outliers(n), olt = series_outliers(n, 'tukey')")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("ol"), col("olt"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.ol").as("ctukey"),
+        col("col.olt").as("tukey"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `arg_max`/`arg_min` in summarize — ADX argument order is
     * (exprToRank, exprToReturn), translated to Spark's max_by/min_by;
     * one hash aggregate, partial/final combinable (the pair (rank, val)
@@ -1225,6 +1248,7 @@ object Relational {
     "q_kql_let" -> (kqlLet _),
     "q_kql_union" -> (kqlUnion _),
     "q_kql_makeseries" -> (kqlMakeSeries _),
+    "q_kql_anomaly" -> (kqlAnomaly _),
     "q_kql_argmax" -> (kqlArgmax _),
     "q_kql_percentile" -> (kqlPercentile _),
     "q_kql_condagg" -> (kqlCondAgg _),
@@ -1486,6 +1510,35 @@ object Relational {
         "array_to_string(list(CAST(epoch_us(g.b) AS VARCHAR) ORDER BY g.b), ',') AS axis " +
         "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b " +
         "GROUP BY g.event_type ORDER BY g.event_type"),
+    "q_kql_anomaly" -> {
+      // interpolated percentile over the sorted 31-bin series, the
+      // exact double op sequence the Spark-side series_outliers uses
+      def pct(p: String): String =
+        s"(ss[CAST(floor((len(ss) - 1) * $p) AS INT) + 1] * (1.0 - ((len(ss) - 1) * $p - floor((len(ss) - 1) * $p))) + " +
+          s"ss[CAST(ceil((len(ss) - 1) * $p) AS INT) + 1] * ((len(ss) - 1) * $p - floor((len(ss) - 1) * $p)))"
+      def score(lo: String, hi: String): String =
+        s"round(CASE WHEN $hi - $lo <= 0 THEN 0.0 " +
+          s"WHEN x > $hi THEN (x - $hi) / ($hi - $lo) " +
+          s"WHEN x < $lo THEN (x - $lo) / ($hi - $lo) ELSE 0.0 END, 4)"
+      "WITH keys AS (SELECT DISTINCT event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+        "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+        "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b)), " +
+        "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY 1, 2), " +
+        "ser AS (SELECT g.event_type AS event_type, " +
+        "list(CAST(COALESCE(a.n, 0) AS BIGINT) ORDER BY g.b) AS sl, " +
+        "list(CAST(COALESCE(a.n, 0) AS DOUBLE) ORDER BY g.b) AS s " +
+        "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b " +
+        "GROUP BY g.event_type), " +
+        "f AS (SELECT event_type, sl, s, list_sort(s) AS ss FROM ser), " +
+        s"p AS (SELECT *, ${pct("0.10")} AS lo1, ${pct("0.90")} AS hi1, " +
+        s"${pct("0.25")} AS lo2, ${pct("0.75")} AS hi2 FROM f), " +
+        "ex AS (SELECT event_type, CAST(t.i AS INT) AS bin, sl[CAST(t.i AS INT)] AS n, " +
+        "s[CAST(t.i AS INT)] AS x, lo1, hi1, lo2, hi2 FROM p CROSS JOIN range(1, 32) t(i)) " +
+        s"SELECT event_type, bin, n, ${score("lo1", "hi1")} AS ctukey, " +
+        s"${score("lo2", "hi2")} AS tukey FROM ex ORDER BY event_type, bin"
+    },
     "q_kql_argmax" ->
       ("SELECT user_id, arg_max(value, event_id) AS last_value, " +
         "arg_min(value, event_id) AS first_value, CAST(max(event_id) AS BIGINT) AS last_id " +

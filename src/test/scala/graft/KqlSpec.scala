@@ -894,6 +894,33 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("series_outliers scores above/below the exact Tukey fences") {
+    // sorted series 1..10,100: p25 = 3.5, p75 = 8.5, d = 5 (all dyadic,
+    // so the expected scores are exact doubles)
+    Seq((1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 100L)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_t")
+    val tukey = Kql.translate(spark,
+      "kql_series_t | extend ol = series_outliers(n, 'tukey')")
+      .select(explode(col("ol"))).as[Double].collect().toSeq
+    assert(tukey === Seq(-0.5, -0.3, -0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1, 0.3, 18.3))
+    // default ctukey fences at p10/p90: lo = 2, hi = 10, d = 8
+    val ctukey = Kql.translate(spark,
+      "kql_series_t | extend ol = series_outliers(n)")
+      .select(explode(col("ol"))).as[Double].collect().toSeq
+    assert(ctukey === Seq(-0.125) ++ Seq.fill(9)(0.0) ++ Seq(11.25))
+    // a collapsed fence scores everything 0 instead of dividing by 0
+    Seq((1L, Seq(5L, 5L, 5L, 5L))).toDF("k", "n")
+      .createOrReplaceTempView("kql_series_flat")
+    val flat = Kql.translate(spark,
+      "kql_series_flat | extend ol = series_outliers(n, 'tukey')")
+      .select(explode(col("ol"))).as[Double].collect().toSeq
+    assert(flat === Seq.fill(4)(0.0))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_series_t | extend ol = series_outliers(n, 'zscore')")
+    }
+  }
+
   test("% is C-style remainder, same as the engine twin") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,
