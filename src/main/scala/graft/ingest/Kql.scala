@@ -1850,6 +1850,28 @@ object Kql {
                 when(arg(0).substr(i, lit(L)) === lit(sub), 1).otherwise(0)))
               .otherwise(lit(0)).cast("int")
           }
+        case "toscalar" =>
+          // ADX evaluates toscalar() BEFORE the outer query and
+          // constant-folds the result — the first column of the first
+          // row of the inner tabular expression. The analog here is one
+          // bounded 1-row action at translate time (the same class as
+          // the Gateway's envelope collect); an empty result is a typed
+          // null, per ADX. The folded literal then participates in
+          // pushdown/pruning like any constant — which is exactly why
+          // ADX folds it too.
+          nArgs(1)
+          val sub = pipeline(splitPipes(groups(0)))
+          val dt = sub.schema.head.dataType
+          dt match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                _: org.apache.spark.sql.types.MapType |
+                _: org.apache.spark.sql.types.StructType =>
+              fail(s"toscalar over non-scalar column type $dt")
+            case _ => ()
+          }
+          val row = sub.select(sub.columns.head).limit(1).collect()
+          if (row.isEmpty || row(0).isNullAt(0)) lit(null).cast(dt)
+          else lit(row(0).get(0))
         case "series_outliers" =>
           // ADX series anomaly scoring over a make-series array —
           // Tukey fence scores from EXACT interpolated percentiles:

@@ -841,6 +841,21 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `toscalar()` — the ADX scalar-subquery fold: the inner tabular
+    * expression evaluates to its first row's first column BEFORE the
+    * outer query runs, and the folded constant participates in filter
+    * pushdown like any literal (`where value > hi * 0.99` reaches the
+    * scan as an attribute-vs-literal predicate). max() is exact in
+    * double, so the folded value is engine-identical.
+    */
+  private def kqlToscalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "let hi = toscalar(events_csl | summarize mx = max(value)); " +
+        "events_csl | where value > hi * 0.5 " +
+        "| project event_id, event_type, value | sort by event_id asc")
+  }
+
   /** KQL `arg_max`/`arg_min` in summarize — ADX argument order is
     * (exprToRank, exprToReturn), translated to Spark's max_by/min_by;
     * one hash aggregate, partial/final combinable (the pair (rank, val)
@@ -1249,6 +1264,7 @@ object Relational {
     "q_kql_union" -> (kqlUnion _),
     "q_kql_makeseries" -> (kqlMakeSeries _),
     "q_kql_anomaly" -> (kqlAnomaly _),
+    "q_kql_toscalar" -> (kqlToscalar _),
     "q_kql_argmax" -> (kqlArgmax _),
     "q_kql_percentile" -> (kqlPercentile _),
     "q_kql_condagg" -> (kqlCondAgg _),
@@ -1539,6 +1555,9 @@ object Relational {
         s"SELECT event_type, bin, n, ${score("lo1", "hi1")} AS ctukey, " +
         s"${score("lo2", "hi2")} AS tukey FROM ex ORDER BY event_type, bin"
     },
+    "q_kql_toscalar" ->
+      ("SELECT event_id, event_type, value FROM events " +
+        "WHERE value > (SELECT max(value) FROM events) * 0.5 ORDER BY event_id"),
     "q_kql_argmax" ->
       ("SELECT user_id, arg_max(value, event_id) AS last_value, " +
         "arg_min(value, event_id) AS first_value, CAST(max(event_id) AS BIGINT) AS last_id " +

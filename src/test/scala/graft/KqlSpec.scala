@@ -894,6 +894,30 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("toscalar folds the inner query's first value into a constant") {
+    ev.createOrReplaceTempView("kql_events")
+    // inline use, no let binding required
+    val got = Kql.translate(spark,
+      "kql_events | where event_id == toscalar(kql_events | summarize m = min(event_id))")
+      .count()
+    assert(got === 1)
+    // let-bound scalar participates in arithmetic
+    val n = Kql.translate(spark,
+      "let mx = toscalar(kql_events | summarize m = max(event_id)); " +
+        "kql_events | where event_id > mx - 5 | count").as[Long].head()
+    assert(n === 5)
+    // empty inner result folds to a typed null (nothing matches NULL)
+    val empty = Kql.translate(spark,
+      "kql_events | where value == toscalar(kql_events | where value < -1.0 | project value)")
+      .count()
+    assert(empty === 0)
+    // non-scalar first column is rejected loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | where value == toscalar(kql_events | summarize v = make_list(value))")
+    }
+  }
+
   test("series_outliers scores above/below the exact Tukey fences") {
     // sorted series 1..10,100: p25 = 3.5, p75 = 8.5, d = 5 (all dyadic,
     // so the expected scores are exact doubles)
