@@ -345,6 +345,45 @@ object Text {
       .orderBy(col("bm25").desc, col("doc_id")).limit(10)
   }
 
+  /** Per-document Shannon entropy of the character and token
+    * distributions — the standard low-entropy screen (boilerplate, key
+    * spam, repeated padding score low; natural prose sits near the
+    * language's per-char entropy). Everything is per-row array
+    * arithmetic: histogram = counts over the SORTED distinct symbol
+    * list (sorted so both engines fold the sum in the identical order
+    * — plain double adds are then bit-identical, the dcos/list_sum
+    * pattern), H folds once per distinct symbol, and NOTHING shuffles —
+    * at 100 TB this is a narrow map over the corpus, unlike the
+    * explode-and-groupBy formulation whose shuffle carries every
+    * character. The nats→bits conversion divides by an explicit ln 2
+    * literal so no engine's libm constant enters the value.
+    */
+  /** The operator over any (doc_id, text) frame — split out so the spec
+    * can assert the closed forms (constant doc → 0, uniform over k
+    * symbols → log2 k) on planted rows.
+    */
+  private[graft] def textEntropyOf(input: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    def entropy(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      val h = aggregate(array_sort(array_distinct(arr)), lit(0.0), (acc, c) => {
+        val p = size(filter(arr, x => x === c)).cast("double") / n
+        acc - p * log(p)
+      })
+      round(h / lit(ln2), 4)
+    }
+    input
+      // materialize the symbol arrays FIRST (the split-in-lambda trap)
+      .select(col("doc_id"), split(col("text"), "").as("ch"), tokens.as("w"))
+      .select(col("doc_id"), size(col("ch")).as("n_chars"),
+        entropy(col("ch")).as("char_entropy"),
+        entropy(col("w")).as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    textEntropyOf(Tables.documents(s, dir))
+
   /** PMI collocation mining — the phrase-detection pass (Mikolov-style
     * word2phrase) that decides which adjacent token pairs are real
     * multiword units worth keeping intact through tokenization. One
@@ -1605,6 +1644,7 @@ object Text {
     "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25 _),
+    "q_text_entropy" -> (textEntropy _),
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
@@ -1946,6 +1986,20 @@ object Text {
         "AS DECIMAL(18,8))) AS sdec FROM cand JOIN dfq USING (word) CROSS JOIN st GROUP BY doc_id) " +
         "SELECT doc_id, round(CAST(sdec AS DOUBLE), 4) AS bm25 FROM sc " +
         "ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    "q_text_entropy" -> {
+      // H over the sorted distinct symbols of array column `a`, folded
+      // in the same order and op sequence as the Spark side
+      def hSql(a: String): String =
+        s"round(list_sum(list_transform(list_sort(list_distinct($a)), c -> " +
+          s"-(CAST(len(list_filter($a, x -> x = c)) AS DOUBLE) / len($a)) * " +
+          s"ln(CAST(len(list_filter($a, x -> x = c)) AS DOUBLE) / len($a)))) " +
+          "/ 0.6931471805599453, 4)"
+      "WITH t AS (SELECT doc_id, " +
+        "list_transform(range(1, length(text) + 1), i -> substr(text, CAST(i AS INT), 1)) AS ch, " +
+        "string_split(text, ' ') AS w FROM documents) " +
+        s"SELECT doc_id, CAST(len(ch) AS INT) AS n_chars, ${hSql("ch")} AS char_entropy, " +
+        s"${hSql("w")} AS token_entropy FROM t ORDER BY doc_id"
+    },
     "q_collocations" -> s"WITH $collocCtes $collocSelect",
     "q_hash_embed" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +

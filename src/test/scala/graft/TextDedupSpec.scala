@@ -219,6 +219,29 @@ class TextDedupSpec extends SparkSpec {
     assert(rows === want)
   }
 
+  test("text entropy hits the closed forms on constant and uniform docs") {
+    val rows = q("q_text_entropy")
+      .select("doc_id", "char_entropy", "token_entropy")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+    // natural-prose corpus: every doc has positive entropy on both axes
+    assert(rows.forall { case (_, hc, hw) => hc > 0.0 && hw > 0.0 })
+    // closed forms via the same operator over planted docs
+    import org.apache.spark.sql.functions.{col, split}
+    val planted = Seq(
+      (1L, "aaaaaaaa"),          // constant chars -> H = 0
+      (2L, "abcdabcdabcdabcd"),  // uniform over 4 chars -> H = 2 bits
+      (3L, "x y x y x y x y")    // uniform over 2 tokens -> H = 1 bit
+    ).toDF("doc_id", "text")
+    val h = graft.ops.Text.textEntropyOf(planted)
+      .orderBy("doc_id")
+      .select("char_entropy", "token_entropy")
+      .as[(Double, Double)].collect().toSeq
+    assert(h(0)._1 === 0.0)
+    assert(h(1)._1 === 2.0)
+    assert(h(2)._2 === 1.0)
+  }
+
   test("fuzzy dedup pairs planted prefix twins, skips distinct docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
