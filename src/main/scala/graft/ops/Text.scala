@@ -539,6 +539,68 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Kneser-Ney smoothed bigram scoring (Kneser & Ney 1995; the
+    * standard n-gram smoothing) with a REAL train/eval split so the
+    * smoothing path is exercised: the model trains on doc_id % 4 != 0
+    * and scores the held-out quarter, so eval bigrams unseen in
+    * training get their probability from the backoff —
+    * P(b|a) = max(c(a,b) − D, 0)/c(a·) + D·N1+(a·)/c(a·) · N1+(·b)/T
+    * with D = 0.75 (the textbook absolute discount), N1+ the
+    * continuation type counts, T the bigram type total. Upgrades
+    * q_bigram_lm's fixed-λ interpolation: the backoff weight adapts to
+    * each context's diversity, and the continuation probability scores
+    * how many contexts a word FOLLOWS rather than how often it occurs —
+    * exactly the property that makes KN the default LM smoothing.
+    *
+    * Scale shape: one (a, b) hash aggregate over the train bigrams is
+    * the only corpus-sized shuffle; the pair table is vocabulary²-
+    * bounded and localCheckpoint'd because FOUR consumers derive from
+    * it (context totals, context types, continuation types, type total
+    * — without the cut each bounded derivation re-scans the corpus).
+    * Eval bigrams join the bounded model tables; bigrams whose context
+    * or continuation never appears in training drop (the documented
+    * OOV boundary of a bigram-only model). All counts are exact
+    * integers; the probability is one fixed double op sequence rounded
+    * to the 8-dp grid, so the per-doc decimal mean is engine-exact.
+    */
+  private[graft] def kneserNeyOf(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = input.select(col("doc_id"), tokens.as("w"))
+      .filter(size(col("w")) >= 2)
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct(" +
+          "'a', element_at(w, i), 'b', element_at(w, i + 1)))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    val pc = bigrams(docs.filter(col("doc_id") % 4 =!= 0))
+      .groupBy("a", "b").agg(cnt.as("c"))
+      .localCheckpoint(true)
+    val ctx = pc.groupBy("a")
+      .agg(sum(col("c")).as("cc"), cnt.as("n1pa"))
+    val contb = pc.groupBy("b").agg(cnt.as("n1pb"))
+    val tot = pc.agg(cnt.as("t"))
+    val ev = bigrams(docs.filter(col("doc_id") % 4 === 0))
+    val p =
+      greatest(coalesce(col("c"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) /
+        col("cc").cast("double") +
+        (lit(0.75) * col("n1pa").cast("double") / col("cc").cast("double")) *
+          (col("n1pb").cast("double") / col("t").cast("double"))
+    ev.join(ctx, "a")
+      .join(contb, "b")
+      .join(pc, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), round(log(p), 8).as("ll"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_bigrams"),
+        (sum(col("ll").cast(DecimalType(18, 8))).cast("double") /
+          cnt.cast("double")).as("mean_ll"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("mean_ll"), 4).as("mean_ll"))
+      .orderBy("doc_id")
+  }
+
+  private def kneserNey(s: SparkSession, dir: String): DataFrame =
+    kneserNeyOf(Tables.documents(s, dir))
+
   /** Feature-hashing vectorizer (the Weinberger et al. hashing trick) —
     * the no-vocabulary text featurizer that turns every document into a
     * fixed 64-dim signed-count vector in one pass: each token hashes to
@@ -1650,6 +1712,7 @@ object Text {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bigram_lm" -> (bigramLm _),
+    "q_kneser_ney" -> (kneserNey _),
     "q_hash_embed" -> (hashEmbed _),
     "q_lm_score" -> (lmScore _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
@@ -2022,6 +2085,28 @@ object Text {
         "st AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(a := w[CAST(i AS INT)], b := w[CAST(i + 1 AS INT)]))) AS g " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2)), " +
         "sc AS (SELECT doc_id, ll.ll AS ll FROM st JOIN ll ON st.g.a = ll.a AND st.g.b = ll.b) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    "q_kneser_ney" ->
+      ("WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id % 4 <> 0 AND len(string_split(text, ' ')) >= 2), " +
+        "tst AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> " +
+        "struct_pack(a := w[CAST(i AS INT)], b := w[CAST(i + 1 AS INT)]))) AS g FROM tr), " +
+        "pc AS (SELECT g.a AS a, g.b AS b, CAST(count(*) AS BIGINT) AS c FROM tst GROUP BY 1, 2), " +
+        "ctx AS (SELECT a, CAST(sum(c) AS BIGINT) AS cc, CAST(count(*) AS BIGINT) AS n1pa FROM pc GROUP BY a), " +
+        "cb AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pb FROM pc GROUP BY b), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pc), " +
+        "evd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 2), " +
+        "ev AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> " +
+        "struct_pack(a := w[CAST(i AS INT)], b := w[CAST(i + 1 AS INT)]))) AS g FROM evd), " +
+        "sc AS (SELECT ev.doc_id AS doc_id, round(ln(" +
+        "greatest(CAST(COALESCE(p.c, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE) + " +
+        "(0.75 * CAST(ctx.n1pa AS DOUBLE) / CAST(ctx.cc AS DOUBLE)) * " +
+        "(CAST(cb.n1pb AS DOUBLE) / CAST(tt.t AS DOUBLE))), 8) AS ll " +
+        "FROM ev JOIN ctx ON ev.g.a = ctx.a JOIN cb ON ev.g.b = cb.b " +
+        "LEFT JOIN pc p ON ev.g.a = p.a AND ev.g.b = p.b CROSS JOIN tt) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "round(CAST(sum(CAST(ll AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_ll " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),

@@ -219,6 +219,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows === want)
   }
 
+  test("kneser-ney backoff scores a planted unseen bigram exactly") {
+    // train split (ids % 4 != 0): pc = {(x,y):2, (y,x):1, (y,z):1, (w,y):1}
+    // ctx: x cc=2 n1pa=1; y cc=2 n1pa=2; cb: y 2, x 1, z 1; T=4
+    val planted = Seq(
+      (1L, "x y x y"), (2L, "y z"), (3L, "w y"),
+      (4L, "x z x"),   // eval: (x,z) unseen -> pure backoff; (z,x) OOV context -> dropped
+      (8L, "x y z")    // eval: both bigrams seen
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Text.kneserNeyOf(planted)
+      .as[(Long, Long, Double)].collect().toSeq
+    // (x,z): p = 0 + (0.75*1/2)*(1/4) = 0.09375 -> ln = -2.36712361
+    // (x,y): p = (2-.75)/2 + (.75*1/2)*(2/4) = 0.8125 -> -0.20763936
+    // (y,z): p = (1-.75)/2 + (.75*2/2)*(1/4) = 0.3125 -> -1.16315081
+    assert(got === Seq((4L, 1L, -2.3671), (8L, 2L, -0.6854)))
+  }
+
   test("text entropy hits the closed forms on constant and uniform docs") {
     val rows = q("q_text_entropy")
       .select("doc_id", "char_entropy", "token_entropy")
