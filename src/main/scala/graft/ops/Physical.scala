@@ -298,7 +298,50 @@ object Physical {
       .orderBy("bucket")
   }
 
+  /** Parquet schema EVOLUTION read — the mixed-generation lakehouse
+    * reality: older files lack columns newer files carry. Gen-1 files
+    * (even doc_ids) ship (doc_id, lang, n_chars); gen-2 (odd doc_ids)
+    * adds a `quality` column. The read lists BOTH generations under one
+    * base path with mergeSchema=true: Spark unions the footer schemas
+    * (the evolved column turns nullable; gen-1 rows read as true
+    * nulls) and discovers `gen` as a partition column from the
+    * directory layout. The aggregate proves the union semantics — gen 1
+    * counts zero quality values, gen 2 all of them — and is oracled
+    * against the SOURCE table (doc_id parity decides a row's
+    * generation), so the write → merged-read round trip must be
+    * lossless for the hash to match. mergeSchema costs one footer read
+    * per file, never a data scan: the 100 TB answer to schema drift is
+    * this flag plus the manifest (q_file_manifest), not a rewrite.
+    */
+  private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outPath = java.nio.file.Files.createTempDirectory("graft_evolve")
+    val out = outPath.toString
+    try {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("doc_id") % 100).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      val rows = s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("gen")
+        .agg(cnt.as("n_docs"), count(col("quality")).as("n_quality"),
+          sum(coalesce(col("quality"), lit(0L))).as("sum_quality"))
+        .select(col("gen").cast("int"), col("n_docs"), col("n_quality"),
+          col("sum_quality").cast("long"))
+        .as[(Int, Long, Long, Long)].collect().toSeq.sorted
+      rows.toDF("gen", "n_docs", "n_quality", "sum_quality")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_merge" -> (schemaMerge _),
     "q_zorder" -> (zorderLayout _),
     "q_skew_salted" -> (skewSalted _),
     "q_skew_aqe" -> (skewAqe _),
@@ -309,6 +352,12 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_schema_merge" ->
+      ("SELECT gen, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(CASE WHEN gen = 2 THEN 1 END) AS BIGINT) AS n_quality, " +
+        "CAST(sum(CASE WHEN gen = 2 THEN doc_id % 100 ELSE 0 END) AS BIGINT) AS sum_quality " +
+        "FROM (SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen " +
+        "FROM documents) GROUP BY gen ORDER BY gen"),
     "q_zorder" ->
       ("WITH g AS (SELECT user_id % 256 AS ux, least(CAST(floor(value / 2) AS BIGINT), 255) AS vx FROM events), " +
         "z AS (SELECT ux, vx, " +
