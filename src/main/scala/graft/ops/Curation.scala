@@ -308,6 +308,27 @@ object Curation {
       .orderBy("epoch", "rank")
   }
 
+  /** k-anonymity audit (Sweeney 2002) — the OTHER half of the privacy
+    * story next to piiRedact's content scrub: rows whose
+    * quasi-identifier combination (event_type, value band, calendar
+    * day) is shared by fewer than k = 5 rows are re-identifiable by
+    * linkage even with all direct identifiers removed. Output is every
+    * risky equivalence class with its size — the table a release
+    * review suppresses or generalizes before data leaves the
+    * boundary. ONE hash aggregate over the corpus (map-side combined);
+    * the k filter runs on the bounded class table. Day comes from
+    * exact epoch-µs integer division so both engines bin identically.
+    */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") / 50).cast("long").as("vband"),
+        expr("ts_us div 86400000000").as("day"))
+      .groupBy("event_type", "vband", "day")
+      .agg(cnt.as("n"))
+      .filter(col("n") < 5)
+      .orderBy("event_type", "vband", "day")
+
   // ------------------------------------------------------- PII scrub
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1285,6 +1306,7 @@ object Curation {
     "q_register_pipeline" -> (registerPipeline _),
     "q_epoch_order" -> (epochOrder _),
     "q_pii_redact" -> (piiRedact _),
+    "q_k_anonymity" -> (kAnonymity _),
     "q_passage_dedup" -> (passageDedup _),
     "q_span_dedup" -> (spanDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -1522,6 +1544,11 @@ object Curation {
       ("SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (" +
         "SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank FROM events) " +
         "WHERE rank <= 3 ORDER BY event_type, rank"),
+    "q_k_anonymity" ->
+      ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS vband, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events " +
+        "GROUP BY 1, 2, 3 HAVING count(*) < 5 ORDER BY event_type, vband, day"),
     "q_temperature_sample" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source), " +
         "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
