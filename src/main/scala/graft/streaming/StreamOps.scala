@@ -331,6 +331,64 @@ object StreamOps {
       .drop("h")
   }
 
+  /** Late-data quarantine (dead-letter) sink: rows whose event time
+    * (`ts_us`) lags the stream's high-water mark by more than
+    * `latenessUs` land in a quarantine directory instead of the main
+    * sink. Spark's own watermark silently DROPS late rows in stateful
+    * operators; an auditable ingest keeps them — quarantine is where a
+    * backfill or a clock-skewed producer is diagnosed rather than
+    * silently losing data.
+    *
+    * Replay determinism (the nearDupSink idempotence lesson): each
+    * batch writes to a batchId-derived subdirectory with overwrite, and
+    * the high-water mark is a WRITE-ONCE per-batch file
+    * (`mark.<batchId>` = max(previous mark, this batch's max ts)) read
+    * back as "latest mark with id < current batch" — so a replayed
+    * batch sees exactly the mark it saw the first time and splits
+    * identically, and its overwrite replaces rather than re-appends.
+    * Marks older than batchId − 1 are pruned (only the previous batch
+    * can ever replay), so state is O(1) files, not O(batches).
+    */
+  def lateDataSink(events: DataFrame, mainDir: String, quarantineDir: String,
+      stateDir: String, latenessUs: Long, checkpoint: String): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = new java.io.File(stateDir)
+        def markId(f: java.io.File): Option[Long] =
+          Option(f.getName).filter(_.startsWith("mark."))
+            .flatMap(_.stripPrefix("mark.").toLongOption)
+        val prior = dir.listFiles().toSeq
+          .flatMap(f => markId(f).filter(_ < id).map((_, f)))
+          .sortBy(-_._1).headOption
+        val mark = prior.map { case (_, f) =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+        }.getOrElse(Long.MinValue)
+        val b = batch.localCheckpoint(true)
+        val cut = if (mark == Long.MinValue) Long.MinValue else mark - latenessUs
+        b.filter(col("ts_us") >= cut)
+          .write.mode("overwrite").parquet(s"$mainDir/batch=$id")
+        b.filter(col("ts_us") < cut)
+          .write.mode("overwrite").parquet(s"$quarantineDir/batch=$id")
+        val bmax = b.agg(max(col("ts_us"))).head().get(0)
+        val newMark = math.max(mark,
+          if (bmax == null) Long.MinValue else bmax.asInstanceOf[Long])
+        val markFile = new java.io.File(dir, s"mark.$id")
+        // write-once: a replayed batch must NOT advance its own mark
+        if (!markFile.exists()) {
+          val tmp = new java.io.File(dir, s".mark.$id.tmp")
+          java.nio.file.Files.write(tmp.toPath, newMark.toString.getBytes)
+          tmp.renameTo(markFile)
+        }
+        // only batch id-1 can ever replay; older marks are dead
+        dir.listFiles().foreach(f =>
+          markId(f).filter(_ < id - 1).foreach(_ => f.delete()))
+        ()
+      }
+      .start()
+  }
+
   /** Static MinHash/LSH index over a (doc_id, text) corpus — build ONCE,
     * then every incoming micro-batch probes it. The index is the banded
     * signature table (band, bucket → signature): bucket collisions are

@@ -377,6 +377,32 @@ class StreamingSpec extends SparkSpec {
     assert(names.count(_.startsWith("v")) === 1, names)
   }
 
+  test("late rows land in quarantine; on-time rows and the first batch pass") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("event_id", "ts_us")
+    val q = StreamOps.lateDataSink(stream, s"$dir/main", s"$dir/quarantine",
+      s"$dir/state", latenessUs = 50L, checkpoint = s"$dir/ckpt")
+    // batch 0: no prior mark -> everything passes, mark becomes 200
+    input.addData((1L, 100L), (2L, 200L))
+    q.processAllAvailable()
+    // batch 1: cut = 200 - 50 = 150; ts 100 is late, 210 and 160 pass
+    input.addData((3L, 210L), (4L, 100L), (5L, 160L))
+    q.processAllAvailable()
+    q.stop()
+    val main = spark.read.parquet(s"$dir/main")
+      .select("event_id").as[Long].collect().toSet
+    val late = spark.read.parquet(s"$dir/quarantine")
+      .select("event_id").as[Long].collect().toSet
+    assert(main === Set(1L, 2L, 3L, 5L))
+    assert(late === Set(4L))
+    // the mark is write-once per batch and pruned to the replayable tail
+    val marks = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).filter(_.startsWith("mark.")).toSet
+    assert(marks === Set("mark.0", "mark.1"))
+  }
+
   test("upsert sink honors CDC tombstones: delete removes the key, a later insert resurrects it") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_del").toString
