@@ -351,6 +351,16 @@ object Kql {
       * as a constant scalar expression.
       */
     def defineLet(st: Vector[Tok]): Unit = st match {
+      // `let name = materialize(pipeline);` — ADX's compute-once hint:
+      // every later reference reads the cached result instead of
+      // re-running the subquery. localCheckpoint(true) is exactly that
+      // semantic in Spark (the plan becomes a materialized LogicalRDD,
+      // so N references cost one computation), and it is the same
+      // bounded-intermediate pattern the engine ops use for fan-out.
+      case TIdent("let") +: TIdent(name) +: TSym("=") +:
+          TIdent("materialize") +: TSym("(") +: (body :+ TSym(")")) =>
+        if (body.isEmpty) fail("materialize needs a tabular expression")
+        letTables(name) = pipeline(splitPipes(body)).localCheckpoint(true)
       case TIdent("let") +: TIdent(name) +: TSym("=") +: rhs if rhs.nonEmpty =>
         val tabular = rhs.head match {
           // the table generators are tabular regardless of what follows
@@ -1850,6 +1860,9 @@ object Kql {
                 when(arg(0).substr(i, lit(L)) === lit(sub), 1).otherwise(0)))
               .otherwise(lit(0)).cast("int")
           }
+        case "materialize" =>
+          fail("materialize() is only valid as a let binding " +
+            "(`let name = materialize(...)`)")
         case "toscalar" =>
           // ADX evaluates toscalar() BEFORE the outer query and
           // constant-folds the result — the first column of the first

@@ -856,6 +856,23 @@ object Relational {
         "| project event_id, event_type, value | sort by event_id asc")
   }
 
+  /** KQL `materialize()` — ADX's compute-once hint for a let binding
+    * referenced multiple times, mapped to `localCheckpoint(true)`: the
+    * bound plan becomes a materialized LogicalRDD, so every later
+    * reference reads the cached rows instead of re-running the
+    * subquery — the same bounded-intermediate pattern the engine ops
+    * use for fan-out (KqlSpec asserts the compute-once plan shape on a
+    * doubly-referenced binding). Results are identical by construction,
+    * so the oracle is the plain twin.
+    */
+  private def kqlMaterialize(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "let stats = materialize(events_csl " +
+        "| summarize mx = max(value), n = count() by event_type); " +
+        "stats | where n > 10 | sort by event_type asc")
+  }
+
   /** KQL `arg_max`/`arg_min` in summarize — ADX argument order is
     * (exprToRank, exprToReturn), translated to Spark's max_by/min_by;
     * one hash aggregate, partial/final combinable (the pair (rank, val)
@@ -1265,6 +1282,7 @@ object Relational {
     "q_kql_makeseries" -> (kqlMakeSeries _),
     "q_kql_anomaly" -> (kqlAnomaly _),
     "q_kql_toscalar" -> (kqlToscalar _),
+    "q_kql_materialize" -> (kqlMaterialize _),
     "q_kql_argmax" -> (kqlArgmax _),
     "q_kql_percentile" -> (kqlPercentile _),
     "q_kql_condagg" -> (kqlCondAgg _),
@@ -1555,6 +1573,9 @@ object Relational {
         s"SELECT event_type, bin, n, ${score("lo1", "hi1")} AS ctukey, " +
         s"${score("lo2", "hi2")} AS tukey FROM ex ORDER BY event_type, bin"
     },
+    "q_kql_materialize" ->
+      ("SELECT event_type, max(value) AS mx, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type HAVING count(*) > 10 ORDER BY event_type"),
     "q_kql_toscalar" ->
       ("SELECT event_id, event_type, value FROM events " +
         "WHERE value > (SELECT max(value) FROM events) * 0.5 ORDER BY event_id"),

@@ -918,6 +918,30 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("materialize computes a let binding once; both references read the cache") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "let hot = materialize(kql_events | summarize n = count() by event_type); " +
+        "hot | join kind=inner (hot | project event_type) on event_type " +
+        "| sort by event_type asc")
+    // results equal the uncached twin
+    val want = Kql.translate(spark,
+      "kql_events | summarize n = count() by event_type | sort by event_type asc")
+    assert(got.select("event_type", "n").collect().toSeq ===
+      want.select("event_type", "n").collect().toSeq)
+    // compute-once: the doubly-referenced binding is a materialized
+    // LogicalRDD, so the plan aggregates zero times and scans no files
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), plan.take(800))
+    assert(plan.contains("LogicalRDD"), plan.take(800))
+    // materialize outside a let binding is rejected loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | where value > toscalar(kql_events | count) | " +
+          "extend z = materialize(kql_events)")
+    }
+  }
+
   test("series_outliers scores above/below the exact Tukey fences") {
     // sorted series 1..10,100: p25 = 3.5, p75 = 8.5, d = 5 (all dyadic,
     // so the expected scores are exact doubles)
