@@ -344,6 +344,12 @@ object Kql {
     // is defined over (ADX: serialize freezes the current sorted order)
     private var lastSort: Option[Seq[Column]] = None
 
+    // the current pipeline's source TABLE name (None for range/
+    // datatable) — what `union withsource=` labels the left side's rows
+    // with. Stages do not clear it: rows keep originating from the head
+    // table through filters/projections, the ADX withsource semantic.
+    private var headTable: Option[String] = None
+
     /** `let name = <pipeline or scalar expression>` (statements before
       * the final pipeline). Tabular vs scalar is decided by the RHS
       * head: a known table name (catalog or earlier tabular let) —
@@ -390,9 +396,14 @@ object Kql {
       // or a join/lookup/union sub-pipeline must not satisfy an OUTER
       // serialize's required-preceding-sort invariant
       val saved = lastSort
+      val savedHead = headTable
       lastSort = None
+      headTable = stages.head match {
+        case Vector(TIdent(t)) => Some(t)
+        case _ => None
+      }
       try stages.tail.foldLeft(source)(applyStage)
-      finally lastSort = saved
+      finally { lastSort = saved; headTable = savedHead }
     }
 
     // -------------------------------------------------------- datatable
@@ -607,6 +618,8 @@ object Kql {
           }
         case TIdent("mv") +: TSym("-") +: TIdent("apply") +: rest =>
           applyMvApply(df, rest)
+        case TIdent("parse") +: TSym("-") +: TIdent("where") +: rest =>
+          applyParse(df, rest, filterMatched = true)
         case TIdent("parse") +: rest =>
           applyParse(df, rest)
         case TIdent("union") +: rest =>
@@ -1168,17 +1181,38 @@ object Kql {
         case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
         case _ => "outer"
       }
+      // `withsource=Col` labels every row with its origin TABLE name.
+      // In this subset it requires nameable sides: the left pipeline
+      // must start from a plain table (the tracked headTable) and each
+      // union side must be a table reference — a (pipeline) side has no
+      // ADX-defined name and fails loudly rather than getting one
+      // invented.
+      val wsrc = rem match {
+        case TIdent("withsource") +: TSym("=") +: TIdent(nm) +: t => rem = t; Some(nm)
+        case _ => None
+      }
       if (rem.isEmpty) fail("union needs at least one side")
-      val others = splitOn(rem, TSym(",")).map {
-        case Vector(TIdent(t)) => sourceTable(t)
-        case TSym("(") +: inner :+ TSym(")") => pipeline(splitPipes(inner))
-        case other => fail(s"union sides must be a table or (pipeline), got $other")
+      val sideToks = splitOn(rem, TSym(","))
+      val (left, others) = wsrc match {
+        case None =>
+          (df, sideToks.map {
+            case Vector(TIdent(t)) => sourceTable(t)
+            case TSym("(") +: inner :+ TSym(")") => pipeline(splitPipes(inner))
+            case other => fail(s"union sides must be a table or (pipeline), got $other")
+          })
+        case Some(srcCol) =>
+          val leftName = headTable.getOrElse(
+            fail("union withsource requires the pipeline to start from a named table"))
+          (df.withColumn(srcCol, lit(leftName)), sideToks.map {
+            case Vector(TIdent(t)) => sourceTable(t).withColumn(srcCol, lit(t))
+            case _ => fail("union withsource sides must be plain table names")
+          })
       }
       kind match {
         case "outer" =>
-          others.foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
+          others.foldLeft(left)(_.unionByName(_, allowMissingColumns = true))
         case "inner" =>
-          val all = df +: others
+          val all = left +: others
           val common = all.map(_.columns.toSeq)
             .reduce((x, y) => x.filter(y.toSet))
           if (common.isEmpty) fail("union kind=inner: no common columns")
@@ -1342,9 +1376,13 @@ object Kql {
     //   '*' skips non-greedily, captures are non-greedy except a trailing
     //   capture (which takes the rest). Captured columns are strings,
     //   empty when the pattern does not match — regexp_extract semantics
-    //   on both engines.
+    //   on both engines. `parse-where` (filterMatched) is the ADX
+    //   variant that DROPS non-matching rows instead of null-extending
+    //   them: the same anchored regex runs once as an rlike filter and
+    //   once per capture, all inside one codegen span.
 
-    private def applyParse(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+    private def applyParse(df: DataFrame, toks: Vector[Tok],
+        filterMatched: Boolean = false): DataFrame = {
       val (srcCol, patToks) = toks match {
         case TIdent("kind") +: TSym("=") +: TIdent("simple") +: TIdent(c) +:
             TIdent("with") +: p => (c, p)
@@ -1369,7 +1407,8 @@ object Kql {
         }
       }
       val pat = sb.toString
-      names.result().zipWithIndex.foldLeft(df) { case (d, (nm, gi)) =>
+      val base = if (filterMatched) df.filter(col(srcCol).rlike(pat)) else df
+      names.result().zipWithIndex.foldLeft(base) { case (d, (nm, gi)) =>
         d.withColumn(nm, regexp_extract(col(srcCol), pat, gi + 1))
       }
     }

@@ -873,6 +873,30 @@ object Relational {
         "stats | where n > 10 | sort by event_type asc")
   }
 
+  /** KQL `union withsource=` + `parse-where` — the provenance and
+    * strict-parse variants of operators already in the dialect:
+    * withsource labels every row with its origin TABLE name (left side
+    * from the tracked pipeline head, union sides from their table
+    * references; unnameable (pipeline) sides rejected loudly), and
+    * parse-where drops rows the pattern does not match instead of
+    * null-extending them (same anchored regex as parse, once as an
+    * rlike filter — one codegen span, no extra pass).
+    */
+  private def kqlWithsource(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_csl")
+    Tables.region(s, dir).createOrReplaceTempView("region_csl")
+    graft.ingest.Kql.translate(s,
+      "nation_csl | union withsource = src region_csl " +
+        "| summarize n = count() by src | sort by src asc")
+  }
+
+  private def kqlParseWhere(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | parse-where props with '{\"k\": 1' rest '}' " +
+        "| summarize n = count() by rest | sort by rest asc")
+  }
+
   /** KQL `arg_max`/`arg_min` in summarize — ADX argument order is
     * (exprToRank, exprToReturn), translated to Spark's max_by/min_by;
     * one hash aggregate, partial/final combinable (the pair (rank, val)
@@ -1283,6 +1307,8 @@ object Relational {
     "q_kql_anomaly" -> (kqlAnomaly _),
     "q_kql_toscalar" -> (kqlToscalar _),
     "q_kql_materialize" -> (kqlMaterialize _),
+    "q_kql_withsource" -> (kqlWithsource _),
+    "q_kql_parsewhere" -> (kqlParseWhere _),
     "q_kql_argmax" -> (kqlArgmax _),
     "q_kql_percentile" -> (kqlPercentile _),
     "q_kql_condagg" -> (kqlCondAgg _),
@@ -1573,6 +1599,16 @@ object Relational {
         s"SELECT event_type, bin, n, ${score("lo1", "hi1")} AS ctukey, " +
         s"${score("lo2", "hi2")} AS tukey FROM ex ORDER BY event_type, bin"
     },
+    "q_kql_withsource" ->
+      ("SELECT src, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT 'nation_csl' AS src FROM nation " +
+        "UNION ALL SELECT 'region_csl' AS src FROM region) " +
+        "GROUP BY src ORDER BY src"),
+    "q_kql_parsewhere" ->
+      ("SELECT rest, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT regexp_extract(props, '^\\{\"k\": 1(.*)\\}', 1) AS rest " +
+        "FROM events WHERE regexp_matches(props, '^\\{\"k\": 1')) " +
+        "GROUP BY rest ORDER BY rest"),
     "q_kql_materialize" ->
       ("SELECT event_type, max(value) AS mx, CAST(count(*) AS BIGINT) AS n " +
         "FROM events GROUP BY event_type HAVING count(*) > 10 ORDER BY event_type"),

@@ -918,6 +918,32 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("union withsource labels origin tables; parse-where drops non-matches") {
+    ev.createOrReplaceTempView("kql_events")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag")
+      .createOrReplaceTempView("kql_side")
+    val u = Kql.translate(spark,
+      "kql_events | union withsource = src kql_side " +
+        "| summarize n = count() by src | sort by src asc")
+      .as[(String, Long)].collect().toSeq
+    assert(u === Seq(("kql_events", ev.count()), ("kql_side", 2L)))
+    // a (pipeline) side has no ADX-defined name -> loud rejection
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | union withsource = src (kql_side | take 1)")
+    }
+    // parse-where keeps only matching rows; plain parse keeps all
+    Seq((1L, "dur=15ms"), (2L, "oops"), (3L, "dur=7ms"))
+      .toDF("id", "msg").createOrReplaceTempView("kql_logs")
+    val pw = Kql.translate(spark,
+      "kql_logs | parse-where msg with 'dur=' d 'ms' | project id, d")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(pw === Seq((1L, "15"), (3L, "7")))
+    val pAll = Kql.translate(spark,
+      "kql_logs | parse msg with 'dur=' d 'ms'").count()
+    assert(pAll === 3)
+  }
+
   test("materialize computes a let binding once; both references read the cache") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,
