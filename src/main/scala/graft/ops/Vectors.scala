@@ -402,6 +402,55 @@ object Vectors {
       .limit(10)
   }
 
+  /** FILTERED ANN — metadata-constrained top-k (`lang = 'fr'`), the
+    * serving problem plain indexes don't solve: a selective predicate
+    * empties probed lists, so filtered search must decide where the
+    * filter applies. This query runs BOTH strategies and emits them
+    * side by side: `ivf_prefilter` pushes the allow-list INTO the
+    * candidate stream (semi-join on vec_id before any exact scoring —
+    * at 100 TB the allow-list join is the cheap side and no excluded
+    * vector is ever scored), and `exact` is the brute-force-over-
+    * filtered-set baseline whose overlap with the prefilter branch IS
+    * the filtered recall, graded by the oracle row-for-row. The probe
+    * stays at the derived nprobe, so the recall gap the output shows is
+    * the real cost of fixed probes under selective filters (the
+    * documented knob: selective filters need more probes or a
+    * metadata-partitioned index).
+    */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a2, c2) = kmeansFit(e)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rankW = Window.orderBy(col("list_sim").desc, col("c"))
+    val probed = c2.crossJoin(broadcast(q))
+      .select(col("c"), cos(s, col("centroid"), col("qv")).as("list_sim"))
+      .withColumn("rn", row_number().over(rankW))
+      .crossJoin(broadcast(nprobeDf(s, c2, None)))
+      .filter(col("rn") <= col("np"))
+      .select("c")
+    val allow = Tables.documents(s, dir)
+      .filter(col("lang") === "fr")
+      .select(col("doc_id").as("vec_id"))
+    val pre = a2.join(broadcast(probed), Seq("c"))
+      .join(allow, "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("ivf_prefilter").as("method"), col("vec_id"), col("cos"))
+    val exact = e.join(allow, "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("exact").as("method"), col("vec_id"), col("cos"))
+    pre.unionByName(exact)
+      .orderBy(col("method"), col("cos").desc, col("vec_id"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor
     * (vec_id ≡ 0 mod 100 — a deterministic anchor sample), the top-3
     * highest-cosine neighbours that are NOT positives (cos < 0.95, the
@@ -1003,6 +1052,7 @@ object Vectors {
     "q_embed_kmeans" -> (embedKmeans _),
     "q_semdedup" -> (semDedup _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
+    "q_ann_filtered" -> (annFiltered _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_embed_pca" -> (embedPca _),
     "q_cluster_profile" -> (clusterProfile _),
@@ -1280,6 +1330,23 @@ object Vectors {
         "FROM a2 JOIN pb ON a2.c = pb.c CROSS JOIN q WHERE a2.vec_id <> 0 " +
         "ORDER BY cos DESC, a2.vec_id LIMIT 10"
     },
+    "q_ann_filtered" ->
+      (s"WITH $kmeansUnrollCtes, " +
+        "q AS MATERIALIZED (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
+        s"pbl AS (SELECT c2.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
+        "pbr AS (SELECT c, row_number() OVER (ORDER BY ls DESC, c) AS rn FROM pbl), " +
+        s"pb AS (SELECT c FROM pbr WHERE rn <= $derivedProbeCut), " +
+        "allow AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'fr'), " +
+        "pre AS (SELECT 'ivf_prefilter' AS method, vec_id, cos FROM (" +
+        s"SELECT a2.vec_id AS vec_id, round(${dcos("a2.emb", "qv")}, 4) AS cos " +
+        "FROM a2 JOIN pb ON a2.c = pb.c JOIN allow USING (vec_id) CROSS JOIN q " +
+        "WHERE a2.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)), " +
+        "ex AS (SELECT 'exact' AS method, vec_id, cos FROM (" +
+        s"SELECT e.vec_id AS vec_id, round(${dcos("e.emb", "qv")}, 4) AS cos " +
+        "FROM e JOIN allow USING (vec_id) CROSS JOIN q " +
+        "WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)) " +
+        "SELECT method, vec_id, cos FROM (SELECT * FROM pre UNION ALL SELECT * FROM ex) " +
+        "ORDER BY method, cos DESC, vec_id"),
     "q_ann_ivfpq" ->
       (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
         "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),

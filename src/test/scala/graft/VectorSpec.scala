@@ -362,6 +362,25 @@ class VectorSpec extends SparkSpec {
     assert(persisted.length === 10)
   }
 
+  test("filtered ANN honors the allow-list on both branches; exact branch bounds the prefilter") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q_ann_filtered")
+      .select("method", "vec_id", "cos")
+      .as[(String, Long, Double)].collect().toSeq
+    val allowed = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "fr").select("doc_id").as[Long].collect().toSet
+    // no branch may ever emit an excluded vector — the whole point of
+    // pre-filtering is that excluded vectors are never even scored
+    assert(rows.forall { case (_, id, _) => allowed(id) })
+    val exact = rows.filter(_._1 == "exact")
+    val pre = rows.filter(_._1 == "ivf_prefilter")
+    assert(exact.size === 10)
+    assert(pre.nonEmpty && pre.size <= 10)
+    // every prefilter hit is a true allowed vector the exact ranking
+    // could contain; the best exact cosine bounds the best prefilter one
+    assert(exact.map(_._3).max >= pre.map(_._3).max)
+  }
+
   test("embed pipeline: √N clusters partition the corpus; quantization cost is tiny but real") {
     val rows = q("q_embed_pipeline").collect()
     // nlist = ceil(√N) is data-derived; Lloyd reassignment may empty a
