@@ -363,6 +363,9 @@ object Kql {
       // semantic in Spark (the plan becomes a materialized LogicalRDD,
       // so N references cost one computation), and it is the same
       // bounded-intermediate pattern the engine ops use for fan-out.
+      // Noted divergence: the checkpoint is EAGER (runs at translate
+      // time) where ADX materializes on first use — invisible through
+      // the gateway, which translates and executes in one request.
       case TIdent("let") +: TIdent(name) +: TSym("=") +:
           TIdent("materialize") +: TSym("(") +: (body :+ TSym(")")) =>
         if (body.isEmpty) fail("materialize needs a tabular expression")
