@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   * columns, ADX group-column rules) / `getschema` (plan-time schema
   * introspection, a LocalRelation) / `serialize` with the
   * serialized-window family (`row_number()` / `prev()` / `next()` /
-  * `row_cumsum()`) / the DYNAMIC tier (`todynamic()` + dot/bracket
+  * `row_cumsum()` / run-based `row_rank_dense()` / `row_rank_min()`) /
+  * the DYNAMIC tier (`todynamic()` + dot/bracket
   * path access compiled to JSON-path extraction — see `dynPath`) / the
-  * `range` table generator — plus `let` statements (scalar constants
-  * and tabular sub-pipelines, the CSL analog of CTEs), `has`/`has_cs`
+  * `range` table generator / `search` (cross-column term match) / the
+  * series multi-assign extends (`extend (…) = series_stats(col)` and
+  * `series_fit_line(col)`) — plus `let` statements (scalar constants
+  * and tabular sub-pipelines, the CSL analog of CTEs), `has`/`has_cs`/
+  * `has_any`/`has_all`
   * whole-term matching with the negated string-operator family, and a
   * scalar function library (iff/case/strcat/substring/extract/split/
   * conversions/date parts/null tests — see [[Translator.parseFnCall]]).
@@ -574,6 +578,8 @@ object Kql {
           df.select(parseProjection(rest): _*)
         case TIdent("summarize") +: rest =>
           applySummarize(df, rest)
+        case TIdent("extend") +: TSym("(") +: rest =>
+          applyExtendSeries(df, rest)
         case TIdent("extend") +: rest =>
           parseExtendItems(rest).foldLeft(df) { case (d, (name, e)) =>
             d.withColumn(name, e)
@@ -627,6 +633,26 @@ object Kql {
           applyParse(df, rest)
         case TIdent("union") +: rest =>
           applyUnion(df, rest)
+        // `search ["kind=case_sensitive"] "needle"` — term-match over
+        // EVERY string column (ADX's cross-column search; non-string
+        // columns don't participate, same as the ADX term index).
+        // A filter of ORed rlikes stays a pushable Catalyst Filter.
+        case TIdent("search") +: rest =>
+          val (cs, needleTok) = rest match {
+            case Vector(TIdent("kind"), TSym("="), TIdent("case_sensitive"), t) =>
+              (true, t)
+            case Vector(t) => (false, t)
+            case _ => fail("search syntax: search [kind=case_sensitive] \"needle\"")
+          }
+          val needle = needleTok match {
+            case TStr(v) if v.nonEmpty => v
+            case t => fail(s"search takes a non-empty string literal, got $t")
+          }
+          val strCols = df.schema.fields.collect {
+            case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+          }
+          if (strCols.isEmpty) fail("search: no string columns to search")
+          df.filter(strCols.map(n => hasNeedle(col(n), needle, cs)).reduce(_ || _))
         case TIdent("make") +: TSym("-") +: TIdent("series") +: rest =>
           applyMakeSeries(df, rest)
         case TIdent(op) +: _ =>
@@ -765,6 +791,31 @@ object Kql {
       val w = Window.orderBy(keys: _*)
       splitOn(toks, TSym(",")).foldLeft(df) { (d, item) =>
         item match {
+          // row_rank_dense(t): number of distinct RUNS of t seen so far
+          // in the frozen order = running count of change points.
+          // row_rank_min(t): the row number where the current run of t
+          // started. Both are run-based (a value that reappears after a
+          // gap starts a NEW rank, per ADX) and compose from lag + a
+          // ROWS-framed running aggregate — never a self-join. Spark
+          // forbids nesting one window inside another, so the change
+          // marker and row number materialize as scratch columns first.
+          case TIdent(name) +: TSym("=") +: TIdent(fn) +: TSym("(") +: rest
+              if (fn == "row_rank_dense" || fn == "row_rank_min") &&
+                rest.lastOption.contains(TSym(")")) =>
+            val inner = rest.dropRight(1)
+            if (inner.isEmpty) fail(s"$fn needs a term")
+            val t = parseArithToks(inner)
+            val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val d1 = d
+              .withColumn("__ser_rn", row_number().over(w))
+              .withColumn("__ser_chg",
+                when(lag(t, 1).over(w).isNull || lag(t, 1).over(w) =!= t, lit(1)))
+            val e =
+              if (fn == "row_rank_dense")
+                sum(coalesce(col("__ser_chg"), lit(0))).over(run)
+              else
+                max(when(col("__ser_chg") === 1, col("__ser_rn"))).over(run)
+            d1.withColumn(name, e).drop("__ser_rn", "__ser_chg")
           case TIdent(name) +: TSym("=") +: TIdent(fn) +: TSym("(") +: rest
               if rest.lastOption.contains(TSym(")")) =>
             val inner = rest.dropRight(1)
@@ -785,7 +836,7 @@ object Kql {
                 sum(parseArithToks(inner))
               case other =>
                 fail(s"unsupported serialize function '$other' " +
-                  "(row_number/prev/next/row_cumsum)")
+                  "(row_number/prev/next/row_cumsum/row_rank_dense/row_rank_min)")
             }
             val framed = fn match {
               case "row_cumsum" => e.over(w.rowsBetween(
@@ -1245,6 +1296,86 @@ object Kql {
     //   regime make-series is for (rendering/anomaly windows, not raw
     //   scans).
 
+    // ------------------------------------ multi-assign extend (series)
+    //   extend (n1, ..., nk) = series_stats(col) | series_fit_line(col)
+    //   The ADX positional multi-assign over a make-series array:
+    //   series_stats → (min, min_idx, max, max_idx, avg, variance,
+    //   stdev) [7 names, sample variance, 0-based indices of the FIRST
+    //   extremum]; series_fit_line → (rsquare, slope, variance,
+    //   rvariance, interception) [5 names, x-axis 0..n-1, rvariance =
+    //   sample residual variance; the line_fit output array is out of
+    //   subset]. Per-row array folds only — nothing leaves the row, so
+    //   the stage costs what make-series cost. Element sums route
+    //   through DECIMAL(18,6) terms into a DECIMAL(38,12) accumulator
+    //   (exact, order-independent — the cross-engine parity rule);
+    //   every post-sum step is one fixed IEEE expression on identical
+    //   doubles.
+    private def applyExtendSeries(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.types.{ArrayType, DecimalType}
+      val close = toks.indexOf(TSym(")"))
+      if (close < 0) fail("extend (...) = fn(col): missing ')'")
+      val names = splitOn(toks.take(close), TSym(",")).map {
+        case Vector(TIdent(nm)) => nm
+        case other => fail(s"extend multi-assign names must be identifiers, got $other")
+      }
+      val (fn, vcol) = toks.drop(close + 1) match {
+        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(")")) => (f, c)
+        case _ => fail("extend (...) = fn(column): one array-column argument")
+      }
+      if (!df.columns.contains(vcol)) fail(s"$fn: no column '$vcol'")
+      df.schema(vcol).dataType match {
+        case ArrayType(_, _) => ()
+        case other => fail(s"$fn needs an array column, got $other")
+      }
+      val v = col(vcol)
+      val d6 = DecimalType(18, 6)
+      // accumulator precision 37, not 38: adding a term yields exactly
+      // (38,12) (no precision-loss re-scale, which would round the 12th
+      // digit and break cross-engine parity), and the cast back to
+      // (37,12) is exact for every |sum| < 1e25
+      val d12 = DecimalType(37, 12)
+      def dec(x: Column): Column = x.cast(d6)
+      val zero = lit(java.math.BigDecimal.ZERO).cast(d12)
+      val n = size(v).cast("double")
+      val sy = aggregate(v, zero, (a, x) => (a + dec(x)).cast(d12)).cast("double")
+      val sy2 = aggregate(v, zero, (a, x) => (a + dec(x) * dec(x)).cast(d12)).cast("double")
+      val variance = when(size(v) > 1, (sy2 - sy * sy / n) / (n - lit(1.0)))
+      val outs: Seq[(String, Column)] = fn match {
+        case "series_stats" =>
+          if (names.length != 7)
+            fail("series_stats multi-assign takes exactly 7 names " +
+              "(min, min_idx, max, max_idx, avg, variance, stdev)")
+          val vd = transform(v, x => x.cast("double"))
+          val mn = array_min(vd)
+          val mx = array_max(vd)
+          names.zip(Seq(
+            mn, (array_position(vd, mn) - 1).cast("long"),
+            mx, (array_position(vd, mx) - 1).cast("long"),
+            sy / n, variance, sqrt(variance)))
+        case "series_fit_line" =>
+          if (names.length != 5)
+            fail("series_fit_line multi-assign takes exactly 5 names " +
+              "(rsquare, slope, variance, rvariance, interception)")
+          val sxy = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
+            zero, (a, x) => (a + x).cast(d12)).cast("double")
+          val sx = (n - lit(1.0)) * n / lit(2.0)
+          val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
+          val slope = when(size(v) > 1, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
+          val inter = sy / n - slope * (sx / n)
+          val ssres = sy2 - lit(2.0) * inter * sy - lit(2.0) * slope * sxy +
+            n * inter * inter + lit(2.0) * inter * slope * sx + slope * slope * sx2
+          val sstot = sy2 - sy * sy / n
+          names.zip(Seq(
+            when(sstot > 0, lit(1.0) - ssres / sstot), slope, variance,
+            ssres / (n - lit(1.0)), inter))
+        case other =>
+          fail(s"unsupported multi-assign function '$other' " +
+            "(series_stats/series_fit_line)")
+      }
+      outs.foldLeft(df) { case (d, (nm, e)) => d.withColumn(nm, e) }
+    }
+
     private def applyMakeSeries(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       val onIdx = toks.indexOf(TIdent("on"))
       if (onIdx < 0) fail("make-series requires `on <timestamp column>`")
@@ -1591,6 +1722,14 @@ object Kql {
       // pattern).
       case Some(TIdent("has")) => c.next(); hasTerm(l, c, cs = false)
       case Some(TIdent("has_cs")) => c.next(); hasTerm(l, c, cs = true)
+      // has_any / has_all: term-match against a literal list — the ADX
+      // multi-needle forms (OR / AND of per-needle term matches)
+      case Some(TIdent("has_any")) =>
+        c.next()
+        parseStrList(c).map(hasNeedle(l, _, cs = false)).reduce(_ || _)
+      case Some(TIdent("has_all")) =>
+        c.next()
+        parseStrList(c).map(hasNeedle(l, _, cs = false)).reduce(_ && _)
       // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
       case Some(TIdent("in")) => c.next(); l.isin(parseLitList(c): _*)
       case Some(TSym("!")) if c.peek2.contains(TIdent("in")) =>
@@ -1628,9 +1767,25 @@ object Kql {
         case TStr(v) => v
         case t => fail(s"has takes a string literal, got $t")
       }
+      hasNeedle(l, needle, cs)
+    }
+
+    /** The ADX whole-TERM match as a boundary regex (the shape the term
+      * index serves natively in ADX).
+      */
+    private[ingest] def hasNeedle(l: Column, needle: String, cs: Boolean): Column = {
       val q = java.util.regex.Pattern.quote(needle)
       val flags = if (cs) "" else "(?i)"
       l.rlike(s"$flags(^|[^A-Za-z0-9_])$q($$|[^A-Za-z0-9_])")
+    }
+
+    /** Parenthesized string-literal list for has_any/has_all. */
+    private def parseStrList(c: Cur): Seq[String] = {
+      val items = parseLitList(c)
+      val strs = items.collect { case s: String => s }
+      if (strs.isEmpty || strs.size != items.size)
+        fail("has_any/has_all take a non-empty list of string literals")
+      strs
     }
 
     /** Parenthesized literal list for `in`: '(' lit (',' lit)* ')'. */

@@ -1142,6 +1142,85 @@ object Relational {
       "events_csl | top-hitters 8 of user_id by event_id")
   }
 
+  /** KQL `has_any` / `has_all` — the multi-needle forms of the
+    * term-match operator (OR / AND of whole-term boundary matches,
+    * case-insensitive like bare `has`). The predicate compiles to ORed
+    * rlikes inside ONE pushable Catalyst Filter — a single scan pass,
+    * the same shape the ADX term index answers.
+    */
+  private def kqlHasany(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_csl")
+    graft.ingest.Kql.translate(s,
+      "docs_csl | where text has_any ('spark', 'shuffle') " +
+        "and not(text has_all ('batch', 'stream')) " +
+        "| project doc_id, lang | sort by doc_id asc")
+  }
+
+  /** KQL `search` — cross-column term search, the ADX
+    * grep-over-the-table idiom (`T | search \"needle\"`): whole-term
+    * match ORed over EVERY string column (here event_type + the props
+    * JSON text). Still one pushable Filter over one scan; at cluster
+    * scale the predicate rides whatever row-group pruning the string
+    * stats allow, never a second pass.
+    */
+  private def kqlSearch(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | search \"purchase\" " +
+        "| project event_id, event_type | sort by event_id asc")
+  }
+
+  /** KQL serialized ranks — `row_rank_dense` / `row_rank_min` after
+    * `serialize`: run-based ranks over the frozen order (a value
+    * reappearing after a gap starts a NEW rank, per ADX). Composes
+    * from lag + ROWS-framed running aggregates over the same global
+    * window serialize already pays — no self-join, no extra shuffle.
+    */
+  private def kqlRowrank(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'purchase' " +
+        "| sort by user_id asc, event_id asc " +
+        "| serialize rn = row_number(), rd = row_rank_dense(user_id), " +
+        "rm = row_rank_min(user_id) " +
+        "| where rn <= 2000 | project rn, user_id, event_id, rd, rm")
+  }
+
+  /** KQL `extend (…) = series_stats(col)` — the positional multi-assign
+    * over a make-series array: min/argmin/max/argmax/avg/sample
+    * variance/stdev per series, computed as per-row array folds
+    * (decimal-routed sums, fixed IEEE post-arithmetic — the standing
+    * cross-engine parity recipe). Nothing leaves the row: the stage
+    * costs what make-series cost at any scale.
+    */
+  private def kqlSeriesStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend (mn, mnidx, mx, mxidx, avg, var, stdev) = series_stats(n) " +
+        "| project event_type, mn, mnidx, mx, mxidx, avg, var, stdev " +
+        "| sort by event_type asc")
+  }
+
+  /** KQL `extend (…) = series_fit_line(col)` — least-squares trend per
+    * series over the implicit x-axis 0..n-1: rsquare/slope/variance/
+    * residual-variance/interception from the five exact decimal sums
+    * (Σy, Σy², Σxy + the closed-form integer Σx, Σx²), then one fixed
+    * IEEE expression both engines evaluate identically. The algebraic
+    * SSres form means NO second pass over the series — the whole fit
+    * is one fold per row.
+    */
+  private def kqlFitline(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend (rsq, slope, var, rvar, inter) = series_fit_line(n) " +
+        "| project event_type, rsq, slope, var, rvar, inter " +
+        "| sort by event_type asc")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1325,6 +1404,11 @@ object Relational {
     "q_kql_datatable" -> (kqlDatatable _),
     "q_kql_pivot" -> (kqlPivot _),
     "q_kql_tophitters" -> (kqlTophitters _),
+    "q_kql_hasany" -> (kqlHasany _),
+    "q_kql_search" -> (kqlSearch _),
+    "q_kql_rowrank" -> (kqlRowrank _),
+    "q_kql_seriesstats" -> (kqlSeriesStats _),
+    "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
     "q_kql_bagunpack" -> (kqlBagUnpack _),
     "q_kql_partition" -> (kqlPartition _),
@@ -1338,6 +1422,23 @@ object Relational {
   /** DuckDB oracle SQL. Same column names, same ORDER BY, and double aggs
     * routed through DECIMAL(18,4) exactly as [[Ox.dsum]] does.
     */
+  /** Shared oracle CTE prefix replaying the make-series day grid
+    * (keys × 31 Jan-2024 bins, zero-filled counts) as rows
+    * `ser(event_type, y, i)` — the series_stats / series_fit_line
+    * oracles aggregate these rows where the Spark side folds the
+    * assembled array; the sums are identical decimals either way.
+    */
+  private def kqlSeriesGrid: String =
+    "WITH keys AS (SELECT DISTINCT event_type FROM events " +
+      "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+      "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+      "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b)), " +
+      "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, CAST(count(*) AS BIGINT) AS n " +
+      "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY 1, 2), " +
+      "ser AS (SELECT g.event_type AS event_type, COALESCE(a.n, 0) AS y, " +
+      "CAST(date_diff('day', TIMESTAMP '2024-01-01', g.b) AS BIGINT) AS i " +
+      "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b), "
+
   val oracleSql: Map[String, String] = Map(
     "q_stats_profile" ->
       ("WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
@@ -1464,6 +1565,67 @@ object Relational {
       ("SELECT user_id, CAST(sum(event_id) AS BIGINT) AS approximate_sum_event_id " +
         "FROM events GROUP BY user_id " +
         "ORDER BY approximate_sum_event_id DESC, user_id LIMIT 8"),
+    "q_kql_hasany" -> {
+      def term(c: String, t: String) =
+        s"regexp_matches($c, '(?i)(^|[^A-Za-z0-9_])$t($$|[^A-Za-z0-9_])')"
+      "SELECT doc_id, lang FROM documents " +
+        s"WHERE (${term("text", "spark")} OR ${term("text", "shuffle")}) " +
+        s"AND NOT (${term("text", "batch")} AND ${term("text", "stream")}) " +
+        "ORDER BY doc_id"
+    },
+    "q_kql_search" -> {
+      def term(c: String) =
+        s"regexp_matches($c, '(?i)(^|[^A-Za-z0-9_])purchase($$|[^A-Za-z0-9_])')"
+      "SELECT event_id, event_type FROM events " +
+        s"WHERE ${term("event_type")} OR ${term("props")} " +
+        "ORDER BY event_id"
+    },
+    "q_kql_rowrank" ->
+      ("WITH s AS (SELECT user_id, event_id, " +
+        "CAST(row_number() OVER (ORDER BY user_id, event_id) AS INT) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT *, CASE WHEN lag(user_id) OVER (ORDER BY rn) IS NULL " +
+        "OR lag(user_id) OVER (ORDER BY rn) <> user_id THEN 1 END AS chg FROM s), " +
+        "r AS (SELECT rn, user_id, event_id, " +
+        "CAST(sum(COALESCE(chg, 0)) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rd, " +
+        "max(CASE WHEN chg = 1 THEN rn END) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS rm " +
+        "FROM c) " +
+        "SELECT rn, user_id, event_id, rd, rm FROM r WHERE rn <= 2000 ORDER BY rn"),
+    "q_kql_seriesstats" ->
+      (kqlSeriesGrid +
+        "stats AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(min(y) AS DOUBLE) AS mn, CAST(max(y) AS DOUBLE) AS mx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy2 " +
+        "FROM ser GROUP BY event_type), " +
+        "ix AS (SELECT s.event_type, " +
+        "min(CASE WHEN ser.y = s.mn THEN ser.i END) AS mnidx, " +
+        "min(CASE WHEN ser.y = s.mx THEN ser.i END) AS mxidx " +
+        "FROM ser JOIN stats s USING (event_type) GROUP BY s.event_type), " +
+        "fin AS (SELECT s.event_type, s.mn, ix.mnidx, s.mx, ix.mxidx, " +
+        "s.sy / s.nd AS avg, " +
+        "CASE WHEN s.nd > 1 THEN (s.sy2 - s.sy * s.sy / s.nd) / (s.nd - 1.0) END AS var " +
+        "FROM stats s JOIN ix USING (event_type)) " +
+        "SELECT event_type, mn, mnidx, mx, mxidx, avg, var, sqrt(var) AS stdev " +
+        "FROM fin ORDER BY event_type"),
+    "q_kql_fitline" ->
+      (kqlSeriesGrid +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy2, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(i AS DECIMAL(18,6))) AS DOUBLE) AS sxy " +
+        "FROM ser GROUP BY event_type), " +
+        "xs AS (SELECT *, (nd - 1.0) * nd / 2.0 AS sx, " +
+        "(nd - 1.0) * nd * (2.0 * nd - 1.0) / 6.0 AS sx2 FROM sums), " +
+        "fit AS (SELECT *, CASE WHEN nd > 1 THEN " +
+        "(nd * sxy - sx * sy) / (nd * sx2 - sx * sx) END AS slope FROM xs), " +
+        "ab AS (SELECT *, sy / nd - slope * (sx / nd) AS inter FROM fit), " +
+        "res AS (SELECT *, sy2 - 2.0 * inter * sy - 2.0 * slope * sxy + " +
+        "nd * inter * inter + 2.0 * inter * slope * sx + slope * slope * sx2 AS ssres, " +
+        "sy2 - sy * sy / nd AS sstot FROM ab) " +
+        "SELECT event_type, CASE WHEN sstot > 0 THEN 1.0 - ssres / sstot END AS rsq, " +
+        "slope, CASE WHEN nd > 1 THEN (sy2 - sy * sy / nd) / (nd - 1.0) END AS var, " +
+        "ssres / (nd - 1.0) AS rvar, inter FROM res ORDER BY event_type"),
     "q_kql_bagunpack" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmin, " +

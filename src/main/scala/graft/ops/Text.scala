@@ -312,7 +312,14 @@ object Text {
     * engines rank the same rounded value, so a sub-4dp score tie cannot
     * flip the cut.
     */
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir).orderBy(col("bm25").desc, col("doc_id")).limit(10)
+
+  /** The full (doc_id, bm25) score table for the fixed query — split
+    * out so the RRF fusion can rank the same scores without re-stating
+    * the pipeline; q_bm25 is this plus the top-10 cut.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val qTerms = Seq("scan", "merge", "window")
     val base = Tables.documents(s, dir).select(col("doc_id"), tokens.as("w"))
@@ -342,7 +349,46 @@ object Text {
       .groupBy("doc_id")
       .agg(sum((idf * part).cast(DecimalType(18, 8))).as("sdec"))
       .select(col("doc_id"), round(col("sdec").cast(DoubleType), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 sparse list
+    * and the dense cosine list (k = 60, the Cormack/Clarke constant):
+    * rrf = Σ 1/(60 + rank) over the lists that retrieved the doc.
+    * This is the standard two-tower serving fusion (lexical recall +
+    * semantic recall, neither score calibrated against the other — RRF
+    * needs only RANKS, which is why it survives at scale unchanged).
+    * Each side cuts to its top-20 with TakeOrderedAndProject (a
+    * distributed heap — the global row_number runs AFTER the cut, over
+    * 20 rows), the fusion is a full outer join of two 20-row sides, and
+    * ranks are integers so every 1/(60+r) term and their sum is the
+    * same IEEE double in both engines. Docs without an embedding row
+    * simply never appear on the dense side — the realistic partial-
+    * coverage case the outer join exists for.
+    */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val sparse = bm25Scores(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .withColumn("rank_s",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select("doc_id", "rank_s")
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(s, col("embedding"), col("qv")), 4).as("cosv"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("cosv").desc, col("doc_id")).limit(k)
+      .withColumn("rank_d",
+        row_number().over(Window.orderBy(col("cosv").desc, col("doc_id"))))
+      .select("doc_id", "rank_d")
+    sparse.join(dense, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rank_s").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_d").cast("double")), lit(0.0))).as("rrf"),
+        col("rank_s"), col("rank_d"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
   }
 
   /** Per-document Shannon entropy of the character and token
@@ -1140,7 +1186,11 @@ object Text {
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramCapped(s, dir, defaultMaxPostingDocs)
 
-  private[graft] def dedupNgramCapped(
+  /** Shared (ai, bi, ni, na, nb) pair-count table for the n-gram family
+    * — the inverted-index candidate generator both the symmetric
+    * Jaccard verifier and the asymmetric containment screen consume.
+    */
+  private def ngramPairCounts(
       s: SparkSession, dir: String, maxPostingDocs: Int): DataFrame = {
     // Single-pass inverted-index form: one shuffle by gram builds the
     // posting lists (collect_set also dedups within-doc repeats), pairs
@@ -1175,11 +1225,35 @@ object Text {
       // when it is actually small
       .join(cnts.select(col("doc_id"), col("n").as("na")), col("ai") === col("doc_id")).drop("doc_id")
       .join(cnts.select(col("doc_id"), col("n").as("nb")), col("bi") === col("doc_id")).drop("doc_id")
+  }
+
+  private[graft] def dedupNgramCapped(
+      s: SparkSession, dir: String, maxPostingDocs: Int): DataFrame =
+    ngramPairCounts(s, dir, maxPostingDocs)
       .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
       .filter(col("jac") >= 0.05)
       .select(col("ai"), col("bi"), round(col("jac"), 4).as("jac"))
       .orderBy("ai", "bi")
-  }
+
+  /** n-gram CONTAINMENT screen — the ASYMMETRIC near-dup signal
+    * C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|): a short document quoted
+    * wholesale inside a longer one scores C ≈ 1 while symmetric Jaccard
+    * stays low (the intersection is diluted by the union) — exactly the
+    * subset-duplication class (quoted articles, boilerplate-wrapped
+    * reposts) that a Jaccard-thresholded dedup ships to training.
+    * Reuses the capped inverted-index pair table, so the marginal cost
+    * over q_dedup_ngram is one projection; every term is
+    * integer-derived, so the ratio and the 0.5 cut are bit-stable.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    ngramPairCounts(s, dir, defaultMaxPostingDocs)
+      .withColumn("cont", col("ni") * lit(1.0) / least(col("na"), col("nb")))
+      .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("cont") >= 0.5)
+      .select(col("ai"), col("bi"),
+        when(col("na") <= col("nb"), lit("a_in_b")).otherwise(lit("b_in_a")).as("side"),
+        round(col("cont"), 4).as("cont"), round(col("jac"), 4).as("jac"))
+      .orderBy("ai", "bi")
 
   // ------------------------------------------------------------- MinHash
 
@@ -1698,6 +1772,7 @@ object Text {
     "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_containment" -> (dedupContainment _),
     "q_dedup_recall" -> (dedupRecall _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -1706,6 +1781,7 @@ object Text {
     "q_repetition" -> (repetition _),
     "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25 _),
+    "q_rrf_fusion" -> (rrfFusion _),
     "q_text_entropy" -> (textEntropy _),
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
@@ -1854,6 +1930,23 @@ object Text {
     * q_collocations oracle and the q_phrase_rewrite oracle (which embeds
     * the same mining stage before applying the phrases).
     */
+  /** Shared BM25 oracle chain ending in `sc(doc_id, bm25)` — q_bm25 is
+    * the top-10 cut over it, q_rrf_fusion ranks it as the sparse side.
+    * No trailing comma: consumers append `, more AS (...)` as needed.
+    */
+  private val bm25OracleCtes =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM t), " +
+      "cand AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, CAST(len(w) AS INT) AS dl, unnest(w) AS word FROM t) " +
+      "WHERE word IN ('scan', 'merge', 'window') GROUP BY doc_id, dl, word), " +
+      "dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY word), " +
+      "sc AS (SELECT doc_id, round(CAST(sum(CAST(" +
+      "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+      "AS DECIMAL(18,8))) AS DOUBLE), 4) AS bm25 " +
+      "FROM cand JOIN dfq USING (word) CROSS JOIN st GROUP BY doc_id)"
+
   private val collocCtes =
     "ctoks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
       "cp AS (SELECT unnest(list_transform(range(1, len(w) + 1), i -> " +
@@ -1995,6 +2088,20 @@ object Text {
         "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
         "SELECT ai, bi, round(jac, 4) AS jac FROM (SELECT ai, bi, ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
         "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) WHERE jac >= 0.05 ORDER BY ai, bi"),
+    "q_containment" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks)), " +
+        "gk AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g) " +
+        s"WHERE df <= $defaultMaxPostingDocs), " +
+        "cnts AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS ni FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY ai, bi) " +
+        "SELECT ai, bi, CASE WHEN na <= nb THEN 'a_in_b' ELSE 'b_in_a' END AS side, " +
+        "round(cont, 4) AS cont, round(jac, 4) AS jac FROM " +
+        "(SELECT ai, bi, ca.n AS na, cb.n AS nb, ni * 1.0 / least(ca.n, cb.n) AS cont, " +
+        "ni * 1.0 / (ca.n + cb.n - ni) AS jac " +
+        "FROM inter JOIN cnts ca ON ai = ca.doc_id JOIN cnts cb ON bi = cb.doc_id) " +
+        "WHERE cont >= 0.5 ORDER BY ai, bi"),
     "q_lang_id" ->
       ("WITH p(lang, words) AS (VALUES " +
         "('en', ['the','and','of','to','in','is','that','it']), " +
@@ -2037,18 +2144,24 @@ object Text {
         "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank FROM scored) " +
         "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"),
     "q_bm25" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM t), " +
-        "cand AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, CAST(len(w) AS INT) AS dl, unnest(w) AS word FROM t) " +
-        "WHERE word IN ('scan', 'merge', 'window') GROUP BY doc_id, dl, word), " +
-        "dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY word), " +
-        "sc AS (SELECT doc_id, sum(CAST(" +
-        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
-        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
-        "AS DECIMAL(18,8))) AS sdec FROM cand JOIN dfq USING (word) CROSS JOIN st GROUP BY doc_id) " +
-        "SELECT doc_id, round(CAST(sdec AS DOUBLE), 4) AS bm25 FROM sc " +
+      (s"WITH $bm25OracleCtes SELECT doc_id, bm25 FROM sc " +
         "ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    "q_rrf_fusion" ->
+      (s"WITH $bm25OracleCtes, " +
+        "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_s " +
+        "FROM (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20)), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "dn0 AS (SELECT vec_id AS doc_id, " +
+        "round(list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosv " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosv DESC, doc_id LIMIT 20), " +
+        "dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosv DESC, doc_id) AS INT) AS rank_d FROM dn0), " +
+        "f AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id, sp.rank_s, dn.rank_d " +
+        "FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id) " +
+        "SELECT doc_id, COALESCE(1.0 / (60.0 + CAST(rank_s AS DOUBLE)), 0.0) + " +
+        "COALESCE(1.0 / (60.0 + CAST(rank_d AS DOUBLE)), 0.0) AS rrf, rank_s, rank_d " +
+        "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
     "q_text_entropy" -> {
       // H over the sorted distinct symbols of array column `a`, folded
       // in the same order and op sequence as the Spark side

@@ -1004,4 +1004,89 @@ class KqlSpec extends SparkSpec {
       .orderBy("event_id").as[(Long, Long)].collect().toSeq
     assert(got === want)
   }
+
+  test("has_any/has_all: multi-needle term match, OR vs AND, literal lists only") {
+    Seq((1L, "spark shuffle join"), (2L, "the shuffle only"), (3L, "sparkly things"),
+        (4L, "batch and stream and spark"))
+      .toDF("id", "msg").createOrReplaceTempView("kql_hasany")
+    def ids(csl: String) = Kql.translate(spark, csl)
+      .select("id").as[Long].collect().toSet
+    // term boundaries still apply per needle: 'sparkly' is not 'spark'
+    assert(ids("kql_hasany | where msg has_any ('spark', 'batch')") === Set(1L, 4L))
+    assert(ids("kql_hasany | where msg has_all ('spark', 'shuffle')") === Set(1L))
+    assert(ids("kql_hasany | where not(msg has_any ('spark', 'shuffle'))") === Set(3L))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_hasany | where msg has_any (1, 2)")
+    }
+  }
+
+  test("search: whole-term match ORed over every string column") {
+    Seq((1L, "alpha beta", "x"), (2L, "gamma", "beta y"), (3L, "betamax", "z"),
+        (4L, "BETA", "q"))
+      .toDF("id", "a", "b").createOrReplaceTempView("kql_search")
+    def ids(csl: String) = Kql.translate(spark, csl)
+      .select("id").as[Long].collect().toSet
+    // matches column a on row 1, column b on row 2; 'betamax' is no term
+    // match; bare search is case-insensitive
+    assert(ids("kql_search | search \"beta\"") === Set(1L, 2L, 4L))
+    assert(ids("kql_search | search kind=case_sensitive \"beta\"") === Set(1L, 2L))
+    // only string columns participate: a numeric-only frame is rejected
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_search | project id | search \"beta\"")
+    }
+  }
+
+  test("row_rank_dense/row_rank_min are RUN-based over the frozen order") {
+    // value 'a' reappears after a gap → it starts a NEW rank (ADX is
+    // run-based, not value-based: these are not dense_rank/rank twins)
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "c"))
+      .toDF("id", "k").createOrReplaceTempView("kql_rowrank")
+    val got = Kql.translate(spark,
+      "kql_rowrank | sort by id asc | serialize rn = row_number(), " +
+        "rd = row_rank_dense(k), rm = row_rank_min(k) | project id, rd, rm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 3L),
+      (4L, 3L, 4L), (5L, 4L, 5L)))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_rowrank | sort by id asc | serialize r = row_rank_dense()")
+    }
+  }
+
+  test("series_stats multi-assign: min/argmin/max/argmax/avg/var/stdev per row") {
+    Seq((1L, Seq(5.0, 1.0, 7.0, 1.0)), (2L, Seq(2.0, 2.0, 2.0, 2.0)))
+      .toDF("id", "v").createOrReplaceTempView("kql_sstats")
+    val got = Kql.translate(spark,
+      "kql_sstats | extend (mn, mnidx, mx, mxidx, avg, var, stdev) = series_stats(v) " +
+        "| project id, mn, mnidx, mx, mxidx, avg, var, stdev | sort by id asc")
+      .collect().toSeq
+    val r1 = got.head
+    // first-occurrence indices are 0-based; sample variance
+    assert((r1.getDouble(1), r1.getLong(2), r1.getDouble(3), r1.getLong(4)) ===
+      ((1.0, 1L, 7.0, 2L)))
+    assert(r1.getDouble(5) === 3.5 && r1.getDouble(6) === 9.0 && r1.getDouble(7) === 3.0)
+    val r2 = got(1)
+    assert(r2.getDouble(6) === 0.0, "constant series has zero variance")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_sstats | extend (a, b) = series_stats(v)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_sstats | extend (a, b, c, d, e, f, g) = series_stats(id)")
+    }
+  }
+
+  test("series_fit_line multi-assign: exact fit on a perfect line") {
+    Seq((1L, Seq(1.0, 3.0, 5.0, 7.0))).toDF("id", "v")
+      .createOrReplaceTempView("kql_fitline")
+    val r = Kql.translate(spark,
+      "kql_fitline | extend (rsq, slope, var, rvar, inter) = series_fit_line(v) " +
+        "| project rsq, slope, var, rvar, inter").collect().head
+    // y = 2x + 1 over x = 0..3: all sums land on exact decimals, so the
+    // fit is bit-exact
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 2.0)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 1.0)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_fitline | extend (a, b) = series_bogus(v)")
+    }
+  }
 }

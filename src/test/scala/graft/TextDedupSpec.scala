@@ -882,4 +882,47 @@ class TextDedupSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
     out.unpersist()
   }
+
+  test("containment flags a quoted subset the symmetric Jaccard cut misses") {
+    val docs = Seq(
+      // doc 1's 3-gram set is a strict subset of doc 2's (full quote
+      // inside a longer wrapper) — containment 1.0, Jaccard diluted
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words first alpha beta gamma delta epsilon then closing remarks trailing onwards afterwards"),
+      (3L, "totally different text about other things entirely here"))
+      .map { case (id, t) => (id, t, "en", t.length) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_containment")(spark, dir)
+      .select("ai", "bi", "side", "cont", "jac")
+      .as[(Long, Long, String, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((1L, 2L)))
+    val (_, _, side, cont, jac) = got.head
+    assert(side === "a_in_b" && cont === 1.0)
+    assert(jac < 0.5, "the union dilution keeps Jaccard below the containment cut")
+    // and the symmetric verifier at its own threshold would NOT pair them
+    // as near-dups worth dropping: containment is the extra signal
+    assert(jac < cont)
+  }
+
+  test("rrf fusion: scores recompute from ranks, ordered, both sides fused") {
+    val got = SparkEntry.queries("q_rrf_fusion")(spark, sfDir).collect().toSeq
+    assert(got.size === 10)
+    def term(r: Any): Double = r match {
+      case null => 0.0
+      case i: Int => 1.0 / (60.0 + i.toDouble)
+    }
+    got.foreach { row =>
+      val want = term(row.get(2)) + term(row.get(3))
+      assert(row.getDouble(1) === want, s"rrf must equal its rank formula: $row")
+      assert(!(row.isNullAt(2) && row.isNullAt(3)))
+    }
+    // descending, ties broken by doc_id
+    val scores = got.map(r => (-r.getDouble(1), r.getLong(0)))
+    assert(scores === scores.sorted)
+    // a doc ranked on BOTH sides must outscore any single-list doc at
+    // equal-or-worse ranks; at minimum the fused list is not single-sided
+    assert(got.exists(!_.isNullAt(2)) && got.exists(!_.isNullAt(3)))
+  }
 }
