@@ -274,7 +274,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/%.;[]:".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/%.;[]:{}".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -344,6 +344,23 @@ object Kql {
     private val letTables = scala.collection.mutable.Map.empty[String, DataFrame]
     private val letScalars = scala.collection.mutable.Map.empty[String, Column]
 
+    // let-bound tabular FUNCTIONS (`let f = (T:(*), x:long) { body };`) —
+    // the ADX stored-function shape `invoke` consumes. The body stays
+    // untranslated tokens: it re-translates per invoke site with the
+    // tabular parameter bound to the piped input (pure plan substitution,
+    // so Catalyst still sees one flat plan — params cost nothing at run
+    // time, exactly like ADX's inlining of user functions).
+    private case class KFunc(tab: String, scalars: Vector[(String, String)],
+        body: Vector[Tok])
+    private val letFuncs = scala.collection.mutable.Map.empty[String, KFunc]
+
+    // declared function-parameter types → the Spark cast applied to each
+    // call-site argument (so the signature is honored, not just parsed)
+    private val kqlScalarTypes: Map[String, String] = Map(
+      "long" -> "long", "int" -> "int", "real" -> "double",
+      "double" -> "double", "string" -> "string", "bool" -> "boolean",
+      "boolean" -> "boolean", "datetime" -> "timestamp")
+
     // the most recent `sort by` keys — what `serialize`'s row numbering
     // is defined over (ADX: serialize freezes the current sorted order)
     private var lastSort: Option[Seq[Column]] = None
@@ -374,6 +391,47 @@ object Kql {
           TIdent("materialize") +: TSym("(") +: (body :+ TSym(")")) =>
         if (body.isEmpty) fail("materialize needs a tabular expression")
         letTables(name) = pipeline(splitPipes(body)).localCheckpoint(true)
+      // `let f = (T:(*), x:long, ...) { body };` — a tabular function.
+      // First parameter must be the tabular input (the invoke contract);
+      // the rest are typed scalars. The body is stored as raw tokens and
+      // translated at each invoke site with the parameters in scope.
+      case TIdent("let") +: TIdent(name) +: TSym("=") +: TSym("(") +: rest
+          if rest.contains(TSym("{")) =>
+        var depth = 1
+        var i = 0
+        while (i < rest.length && depth > 0) {
+          rest(i) match {
+            case TSym("(") => depth += 1
+            case TSym(")") => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        if (depth != 0) fail(s"unbalanced parameter list in function '$name'")
+        val paramToks = rest.take(i - 1)
+        val body = rest.drop(i) match {
+          case TSym("{") +: b :+ TSym("}") if b.nonEmpty => b
+          case _ => fail(s"function '$name' needs a `{ pipeline }` body")
+        }
+        val params =
+          if (paramToks.isEmpty) Vector.empty
+          else splitOn(paramToks, TSym(","))
+        if (params.isEmpty) fail(
+          s"function '$name' needs a tabular first parameter `T:(*)`")
+        val tab = params.head match {
+          case Vector(TIdent(p), TSym(":"), TSym("("), TSym("*"), TSym(")")) => p
+          case _ => fail(s"function '$name': the first parameter must be " +
+            "tabular (`T:(*)`) — that is what `invoke` pipes the input into")
+        }
+        val scalars = params.tail.map {
+          case Vector(TIdent(p), TSym(":"), TIdent(ty)) =>
+            if (!kqlScalarTypes.contains(ty))
+              fail(s"function '$name': unsupported parameter type '$ty'")
+            (p, ty)
+          case other => fail(s"function '$name': parameters after the " +
+            s"tabular input must be `name: type`, got $other")
+        }
+        letFuncs(name) = KFunc(tab, scalars, body)
       case TIdent("let") +: TIdent(name) +: TSym("=") +: rhs if rhs.nonEmpty =>
         val tabular = rhs.head match {
           // the table generators are tabular regardless of what follows
@@ -655,11 +713,68 @@ object Kql {
           df.filter(strCols.map(n => hasNeedle(col(n), needle, cs)).reduce(_ || _))
         case TIdent("make") +: TSym("-") +: TIdent("series") +: rest =>
           applyMakeSeries(df, rest)
+        // `invoke f(args...)` — apply a let-bound tabular function to the
+        // piped input. Pure plan substitution: the body translates here
+        // with the tabular parameter bound to `df`, so Catalyst sees one
+        // flat plan and the function costs nothing at run time (the same
+        // inlining ADX performs for user functions).
+        case TIdent("invoke") +: TIdent(fname) +: TSym("(") +:
+            (argT :+ TSym(")")) =>
+          applyInvoke(df, fname, argT)
+        // `reduce by Expr` — pattern clustering: rows group by their
+        // string's PATTERN, where this dialect's pattern derivation is
+        // deterministic (decimal digit runs fold to `*`; ADX's fuller
+        // heuristic also folds GUID/hex shapes — documented subset).
+        // Output contract matches ADX: Pattern, Count. One hash
+        // aggregate over a codegen'd projection — no extra pass.
+        case TIdent("reduce") +: TIdent("by") +: rest if rest.nonEmpty =>
+          df.groupBy(regexp_replace(parseArithToks(rest).cast("string"),
+              "[0-9]+", "*").as("Pattern"))
+            .agg(count(lit(1)).as("Count"))
         case TIdent(op) +: _ =>
           fail(s"unsupported operator '$op'")
         case _ =>
           fail("malformed pipeline stage")
       }
+
+    // ---------------------------------------------------------- invoke
+
+    /** Bind the piped input to the function's tabular parameter and the
+      * call-site arguments (constant expressions, cast to the declared
+      * parameter types) to its scalar parameters, then translate the
+      * stored body in that scope. Parameters SHADOW outer bindings of
+      * the same name and are restored after — ADX function scoping.
+      */
+    private def applyInvoke(df: DataFrame, fname: String,
+        argToks: Vector[Tok]): DataFrame = {
+      val fn = letFuncs.getOrElse(fname, fail(s"invoke of undefined " +
+        s"function '$fname' (define it first: " +
+        s"`let $fname = (T:(*), ...) { ... };`)"))
+      val args =
+        if (argToks.isEmpty) Vector.empty
+        else splitOn(argToks, TSym(","))
+      if (args.length != fn.scalars.length)
+        fail(s"$fname() takes ${fn.scalars.length} scalar argument(s) " +
+          s"after the piped input, got ${args.length}")
+      val bound = fn.scalars.zip(args).map { case ((p, ty), at) =>
+        p -> parseArithToks(at).cast(kqlScalarTypes(ty))
+      }
+      val savedTab = letTables.get(fn.tab)
+      val savedScalars = fn.scalars.map { case (p, _) => p -> letScalars.get(p) }
+      letTables(fn.tab) = df
+      bound.foreach { case (p, c) => letScalars(p) = c }
+      try pipeline(splitPipes(fn.body))
+      finally {
+        savedTab match {
+          case Some(v) => letTables(fn.tab) = v
+          case None => letTables.remove(fn.tab)
+        }
+        savedScalars.foreach {
+          case (p, Some(v)) => letScalars(p) = v
+          case (p, None) => letScalars.remove(p)
+        }
+      }
+    }
 
     // ------------------------------------------------------------ join
     //   join := ['kind' '=' ident] ('(' pipeline ')' | table)
@@ -2154,6 +2269,53 @@ object Kql {
         case "datetime_part" =>
           // datetime_part("hour", ts) → int, ADX part names lowercased
           nArgs(2); date_part(lit(litStr(0).toLowerCase), arg(1)).cast("int")
+        // ---- IPv4 family: pure integer arithmetic end to end, so every
+        // predicate stays codegen'd + pushable and the DuckDB twin is
+        // bit-identical. parse_ipv4 → long (null on malformed/out-of-
+        // range octets), format_ipv4 ← long or dotted string.
+        case "parse_ipv4" => nArgs(1); parseIpv4(arg(0).cast("string"))
+        case "format_ipv4" =>
+          nArgs(1)
+          // ADX accepts a long or a dotted string; a dotted string casts
+          // to null long and falls through to the parse path
+          val ipl = coalesce(arg(0).cast("long"),
+            parseIpv4(arg(0).cast("string")))
+          when(ipl.isNotNull && ipl >= 0L && ipl <= 4294967295L, concat_ws(".",
+            shiftright(ipl, 24).bitwiseAND(lit(255L)).cast("string"),
+            shiftright(ipl, 16).bitwiseAND(lit(255L)).cast("string"),
+            shiftright(ipl, 8).bitwiseAND(lit(255L)).cast("string"),
+            ipl.bitwiseAND(lit(255L)).cast("string")))
+        case "ipv4_is_private" =>
+          // RFC 1918: 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16
+          nArgs(1)
+          val ipl = parseIpv4(arg(0).cast("string"))
+          (ipl >= 167772160L && ipl < 184549376L) ||
+            (ipl >= 2886729728L && ipl < 2887778304L) ||
+            (ipl >= 3232235520L && ipl < 3232301056L)
+        case "ipv4_is_in_range" =>
+          // cidr is a translate-time literal: the base/prefix fold to
+          // constants, so the membership test is ONE shift + equality
+          nArgs(2)
+          val cidr = litStr(1)
+          val (baseStr, prefix) = cidr.split("/") match {
+            case Array(b, p) if p.forall(_.isDigit) && p.nonEmpty =>
+              (b, p.toInt)
+            case Array(b) => (b, 32)
+            case _ => fail(s"ipv4_is_in_range: malformed range '$cidr'")
+          }
+          if (prefix < 0 || prefix > 32)
+            fail(s"ipv4_is_in_range: prefix /$prefix out of [0, 32]")
+          val base = baseStr.split("\\.") match {
+            case Array(a, b, c, d)
+                if Array(a, b, c, d).forall(o =>
+                  o.nonEmpty && o.forall(_.isDigit) && o.toLong <= 255) =>
+              a.toLong * 16777216L + b.toLong * 65536L +
+                c.toLong * 256L + d.toLong
+            case _ => fail(s"ipv4_is_in_range: malformed address in '$cidr'")
+          }
+          val shift = 32 - prefix
+          shiftright(parseIpv4(arg(0).cast("string")), shift) ===
+            lit(base >> shift)
         case "isnull" => nArgs(1); arg(0).isNull
         case "isnotnull" => nArgs(1); arg(0).isNotNull
         case "isempty" => nArgs(1); coalesce(arg(0).cast("string"), lit("")) === lit("")
@@ -2162,6 +2324,20 @@ object Kql {
       }
     }
 
+
+    /** Dotted-quad string → long, null when malformed (shape or any
+      * octet > 255). One regex gate + integer arithmetic; the four
+      * element_at(split) accesses are identical subtrees, so codegen's
+      * subexpression elimination computes the split once per row.
+      */
+    private def parseIpv4(x: Column): Column = {
+      val parts = split(x, "\\.")
+      def oct(i: Int): Column = element_at(parts, i).cast("long")
+      val valid = x.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") &&
+        greatest(oct(1), oct(2), oct(3), oct(4)) <= 255L
+      when(valid, oct(1) * 16777216L + oct(2) * 65536L +
+        oct(3) * 256L + oct(4))
+    }
 
     private def operand(c: Cur): Column = c.next() match {
       case TIdent("true") => lit(true)

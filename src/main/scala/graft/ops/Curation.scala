@@ -600,6 +600,55 @@ object Curation {
       .orderBy("metric")
   }
 
+  /** Declarative data-quality EXPECTATION suite (the Deequ/dbt-test
+    * shape): every scalar constraint — completeness, key uniqueness,
+    * range/set compliance, positivity — computes in ONE aggregate pass
+    * over the fact table (the only affordable validation shape at
+    * 100 TB: adding a constraint adds a conditional count to the same
+    * scan, never a scan), plus one anti-join for the referential
+    * constraint. The 1-row metric frames cross-join (both broadcast,
+    * bounded) and unpivot to one verdict row per constraint:
+    * (constraint, metric, threshold, direction, passed). Metrics are
+    * single-division ratios of exact counts — bit-stable cross-engine.
+    * Failing constraints REPORT (passed = false) rather than abort:
+    * the gate's consumer decides, the suite just measures.
+    */
+  private def expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // (l_linenumber < 8 in TPC-H shapes, so *8+ is an exact pair encode
+    // — the same distinct both engines count with no struct hashing)
+    val base = li.agg(
+      cnt.as("n"),
+      count(col("l_shipdate")).as("n_ship"),
+      countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("n_pk"),
+      sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1L)
+        .otherwise(0L)).as("n_qty"),
+      sum(when(col("l_discount") >= 0 && col("l_discount") <= 0.08, 1L)
+        .otherwise(0L)).as("n_disc"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("n_rf"),
+      sum(when(col("l_extendedprice") > 0, 1L).otherwise(0L)).as("n_price"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    base.crossJoin(broadcast(orphans))
+      .select(expr(
+        "stack(7, " +
+          "'completeness_shipdate', CAST(n_ship AS DOUBLE) / n, 1.0D, 'min', " +
+          "'compliance_discount', CAST(n_disc AS DOUBLE) / n, 1.0D, 'min', " +
+          "'compliance_quantity', CAST(n_qty AS DOUBLE) / n, 1.0D, 'min', " +
+          "'positivity_price', CAST(n_price AS DOUBLE) / n, 1.0D, 'min', " +
+          "'referential_orderkey', CAST(n_orphan AS DOUBLE) / n, 0.0D, 'max', " +
+          "'set_returnflag', CAST(n_rf AS DOUBLE) / n, 1.0D, 'min', " +
+          "'uniqueness_pk', CAST(n_pk AS DOUBLE) / n, 1.0D, 'min') " +
+          "AS (constraint, metric, threshold, direction)"))
+      .withColumn("passed",
+        when(col("direction") === "min", col("metric") >= col("threshold"))
+          .otherwise(col("metric") <= col("threshold")))
+      .orderBy("constraint")
+  }
+
   // ------------------------------------------------ outlier screen
 
   /** Z-score outlier screen on event values per type: exact decimal
@@ -1311,6 +1360,7 @@ object Curation {
     "q_span_dedup" -> (spanDedup _),
     "q_weighted_sample" -> (weightedSample _),
     "q_corpus_report" -> (corpusReport _),
+    "q_expectations" -> (expectations _),
     "q_drift_kl" -> (driftKl _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
@@ -1616,6 +1666,28 @@ object Curation {
         "SELECT 'short_rate', round(CAST(n_short AS DOUBLE) / n_docs, 4) FROM a UNION ALL " +
         "SELECT 'source_count', CAST(n_sources AS DOUBLE) FROM a UNION ALL " +
         "SELECT 'token_count', CAST(n_tokens AS DOUBLE) FROM a) ORDER BY metric"),
+    "q_expectations" ->
+      ("WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(l_shipdate) AS BIGINT) AS n_ship, " +
+        "CAST(count(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT) AS n_pk, " +
+        "CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty, " +
+        "CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc, " +
+        "CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS n_rf, " +
+        "CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price " +
+        "FROM lineitem), " +
+        "o AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan FROM lineitem " +
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) " +
+        "SELECT \"constraint\", metric, threshold, direction, " +
+        "CASE WHEN direction = 'min' THEN metric >= threshold " +
+        "ELSE metric <= threshold END AS passed FROM (" +
+        "SELECT 'completeness_shipdate' AS \"constraint\", CAST(n_ship AS DOUBLE) / n AS metric, 1.0 AS threshold, 'min' AS direction FROM b UNION ALL " +
+        "SELECT 'compliance_discount', CAST(n_disc AS DOUBLE) / n, 1.0, 'min' FROM b UNION ALL " +
+        "SELECT 'compliance_quantity', CAST(n_qty AS DOUBLE) / n, 1.0, 'min' FROM b UNION ALL " +
+        "SELECT 'positivity_price', CAST(n_price AS DOUBLE) / n, 1.0, 'min' FROM b UNION ALL " +
+        "SELECT 'referential_orderkey', CAST(n_orphan AS DOUBLE) / n, 0.0, 'max' FROM b, o UNION ALL " +
+        "SELECT 'set_returnflag', CAST(n_rf AS DOUBLE) / n, 1.0, 'min' FROM b UNION ALL " +
+        "SELECT 'uniqueness_pk', CAST(n_pk AS DOUBLE) / n, 1.0, 'min' FROM b" +
+        ") ORDER BY \"constraint\""),
     "q_weighted_sample" ->
       ("WITH k AS (SELECT doc_id, n_chars, " +
         "ln((CAST(list_reduce(list_transform(range(1, 7), c -> " +

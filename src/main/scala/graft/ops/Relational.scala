@@ -1264,6 +1264,64 @@ object Relational {
         "| getschema | sort by ColumnOrdinal asc")
   }
 
+  /** KQL `invoke` + let-bound tabular function — the ADX stored-function
+    * idiom (`let f = (T:(*), x:long) { ... }; Tbl | invoke f(...)`).
+    * The translator inlines the body at the call site with the piped
+    * input bound to the tabular parameter, so Catalyst sees ONE flat
+    * plan: the abstraction costs nothing at run time, exactly like
+    * ADX's own function inlining.
+    */
+  private def kqlInvoke(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "let hot = (T:(*), thr:long, kind:string) { " +
+        "T | where value > thr and event_type == kind " +
+        "| summarize n = count(), hi = max(value) by user_id }; " +
+        "events_csl | invoke hot(50, 'purchase') | sort by user_id asc")
+  }
+
+  /** KQL `reduce by` — pattern clustering over a string expression:
+    * rows group by their PATTERN (this dialect folds decimal digit runs
+    * to `*` — the deterministic, oracle-able core of ADX's fuller
+    * heuristic), output contract Pattern/Count per ADX. One hash
+    * aggregate over a codegen'd projection; patterns are bounded by the
+    * template alphabet, so the result is dimension-sized at any SF.
+    */
+  private def kqlReduce(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend tag = strcat(event_type, '_', tostring(user_id % 100)) " +
+        "| reduce by tag | sort by Pattern asc")
+  }
+
+  /** KQL IPv4 scalar family — parse_ipv4 / format_ipv4 /
+    * ipv4_is_private / ipv4_is_in_range, the telemetry staple: pure
+    * integer arithmetic end to end (one regex validity gate), so every
+    * derived predicate stays codegen'd and the DuckDB twin is
+    * bit-identical. The fixture carries no address column, so the quad
+    * is assembled from event keys (with planted malformed rows via an
+    * out-of-range octet) — exercising the null path, the RFC 1918
+    * ranges across all three blocks, CIDR membership on a non-octet
+    * boundary (/12), and the format round trip.
+    */
+  private def kqlIpv4(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl " +
+        "| extend a = case(event_type == 'click', 10, event_type == 'view', 172, " +
+        "event_type == 'error', 8, 192) " +
+        "| extend b = case(a == 172, event_id % 48, a == 192, 168, user_id % 200) " +
+        "| extend ip0 = strcat(tostring(a), '.', tostring(b), '.', " +
+        "tostring(event_id % 256), '.', tostring(user_id % 251)) " +
+        "| extend ip = iff(event_id % 97 == 0, '10.1.2.999', ip0) " +
+        "| extend ipl = parse_ipv4(ip), priv = ipv4_is_private(ip), " +
+        "inr = ipv4_is_in_range(ip, '172.16.0.0/12') " +
+        "| extend rt = format_ipv4(ipl) " +
+        "| summarize n = count(), bad = countif(isnull(ipl)), lo = min(ipl), " +
+        "hi = max(ipl), rlo = min(rt) by priv, inr " +
+        "| sort by priv asc, inr asc")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -1410,6 +1468,9 @@ object Relational {
     "q_kql_seriesstats" -> (kqlSeriesStats _),
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
+    "q_kql_invoke" -> (kqlInvoke _),
+    "q_kql_reduce" -> (kqlReduce _),
+    "q_kql_ipv4" -> (kqlIpv4 _),
     "q_kql_bagunpack" -> (kqlBagUnpack _),
     "q_kql_partition" -> (kqlPartition _),
     "q_pivot" -> (pivotAgg _),
@@ -1645,6 +1706,47 @@ object Relational {
         "('ts_ts', CAST(3 AS BIGINT), 'System.DateTime', 'datetime'), " +
         "('vdoub', CAST(4 AS BIGINT), 'System.Double', 'real')" +
         ") t(ColumnName, ColumnOrdinal, DataType, ColumnType) ORDER BY ColumnOrdinal"),
+    "q_kql_invoke" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n, max(\"value\") AS hi " +
+        "FROM events WHERE \"value\" > 50 AND event_type = 'purchase' " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "q_kql_reduce" ->
+      ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
+        "'[0-9]+', '*', 'g') AS \"Pattern\", " +
+        "CAST(count(*) AS BIGINT) AS \"Count\" " +
+        "FROM events GROUP BY 1 ORDER BY \"Pattern\""),
+    "q_kql_ipv4" -> {
+      def oc(i: Int) = s"CAST(split_part(ip, '.', $i) AS BIGINT)"
+      "WITH e AS (SELECT *, CASE WHEN event_type = 'click' THEN 10 " +
+        "WHEN event_type = 'view' THEN 172 WHEN event_type = 'error' THEN 8 " +
+        "ELSE 192 END AS a FROM events), " +
+        "e2 AS (SELECT *, CASE WHEN a = 172 THEN event_id % 48 " +
+        "WHEN a = 192 THEN 168 ELSE user_id % 200 END AS b FROM e), " +
+        "e3 AS (SELECT *, CASE WHEN event_id % 97 = 0 THEN '10.1.2.999' " +
+        "ELSE CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.' || " +
+        "CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 251 AS VARCHAR) " +
+        "END AS ip FROM e2), " +
+        "p AS (SELECT *, CASE WHEN " +
+        "regexp_matches(ip, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$') AND " +
+        s"greatest(${oc(1)}, ${oc(2)}, ${oc(3)}, ${oc(4)}) <= 255 " +
+        s"THEN ${oc(1)} * 16777216 + ${oc(2)} * 65536 + ${oc(3)} * 256 + ${oc(4)} " +
+        "END AS ipl FROM e3), " +
+        "q AS (SELECT *, " +
+        "(ipl >= 167772160 AND ipl < 184549376) OR " +
+        "(ipl >= 2886729728 AND ipl < 2887778304) OR " +
+        "(ipl >= 3232235520 AND ipl < 3232301056) AS priv, " +
+        "(ipl // 1048576) = 2753 AS inr, " +
+        "CASE WHEN ipl IS NOT NULL THEN " +
+        "CAST(ipl // 16777216 AS VARCHAR) || '.' || " +
+        "CAST((ipl // 65536) % 256 AS VARCHAR) || '.' || " +
+        "CAST((ipl // 256) % 256 AS VARCHAR) || '.' || " +
+        "CAST(ipl % 256 AS VARCHAR) END AS rt FROM p) " +
+        "SELECT priv, inr, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN ipl IS NULL THEN 1 END) AS BIGINT) AS bad, " +
+        "min(ipl) AS lo, max(ipl) AS hi, min(rt) AS rlo " +
+        "FROM q GROUP BY priv, inr " +
+        "ORDER BY priv ASC NULLS FIRST, inr ASC NULLS FIRST"
+    },
     "q_pivot" ->
       ("SELECT l_linestatus, " +
         "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS A, " +

@@ -736,4 +736,39 @@ class CurationSpec extends SparkSpec {
     // the split itself is non-degenerate at this SF
     assert(got.map(_._3).sum > 0, "the eval split must be non-empty")
   }
+
+  test("expectations: one verdict row per constraint, metrics recomputed") {
+    val rows = q("q_expectations")
+      .select("constraint", "metric", "threshold", "direction", "passed")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(rows.size === 7, "the suite reports every constraint exactly once")
+    // recompute two metrics independently
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count().toDouble
+    val nShip = li.filter($"l_shipdate".isNotNull).count().toDouble
+    assert(rows("completeness_shipdate")._1 === nShip / n)
+    val orphans = li.select("l_orderkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti").count().toDouble
+    assert(rows("referential_orderkey")._1 === orphans / n)
+    // every verdict is consistent with its metric/threshold/direction
+    rows.foreach { case (name, (m, t, d, p)) =>
+      val want = if (d == "min") m >= t else m <= t
+      assert(p === want, s"$name verdict inconsistent")
+    }
+    // the fixture satisfies the structural constraints...
+    for (c <- Seq("completeness_shipdate", "compliance_quantity",
+        "set_returnflag", "positivity_price", "referential_orderkey"))
+      assert(rows(c)._4, s"$c should hold on the fixture")
+    // ...and the suite REPORTS the two that genuinely fail on it: the
+    // synthetic lineitem reuses (orderkey, linenumber) pairs, and
+    // discounts run up to 0.10 against the 0.08 policy cut — failing
+    // constraints report rather than abort, by design
+    assert(!rows("uniqueness_pk")._4)
+    assert(rows("uniqueness_pk")._1 < 1.0)
+    assert(!rows("compliance_discount")._4)
+  }
 }

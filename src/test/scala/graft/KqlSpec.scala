@@ -1089,4 +1089,94 @@ class KqlSpec extends SparkSpec {
       Kql.translate(spark, "kql_fitline | extend (a, b) = series_bogus(v)")
     }
   }
+
+  test("invoke: let-bound tabular function inlines with typed parameters") {
+    Seq((1L, "a", 5.0), (2L, "a", 50.0), (3L, "b", 60.0))
+      .toDF("id", "k", "v").createOrReplaceTempView("kql_fn")
+    val got = Kql.translate(spark,
+      "let pick = (T:(*), thr:long, kind:string) { " +
+        "T | where v > thr and k == kind | project id }; " +
+        "kql_fn | invoke pick(10, 'a') | sort by id asc")
+      .as[Long].collect().toSeq
+    assert(got === Seq(2L))
+    // parameters SHADOW outer scalar lets inside the body (pick(1) keeps
+    // all rows; the outer thr=55 would keep one) and RESTORE after the
+    // invoke (the extend reads 55 again)
+    val shadow = Kql.translate(spark,
+      "let thr = 55; " +
+        "let pick = (T:(*), thr:long) { T | where v > thr | project id }; " +
+        "kql_fn | invoke pick(1) | extend t = thr | where t == 55 " +
+        "| project id | sort by id asc")
+      .as[Long].collect().toSeq
+    assert(shadow === Seq(1L, 2L, 3L), "param shadows in body, restores after")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_fn | invoke nosuch(1)")
+    }
+    intercept[IllegalArgumentException] {
+      // arity mismatch is loud
+      Kql.translate(spark,
+        "let f = (T:(*), a:long) { T | where v > a }; kql_fn | invoke f()")
+    }
+    intercept[IllegalArgumentException] {
+      // first parameter must be tabular — that is what invoke pipes into
+      Kql.translate(spark,
+        "let f = (a:long) { kql_fn | where v > a }; kql_fn | invoke f(1)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "let f = (T:(*), a:frobnitz) { T }; kql_fn | take 1")
+    }
+  }
+
+  test("reduce by: digit runs fold to * and patterns group") {
+    Seq("err_17_disk", "err_9_disk", "ok_123", "ok_7", "plain")
+      .toDF("msg").createOrReplaceTempView("kql_red")
+    val got = Kql.translate(spark,
+      "kql_red | reduce by msg | sort by Pattern asc")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("err_*_disk", 2L), ("ok_*", 2L), ("plain", 1L)))
+  }
+
+  test("ipv4 family: parse bounds, format round trip, RFC1918, CIDR edges") {
+    Seq("0.0.0.0", "255.255.255.255", "256.1.1.1", "1.2.3.4.5", "1.2.3",
+      "10.0.0.1", "9.255.255.255", "172.15.255.255", "172.16.0.0",
+      "172.31.255.255", "172.32.0.0", "192.168.0.1", "192.169.0.0", "junk")
+      .toDF("ip").createOrReplaceTempView("kql_ip")
+    val rows = Kql.translate(spark,
+      "kql_ip | extend l = parse_ipv4(ip), p = ipv4_is_private(ip), " +
+        "r = ipv4_is_in_range(ip, '172.16.0.0/12'), " +
+        "rt = format_ipv4(parse_ipv4(ip)) " +
+        "| project ip, l, p, r, rt").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+          Option(r.getString(4))))).toMap
+    assert(rows("0.0.0.0")._1 === Some(0L))
+    assert(rows("255.255.255.255")._1 === Some(4294967295L))
+    for (bad <- Seq("256.1.1.1", "1.2.3.4.5", "1.2.3", "junk"))
+      assert(rows(bad) === ((None, None, None, None)), bad)
+    // round trip is the identity on every valid quad
+    for ((ip, (l, _, _, rt)) <- rows if l.isDefined)
+      assert(rt === Some(ip), ip)
+    // RFC 1918 block edges
+    assert(rows("10.0.0.1")._2 === Some(true))
+    assert(rows("9.255.255.255")._2 === Some(false))
+    assert(rows("172.15.255.255")._2 === Some(false))
+    assert(rows("172.16.0.0")._2 === Some(true))
+    assert(rows("172.31.255.255")._2 === Some(true))
+    assert(rows("172.32.0.0")._2 === Some(false))
+    assert(rows("192.168.0.1")._2 === Some(true))
+    assert(rows("192.169.0.0")._2 === Some(false))
+    // the /12 is exactly the 172.16-31 window
+    assert(rows("172.15.255.255")._3 === Some(false))
+    assert(rows("172.16.0.0")._3 === Some(true))
+    assert(rows("172.31.255.255")._3 === Some(true))
+    assert(rows("172.32.0.0")._3 === Some(false))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_ip | extend x = ipv4_is_in_range(ip, '1.2.3.4/40')")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_ip | extend x = ipv4_is_in_range(ip, '1.2.999.4/8')")
+    }
+  }
 }
