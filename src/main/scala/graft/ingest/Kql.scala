@@ -1433,9 +1433,14 @@ object Kql {
         case Vector(TIdent(nm)) => nm
         case other => fail(s"extend multi-assign names must be identifiers, got $other")
       }
-      val (fn, vcol) = toks.drop(close + 1) match {
-        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(")")) => (f, c)
-        case _ => fail("extend (...) = fn(column): one array-column argument")
+      val (fn, vcol, period) = toks.drop(close + 1) match {
+        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(")")) =>
+          (f, c, None)
+        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(","),
+            TNum(k), TSym(")")) if !k.contains('.') =>
+          (f, c, Some(k.toInt))
+        case _ => fail("extend (...) = fn(column[, intLiteral]): " +
+          "one array-column argument (+ an integer period for decompose)")
       }
       if (!df.columns.contains(vcol)) fail(s"$fn: no column '$vcol'")
       df.schema(vcol).dataType match {
@@ -1484,10 +1489,61 @@ object Kql {
           names.zip(Seq(
             when(sstot > 0, lit(1.0) - ssres / sstot), slope, variance,
             ssres / (n - lit(1.0)), inter))
+        case "series_decompose" =>
+          // ADX series_decompose(series, period) → (baseline, seasonal,
+          // trend, residual), additive. This dialect's deterministic
+          // recipe (documented; ADX's default also detects the period
+          // and can use STL-style robust fitting): trend = the
+          // series_fit_line least-squares line over the RAW series
+          // (exact decimal sums); seasonal[i] = phase mean of the
+          // detrended values at positions ≡ i (mod period), phase sums
+          // routed through DECIMAL(26,12) terms (order-free, so the
+          // row-grouped oracle matches the array fold bit-for-bit);
+          // residual = detrended − seasonal; baseline = trend +
+          // seasonal. Everything is per-row array arithmetic — the
+          // stage costs what make-series cost at any scale.
+          if (names.length != 4)
+            fail("series_decompose multi-assign takes exactly 4 names " +
+              "(baseline, seasonal, trend, residual)")
+          val p = period.getOrElse(fail("series_decompose needs an " +
+            "explicit integer period in this subset (detection is out)"))
+          if (p < 2 || p > 1000) fail(s"series_decompose period $p out of [2, 1000]")
+          val sxy = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
+            zero, (a, x) => (a + x).cast(d12)).cast("double")
+          val sx = (n - lit(1.0)) * n / lit(2.0)
+          val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
+          val slope = when(size(v) > 1, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
+          val inter = sy / n - slope * (sx / n)
+          val idx = sequence(lit(0), size(v) - 1)
+          val trend = transform(idx, i => slope * i.cast("double") + inter)
+          val detr = zip_with(v, trend, (y, t) => y.cast("double") - t)
+          val dterm = DecimalType(26, 12)
+          // per-phase exact decimal sums + integer counts → one division
+          val phMeans: Seq[Column] = (0 until p).map { q =>
+            val s = aggregate(
+              zip_with(detr, idx, (x, i) =>
+                when(pmod(i, lit(p)) === q, x).otherwise(lit(0.0))),
+              zero, (a, x) => (a + x.cast(dterm)).cast(d12)).cast("double")
+            val c = when(size(v) > q,
+              floor((size(v) - lit(1) - lit(q)) / lit(p)) + lit(1))
+              .otherwise(lit(0)).cast("double")
+            s / c
+          }
+          def seaAt(i: Column): Column =
+            (1 until p).foldLeft(when(pmod(i, lit(p)) === 0, phMeans(0))) {
+              (acc, q) => acc.when(pmod(i, lit(p)) === q, phMeans(q))
+            }
+          val sea = transform(idx, seaAt _)
+          val resid = zip_with(detr, sea, (x, m) => x - m)
+          val base = zip_with(trend, sea, (t, m) => t + m)
+          names.zip(Seq(base, sea, trend, resid))
         case other =>
           fail(s"unsupported multi-assign function '$other' " +
-            "(series_stats/series_fit_line)")
+            "(series_stats/series_fit_line/series_decompose)")
       }
+      if (period.isDefined && fn != "series_decompose")
+        fail(s"$fn takes no period argument")
       outs.foldLeft(df) { case (d, (nm, e)) => d.withColumn(nm, e) }
     }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -647,6 +647,61 @@ object Curation {
         when(col("direction") === "min", col("metric") >= col("threshold"))
           .otherwise(col("metric") <= col("threshold")))
       .orderBy("constraint")
+  }
+
+  /** Fixed-point PAGERANK over the part↔supplier bipartite graph
+    * (distinct lineitem (partkey, suppkey) pairs, both directions) —
+    * the iterative-graph-algorithm shape (label propagation's sibling;
+    * q_dup_clusters is the other) expressed as the standard Spark
+    * driver loop: per iteration ONE co-keyed join of the bounded rank
+    * table onto the degree-annotated edge list + one hash aggregate,
+    * with `localCheckpoint` pinning plan depth constant at any
+    * iteration count. Edge list and degrees materialize ONCE.
+    *
+    * Determinism across engines is the q_interpolate rule applied to an
+    * ITERATED computation: every rank and every edge contribution is
+    * quantized to the 1e-8 grid with the explicit half-up
+    * `floor(x*1e8 + 0.5)/1e8` (engine-uniform IEEE, no cast/round tie
+    * path), and grid-exact contributions sum in DECIMAL(18,8) — exact,
+    * order-free — so five iterations stay bit-identical in both
+    * engines. Damping 0.85; no dangling mass (every node has out-edges
+    * by construction). Top 20 via TakeOrderedAndProject (distributed
+    * heap), row numbers assigned after the cut over 20 rows.
+    */
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges0 = pairs
+      .select(concat(lit("p"), col("pk")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+      .union(pairs.select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("p"), col("pk")).as("dst")))
+    val deg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val edges = edges0.join(deg, "src").localCheckpoint(true)
+    // node count: a bounded-dimension driver action (the toscalar class)
+    val nNodes = deg.count().toDouble
+    def q8(c: Column): Column = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+    var ranks = deg.select(col("src").as("node"),
+      q8(lit(1.0) / lit(nNodes)).as("pr"))
+    for (_ <- 1 to 5) {
+      val sums = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          q8(col("pr") / col("outdeg").cast("double")).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c").cast(DecimalType(18, 8))).as("sc"))
+      ranks = deg.select(col("src").as("node"))
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), q8(lit(0.15) / lit(nNodes) +
+          lit(0.85) * coalesce(col("sc").cast(DoubleType), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    val top = ranks.orderBy(col("pr").desc, col("node")).limit(20)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("rk"), col("node"), col("pr"))
+      .orderBy("rk")
   }
 
   // ------------------------------------------------ outlier screen
@@ -1361,6 +1416,7 @@ object Curation {
     "q_weighted_sample" -> (weightedSample _),
     "q_corpus_report" -> (corpusReport _),
     "q_expectations" -> (expectations _),
+    "q_pagerank" -> (pagerank _),
     "q_drift_kl" -> (driftKl _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
@@ -1688,6 +1744,31 @@ object Curation {
         "SELECT 'set_returnflag', CAST(n_rf AS DOUBLE) / n, 1.0, 'min' FROM b UNION ALL " +
         "SELECT 'uniqueness_pk', CAST(n_pk AS DOUBLE) / n, 1.0, 'min' FROM b" +
         ") ORDER BY \"constraint\""),
+    "q_pagerank" -> {
+      // 5 unrolled fixed-point iterations; every CTE MATERIALIZED (the
+      // standing DAG-not-tree rule) and every quantization the same
+      // engine-uniform floor(x*1e8 + 0.5)/1e8 the Spark side uses
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"s$k AS MATERIALIZED (SELECT e.dst, " +
+          "CAST(sum(CAST(floor((r.pr / e.outdeg) * 1e8 + 0.5) / 1e8 " +
+          "AS DECIMAL(18,8))) AS DOUBLE) AS sc " +
+          s"FROM edges e JOIN $prev r ON e.src = r.node GROUP BY e.dst), " +
+          s"r$k AS MATERIALIZED (SELECT d.src AS node, " +
+          "floor((0.15 / nn.n + 0.85 * COALESCE(s.sc, 0.0)) * 1e8 + 0.5) / 1e8 AS pr " +
+          s"FROM deg d CROSS JOIN nn LEFT JOIN s$k s ON d.src = s.dst), "
+      }
+      "WITH pairs AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
+        "edges0 AS MATERIALIZED (SELECT 'p' || CAST(pk AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM pairs " +
+        "UNION ALL SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(pk AS VARCHAR) FROM pairs), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges0 GROUP BY src), " +
+        "edges AS MATERIALIZED (SELECT e.src, e.dst, g.outdeg FROM edges0 e JOIN deg g ON e.src = g.src), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
+        "r0 AS MATERIALIZED (SELECT src AS node, floor((1.0 / nn.n) * 1e8 + 0.5) / 1e8 AS pr FROM deg CROSS JOIN nn), " +
+        (1 to 5).map(iter).mkString +
+        "fin AS (SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rn FROM r5) " +
+        "SELECT CAST(rn AS INT) AS rk, node, pr FROM fin WHERE rn <= 20 ORDER BY rk"
+    },
     "q_weighted_sample" ->
       ("WITH k AS (SELECT doc_id, n_chars, " +
         "ln((CAST(list_reduce(list_transform(range(1, 7), c -> " +

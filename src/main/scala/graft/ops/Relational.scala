@@ -1221,6 +1221,31 @@ object Relational {
         "| sort by event_type asc")
   }
 
+  /** KQL `series_decompose` — additive seasonal decomposition over the
+    * make-series day grid (period 7): trend = the exact-decimal
+    * least-squares line, seasonal = per-phase means of the detrended
+    * series (DECIMAL-routed phase sums, so the row-grouped oracle
+    * matches the array fold bit-for-bit), residual/baseline by
+    * definition. Arrays unzip to rows for the oracle compare (the
+    * q_kql_anomaly pattern). Per-row array arithmetic only — the stage
+    * costs what make-series cost at any scale.
+    */
+  private def kqlDecompose(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend (base, sea, tr, res) = series_decompose(n, 7)")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("base"), col("sea"),
+          col("tr"), col("res"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.base").as("base"),
+        col("col.sea").as("sea"), col("col.tr").as("tr"),
+        col("col.res").as("res"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1469,6 +1494,7 @@ object Relational {
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
     "q_kql_invoke" -> (kqlInvoke _),
+    "q_kql_decompose" -> (kqlDecompose _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_kql_bagunpack" -> (kqlBagUnpack _),
@@ -1710,6 +1736,28 @@ object Relational {
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n, max(\"value\") AS hi " +
         "FROM events WHERE \"value\" > 50 AND event_type = 'purchase' " +
         "GROUP BY user_id ORDER BY user_id"),
+    "q_kql_decompose" ->
+      (kqlSeriesGrid +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(i AS DECIMAL(18,6))) AS DOUBLE) AS sxy " +
+        "FROM ser GROUP BY event_type), " +
+        "fit AS (SELECT *, (nd - 1) * nd / 2 AS sx, " +
+        "(nd - 1) * nd * (2 * nd - 1) / 6 AS sx2 FROM sums), " +
+        "fit2 AS (SELECT *, (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope FROM fit), " +
+        "fit3 AS (SELECT *, sy / nd - slope * (sx / nd) AS inter FROM fit2), " +
+        "det AS (SELECT s.event_type, s.i, s.y, f.slope, f.inter, " +
+        "f.slope * s.i + f.inter AS tr, " +
+        "s.y - (f.slope * s.i + f.inter) AS d " +
+        "FROM ser s JOIN fit3 f ON s.event_type = f.event_type), " +
+        "ph AS (SELECT event_type, i % 7 AS q, " +
+        "CAST(sum(CAST(d AS DECIMAL(26,12))) AS DOUBLE) AS ps, " +
+        "CAST(count(*) AS DOUBLE) AS pc FROM det GROUP BY 1, 2) " +
+        "SELECT d.event_type, CAST(d.i + 1 AS INT) AS bin, d.y AS n, " +
+        "d.tr + (p.ps / p.pc) AS base, p.ps / p.pc AS sea, d.tr AS tr, " +
+        "d.d - (p.ps / p.pc) AS res " +
+        "FROM det d JOIN ph p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
+        "ORDER BY d.event_type, bin"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

@@ -771,4 +771,26 @@ class CurationSpec extends SparkSpec {
     assert(rows("uniqueness_pk")._1 < 1.0)
     assert(!rows("compliance_discount")._4)
   }
+
+  test("pagerank: probability mass, ordering, and degree dominance") {
+    val top = q("q_pagerank")
+      .select("rk", "node", "pr")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(top.length === 20)
+    assert(top.map(_._1) === (1 to 20), "ranks are 1..20 in order")
+    // descending by score with the (pr, node) tie-break
+    top.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+    }
+    // every node keeps at least the teleport floor and the quantized
+    // ranks stay a (near-)probability distribution
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val nNodes = (pairs.select("l_partkey").distinct().count() +
+      pairs.select("l_suppkey").distinct().count()).toDouble
+    assert(top.forall(_._3 >= 0.15 / nNodes))
+    // suppliers are ~20x fewer than parts in TPC-H shapes, so they
+    // concentrate rank: the #1 node must be a supplier
+    assert(top.head._2.startsWith("s"), s"got ${top.head._2}")
+  }
 }

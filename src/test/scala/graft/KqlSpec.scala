@@ -1090,6 +1090,44 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("series_decompose: additive identity, exact phase periodicity") {
+    Seq((1L, Seq(10L, 14L, 10L, 14L, 10L, 14L, 10L, 14L)),
+        (2L, Seq(5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L)))
+      .toDF("id", "v").createOrReplaceTempView("kql_dec")
+    val rows = Kql.translate(spark,
+      "kql_dec | extend (base, sea, tr, res) = series_decompose(v, 2) " +
+        "| project id, v, base, sea, tr, res | sort by id asc").collect()
+    def arr(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+      r.getSeq[Double](i)
+    val r1 = rows(0)
+    val (y1, b1, s1, t1, e1) =
+      (r1.getSeq[Long](1), arr(r1, 2), arr(r1, 3), arr(r1, 4), arr(r1, 5))
+    // additive decomposition reassembles the series
+    y1.indices.foreach { i =>
+      assert(math.abs(y1(i) - (b1(i) + e1(i))) < 1e-9, s"pos $i")
+      assert(math.abs(b1(i) - (t1(i) + s1(i))) < 1e-9, s"pos $i")
+    }
+    // the seasonal component is EXACTLY periodic (phase means are
+    // per-phase constants)
+    (0 until y1.length - 2).foreach(i => assert(s1(i) === s1(i + 2)))
+    // a constant series decomposes to itself: zero seasonal, zero
+    // residual, flat trend
+    val r2 = rows(1)
+    assert(arr(r2, 3).forall(_ === 0.0), "constant series: seasonal 0")
+    assert(arr(r2, 5).forall(_ === 0.0), "constant series: residual 0")
+    assert(arr(r2, 4).forall(_ === 5.0), "constant series: trend = level")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_dec | extend (a, b) = series_decompose(v, 2)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_dec | extend (a, b, c, d) = series_decompose(v)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_dec | extend (a, b, c, d, e, f, g) = series_stats(v, 2)")
+    }
+  }
+
   test("invoke: let-bound tabular function inlines with typed parameters") {
     Seq((1L, "a", 5.0), (2L, "a", 50.0), (3L, "b", 60.0))
       .toDF("id", "k", "v").createOrReplaceTempView("kql_fn")
