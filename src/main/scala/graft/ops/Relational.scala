@@ -1347,6 +1347,28 @@ object Relational {
         "| sort by priv asc, inr asc")
   }
 
+  /** Distribution-position window functions — percent_rank / cume_dist
+    * / nth_value, completing the ranking-window family (rank/ntile/
+    * lead-lag/frames are separate queries). Partitioned by event_type
+    * with a UNIQUE (value, event_id) order, so both ratios are exact
+    * integer divisions (bit-stable cross-engine) and nth_value needs
+    * the explicit whole-frame ROWS spec in BOTH engines (the default
+    * frame stops at CURRENT ROW and would null the first two rows).
+    * One shuffle on the partition key, no global window.
+    */
+  private def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        percent_rank().over(w).as("pct"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("event_id"), 3).over(wf).as("third_id"))
+      .filter(col("event_id") % 20 === 0)
+      .orderBy("event_type", "event_id")
+  }
+
   /** Pivot (wide aggregation): revenue by linestatus × returnflag with a
     * pinned value list — pinned so the plan is one pass (no extra job to
     * discover pivot values) and the output schema is static, which is
@@ -1497,6 +1519,7 @@ object Relational {
     "q_kql_decompose" -> (kqlDecompose _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
+    "q_window_dist" -> (windowDist _),
     "q_kql_bagunpack" -> (kqlBagUnpack _),
     "q_kql_partition" -> (kqlPartition _),
     "q_pivot" -> (pivotAgg _),
@@ -1795,6 +1818,15 @@ object Relational {
         "FROM q GROUP BY priv, inr " +
         "ORDER BY priv ASC NULLS FIRST, inr ASC NULLS FIRST"
     },
+    "q_window_dist" ->
+      ("WITH r AS (SELECT event_type, event_id, \"value\", " +
+        "percent_rank() OVER (PARTITION BY event_type ORDER BY \"value\", event_id) AS pct, " +
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY \"value\", event_id) AS cd, " +
+        "nth_value(event_id, 3) OVER (PARTITION BY event_type ORDER BY \"value\", event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_id " +
+        "FROM events) " +
+        "SELECT event_type, event_id, \"value\", pct, cd, third_id FROM r " +
+        "WHERE event_id % 20 = 0 ORDER BY event_type, event_id"),
     "q_pivot" ->
       ("SELECT l_linestatus, " +
         "COALESCE(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS A, " +

@@ -162,4 +162,27 @@ class RelationalSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(qty === direct, "melted values must conserve the column total")
   }
+  test("window_dist: exact rank ratios and whole-frame nth_value") {
+    val got = q("q_window_dist").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // recompute one partition's ratios directly: unique order keys mean
+    // pct = (rn-1)/(n-1) and cd = rn/n exactly
+    val ev = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select("event_id", "value").collect()
+      .map(r => (r.getDouble(1), r.getLong(0))).sorted.map(_._2)
+    val n = ev.length.toDouble
+    val pos = ev.zipWithIndex.toMap
+    got.filter(_.getString(0) == "click").foreach { r =>
+      val rn = pos(r.getLong(1)) + 1
+      assert(r.getDouble(3) === (rn - 1) / (n - 1.0), s"pct at $rn")
+      assert(r.getDouble(4) === rn / n, s"cd at $rn")
+      // whole-frame nth_value: the 3rd event in the frozen order,
+      // visible from EVERY row of the partition
+      assert(r.getLong(5) === ev(2), "third_id is frame-wide")
+    }
+  }
 }

@@ -925,4 +925,19 @@ class TextDedupSpec extends SparkSpec {
     // equal-or-worse ranks; at minimum the fused list is not single-sided
     assert(got.exists(!_.isNullAt(2)) && got.exists(!_.isNullAt(3)))
   }
+  test("url_canonical: crawl variants collapse 4 to 2 per document") {
+    val got = q("q_url_canonical")
+      .select("source", "n_urls", "n_raw", "n_canon")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, raw, canon) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // all four planted variants are distinct as raw strings...
+      assert(raw === n, s"raw variants must not collide: $r")
+      // ...and canonicalization collapses exactly 4 -> 2 per doc:
+      // case/port/fragment noise folds into the bare URL, tracking
+      // params drop and the param-order shuffle folds into one
+      assert(canon * 2 === n, s"4 variants must canonicalize to 2: $r")
+    }
+  }
 }
