@@ -451,6 +451,51 @@ object Vectors {
       .orderBy(col("method"), col("cos").desc, col("vec_id"))
   }
 
+  /** BINARY QUANTIZATION ANN — the 1-bit serving technique (sign-bit
+    * codes + Hamming shortlist + exact re-rank): each 64-dim vector
+    * compresses to TWO 32-bit sign words (8 bytes/vector; two words
+    * rather than one packed 64 because a 64-bit MSB-first fold would
+    * overflow signed BIGINT on the top bit — which DuckDB raises on
+    * where the JVM wraps, so the split is also what keeps the oracle
+    * bit-identical). Candidate scoring is `bit_count(b ^ qb)` — pure
+    * register arithmetic, no float math, no vector access: the scan
+    * cost that makes BQ the memory-bound regime's first stage at
+    * 100 TB. Top-50 Hamming shortlist via TakeOrderedAndProject, then
+    * exact cosine re-rank to top-10, emitted beside the brute-force
+    * top-10 (`exact`) so the overlap IS the measured BQ recall, graded
+    * row-for-row by the oracle.
+    */
+  private def annBq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def packWord(off: Int): Column =
+      aggregate(slice(col("embedding"), off, 32), lit(0L),
+        (a, x) => a * 2 + when(x > lit(0.0f), 1L).otherwise(0L))
+    val p = e.withColumn("b1", packWord(1)).withColumn("b2", packWord(33))
+    val q = p.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("b1").as("qb1"),
+        col("b2").as("qb2"))
+    val short = p.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("ham",
+        (expr("bit_count(b1 ^ qb1)") + expr("bit_count(b2 ^ qb2)")).cast("int"))
+      .orderBy(col("ham"), col("vec_id")).limit(50)
+    val rer = short
+      .select(col("vec_id"), col("ham"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("bq_rerank").as("method"), col("vec_id"), col("ham"),
+        col("cos"))
+    val exact = e.crossJoin(broadcast(q.select(col("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("exact").as("method"), col("vec_id"),
+        lit(null).cast("int").as("ham"), col("cos"))
+    rer.unionByName(exact)
+      .orderBy(col("method"), col("cos").desc, col("vec_id"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor
     * (vec_id ≡ 0 mod 100 — a deterministic anchor sample), the top-3
     * highest-cosine neighbours that are NOT positives (cos < 0.95, the
@@ -1053,6 +1098,7 @@ object Vectors {
     "q_semdedup" -> (semDedup _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_filtered" -> (annFiltered _),
+    "q_ann_bq" -> (annBq _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_embed_pca" -> (embedPca _),
     "q_cluster_profile" -> (clusterProfile _),
@@ -1347,6 +1393,24 @@ object Vectors {
         "WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)) " +
         "SELECT method, vec_id, cos FROM (SELECT * FROM pre UNION ALL SELECT * FROM ex) " +
         "ORDER BY method, cos DESC, vec_id"),
+    "q_ann_bq" -> {
+      def pack(lo: Int, hi: Int): String =
+        s"list_reduce(list_transform(emb[$lo:$hi], " +
+          "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+          "(a, b) -> a * 2 + b)"
+      "WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        s"p AS MATERIALIZED (SELECT vec_id, emb, ${pack(1, 32)} AS b1, ${pack(33, 64)} AS b2 FROM e), " +
+        "q AS (SELECT emb AS qv, b1 AS qb1, b2 AS qb2 FROM p WHERE vec_id = 0), " +
+        "sh AS (SELECT p.vec_id, p.emb, q.qv, " +
+        "CAST(bit_count(xor(p.b1, q.qb1)) + bit_count(xor(p.b2, q.qb2)) AS INT) AS ham " +
+        "FROM p CROSS JOIN q WHERE p.vec_id <> 0 ORDER BY ham, p.vec_id LIMIT 50), " +
+        s"rer AS (SELECT 'bq_rerank' AS method, vec_id, ham, round(${dcos("emb", "qv")}, 4) AS cos " +
+        "FROM sh ORDER BY cos DESC, vec_id LIMIT 10), " +
+        s"ex AS (SELECT 'exact' AS method, e.vec_id AS vec_id, CAST(NULL AS INT) AS ham, round(${dcos("e.emb", "qv")}, 4) AS cos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) " +
+        "SELECT method, vec_id, ham, cos FROM (SELECT * FROM rer UNION ALL SELECT * FROM ex) " +
+        "ORDER BY method, cos DESC, vec_id"
+    },
     "q_ann_ivfpq" ->
       (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
         "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),

@@ -400,4 +400,24 @@ class VectorSpec extends SparkSpec {
       assert(mse > 0.0 && mse < 1e-4, s"cluster ${r.get(0)}: mean_mse $mse")
     }
   }
+  test("ann_bq: sign codes, Hamming shortlist, and rerank recall floor") {
+    val rows = q("q_ann_bq").collect()
+    val (bq, ex) = rows.partition(_.getString(0) == "bq_rerank")
+    assert(bq.length === 10 && ex.length === 10)
+    // exact rows carry no Hamming distance; bq rows carry a sane one
+    assert(ex.forall(_.isNullAt(2)))
+    bq.foreach { r =>
+      val h = r.getInt(2)
+      assert(h >= 0 && h <= 64, s"hamming $h out of the 64-bit range")
+    }
+    // the 1-bit shortlist + exact rerank must recover most of the true
+    // top-10 on a 500-vector corpus with a 50-deep shortlist
+    val overlap = bq.map(_.getLong(1)).toSet
+      .intersect(ex.map(_.getLong(1)).toSet).size
+    assert(overlap >= 5, s"bq recall@10 too low: $overlap/10")
+    // the exact branch dominates: its k-th score bounds the bq branch's
+    val exMin = ex.map(_.getDouble(3)).min
+    assert(bq.map(_.getDouble(3)).max <= ex.map(_.getDouble(3)).max)
+    assert(bq.map(_.getDouble(3)).min <= exMin + 1e-12)
+  }
 }
