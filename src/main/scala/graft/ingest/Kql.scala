@@ -1456,9 +1456,18 @@ object Kql {
       val d12 = DecimalType(37, 12)
       def dec(x: Column): Column = x.cast(d6)
       val zero = lit(java.math.BigDecimal.ZERO).cast(d12)
+      // product sums leave decimal through an exact scale-6 rescale
+      // (decimal→decimal rounding is identical on both engines), so the
+      // final decimal→double cast sees an unscaled value < 2^53 — the
+      // ~sf1 gate caught DuckDB's wide-decimal→DOUBLE cast
+      // double-rounding (hugeint→double, then ·10⁻¹²) one ulp off a
+      // scale-12 sum in the 1e9 range, which series-stats cancellation
+      // then amplified ~30 ulps into the variance
+      val d6w = DecimalType(38, 6)
+      def toD(sum: Column): Column = sum.cast(d6w).cast("double")
       val n = size(v).cast("double")
       val sy = aggregate(v, zero, (a, x) => (a + dec(x)).cast(d12)).cast("double")
-      val sy2 = aggregate(v, zero, (a, x) => (a + dec(x) * dec(x)).cast(d12)).cast("double")
+      val sy2 = toD(aggregate(v, zero, (a, x) => (a + dec(x) * dec(x)).cast(d12)))
       val variance = when(size(v) > 1, (sy2 - sy * sy / n) / (n - lit(1.0)))
       val outs: Seq[(String, Column)] = fn match {
         case "series_stats" =>
@@ -1476,9 +1485,9 @@ object Kql {
           if (names.length != 5)
             fail("series_fit_line multi-assign takes exactly 5 names " +
               "(rsquare, slope, variance, rvariance, interception)")
-          val sxy = aggregate(
+          val sxy = toD(aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
-            zero, (a, x) => (a + x).cast(d12)).cast("double")
+            zero, (a, x) => (a + x).cast(d12)))
           val sx = (n - lit(1.0)) * n / lit(2.0)
           val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
           val slope = when(size(v) > 1, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
@@ -1496,9 +1505,14 @@ object Kql {
           // and can use STL-style robust fitting): trend = the
           // series_fit_line least-squares line over the RAW series
           // (exact decimal sums); seasonal[i] = phase mean of the
-          // detrended values at positions ≡ i (mod period), phase sums
-          // routed through DECIMAL(26,12) terms (order-free, so the
-          // row-grouped oracle matches the array fold bit-for-bit);
+          // detrended values at positions ≡ i (mod period), derived
+          // ALGEBRAICALLY — Σ_q d = Σ_q y − slope·Σ_q i − inter·c_q,
+          // with Σ_q y an exact decimal sum, Σ_q i an exact integer
+          // sum, and the combination one fixed IEEE expression — never
+          // by casting a full-precision detrended double to decimal
+          // (the shortest-repr vs binary-expansion rounding trap the
+          // ~sf1 gate exposed: Spark's BigDecimal.valueOf and DuckDB's
+          // binary expansion round a near-tie double differently);
           // residual = detrended − seasonal; baseline = trend +
           // seasonal. Everything is per-row array arithmetic — the
           // stage costs what make-series cost at any scale.
@@ -1508,9 +1522,9 @@ object Kql {
           val p = period.getOrElse(fail("series_decompose needs an " +
             "explicit integer period in this subset (detection is out)"))
           if (p < 2 || p > 1000) fail(s"series_decompose period $p out of [2, 1000]")
-          val sxy = aggregate(
+          val sxy = toD(aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
-            zero, (a, x) => (a + x).cast(d12)).cast("double")
+            zero, (a, x) => (a + x).cast(d12)))
           val sx = (n - lit(1.0)) * n / lit(2.0)
           val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
           val slope = when(size(v) > 1, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
@@ -1518,17 +1532,22 @@ object Kql {
           val idx = sequence(lit(0), size(v) - 1)
           val trend = transform(idx, i => slope * i.cast("double") + inter)
           val detr = zip_with(v, trend, (y, t) => y.cast("double") - t)
-          val dterm = DecimalType(26, 12)
-          // per-phase exact decimal sums + integer counts → one division
+          val zero6 = lit(java.math.BigDecimal.ZERO).cast(d6)
+          // per-phase means from exact sums of the RAW series + exact
+          // integer index sums; the detrended doubles are never cast
           val phMeans: Seq[Column] = (0 until p).map { q =>
-            val s = aggregate(
-              zip_with(detr, idx, (x, i) =>
-                when(pmod(i, lit(p)) === q, x).otherwise(lit(0.0))),
-              zero, (a, x) => (a + x.cast(dterm)).cast(d12)).cast("double")
+            val syq = aggregate(
+              zip_with(v, idx, (y, i) =>
+                when(pmod(i, lit(p)) === q, dec(y)).otherwise(zero6)),
+              zero, (a, x) => (a + x).cast(d12)).cast("double")
+            val siq = aggregate(
+              zip_with(v, idx, (y, i) =>
+                when(pmod(i, lit(p)) === q, i).otherwise(lit(0))),
+              lit(0L), (a, x) => a + x.cast("long")).cast("double")
             val c = when(size(v) > q,
               floor((size(v) - lit(1) - lit(q)) / lit(p)) + lit(1))
               .otherwise(lit(0)).cast("double")
-            s / c
+            (syq - slope * siq - inter * c) / c
           }
           def seaAt(i: Column): Column =
             (1 until p).foldLeft(when(pmod(i, lit(p)) === 0, phMeans(0))) {

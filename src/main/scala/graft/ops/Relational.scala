@@ -1224,9 +1224,10 @@ object Relational {
   /** KQL `series_decompose` — additive seasonal decomposition over the
     * make-series day grid (period 7): trend = the exact-decimal
     * least-squares line, seasonal = per-phase means of the detrended
-    * series (DECIMAL-routed phase sums, so the row-grouped oracle
-    * matches the array fold bit-for-bit), residual/baseline by
-    * definition. Arrays unzip to rows for the oracle compare (the
+    * series derived algebraically from exact sums (Σ_q d = Σ_q y −
+    * slope·Σ_q i − inter·c_q — never a double→decimal cast of a
+    * full-precision value, the cross-engine rounding trap the ~sf1
+    * gate exposed), residual/baseline by definition. Arrays unzip to rows for the oracle compare (the
     * q_kql_anomaly pattern). Per-row array arithmetic only — the stage
     * costs what make-series cost at any scale.
     */
@@ -1706,7 +1707,7 @@ object Relational {
         "stats AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
         "CAST(min(y) AS DOUBLE) AS mn, CAST(max(y) AS DOUBLE) AS mx, " +
         "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
-        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy2 " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sy2 " +
         "FROM ser GROUP BY event_type), " +
         "ix AS (SELECT s.event_type, " +
         "min(CASE WHEN ser.y = s.mn THEN ser.i END) AS mnidx, " +
@@ -1722,8 +1723,8 @@ object Relational {
       (kqlSeriesGrid +
         "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
         "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
-        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy2, " +
-        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(i AS DECIMAL(18,6))) AS DOUBLE) AS sxy " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sy2, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(i AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy " +
         "FROM ser GROUP BY event_type), " +
         "xs AS (SELECT *, (nd - 1.0) * nd / 2.0 AS sx, " +
         "(nd - 1.0) * nd * (2.0 * nd - 1.0) / 6.0 AS sx2 FROM sums), " +
@@ -1763,7 +1764,7 @@ object Relational {
       (kqlSeriesGrid +
         "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
         "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
-        "CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(i AS DECIMAL(18,6))) AS DOUBLE) AS sxy " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(i AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy " +
         "FROM ser GROUP BY event_type), " +
         "fit AS (SELECT *, (nd - 1) * nd / 2 AS sx, " +
         "(nd - 1) * nd * (2 * nd - 1) / 6 AS sx2 FROM sums), " +
@@ -1773,13 +1774,20 @@ object Relational {
         "f.slope * s.i + f.inter AS tr, " +
         "s.y - (f.slope * s.i + f.inter) AS d " +
         "FROM ser s JOIN fit3 f ON s.event_type = f.event_type), " +
+        // phase mean algebraically from exact sums (Σ_q d = Σ_q y −
+        // slope·Σ_q i − inter·c_q), mirroring the Spark fold — the
+        // detrended doubles are never cast to decimal on either engine
         "ph AS (SELECT event_type, i % 7 AS q, " +
-        "CAST(sum(CAST(d AS DECIMAL(26,12))) AS DOUBLE) AS ps, " +
-        "CAST(count(*) AS DOUBLE) AS pc FROM det GROUP BY 1, 2) " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syq, " +
+        "CAST(sum(i) AS DOUBLE) AS siq, " +
+        "CAST(count(*) AS DOUBLE) AS pc FROM ser GROUP BY 1, 2), " +
+        "ph2 AS (SELECT p.event_type, p.q, " +
+        "(p.syq - f.slope * p.siq - f.inter * p.pc) / p.pc AS sea " +
+        "FROM ph p JOIN fit3 f ON p.event_type = f.event_type) " +
         "SELECT d.event_type, CAST(d.i + 1 AS INT) AS bin, d.y AS n, " +
-        "d.tr + (p.ps / p.pc) AS base, p.ps / p.pc AS sea, d.tr AS tr, " +
-        "d.d - (p.ps / p.pc) AS res " +
-        "FROM det d JOIN ph p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
+        "d.tr + p.sea AS base, p.sea AS sea, d.tr AS tr, " +
+        "d.d - p.sea AS res " +
+        "FROM det d JOIN ph2 p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
         "ORDER BY d.event_type, bin"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +

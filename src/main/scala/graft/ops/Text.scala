@@ -1914,18 +1914,20 @@ object Text {
     */
   private def minhashOracle: String = {
     val p = 2147483647L
-    val lanes = (0 until 32).map(i =>
+    val n = MinhashLanes
+    val bands = n / 4
+    val lanes = (0 until n).map(i =>
       s"min((${minhashA(i)} * h + ${minhashB(i)}) % $p) AS m$i").mkString(", ")
-    val buckets = (0 until 8).map(j =>
+    val buckets = (0 until bands).map(j =>
       s"md5(${(0 until 4).map(r => s"m${j * 4 + r}").mkString(" || ',' || ")}) AS k$j").mkString(", ")
-    val bucketOr = (0 until 8).map(j => s"a.k$j = b.k$j").mkString(" OR ")
-    val matches = (0 until 32).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bucketOr = (0 until bands).map(j => s"a.k$j = b.k$j").mkString(" OR ")
+    val matches = (0 until n).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
       "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks), " +
       s"h AS (SELECT doc_id, ${hexSql("md5(gram)", 1, 12)} % $p AS h FROM g), " +
       s"s AS (SELECT doc_id, $lanes FROM h GROUP BY doc_id), " +
       s"sb AS (SELECT *, $buckets FROM s) " +
-      s"SELECT a.doc_id AS ai, b.doc_id AS bi, CAST($matches AS DOUBLE) / 32 AS est_jac " +
+      s"SELECT a.doc_id AS ai, b.doc_id AS bi, CAST($matches AS DOUBLE) / $n AS est_jac " +
       s"FROM sb a JOIN sb b ON a.doc_id < b.doc_id AND ($bucketOr) ORDER BY ai, bi"
   }
 
