@@ -10,6 +10,9 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scalecheck.sh <round>}"
 SF1=/tmp/sf1
 OUT=/tmp/sf1_out
+# the ~sf1 registry needs more than build.sbt's 8g default heap
+# (q_skew_aqe's sorter OOMs 32 concurrent tasks at 6 M lineitem)
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 
 if [ ! -d "$SF1/lineitem.parquet" ]; then
   echo "== ScaleGen x10: /root/testdata/sf0.1 -> $SF1"
