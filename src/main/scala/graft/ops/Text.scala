@@ -1627,6 +1627,30 @@ object Text {
           col("cluster_id").cast("string"))), 1, 1)
           .isin("c", "d", "e", "f"), "val").otherwise("train"))
 
+  /** SOFT dedup — duplicate downweighting instead of removal (the
+    * SlimPajama-DC / "documents are worth keeping once" discipline):
+    * every document gets sampling weight 1/|its near-dup cluster|, so
+    * a cluster of k near-copies contributes exactly one document's
+    * worth of expected training mass wherever hard dedup would have
+    * had to pick an arbitrary survivor. Unclustered docs are singleton
+    * clusters (weight 1.0). Reuses q_dup_clusters' component labels;
+    * the size is ONE window count over the cluster key — a single
+    * cluster_id shuffle beyond the clustering itself, no second
+    * aggregate+join pass. The weight is an exact IEEE division of two
+    * small integers, identical on both engines; fully oracled.
+    */
+  private def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = Tables.documents(s, dir).select(col("doc_id"))
+      .join(dupClusters(s, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    cl.withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        (lit(1.0) / col("csize").cast("double")).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling by language (per-stratum Bernoulli): the
     * curation primitive for rebalancing a corpus. The draw is an
     * md5-derived uniform on doc_id (the mixtureSample trick) rather than
@@ -1805,6 +1829,7 @@ object Text {
     "q_quality_filter" -> (qualityFilter _),
     "q_train_split" -> (trainSplit _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
+    "q_dedup_soft" -> (dedupSoft _),
     "q_contamination" -> (contamination _),
     "q_bloom_contamination" -> (bloomContamination _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -2372,6 +2397,23 @@ object Text {
         "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
         "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src) " +
         "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id"),
+    "q_dedup_soft" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[5:8], ' ')) WHEN len(string_split(text, ' ')) >= 3 THEN md5(array_to_string(string_split(text, ' ')[3:4], ' ')) END AS s2 FROM documents), " +
+        "p AS (SELECT a.doc_id AS ai, b.doc_id AS bi FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "AND (a.s1 = b.s1 OR a.s2 = b.s2) WHERE levenshtein(a.prefix, b.prefix) <= 8), " +
+        "e AS (SELECT ai AS src, bi AS dst FROM p UNION ALL SELECT bi, ai FROM p), " +
+        "reach(node, m) AS (" +
+        "SELECT src AS node, dst AS m FROM e UNION SELECT src, src FROM e " +
+        "UNION SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src), " +
+        "cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node), " +
+        "j AS (SELECT documents.doc_id AS doc_id, COALESCE(cl.cluster_id, documents.doc_id) AS cluster_id " +
+        "FROM documents LEFT JOIN cl USING (doc_id)) " +
+        "SELECT doc_id, cluster_id, " +
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize, " +
+        "CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY cluster_id) AS DOUBLE) AS weight " +
+        "FROM j ORDER BY doc_id"),
     "q_dup_rewrite" ->
       ("WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 32) AS prefix, CAST(n_chars // 16 AS INT) AS band, " +
         "CASE WHEN len(string_split(text, ' ')) >= 5 THEN md5(array_to_string(string_split(text, ' ')[1:4], ' ')) ELSE md5(array_to_string(string_split(text, ' ')[1:2], ' ')) END AS s1, " +

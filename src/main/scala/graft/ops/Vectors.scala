@@ -496,6 +496,48 @@ object Vectors {
       .orderBy(col("method"), col("cos").desc, col("vec_id"))
   }
 
+  /** TRUNCATED-DIMENSION ANN — the Matryoshka serving trick (Kusupati
+    * et al., MRL): score the corpus on the FIRST 16 of 64 dims (¼ the
+    * bytes read and FLOPs per candidate — with MRL-trained embeddings
+    * the prefix is a usable coarse embedding by construction), cut a
+    * top-50 shortlist on the rounded prefix cosine, then exact-rerank
+    * only the shortlist at full width to top-10. Same funnel shape as
+    * q_ann_bq (cheap scan metric → bounded exact tier) but the cheap
+    * metric is a prefix of the SAME float vector — no codebook, no
+    * training, just column pruning: at 100 TB the prefix scan reads a
+    * quarter of the vector bytes (with the embedding stored as 4
+    * fixed-width column groups, the scan prunes to the first group).
+    * The exact branch is emitted beside it so the overlap IS the
+    * measured truncation recall, graded row-for-row by the oracle.
+    * Deterministic: both cuts rank 4-dp-rounded cosines with vec_id
+    * tie-breaks.
+    */
+  private def annTruncdim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val p = e.withColumn("pre", slice(col("embedding"), 1, 16))
+    val q = p.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("pre").as("qp"))
+    val short = p.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("pcos", round(cos(s, col("pre"), col("qp")), 4))
+      .orderBy(col("pcos").desc, col("vec_id")).limit(50)
+    val rer = short
+      .select(col("vec_id"), col("pcos"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("trunc16_rerank").as("method"), col("vec_id"),
+        col("pcos"), col("cos"))
+    val exact = e.crossJoin(broadcast(q.select(col("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(lit("exact").as("method"), col("vec_id"),
+        lit(null).cast("double").as("pcos"), col("cos"))
+    rer.unionByName(exact)
+      .orderBy(col("method"), col("cos").desc, col("vec_id"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor
     * (vec_id ≡ 0 mod 100 — a deterministic anchor sample), the top-3
     * highest-cosine neighbours that are NOT positives (cos < 0.95, the
@@ -1099,6 +1141,7 @@ object Vectors {
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_bq" -> (annBq _),
+    "q_ann_truncdim" -> (annTruncdim _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_embed_pca" -> (embedPca _),
     "q_cluster_profile" -> (clusterProfile _),
@@ -1411,6 +1454,18 @@ object Vectors {
         "SELECT method, vec_id, ham, cos FROM (SELECT * FROM rer UNION ALL SELECT * FROM ex) " +
         "ORDER BY method, cos DESC, vec_id"
     },
+    "q_ann_truncdim" ->
+      ("WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        "p AS MATERIALIZED (SELECT vec_id, emb, emb[1:16] AS pre FROM e), " +
+        "q AS (SELECT emb AS qv, pre AS qp FROM p WHERE vec_id = 0), " +
+        s"sh AS (SELECT p.vec_id, p.emb, q.qv, round(${dcos("p.pre", "q.qp")}, 4) AS pcos " +
+        "FROM p CROSS JOIN q WHERE p.vec_id <> 0 ORDER BY pcos DESC, p.vec_id LIMIT 50), " +
+        s"rer AS (SELECT 'trunc16_rerank' AS method, vec_id, pcos, round(${dcos("emb", "qv")}, 4) AS cos " +
+        "FROM sh ORDER BY cos DESC, vec_id LIMIT 10), " +
+        s"ex AS (SELECT 'exact' AS method, e.vec_id AS vec_id, CAST(NULL AS DOUBLE) AS pcos, round(${dcos("e.emb", "qv")}, 4) AS cos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) " +
+        "SELECT method, vec_id, pcos, cos FROM (SELECT * FROM rer UNION ALL SELECT * FROM ex) " +
+        "ORDER BY method, cos DESC, vec_id"),
     "q_ann_ivfpq" ->
       (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
         "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),

@@ -925,6 +925,25 @@ class TextDedupSpec extends SparkSpec {
     // equal-or-worse ranks; at minimum the fused list is not single-sided
     assert(got.exists(!_.isNullAt(2)) && got.exists(!_.isNullAt(3)))
   }
+  test("dedup_soft: cluster mass sums to one, singletons keep weight 1.0") {
+    val got = q("q_dedup_soft")
+      .select("doc_id", "cluster_id", "csize", "weight").collect()
+    // one row per document
+    assert(got.length === Tables.documents(spark, sfDir).count())
+    got.foreach { r =>
+      assert(r.getDouble(3) === 1.0 / r.getLong(2), s"weight != 1/csize: $r")
+    }
+    // every cluster's weights sum to exactly one document's mass
+    got.groupBy(_.getLong(1)).foreach { case (c, rows) =>
+      assert(rows.length === rows.head.getLong(2).toInt,
+        s"csize disagrees with the cluster's row count for $c")
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+        s"cluster $c mass != 1.0")
+    }
+    // singleton docs keep full weight
+    assert(got.filter(_.getLong(2) == 1L).forall(_.getDouble(3) == 1.0))
+  }
+
   test("url_canonical: crawl variants collapse 4 to 2 per document") {
     val got = q("q_url_canonical")
       .select("source", "n_urls", "n_raw", "n_canon")

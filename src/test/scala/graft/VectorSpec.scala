@@ -420,4 +420,23 @@ class VectorSpec extends SparkSpec {
     assert(bq.map(_.getDouble(3)).max <= ex.map(_.getDouble(3)).max)
     assert(bq.map(_.getDouble(3)).min <= exMin + 1e-12)
   }
+
+  test("ann_truncdim: prefix shortlist, exact rerank, recall floor") {
+    val rows = q("q_ann_truncdim").collect()
+    val (tr, ex) = rows.partition(_.getString(0) == "trunc16_rerank")
+    assert(tr.length === 10 && ex.length === 10)
+    // exact rows carry no prefix cosine; rerank rows carry a sane one
+    assert(ex.forall(_.isNullAt(2)))
+    tr.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p >= -1.0001 && p <= 1.0001, s"prefix cosine $p out of range")
+    }
+    // a 16-of-64-dim prefix with a 50-deep shortlist must recover a
+    // solid share of the true top-10 on the 500-vector gate corpus
+    val overlap = tr.map(_.getLong(1)).toSet
+      .intersect(ex.map(_.getLong(1)).toSet).size
+    assert(overlap >= 3, s"truncdim recall@10 too low: $overlap/10")
+    // rerank cosines are exact, so the exact branch dominates them
+    assert(tr.map(_.getDouble(3)).max <= ex.map(_.getDouble(3)).max)
+  }
 }
