@@ -2272,6 +2272,58 @@ object Kql {
           val row = sub.select(sub.columns.head).limit(1).collect()
           if (row.isEmpty || row(0).isNullAt(0)) lit(null).cast(dt)
           else lit(row(0).get(0))
+        case "series_fill_const" =>
+          // ADX series_fill_const(series[, c]): null bins → the
+          // constant (0 when omitted). Pure per-element projection.
+          nArgs(1, 2)
+          val c = if (groups.length == 2) arg(1).cast("double") else lit(0.0)
+          transform(arg(0), x => coalesce(x.cast("double"), c))
+        case "series_fill_forward" =>
+          // ADX series_fill_forward: each null bin takes the nearest
+          // PRECEDING non-null value; leading nulls stay null. Per
+          // position the carried value is the last non-null of the
+          // prefix — O(bins²) array work per row, bounded by the
+          // make-series grid (bins = range/step, corpus-independent),
+          // zero shuffles. `get` (0-based, null on out-of-range) keeps
+          // the empty-prefix case null under ANSI.
+          nArgs(1)
+          val a = arg(0)
+          transform(sequence(lit(1), size(a)), i => {
+            val pfx = filter(slice(a, lit(1), i), x => x.isNotNull)
+            get(pfx, size(pfx) - 1).cast("double")
+          })
+        case "series_fill_linear" =>
+          // ADX series_fill_linear: interior null runs interpolate
+          // linearly between the flanking non-nulls; leading/trailing
+          // runs take the nearest non-null (ADX edge behavior). The
+          // interpolation pv + (nv−pv)·(i−pj)/(nj−pj) is ONE fixed
+          // IEEE expression the DuckDB twin mirrors operation-for-
+          // operation (no rounding: identical doubles hash identically,
+          // and a 4-dp round would hit dyadic grid ties like 1/32).
+          // O(bins²) per row over the bounded series grid.
+          nArgs(1)
+          val a = arg(0)
+          val nn = filter(
+            transform(sequence(lit(1), size(a)), j =>
+              struct(get(a, j - 1).cast("double").as("v"), j.as("j"))),
+            p => p.getField("v").isNotNull)
+          transform(sequence(lit(1), size(a)), i => {
+            val cur = get(a, i - 1).cast("double")
+            val pf = filter(nn, p => p.getField("j") <= i)
+            val nf = filter(nn, p => p.getField("j") >= i)
+            val prev = get(pf, size(pf) - 1)
+            val nxt = get(nf, lit(0))
+            val pv = prev.getField("v")
+            val pj = prev.getField("j")
+            val nv = nxt.getField("v")
+            val nj = nxt.getField("j")
+            when(cur.isNotNull, cur)
+              .when(prev.isNull && nxt.isNull, lit(null).cast("double"))
+              .when(prev.isNull, nv)
+              .when(nxt.isNull, pv)
+              .otherwise(pv + (nv - pv) *
+                (i - pj).cast("double") / (nj - pj).cast("double"))
+          })
         case "series_outliers" =>
           // ADX series anomaly scoring over a make-series array —
           // Tukey fence scores from EXACT interpolated percentiles:

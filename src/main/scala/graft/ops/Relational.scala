@@ -1247,6 +1247,37 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL series-fill family — `series_fill_forward` /
+    * `series_fill_linear` / `series_fill_const` over a make-series
+    * grid WITHOUT a default (absent bins stay null, this dialect's
+    * no-default semantic): forward carries the nearest preceding
+    * non-null, linear interpolates interior gaps between flanking
+    * non-nulls (edges take the nearest non-null, the ADX edge rule),
+    * const substitutes a literal. A thinning filter in front
+    * guarantees real gaps on the gate fixtures. All three are per-row
+    * array arithmetic over the bounded keys×bins series table — the
+    * fill pass costs what make-series cost at any corpus size. Arrays
+    * unzip to rows for the oracle (the q_kql_anomaly pattern); the
+    * interpolation is mirrored operation-for-operation in the DuckDB
+    * twin via IGNORE NULLS window frames, unrounded (identical IEEE
+    * doubles on both engines).
+    */
+  private def kqlFillseries(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_id % 50 == 0 " +
+        "| make-series n = count() on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend ff = series_fill_forward(n), lf = series_fill_linear(n), " +
+        "cf = series_fill_const(n, -1.0)")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("ff"), col("lf"), col("cf"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.ff").as("ff"),
+        col("col.lf").as("lf"), col("col.cf").as("cf"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1518,6 +1549,7 @@ object Relational {
     "q_kql_getschema" -> (kqlGetschema _),
     "q_kql_invoke" -> (kqlInvoke _),
     "q_kql_decompose" -> (kqlDecompose _),
+    "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_window_dist" -> (windowDist _),
@@ -1789,6 +1821,37 @@ object Relational {
         "d.d - p.sea AS res " +
         "FROM det d JOIN ph2 p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
         "ORDER BY d.event_type, bin"),
+    "q_kql_fillseries" ->
+      ("WITH keys AS (SELECT DISTINCT event_type FROM events WHERE event_id % 50 = 0 " +
+        "AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+        "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+        "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b)), " +
+        "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events WHERE event_id % 50 = 0 " +
+        "AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY 1, 2), " +
+        "ser AS (SELECT g.event_type AS event_type, a.n AS y, " +
+        "CAST(date_diff('day', TIMESTAMP '2024-01-01', g.b) AS BIGINT) AS i " +
+        "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b), " +
+        // the fills mirror the Spark array folds through IGNORE NULLS
+        // window frames; lf repeats the identical IEEE expression
+        "w AS (SELECT event_type, i, y, " +
+        "last_value(y IGNORE NULLS) OVER pw AS pv, " +
+        "last_value(CASE WHEN y IS NOT NULL THEN i END IGNORE NULLS) OVER pw AS pj, " +
+        "first_value(y IGNORE NULLS) OVER nw AS nv, " +
+        "first_value(CASE WHEN y IS NOT NULL THEN i END IGNORE NULLS) OVER nw AS nj " +
+        "FROM ser " +
+        "WINDOW pw AS (PARTITION BY event_type ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "nw AS (PARTITION BY event_type ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, CAST(i + 1 AS INT) AS bin, y AS n, " +
+        "CAST(pv AS DOUBLE) AS ff, " +
+        "CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE) " +
+        "WHEN pv IS NULL AND nv IS NULL THEN NULL " +
+        "WHEN pv IS NULL THEN CAST(nv AS DOUBLE) " +
+        "WHEN nv IS NULL THEN CAST(pv AS DOUBLE) " +
+        "ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) * " +
+        "CAST(i - pj AS DOUBLE) / CAST(nj - pj AS DOUBLE) END AS lf, " +
+        "COALESCE(CAST(y AS DOUBLE), CAST(-1.0 AS DOUBLE)) AS cf " +
+        "FROM w ORDER BY event_type, bin"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

@@ -995,6 +995,38 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("series fills: forward carry, linear interpolation, edges, const") {
+    // nulls at positions 0, 2-3, 6 (leading, interior run, trailing)
+    Seq((1L, Seq[java.lang.Long](null, 4L, null, null, 10L, 8L, null)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_fill")
+    val got = Kql.translate(spark,
+      "kql_series_fill | extend ff = series_fill_forward(n), " +
+        "lf = series_fill_linear(n), cf = series_fill_const(n, -1.0), " +
+        "c0 = series_fill_const(n)")
+      .select(col("ff"), col("lf"), col("cf"), col("c0"))
+      .as[(Seq[Option[Double]], Seq[Option[Double]], Seq[Double], Seq[Double])]
+      .collect().head
+    // forward: leading null stays null, then last-seen carries
+    assert(got._1 === Seq(None, Some(4.0), Some(4.0), Some(4.0),
+      Some(10.0), Some(8.0), Some(8.0)))
+    // linear: leading edge takes the first non-null, the 4..10 interior
+    // run interpolates at thirds (exact doubles: 4+2k), trailing edge
+    // takes the last non-null
+    assert(got._2 === Seq(Some(4.0), Some(4.0), Some(6.0), Some(8.0),
+      Some(10.0), Some(8.0), Some(8.0)))
+    assert(got._3 === Seq(-1.0, 4.0, -1.0, -1.0, 10.0, 8.0, -1.0))
+    assert(got._4 === Seq(0.0, 4.0, 0.0, 0.0, 10.0, 8.0, 0.0))
+    // an all-null series survives every fill (forward/linear stay null)
+    Seq((1L, Seq[java.lang.Long](null, null)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_allnull")
+    val nulls = Kql.translate(spark,
+      "kql_series_allnull | extend ff = series_fill_forward(n), " +
+        "lf = series_fill_linear(n)")
+      .select(col("ff"), col("lf"))
+      .as[(Seq[Option[Double]], Seq[Option[Double]])].collect().head
+    assert(nulls._1 === Seq(None, None) && nulls._2 === Seq(None, None))
+  }
+
   test("% is C-style remainder, same as the engine twin") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,
