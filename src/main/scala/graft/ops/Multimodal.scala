@@ -35,6 +35,7 @@ object Multimodal {
   /** Case class row for the typed media pipeline. */
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, n_bytes: Int, feat: Array[Float])
+  case class MediaPhash(doc_id: Long, w1: Long, w2: Long)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -144,11 +145,79 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Perceptual-hash near-dup over the binary media column — the image
+    * dedup stage of a multimodal pipeline (pHash/aHash family): each
+    * payload hashes to a 64-bit code (64 byte-windows → one parity bit
+    * each via the same bounded modular rolling hash as the features
+    * stub — a real pHash would DCT the decoded pixels; the code SHAPE
+    * and everything downstream is the production pipeline), packed as
+    * two 32-bit words (the q_ann_bq signed-BIGINT lesson). Candidate
+    * pairs come from 4×16-bit band buckets (the minhash banding shape:
+    * any shared quarter of the code makes a candidate — Hamming ≤ 8
+    * guarantees ≥ one clean band by pigeonhole), then exact
+    * `bit_count(xor)` verification keeps pairs at distance ≤ 8. The
+    * fixture has no binary near-dups, so each payload also emits a
+    * last-byte-flipped re-encode variant (doc_id + 10⁹) — "the same
+    * image re-encoded with one corrupted byte": only the final window's
+    * parity can change, so every planted pair verifies at distance ≤ 1
+    * while random pairs sit near 32 and never pass. Scale shape:
+    * banding bounds the candidate join exactly like text minhash; the
+    * verify is register arithmetic on 16 bytes/pair. Fully oracled
+    * (DuckDB replays the byte windows from hex, the parity packing,
+    * the band join, and the xor popcount).
+    */
+  private def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = mediaRows(s, dir)
+    val variants = rows.map { r =>
+      val c = r.media.clone()
+      if (c.nonEmpty) c(c.length - 1) = (c(c.length - 1) ^ 1).toByte
+      MediaRow(r.doc_id + 1000000000L, c)
+    }
+    val codes = rows.union(variants).mapPartitions { it =>
+      it.map { r =>
+        val n = r.media.length
+        val bits = Array.tabulate(64) { i =>
+          val start = if (n == 0) 0 else (i.toLong * n / 64).toInt
+          val end = if (n == 0) 0 else ((i + 1).toLong * n / 64).toInt
+          var acc = 0L
+          var j = start
+          while (j < end) { acc = (acc * 31 + (r.media(j) & 0xff)) % 1000003L; j += 1 }
+          acc % 2L
+        }
+        def word(lo: Int): Long =
+          (lo until lo + 32).foldLeft(0L)((a, k) => a * 2 + bits(k))
+        MediaPhash(r.doc_id, word(0), word(32))
+      }
+    }.toDF()
+    val bandRows = codes.select(col("doc_id"), col("w1"), col("w2"),
+      posexplode(array(
+        shiftright(col("w1"), 16).bitwiseAND(65535L),
+        col("w1").bitwiseAND(65535L),
+        shiftright(col("w2"), 16).bitwiseAND(65535L),
+        col("w2").bitwiseAND(65535L))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val cands = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        col("a.w1").as("aw1"), col("a.w2").as("aw2"),
+        col("b.w1").as("bw1"), col("b.w2").as("bw2"))
+      .distinct()
+    cands
+      .withColumn("ham",
+        (expr("bit_count(aw1 ^ bw1)") + expr("bit_count(aw2 ^ bw2)")).cast("int"))
+      .filter(col("ham") <= 8)
+      .select("ai", "bi", "ham")
+      .orderBy("ai", "bi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
-    "q_frame_sample" -> (frameSample _)
+    "q_frame_sample" -> (frameSample _),
+    "q_media_phash" -> (mediaPhash _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +249,31 @@ object Multimodal {
         "SELECT doc_id, CAST(max(n) AS INT) AS n_bytes, " +
         "round(CAST(max(CASE WHEN i = 0 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat0, " +
         "round(CAST(max(CASE WHEN i = 7 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat7 " +
-        "FROM f GROUP BY doc_id ORDER BY doc_id")
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    "q_media_phash" ->
+      ("WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        // decode the hex into a byte list once, then emit the original
+        // and the last-byte-flipped re-encode variant
+        "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+        "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+        "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+        "allm AS MATERIALIZED (SELECT doc_id, n, bs FROM bylist " +
+        "UNION ALL SELECT doc_id + 1000000000, n, " +
+        "CASE WHEN n = 0 THEN bs ELSE list_append(bs[1:CAST(n-1 AS BIGINT)], xor(bs[CAST(n AS BIGINT)], 1)) END FROM bylist), " +
+        // 64 window parities -> two 32-bit words (MSB-first fold)
+        "w AS (SELECT doc_id, i, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "bs[CAST((i*n)//64 + 1 AS BIGINT):CAST(((i+1)*n)//64 AS BIGINT)]), " +
+        "(a, b) -> (a * 31 + b) % 1000003) % 2 AS bit " +
+        "FROM allm CROSS JOIN range(0, 64) t(i)), " +
+        "c AS MATERIALIZED (SELECT doc_id, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY i))[1:32]), (a, b) -> a * 2 + b) AS w1, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY i))[33:64]), (a, b) -> a * 2 + b) AS w2 " +
+        "FROM w GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, w1, w2, unnest([(w1 >> 16) & 65535, w1 & 65535, (w2 >> 16) & 65535, w2 & 65535]) AS v, " +
+        "unnest([0, 1, 2, 3]) AS band FROM c), " +
+        "p AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi, a.w1 AS aw1, a.w2 AS aw2, b.w1 AS bw1, b.w2 AS bw2 " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id) " +
+        "SELECT ai, bi, CAST(bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) AS INT) AS ham " +
+        "FROM p WHERE bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) <= 8 ORDER BY ai, bi")
   )
 }

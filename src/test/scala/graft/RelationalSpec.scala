@@ -139,6 +139,18 @@ class RelationalSpec extends SparkSpec {
     assert(a.length === Tables.documents(spark, sfDir).count())
   }
 
+  test("media phash finds every planted re-encode pair and nothing random") {
+    val got = q("q_media_phash").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // every doc's one-corrupt-byte re-encode variant is found...
+    val planted = got.filter(r => r.getLong(1) == r.getLong(0) + 1000000000L)
+    assert(planted.length === nDocs, s"planted pairs: ${planted.length}/$nDocs")
+    // ...at Hamming distance <= 1 (only the final window's parity moves)
+    planted.foreach(r => assert(r.getInt(2) <= 1, s"planted pair too far: $r"))
+    // random 64-bit codes sit near distance 32; none survive the <= 8 cut
+    assert(got.length === planted.length, s"unplanted survivors: ${got.length - planted.length}")
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),
