@@ -2272,6 +2272,68 @@ object Kql {
           val row = sub.select(sub.columns.head).limit(1).collect()
           if (row.isEmpty || row(0).isNullAt(0)) lit(null).cast(dt)
           else lit(row(0).get(0))
+        case "series_decompose_forecast" =>
+          // ADX series_decompose_forecast(series, points[, period]) —
+          // the decompose tier's forecasting idiom: the model (trend
+          // line + per-phase seasonal means) fits on the series MINUS
+          // the trailing `points` slots, and the baseline trend+seasonal
+          // is emitted for EVERY position — the last `points` entries
+          // are the forecast. This dialect requires the period
+          // explicitly (detection is out, same as series_decompose);
+          // the arithmetic is the series_decompose recipe verbatim
+          // (exact decimal sums, algebraic phase means, one fixed IEEE
+          // expression), restricted to the train prefix.
+          nArgs(3)
+          val fcA = arg(0)
+          val fcPoints = litInt(1)
+          val fcP = litInt(2)
+          if (fcPoints < 1)
+            fail("series_decompose_forecast needs points >= 1")
+          if (fcP < 2 || fcP > 1000)
+            fail(s"series_decompose_forecast period $fcP out of [2, 1000]")
+          import org.apache.spark.sql.types.DecimalType
+          val fd6 = DecimalType(18, 6)
+          val fd12 = DecimalType(37, 12)
+          val fd6w = DecimalType(38, 6)
+          def fdec(x: Column): Column = x.cast(fd6)
+          val fzero = lit(java.math.BigDecimal.ZERO).cast(fd12)
+          val fzero6 = lit(java.math.BigDecimal.ZERO).cast(fd6)
+          val tr = slice(fcA, lit(1), size(fcA) - fcPoints)
+          val fn0 = size(tr).cast("double")
+          val fsy = aggregate(tr, fzero,
+            (acc, x) => (acc + fdec(x)).cast(fd12)).cast("double")
+          val fsxy = aggregate(
+            zip_with(tr, sequence(lit(0), size(tr) - 1),
+              (y, i) => fdec(y) * i.cast(fd6)),
+            fzero, (acc, x) => (acc + x).cast(fd12))
+            .cast(fd6w).cast("double")
+          val fsx = (fn0 - lit(1.0)) * fn0 / lit(2.0)
+          val fsx2 = (fn0 - lit(1.0)) * fn0 * (lit(2.0) * fn0 - lit(1.0)) / lit(6.0)
+          val fslope = when(size(tr) > 1,
+            (fn0 * fsxy - fsx * fsy) / (fn0 * fsx2 - fsx * fsx))
+          val finter = fsy / fn0 - fslope * (fsx / fn0)
+          val fIdxTr = sequence(lit(0), size(tr) - 1)
+          val fPhMeans: Seq[Column] = (0 until fcP).map { q =>
+            val syq = aggregate(
+              zip_with(tr, fIdxTr, (y, i) =>
+                when(pmod(i, lit(fcP)) === q, fdec(y)).otherwise(fzero6)),
+              fzero, (acc, x) => (acc + x).cast(fd12)).cast("double")
+            val siq = aggregate(
+              zip_with(tr, fIdxTr, (y, i) =>
+                when(pmod(i, lit(fcP)) === q, i).otherwise(lit(0))),
+              lit(0L), (acc, x) => acc + x.cast("long")).cast("double")
+            val c = when(size(tr) > q,
+              floor((size(tr) - lit(1) - lit(q)) / lit(fcP)) + lit(1))
+              .otherwise(lit(0)).cast("double")
+            (syq - fslope * siq - finter * c) / c
+          }
+          def fSeaAt(i: Column): Column =
+            (1 until fcP).foldLeft(
+              when(pmod(i, lit(fcP)) === 0, fPhMeans(0))) {
+              (acc, q) => acc.when(pmod(i, lit(fcP)) === q, fPhMeans(q))
+            }
+          transform(sequence(lit(0), size(fcA) - 1), i =>
+            fslope * i.cast("double") + finter + fSeaAt(i))
         case "series_fill_const" =>
           // ADX series_fill_const(series[, c]): null bins → the
           // constant (0 when omitted). Pure per-element projection.

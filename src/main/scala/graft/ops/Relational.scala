@@ -1278,6 +1278,29 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `series_decompose_forecast` — the decompose tier's forecasting
+    * idiom: the grid extends one week PAST the data (the forecast
+    * slots, default-0 actuals), the trend line + per-phase seasonal
+    * means fit on the 31 observed days only, and the baseline is
+    * emitted for every bin — the last 7 are the forecast. Exactly the
+    * q_kql_decompose arithmetic restricted to the train prefix, so the
+    * DuckDB twin replays the identical exact-sum fit with `WHERE i <
+    * 31` and projects the identical IEEE baseline over the full grid.
+    * Per-row array arithmetic over the bounded series table.
+    */
+  private def kqlForecast(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-08) step 1d by event_type " +
+        "| extend fc = series_decompose_forecast(n, 7, 7)")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("fc"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.fc").as("fc"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1550,6 +1573,7 @@ object Relational {
     "q_kql_invoke" -> (kqlInvoke _),
     "q_kql_decompose" -> (kqlDecompose _),
     "q_kql_fillseries" -> (kqlFillseries _),
+    "q_kql_forecast" -> (kqlForecast _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_window_dist" -> (windowDist _),
@@ -1852,6 +1876,39 @@ object Relational {
         "CAST(i - pj AS DOUBLE) / CAST(nj - pj AS DOUBLE) END AS lf, " +
         "COALESCE(CAST(y AS DOUBLE), CAST(-1.0 AS DOUBLE)) AS cf " +
         "FROM w ORDER BY event_type, bin"),
+    "q_kql_forecast" ->
+      ("WITH keys AS (SELECT DISTINCT event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-08'), " +
+        "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+        "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-07', INTERVAL 1 DAY)) AS b)), " +
+        "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-08' GROUP BY 1, 2), " +
+        "ser AS (SELECT g.event_type AS event_type, COALESCE(a.n, 0) AS y, " +
+        "CAST(date_diff('day', TIMESTAMP '2024-01-01', g.b) AS BIGINT) AS i " +
+        "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b), " +
+        // the fit replays q_kql_decompose's exact-sum arithmetic on the
+        // 31-day train prefix only
+        "tr AS (SELECT * FROM ser WHERE i < 31), " +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(i AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy " +
+        "FROM tr GROUP BY event_type), " +
+        "fit AS (SELECT *, (nd - 1) * nd / 2 AS sx, " +
+        "(nd - 1) * nd * (2 * nd - 1) / 6 AS sx2 FROM sums), " +
+        "fit2 AS (SELECT *, (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope FROM fit), " +
+        "fit3 AS (SELECT *, sy / nd - slope * (sx / nd) AS inter FROM fit2), " +
+        "ph AS (SELECT event_type, i % 7 AS q, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syq, " +
+        "CAST(sum(i) AS DOUBLE) AS siq, " +
+        "CAST(count(*) AS DOUBLE) AS pc FROM tr GROUP BY 1, 2), " +
+        "ph2 AS (SELECT p.event_type, p.q, " +
+        "(p.syq - f.slope * p.siq - f.inter * p.pc) / p.pc AS sea " +
+        "FROM ph p JOIN fit3 f ON p.event_type = f.event_type) " +
+        "SELECT s.event_type, CAST(s.i + 1 AS INT) AS bin, s.y AS n, " +
+        "f.slope * s.i + f.inter + p.sea AS fc " +
+        "FROM ser s JOIN fit3 f ON s.event_type = f.event_type " +
+        "JOIN ph2 p ON s.event_type = p.event_type AND s.i % 7 = p.q " +
+        "ORDER BY s.event_type, bin"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

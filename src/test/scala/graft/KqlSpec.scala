@@ -1027,6 +1027,35 @@ class KqlSpec extends SparkSpec {
     assert(nulls._1 === Seq(None, None) && nulls._2 === Seq(None, None))
   }
 
+  test("series_decompose_forecast extrapolates the trained baseline") {
+    // flat series: slope 0, intercept 10, all seasonal means 0 — the
+    // forecast slots (positions 6-7) must come out exactly 10.0
+    Seq((1L, Seq(10L, 10L, 10L, 10L, 10L, 10L, 0L, 0L)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_fc")
+    val fc = Kql.translate(spark,
+      "kql_series_fc | extend fc = series_decompose_forecast(n, 2, 2)")
+      .select(explode(col("fc"))).as[Double].collect().toSeq
+    assert(fc === Seq.fill(8)(10.0),
+      s"flat series must forecast flat: $fc")
+    // the train prefix excludes the forecast slots: poisoning them must
+    // not move the fit
+    Seq((1L, Seq(10L, 10L, 10L, 10L, 10L, 10L, 999L, -5L)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_fc2")
+    val fc2 = Kql.translate(spark,
+      "kql_series_fc2 | extend fc = series_decompose_forecast(n, 2, 2)")
+      .select(explode(col("fc"))).as[Double].collect().toSeq
+    assert(fc2 === Seq.fill(8)(10.0),
+      s"forecast slots must not leak into the fit: $fc2")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_series_fc | extend fc = series_decompose_forecast(n, 0, 2)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_series_fc | extend fc = series_decompose_forecast(n, 2, 1)")
+    }
+  }
+
   test("% is C-style remainder, same as the engine twin") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,
