@@ -666,6 +666,26 @@ object Kql {
           df.distinct()
         case TIdent("distinct") +: rest =>
           df.select(parseNameList(rest).map(col): _*).distinct()
+        case Vector(TIdent("sample"), TNum(k)) =>
+          // DIALECT: ADX `sample N` is uniform-random and
+          // non-reproducible; this subset substitutes the engine's
+          // standing deterministic draw — rank on md5 over the WHOLE
+          // row (all columns stringified) with the row's md5 itself as
+          // the tie-break, cut at N. Same expected-uniformity argument
+          // as q_weighted_sample's md5 uniform; reproducible across
+          // engines, cluster sizes, and partitionings — which is what
+          // a 100 TB rerun needs. One TakeOrderedAndProject.
+          df.orderBy(md5(concat_ws("",
+            df.columns.map(c => col(c).cast("string")).toSeq: _*)))
+            .limit(k.toInt)
+        case Vector(TIdent("sample"), TSym("-"), TIdent("distinct"), TNum(k),
+            TIdent("of"), TIdent(c)) =>
+          // DIALECT: ADX `sample-distinct N of Col` returns N random
+          // distinct values; deterministic md5-ranked variant, same
+          // rationale as `sample`. distinct → md5 rank → cut.
+          df.select(col(c)).distinct()
+            .orderBy(md5(col(c).cast("string")), col(c))
+            .limit(k.toInt)
         case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
           lastSort = Some(parseSortKeys(rest))
           df.orderBy(lastSort.get: _*)

@@ -1301,6 +1301,22 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `sample` — DIALECT: ADX's sample is uniform-random and
+    * non-reproducible; this subset substitutes the engine's standing
+    * deterministic draw (md5 rank over the projected row, cut at N —
+    * the q_weighted_sample uniformity argument), reproducible across
+    * engines, cluster sizes, and partitionings. Compiles to one
+    * TakeOrderedAndProject; `sample-distinct` is the same rank over
+    * distinct values (KqlSpec-pinned). The projection in front keeps
+    * the md5 over engine-identical string forms (bigints + strings).
+    */
+  private def kqlSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | project event_id, event_type, user_id " +
+        "| sample 100 | sort by event_id asc")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1574,6 +1590,7 @@ object Relational {
     "q_kql_decompose" -> (kqlDecompose _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
+    "q_kql_sample" -> (kqlSample _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_window_dist" -> (windowDist _),
@@ -1909,6 +1926,11 @@ object Relational {
         "FROM ser s JOIN fit3 f ON s.event_type = f.event_type " +
         "JOIN ph2 p ON s.event_type = p.event_type AND s.i % 7 = p.q " +
         "ORDER BY s.event_type, bin"),
+    "q_kql_sample" ->
+      ("SELECT event_id, event_type, user_id FROM (" +
+        "SELECT event_id, event_type, user_id FROM events " +
+        "ORDER BY md5(CAST(event_id AS VARCHAR) || event_type || CAST(user_id AS VARCHAR)) " +
+        "LIMIT 100) ORDER BY event_id"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

@@ -1056,6 +1056,32 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("sample and sample-distinct are the deterministic md5 draw") {
+    ev.createOrReplaceTempView("kql_events")
+    val a = Kql.translate(spark,
+      "kql_events | project event_id, event_type | sample 5 | sort by event_id asc")
+      .as[(Long, String)].collect().toSeq
+    val b = Kql.translate(spark,
+      "kql_events | project event_id, event_type | sample 5 | sort by event_id asc")
+      .as[(Long, String)].collect().toSeq
+    assert(a === b && a.length === 5)
+    // the draw is the md5 rank over the projected row, recomputed here
+    val want = ev.select(col("event_id"), col("event_type"))
+      .orderBy(md5(concat_ws("", col("event_id").cast("string"),
+        col("event_type").cast("string"))))
+      .limit(5).orderBy("event_id")
+      .as[(Long, String)].collect().toSeq
+    assert(a === want)
+    val sd = Kql.translate(spark,
+      "kql_events | sample-distinct 2 of event_type")
+      .as[String].collect().toSeq
+    assert(sd.length === 2 && sd.distinct.length === 2)
+    val sdWant = ev.select(col("event_type")).distinct()
+      .orderBy(md5(col("event_type")), col("event_type"))
+      .limit(2).as[String].collect().toSeq
+    assert(sd === sdWant)
+  }
+
   test("% is C-style remainder, same as the engine twin") {
     ev.createOrReplaceTempView("kql_events")
     val got = Kql.translate(spark,
