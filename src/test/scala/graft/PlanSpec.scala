@@ -489,6 +489,20 @@ class PlanSpec extends SparkSpec {
     assert(df.collect()(0).toSeq === want.toSeq)
   }
 
+  test("media phash candidates come from the band equi-join, never a cartesian") {
+    val p = finalPlan("q_media_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"phash must band-join, not cross-join:\n${p.take(800)}")
+    // the self-join keys on (band, v) — a hash-partitioned equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("kql sample compiles to TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("q_kql_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("classifier scoring reuses the fit's features and broadcasts weights") {
     val p = finalPlan("q_quality_classifier")
     // weights arrive broadcast (65 rows), never shuffled onto features
