@@ -2292,6 +2292,38 @@ object Kql {
           val row = sub.select(sub.columns.head).limit(1).collect()
           if (row.isEmpty || row(0).isNullAt(0)) lit(null).cast(dt)
           else lit(row(0).get(0))
+        case "series_pearson_correlation" =>
+          // ADX series_pearson_correlation(a, b): Pearson r between two
+          // aligned series — the cross-series comparison primitive
+          // (which metric tracks which). All five sums are exact
+          // decimal folds (product sums leave decimal via the scale-6
+          // rescale, the series_stats convention) and r is ONE fixed
+          // IEEE expression both engines evaluate identically; a
+          // zero-variance side or a length mismatch yields null.
+          nArgs(2)
+          val pcA = arg(0)
+          val pcB = arg(1)
+          import org.apache.spark.sql.types.DecimalType
+          val pd6 = DecimalType(18, 6)
+          val pd12 = DecimalType(37, 12)
+          val pd6w = DecimalType(38, 6)
+          def pdec(x: Column): Column = x.cast(pd6)
+          val pzero = lit(java.math.BigDecimal.ZERO).cast(pd12)
+          def psum(v: Column): Column =
+            aggregate(v, pzero, (a, x) => (a + pdec(x)).cast(pd12))
+              .cast("double")
+          def pprod(u: Column, v: Column): Column =
+            aggregate(zip_with(u, v, (x, y) => pdec(x) * pdec(y)),
+              pzero, (a, x) => (a + x).cast(pd12)).cast(pd6w).cast("double")
+          val pn = size(pcA).cast("double")
+          val psx = psum(pcA)
+          val psy = psum(pcB)
+          val psxy = pprod(pcA, pcB)
+          val psx2 = pprod(pcA, pcA)
+          val psy2 = pprod(pcB, pcB)
+          val pnum = pn * psxy - psx * psy
+          val pden = sqrt((pn * psx2 - psx * psx) * (pn * psy2 - psy * psy))
+          when(size(pcA) === size(pcB) && pden > 0, pnum / pden)
         case "series_decompose_forecast" =>
           // ADX series_decompose_forecast(series, points[, period]) —
           // the decompose tier's forecasting idiom: the model (trend

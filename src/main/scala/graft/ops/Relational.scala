@@ -1301,6 +1301,23 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `series_pearson_correlation` — Pearson r between two aligned
+    * make-series metrics per key (total events vs high-value events
+    * daily): the cross-series comparison primitive. Both series are
+    * integer counts, all five sums are exact decimal folds, and r is
+    * one fixed IEEE expression — fully oracled. Per-row array
+    * arithmetic over the bounded series table.
+    */
+  private def kqlSeriesCorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0, " +
+        "c = countif(value > 50.0) default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend r = series_pearson_correlation(n, c) " +
+        "| project event_type, r | sort by event_type asc")
+  }
+
   /** KQL `sample` — DIALECT: ADX's sample is uniform-random and
     * non-reproducible; this subset substitutes the engine's standing
     * deterministic draw (md5 rank over the projected row, cut at N —
@@ -1591,6 +1608,7 @@ object Relational {
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
+    "q_kql_seriescorr" -> (kqlSeriesCorr _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_window_dist" -> (windowDist _),
@@ -1926,6 +1944,27 @@ object Relational {
         "FROM ser s JOIN fit3 f ON s.event_type = f.event_type " +
         "JOIN ph2 p ON s.event_type = p.event_type AND s.i % 7 = p.q " +
         "ORDER BY s.event_type, bin"),
+    "q_kql_seriescorr" ->
+      ("WITH keys AS (SELECT DISTINCT event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+        "grid AS (SELECT event_type, b FROM keys CROSS JOIN " +
+        "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b)), " +
+        "agg AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE \"value\" > 50.0) AS BIGINT) AS c " +
+        "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY 1, 2), " +
+        "ser AS (SELECT g.event_type AS event_type, COALESCE(a.n, 0) AS x, COALESCE(a.c, 0) AS y " +
+        "FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b), " +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sx2, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sy2 " +
+        "FROM ser GROUP BY event_type) " +
+        "SELECT event_type, " +
+        "CASE WHEN sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) > 0 " +
+        "THEN (nd * sxy - sx * sy) / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) END AS r " +
+        "FROM sums ORDER BY event_type"),
     "q_kql_sample" ->
       ("SELECT event_id, event_type, user_id FROM (" +
         "SELECT event_id, event_type, user_id FROM events " +

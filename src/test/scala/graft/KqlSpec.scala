@@ -1027,6 +1027,26 @@ class KqlSpec extends SparkSpec {
     assert(nulls._1 === Seq(None, None) && nulls._2 === Seq(None, None))
   }
 
+  test("series_pearson_correlation: exact r on planted series") {
+    // y = 2x + 1 -> r = 1 exactly; y = -x -> r = -1; constant side -> null
+    Seq((1L, Seq(1L, 2L, 3L, 4L), Seq(3L, 5L, 7L, 9L)),
+      (2L, Seq(1L, 2L, 3L, 4L), Seq(4L, 3L, 2L, 1L)),
+      (3L, Seq(1L, 2L, 3L, 4L), Seq(5L, 5L, 5L, 5L)))
+      .toDF("k", "a", "b").createOrReplaceTempView("kql_series_pc")
+    val got = Kql.translate(spark,
+      "kql_series_pc | extend r = series_pearson_correlation(a, b) " +
+        "| project k, r | sort by k asc")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, Some(1.0)), (2L, Some(-1.0)), (3L, None)))
+    // length mismatch yields null, never a wrong number
+    Seq((1L, Seq(1L, 2L, 3L), Seq(1L, 2L)))
+      .toDF("k", "a", "b").createOrReplaceTempView("kql_series_pc2")
+    val mm = Kql.translate(spark,
+      "kql_series_pc2 | extend r = series_pearson_correlation(a, b) | project r")
+      .as[Option[Double]].collect().toSeq
+    assert(mm === Seq(None))
+  }
+
   test("series_decompose_forecast extrapolates the trained baseline") {
     // flat series: slope 0, intercept 10, all seasonal means 0 — the
     // forecast slots (positions 6-7) must come out exactly 10.0
