@@ -201,6 +201,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join through the same native operator: each purchase
+    * pairs with the EARLIEST click at-or-after it (the pandas
+    * `direction='forward'` / QuestDB LT JOIN mirror — attribution when
+    * the effect follows the probe). No new physical operator: forward
+    * as-of IS backward as-of on negated time axes (latest −rt ≤ −lt ⟺
+    * earliest rt ≥ lt), so the query passes `asof_le(−lt, −rt)` and the
+    * merge-pass exec, sort orders and all, is reused unchanged — the
+    * composability the marker-expression design buys. Oracled against
+    * DuckDB's own forward ASOF (`ON p.ts <= c.ts`).
+    */
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.Asof.ensureInstalled(s)
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") &&
+        graft.plans.Asof.asof_le(-col("ts_us"), -col("c_ts")))
+      .select(col("event_id"), col("click_id"), col("c_ts"))
+      .orderBy("event_id")
+  }
+
   /** Left-outer variant of the native as-of join: purchases with no
     * prior click survive with NULL click columns (DuckDB ASOF LEFT JOIN
     * is the oracle). Same plan shape as q_asof_native.
@@ -1536,6 +1561,7 @@ object Relational {
     "q_join_range" -> (joinRange _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_native" -> (asofNative _),
+    "q_asof_forward" -> (asofForward _),
     "q_asof_left" -> (asofLeft _),
     "q_agg_max" -> (aggMax _),
     "q_agg_group" -> (aggGroup _),
@@ -1687,6 +1713,10 @@ object Relational {
       ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
         "SELECT p.event_id, c.click_id, c.c_ts FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.ts_us >= c.c_ts ORDER BY p.event_id"),
+    "q_asof_forward" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT p.event_id, c.click_id, c.c_ts FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.ts_us <= c.c_ts ORDER BY p.event_id"),
     "q_asof_left" ->
       ("WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id AS c_user, CAST(epoch_us(ts) AS BIGINT) AS c_ts, CAST(max(event_id) AS BIGINT) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

@@ -39,6 +39,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("forward as-of (negated axes) matches the naive earliest-after formulation") {
+    Asof.ensureInstalled(spark)
+    val fwd = purchases
+      .join(clicks, $"user_id" === $"c_user" && Asof.asof_le(-$"ts_us", -$"c_ts"))
+      .select($"event_id", $"click_id", $"c_ts")
+    // naive: all qualifying following pairs, keep the MIN c_ts per purchase
+    val naive = purchases.as("p")
+      .join(clicks, $"user_id" === $"c_user" && $"c_ts" >= $"ts_us")
+      .groupBy($"event_id")
+      .agg(min_by($"click_id", $"c_ts").as("click_id"), min($"c_ts").as("c_ts"))
+    val got = fwd.as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect = naive.as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got === expect)
+    // the negation composes through the SAME native exec
+    val plan = fwd.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+  }
+
   test("purchases with no prior click are dropped (inner as-of)") {
     val matched = nativeResult.select("event_id").as[Long].collect().toSet
     val all = purchases.select("event_id").as[Long].collect().toSet
