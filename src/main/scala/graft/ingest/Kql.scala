@@ -2292,6 +2292,44 @@ object Kql {
           val row = sub.select(sub.columns.head).limit(1).collect()
           if (row.isEmpty || row(0).isNullAt(0)) lit(null).cast(dt)
           else lit(row(0).get(0))
+        case "series_fir" =>
+          // ADX series_fir(series, dynamic([w0, w1, ...])) — the FIR
+          // filter / weighted moving average over a make-series array,
+          // this subset's shape: integer literal weights, causal
+          // (filter looks BACK: out[i] = Σ_j w_j·x[i−j]), zero-padded
+          // edges, normalized by Σw. The convolution is exact decimal
+          // arithmetic per element (integer weights × decimal-routed
+          // terms), and the single normalize division is one IEEE op
+          // on identical operands — fully deterministic cross-engine.
+          // O(bins·|w|) per row over the bounded series grid.
+          nArgs(2)
+          val firA = arg(0)
+          val firW: Seq[Long] = groups(1) match {
+            case TIdent("dynamic") +: TSym("(") +: TSym("[") +: mid
+                if mid.length >= 3 && mid.takeRight(2) == Vector(TSym("]"), TSym(")")) =>
+              splitOn(mid.dropRight(2), TSym(",")).map {
+                case Vector(TNum(v)) if !v.contains('.') => v.toLong
+                case other => fail(s"series_fir weights must be integer literals, got $other")
+              }
+            case other =>
+              fail(s"series_fir needs dynamic([w0, w1, ...]) integer weights, got $other")
+          }
+          if (firW.isEmpty || firW.sum == 0L)
+            fail("series_fir needs a non-empty weight vector with a non-zero sum")
+          import org.apache.spark.sql.types.DecimalType
+          val wd6 = DecimalType(18, 6)
+          val wd12 = DecimalType(37, 12)
+          val wd6w = DecimalType(38, 6)
+          val wzero = lit(java.math.BigDecimal.ZERO).cast(wd12)
+          val wsum = lit(firW.sum.toDouble)
+          transform(sequence(lit(1), size(firA)), i => {
+            val conv = firW.zipWithIndex.foldLeft(wzero) { case (acc, (w, j)) =>
+              (acc + when(i - j >= 1,
+                (get(firA, i - j - 1).cast(wd6) * lit(w).cast(wd6)).cast(wd12))
+                .otherwise(wzero)).cast(wd12)
+            }
+            conv.cast(wd6w).cast("double") / wsum
+          })
         case "series_pearson_correlation" =>
           // ADX series_pearson_correlation(a, b): Pearson r between two
           // aligned series — the cross-series comparison primitive

@@ -1326,6 +1326,26 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `series_fir` — the 7-day weighted moving average over the
+    * daily event series (integer weights, causal, zero-padded edges,
+    * normalized): the series-smoothing primitive. The convolution is
+    * exact decimal per element and the normalize division is one IEEE
+    * op; the DuckDB twin computes the identical Σ w_j·lag(y, j, 0)
+    * window sum and divides by the same literal. O(bins·|w|) per key.
+    */
+  private def kqlFir(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend ma = series_fir(n, dynamic([1, 2, 3, 4, 5, 6, 7]))")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("ma"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.ma").as("ma"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `series_pearson_correlation` — Pearson r between two aligned
     * make-series metrics per key (total events vs high-value events
     * daily): the cross-series comparison primitive. Both series are
@@ -1635,6 +1655,7 @@ object Relational {
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
     "q_kql_seriescorr" -> (kqlSeriesCorr _),
+    "q_kql_fir" -> (kqlFir _),
     "q_kql_reduce" -> (kqlReduce _),
     "q_kql_ipv4" -> (kqlIpv4 _),
     "q_window_dist" -> (windowDist _),
@@ -1974,6 +1995,14 @@ object Relational {
         "FROM ser s JOIN fit3 f ON s.event_type = f.event_type " +
         "JOIN ph2 p ON s.event_type = p.event_type AND s.i % 7 = p.q " +
         "ORDER BY s.event_type, bin"),
+    "q_kql_fir" ->
+      (kqlSeriesGrid.dropRight(2) + " " +
+        "SELECT event_type, CAST(i + 1 AS INT) AS bin, y AS n, " +
+        "CAST(CAST(" +
+        (1 to 7).map(w => s"$w * lag(y, ${w - 1}, 0) OVER " +
+          "(PARTITION BY event_type ORDER BY i)").mkString(" + ") +
+        " AS DECIMAL(38,6)) AS DOUBLE) / CAST(28.0 AS DOUBLE) AS ma " +
+        "FROM ser ORDER BY event_type, bin"),
     "q_kql_seriescorr" ->
       ("WITH keys AS (SELECT DISTINCT event_type FROM events " +
         "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +

@@ -1027,6 +1027,29 @@ class KqlSpec extends SparkSpec {
     assert(nulls._1 === Seq(None, None) && nulls._2 === Seq(None, None))
   }
 
+  test("series_fir: causal zero-padded weighted moving average, exact") {
+    // weights [1,1], series [2,4,6]: out = [(2+0)/2, (4+2)/2, (6+4)/2]
+    Seq((1L, Seq(2L, 4L, 6L)))
+      .toDF("k", "n").createOrReplaceTempView("kql_series_fir")
+    val got = Kql.translate(spark,
+      "kql_series_fir | extend ma = series_fir(n, dynamic([1, 1]))")
+      .select(explode(col("ma"))).as[Double].collect().toSeq
+    assert(got === Seq(1.0, 3.0, 5.0))
+    // asymmetric weights look BACK: w0 on the current, w1 on the prior
+    val asym = Kql.translate(spark,
+      "kql_series_fir | extend ma = series_fir(n, dynamic([3, 1]))")
+      .select(explode(col("ma"))).as[Double].collect().toSeq
+    assert(asym === Seq(6.0 / 4, (12.0 + 2) / 4, (18.0 + 4) / 4))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_series_fir | extend ma = series_fir(n, dynamic([]))")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_series_fir | extend ma = series_fir(n, dynamic([1.5]))")
+    }
+  }
+
   test("series_pearson_correlation: exact r on planted series") {
     // y = 2x + 1 -> r = 1 exactly; y = -x -> r = -1; constant side -> null
     Seq((1L, Seq(1L, 2L, 3L, 4L), Seq(3L, 5L, 7L, 9L)),
