@@ -331,6 +331,11 @@ object Kql {
   /** Stage/expression translation, bound to a session (for `join`'s
     * right-side table resolution) and a `now` column (for `ago`/`now`).
     */
+  /** Hard cap on bag_unpack's discovered key set — the bound that makes
+    * the driver-side schema discovery a contract (see applyBagUnpack).
+    */
+  private[graft] val BagUnpackKeyCap = 1000
+
   private final class Translator(s: SparkSession,
       nowOverride: Option[java.time.Instant]) {
 
@@ -605,8 +610,11 @@ object Kql {
         case TIdent("top") +: TSym("-") +: TIdent(sub) +: _
             if sub == "nested" || sub == "hitters" =>
           lastSort = None // both drill-down forms aggregate; frozen order gone
+        // `search` is a row-wise filter (the `where` class): it keeps
+        // row identity, so a frozen sort survives it in ADX too
         case TIdent(op) +: _ if Set("where", "project", "extend", "parse",
-            "take", "limit", "sort", "order", "top", "serialize")(op) => ()
+            "take", "limit", "sort", "order", "top", "serialize",
+            "search")(op) => ()
         case _ => lastSort = None
       }
       out
@@ -674,17 +682,26 @@ object Kql {
           // the tie-break, cut at N. Same expected-uniformity argument
           // as q_weighted_sample's md5 uniform; reproducible across
           // engines, cluster sizes, and partitionings — which is what
-          // a 100 TB rerun needs. One TakeOrderedAndProject.
-          df.orderBy(md5(concat_ws("",
-            df.columns.map(c => col(c).cast("string")).toSeq: _*)))
-            .limit(k.toInt)
+          // a 100 TB rerun needs. One TakeOrderedAndProject. The
+          // serialization is injective: a \u0001 separator between
+          // columns (no cross-boundary collisions like ("1","23") vs
+          // ("12","3")) and a \u0002 null sentinel (concat_ws SKIPS
+          // nulls, which would alias (null,"x") with ("x",null)); the
+          // serialized row itself is the md5 tie-break, so the draw is
+          // total-ordered even across md5 collisions.
+          val rowKey = concat_ws("\u0001",
+            df.columns.map(c =>
+              coalesce(col(c).cast("string"), lit("\u0002"))).toSeq: _*)
+          df.orderBy(md5(rowKey), rowKey).limit(k.toInt)
         case Vector(TIdent("sample"), TSym("-"), TIdent("distinct"), TNum(k),
             TIdent("of"), TIdent(c)) =>
           // DIALECT: ADX `sample-distinct N of Col` returns N random
           // distinct values; deterministic md5-ranked variant, same
-          // rationale as `sample`. distinct → md5 rank → cut.
+          // rationale as `sample` (null sentinel so a null value ranks
+          // deterministically instead of by engine null-order).
           df.select(col(c)).distinct()
-            .orderBy(md5(col(c).cast("string")), col(c))
+            .orderBy(md5(coalesce(col(c).cast("string"), lit("\u0002"))),
+              col(c))
             .limit(k.toInt)
         case TIdent(op) +: TIdent("by") +: rest if op == "sort" || op == "order" =>
           lastSort = Some(parseSortKeys(rest))
@@ -1172,11 +1189,49 @@ object Kql {
               (sum(col(s0)), s"approximate_sum_$s0")
             case other => fail(s"top-hitters: expected `by column`, got $other")
           }
-          df.groupBy(c).agg(aggCol.as(name))
+          val sketchOn = rest.isEmpty && s.conf
+            .get("spark.graft.kql.topHittersSketch", "false").toBoolean
+          if (sketchOn) topHittersSketch(df, c, name, k.toInt)
+          else df.groupBy(c).agg(aggCol.as(name))
             .orderBy(col(name).desc, col(c))
             .limit(k.toInt)
         case _ => fail("top-hitters syntax: top-hitters N of col [by col]")
       }
+
+    /** The 100 TB top-hitters path (spark.graft.kql.topHittersSketch) —
+      * q_heavy_hitters' bounded-bucket prune generalized from a fixed
+      * threshold to top-N, in two sound rounds so the exact groupBy's
+      * hash table never has to hold the full key space:
+      * (1) 1024 hashed-bucket counters (fixed memory, map-side
+      * combined); exact-count ONLY the keys in the top-N buckets — the
+      * N-th best of those true counts, c_N, lower-bounds the true N-th
+      * key count T (candidates ⊆ keys ⇒ their N-th best ≤ T);
+      * (2) a key with count ≥ T sits in a bucket counting ≥ T ≥ c_N, so
+      * re-aggregating exactly the keys of buckets with count ≥ c_N
+      * covers every true top-N key. The final cut orders true counts —
+      * IDENTICAL output to the exact form (KqlSpec cross-checks), which
+      * is why the exact twin remains the oracle. Count form only: a
+      * `by` sum over possibly-negative values has no sound bucket
+      * upper bound.
+      */
+    private def topHittersSketch(df: DataFrame, c: String, name: String,
+        n: Int): DataFrame = {
+      val keyed = df.select(col(c))
+        .withColumn("__bkt", pmod(xxhash64(col(c)), lit(1024)))
+      val buckets = keyed.groupBy("__bkt").agg(count(lit(1)).as("__bn"))
+      val topB = buckets.orderBy(col("__bn").desc, col("__bkt"))
+        .limit(n).select("__bkt")
+      val cand = keyed.join(broadcast(topB), "__bkt")
+        .groupBy(c).agg(count(lit(1)).as(name))
+      val cN = cand.orderBy(col(name).desc, col(c)).limit(n)
+        .agg(min(name).as("__cn"))
+      val admit = buckets.crossJoin(broadcast(cN))
+        .filter(col("__bn") >= col("__cn")).select("__bkt")
+      keyed.join(broadcast(admit), "__bkt")
+        .groupBy(c).agg(count(lit(1)).as(name))
+        .orderBy(col(name).desc, col(c))
+        .limit(n)
+    }
 
     /** `evaluate pivot(pivotCol [, agg() [, byCol ...]])` — the ADX
       * pivot plugin: one output column per distinct pivot value. The
@@ -1317,8 +1372,20 @@ object Kql {
         case other => fail(s"bag_unpack takes (column [, 'prefix']), got $other")
       }
       if (!df.columns.contains(c)) fail(s"bag_unpack: no column '$c'")
-      val keys = df.select(explode(json_object_keys(col(c))).as("k"))
-        .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+      // the key discovery is driver-side by necessity (the output
+      // SCHEMA depends on it) — so its boundedness is a CONTRACT, not a
+      // hope: limit(cap+1) bounds the collect itself, and crossing the
+      // cap fails loudly (a bag with per-row-unique keys would
+      // otherwise drive an unbounded collect into a thousand-column
+      // schema). Spark's own pivot path is bounded the same way by
+      // spark.sql.pivotMaxValues.
+      val keyRows = df.select(explode(json_object_keys(col(c))).as("k"))
+        .distinct().orderBy("k").limit(BagUnpackKeyCap + 1).collect()
+      if (keyRows.length > BagUnpackKeyCap)
+        fail(s"bag_unpack: column '$c' holds more than $BagUnpackKeyCap " +
+          "distinct keys — a bag whose key set scales with the data " +
+          "cannot become a schema; aggregate or mv-expand it instead")
+      val keys = keyRows.map(_.getString(0)).toSeq
       if (keys.isEmpty) fail(s"bag_unpack: column '$c' holds no object keys")
       keys.filterNot(_.matches("[A-Za-z0-9_]+")) match {
         case bad if bad.nonEmpty =>
@@ -1489,6 +1556,8 @@ object Kql {
       val sy = aggregate(v, zero, (a, x) => (a + dec(x)).cast(d12)).cast("double")
       val sy2 = toD(aggregate(v, zero, (a, x) => (a + dec(x) * dec(x)).cast(d12)))
       val variance = when(size(v) > 1, (sy2 - sy * sy / n) / (n - lit(1.0)))
+      def decomposeParts(p: Int): (Column, Column, Column, Column) =
+        applyExtendSeriesDecompose(v, p, dec, toD, zero, d12, n, sy)
       val outs: Seq[(String, Column)] = fn match {
         case "series_stats" =>
           if (names.length != 7)
@@ -1542,6 +1611,50 @@ object Kql {
           val p = period.getOrElse(fail("series_decompose needs an " +
             "explicit integer period in this subset (detection is out)"))
           if (p < 2 || p > 1000) fail(s"series_decompose period $p out of [2, 1000]")
+          val (base, sea, trend, resid) = decomposeParts(p)
+          names.zip(Seq(base, sea, trend, resid))
+        case "series_decompose_anomalies" =>
+          // ADX series_decompose_anomalies(series, period) — the
+          // one-call anomaly idiom: decompose (the exact recipe above),
+          // then score the RESIDUAL with the default ctukey fences
+          // (p10/p90 — series_outliers' default), then flag scores
+          // crossing ADX's default threshold 1.5 (+1 above, -1 below,
+          // 0 inside). Output order is ADX's (ad_flag, ad_score,
+          // baseline). The flag compares the 4-dp-ROUNDED score in both
+          // engines, so the cut cannot flip on an ulp. Per-row array
+          // arithmetic only, the decompose cost plus one sort per row.
+          if (names.length != 3)
+            fail("series_decompose_anomalies multi-assign takes exactly " +
+              "3 names (ad_flag, ad_score, baseline)")
+          val p = period.getOrElse(fail("series_decompose_anomalies needs " +
+            "an explicit integer period in this subset (detection is out)"))
+          if (p < 2 || p > 1000)
+            fail(s"series_decompose_anomalies period $p out of [2, 1000]")
+          val (base, _, _, resid) = decomposeParts(p)
+          val score = tukeyScores(resid, 0.10, 0.90)
+          val flag = transform(score, sc =>
+            when(sc > 1.5, lit(1)).when(sc < -1.5, lit(-1)).otherwise(lit(0)))
+          names.zip(Seq(flag, score, base))
+        case other =>
+          fail(s"unsupported multi-assign function '$other' " +
+            "(series_stats/series_fit_line/series_decompose[_anomalies])")
+      }
+      if (period.isDefined &&
+          !Set("series_decompose", "series_decompose_anomalies")(fn))
+        fail(s"$fn takes no period argument")
+      outs.foldLeft(df) { case (d, (nm, e)) => d.withColumn(nm, e) }
+    }
+
+    /** The series_decompose recipe shared by `series_decompose` and
+      * `series_decompose_anomalies` — returns (baseline, seasonal,
+      * trend, residual) for the array column `v` at period `p`. Must be
+      * called with applyExtendSeries' decimal helpers in scope.
+      */
+    private def applyExtendSeriesDecompose(v: Column, p: Int,
+        dec: Column => Column, toD: Column => Column, zero: Column,
+        d12: org.apache.spark.sql.types.DecimalType, n: Column,
+        sy: Column): (Column, Column, Column, Column) = {
+          val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
           val sxy = toD(aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
             zero, (a, x) => (a + x).cast(d12)))
@@ -1576,14 +1689,7 @@ object Kql {
           val sea = transform(idx, seaAt _)
           val resid = zip_with(detr, sea, (x, m) => x - m)
           val base = zip_with(trend, sea, (t, m) => t + m)
-          names.zip(Seq(base, sea, trend, resid))
-        case other =>
-          fail(s"unsupported multi-assign function '$other' " +
-            "(series_stats/series_fit_line/series_decompose)")
-      }
-      if (period.isDefined && fn != "series_decompose")
-        fail(s"$fn takes no period argument")
-      outs.foldLeft(df) { case (d, (nm, e)) => d.withColumn(nm, e) }
+          (base, sea, trend, resid)
     }
 
     private def applyMakeSeries(df: DataFrame, toks: Vector[Tok]): DataFrame = {
@@ -1727,13 +1833,18 @@ object Kql {
 
     private def applyParse(df: DataFrame, toks: Vector[Tok],
         filterMatched: Boolean = false): DataFrame = {
-      val (srcCol, patToks) = toks match {
+      val (srcCol, patToks, kindRegex) = toks match {
         case TIdent("kind") +: TSym("=") +: TIdent("simple") +: TIdent(c) +:
-            TIdent("with") +: p => (c, p)
+            TIdent("with") +: p => (c, p, false)
+        // kind=regex: ADX treats the string items as RAW REGEX
+        // fragments (RE2∩Java subset, gate-checked) instead of quoted
+        // literals; captures compile the same way as kind=simple
+        case TIdent("kind") +: TSym("=") +: TIdent("regex") +: TIdent(c) +:
+            TIdent("with") +: p => (c, p, true)
         case TIdent("kind") +: TSym("=") +: TIdent(k) +: _ =>
-          fail(s"unsupported parse kind '$k' (only kind=simple)")
-        case TIdent(c) +: TIdent("with") +: p => (c, p)
-        case _ => fail("parse must be `parse [kind=simple] col with pattern`")
+          fail(s"unsupported parse kind '$k' (only kind=simple|regex)")
+        case TIdent(c) +: TIdent("with") +: p => (c, p, false)
+        case _ => fail("parse must be `parse [kind=simple|regex] col with pattern`")
       }
       if (patToks.isEmpty) fail("parse needs a pattern")
       val sb = new StringBuilder("^")
@@ -1741,6 +1852,14 @@ object Kql {
       patToks.zipWithIndex.foreach { case (t, ix) =>
         val isLast = ix == patToks.length - 1
         t match {
+          case TStr(v) if kindRegex =>
+            // a raw fragment may not smuggle a capture group in — group
+            // numbering must stay aligned with the named captures
+            if (java.util.regex.Pattern.compile(checkedRegex(v))
+                .matcher("").groupCount() > 0)
+              fail(s"parse kind=regex fragment '$v' must use " +
+                "non-capturing groups (?:...); captures are the bare idents")
+            sb ++= v
           case TStr(v) => sb ++= java.util.regex.Pattern.quote(v)
           case TSym("*") => sb ++= (if (isLast) ".*" else ".*?")
           case TIdent(nm) =>
@@ -1925,6 +2044,21 @@ object Kql {
       case Some(TIdent("startswith_cs")) => c.next(); l.startsWith(operand(c))
       case Some(TIdent("endswith")) => c.next(); lower(l).endsWith(lower(operand(c)))
       case Some(TIdent("endswith_cs")) => c.next(); l.endsWith(operand(c))
+      // ADX `matches regex` — the RE2-compatible literal pattern only
+      // (the q_pii_redact rule: patterns must mean the same thing to
+      // Java regex and the oracle's RE2; backrefs/lookaround are out).
+      // Unanchored match semantics, exactly Spark's rlike.
+      case Some(TIdent("matches")) =>
+        c.next()
+        c.next() match {
+          case TIdent("regex") => ()
+          case t => fail(s"expected `regex` after matches, got $t")
+        }
+        val pat = c.next() match {
+          case TStr(v) => v
+          case t => fail(s"matches regex takes a string literal, got $t")
+        }
+        l.rlike(checkedRegex(pat))
       // ADX `has`: whole-TERM match (alphanumeric boundaries), the
       // operator ADX users reach before contains because it rides the
       // term index; here a boundary regex — case-insensitive bare,
@@ -1978,6 +2112,61 @@ object Kql {
         case t => fail(s"has takes a string literal, got $t")
       }
       hasNeedle(l, needle, cs)
+    }
+
+    /** Translate-time regex gate for the regex tier (`matches regex`,
+      * `extract_all`, `parse kind=regex`): the pattern must compile,
+      * and backreferences/lookaround — Java-regex features RE2 (and so
+      * the oracle) lacks — are rejected loudly rather than silently
+      * diverging (the q_pii_redact RE2∩Java subset rule).
+      */
+    private def checkedRegex(pat: String): String = {
+      try java.util.regex.Pattern.compile(pat)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          fail(s"invalid regex '$pat': ${e.getDescription}")
+      }
+      if (pat.matches(".*\\\\[1-9].*") || pat.contains("(?=") ||
+          pat.contains("(?!") || pat.contains("(?<=") || pat.contains("(?<!"))
+        fail(s"regex '$pat' uses backreferences/lookaround — " +
+          "outside the RE2-compatible subset")
+      pat
+    }
+
+    /** Empty-series guard for the scalar series functions: an empty
+      * input array yields an empty (double) output array. Without it,
+      * `sequence(1, size(a))` on an empty array is Spark's DESCENDING
+      * [1, 0] — a 2-element garbage grid — and the percentile lookups
+      * would hit element_at(_, 0), an ANSI error. make-series never
+      * emits empty arrays, but the scalar functions accept any array
+      * column.
+      */
+    private def emptySeriesGuard(a: Column, body: Column): Column =
+      when(size(a) === 0, array().cast("array<double>")).otherwise(body)
+
+    /** Tukey-fence scores over a double array: exact interpolated
+      * percentiles at (pLo, pHi), score = signed fence distance scaled
+      * by the fence width, 0 inside (and everywhere when the fence
+      * collapses), rounded to 4 dp. Shared by `series_outliers` and
+      * `series_decompose_anomalies` (which scores the decomposition
+      * residual with the default ctukey fences).
+      */
+    private def tukeyScores(ad: Column, pLo: Double, pHi: Double): Column = {
+      val srt = array_sort(ad)
+      def pct(p: Double): Column = {
+        val pos = (size(srt) - 1).cast("double") * lit(p)
+        val frac = pos - floor(pos)
+        element_at(srt, floor(pos).cast("int") + 1) * (lit(1.0) - frac) +
+          element_at(srt, ceil(pos).cast("int") + 1) * frac
+      }
+      val lo = pct(pLo)
+      val hi = pct(pHi)
+      val d = hi - lo
+      emptySeriesGuard(ad, transform(ad, x => round(
+        when(d <= 0, lit(0.0))
+          .when(x > hi, (x - hi) / d)
+          .when(x < lo, (x - lo) / d)
+          .otherwise(lit(0.0)), 4)))
     }
 
     /** The ADX whole-TERM match as a boundary regex (the shape the term
@@ -2238,6 +2427,19 @@ object Kql {
         case "extract" =>
           // extract(regex, captureGroup, text)
           nArgs(3); regexp_extract(arg(2), litStr(0), litInt(1))
+        case "extract_all" =>
+          // extract_all(regex, text) → dynamic array of EVERY match of
+          // capture group 1 (the ADX single-group form; the multi-group
+          // array-of-arrays return is out of subset). The pattern is
+          // validated at translate time to carry at least one group —
+          // group 1 on a group-less pattern is a runtime error in both
+          // engines. Codegen'd regexp_extract_all; RE2∩Java patterns
+          // only (the q_pii_redact rule), so the DuckDB twin is exact.
+          nArgs(2)
+          val eaPat = checkedRegex(litStr(0))
+          if (java.util.regex.Pattern.compile(eaPat).matcher("").groupCount() < 1)
+            fail("extract_all pattern needs at least one capture group")
+          regexp_extract_all(arg(1), lit(eaPat), lit(1))
         case "extractjson" =>
           // extractjson(jsonPath, text) — JSONPath literal, string out
           nArgs(2); get_json_object(arg(1), litStr(0))
@@ -2322,14 +2524,14 @@ object Kql {
           val wd6w = DecimalType(38, 6)
           val wzero = lit(java.math.BigDecimal.ZERO).cast(wd12)
           val wsum = lit(firW.sum.toDouble)
-          transform(sequence(lit(1), size(firA)), i => {
+          emptySeriesGuard(firA, transform(sequence(lit(1), size(firA)), i => {
             val conv = firW.zipWithIndex.foldLeft(wzero) { case (acc, (w, j)) =>
               (acc + when(i - j >= 1,
                 (get(firA, i - j - 1).cast(wd6) * lit(w).cast(wd6)).cast(wd12))
                 .otherwise(wzero)).cast(wd12)
             }
             conv.cast(wd6w).cast("double") / wsum
-          })
+          }))
         case "series_pearson_correlation" =>
           // ADX series_pearson_correlation(a, b): Pearson r between two
           // aligned series — the cross-series comparison primitive
@@ -2440,10 +2642,11 @@ object Kql {
           // the empty-prefix case null under ANSI.
           nArgs(1)
           val a = arg(0)
-          transform(sequence(lit(1), size(a)), i => {
-            val pfx = filter(slice(a, lit(1), i), x => x.isNotNull)
-            get(pfx, size(pfx) - 1).cast("double")
-          })
+          emptySeriesGuard(a,
+            transform(sequence(lit(1), size(a)), i => {
+              val pfx = filter(slice(a, lit(1), i), x => x.isNotNull)
+              get(pfx, size(pfx) - 1).cast("double")
+            }))
         case "series_fill_linear" =>
           // ADX series_fill_linear: interior null runs interpolate
           // linearly between the flanking non-nulls; leading/trailing
@@ -2459,7 +2662,7 @@ object Kql {
             transform(sequence(lit(1), size(a)), j =>
               struct(get(a, j - 1).cast("double").as("v"), j.as("j"))),
             p => p.getField("v").isNotNull)
-          transform(sequence(lit(1), size(a)), i => {
+          emptySeriesGuard(a, transform(sequence(lit(1), size(a)), i => {
             val cur = get(a, i - 1).cast("double")
             val pf = filter(nn, p => p.getField("j") <= i)
             val nf = filter(nn, p => p.getField("j") >= i)
@@ -2475,7 +2678,7 @@ object Kql {
               .when(nxt.isNull, pv)
               .otherwise(pv + (nv - pv) *
                 (i - pj).cast("double") / (nj - pj).cast("double"))
-          })
+          }))
         case "series_outliers" =>
           // ADX series anomaly scoring over a make-series array —
           // Tukey fence scores from EXACT interpolated percentiles:
@@ -2493,22 +2696,7 @@ object Kql {
             case "tukey" => (0.25, 0.75)
             case other => fail(s"series_outliers kind '$other' (ctukey/tukey)")
           }
-          val ad = transform(arg(0), x => x.cast("double"))
-          val srt = array_sort(ad)
-          def pct(p: Double): Column = {
-            val pos = (size(srt) - 1).cast("double") * lit(p)
-            val frac = pos - floor(pos)
-            element_at(srt, floor(pos).cast("int") + 1) * (lit(1.0) - frac) +
-              element_at(srt, ceil(pos).cast("int") + 1) * frac
-          }
-          val lo = pct(pLo)
-          val hi = pct(pHi)
-          val d = hi - lo
-          transform(ad, x => round(
-            when(d <= 0, lit(0.0))
-              .when(x > hi, (x - hi) / d)
-              .when(x < lo, (x - lo) / d)
-              .otherwise(lit(0.0)), 4))
+          tukeyScores(transform(arg(0), x => x.cast("double")), pLo, pHi)
         case "reverse" => nArgs(1); reverse(arg(0))
         case "strcat_delim" =>
           if (groups.length < 2)
@@ -2557,7 +2745,9 @@ object Kql {
           nArgs(1)
           // ADX accepts a long or a dotted string; a dotted string casts
           // to null long and falls through to the parse path
-          val ipl = coalesce(arg(0).cast("long"),
+          // try_cast, not cast: under ANSI mode a dotted string would
+          // THROW on the long probe instead of falling through null
+          val ipl = coalesce(arg(0).try_cast("long"),
             parseIpv4(arg(0).cast("string")))
           when(ipl.isNotNull && ipl >= 0L && ipl <= 4294967295L, concat_ws(".",
             shiftright(ipl, 24).bitwiseAND(lit(255L)).cast("string"),

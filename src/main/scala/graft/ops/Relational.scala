@@ -1379,6 +1379,53 @@ object Relational {
         "| sample 100 | sort by event_id asc")
   }
 
+  /** KQL regex tier — `matches regex` (the first regex predicate an
+    * ADX user types), `parse kind=regex` (raw-regex fragments between
+    * captures), and `extract_all` (every group-1 match, a dynamic
+    * array, mv-expanded to rows for the compare). All three compile to
+    * codegen'd Spark regex expressions (`rlike`, `regexp_extract`,
+    * `regexp_extract_all`) over the RE2∩Java pattern subset, gate-
+    * checked at translate time, so the DuckDB `regexp_matches` /
+    * `regexp_extract` / `regexp_extract_all` twins are exact.
+    */
+  private def kqlRegex(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl " +
+        "| extend s = strcat(event_type, '-', tostring(event_id), 'x', " +
+        "tostring(user_id)) " +
+        "| where s matches regex '^(?:click|error)-' " +
+        "| parse kind=regex s with '[a-z]+-' eid 'x' uid " +
+        "| extend d = extract_all('([0-9]+)', s) " +
+        "| mv-expand d " +
+        "| project event_id, eid, uid, d " +
+        "| sort by event_id asc, d asc")
+  }
+
+  /** KQL `series_decompose_anomalies` — the one-call ADX anomaly idiom
+    * composing the proven decompose recipe with the ctukey residual
+    * score and the default 1.5 flag threshold, in ADX's positional
+    * multi-assign (ad_flag, ad_score, baseline). Arrays unzip to rows
+    * for the oracle (the q_kql_anomaly pattern); the flag compares the
+    * 4-dp-ROUNDED score in both engines so the cut cannot flip on an
+    * ulp. KqlSpec asserts it equals series_outliers-on-residual
+    * exactly.
+    */
+  private def kqlDecompanom(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend (flag, score, base) = series_decompose_anomalies(n, 7)")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("n"), col("flag"), col("score"),
+          col("base"))))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.flag").as("flag"),
+        col("col.score").as("score"), col("col.base").as("base"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1654,6 +1701,8 @@ object Relational {
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
+    "q_kql_regex" -> (kqlRegex _),
+    "q_kql_decompanom" -> (kqlDecompanom _),
     "q_kql_seriescorr" -> (kqlSeriesCorr _),
     "q_kql_fir" -> (kqlFir _),
     "q_kql_reduce" -> (kqlReduce _),
@@ -2025,10 +2074,64 @@ object Relational {
         "THEN (nd * sxy - sx * sy) / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) END AS r " +
         "FROM sums ORDER BY event_type"),
     "q_kql_sample" ->
-      ("SELECT event_id, event_type, user_id FROM (" +
-        "SELECT event_id, event_type, user_id FROM events " +
-        "ORDER BY md5(CAST(event_id AS VARCHAR) || event_type || CAST(user_id AS VARCHAR)) " +
-        "LIMIT 100) ORDER BY event_id"),
+      // chr(1)-separated, chr(2) null sentinel, the serialized row as
+      // the md5 tie-break — byte-identical to the Spark rowKey
+      ("WITH s AS (SELECT event_id, event_type, user_id, " +
+        "concat_ws(chr(1), coalesce(CAST(event_id AS VARCHAR), chr(2)), " +
+        "coalesce(event_type, chr(2)), coalesce(CAST(user_id AS VARCHAR), chr(2))) AS rk " +
+        "FROM events) " +
+        "SELECT event_id, event_type, user_id FROM (" +
+        "SELECT event_id, event_type, user_id FROM s " +
+        "ORDER BY md5(rk), rk LIMIT 100) ORDER BY event_id"),
+    "q_kql_regex" ->
+      ("WITH e AS (SELECT event_id, event_type || '-' || CAST(event_id AS VARCHAR) " +
+        "|| 'x' || CAST(user_id AS VARCHAR) AS s FROM events), " +
+        "f AS (SELECT * FROM e WHERE regexp_matches(s, '^(?:click|error)-')), " +
+        "p AS (SELECT event_id, s, " +
+        "regexp_extract(s, '^[a-z]+-(.*?)x(.*)', 1) AS eid, " +
+        "regexp_extract(s, '^[a-z]+-(.*?)x(.*)', 2) AS uid FROM f) " +
+        "SELECT event_id, eid, uid, unnest(regexp_extract_all(s, '([0-9]+)', 1)) AS d " +
+        "FROM p ORDER BY event_id, d"),
+    "q_kql_decompanom" -> {
+      // interpolated percentile over the per-key sorted residual list —
+      // the q_kql_anomaly op sequence on the decompose residual
+      def pct(p: String): String =
+        s"(ss[CAST(floor((len(ss) - 1) * $p) AS INT) + 1] * (1.0 - ((len(ss) - 1) * $p - floor((len(ss) - 1) * $p))) + " +
+          s"ss[CAST(ceil((len(ss) - 1) * $p) AS INT) + 1] * ((len(ss) - 1) * $p - floor((len(ss) - 1) * $p)))"
+      kqlSeriesGrid +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(i AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy " +
+        "FROM ser GROUP BY event_type), " +
+        "fit AS (SELECT *, (nd - 1) * nd / 2 AS sx, " +
+        "(nd - 1) * nd * (2 * nd - 1) / 6 AS sx2 FROM sums), " +
+        "fit2 AS (SELECT *, (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope FROM fit), " +
+        "fit3 AS (SELECT *, sy / nd - slope * (sx / nd) AS inter FROM fit2), " +
+        "det AS (SELECT s.event_type, s.i, s.y, f.slope, f.inter, " +
+        "f.slope * s.i + f.inter AS tr, " +
+        "s.y - (f.slope * s.i + f.inter) AS d " +
+        "FROM ser s JOIN fit3 f ON s.event_type = f.event_type), " +
+        "ph AS (SELECT event_type, i % 7 AS q, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syq, " +
+        "CAST(sum(i) AS DOUBLE) AS siq, " +
+        "CAST(count(*) AS DOUBLE) AS pc FROM ser GROUP BY 1, 2), " +
+        "ph2 AS (SELECT p.event_type, p.q, " +
+        "(p.syq - f.slope * p.siq - f.inter * p.pc) / p.pc AS sea " +
+        "FROM ph p JOIN fit3 f ON p.event_type = f.event_type), " +
+        "res AS (SELECT d.event_type, d.i, d.y, d.tr + p.sea AS base, " +
+        "d.d - p.sea AS res " +
+        "FROM det d JOIN ph2 p ON d.event_type = p.event_type AND d.i % 7 = p.q), " +
+        "rl AS (SELECT event_type, list_sort(list(res)) AS ss FROM res GROUP BY event_type), " +
+        s"pcts AS (SELECT event_type, ${pct("0.10")} AS lo, ${pct("0.90")} AS hi FROM rl), " +
+        "sc AS (SELECT r.event_type, r.i, r.y, r.base, " +
+        "round(CASE WHEN p.hi - p.lo <= 0 THEN 0.0 " +
+        "WHEN r.res > p.hi THEN (r.res - p.hi) / (p.hi - p.lo) " +
+        "WHEN r.res < p.lo THEN (r.res - p.lo) / (p.hi - p.lo) ELSE 0.0 END, 4) AS score " +
+        "FROM res r JOIN pcts p USING (event_type)) " +
+        "SELECT event_type, CAST(i + 1 AS INT) AS bin, y AS n, " +
+        "CAST(CASE WHEN score > 1.5 THEN 1 WHEN score < -1.5 THEN -1 ELSE 0 END AS INT) AS flag, " +
+        "score, base FROM sc ORDER BY event_type, bin"
+    },
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

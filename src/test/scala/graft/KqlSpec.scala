@@ -1108,10 +1108,14 @@ class KqlSpec extends SparkSpec {
       "kql_events | project event_id, event_type | sample 5 | sort by event_id asc")
       .as[(Long, String)].collect().toSeq
     assert(a === b && a.length === 5)
-    // the draw is the md5 rank over the projected row, recomputed here
+    // the draw is the md5 rank over the injectively-serialized row
+    // (\u0001 separator, \u0002 null sentinel, the serialization as
+    // the tie-break), recomputed here
+    val rk = concat_ws("\u0001",
+      coalesce(col("event_id").cast("string"), lit("\u0002")),
+      coalesce(col("event_type").cast("string"), lit("\u0002")))
     val want = ev.select(col("event_id"), col("event_type"))
-      .orderBy(md5(concat_ws("", col("event_id").cast("string"),
-        col("event_type").cast("string"))))
+      .orderBy(md5(rk), rk)
       .limit(5).orderBy("event_id")
       .as[(Long, String)].collect().toSeq
     assert(a === want)
@@ -1120,9 +1124,16 @@ class KqlSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(sd.length === 2 && sd.distinct.length === 2)
     val sdWant = ev.select(col("event_type")).distinct()
-      .orderBy(md5(col("event_type")), col("event_type"))
+      .orderBy(md5(coalesce(col("event_type").cast("string"), lit("\u0002"))),
+        col("event_type"))
       .limit(2).as[String].collect().toSeq
     assert(sd === sdWant)
+    // the separator prevents cross-boundary aliases: ("1","23") and
+    // ("12","3") serialize differently, so a 1-row draw is well-defined
+    Seq(("1", "23"), ("12", "3")).toDF("a", "b")
+      .createOrReplaceTempView("kql_bound")
+    val one = Kql.translate(spark, "kql_bound | sample 1").collect()
+    assert(one.length === 1)
   }
 
   test("% is C-style remainder, same as the engine twin") {
@@ -1346,5 +1357,161 @@ class KqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_ip | extend x = ipv4_is_in_range(ip, '1.2.999.4/8')")
     }
+  }
+
+  test("format_ipv4 accepts a dotted string under ANSI (try_cast probe)") {
+    ev.createOrReplaceTempView("kql_events")
+    // the long probe on a dotted literal must fall through null (not
+    // throw CAST_INVALID_INPUT) and land on the parse path
+    val r = Kql.translate(spark,
+      "kql_events | take 1 | extend a = format_ipv4('1.2.3.4'), " +
+        "b = format_ipv4(16909060), c = format_ipv4('not an ip') " +
+        "| project a, b, c")
+      .as[(String, String, Option[String])].head()
+    assert(r === (("1.2.3.4", "1.2.3.4", None)))
+  }
+
+  test("matches regex / extract_all: RE2-compatible literal patterns") {
+    Seq((1L, "click-12x9"), (2L, "view-3x44"), (3L, "CLICK-5x6"))
+      .toDF("id", "s").createOrReplaceTempView("kql_rx")
+    def ids(csl: String) = Kql.translate(spark, csl)
+      .select("id").as[Long].collect().toSet
+    // unanchored, case-SENSITIVE (rlike semantics, same as ADX)
+    assert(ids("kql_rx | where s matches regex '^click-'") === Set(1L))
+    assert(ids("kql_rx | where s matches regex '(?:click|view)-'") === Set(1L, 2L))
+    val ea = Kql.translate(spark,
+      "kql_rx | where id == 1 | extend d = extract_all('([0-9]+)', s) " +
+        "| mv-expand d | project d").as[String].collect().toSeq
+    assert(ea === Seq("12", "9"))
+    // gate: invalid pattern, lookaround, and a group-less extract_all
+    // all fail at translate time
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_rx | where s matches regex '(unclosed'")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_rx | where s matches regex 'a(?=b)'")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_rx | extend d = extract_all('[0-9]+', s)")
+    }
+  }
+
+  test("parse kind=regex: raw fragments, captures stay the bare idents") {
+    Seq((1L, "click-12x9"), (2L, "view-3x44"))
+      .toDF("id", "s").createOrReplaceTempView("kql_prx")
+    val got = Kql.translate(spark,
+      "kql_prx | parse kind=regex s with '[a-z]+-' eid 'x' uid " +
+        "| project id, eid, uid | sort by id asc")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "12", "9"), (2L, "3", "44")))
+    // a fragment smuggling a CAPTURING group would shift group numbers
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_prx | parse kind=regex s with '([a-z]+)-' eid 'x' uid")
+    }
+    // non-capturing groups in fragments are fine
+    val nc = Kql.translate(spark,
+      "kql_prx | parse kind=regex s with '(?:[a-z]+)-' eid 'x' uid " +
+        "| where id == 2 | project eid").as[String].head()
+    assert(nc === "3")
+  }
+
+  test("series_decompose_anomalies equals outliers-on-residual exactly") {
+    // the series must be long enough that one spike does not drag the
+    // p90 fence with it (with n=8 the spike IS the interpolation
+    // window and the score saturates near 1.1 at any spike size)
+    val spiky = (0 until 22).map(i =>
+      if (i == 4) 100L else if (i % 2 == 0) 10L else 14L)
+    Seq((1L, spiky), (2L, Seq.fill(22)(5L)))
+      .toDF("id", "v").createOrReplaceTempView("kql_da")
+    val rows = Kql.translate(spark,
+      "kql_da | extend (flag, score, base) = series_decompose_anomalies(v, 2) " +
+        "| extend (b2, s2, t2, r2) = series_decompose(v, 2) " +
+        "| extend sc2 = series_outliers(r2) " +
+        "| project id, flag, score, base, b2, sc2 | sort by id asc").collect()
+    rows.foreach { r =>
+      val flag = r.getSeq[Int](1)
+      val score = r.getSeq[Double](2)
+      val base = r.getSeq[Double](3)
+      val b2 = r.getSeq[Double](4)
+      val sc2 = r.getSeq[Double](5)
+      // the composed call IS decompose + ctukey-outliers, value for value
+      assert(score === sc2)
+      assert(base === b2)
+      // the flag is exactly the 1.5 threshold on the rounded score
+      flag.indices.foreach { i =>
+        val want = if (score(i) > 1.5) 1 else if (score(i) < -1.5) -1 else 0
+        assert(flag(i) === want, s"pos $i")
+      }
+    }
+    // the planted spike flags positive somewhere; the constant series
+    // flags nowhere
+    assert(rows(0).getSeq[Int](1).contains(1))
+    assert(rows(1).getSeq[Int](1).forall(_ === 0))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_da | extend (a, b) = series_decompose_anomalies(v, 2)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_da | extend (a, b, c) = series_decompose_anomalies(v)")
+    }
+  }
+
+  test("empty series arrays: fills/fir/outliers yield empty, not garbage") {
+    Seq((1L, Seq.empty[Double]), (2L, Seq(1.0, 2.0)))
+      .toDF("id", "v").createOrReplaceTempView("kql_empty")
+    val r = Kql.translate(spark,
+      "kql_empty | extend ff = series_fill_forward(v), " +
+        "lf = series_fill_linear(v), " +
+        "fr = series_fir(v, dynamic([1, 1])), " +
+        "ol = series_outliers(v) " +
+        "| project id, ff, lf, fr, ol | sort by id asc").collect()
+    // sequence(1, 0) would have produced a DESCENDING [1, 0] grid (a
+    // 2-element garbage array) and element_at(_, 0) an ANSI error
+    (1 to 4).foreach(i => assert(r(0).getSeq[Double](i) === Seq.empty, s"col $i"))
+    assert(r(1).getSeq[Double](1) === Seq(1.0, 2.0))
+  }
+
+  test("search is row-wise: a frozen sort survives it into serialize") {
+    Seq((3L, "beta x"), (1L, "beta y"), (2L, "gamma"))
+      .toDF("id", "s").createOrReplaceTempView("kql_ss")
+    val got = Kql.translate(spark,
+      "kql_ss | sort by id asc | search 'beta' " +
+        "| serialize rn = row_number() | project id, rn")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (3L, 2L)))
+  }
+
+  test("bag_unpack fails loudly past the key-cardinality cap") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    // a pathological bag: one unique key per row — the schema would
+    // scale with the data
+    spark.range(graft.ingest.Kql.BagUnpackKeyCap + 5)
+      .select(fcol("id"),
+        concat(lit("{\"k"), fcol("id").cast("string"), lit("\": 1}")).as("bag"))
+      .createOrReplaceTempView("kql_bigbag")
+    val ex = intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_bigbag | evaluate bag_unpack(bag)")
+    }
+    assert(ex.getMessage.contains("distinct keys"))
+  }
+
+  test("top-hitters sketch path returns the exact answer") {
+    ev.createOrReplaceTempView("kql_events")
+    val exact = Kql.translate(spark,
+      "kql_events | top-hitters 3 of event_type").collect().toSeq
+    spark.conf.set("spark.graft.kql.topHittersSketch", "true")
+    try {
+      val sketch = Kql.translate(spark,
+        "kql_events | top-hitters 3 of event_type").collect().toSeq
+      // the two-round bucket prune is SOUND: identical output, never an
+      // approximation of it — which is why the exact twin stays the oracle
+      assert(sketch === exact)
+      // the `by` sum form has no sound bucket bound: stays exact
+      val bySum = Kql.translate(spark,
+        "kql_events | top-hitters 3 of event_type by user_id").collect().toSeq
+      assert(bySum.nonEmpty)
+    } finally spark.conf.unset("spark.graft.kql.topHittersSketch")
   }
 }
