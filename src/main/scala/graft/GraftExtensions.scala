@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgmaxCosine, CosineSimilarity, DotProduct}
+import graft.functions.{ArgmaxCosine, ArgminL2, CosineSimilarity, DotProduct}
 import graft.plans.{AsOfJoinStrategy, AsOfLE}
 
 /** Session-extension entry point: registers the engine's native functions
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("argmax_cosine"),
       new ExpressionInfo(classOf[ArgmaxCosine].getName, "argmax_cosine"),
       (exprs: Seq[Expression]) => ArgmaxCosine(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("argmin_l2"),
+      new ExpressionInfo(classOf[ArgminL2].getName, "argmin_l2"),
+      (exprs: Seq[Expression]) => ArgminL2(exprs(0), exprs(1))))
     // native as-of join: marker predicate + planner strategy
     // (graft.plans.AsOfJoin). Deliberately NO injectOptimizerRule for
     // RewriteAsOfJoin: that batch is iterative and mid-optimization the

@@ -129,6 +129,10 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("argmax_cosine")))
       reg.createOrReplaceTempFunction(
         "argmax_cosine", exprs => ArgmaxCosine(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("argmin_l2")))
+      reg.createOrReplaceTempFunction(
+        "argmin_l2", exprs => ArgminL2(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
@@ -149,5 +153,13 @@ object VectorFunctions {
   def argmax_cosine(s: SparkSession, v: Column, cents: Column): Column = {
     register(s)
     org.apache.spark.sql.functions.call_function("argmax_cosine", v, cents)
+  }
+
+  /** Column API: `argmin_l2($"subvec", $"packedCodebook")` →
+    * `struct<c, d2>` (see [[ArgminL2]]).
+    */
+  def argmin_l2(s: SparkSession, v: Column, cands: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("argmin_l2", v, cands)
   }
 }

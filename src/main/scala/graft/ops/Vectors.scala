@@ -743,16 +743,19 @@ object Vectors {
     * replays both Lloyd rounds per subspace and the same L2 argmin with
     * the (d2, c) tie order.
     */
-  /** Codewords per PQ subspace (4-bit codes). Round 8 shipped k = 4
-    * (2-bit) as the demo size; the ~sf1 recall harness then measured
-    * exactly what that costs — ADC recall 0.0 at 20 k vectors while
-    * exact-distance IVF held 0.5, because 4 subspaces × 2 bits = 256
-    * distinct codes cannot rank 20 k candidates. One constant, shared
-    * by the Spark fit and every oracle replay; the FAISS-default next
-    * step (k = 256, 8-bit) is the same plan with a bigger bounded
-    * codebook table.
+  /** Codewords per PQ subspace — k = 256 (8-bit codes), the FAISS
+    * default. The harness itself priced the smaller sizes: round 8's
+    * k = 4 (2-bit) measured ADC recall 0.0 at 20 k vectors (256
+    * distinct code combinations cannot rank 20 k candidates), round
+    * 9's k = 16 (4-bit) still measured rerank recall 0.1 at ~sf1.
+    * One constant, shared by the Spark fit and every oracle replay;
+    * the codebook table stays bounded at M·k = 1024 rows (~130 KB
+    * packed — still a broadcast), and the per-row assign loop is the
+    * native codegen'd [[graft.functions.ArgminL2]], which is what
+    * makes k × subDim = 4096 fused multiply-adds per (vector,
+    * subspace) row a projection rather than an interpreted fold.
     */
-  private[graft] val PqCodewords = 16
+  private[graft] val PqCodewords = 256
 
   /** Slice (id, arr) rows into one row per (vector, subspace):
     * (vec_id, m, sv) with sv = arr[m·subDim+1 .. (m+1)·subDim]. Extra
@@ -797,22 +800,20 @@ object Vectors {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
           x => x.getField("mu")).as("centroid"))
 
-    // L2² argmin over the packed per-subspace codebook: each candidate's
-    // distance is computed ONCE (the old CASE-fold form evaluated the
-    // zip_with twice per candidate — once to compare, once to keep), and
-    // array_min over (d2, c) structs selects min distance with the
-    // earlier (lower) code on ties — field-by-field struct ordering,
-    // matching the oracle's ORDER BY d2, c exactly
+    // L2² argmin over the packed per-subspace codebook via the native
+    // codegen'd ArgminL2 (index-ascending double accumulation, strict-
+    // less update over the c-sorted pack ⇒ min d2 with the lower code
+    // on ties — exactly the old array_min-over-(d2, c)-structs HOF twin
+    // and the oracle's ORDER BY d2, c). The HOF form is CodegenFallback:
+    // interpreted it priced fine at k = 16 but is the hot loop at
+    // k = 256 (N × M rows × k × subDim multiply-adds per pass).
     def assign(cents: DataFrame): DataFrame = {
       val packed = cents.groupBy("m")
         .agg(sort_array(collect_list(struct(col("c"), col("centroid"))))
           .as("codebook"))
       sub.join(broadcast(packed), "m")
-        .withColumn("best", expr(
-          "array_min(transform(codebook, cb -> named_struct(" +
-            "'d2', aggregate(zip_with(sv, cb.centroid, " +
-            "(a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y), " +
-            "'c', cb.c)))"))
+        .withColumn("best", graft.functions.VectorFunctions.argmin_l2(
+          sub.sparkSession, col("sv"), col("codebook")))
         .select(col("vec_id"), col("m"), col("sv"),
           col("best.c").as("c"), col("best.d2").as("d2"))
     }
@@ -1048,40 +1049,304 @@ object Vectors {
     ivfPqRerank(s, dir, a2, c2)
   }
 
-  /** ANN evaluation harness — recall@10 of every index family (LSH
-    * multi-probe, trained IVF, IVF-PQ/ADC) against the exact brute-force
-    * top-10, in one query: the acceptance gate a production vector-store
-    * rollout runs before switching index types. Composes the existing
-    * operators unchanged; the brute set (10 rows) broadcasts onto the
-    * tagged candidate union. Every branch is deterministic, so the
-    * recall table itself is fully oracled — the DuckDB twin recomposes
-    * the same four oracle replays.
+  /** Size of the deterministic evaluation panel: the PanelSize lowest
+    * vec_ids are the query set. Recall@10 with n = 1 has 0.1 resolution
+    * and enormous variance — every serving decision graded on one query
+    * vector is statistically unusable (the round-9 lesson); a 50-query
+    * panel reports a MEAN recall per branch. One constant, shared by
+    * the Spark harness and every oracle replay.
     */
-  private def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // ONE coarse quantizer fit feeds both the IVF and IVF-PQ branches:
-    // the shared a2/c2 lineage gives Catalyst identical exchange
-    // subtrees to reuse, instead of re-running the Lloyd passes per index
-    val (a2, c2) = kmeansFit(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val brute = simTopk(s, dir).select(col("vec_id"), lit(1).as("hit"))
-    val cands = annLsh(s, dir).select(lit("lsh").as("method"), col("vec_id"))
-      .unionByName(ivfTrainedSearch(s, dir, a2, c2)
-        .select(lit("ivf").as("method"), col("vec_id")))
-      .unionByName(ivfPqSearch(s, dir, a2, c2)
-        .select(lit("ivfpq").as("method"), col("vec_id")))
-      // the nprobe trade: the same index probed at nprobe=1 — the row
-      // that shows what the derived ⌈√nlist⌉ probe count buys
-      .unionByName(ivfPqSearch(s, dir, a2, c2, nprobe = Some(1))
-        .select(lit("ivfpq_np1").as("method"), col("vec_id")))
-      // ADC shortlist → exact re-rank: recall(rerank) ≥ recall(ivfpq)
-      .unionByName(ivfPqRerank(s, dir, a2, c2)
-        .select(lit("rerank").as("method"), col("vec_id")))
-    cands.join(broadcast(brute), Seq("vec_id"), "left")
+  private[graft] val PanelSize = 50
+
+  /** The query panel: (qid, qv) — a bounded broadcast frame. */
+  private def panelQ(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PanelSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Per-query top-k cut: rank inside each panel query. The window
+    * partitions on qid, so no single-partition sort ever forms — each
+    * partition ranks one query's bounded candidate set.
+    */
+  private def topPerQ(df: DataFrame, ord: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(ord: _*)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Exact brute-force top-10 per panel query — the panel ground truth.
+    * One corpus × panel cross product (N × |panel| scored rows, each a
+    * codegen'd cosine), cut per qid.
+    */
+  private def brutePanel(s: SparkSession, e: DataFrame,
+      qp: DataFrame): DataFrame =
+    topPerQ(
+      e.crossJoin(broadcast(qp))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+
+  /** LSH branch per panel query: 6-bit signatures, Hamming≤1
+    * multi-probe, exact cosine within the probed buckets.
+    */
+  private def lshPanel(s: SparkSession, e: DataFrame,
+      qp: DataFrame): DataFrame = {
+    val esig = e.withColumn("sig", lshSig(s, col("embedding"), 6))
+    val qps = esig.filter(col("vec_id") < PanelSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("sig").as("qsig"))
+    topPerQ(
+      esig.join(broadcast(qps),
+          bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1 &&
+            col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+  }
+
+  /** Trained-IVF branch per panel query: per-qid probe of the top-np
+    * coarse lists, exact cosine inside them.
+    */
+  private def ivfPanel(s: SparkSession, a2: DataFrame, c2: DataFrame,
+      qp: DataFrame): DataFrame = {
+    val probe = topPerQFrame(c2.crossJoin(broadcast(qp))
+      .select(col("qid"), col("qv"), col("c"),
+        cos(s, col("centroid"), col("qv")).as("ls")), c2)
+    topPerQ(
+      a2.select(col("vec_id"), col("embedding"), col("c"))
+        .join(broadcast(probe), Seq("c"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+  }
+
+  /** The per-qid probe cut at the derived nprobe: ranks (qid, c, ls)
+    * rows inside each query and keeps rn <= ⌈√nlist⌉, carrying any
+    * extra columns through.
+    */
+  private def topPerQFrame(ranked: DataFrame, c2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ls").desc, col("c"))))
+      .crossJoin(broadcast(nprobeDf(ranked.sparkSession, c2, None)))
+      .filter(col("rn") <= col("np"))
+      .drop("ls", "np")
+  }
+
+  /** The panel ADC table: per (qid, probed list, subspace, code) — the
+    * scores of EVERY panel query against the shared IVF-PQ index, in
+    * one pass. Returns (scores, probeRank):
+    *   scores    (qid, vec_id, cluster, adc) at the DERIVED nprobe;
+    *   probeRank (qid, cl, rn) — so the nprobe=1 branch is a FILTER on
+    *             the same scored frame (a vector's ADC depends only on
+    *             its own list's table entries), not a second replay.
+    * The ADC table is O(panel · nprobe · M · k) rows — broadcast here;
+    * at 100 TB it flips to a co-partitioned join on (cl, m, code).
+    */
+  private def ivfPqPanelScores(s: SparkSession, a2: DataFrame,
+      c2: DataFrame, qp: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 4
+    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2)
+    val ranked = c2.crossJoin(broadcast(qp))
+      .select(col("qid"), col("qv"), col("c").as("cl"), col("centroid"),
+        cos(s, col("centroid"), col("qv")).as("ls"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ls").desc, col("cl"))))
+    val probeRank = ranked.select("qid", "cl", "rn")
+    val pb = ranked
+      .crossJoin(broadcast(nprobeDf(s, c2, None)))
+      .filter(col("rn") <= col("np"))
+      .select(col("qid"), col("cl"), col("centroid"), col("qv"))
+    val qr = pb.select(col("qid"), col("cl"),
+      zip_with(expr("transform(qv, v -> CAST(v AS DOUBLE))"),
+        col("centroid"), (a, b) => a - b).as("qres"))
+    val adcT = subspaces(qr, "qres", m)
+      .join(broadcast(pcb2), "m")
+      .select(col("qid"), col("cl"), col("m"), col("c").as("code"),
+        aggregate(zip_with(col("sv"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+    val scores = codes
+      .join(asgn, "vec_id")
+      .join(broadcast(adcT), Seq("cl", "m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id", "cl")
+      .agg(sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType).as("adc0"))
+      .select(col("qid"), col("vec_id"), col("cl").as("cluster"),
+        round(col("adc0"), 4).as("adc"))
+    (scores, probeRank)
+  }
+
+  /** Binary-quantization branch per panel query: Hamming-shortlist 50,
+    * exact re-rank to 10 (q_ann_bq's funnel on the panel).
+    */
+  private def bqPanel(s: SparkSession, e: DataFrame): DataFrame = {
+    def packWord(off: Int): Column =
+      aggregate(slice(col("embedding"), off, 32), lit(0L),
+        (a, x) => a * 2 + when(x > lit(0.0f), 1L).otherwise(0L))
+    val p = e.withColumn("b1", packWord(1)).withColumn("b2", packWord(33))
+    val qps = p.filter(col("vec_id") < PanelSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("b1").as("qb1"), col("b2").as("qb2"))
+    val short = topPerQ(
+      p.crossJoin(broadcast(qps))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ham",
+          (expr("bit_count(b1 ^ qb1)") + expr("bit_count(b2 ^ qb2)")).cast("int")),
+      Seq(col("ham").asc, col("vec_id")), 50)
+    topPerQ(
+      short.select(col("qid"), col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+  }
+
+  /** Truncated-dimension branch per panel query: 16-dim prefix
+    * shortlist 50, exact re-rank to 10 (q_ann_truncdim's funnel).
+    */
+  private def truncPanel(s: SparkSession, e: DataFrame): DataFrame = {
+    val p = e.withColumn("pre", slice(col("embedding"), 1, 16))
+    val qps = p.filter(col("vec_id") < PanelSize)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("pre").as("qp"))
+    val short = topPerQ(
+      p.crossJoin(broadcast(qps))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("pcos", round(cos(s, col("pre"), col("qp")), 4)),
+      Seq(col("pcos").desc, col("vec_id")), 50)
+    topPerQ(
+      short.select(col("qid"), col("vec_id"),
+        round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+  }
+
+  /** Per-(method, qid) candidate sets of all seven index branches —
+    * the harness core, exposed for the spec that asserts the
+    * structural law recall(rerank) ≥ recall(ivfpq) PER QUERY.
+    */
+  private[graft] def recallPanelCands(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qp = panelQ(e)
+    // ONE coarse fit and ONE PQ fit feed every index branch; the ADC
+    // frame is scored once at the derived nprobe and the np1 branch is
+    // a probe-rank filter on it, not a second chain
+    val (a2, c2) = kmeansFit(e)
+    val (scores, probeRank) = ivfPqPanelScores(s, a2, c2, qp)
+    val ivfpq = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+    val np1 = topPerQ(
+      scores.join(broadcast(probeRank.filter(col("rn") === 1)
+          .select(col("qid"), col("cl").as("cluster"))),
+        Seq("qid", "cluster")),
+      Seq(col("adc").asc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+    val short = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 50)
+    val rerank = topPerQ(
+      short.join(e, "vec_id")
+        .join(broadcast(qp), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+    lshPanel(s, e, qp).select(lit("lsh").as("method"), col("qid"), col("vec_id"))
+      .unionByName(ivfPanel(s, a2, c2, qp)
+        .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivfpq
+        .select(lit("ivfpq").as("method"), col("qid"), col("vec_id")))
+      .unionByName(np1
+        .select(lit("ivfpq_np1").as("method"), col("qid"), col("vec_id")))
+      .unionByName(rerank
+        .select(lit("rerank").as("method"), col("qid"), col("vec_id")))
+      .unionByName(bqPanel(s, e)
+        .select(lit("bq").as("method"), col("qid"), col("vec_id")))
+      .unionByName(truncPanel(s, e)
+        .select(lit("trunc16").as("method"), col("qid"), col("vec_id")))
+  }
+
+  /** FILTERED-ANN panel recall — the q_ann_filtered strategy graded
+    * the way q_ann_recall grades the unfiltered indexes: per panel
+    * query, the prefilter branch (allow-list semi-joined INTO the
+    * probed candidate stream before any exact scoring) against the
+    * brute-force-over-the-allowed-set ground truth. The mean recall IS
+    * the measured cost of fixed probes under a selective predicate —
+    * the number the single-query harness could only resolve to 0.1.
+    */
+  private def annFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qp = panelQ(e)
+    val (a2, c2) = kmeansFit(e)
+    val allow = Tables.documents(s, dir)
+      .filter(col("lang") === "fr")
+      .select(col("doc_id").as("vec_id"))
+    val fbrute = topPerQ(
+      e.join(allow, "vec_id")
+        .crossJoin(broadcast(qp))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id").withColumn("hit", lit(1))
+    val probe = topPerQFrame(c2.crossJoin(broadcast(qp))
+      .select(col("qid"), col("qv"), col("c"),
+        cos(s, col("centroid"), col("qv")).as("ls")), c2)
+    val pre = topPerQ(
+      a2.select(col("vec_id"), col("embedding"), col("c"))
+        .join(broadcast(probe), Seq("c"))
+        .join(allow, "vec_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+    val nq = qp.agg(count(lit(1)).as("nq"))
+    pre.select(lit("ivf_prefilter").as("method"), col("qid"), col("vec_id"))
+      .join(broadcast(fbrute), Seq("qid", "vec_id"), "left")
       .groupBy("method")
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
-      .select(col("method"), col("n_candidates"), col("hits"),
-        round(col("hits").cast("double") / 10, 2).as("recall_at_10"))
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("nq").as("n_queries"),
+        col("n_candidates"), col("hits"),
+        round(col("hits").cast("double") /
+          (lit(10.0) * col("nq").cast("double")), 4).as("mean_recall_at_10"))
+      .orderBy("method")
+  }
+
+  /** ANN evaluation harness — MEAN recall@10 of every index family
+    * (LSH multi-probe, trained IVF, IVF-PQ/ADC at the derived and the
+    * minimum probe count, ADC→exact re-rank, binary quantization,
+    * truncated dimensions) against the exact per-query brute-force
+    * top-10, over a deterministic [[PanelSize]]-query panel: the
+    * acceptance gate a production vector-store rollout runs before
+    * switching index types. One coarse fit, one PQ fit, one ADC pass
+    * serve all three IVF-PQ branches; the brute ground truth is a
+    * (panel × 10)-row frame broadcast onto the tagged candidate union.
+    * Every branch is deterministic, so the recall table itself is
+    * fully oracled — the DuckDB twin replays the same shared chain.
+    */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qp = panelQ(e)
+    val brute = brutePanel(s, e, qp).withColumn("hit", lit(1))
+    val nq = qp.agg(count(lit(1)).as("nq"))
+    recallPanelCands(s, dir)
+      .join(broadcast(brute), Seq("qid", "vec_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("nq").as("n_queries"),
+        col("n_candidates"), col("hits"),
+        round(col("hits").cast("double") /
+          (lit(10.0) * col("nq").cast("double")), 4).as("mean_recall_at_10"))
       .orderBy("method")
   }
 
@@ -1140,6 +1405,7 @@ object Vectors {
     "q_semdedup" -> (semDedup _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_filtered" -> (annFiltered _),
+    "q_ann_filtered_recall" -> (annFilteredRecall _),
     "q_ann_bq" -> (annBq _),
     "q_ann_truncdim" -> (annTruncdim _),
     "q_hard_negatives" -> (hardNegatives _),
@@ -1154,6 +1420,24 @@ object Vectors {
   private def dcos(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
       s"(sqrt(list_sum(list_transform($a, v -> v * v))) * sqrt(list_sum(list_transform($b, v -> v * v))))"
+
+  /** Float-list dot/norm (elements cast per term — the raw `embedding`
+    * column) and the 6-bit LSH signature over it. The oracle's
+    * hyperplanes are generated FROM the same `planes` constants the
+    * Spark operator uses (first 6, float-rounded) — shortest-round-trip
+    * float literals parse back to the identical float32 in DuckDB, and
+    * the double-accumulated dot matches the native dot_product fold, so
+    * both engines compute the same sign bits and the same probe sets.
+    */
+  private def fdot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def fnorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+  private def planeSql(p: Int): String =
+    "[" + planes(p).map(x => s"CAST(${x.toFloat} AS FLOAT)").mkString(",") + "]"
+  private def lshSigSql: String = (0 until 6).map { p =>
+    s"(CASE WHEN ${fdot("embedding", planeSql(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
 
   /** Decimal-exact per-cluster centroids of `src` (the kmeansFit twin). */
   private def cent(src: String): String =
@@ -1191,23 +1475,34 @@ object Vectors {
     * q_ann_ivfpq, q_ann_rerank and the recall harness's nprobe-trade
     * row all replay the identical quantizer/encode/ADC stages.
     */
-  private def ivfPqOracleCtes(probeCut: String): String = {
-    def l2(a: String, b: String): String =
-      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    s"$kmeansUnrollCtes, " +
-      // residual from the assigned coarse centroid
-      "res AS MATERIALIZED (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
+  /** L2² over aligned DuckDB lists (the Spark zip_with/aggregate fold). */
+  private def dl2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** The PQ half of the index as oracle CTEs: residuals from the coarse
+    * assignment, two unrolled Lloyd rounds per subspace, final codes —
+    * query-independent, shared by the single-query IVF-PQ oracles and
+    * the panel recall harness (ONE replay per statement).
+    */
+  private def pqFitCtes: String =
+    // residual from the assigned coarse centroid
+    "res AS MATERIALIZED (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
       "rsub AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
       // two unrolled Lloyd rounds per subspace over the residuals
       s"p0 AS MATERIALIZED (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub), " +
       "pce1 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
       "pcb1 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
-      s"pd1 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
+      s"pd1 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
       "pa1 AS MATERIALIZED (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
       "pce2 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
       "pcb2 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
-      s"pd2 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${l2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
-      "pa2 AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1), " +
+      s"pd2 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
+      "pa2 AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1)"
+
+  private def ivfPqOracleCtes(probeCut: String): String = {
+    def l2(a: String, b: String): String = dl2(a, b)
+    s"$kmeansUnrollCtes, " +
+      s"$pqFitCtes, " +
       // probe: top-nprobe coarse lists by query->centroid cosine
       "q AS MATERIALIZED (SELECT emb AS qv FROM e WHERE vec_id = 0), " +
       s"pbl AS MATERIALIZED (SELECT c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
@@ -1359,28 +1654,12 @@ object Vectors {
         "FROM sg a JOIN sg b ON a.c = b.c AND a.sig = b.sig AND a.vec_id < b.vec_id) " +
         "SELECT ai, bi, cluster, round(cos, 3) AS cos FROM pr WHERE cos >= 0.95 ORDER BY ai, bi"
     },
-    "q_ann_lsh" -> {
-      // the oracle's hyperplanes are generated FROM the same `planes`
-      // constants the Spark operator uses (first 6, float-rounded) —
-      // shortest-round-trip float literals parse back to the identical
-      // float32 in DuckDB, and the double-accumulated dot matches the
-      // native dot_product fold, so both engines compute the same sign
-      // bits and therefore the same probe set
-      def planeSql(p: Int): String =
-        "[" + planes(p).map(x => s"CAST(${x.toFloat} AS FLOAT)").mkString(",") + "]"
-      def dotSql(a: String, b: String): String =
-        s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-      def normSql(a: String): String =
-        s"sqrt(list_sum(list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
-      val sigSql = (0 until 6).map { p =>
-        s"(CASE WHEN ${dotSql("embedding", planeSql(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
-      s"WITH e AS (SELECT vec_id, embedding, ($sigSql) AS sig FROM embeddings), " +
+    "q_ann_lsh" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ($lshSigSql) AS sig FROM embeddings), " +
         "qv AS (SELECT sig AS qsig, embedding AS qe FROM e WHERE vec_id = 0) " +
-        s"SELECT vec_id, round(${dotSql("embedding", "qe")} / (${normSql("embedding")} * ${normSql("qe")}), 4) AS cos " +
+        s"SELECT vec_id, round(${fdot("embedding", "qe")} / (${fnorm("embedding")} * ${fnorm("qe")}), 4) AS cos " +
         "FROM e, qv WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT))) <= 1 AND vec_id <> 0 " +
-        "ORDER BY cos DESC, vec_id LIMIT 10"
-    },
+        "ORDER BY cos DESC, vec_id LIMIT 10"),
     "q_ann_ivf" -> {
       val dcos = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
@@ -1532,24 +1811,125 @@ object Vectors {
     }
   )
 
-  /** q_ann_recall's oracle composes the three index oracles and the
-    * brute-force oracle verbatim as subqueries (DuckDB allows WITH
-    * inside a derived table), so the recall numbers grade against the
-    * exact same replays the per-index queries do.
+  /** Per-qid top-k cut in SQL: rank inside each panel query. */
+  private def sqlTopPerQ(src: String, ord: String, k: Int): String =
+    s"(SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY $ord, vec_id) AS rn " +
+      s"FROM $src) WHERE rn <= $k)"
+
+  /** q_ann_recall's panel oracle: ONE statement sharing the kmeans
+    * unroll, the PQ fit, the panel, and the ADC scores across all
+    * seven branches (every CTE MATERIALIZED — the replay-as-subqueries
+    * form re-ran the whole chain per branch and OOM'd DuckDB at ~sf1;
+    * this is a DAG). The nprobe=1 branch filters the SAME scored frame
+    * on the rank-1 probe, exactly like the Spark side.
     */
+  private def annRecallPanelOracle: String = {
+    def pack(lo: Int, hi: Int): String =
+      s"list_reduce(list_transform(emb[$lo:$hi], " +
+        "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+        "(a, b) -> a * 2 + b)"
+    s"WITH $kmeansUnrollCtes, " +
+      s"$pqFitCtes, " +
+      s"qp AS MATERIALIZED (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < $PanelSize), " +
+      // exact per-query ground truth
+      s"bq0 AS MATERIALIZED (SELECT qp.qid AS qid, e.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM e CROSS JOIN qp WHERE e.vec_id <> qp.qid), " +
+      s"brute AS MATERIALIZED ${sqlTopPerQ("bq0", "cos DESC", 10)}, " +
+      // LSH branch: 6-bit signatures over the raw float embeddings
+      s"esig AS MATERIALIZED (SELECT vec_id, embedding, ($lshSigSql) AS sig FROM embeddings), " +
+      s"lshc AS (SELECT q.vec_id AS qid, x.vec_id AS vec_id, " +
+      s"round(${fdot("x.embedding", "q.embedding")} / (${fnorm("x.embedding")} * ${fnorm("q.embedding")}), 4) AS cos " +
+      s"FROM esig x JOIN esig q ON q.vec_id < $PanelSize AND x.vec_id <> q.vec_id " +
+      "AND bit_count(xor(CAST(x.sig AS BIGINT), CAST(q.sig AS BIGINT))) <= 1), " +
+      s"lsht AS MATERIALIZED ${sqlTopPerQ("lshc", "cos DESC", 10)}, " +
+      // trained-IVF branch: per-qid probe at the derived nprobe
+      s"ipl AS (SELECT qp.qid AS qid, c2.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN qp), " +
+      "ipr AS MATERIALIZED (SELECT qid, c FROM (SELECT qid, c, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM ipl) WHERE rn <= $derivedProbeCut), " +
+      s"ivfc AS (SELECT pr.qid AS qid, a2.vec_id AS vec_id, round(${dcos("a2.emb", "qp.qv")}, 4) AS cos " +
+      "FROM a2 JOIN ipr pr ON a2.c = pr.c JOIN qp ON qp.qid = pr.qid WHERE a2.vec_id <> pr.qid), " +
+      s"ivft AS MATERIALIZED ${sqlTopPerQ("ivfc", "cos DESC", 10)}, " +
+      // the shared ADC pass: per-qid probe, per-(qid, list) residual
+      // table, one scored frame for ivfpq + np1 + rerank
+      s"pbl AS (SELECT qp.qid AS qid, qp.qv AS qv, c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN qp), " +
+      "pbr AS MATERIALIZED (SELECT qid, qv, cl, centroid, row_number() OVER (PARTITION BY qid ORDER BY ls DESC, cl) AS rn FROM pbl), " +
+      s"pb AS (SELECT qid, qv, cl, centroid FROM pbr WHERE rn <= $derivedProbeCut), " +
+      "qr AS (SELECT qid, cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb), " +
+      "qrs AS (SELECT qid, cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
+      s"adc AS MATERIALIZED (SELECT qrs.qid AS qid, qrs.cl AS cl, qrs.m AS m, b.c AS code, ${dl2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
+      "cand AS (SELECT pa2.vec_id AS vec_id, res.cl AS cl, pa2.m AS m, pa2.c AS code FROM pa2 JOIN res USING (vec_id)), " +
+      "scored AS MATERIALIZED (SELECT adc.qid AS qid, cand.vec_id AS vec_id, cand.cl AS cluster, " +
+      "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
+      "WHERE cand.vec_id <> adc.qid GROUP BY 1, 2, 3), " +
+      s"ivfpqt AS MATERIALIZED ${sqlTopPerQ("scored", "adc", 10)}, " +
+      "np1s AS (SELECT s.qid AS qid, s.vec_id AS vec_id, s.adc AS adc FROM scored s " +
+      "JOIN pbr ON pbr.qid = s.qid AND pbr.cl = s.cluster AND pbr.rn = 1), " +
+      s"np1t AS MATERIALIZED ${sqlTopPerQ("np1s", "adc", 10)}, " +
+      "shortt AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 50), " +
+      s"rerc AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM shortt sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
+      s"rert AS MATERIALIZED ${sqlTopPerQ("rerc", "cos DESC", 10)}, " +
+      // binary-quantization branch: Hamming shortlist 50 -> exact 10
+      s"bqp AS MATERIALIZED (SELECT vec_id, emb, ${pack(1, 32)} AS b1, ${pack(33, 64)} AS b2 FROM e), " +
+      s"bqq AS (SELECT vec_id AS qid, emb AS qv, b1 AS qb1, b2 AS qb2 FROM bqp WHERE vec_id < $PanelSize), " +
+      "bqc AS (SELECT q.qid AS qid, p.vec_id AS vec_id, p.emb AS emb, q.qv AS qv, " +
+      "CAST(bit_count(xor(p.b1, q.qb1)) + bit_count(xor(p.b2, q.qb2)) AS INT) AS ham " +
+      "FROM bqp p CROSS JOIN bqq q WHERE p.vec_id <> q.qid), " +
+      "bqsh AS (SELECT qid, vec_id, emb, qv FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY ham, vec_id) AS rn FROM bqc) WHERE rn <= 50), " +
+      s"bqr AS (SELECT qid, vec_id, round(${dcos("emb", "qv")}, 4) AS cos FROM bqsh), " +
+      s"bqt AS MATERIALIZED ${sqlTopPerQ("bqr", "cos DESC", 10)}, " +
+      // truncated-dimension branch: 16-dim prefix shortlist 50 -> exact 10
+      "tdp AS MATERIALIZED (SELECT vec_id, emb, emb[1:16] AS pre FROM e), " +
+      s"tdq AS (SELECT vec_id AS qid, emb AS qv, pre AS qpre FROM tdp WHERE vec_id < $PanelSize), " +
+      s"tdc AS (SELECT q.qid AS qid, p.vec_id AS vec_id, p.emb AS emb, q.qv AS qv, " +
+      s"round(${dcos("p.pre", "q.qpre")}, 4) AS pcos FROM tdp p CROSS JOIN tdq q WHERE p.vec_id <> q.qid), " +
+      "tdsh AS (SELECT qid, vec_id, emb, qv FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rn FROM tdc) WHERE rn <= 50), " +
+      s"tdr AS (SELECT qid, vec_id, round(${dcos("emb", "qv")}, 4) AS cos FROM tdsh), " +
+      s"tdt AS MATERIALIZED ${sqlTopPerQ("tdr", "cos DESC", 10)}, " +
+      "cands AS (SELECT 'lsh' AS method, qid, vec_id FROM lsht " +
+      "UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivft " +
+      "UNION ALL SELECT 'ivfpq' AS method, qid, vec_id FROM ivfpqt " +
+      "UNION ALL SELECT 'ivfpq_np1' AS method, qid, vec_id FROM np1t " +
+      "UNION ALL SELECT 'rerank' AS method, qid, vec_id FROM rert " +
+      "UNION ALL SELECT 'bq' AS method, qid, vec_id FROM bqt " +
+      "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt), " +
+      "nq AS (SELECT count(*) AS nq FROM qp) " +
+      "SELECT method, CAST(nq AS BIGINT) AS n_queries, " +
+      "CAST(count(*) AS BIGINT) AS n_candidates, " +
+      "CAST(count(b.vec_id) AS BIGINT) AS hits, " +
+      "round(CAST(count(b.vec_id) AS DOUBLE) / (10.0 * nq), 4) AS mean_recall_at_10 " +
+      "FROM cands c LEFT JOIN brute b ON c.qid = b.qid AND c.vec_id = b.vec_id " +
+      "CROSS JOIN nq GROUP BY method, nq ORDER BY method"
+  }
+
+  private def annFilteredRecallOracle: String =
+    s"WITH $kmeansUnrollCtes, " +
+      s"qp AS MATERIALIZED (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < $PanelSize), " +
+      "allow AS MATERIALIZED (SELECT doc_id AS vec_id FROM documents WHERE lang = 'fr'), " +
+      s"fb0 AS (SELECT qp.qid AS qid, e.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM e JOIN allow USING (vec_id) CROSS JOIN qp WHERE e.vec_id <> qp.qid), " +
+      s"fbrute AS MATERIALIZED ${sqlTopPerQ("fb0", "cos DESC", 10)}, " +
+      s"ipl AS (SELECT qp.qid AS qid, c2.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN qp), " +
+      "ipr AS MATERIALIZED (SELECT qid, c FROM (SELECT qid, c, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM ipl) WHERE rn <= $derivedProbeCut), " +
+      s"prc AS (SELECT pr.qid AS qid, a2.vec_id AS vec_id, round(${dcos("a2.emb", "qp.qv")}, 4) AS cos " +
+      "FROM a2 JOIN ipr pr ON a2.c = pr.c JOIN allow ON allow.vec_id = a2.vec_id " +
+      "JOIN qp ON qp.qid = pr.qid WHERE a2.vec_id <> pr.qid), " +
+      s"prt AS MATERIALIZED ${sqlTopPerQ("prc", "cos DESC", 10)}, " +
+      "nq AS (SELECT count(*) AS nq FROM qp) " +
+      "SELECT 'ivf_prefilter' AS method, CAST(nq AS BIGINT) AS n_queries, " +
+      "CAST(count(*) AS BIGINT) AS n_candidates, " +
+      "CAST(count(b.vec_id) AS BIGINT) AS hits, " +
+      "round(CAST(count(b.vec_id) AS DOUBLE) / (10.0 * nq), 4) AS mean_recall_at_10 " +
+      "FROM prt c LEFT JOIN fbrute b ON c.qid = b.qid AND c.vec_id = b.vec_id " +
+      "CROSS JOIN nq GROUP BY nq"
+
   val oracleSql: Map[String, String] = oracleBase +
-    ("q_ann_recall" ->
-      (s"WITH brute AS (SELECT vec_id FROM (${oracleBase("q_sim_topk")})), " +
-        s"cands AS (SELECT 'lsh' AS method, vec_id FROM (${oracleBase("q_ann_lsh")}) " +
-        s"UNION ALL SELECT 'ivf' AS method, vec_id FROM (${oracleBase("q_ann_ivf_trained")}) " +
-        s"UNION ALL SELECT 'ivfpq' AS method, vec_id FROM (${oracleBase("q_ann_ivfpq")}) " +
-        // the nprobe trade: the same IVF-PQ chain probed at nprobe=1
-        s"UNION ALL SELECT 'ivfpq_np1' AS method, vec_id FROM (WITH ${ivfPqOracleCtes("1")} " +
-        "SELECT vec_id FROM scored ORDER BY adc, vec_id LIMIT 10) " +
-        s"UNION ALL SELECT 'rerank' AS method, vec_id FROM (${oracleBase("q_ann_rerank")})) " +
-        "SELECT method, CAST(count(*) AS BIGINT) AS n_candidates, " +
-        "CAST(count(b.vec_id) AS BIGINT) AS hits, " +
-        "round(CAST(count(b.vec_id) AS DOUBLE) / 10, 2) AS recall_at_10 " +
-        "FROM cands c LEFT JOIN brute b USING (vec_id) " +
-        "GROUP BY method ORDER BY method"))
+    ("q_ann_recall" -> annRecallPanelOracle) +
+    ("q_ann_filtered_recall" -> annFilteredRecallOracle)
 }

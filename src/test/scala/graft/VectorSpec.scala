@@ -214,16 +214,22 @@ class VectorSpec extends SparkSpec {
     val k = ops.Vectors.PqCodewords
     for (c <- Seq("c0", "c1", "c2", "c3"))
       assert(r.filter(col(c) < 0 || col(c) > k - 1).count() === 0, c)
-    // PQ at 2 bytes/vector is LOSSIER than int8 at 64 bytes — if pq's
-    // reconstruction error ever undercuts int8's, the encoding is broken
-    assert(r.filter($"mse_pq" <= 0).count() === 0)
-    val cheaper = r.filter($"mse_pq" < $"mse_int8").count()
-    assert(cheaper === 0,
-      s"$cheaper vectors reconstruct better from PQ codes than 64 int8 bytes")
+    // PQ at 4 bytes/vector is LOSSIER than int8 at 64 bytes ON THE
+    // MEAN. (Per-vector the claim no longer holds at the k = 256
+    // codebooks: with N/k ≈ 2 at the gate SFs a singleton Lloyd cell
+    // memorizes its only member exactly — mse_pq = 0 beats int8 for
+    // that vector, legitimately. At production N ≫ M·k the singleton
+    // regime vanishes.)
+    assert(r.filter($"mse_pq" < 0).count() === 0)
+    val (avgPq, avgI8) = r
+      .agg(avg($"mse_pq"), avg($"mse_int8"))
+      .as[(Double, Double)].head()
+    assert(avgPq > avgI8,
+      s"PQ mean MSE $avgPq should exceed int8's $avgI8")
     // the 2-pass Lloyd keeps a healthy codebook: most codewords of
     // subspace 0 survive with members (exact k is data-dependent —
     // Lloyd may empty a cell — but a collapse toward a handful of live
-    // codes would void the 4-bit claim)
+    // codes would void the 8-bit claim)
     val used = r.select("c0").distinct().count()
     assert(used > k / 2 && used <= k, s"subspace 0 uses $used of $k codewords")
     // deterministic: the same corpus encodes to the same codes
@@ -321,34 +327,62 @@ class VectorSpec extends SparkSpec {
     assert(q("q_ann_rerank").collect().toSeq === rows.toSeq)
   }
 
-  test("ANN recall harness grades every index family against brute force") {
+  test("ANN recall harness: panel MEAN recall@10 for every index family") {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
-      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank"))
+      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16"))
+    val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
       val hits = r.getAs[Long]("hits")
-      val rec = r.getAs[Double]("recall_at_10")
-      // nprobe=1 may probe a list smaller than 10; every other index
-      // returns a full top-10
-      if (r.getAs[String]("method") == "ivfpq_np1") assert(n <= 10L)
-      else assert(n === 10L, "each index returns a top-10")
-      assert(hits >= 0 && hits <= 10)
-      assert(rec === hits / 10.0)
+      val rec = r.getAs[Double]("mean_recall_at_10")
+      assert(r.getAs[Long]("n_queries") === nq)
+      // nprobe=1 / small-bucket LSH may return fewer than 10 for some
+      // queries; nothing returns more than panel × 10
+      assert(n >= 1L && n <= 10L * nq)
+      assert(hits >= 0 && hits <= n)
+      assert(rec === math.round(hits / (10.0 * nq) * 1e4) / 1e4)
     }
-    // the exact re-rank tier can only recover recall over raw ADC:
-    // ivfpq's top-10 is a subset of rerank's top-50 shortlist, and any
-    // brute member in the shortlist outranks every non-member on the
-    // exact score the brute set itself is cut on
     def rec(m: String) = rows.find(_.getAs[String]("method") == m).get
-      .getAs[Double]("recall_at_10")
+      .getAs[Double]("mean_recall_at_10")
+    // the exact re-rank tier can only recover recall over raw ADC —
+    // and the law holds PER QUERY, not just on the mean: ivfpq's
+    // top-10 is a subset of rerank's top-50 shortlist, and any brute
+    // member in the shortlist outranks every non-member on the exact
+    // score the brute set itself is cut on
     assert(rec("rerank") >= rec("ivfpq"),
       s"rerank ${rec("rerank")} < ivfpq ${rec("ivfpq")}")
-    // cross-check one method against its standalone query
-    val lshHits = q("q_ann_lsh").select("vec_id").as[Long].collect().toSet
-      .intersect(q("q_sim_topk").select("vec_id").as[Long].collect().toSet).size
-    assert(rows.find(_.getAs[String]("method") == "lsh").get
-      .getAs[Long]("hits") === lshHits.toLong)
+    val cands = graft.ops.Vectors.recallPanelCands(spark, sfDir)
+      .filter($"method".isin("ivfpq", "rerank")).collect()
+      .groupBy(r => (r.getAs[String]("method"), r.getAs[Long]("qid")))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val e = Tables.embeddings(spark, sfDir)
+    val qids = cands.keys.map(_._2).toSet
+    // the law is on HITS (brute members recovered), so recompute the
+    // per-qid brute sets here
+    val bp = e.select($"vec_id", $"embedding").as("a")
+      .crossJoin(broadcast(e.filter($"vec_id" < graft.ops.Vectors.PanelSize)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(graft.functions.VectorFunctions.cosine_sim(spark,
+          $"embedding", $"qv"), 4).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val bruteBy = bp.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    qids.foreach { qid =>
+      val b = bruteBy(qid)
+      val hIvfpq = cands.getOrElse(("ivfpq", qid), Set.empty).intersect(b).size
+      val hRerank = cands.getOrElse(("rerank", qid), Set.empty).intersect(b).size
+      assert(hRerank >= hIvfpq, s"qid $qid: rerank $hRerank < ivfpq $hIvfpq")
+    }
+    // cross-check the lsh branch against a recomputation is covered by
+    // the oracle (hash-match); here assert the panel is the full 50
+    assert(qids.size === graft.ops.Vectors.PanelSize)
   }
 
   test("persisted IVF-PQ index serves the in-memory answer bit-for-bit") {
