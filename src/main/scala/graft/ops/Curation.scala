@@ -1133,8 +1133,10 @@ object Curation {
     * two map-side-combined aggregates over the bounded feature table).
     */
   private[graft] def classifierWeights(s: SparkSession, dir: String,
-      rounds: Int, trainOnly: Boolean = false): DataFrame = {
-    val (w, feats, labels) = classifierFit(s, dir, rounds, trainOnly)
+      rounds: Int, trainOnly: Boolean = false,
+      docsOverride: Option[DataFrame] = None): DataFrame = {
+    val (w, feats, labels) =
+      classifierFit(s, dir, rounds, trainOnly, docsOverride)
     Text.releaseCheckpoint(feats)
     Text.releaseCheckpoint(labels)
     w
@@ -1146,8 +1148,9 @@ object Curation {
     * owns the release).
     */
   private def classifierFit(s: SparkSession, dir: String, rounds: Int,
-      trainOnly: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    val all = Tables.documents(s, dir)
+      trainOnly: Boolean,
+      docsOverride: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+    val all = docsOverride.getOrElse(Tables.documents(s, dir))
     // q_train_split's content-hash rule: first md5 nibble d-f is the
     // held-out val set (~19%); training never sees those rows
     val docs = if (trainOnly) all.filter(!valPred) else all
@@ -1186,9 +1189,45 @@ object Curation {
     * an audit scores a held-out sample, not the corpus). Guarded NULL
     * if the val split degenerates to one class.
     */
-  private def classifierEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val w = classifierWeights(s, dir, ClassifierRounds, trainOnly = true)
+  private def classifierEval(s: SparkSession, dir: String): DataFrame =
+    classifierEvalOn(s, dir, Tables.documents(s, dir))
+
+  /** The i.i.d. fixture's word soup carries no source-correlated
+    * vocabulary, so q_classifier_eval's honest AUC sits near 0.5 —
+    * which means the GD/AUC machinery is never seen SEPARATING
+    * anything. This variant plants the signal deterministically: the
+    * curated sources' documents carry three marker tokens appended to
+    * their text (a vocabulary shift — exactly what a real curated
+    * domain looks like to a hashed bag-of-words model), and the SAME
+    * train/eval harness then demonstrates AUC ≫ 0.5 end-to-end, fully
+    * oracled (the DuckDB twin derives the same shifted corpus). The
+    * two regimes together certify the harness: ≈0.5 on noise,
+    * high on signal.
+    */
+  private def classifierEvalShifted(s: SparkSession, dir: String): DataFrame =
+    classifierEvalOn(s, dir, Tables.documents(s, dir)
+      .withColumn("text",
+        when(col("source").isin(CuratedSources: _*),
+          concat(col("text"), lit(ShiftMarker))).otherwise(col("text"))))
+
+  /** The marker vocabulary the shifted-fixture eval appends to
+    * curated-source documents — shared with the oracle twin. Eight
+    * DISTINCT tokens (so the signal lands in several hash buckets — a
+    * single token's one bucket drowns in the 64-bucket projection noise
+    * of ~100-word documents: measured AUC 0.45), four repetitions each
+    * (±4 signed mass per marker bucket; ×2 measured 0.53 at the
+    * standing 3 GD rounds, ×4 measures 0.95 — the shift is strong
+    * enough that the UNCHANGED harness separates it).
+    */
+  private[graft] val ShiftMarker: String = {
+    val toks = (0 until 8).map(i => s"qz$i").mkString(" ")
+    (1 to 4).map(_ => s" $toks").mkString
+  }
+
+  private def classifierEvalOn(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val w = classifierWeights(s, dir, ClassifierRounds, trainOnly = true,
+      docsOverride = Some(docs))
     val valDocs = docs.filter(valPred)
     val scores = classifierFeatures(valDocs).join(broadcast(w), "bucket")
       .groupBy("doc_id")
@@ -1431,6 +1470,7 @@ object Curation {
     "q_sketch_merge" -> (sketchMerge _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_classifier_eval" -> (classifierEval _),
+    "q_classifier_eval_shifted" -> (classifierEvalShifted _),
     "q_decontaminate" -> (decontaminate _),
     "q_domain_reweight" -> (domainReweight _)
   )
@@ -1442,12 +1482,13 @@ object Curation {
     * name suffix so train and val chains can coexist in one WITH),
     * restricted to documents matching `pred`.
     */
-  private def classifierFeatureCtes(sfx: String, pred: String): String =
-    s"tk$sfx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE $pred), " +
+  private def classifierFeatureCtes(sfx: String, pred: String,
+      tbl: String = "documents"): String =
+    s"tk$sfx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $tbl WHERE $pred), " +
       s"hh$sfx AS (SELECT doc_id, CAST(${Text.hexSql("md5('fh:' || word)", 1, 12)} AS BIGINT) AS h FROM tk$sfx), " +
       s"fx$sfx AS (SELECT doc_id, h % 64 AS bucket, CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sv FROM hh$sfx GROUP BY doc_id, bucket), " +
       s"fb$sfx AS MATERIALIZED (SELECT doc_id, bucket, sv FROM fx$sfx " +
-      s"UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents WHERE $pred)"
+      s"UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM $tbl WHERE $pred)"
 
   /** The classifier GD chain as DuckDB CTEs over documents matching
     * `pred`: features fb, labels lab, corpus size nn, zero weights w0,
@@ -1456,11 +1497,12 @@ object Curation {
     * whole prefix chain once per downstream reference). Mirrors
     * [[classifierRound]] 1:1.
     */
-  private def classifierCtes(pred: String = "TRUE"): String = {
+  private def classifierCtes(pred: String = "TRUE",
+      tbl: String = "documents"): String = {
     val base =
-      classifierFeatureCtes("", pred) + ", " +
-        s"lab AS (SELECT doc_id, source, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents WHERE $pred), " +
-        s"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE $pred), " +
+      classifierFeatureCtes("", pred, tbl) + ", " +
+        s"lab AS (SELECT doc_id, source, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM $tbl WHERE $pred), " +
+        s"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $tbl WHERE $pred), " +
         "w0 AS (SELECT CAST(j AS BIGINT) AS bucket, CAST(0 AS DOUBLE) AS w FROM range(-1, 64) t(j))"
     val rounds = (1 to ClassifierRounds).map { k =>
       s"mm$k AS (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
@@ -1473,6 +1515,37 @@ object Curation {
     }.mkString(", ")
     s"$base, $rounds"
   }
+
+  /** The full train-on-split → score-val → Mann-Whitney-AUC oracle
+    * chain over `tbl` (WITHOUT the leading WITH, so a caller can
+    * prepend a derived-corpus CTE). Shared verbatim by
+    * q_classifier_eval (tbl = documents) and q_classifier_eval_shifted
+    * (tbl = the marker-shifted corpus).
+    */
+  private def classifierEvalOracleBody(tbl: String): String =
+    s"${classifierCtes(s"NOT ($valPredSql)", tbl)}, " +
+      s"${classifierFeatureCtes("v", valPredSql, tbl)}, " +
+      s"labv AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM $tbl WHERE $valPredSql), " +
+      s"scv AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +
+      s"FROM (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
+      s"FROM fbv f JOIN w$ClassifierRounds w USING (bucket) GROUP BY f.doc_id)), " +
+      "rk AS (SELECT l.y AS y, s.p AS p, " +
+      "CAST(rank() OVER (ORDER BY s.p) AS DOUBLE) + (CAST(count(*) OVER (PARTITION BY s.p) AS DOUBLE) - 1.0) / 2.0 AS ar " +
+      "FROM scv s JOIN labv l USING (doc_id)), " +
+      "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_val, CAST(sum(y) AS BIGINT) AS n_pos, " +
+      "sum(CASE WHEN y = 1 THEN ar END) AS sp, " +
+      "sum(CASE WHEN y = 1 THEN CAST(p AS DECIMAL(18,8)) END) AS spp, " +
+      "sum(CASE WHEN y = 0 THEN CAST(p AS DECIMAL(18,8)) END) AS spn FROM rk) " +
+      "SELECT nn.n AS n_train, ag.n_val AS n_val, ag.n_pos AS n_pos, " +
+      "CASE WHEN ag.n_pos > 0 AND ag.n_pos < ag.n_val THEN " +
+      "round((ag.sp - CAST(ag.n_pos AS DOUBLE) * (CAST(ag.n_pos AS DOUBLE) + 1.0) / 2.0) / " +
+      "(CAST(ag.n_pos AS DOUBLE) * CAST(ag.n_val - ag.n_pos AS DOUBLE)), 4) END AS auc, " +
+      "round(CAST(ag.spp AS DOUBLE) / CAST(ag.n_pos AS DOUBLE), 4) AS mean_p_pos, " +
+      "round(CAST(ag.spn AS DOUBLE) / CAST(ag.n_val - ag.n_pos AS DOUBLE), 4) AS mean_p_neg " +
+      "FROM ag CROSS JOIN nn"
+
+  private def classifierEvalOracle(): String =
+    s"WITH ${classifierEvalOracleBody("documents")}"
 
   val oracleSql: Map[String, String] = Map(
     "q_domain_reweight" -> {
@@ -1495,27 +1568,14 @@ object Curation {
         s"$rounds " +
         s"SELECT source, n_tokens, loss, w AS weight FROM d$DomainRounds ORDER BY source"
     },
-    "q_classifier_eval" ->
-      (s"WITH ${classifierCtes(s"NOT ($valPredSql)")}, " +
-        s"${classifierFeatureCtes("v", valPredSql)}, " +
-        s"labv AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents WHERE $valPredSql), " +
-        s"scv AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +
-        s"FROM (SELECT f.doc_id AS doc_id, CAST(sum(CAST(w.w * f.sv AS DECIMAL(18,8))) AS DOUBLE) AS m " +
-        s"FROM fbv f JOIN w$ClassifierRounds w USING (bucket) GROUP BY f.doc_id)), " +
-        "rk AS (SELECT l.y AS y, s.p AS p, " +
-        "CAST(rank() OVER (ORDER BY s.p) AS DOUBLE) + (CAST(count(*) OVER (PARTITION BY s.p) AS DOUBLE) - 1.0) / 2.0 AS ar " +
-        "FROM scv s JOIN labv l USING (doc_id)), " +
-        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_val, CAST(sum(y) AS BIGINT) AS n_pos, " +
-        "sum(CASE WHEN y = 1 THEN ar END) AS sp, " +
-        "sum(CASE WHEN y = 1 THEN CAST(p AS DECIMAL(18,8)) END) AS spp, " +
-        "sum(CASE WHEN y = 0 THEN CAST(p AS DECIMAL(18,8)) END) AS spn FROM rk) " +
-        "SELECT nn.n AS n_train, ag.n_val AS n_val, ag.n_pos AS n_pos, " +
-        "CASE WHEN ag.n_pos > 0 AND ag.n_pos < ag.n_val THEN " +
-        "round((ag.sp - CAST(ag.n_pos AS DOUBLE) * (CAST(ag.n_pos AS DOUBLE) + 1.0) / 2.0) / " +
-        "(CAST(ag.n_pos AS DOUBLE) * CAST(ag.n_val - ag.n_pos AS DOUBLE)), 4) END AS auc, " +
-        "round(CAST(ag.spp AS DOUBLE) / CAST(ag.n_pos AS DOUBLE), 4) AS mean_p_pos, " +
-        "round(CAST(ag.spn AS DOUBLE) / CAST(ag.n_val - ag.n_pos AS DOUBLE), 4) AS mean_p_neg " +
-        "FROM ag CROSS JOIN nn"),
+    "q_classifier_eval" -> classifierEvalOracle(),
+    "q_classifier_eval_shifted" ->
+      // the same eval chain over the deterministically-shifted corpus:
+      // curated sources carry the ShiftMarker vocabulary
+      ("WITH sdocs AS MATERIALIZED (SELECT doc_id, source, lang, " +
+        s"CASE WHEN source IN ('src0', 'src1') THEN text || '$ShiftMarker' " +
+        "ELSE text END AS text FROM documents), " +
+        classifierEvalOracleBody("sdocs")),
     "q_quality_classifier" ->
       (s"WITH ${classifierCtes()}, " +
         s"sc AS (SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 8) AS p " +

@@ -670,6 +670,19 @@ class CurationSpec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("classifier eval separates the planted shift and not the noise") {
+    // the two regimes certify the GD/AUC machinery end to end: the
+    // i.i.d. word-soup fixture has no source-correlated vocabulary, so
+    // its honest AUC sits near chance; the SAME harness over the
+    // deterministically marker-shifted corpus separates cleanly
+    val plain = q("q_classifier_eval").collect()(0).getAs[Double]("auc")
+    assert(plain > 0.25 && plain < 0.75, s"unshifted AUC $plain ≈ chance")
+    val shifted = q("q_classifier_eval_shifted").collect()(0)
+      .getAs[Double]("auc")
+    assert(shifted > 0.8, s"shifted AUC $shifted should separate")
+    assert(shifted > plain + 0.2, s"shift must add signal: $plain -> $shifted")
+  }
+
   test("domain reweighting: proper distribution, upweights lossy domains, matches local fold") {
     val got = q("q_domain_reweight")
       .select("source", "loss", "weight")
