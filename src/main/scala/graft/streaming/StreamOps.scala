@@ -492,12 +492,30 @@ object StreamOps {
     * Scale: the accumulated index grows with ADMITTED docs only
     * (bounded by unique content, not stream length), is partitioned by
     * batch, and each probe is still a (band, bucket) equi-join — cost
-    * per batch is collision rate × index size, the same blocking bound
-    * as the batch operator; at 100 TB the index compacts into bucketed
-    * layout like any dimension table.
+    * per batch is collision rate × index size.
+    *
+    * Compaction (`compactEvery` > 0): a long stream otherwise grows one
+    * `bid=` directory per micro-batch forever — the small-files problem
+    * the batch layout solves with compactPartitions. Every
+    * `compactEvery` batches, batch b folds ALL generations `bid < b`
+    * into the single partition `bid = b - 1` (distinct band rows — the
+    * index is a membership set, so the fold is set-semantics-exact) and
+    * deletes the superseded directories. Replay idempotence is
+    * preserved BY the visibility rule, not despite it:
+    *   - b - 1 < b, so a replay of batch b still sees every compacted
+    *     row and never its own partial `bid = b` rows;
+    *   - only the LAST batch can ever replay (earlier batches are
+    *     checkpoint-committed before b starts), so rewriting older
+    *     generations is safe;
+    *   - every crash window lands on a benign state: compacted rows
+    *     duplicated with not-yet-deleted originals only duplicate
+    *     probe matches (the verify → distinct → anti-join chain is
+    *     set-semantic), and the replayed compaction re-derives the
+    *     identical distinct set and re-deletes.
     */
   def nearDupSelfSink(docs: DataFrame, corpusIdx: DataFrame, outDir: String,
-      idxDir: String, checkpoint: String, minJac: Double = 0.5)
+      idxDir: String, checkpoint: String, minJac: Double = 0.5,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -516,6 +534,23 @@ object StreamOps {
         graft.ops.Text.minhashBandTable(survivors)
           .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
           .write.mode("overwrite").parquet(s"$idxDir/bid=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          // materialize BEFORE overwriting: the fold reads the same
+          // bid = b - 1 partition it rewrites
+          val folded = s.read.parquet(idxDir).filter(col("bid") < batchId)
+            .select("band", "bucket", "corpus_sig")
+            .distinct().localCheckpoint()
+          folded.write.mode("overwrite")
+            .parquet(s"$idxDir/bid=${batchId - 1}")
+          fs.listStatus(idxRoot).map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("bid=") &&
+                scala.util.Try(n.stripPrefix("bid=").toLong).toOption
+                  .exists(_ < batchId - 1)
+            }
+            .foreach(fs.delete(_, true))
+        }
       }
       .start()
 

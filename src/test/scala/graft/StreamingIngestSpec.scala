@@ -207,4 +207,77 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
       === survivors)
   }
+
+  test("self-updating gate compacts its index; replay across the boundary holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val idx = StreamOps.minhashIndex(corpus)
+
+    val in = MemoryStream[(Long, String)]
+    val out = tmp("graft_cds"); val idxDir = tmp("graft_cdsidx")
+    val cp = tmp("graft_cdscp")
+    // compactEvery = 2: batch 2 folds generations 0..1 into bid=1
+    val q = StreamOps.nearDupSelfSink(
+      in.toDF().toDF("doc_id", "text"), idx, out, idxDir, cp,
+      minJac = 0.5, compactEvery = 2)
+
+    in.addData(
+      (101L, "red orange yellow green blue indigo violet pink brown black"))
+    q.processAllAvailable() // batch 0
+    in.addData(
+      (201L, "one two three four five six seven eight nine ten"))
+    q.processAllAvailable() // batch 1
+    in.addData(
+      (301L, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"))
+    q.processAllAvailable() // batch 2 → compaction folds bid 0..1 → bid=1
+    // a near-copy of the batch-0 survivor MUST still drop: the
+    // compacted generation carries its band rows
+    in.addData(
+      (401L, "red orange yellow green blue indigo violet pink brown white"))
+    q.processAllAvailable() // batch 3
+    q.stop()
+
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      === Set(101L, 201L, 301L))
+    // the layout is compacted: generations 0 and 1 folded into bid=1
+    // (batch 3 admitted nothing, so its generation holds no rows)
+    val bids = spark.read.parquet(idxDir).select("bid")
+      .as[Int].distinct().collect().toSet
+    assert(bids === Set(1, 2), bids.toString)
+
+    // the folded generation is the exact distinct union the uncompacted
+    // layout would hold: probe parity for the batch-3 replay
+    val priorAt3 = spark.read.parquet(idxDir).filter($"bid" < 3)
+      .select("band", "bucket", "corpus_sig")
+    val b3 = Seq(
+      (401L, "red orange yellow green blue indigo violet pink brown white"))
+      .toDF("doc_id", "text")
+    // crash-replay of batch 3 across the compaction boundary: the
+    // recomputed survivor set is empty (401 drops), and overwriting its
+    // own partition changes nothing
+    StreamOps.nearDupFilterSelf(b3, idx.unionByName(priorAt3), 0.5)
+      .write.mode("overwrite").parquet(s"$out/bid=3")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      === Set(101L, 201L, 301L))
+
+    // crash-replay of batch 2 ITSELF (the compacting batch, crashed
+    // after its writes but before the checkpoint commit): visibility
+    // bid < 2 still sees every pre-batch-2 band row via the folded
+    // bid=1 generation, so the survivor set recomputes identically —
+    // and re-folding re-derives the same distinct set
+    val priorAt2 = spark.read.parquet(idxDir).filter($"bid" < 2)
+      .select("band", "bucket", "corpus_sig")
+    val b2 = Seq(
+      (301L, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"))
+      .toDF("doc_id", "text")
+    val replay2 = StreamOps.nearDupFilterSelf(b2, idx.unionByName(priorAt2), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay2 === Set(301L))
+    val refold = spark.read.parquet(idxDir).filter($"bid" < 2)
+      .select("band", "bucket", "corpus_sig").distinct()
+    assert(refold.count() === priorAt2.distinct().count())
+  }
 }
