@@ -1621,8 +1621,17 @@ object Kql {
           // crossing ADX's default threshold 1.5 (+1 above, -1 below,
           // 0 inside). Output order is ADX's (ad_flag, ad_score,
           // baseline). The flag compares the 4-dp-ROUNDED score in both
-          // engines, so the cut cannot flip on an ulp. Per-row array
-          // arithmetic only, the decompose cost plus one sort per row.
+          // engines, so the cut cannot flip on an ulp.
+          //
+          // The residual and the score MATERIALIZE as intermediate
+          // columns (dropped below) instead of composing one Column:
+          // tukeyScores references its input ~8× (two interpolated
+          // percentiles, the fence width, the per-element comparisons)
+          // and the flag references the score 3× — inlined, the
+          // decompose subtree would replicate ~40× into a
+          // tens-of-MB expression tree (measured: 86 MiB task
+          // binaries, a 135 s query). CollapseProject keeps non-cheap
+          // aliases materialized, so each stage computes once per row.
           if (names.length != 3)
             fail("series_decompose_anomalies multi-assign takes exactly " +
               "3 names (ad_flag, ad_score, baseline)")
@@ -1631,10 +1640,15 @@ object Kql {
           if (p < 2 || p > 1000)
             fail(s"series_decompose_anomalies period $p out of [2, 1000]")
           val (base, _, _, resid) = decomposeParts(p)
-          val score = tukeyScores(resid, 0.10, 0.90)
-          val flag = transform(score, sc =>
-            when(sc > 1.5, lit(1)).when(sc < -1.5, lit(-1)).otherwise(lit(0)))
-          names.zip(Seq(flag, score, base))
+          val resCol = "__graft_da_res"
+          val scoreCol = "__graft_da_score"
+          return df.withColumn(resCol, resid)
+            .withColumn(scoreCol, tukeyScores(col(resCol), 0.10, 0.90))
+            .withColumn(names(0), transform(col(scoreCol), sc =>
+              when(sc > 1.5, lit(1)).when(sc < -1.5, lit(-1)).otherwise(lit(0))))
+            .withColumn(names(1), col(scoreCol))
+            .withColumn(names(2), base)
+            .drop(resCol, scoreCol)
         case other =>
           fail(s"unsupported multi-assign function '$other' " +
             "(series_stats/series_fit_line/series_decompose[_anomalies])")

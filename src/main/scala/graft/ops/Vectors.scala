@@ -373,9 +373,10 @@ object Vectors {
     * recall harness's nprobe-trade rows).
     */
   private def nprobeDf(s: SparkSession, c2: DataFrame,
-      nprobe: Option[Int]): DataFrame = nprobe match {
+      nprobe: Option[Int], mult: Int = 1): DataFrame = nprobe match {
     case Some(n) => s.range(1).select(lit(n).cast("int").as("np"))
-    case None => c2.agg(ceil(sqrt(count(lit(1)))).cast("int").as("np"))
+    case None =>
+      c2.agg((ceil(sqrt(count(lit(1)))) * mult).cast("int").as("np"))
   }
 
   private def ivfTrainedSearch(s: SparkSession, dir: String,
@@ -1111,10 +1112,10 @@ object Vectors {
     * coarse lists, exact cosine inside them.
     */
   private def ivfPanel(s: SparkSession, a2: DataFrame, c2: DataFrame,
-      qp: DataFrame): DataFrame = {
+      qp: DataFrame, mult: Int = 1): DataFrame = {
     val probe = topPerQFrame(c2.crossJoin(broadcast(qp))
       .select(col("qid"), col("qv"), col("c"),
-        cos(s, col("centroid"), col("qv")).as("ls")), c2)
+        cos(s, col("centroid"), col("qv")).as("ls")), c2, mult)
     topPerQ(
       a2.select(col("vec_id"), col("embedding"), col("c"))
         .join(broadcast(probe), Seq("c"))
@@ -1129,11 +1130,12 @@ object Vectors {
     * rows inside each query and keeps rn <= ⌈√nlist⌉, carrying any
     * extra columns through.
     */
-  private def topPerQFrame(ranked: DataFrame, c2: DataFrame): DataFrame = {
+  private def topPerQFrame(ranked: DataFrame, c2: DataFrame,
+      mult: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     ranked.withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("ls").desc, col("c"))))
-      .crossJoin(broadcast(nprobeDf(ranked.sparkSession, c2, None)))
+      .crossJoin(broadcast(nprobeDf(ranked.sparkSession, c2, None, mult)))
       .filter(col("rn") <= col("np"))
       .drop("ls", "np")
   }
@@ -1149,7 +1151,7 @@ object Vectors {
     * at 100 TB it flips to a co-partitioned join on (cl, m, code).
     */
   private def ivfPqPanelScores(s: SparkSession, a2: DataFrame,
-      c2: DataFrame, qp: DataFrame): (DataFrame, DataFrame) = {
+      c2: DataFrame, qp: DataFrame, mult: Int = 1): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val m = 4
@@ -1161,7 +1163,7 @@ object Vectors {
         Window.partitionBy("qid").orderBy(col("ls").desc, col("cl"))))
     val probeRank = ranked.select("qid", "cl", "rn")
     val pb = ranked
-      .crossJoin(broadcast(nprobeDf(s, c2, None)))
+      .crossJoin(broadcast(nprobeDf(s, c2, None, mult)))
       .filter(col("rn") <= col("np"))
       .select(col("qid"), col("cl"), col("centroid"), col("qv"))
     val qr = pb.select(col("qid"), col("cl"),
@@ -1256,6 +1258,24 @@ object Vectors {
           round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
       Seq(col("cos").desc, col("vec_id")), 10)
       .select("qid", "vec_id")
+    // the probe-budget ladder: the same index at TRIPLE the derived
+    // nprobe (still data-derived — 3·⌈√nlist⌉, no magic constant).
+    // The ~sf1 panel showed recall on this geometry is PROBE-bound
+    // (exact-distance ivf 0.436 at the derived probes is the ceiling
+    // every code-based branch lives under); these two rows price the
+    // knob that actually moves it: the exact-distance ceiling and the
+    // served rerank stack at 3× probes. The PQ fit subtree is shared
+    // with the derived-probe chain (same canonical plan ⇒ reused).
+    val ivf3 = ivfPanel(s, a2, c2, qp, mult = 3)
+    val (scores3, _) = ivfPqPanelScores(s, a2, c2, qp, mult = 3)
+    val short3 = topPerQ(scores3, Seq(col("adc").asc, col("vec_id")), 50)
+    val rerank3 = topPerQ(
+      short3.join(e, "vec_id")
+        .join(broadcast(qp), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
     lshPanel(s, e, qp).select(lit("lsh").as("method"), col("qid"), col("vec_id"))
       .unionByName(ivfPanel(s, a2, c2, qp)
         .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
@@ -1265,6 +1285,10 @@ object Vectors {
         .select(lit("ivfpq_np1").as("method"), col("qid"), col("vec_id")))
       .unionByName(rerank
         .select(lit("rerank").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivf3
+        .select(lit("ivf_np3x").as("method"), col("qid"), col("vec_id")))
+      .unionByName(rerank3
+        .select(lit("rerank_np3x").as("method"), col("qid"), col("vec_id")))
       .unionByName(bqPanel(s, e)
         .select(lit("bq").as("method"), col("qid"), col("vec_id")))
       .unionByName(truncPanel(s, e)
@@ -1469,6 +1493,12 @@ object Vectors {
     */
   private val derivedProbeCut: String =
     "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c2)"
+
+  /** The probe-ladder cut: 3 × the derived nprobe (still data-derived —
+    * the recall harness's probe-budget rows).
+    */
+  private val tripleProbeCut: String =
+    "(SELECT CAST(3 * ceil(sqrt(count(*))) AS BIGINT) FROM c2)"
 
   /** Shared IVF-PQ/ADC oracle chain through `scored` (the un-cut
     * candidate table), parameterized by the probe-stage rank cut so
@@ -1843,13 +1873,20 @@ object Vectors {
       s"FROM esig x JOIN esig q ON q.vec_id < $PanelSize AND x.vec_id <> q.vec_id " +
       "AND bit_count(xor(CAST(x.sig AS BIGINT), CAST(q.sig AS BIGINT))) <= 1), " +
       s"lsht AS MATERIALIZED ${sqlTopPerQ("lshc", "cos DESC", 10)}, " +
-      // trained-IVF branch: per-qid probe at the derived nprobe
+      // trained-IVF branch: per-qid probe at the derived nprobe (the
+      // rank table materializes ONCE; the derived and the 3× cuts are
+      // filters on it)
       s"ipl AS (SELECT qp.qid AS qid, c2.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN qp), " +
-      "ipr AS MATERIALIZED (SELECT qid, c FROM (SELECT qid, c, row_number() OVER " +
-      s"(PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM ipl) WHERE rn <= $derivedProbeCut), " +
+      "iprk AS MATERIALIZED (SELECT qid, c, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM ipl), " +
+      s"ipr AS (SELECT qid, c FROM iprk WHERE rn <= $derivedProbeCut), " +
       s"ivfc AS (SELECT pr.qid AS qid, a2.vec_id AS vec_id, round(${dcos("a2.emb", "qp.qv")}, 4) AS cos " +
       "FROM a2 JOIN ipr pr ON a2.c = pr.c JOIN qp ON qp.qid = pr.qid WHERE a2.vec_id <> pr.qid), " +
       s"ivft AS MATERIALIZED ${sqlTopPerQ("ivfc", "cos DESC", 10)}, " +
+      s"ipr3 AS (SELECT qid, c FROM iprk WHERE rn <= $tripleProbeCut), " +
+      s"ivfc3 AS (SELECT pr.qid AS qid, a2.vec_id AS vec_id, round(${dcos("a2.emb", "qp.qv")}, 4) AS cos " +
+      "FROM a2 JOIN ipr3 pr ON a2.c = pr.c JOIN qp ON qp.qid = pr.qid WHERE a2.vec_id <> pr.qid), " +
+      s"ivft3 AS MATERIALIZED ${sqlTopPerQ("ivfc3", "cos DESC", 10)}, " +
       // the shared ADC pass: per-qid probe, per-(qid, list) residual
       // table, one scored frame for ivfpq + np1 + rerank
       s"pbl AS (SELECT qp.qid AS qid, qp.qv AS qv, c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN qp), " +
@@ -1872,6 +1909,21 @@ object Vectors {
       s"rerc AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM shortt sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rert AS MATERIALIZED ${sqlTopPerQ("rerc", "cos DESC", 10)}, " +
+      // the 3×-probe ADC chain: same pbr rank table, same PQ codes —
+      // only the probe cut (and therefore the ADC table span) widens
+      s"pb3 AS (SELECT qid, qv, cl, centroid FROM pbr WHERE rn <= $tripleProbeCut), " +
+      "qr3 AS (SELECT qid, cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb3), " +
+      "qrs3 AS (SELECT qid, cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr3 CROSS JOIN range(0, 4) mm(m)), " +
+      s"adc3 AS MATERIALIZED (SELECT qrs3.qid AS qid, qrs3.cl AS cl, qrs3.m AS m, b.c AS code, ${dl2("qrs3.qsv", "b.centroid")} AS d2 FROM qrs3 JOIN pcb2 b ON qrs3.m = b.m), " +
+      "scored3 AS MATERIALIZED (SELECT adc3.qid AS qid, cand.vec_id AS vec_id, cand.cl AS cluster, " +
+      "round(CAST(sum(CAST(adc3.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand JOIN adc3 ON cand.cl = adc3.cl AND cand.m = adc3.m AND cand.code = adc3.code " +
+      "WHERE cand.vec_id <> adc3.qid GROUP BY 1, 2, 3), " +
+      "short3t AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored3) WHERE rn <= 50), " +
+      s"rerc3 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM short3t sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
+      s"rert3 AS MATERIALIZED ${sqlTopPerQ("rerc3", "cos DESC", 10)}, " +
       // binary-quantization branch: Hamming shortlist 50 -> exact 10
       s"bqp AS MATERIALIZED (SELECT vec_id, emb, ${pack(1, 32)} AS b1, ${pack(33, 64)} AS b2 FROM e), " +
       s"bqq AS (SELECT vec_id AS qid, emb AS qv, b1 AS qb1, b2 AS qb2 FROM bqp WHERE vec_id < $PanelSize), " +
@@ -1896,6 +1948,8 @@ object Vectors {
       "UNION ALL SELECT 'ivfpq' AS method, qid, vec_id FROM ivfpqt " +
       "UNION ALL SELECT 'ivfpq_np1' AS method, qid, vec_id FROM np1t " +
       "UNION ALL SELECT 'rerank' AS method, qid, vec_id FROM rert " +
+      "UNION ALL SELECT 'ivf_np3x' AS method, qid, vec_id FROM ivft3 " +
+      "UNION ALL SELECT 'rerank_np3x' AS method, qid, vec_id FROM rert3 " +
       "UNION ALL SELECT 'bq' AS method, qid, vec_id FROM bqt " +
       "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt), " +
       "nq AS (SELECT count(*) AS nq FROM qp) " +

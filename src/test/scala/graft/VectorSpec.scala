@@ -330,7 +330,8 @@ class VectorSpec extends SparkSpec {
   test("ANN recall harness: panel MEAN recall@10 for every index family") {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
-      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16"))
+      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16",
+        "ivf_np3x", "rerank_np3x"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
@@ -352,6 +353,11 @@ class VectorSpec extends SparkSpec {
     // score the brute set itself is cut on
     assert(rec("rerank") >= rec("ivfpq"),
       s"rerank ${rec("rerank")} < ivfpq ${rec("ivfpq")}")
+    // widening the probe budget is also structural for the EXACT-
+    // distance branch: the 3× candidate set is a superset, and a true
+    // top-10 member can only be displaced by other true top-10 members
+    assert(rec("ivf_np3x") >= rec("ivf"),
+      s"ivf_np3x ${rec("ivf_np3x")} < ivf ${rec("ivf")}")
     val cands = graft.ops.Vectors.recallPanelCands(spark, sfDir)
       .filter($"method".isin("ivfpq", "rerank")).collect()
       .groupBy(r => (r.getAs[String]("method"), r.getAs[Long]("qid")))
