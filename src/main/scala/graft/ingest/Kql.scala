@@ -96,6 +96,8 @@ object Kql {
         case TIdent("range") +: TIdent(_) +: TIdent("from") +: _ => true
         // a `datatable(col: type, ...)[...]` literal source
         case TIdent("datatable") +: TSym("(") +: _ => true
+        // `print x = expr, ...` — the ADX one-row evaluator
+        case TIdent("print") +: _ => true
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -460,7 +462,8 @@ object Kql {
         case Vector(TIdent(t)) => sourceTable(t)
         case TIdent("range") +: rest => rangeSource(rest)
         case TIdent("datatable") +: rest => datatableSource(rest)
-        case _ => fail("a CSL query must start with a table name, range, or datatable")
+        case TIdent("print") +: rest => printSource(rest)
+        case _ => fail("a CSL query must start with a table name, range, datatable, or print")
       }
       // `lastSort` is scoped per pipeline: a sort inside a tabular let
       // or a join/lookup/union sub-pipeline must not satisfy an OUTER
@@ -484,6 +487,22 @@ object Kql {
     //   tabular let, joined via lookup). Translates to a LocalRelation:
     //   a handful of driver-local rows that broadcast like any other
     //   small dimension, never a scan.
+
+    /** `print x = expr [, y = expr ...]` — the ADX one-row evaluator
+      * (the statement every ADX user types to poke at a scalar).
+      * Compiles to a projection over a literal 1-row relation; aliases
+      * are required in this subset (ADX would generate print_N names).
+      */
+    private def printSource(toks: Vector[Tok]): DataFrame = {
+      if (toks.isEmpty) fail("print needs at least one `name = expr`")
+      val cols = splitOn(toks, TSym(",")).map {
+        case TIdent(alias) +: TSym("=") +: e if e.nonEmpty =>
+          parseArithToks(e).as(alias)
+        case other =>
+          fail(s"print items must be `name = expr` in this subset, got $other")
+      }
+      s.range(1).select(cols: _*)
+    }
 
     private def datatableSource(toks: Vector[Tok]): DataFrame = {
       import org.apache.spark.sql.types._
@@ -722,6 +741,8 @@ object Kql {
           }
         case TIdent("mv") +: TSym("-") +: TIdent("apply") +: rest =>
           applyMvApply(df, rest)
+        case TIdent("parse") +: TSym("-") +: TIdent("kv") +: rest =>
+          applyParseKv(df, rest)
         case TIdent("parse") +: TSym("-") +: TIdent("where") +: rest =>
           applyParse(df, rest, filterMatched = true)
         case TIdent("parse") +: rest =>
@@ -1890,6 +1911,66 @@ object Kql {
       }
     }
 
+    // -------------------------------------------------------- parse-kv
+    //   parse-kv col as (k1: type, ...) with (pair_delimiter='c',
+    //   kv_delimiter='c')
+    //   The ADX key-value extractor: each declared key compiles to ONE
+    //   codegen'd regexp_extract `(?:^|<pd>)key<kvd>([^<pd>]*)` (both
+    //   delimiters \Q-quoted — RE2 and Java agree on \Q..\E, including
+    //   inside a character class, so the DuckDB twin is exact). Typed
+    //   keys null on absence or a failed conversion (try_cast — the
+    //   ADX behavior); string keys keep the raw extraction ('' when
+    //   absent, regexp_extract semantics on both engines).
+
+    private def applyParseKv(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val (srcCol, rest0) = toks match {
+        case TIdent(c) +: TIdent("as") +: TSym("(") +: r => (c, r)
+        case _ => fail("parse-kv must be `parse-kv col as (k: type, ...) " +
+          "with (pair_delimiter='c', kv_delimiter='c')`")
+      }
+      val close = rest0.indexOf(TSym(")"))
+      if (close < 0) fail("parse-kv: missing ')' after the key list")
+      val keys = splitOn(rest0.take(close), TSym(",")).map {
+        case Vector(TIdent(k), TSym(":"), TIdent(ty)) =>
+          if (!kqlScalarTypes.contains(ty))
+            fail(s"parse-kv: unsupported key type '$ty'")
+          (k, ty)
+        case other => fail(s"parse-kv keys must be `name: type`, got $other")
+      }
+      if (keys.isEmpty) fail("parse-kv needs at least one key")
+      val (pd, kvd) = rest0.drop(close + 1) match {
+        case TIdent("with") +: TSym("(") +: rest2
+            if rest2.lastOption.contains(TSym(")")) =>
+          var p = " "; var kv = "="
+          splitOn(rest2.init, TSym(",")).foreach {
+            case Vector(TIdent("pair_delimiter"), TSym("="), TStr(v)) => p = v
+            case Vector(TIdent("kv_delimiter"), TSym("="), TStr(v)) => kv = v
+            case other => fail(s"parse-kv settings are pair_delimiter/" +
+              s"kv_delimiter string literals, got $other")
+          }
+          (p, kv)
+        case Vector() => (" ", "=")
+        case other => fail(s"parse-kv: expected `with (...)`, got $other")
+      }
+      // pair_delimiter must be ONE character: the value span compiles
+      // to a negated character class ([^c]*), which has no multi-char
+      // form (\Q..\E inside a class is Java-only — RE2 would diverge)
+      if (pd.length != 1) fail("parse-kv pair_delimiter must be one character")
+      if (kvd.isEmpty) fail("parse-kv kv_delimiter must be non-empty")
+      // backslash-escape any non-alphanumeric: valid (and identical)
+      // in Java and RE2, both inside and outside a character class
+      val pdC = if (pd.head.isLetterOrDigit) pd else "\\" + pd
+      keys.foldLeft(df) { case (d, (k, ty)) =>
+        val pat = s"(?:^|$pdC)\\Q$k$kvd\\E([^$pdC]*)"
+        val raw = regexp_extract(col(srcCol), pat, 1)
+        val v =
+          if (ty == "string") raw
+          else when(length(raw) > 0, raw.try_cast(kqlScalarTypes(ty)))
+            .otherwise(lit(null).cast(kqlScalarTypes(ty)))
+        d.withColumn(k, v)
+      }
+    }
+
     // ------------------------------------------------------- summarize
     //   summarize := aggItem (',' aggItem)* ['by' byItem (',' byItem)*]
     //   aggItem   := [ident '='] aggCall
@@ -2438,6 +2519,33 @@ object Kql {
           // Spark's is a regex: quote it
           nArgs(2)
           split(arg(0), java.util.regex.Pattern.quote(litStr(1)))
+        // ---- dynamic-array scalar family: every one a codegen'd
+        // built-in over a real array column (split / extract_all /
+        // pack_array outputs), with an exact DuckDB list twin
+        case "array_length" =>
+          nArgs(1); size(arg(0)).cast("long")
+        case "array_index_of" =>
+          // ADX: 0-based index of the first occurrence, -1 when absent
+          nArgs(2); (array_position(arg(0), arg(1)) - 1).cast("long")
+        case "array_slice" =>
+          // ADX array_slice(arr, start, end): 0-based, END-INCLUSIVE;
+          // this subset takes non-negative literals (ADX also accepts
+          // negatives-from-the-end)
+          nArgs(3)
+          val sliceFrom = litInt(1)
+          val sliceTo = litInt(2)
+          if (sliceFrom < 0 || sliceTo < sliceFrom)
+            fail("array_slice takes 0 <= start <= end in this subset")
+          slice(arg(0), sliceFrom + 1, sliceTo - sliceFrom + 1)
+        case "array_concat" =>
+          if (groups.length < 2) fail("array_concat needs >= 2 arrays")
+          concat((0 until groups.length).map(arg): _*)
+        case "strcat_array" =>
+          // strcat_array(arr, delimiter) — the array join
+          nArgs(2); array_join(arg(0).cast("array<string>"), litStr(1))
+        case "pack_array" =>
+          if (groups.isEmpty) fail("pack_array needs at least one element")
+          array((0 until groups.length).map(arg): _*)
         case "extract" =>
           // extract(regex, captureGroup, text)
           nArgs(3); regexp_extract(arg(2), litStr(0), litInt(1))

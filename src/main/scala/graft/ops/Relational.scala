@@ -1426,6 +1426,54 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `parse-kv` — the ADX key-value extractor: each declared key
+    * compiles to one codegen'd regexp_extract with both delimiters
+    * escaped identically for Java and RE2, typed keys null on absence
+    * or failed conversion (try_cast — the ADX behavior). The kv string
+    * is synthesized from event keys so the fixture exercises typed and
+    * string keys plus the grouped aggregation a log-parsing pipeline
+    * would hang off it.
+    */
+  private def kqlParsekv(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend s = strcat('lvl=', tostring(event_id % 3), " +
+        "' src=', event_type, ' u=', tostring(user_id)) " +
+        "| parse-kv s as (lvl: long, src: string, u: long) " +
+        "with (pair_delimiter=' ', kv_delimiter='=') " +
+        "| summarize n = count(), su = sum(u) by lvl, src " +
+        "| sort by lvl asc, src asc")
+  }
+
+  /** KQL dynamic-array scalar family over real array columns —
+    * `array_length` / `array_slice` (0-based end-inclusive, the ADX
+    * contract) / `array_index_of` (0-based, -1 absent) /
+    * `array_concat` / `pack_array` / `strcat_array`. Every one is a
+    * codegen'd Spark built-in with an exact DuckDB list twin (1-based
+    * inclusive slices, list_position − 1).
+    */
+  private def kqlArray(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_csl")
+    graft.ingest.Kql.translate(s,
+      "documents_csl | extend w = split(text, ' ') " +
+        "| extend n = array_length(w), " +
+        "head3 = strcat_array(array_slice(w, 0, 2), '|'), " +
+        "iof = array_index_of(w, 'join'), " +
+        "ext = array_length(array_concat(w, pack_array('x', 'y'))) " +
+        "| project doc_id, n, head3, iof, ext " +
+        "| sort by doc_id asc")
+  }
+
+  /** KQL `print` — the one-row evaluator (the statement every ADX user
+    * types to poke at a scalar), a literal 1-row relation projected
+    * through the scalar library.
+    */
+  private def kqlPrint(s: SparkSession, dir: String): DataFrame =
+    graft.ingest.Kql.translate(s,
+      "print a = 1 + 1, b = strcat('x', 'y'), " +
+        "c = array_length(pack_array(1, 2, 3)), " +
+        "d = array_index_of(split('p q r', ' '), 'r')")
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1703,6 +1751,9 @@ object Relational {
     "q_kql_sample" -> (kqlSample _),
     "q_kql_regex" -> (kqlRegex _),
     "q_kql_decompanom" -> (kqlDecompanom _),
+    "q_kql_kv" -> (kqlParsekv _),
+    "q_kql_array" -> (kqlArray _),
+    "q_kql_print" -> (kqlPrint _),
     "q_kql_seriescorr" -> (kqlSeriesCorr _),
     "q_kql_fir" -> (kqlFir _),
     "q_kql_reduce" -> (kqlReduce _),
@@ -2132,6 +2183,28 @@ object Relational {
         "CAST(CASE WHEN score > 1.5 THEN 1 WHEN score < -1.5 THEN -1 ELSE 0 END AS INT) AS flag, " +
         "score, base FROM sc ORDER BY event_type, bin"
     },
+    "q_kql_kv" -> {
+      // the oracle replays the IDENTICAL escaped pattern the translator
+      // builds: (?:^|\ )\Qkey=\E([^\ ]*)
+      def kv(k: String) = s"regexp_extract(s, '(?:^|\\ )\\Q$k=\\E([^\\ ]*)', 1)"
+      "WITH e AS (SELECT 'lvl=' || CAST(event_id % 3 AS VARCHAR) || ' src=' || " +
+        "event_type || ' u=' || CAST(user_id AS VARCHAR) AS s FROM events), " +
+        s"p AS (SELECT TRY_CAST(NULLIF(${kv("lvl")}, '') AS BIGINT) AS lvl, " +
+        s"${kv("src")} AS src, " +
+        s"TRY_CAST(NULLIF(${kv("u")}, '') AS BIGINT) AS u FROM e) " +
+        "SELECT lvl, src, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(u) AS BIGINT) AS su FROM p GROUP BY 1, 2 ORDER BY lvl, src"
+    },
+    "q_kql_array" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
+        "SELECT doc_id, CAST(len(w) AS BIGINT) AS n, " +
+        "array_to_string(w[1:3], '|') AS head3, " +
+        "CAST(COALESCE(list_position(w, 'join'), 0) - 1 AS BIGINT) AS iof, " +
+        "CAST(len(w) + 2 AS BIGINT) AS ext " +
+        "FROM w ORDER BY doc_id"),
+    "q_kql_print" ->
+      ("SELECT CAST(2 AS BIGINT) AS a, 'xy' AS b, " +
+        "CAST(3 AS BIGINT) AS c, CAST(2 AS BIGINT) AS d"),
     "q_kql_reduce" ->
       ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
         "'[0-9]+', '*', 'g') AS \"Pattern\", " +

@@ -1497,6 +1497,61 @@ class KqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("distinct keys"))
   }
 
+  test("print evaluates one literal row; bare expressions are rejected") {
+    val r = Kql.translate(spark, "print a = 1 + 1, b = strcat('x', 'y')")
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2L && r(0).getString(1) === "xy")
+    // print is a source: stages pipe off it like any table
+    val n = Kql.translate(spark,
+      "print w = split('a b', ' ') | mv-expand w | count")
+      .collect()(0).getLong(0)
+    assert(n === 2L)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "print 1 + 1")
+    }
+  }
+
+  test("parse-kv: typed keys extract; absent and garbage values null") {
+    Seq((1L, "lvl=2 src=web u=7"), (2L, "src=app other=9"),
+        (3L, "lvl=x u=|| src="))
+      .toDF("id", "s").createOrReplaceTempView("kql_kv")
+    val got = Kql.translate(spark,
+      "kql_kv | parse-kv s as (lvl: long, src: string, u: long) " +
+        "with (pair_delimiter=' ', kv_delimiter='=') " +
+        "| project id, lvl, src, u | sort by id asc")
+      .as[(Long, Option[Long], String, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some(2L), "web", Some(7L)),
+      (2L, None, "app", None),       // lvl/u absent → null long
+      (3L, None, "", None)))         // garbage long → null; empty string stays ''
+    // a multi-char pair delimiter has no sound char-class form
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_kv | parse-kv s as (a: long) " +
+        "with (pair_delimiter='ab', kv_delimiter='=')")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_kv | parse-kv s as (a: unknownty)")
+    }
+  }
+
+  test("array scalars: length/slice/index_of/concat/pack/strcat_array") {
+    val r = Kql.translate(spark,
+      "print w = split('a b c d', ' ') " +
+        "| extend n = array_length(w), " +
+        "sl = strcat_array(array_slice(w, 1, 2), '-'), " +
+        "i1 = array_index_of(w, 'c'), i2 = array_index_of(w, 'zz'), " +
+        "cc = array_length(array_concat(w, pack_array('x'))) " +
+        "| project n, sl, i1, i2, cc")
+      .as[(Long, String, Long, Long, Long)].head()
+    // slice is 0-based END-INCLUSIVE (ADX), index_of 0-based/-1 absent
+    assert(r === ((4L, "b-c", 2L, -1L, 5L)))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "print w = split('a b', ' ') " +
+        "| extend x = array_slice(w, 2, 1)")
+    }
+  }
+
   test("top-hitters sketch path returns the exact answer") {
     ev.createOrReplaceTempView("kql_events")
     val exact = Kql.translate(spark,
