@@ -1258,6 +1258,21 @@ object Vectors {
           round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
       Seq(col("cos").desc, col("vec_id")), 10)
       .select("qid", "vec_id")
+    // the shortlist-width ladder: the ~sf1 panel showed the served
+    // stack is SHORTLIST-bound on near-orthogonal geometry (tripling
+    // probes lifted the exact ceiling 0.436 → 0.718 but rerank only
+    // 0.240 → 0.278) — this row prices the named knob: the same scored
+    // frame, the same derived probes, a 4× shortlist (200) before the
+    // exact re-rank. Structural: shortlist-200 ⊇ shortlist-50 on the
+    // same ADC order, so per-query hits can only grow.
+    val short4 = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 200)
+    val rerankSl4 = topPerQ(
+      short4.join(e, "vec_id")
+        .join(broadcast(qp), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
     // the probe-budget ladder: the same index at TRIPLE the derived
     // nprobe (still data-derived — 3·⌈√nlist⌉, no magic constant).
     // The ~sf1 panel showed recall on this geometry is PROBE-bound
@@ -1289,6 +1304,8 @@ object Vectors {
         .select(lit("ivf_np3x").as("method"), col("qid"), col("vec_id")))
       .unionByName(rerank3
         .select(lit("rerank_np3x").as("method"), col("qid"), col("vec_id")))
+      .unionByName(rerankSl4
+        .select(lit("rerank_sl4x").as("method"), col("qid"), col("vec_id")))
       .unionByName(bqPanel(s, e)
         .select(lit("bq").as("method"), col("qid"), col("vec_id")))
       .unionByName(truncPanel(s, e)
@@ -1924,6 +1941,13 @@ object Vectors {
       s"rerc3 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM short3t sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rert3 AS MATERIALIZED ${sqlTopPerQ("rerc3", "cos DESC", 10)}, " +
+      // the shortlist-width ladder: the derived-probe scored frame cut
+      // at a 4× shortlist before the exact re-rank
+      "short4t AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 200), " +
+      s"rerc4 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM short4t sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
+      s"rert4 AS MATERIALIZED ${sqlTopPerQ("rerc4", "cos DESC", 10)}, " +
       // binary-quantization branch: Hamming shortlist 50 -> exact 10
       s"bqp AS MATERIALIZED (SELECT vec_id, emb, ${pack(1, 32)} AS b1, ${pack(33, 64)} AS b2 FROM e), " +
       s"bqq AS (SELECT vec_id AS qid, emb AS qv, b1 AS qb1, b2 AS qb2 FROM bqp WHERE vec_id < $PanelSize), " +
@@ -1950,6 +1974,7 @@ object Vectors {
       "UNION ALL SELECT 'rerank' AS method, qid, vec_id FROM rert " +
       "UNION ALL SELECT 'ivf_np3x' AS method, qid, vec_id FROM ivft3 " +
       "UNION ALL SELECT 'rerank_np3x' AS method, qid, vec_id FROM rert3 " +
+      "UNION ALL SELECT 'rerank_sl4x' AS method, qid, vec_id FROM rert4 " +
       "UNION ALL SELECT 'bq' AS method, qid, vec_id FROM bqt " +
       "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt), " +
       "nq AS (SELECT count(*) AS nq FROM qp) " +

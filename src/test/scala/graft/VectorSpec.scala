@@ -331,7 +331,7 @@ class VectorSpec extends SparkSpec {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
       Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16",
-        "ivf_np3x", "rerank_np3x"))
+        "ivf_np3x", "rerank_np3x", "rerank_sl4x"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
@@ -358,6 +358,10 @@ class VectorSpec extends SparkSpec {
     // top-10 member can only be displaced by other true top-10 members
     assert(rec("ivf_np3x") >= rec("ivf"),
       s"ivf_np3x ${rec("ivf_np3x")} < ivf ${rec("ivf")}")
+    // a wider shortlist on the SAME ADC order is a superset: per-query
+    // hits can only grow
+    assert(rec("rerank_sl4x") >= rec("rerank"),
+      s"rerank_sl4x ${rec("rerank_sl4x")} < rerank ${rec("rerank")}")
     val cands = graft.ops.Vectors.recallPanelCands(spark, sfDir)
       .filter($"method".isin("ivfpq", "rerank")).collect()
       .groupBy(r => (r.getAs[String]("method"), r.getAs[Long]("qid")))
