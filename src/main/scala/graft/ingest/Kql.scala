@@ -2504,6 +2504,13 @@ object Kql {
           nArgs(2)
           val re = litStr(0)
           regexp_replace(arg(1), "^(" + re + ")+|(" + re + ")+$", "")
+        case "trim_start" =>
+          // leading matches only (same regex-true semantics as trim)
+          nArgs(2)
+          regexp_replace(arg(1), "^(" + litStr(0) + ")+", "")
+        case "trim_end" =>
+          nArgs(2)
+          regexp_replace(arg(1), "(" + litStr(0) + ")+$", "")
         case "replace_string" =>
           nArgs(3)
           // replace_string(text, lookup, rewrite) — literal, not regex
@@ -2515,10 +2522,14 @@ object Kql {
           val len: Column = if (groups.length == 3) arg(2) else lit(Int.MaxValue)
           arg(0).substr(arg(1).cast("int") + lit(1), len)
         case "split" =>
-          // split(source, delimiter) — ADX delimiter is a LITERAL string,
-          // Spark's is a regex: quote it
-          nArgs(2)
-          split(arg(0), java.util.regex.Pattern.quote(litStr(1)))
+          // split(source, delimiter[, index]) — ADX delimiter is a
+          // LITERAL string, Spark's is a regex: quote it. The 3-arg
+          // form returns the 0-based index'th piece (null out of
+          // range — `get` semantics, matching ADX's empty dynamic).
+          nArgs(2, 3)
+          val pieces = split(arg(0), java.util.regex.Pattern.quote(litStr(1)))
+          if (groups.length == 3) get(pieces, arg(2).cast("int"))
+          else pieces
         // ---- dynamic-array scalar family: every one a codegen'd
         // built-in over a real array column (split / extract_all /
         // pack_array outputs), with an exact DuckDB list twin

@@ -1552,6 +1552,15 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("trim_start/trim_end and 3-arg split follow the ADX contracts") {
+    val r = Kql.translate(spark,
+      "print a = trim_start('[0-9]', '12ab34'), " +
+        "b = trim_end('[0-9]', '12ab34'), " +
+        "c = split('p,q,r', ',', 1), d = split('p,q,r', ',', 9)")
+      .as[(String, String, String, Option[String])].head()
+    assert(r === (("ab34", "12ab", "q", None)))
+  }
+
   test("top-hitters sketch path returns the exact answer") {
     ev.createOrReplaceTempView("kql_events")
     val exact = Kql.translate(spark,
