@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
   *     c-ascending) with a strictly-less update, so exact ties keep
   *     the LOWEST c — identical to `array_min` over (d2, c) structs
   *     and to the oracle's `ORDER BY d2, c` rank;
-  *   - a length-mismatched candidate is skipped (its distance is
-  *     undefined — the zip_with twin yields NULL d2 for it and the
-  *     struct ordering never picks a NULL-d2 candidate first);
+  *   - a length-mismatched candidate is SKIPPED (its distance is
+  *     undefined). This is the ONE divergence from the HOF twin: the
+  *     zip_with form yields NULL d2 for such a candidate, and Spark's
+  *     struct ordering sorts a NULL field FIRST ascending, so
+  *     `array_min` would have PICKED the mismatched candidate.
+  *     Unreachable in [[graft.ops.Vectors.pqFit]] (every centroid is
+  *     subDim-length by construction), but a caller with ragged
+  *     codebooks gets the skip semantics, not the HOF's;
   *   - NULL input or no valid candidate → NULL.
   */
 case class ArgminL2(left: Expression, right: Expression)

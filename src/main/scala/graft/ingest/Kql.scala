@@ -1958,10 +1958,15 @@ object Kql {
       if (pd.length != 1) fail("parse-kv pair_delimiter must be one character")
       if (kvd.isEmpty) fail("parse-kv kv_delimiter must be non-empty")
       // backslash-escape any non-alphanumeric: valid (and identical)
-      // in Java and RE2, both inside and outside a character class
+      // in Java and RE2, both inside and outside a character class.
+      // The key and kv_delimiter get the SAME per-char escape instead
+      // of \Q..\E: a literal containing the pair `\E` would terminate
+      // the quote and inject raw regex.
       val pdC = if (pd.head.isLetterOrDigit) pd else "\\" + pd
+      def esc(s: String): String =
+        s.flatMap(c => if (c.isLetterOrDigit) c.toString else "\\" + c)
       keys.foldLeft(df) { case (d, (k, ty)) =>
-        val pat = s"(?:^|$pdC)\\Q$k$kvd\\E([^$pdC]*)"
+        val pat = s"(?:^|$pdC)${esc(k + kvd)}([^$pdC]*)"
         val raw = regexp_extract(col(srcCol), pat, 1)
         val v =
           if (ty == "string") raw

@@ -1196,8 +1196,9 @@ object Curation {
     * vocabulary, so q_classifier_eval's honest AUC sits near 0.5 —
     * which means the GD/AUC machinery is never seen SEPARATING
     * anything. This variant plants the signal deterministically: the
-    * curated sources' documents carry three marker tokens appended to
-    * their text (a vocabulary shift — exactly what a real curated
+    * curated sources' documents carry the [[ShiftMarker]] suffix —
+    * eight distinct marker tokens, each repeated four times — appended
+    * to their text (a vocabulary shift — exactly what a real curated
     * domain looks like to a hashed bag-of-words model), and the SAME
     * train/eval harness then demonstrates AUC ≫ 0.5 end-to-end, fully
     * oracled (the DuckDB twin derives the same shifted corpus). The

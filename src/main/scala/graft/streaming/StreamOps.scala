@@ -498,20 +498,30 @@ object StreamOps {
     * `bid=` directory per micro-batch forever — the small-files problem
     * the batch layout solves with compactPartitions. Every
     * `compactEvery` batches, batch b folds ALL generations `bid < b`
-    * into the single partition `bid = b - 1` (distinct band rows — the
-    * index is a membership set, so the fold is set-semantics-exact) and
-    * deletes the superseded directories. Replay idempotence is
-    * preserved BY the visibility rule, not despite it:
-    *   - b - 1 < b, so a replay of batch b still sees every compacted
-    *     row and never its own partial `bid = b` rows;
+    * into the single FRESH partition `bid = -b` (distinct band rows —
+    * the index is a membership set, so the fold is set-semantics-exact),
+    * publishes it with an atomic `_compacted_<b>` marker create, and
+    * only THEN deletes the superseded directories. Negative bids keep
+    * the visibility rule intact (-b < b, so a replay of batch b and
+    * every later batch see the folded rows) while never colliding with
+    * a real batch partition (real bids are ≥ 0) or a prior fold (-b is
+    * unique per compaction). Replay idempotence, crash window by crash
+    * window:
     *   - only the LAST batch can ever replay (earlier batches are
-    *     checkpoint-committed before b starts), so rewriting older
-    *     generations is safe;
-    *   - every crash window lands on a benign state: compacted rows
-    *     duplicated with not-yet-deleted originals only duplicate
-    *     probe matches (the verify → distinct → anti-join chain is
-    *     set-semantic), and the replayed compaction re-derives the
-    *     identical distinct set and re-deletes.
+    *     checkpoint-committed before b starts);
+    *   - crash BEFORE the marker create: the originals are all still
+    *     present (deletes happen only after the marker), so the replay
+    *     re-derives the identical distinct set and overwrites the
+    *     at-most-partially-committed `bid = -b` — never the sole copy
+    *     of anything;
+    *   - crash AFTER the marker create: the replay sees the marker,
+    *     SKIPS the fold (so a fully-committed fold — by then possibly
+    *     the only copy of the superseded rows — is never overwritten,
+    *     since Spark's overwrite deletes before it commits), and
+    *     re-runs only the idempotent delete of superseded dirs;
+    *   - folded rows coexisting with not-yet-deleted originals only
+    *     duplicate probe matches (the verify → distinct → anti-join
+    *     chain is set-semantic).
     */
   def nearDupSelfSink(docs: DataFrame, corpusIdx: DataFrame, outDir: String,
       idxDir: String, checkpoint: String, minJac: Double = 0.5,
@@ -535,19 +545,32 @@ object StreamOps {
           .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
           .write.mode("overwrite").parquet(s"$idxDir/bid=$batchId")
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          // materialize BEFORE overwriting: the fold reads the same
-          // bid = b - 1 partition it rewrites
-          val folded = s.read.parquet(idxDir).filter(col("bid") < batchId)
-            .select("band", "bucket", "corpus_sig")
-            .distinct().localCheckpoint()
-          folded.write.mode("overwrite")
-            .parquet(s"$idxDir/bid=${batchId - 1}")
+          val marker =
+            new org.apache.hadoop.fs.Path(idxRoot, s"_compacted_$batchId")
+          if (!fs.exists(marker)) {
+            // fold into a FRESH generation dir (bid = -b): the write
+            // never deletes a committed sole copy, and a crash here
+            // leaves the originals intact for the replay to re-fold
+            val folded = s.read.parquet(idxDir).filter(col("bid") < batchId)
+              .select("band", "bucket", "corpus_sig")
+              .distinct().localCheckpoint()
+            folded.write.mode("overwrite")
+              .parquet(s"$idxDir/bid=-$batchId")
+            // atomic publish: the fold is superseding-authoritative
+            // only once this single create succeeds
+            fs.create(marker, false).close()
+          }
+          // delete superseded dirs (and stale markers) only AFTER the
+          // marker exists; idempotent under replay
           fs.listStatus(idxRoot).map(_.getPath)
             .filter { p =>
               val n = p.getName
-              n.startsWith("bid=") &&
+              (n.startsWith("bid=") &&
                 scala.util.Try(n.stripPrefix("bid=").toLong).toOption
-                  .exists(_ < batchId - 1)
+                  .exists(v => v < batchId && v != -batchId)) ||
+              (n.startsWith("_compacted_") &&
+                scala.util.Try(n.stripPrefix("_compacted_").toLong).toOption
+                  .exists(_ < batchId))
             }
             .foreach(fs.delete(_, true))
         }

@@ -219,7 +219,8 @@ class StreamingIngestSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val out = tmp("graft_cds"); val idxDir = tmp("graft_cdsidx")
     val cp = tmp("graft_cdscp")
-    // compactEvery = 2: batch 2 folds generations 0..1 into bid=1
+    // compactEvery = 2: batch 2 folds generations 0..1 into the FRESH
+    // generation bid=-2, published by the _compacted_2 marker
     val q = StreamOps.nearDupSelfSink(
       in.toDF().toDF("doc_id", "text"), idx, out, idxDir, cp,
       minJac = 0.5, compactEvery = 2)
@@ -232,7 +233,7 @@ class StreamingIngestSpec extends SparkSpec {
     q.processAllAvailable() // batch 1
     in.addData(
       (301L, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"))
-    q.processAllAvailable() // batch 2 → compaction folds bid 0..1 → bid=1
+    q.processAllAvailable() // batch 2 → compaction folds bid 0..1 → bid=-2
     // a near-copy of the batch-0 survivor MUST still drop: the
     // compacted generation carries its band rows
     in.addData(
@@ -242,11 +243,18 @@ class StreamingIngestSpec extends SparkSpec {
 
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
       === Set(101L, 201L, 301L))
-    // the layout is compacted: generations 0 and 1 folded into bid=1
+    // the layout is compacted: generations 0 and 1 folded into the
+    // fresh generation bid=-2, the originals deleted AFTER the marker
     // (batch 3 admitted nothing, so its generation holds no rows)
     val bids = spark.read.parquet(idxDir).select("bid")
       .as[Int].distinct().collect().toSet
-    assert(bids === Set(1, 2), bids.toString)
+    assert(bids === Set(-2, 2), bids.toString)
+    // the atomic publish marker survives (replays of batch 2 would see
+    // it and skip the fold — never overwriting the sole committed copy)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(idxDir, "_compacted_2")))
 
     // the folded generation is the exact distinct union the uncompacted
     // layout would hold: probe parity for the batch-3 replay
@@ -266,8 +274,9 @@ class StreamingIngestSpec extends SparkSpec {
     // crash-replay of batch 2 ITSELF (the compacting batch, crashed
     // after its writes but before the checkpoint commit): visibility
     // bid < 2 still sees every pre-batch-2 band row via the folded
-    // bid=1 generation, so the survivor set recomputes identically —
-    // and re-folding re-derives the same distinct set
+    // bid=-2 generation, so the survivor set recomputes identically —
+    // and the marker makes the fold a no-op on replay (the refold below
+    // shows it WOULD re-derive the same distinct set anyway)
     val priorAt2 = spark.read.parquet(idxDir).filter($"bid" < 2)
       .select("band", "bucket", "corpus_sig")
     val b2 = Seq(
