@@ -975,16 +975,20 @@ object Vectors {
     * tables once, WRITE them as parquet (coarse centroids, PQ
     * codebooks, codes, list assignments — bytes per vector, the only
     * state a serving tier holds), READ them back, and SERVE the query
-    * from the loaded tables through the same [[ivfPqServe]] ADC path.
-    * At 100 TB build and serve are different clusters on different
-    * days; this query proves the hand-off loses nothing — it is oracled
-    * against the SAME DuckDB twin as q_ann_ivfpq, so the parquet
-    * round-trip must reproduce the in-memory answer bit-for-bit. The
-    * result is checkpointed before the temp index dir is deleted.
+    * from the loaded tables through the FULL serving funnel: the
+    * [[ivfPqServe]] ADC pass plus the exact re-rank tier at the
+    * DERIVED shortlist width ([[shortlistWidth]]) — the operating
+    * point the round-10 ~sf1 panel measured, now what the persisted
+    * stack actually serves. At 100 TB build and serve are different
+    * clusters on different days; this query proves the hand-off loses
+    * nothing — it is oracled against the SAME DuckDB twin as
+    * q_ann_rerank, so the parquet round-trip must reproduce the
+    * in-memory funnel bit-for-bit. The result is checkpointed before
+    * the temp index dir is deleted.
     */
   private def annPersist(s: SparkSession, dir: String): DataFrame = {
-    val (a2, c2) = kmeansFit(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a2, c2) = kmeansFit(e)
     val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2, checkpointFit = true)
     val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
     val idx = idxPath.toString
@@ -993,13 +997,13 @@ object Vectors {
       pcb2.write.mode("overwrite").parquet(s"$idx/codebooks")
       codes.write.mode("overwrite").parquet(s"$idx/codes")
       asgn.write.mode("overwrite").parquet(s"$idx/assign")
-      ivfPqServe(s, dir,
-        s.read.parquet(s"$idx/coarse"),
-        s.read.parquet(s"$idx/codebooks"),
-        s.read.parquet(s"$idx/codes"),
-        s.read.parquet(s"$idx/assign"), None)
-        .orderBy(col("adc").asc, col("vec_id"))
-        .limit(10)
+      exactRerank(s,
+        ivfPqServe(s, dir,
+          s.read.parquet(s"$idx/coarse"),
+          s.read.parquet(s"$idx/codebooks"),
+          s.read.parquet(s"$idx/codes"),
+          s.read.parquet(s"$idx/assign"), None),
+        e, shortlistWidth(e.count()))
         .localCheckpoint(true)
     } finally {
       import scala.jdk.CollectionConverters._
@@ -1017,31 +1021,79 @@ object Vectors {
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(10)
 
-  /** IVF-PQ with an EXACT re-rank tier — the production FAISS serving
-    * pipeline (Jégou et al. 2011 §V.B): the 4-byte ADC codes cut a
-    * cheap top-50 shortlist (5× the answer size), then ONLY those 50
-    * vectors are fetched and scored with the exact cosine against the
-    * query, and the final top-10 cut is on the exact score. This is
-    * what recovers the recall the lossy codes give up: an answer
-    * mis-ranked 11th..50th by quantization error is re-admitted by the
-    * exact pass, while the scan still never touches more than
-    * shortlist + probed-codes rows. At 100 TB the shortlist fetch is a
-    * 50-row primary-key join against the vector store — the only place
-    * full vectors are read at all.
+  /** The served re-rank SHORTLIST WIDTH, derived from index geometry
+    * the way every other budget in this family is (nlist = ⌈√N⌉,
+    * nprobe = ⌈√nlist⌉): the exact tier re-ranks k·⌈√pool⌉ of the
+    * ADC-scored candidate pool, where pool = nprobe·N/nlist is the
+    * number of candidates the probe stage admits — the square-root
+    * budget rule applied a third time, so no hand-tuned constant
+    * silently under-serves when the corpus grows. The round-10 ~sf1
+    * panel proved the shortlist — not the probe count — binds served
+    * recall on near-orthogonal geometry (0.240 at the old fixed 50 vs
+    * 0.366 at 200, exact ceiling 0.436); this derivation yields 420 at
+    * that corpus (N = 20 000) — a superset of the measured 200-row
+    * operating point on the same ADC order, so served recall ≥ 0.366
+    * there by construction — and ~80 at the sf0.01 gate (N = 200).
+    * Shared, via the same arithmetic, with every oracle replay
+    * ([[derivedShortlistCut]]) — pure ceil/sqrt/divide on exact
+    * integer-valued doubles, bit-identical across engines.
     */
-  private def ivfPqRerank(s: SparkSession, dir: String,
-      a2: DataFrame, c2: DataFrame, nprobe: Option[Int] = None): DataFrame = {
-    val short = ivfPqScores(s, dir, a2, c2, nprobe)
-      .orderBy(col("adc").asc, col("vec_id"))
-      .limit(50)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  private[graft] def shortlistWidth(n: Long, k: Int = 10): Int = {
+    val nlist = math.ceil(math.sqrt(n.toDouble))
+    val nprobe = math.ceil(math.sqrt(nlist))
+    (k * math.ceil(math.sqrt(nprobe * n.toDouble / nlist))).toInt
+  }
+
+  /** [[shortlistWidth]] as a broadcast 1-row frame (column `sl`) —
+    * the [[nprobeDf]] pattern for the panel harness, where the cut is
+    * a filter on a per-qid rank window and a driver-side count would
+    * be a needless job on the already-loaded corpus.
+    */
+  private def shortlistDf(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).cast("double").as("n"))
+      .select((lit(10) * ceil(sqrt(
+        ceil(sqrt(ceil(sqrt(col("n"))).cast("double"))).cast("double") *
+          col("n") / ceil(sqrt(col("n"))).cast("double"))))
+        .cast("int").as("sl"))
+
+  /** The exact re-rank tier over an ADC-scored candidate frame: cut
+    * the top-`sl` shortlist on the code distance, fetch ONLY those
+    * vectors (a primary-key join against the vector store — the one
+    * place full vectors are read at all), score the exact cosine, and
+    * cut the final top-10 on it. Shared by q_ann_rerank (in-memory
+    * fit) and q_ann_persist (the loaded-from-parquet index).
+    */
+  private def exactRerank(s: SparkSession, scores: DataFrame,
+      e: DataFrame, sl: Int): DataFrame = {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    short.join(e, "vec_id")
+    scores.orderBy(col("adc").asc, col("vec_id")).limit(sl)
+      .join(e, "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"), col("adc"),
         round(cos(s, col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** IVF-PQ with an EXACT re-rank tier — the production FAISS serving
+    * pipeline (Jégou et al. 2011 §V.B): the 4-byte ADC codes cut a
+    * cheap shortlist at the DERIVED width ([[shortlistWidth]] —
+    * k·⌈√pool⌉, the measured ~sf1 operating point with no hand-tuned
+    * constant), then ONLY those vectors are fetched and scored with
+    * the exact cosine against the query, and the final top-10 cut is
+    * on the exact score. This is what recovers the recall the lossy
+    * codes give up: an answer mis-ranked below k by quantization error
+    * is re-admitted by the exact pass, while the scan still never
+    * touches more than shortlist + probed-codes rows. The width comes
+    * from one metadata-cheap corpus count so the shortlist cut stays a
+    * distributed TakeOrderedAndProject (a global rank window would
+    * single-partition the pool).
+    */
+  private def ivfPqRerank(s: SparkSession, dir: String,
+      a2: DataFrame, c2: DataFrame, nprobe: Option[Int] = None): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    exactRerank(s, ivfPqScores(s, dir, a2, c2, nprobe), e,
+      shortlistWidth(e.count()))
   }
 
   private def annRerank(s: SparkSession, dir: String): DataFrame = {
@@ -1074,6 +1126,32 @@ object Vectors {
         row_number().over(Window.partitionBy("qid").orderBy(ord: _*)))
       .filter(col("rn") <= k).drop("rn")
   }
+
+  /** [[topPerQ]] with the cut supplied as a broadcast 1-row frame
+    * (column `sl`) — the data-derived-budget form.
+    */
+  private def topPerQCut(df: DataFrame, ord: Seq[Column],
+      cut: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(ord: _*)))
+      .crossJoin(broadcast(cut))
+      .filter(col("rn") <= col("sl")).drop("rn", "sl")
+  }
+
+  /** The panel's exact re-rank tier over a shortlist frame — shared by
+    * the served branch (derived shortlist), the probe-ladder branch,
+    * and the legacy fixed-50 pricing row.
+    */
+  private def panelRerank(s: SparkSession, short: DataFrame,
+      e: DataFrame, qp: DataFrame): DataFrame =
+    topPerQ(
+      short.join(e, "vec_id")
+        .join(broadcast(qp), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
+      Seq(col("cos").desc, col("vec_id")), 10)
+      .select("qid", "vec_id")
 
   /** Exact brute-force top-10 per panel query — the panel ground truth.
     * One corpus × panel cross product (N × |panel| scored rows, each a
@@ -1274,29 +1352,19 @@ object Vectors {
         Seq("qid", "cluster")),
       Seq(col("adc").asc, col("vec_id")), 10)
       .select("qid", "vec_id")
-    val short = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 50)
-    val rerank = topPerQ(
-      short.join(e, "vec_id")
-        .join(broadcast(qp), "qid")
-        .select(col("qid"), col("vec_id"),
-          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
-      Seq(col("cos").desc, col("vec_id")), 10)
-      .select("qid", "vec_id")
-    // the shortlist-width ladder: the ~sf1 panel showed the served
-    // stack is SHORTLIST-bound on near-orthogonal geometry (tripling
-    // probes lifted the exact ceiling 0.436 → 0.718 but rerank only
-    // 0.240 → 0.278) — this row prices the named knob: the same scored
-    // frame, the same derived probes, a 4× shortlist (200) before the
-    // exact re-rank. Structural: shortlist-200 ⊇ shortlist-50 on the
-    // same ADC order, so per-query hits can only grow.
-    val short4 = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 200)
-    val rerankSl4 = topPerQ(
-      short4.join(e, "vec_id")
-        .join(broadcast(qp), "qid")
-        .select(col("qid"), col("vec_id"),
-          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
-      Seq(col("cos").desc, col("vec_id")), 10)
-      .select("qid", "vec_id")
+    // the SERVED rerank branch now cuts the shortlist at the DERIVED
+    // width ([[shortlistWidth]] as a broadcast frame) — the round-10
+    // panel proved the shortlist, not the probe count, binds served
+    // recall (0.240 at the old fixed 50 vs 0.366 at 200, ceiling
+    // 0.436), so the serving default is the measured operating point
+    // with no hand-tuned constant. The fixed-50 row below prices what
+    // the derivation buys. Structural: derived-sl ⊇ 50 on the same ADC
+    // order wherever sl ≥ 50, so per-query hits can only grow.
+    val slDf = shortlistDf(e).localCheckpoint(true)
+    val short = topPerQCut(scores, Seq(col("adc").asc, col("vec_id")), slDf)
+    val rerank = panelRerank(s, short, e, qp)
+    val short50 = topPerQ(scores, Seq(col("adc").asc, col("vec_id")), 50)
+    val rerankSl50 = panelRerank(s, short50, e, qp)
     // the probe-budget ladder: the same index at TRIPLE the derived
     // nprobe (still data-derived — 3·⌈√nlist⌉, no magic constant).
     // The ~sf1 panel showed recall on this geometry is PROBE-bound
@@ -1309,14 +1377,8 @@ object Vectors {
     val (scores3r, _) =
       ivfPqPanelServe(s, c2, pcb2, codes, asgn, qp, mult = 3)
     val scores3 = scores3r.localCheckpoint(true)
-    val short3 = topPerQ(scores3, Seq(col("adc").asc, col("vec_id")), 50)
-    val rerank3 = topPerQ(
-      short3.join(e, "vec_id")
-        .join(broadcast(qp), "qid")
-        .select(col("qid"), col("vec_id"),
-          round(cos(s, col("embedding"), col("qv")), 4).as("cos")),
-      Seq(col("cos").desc, col("vec_id")), 10)
-      .select("qid", "vec_id")
+    val short3 = topPerQCut(scores3, Seq(col("adc").asc, col("vec_id")), slDf)
+    val rerank3 = panelRerank(s, short3, e, qp)
     lshPanel(s, e, qp).select(lit("lsh").as("method"), col("qid"), col("vec_id"))
       .unionByName(ivfPanel(s, a2, c2, qp)
         .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
@@ -1330,8 +1392,8 @@ object Vectors {
         .select(lit("ivf_np3x").as("method"), col("qid"), col("vec_id")))
       .unionByName(rerank3
         .select(lit("rerank_np3x").as("method"), col("qid"), col("vec_id")))
-      .unionByName(rerankSl4
-        .select(lit("rerank_sl4x").as("method"), col("qid"), col("vec_id")))
+      .unionByName(rerankSl50
+        .select(lit("rerank_sl50").as("method"), col("qid"), col("vec_id")))
       .unionByName(bqPanel(s, e)
         .select(lit("bq").as("method"), col("qid"), col("vec_id")))
       .unionByName(truncPanel(s, e)
@@ -1542,6 +1604,31 @@ object Vectors {
     */
   private val tripleProbeCut: String =
     "(SELECT CAST(3 * ceil(sqrt(count(*))) AS BIGINT) FROM c2)"
+
+  /** The served shortlist width, re-derived exactly as the Spark
+    * side's [[shortlistWidth]]: k·⌈√(nprobe·N/nlist)⌉ with
+    * nlist = ⌈√N⌉ and nprobe = ⌈√nlist⌉ — the same ceil/sqrt/divide
+    * chain on the corpus count, so both engines compute the identical
+    * exact-integer-valued double at every SF.
+    */
+  private val derivedShortlistCut: String =
+    "(SELECT CAST(10 * ceil(sqrt(ceil(sqrt(ceil(sqrt(count(*))))) * " +
+      "count(*) / ceil(sqrt(count(*))))) AS BIGINT) FROM e)"
+
+  /** The full serving-funnel oracle — ADC at the derived probes, exact
+    * re-rank over the derived-width shortlist — shared verbatim by
+    * q_ann_rerank (in-memory fit) and q_ann_persist (parquet
+    * round-trip): the persisted index must serve the identical answer.
+    */
+  private def rerankOracle: String =
+    s"WITH ${ivfPqOracleCtes(derivedProbeCut)}, " +
+      "short AS (SELECT vec_id, cluster, adc FROM (SELECT *, " +
+      "row_number() OVER (ORDER BY adc, vec_id) AS rn FROM scored) " +
+      s"WHERE rn <= $derivedShortlistCut) " +
+      "SELECT sh.vec_id AS vec_id, sh.cluster AS cluster, sh.adc AS adc, " +
+      s"round(${dcos("e.emb", "qv")}, 4) AS cos " +
+      "FROM short sh JOIN e ON sh.vec_id = e.vec_id CROSS JOIN q " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
 
   /** Shared IVF-PQ/ADC oracle chain through `scored` (the un-cut
     * candidate table), parameterized by the probe-stage rank cut so
@@ -1821,18 +1908,10 @@ object Vectors {
     "q_ann_ivfpq" ->
       (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
         "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
-    // the persisted-index serve must reproduce the in-memory IVF-PQ
-    // answer exactly — same oracle as q_ann_ivfpq by construction
-    "q_ann_persist" ->
-      (s"WITH ${ivfPqOracleCtes(derivedProbeCut)} " +
-        "SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
-    "q_ann_rerank" ->
-      (s"WITH ${ivfPqOracleCtes(derivedProbeCut)}, " +
-        "short AS (SELECT vec_id, cluster, adc FROM scored ORDER BY adc, vec_id LIMIT 50) " +
-        s"SELECT sh.vec_id AS vec_id, sh.cluster AS cluster, sh.adc AS adc, " +
-        s"round(${dcos("e.emb", "qv")}, 4) AS cos " +
-        "FROM short sh JOIN e ON sh.vec_id = e.vec_id CROSS JOIN q " +
-        "ORDER BY cos DESC, vec_id LIMIT 10"),
+    // the persisted-index serve must reproduce the in-memory serving
+    // FUNNEL exactly — same oracle as q_ann_rerank by construction
+    "q_ann_persist" -> rerankOracle,
+    "q_ann_rerank" -> rerankOracle,
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +
@@ -1948,7 +2027,7 @@ object Vectors {
       "JOIN pbr ON pbr.qid = s.qid AND pbr.cl = s.cluster AND pbr.rn = 1), " +
       s"np1t AS MATERIALIZED ${sqlTopPerQ("np1s", "adc", 10)}, " +
       "shortt AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
-      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 50), " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= $derivedShortlistCut), " +
       s"rerc AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM shortt sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rert AS MATERIALIZED ${sqlTopPerQ("rerc", "cos DESC", 10)}, " +
@@ -1963,14 +2042,14 @@ object Vectors {
       "FROM cand JOIN adc3 ON cand.cl = adc3.cl AND cand.m = adc3.m AND cand.code = adc3.code " +
       "WHERE cand.vec_id <> adc3.qid GROUP BY 1, 2, 3), " +
       "short3t AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
-      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored3) WHERE rn <= 50), " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored3) WHERE rn <= $derivedShortlistCut), " +
       s"rerc3 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM short3t sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rert3 AS MATERIALIZED ${sqlTopPerQ("rerc3", "cos DESC", 10)}, " +
-      // the shortlist-width ladder: the derived-probe scored frame cut
-      // at a 4× shortlist before the exact re-rank
+      // the legacy fixed-50 shortlist row — prices what the derived
+      // width buys on the same derived-probe scored frame
       "short4t AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
-      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 200), " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 50), " +
       s"rerc4 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM short4t sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rert4 AS MATERIALIZED ${sqlTopPerQ("rerc4", "cos DESC", 10)}, " +
@@ -2000,7 +2079,7 @@ object Vectors {
       "UNION ALL SELECT 'rerank' AS method, qid, vec_id FROM rert " +
       "UNION ALL SELECT 'ivf_np3x' AS method, qid, vec_id FROM ivft3 " +
       "UNION ALL SELECT 'rerank_np3x' AS method, qid, vec_id FROM rert3 " +
-      "UNION ALL SELECT 'rerank_sl4x' AS method, qid, vec_id FROM rert4 " +
+      "UNION ALL SELECT 'rerank_sl50' AS method, qid, vec_id FROM rert4 " +
       "UNION ALL SELECT 'bq' AS method, qid, vec_id FROM bqt " +
       "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt), " +
       "nq AS (SELECT count(*) AS nq FROM qp) " +

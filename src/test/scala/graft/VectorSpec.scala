@@ -331,7 +331,7 @@ class VectorSpec extends SparkSpec {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
       Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16",
-        "ivf_np3x", "rerank_np3x", "rerank_sl4x"))
+        "ivf_np3x", "rerank_np3x", "rerank_sl50"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
@@ -358,10 +358,13 @@ class VectorSpec extends SparkSpec {
     // top-10 member can only be displaced by other true top-10 members
     assert(rec("ivf_np3x") >= rec("ivf"),
       s"ivf_np3x ${rec("ivf_np3x")} < ivf ${rec("ivf")}")
-    // a wider shortlist on the SAME ADC order is a superset: per-query
-    // hits can only grow
-    assert(rec("rerank_sl4x") >= rec("rerank"),
-      s"rerank_sl4x ${rec("rerank_sl4x")} < rerank ${rec("rerank")}")
+    // the SERVED branch cuts at the derived width (≥ 50 at every test
+    // SF), a superset of the legacy fixed-50 shortlist on the SAME ADC
+    // order: per-query hits can only grow
+    assert(graft.ops.Vectors.shortlistWidth(
+      Tables.embeddings(spark, sfDir).count()) >= 50)
+    assert(rec("rerank") >= rec("rerank_sl50"),
+      s"rerank ${rec("rerank")} < rerank_sl50 ${rec("rerank_sl50")}")
     val cands = graft.ops.Vectors.recallPanelCands(spark, sfDir)
       .filter($"method".isin("ivfpq", "rerank")).collect()
       .groupBy(r => (r.getAs[String]("method"), r.getAs[Long]("qid")))
@@ -396,13 +399,14 @@ class VectorSpec extends SparkSpec {
   }
 
   test("persisted IVF-PQ index serves the in-memory answer bit-for-bit") {
-    // the production hand-off: build → write parquet → load → serve.
+    // the production hand-off: build → write parquet → load → serve
+    // the FULL funnel (ADC + exact re-rank at the derived shortlist).
     // Any loss in the round-trip (type widening, row drop, codebook
     // reorder) shows up as a ranking difference against the direct fit
     val persisted = q("q_ann_persist").collect().toSeq
-    val direct = q("q_ann_ivfpq").collect().toSeq
+    val direct = q("q_ann_rerank").collect().toSeq
     assert(persisted === direct,
-      "loaded-index serve must equal the one-shot in-memory IVF-PQ")
+      "loaded-index serve must equal the in-memory rerank funnel")
     assert(persisted.length === 10)
   }
 
