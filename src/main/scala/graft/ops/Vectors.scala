@@ -1012,6 +1012,91 @@ object Vectors {
     }
   }
 
+  /** Encode vectors ONTO a frozen index — the add-with-assign half of
+    * incremental maintenance: route each vector to its nearest FROZEN
+    * coarse centroid (the same codegen'd ArgmaxCosine, lowest-c ties),
+    * PQ-encode its residual against the FROZEN codebooks (ArgminL2,
+    * lowest-code ties). No Lloyd pass runs; both argmins are
+    * deterministic functions of fixed centroid tables, which is what
+    * makes the whole upsert fully oracle-able. Returns (assignments
+    * (vec_id, cl), codes (vec_id, m, code)) — the rows a production
+    * writer APPENDS to the persisted q_ann_persist tables.
+    */
+  private[graft] def encodeOnto(s: SparkSession, c2: DataFrame,
+      pcb2: DataFrame, vecs: DataFrame): (DataFrame, DataFrame) = {
+    val packed = c2.agg(
+      sort_array(collect_list(struct(col("c"), col("centroid")))).as("cents"))
+    val aN = vecs.crossJoin(broadcast(packed))
+      .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+        s, col("embedding"), col("cents")))
+      .select(col("vec_id"), col("embedding"), col("best.c").as("c"))
+    val resN = aN.join(broadcast(c2), "c")
+      .select(col("vec_id"), col("c").as("cl"),
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => a.cast("double") - b).as("remb"))
+    val packedCb = pcb2.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("c"), col("centroid"))))
+        .as("codebook"))
+    val codesN = subspaces(resN, "remb", 4)
+      .join(broadcast(packedCb), "m")
+      .withColumn("best", graft.functions.VectorFunctions.argmin_l2(
+        s, col("sv"), col("codebook")))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+    (resN.select(col("vec_id"), col("cl")), codesN)
+  }
+
+  /** Incremental ANN index maintenance (q_ann_upsert) — the missing
+    * piece of the q_ann_persist lifecycle: production FAISS serves
+    * `add`s onto a FROZEN quantizer between refits, and the reference's
+    * whole loop is continuous ingest (src/main.go:248-329 — every batch
+    * lands in the same corpus the next query reads). Here the base
+    * generation (vec_id % 5 ≠ 4) trains the coarse quantizer and PQ
+    * codebooks; the incoming generation (vec_id % 5 = 4) is
+    * [[encodeOnto]]-assigned WITHOUT refitting; the merged tables —
+    * exactly a row-append to the four persisted index tables, the
+    * parquet analogue of the streaming near-dup index's `bid=`
+    * generations — serve the standard funnel (ADC at derived probes +
+    * exact re-rank at the derived shortlist). Output is the served
+    * top-10 with an `is_new` flag: an upserted vector is immediately
+    * searchable and competes on equal terms.
+    *
+    * Refit trigger (documented contract, asserted in spec): track
+    * (a) cell-size skew max/mean of the merged assignment — upserts
+    * concentrate in cells the frozen centroids fit worst — and (b) the
+    * upserted fraction; refit when skew drifts past the fit-time value
+    * or new/total exceeds ~20%. Encoding is idempotent (a re-sent
+    * vector re-derives identical rows), so replayed appends are
+    * dedup-safe on vec_id.
+    */
+  /** The frozen-index fixture: base-generation fit + its index tables,
+    * materialized — (c2, pcb2, codesB, asgnB, base). Seam shared by
+    * [[annUpsert]] and the spec that proves encode idempotence
+    * (re-encoding the base through [[encodeOnto]] reproduces the fit's
+    * own tables bit-for-bit).
+    */
+  private[graft] def upsertParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 =!= 4)
+    val (a2, c2r) = kmeansFit(base)
+    val c2 = c2r.localCheckpoint(true)
+    val (pcb2r, codesB, asgnB) = ivfPqIndexTables(a2, c2)
+    (c2, pcb2r.localCheckpoint(true), codesB, asgnB, base)
+  }
+
+  private def annUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val incoming = e.filter(col("vec_id") % 5 === 4)
+    val (c2, pcb2, codesB, asgnB, _) = upsertParts(s, dir)
+    val (asgnN, codesN) = encodeOnto(s, c2, pcb2, incoming)
+    val codes = codesB.unionByName(codesN)
+    val asgn = asgnB.unionByName(asgnN)
+    exactRerank(s, ivfPqServe(s, dir, c2, pcb2, codes, asgn, None), e,
+      shortlistWidth(e.count()))
+      .withColumn("is_new", (col("vec_id") % 5 === 4).cast("int"))
+  }
+
   /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
     * shared by q_ann_ivfpq (own fit) and q_ann_recall (one fit).
     */
@@ -1527,6 +1612,7 @@ object Vectors {
     "q_pq_encode" -> (pqEncode _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_persist" -> (annPersist _),
+    "q_ann_upsert" -> (annUpsert _),
     "q_ann_rerank" -> (annRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_embed_centroid" -> (embedCentroid _),
@@ -1583,8 +1669,14 @@ object Vectors {
   // DuckDB's inlining heuristic can re-expand it as a tree — at ~sf1 the
   // q_ann_recall composition (5 replays) ran the buffer pool out of
   // memory before these hints (the bpeMergeCtes lesson, same cause)
-  private val kmeansUnrollCtes: String =
-    "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+  private val kmeansUnrollCtes: String = kmeansUnrollCtesOn("embeddings")
+
+  /** The same unroll over a restricted source relation — the
+    * q_ann_upsert oracle fits the frozen quantizer on the BASE
+    * generation only.
+    */
+  private def kmeansUnrollCtesOn(src: String): String =
+    s"e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM $src), " +
       "a0 AS MATERIALIZED (SELECT vec_id, emb, CAST(vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) AS INT) AS c FROM e), " +
       s"c1 AS MATERIALIZED ${cent("a0")}, " +
       s"s1 AS MATERIALIZED (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1), " +
@@ -1611,15 +1703,61 @@ object Vectors {
     * chain on the corpus count, so both engines compute the identical
     * exact-integer-valued double at every SF.
     */
-  private val derivedShortlistCut: String =
+  private val derivedShortlistCut: String = derivedShortlistCutOn("e")
+
+  private def derivedShortlistCutOn(src: String): String =
     "(SELECT CAST(10 * ceil(sqrt(ceil(sqrt(ceil(sqrt(count(*))))) * " +
-      "count(*) / ceil(sqrt(count(*))))) AS BIGINT) FROM e)"
+      s"count(*) / ceil(sqrt(count(*))))) AS BIGINT) FROM $src)"
 
   /** The full serving-funnel oracle — ADC at the derived probes, exact
     * re-rank over the derived-width shortlist — shared verbatim by
     * q_ann_rerank (in-memory fit) and q_ann_persist (parquet
     * round-trip): the persisted index must serve the identical answer.
     */
+  /** The q_ann_upsert twin: frozen fit on the base generation
+    * (vec_id % 5 ≠ 4), add-with-assign encode of the incoming
+    * generation against the frozen c2/pcb2 tables, UNION ALL append,
+    * and the standard serve funnel over the merged index — every stage
+    * a deterministic argmin over fixed centroids.
+    */
+  private def annUpsertOracle: String =
+    s"WITH ${kmeansUnrollCtesOn("(SELECT * FROM embeddings WHERE vec_id % 5 <> 4)")}, " +
+      s"$pqFitCtes, " +
+      "fe AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+      "nv AS MATERIALIZED (SELECT vec_id, emb FROM fe WHERE vec_id % 5 = 4), " +
+      // frozen coarse assignment of the incoming generation
+      s"ns AS (SELECT nv.vec_id AS vec_id, nv.emb AS emb, c2.c AS c, ${dcos("emb", "centroid")} AS cos FROM nv CROSS JOIN c2), " +
+      "na AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM ns) WHERE rn = 1), " +
+      "nres AS MATERIALIZED (SELECT na.vec_id AS vec_id, na.c AS cl, list_transform(list_zip(na.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM na JOIN c2 USING (c)), " +
+      // frozen PQ encode of the incoming residuals
+      "nrsub AS (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM nres CROSS JOIN range(0, 4) mm(m)), " +
+      s"npd AS (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM nrsub s JOIN pcb2 b USING (m)), " +
+      "npa AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM npd) WHERE rn = 1), " +
+      // merged index tables: a pure row-append
+      "mres AS MATERIALIZED (SELECT vec_id, cl FROM res UNION ALL SELECT vec_id, cl FROM nres), " +
+      "mcodes AS MATERIALIZED (SELECT vec_id, m, c FROM pa2 UNION ALL SELECT vec_id, m, c FROM npa), " +
+      // standard serve funnel over the merged tables
+      "q AS MATERIALIZED (SELECT emb AS qv FROM fe WHERE vec_id = 0), " +
+      s"pbl AS (SELECT c2.c AS cl, c2.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c2 CROSS JOIN q), " +
+      "pbr AS (SELECT cl, centroid, row_number() OVER (ORDER BY ls DESC, cl) AS rn FROM pbl), " +
+      s"pb AS MATERIALIZED (SELECT cl, centroid FROM pbr WHERE rn <= $derivedProbeCut), " +
+      "qr AS (SELECT cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb CROSS JOIN q), " +
+      "qrs AS (SELECT cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 4) mm(m)), " +
+      s"adc AS MATERIALIZED (SELECT qrs.cl AS cl, qrs.m AS m, b.c AS code, ${dl2("qrs.qsv", "b.centroid")} AS d2 FROM qrs JOIN pcb2 b ON qrs.m = b.m), " +
+      "cand AS (SELECT mcodes.vec_id AS vec_id, mres.cl AS cl, mcodes.m AS m, mcodes.c AS code FROM mcodes JOIN mres USING (vec_id) WHERE mcodes.vec_id <> 0), " +
+      "scored AS MATERIALIZED (SELECT cand.vec_id AS vec_id, cand.cl AS cluster, " +
+      "round(CAST(sum(CAST(adc.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
+      "GROUP BY cand.vec_id, cand.cl), " +
+      "short AS (SELECT vec_id, cluster, adc FROM (SELECT *, " +
+      "row_number() OVER (ORDER BY adc, vec_id) AS rn FROM scored) " +
+      s"WHERE rn <= ${derivedShortlistCutOn("fe")}) " +
+      "SELECT sh.vec_id AS vec_id, sh.cluster AS cluster, sh.adc AS adc, " +
+      s"round(${dcos("fe.emb", "qv")}, 4) AS cos, " +
+      "CAST(sh.vec_id % 5 = 4 AS INT) AS is_new " +
+      "FROM short sh JOIN fe ON sh.vec_id = fe.vec_id CROSS JOIN q " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
+
   private def rerankOracle: String =
     s"WITH ${ivfPqOracleCtes(derivedProbeCut)}, " +
       "short AS (SELECT vec_id, cluster, adc FROM (SELECT *, " +
@@ -1912,6 +2050,7 @@ object Vectors {
     // FUNNEL exactly — same oracle as q_ann_rerank by construction
     "q_ann_persist" -> rerankOracle,
     "q_ann_rerank" -> rerankOracle,
+    "q_ann_upsert" -> annUpsertOracle,
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +

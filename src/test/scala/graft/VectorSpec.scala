@@ -410,6 +410,47 @@ class VectorSpec extends SparkSpec {
     assert(persisted.length === 10)
   }
 
+  test("ann_upsert: frozen-quantizer add-with-assign — idempotent encode, searchable adds, bounded drift") {
+    val rows = q("q_ann_upsert").collect()
+    assert(rows.length === 10)
+    // the served scores are TRUE cosines (the funnel's exact tier)
+    val all = q("q_sim_scores").as[(Long, Double)].collect().toMap
+    rows.foreach { r =>
+      assert(all(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos"))
+    }
+    // deterministic end to end (frozen fit + frozen encode + serve)
+    assert(q("q_ann_upsert").collect().toSeq === rows.toSeq)
+    // ENCODE IDEMPOTENCE — the law that makes add-with-assign sound:
+    // re-encoding the base generation through the frozen tables
+    // reproduces the fit's own assignment and codes bit-for-bit
+    // (the fit's last step IS an argmin against the final centroids,
+    // so an upsert of an already-indexed vector changes nothing)
+    val (c2, pcb2, codesB, asgnB, base) =
+      graft.ops.Vectors.upsertParts(spark, sfDir)
+    val (asgnRe, codesRe) = graft.ops.Vectors.encodeOnto(spark, c2, pcb2, base)
+    assert(codesRe.collect().toSet === codesB.collect().toSet)
+    assert(asgnRe.collect().toSet === asgnB.collect().toSet)
+    // every incoming vector lands in the merged index exactly once —
+    // immediately searchable (4 code rows + 1 assignment row each)
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val incoming = e.filter($"vec_id" % 5 === 4)
+    val (asgnN, codesN) = graft.ops.Vectors.encodeOnto(spark, c2, pcb2, incoming)
+    val nNew = incoming.count()
+    assert(asgnN.count() === nNew)
+    assert(codesN.count() === 4 * nNew)
+    assert(asgnN.select("vec_id").distinct().count() === nNew)
+    // new codes draw from the frozen codebook domain
+    assert(codesN.agg(max($"code")).as[Int].head() < graft.ops.Vectors.PqCodewords)
+    // the DRIFT TRIGGER input: cell-size skew of the merged assignment
+    // (max/mean) is computed and sane — the documented refit rule
+    // compares it against the fit-time skew
+    val sizes = asgnB.unionByName(asgnN).groupBy("cl").count()
+      .select($"count").as[Long].collect()
+    val skew = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    assert(skew >= 1.0 && skew < 10.0, s"merged cell skew $skew")
+  }
+
   test("filtered ANN honors the allow-list on both branches; exact branch bounds the prefilter") {
     import org.apache.spark.sql.functions.col
     val rows = q("q_ann_filtered")
