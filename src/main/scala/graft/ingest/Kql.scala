@@ -378,6 +378,13 @@ object Kql {
     // table through filters/projections, the ADX withsource semantic.
     private var headTable: Option[String] = None
 
+    /** Set when a `render` stage has been applied in the CURRENT
+      * pipeline — ADX allows nothing after it. Scoped per pipeline
+      * like [[lastSort]] (a render inside a tabular let or a join
+      * side must not poison the outer pipeline).
+      */
+    private var renderSeen: Boolean = false
+
     /** `let name = <pipeline or scalar expression>` (statements before
       * the final pipeline). Tabular vs scalar is decided by the RHS
       * head: a known table name (catalog or earlier tabular let) —
@@ -463,20 +470,27 @@ object Kql {
         case TIdent("range") +: rest => rangeSource(rest)
         case TIdent("datatable") +: rest => datatableSource(rest)
         case TIdent("print") +: rest => printSource(rest)
-        case _ => fail("a CSL query must start with a table name, range, datatable, or print")
+        case TIdent("find") +: rest => findSource(rest)
+        case TIdent("externaldata") +: rest => externaldataSource(rest)
+        case _ => fail("a CSL query must start with a table name, range, " +
+          "datatable, print, find, or externaldata")
       }
       // `lastSort` is scoped per pipeline: a sort inside a tabular let
       // or a join/lookup/union sub-pipeline must not satisfy an OUTER
       // serialize's required-preceding-sort invariant
       val saved = lastSort
       val savedHead = headTable
+      val savedRender = renderSeen
       lastSort = None
+      renderSeen = false
       headTable = stages.head match {
         case Vector(TIdent(t)) => Some(t)
         case _ => None
       }
       try stages.tail.foldLeft(source)(applyStage)
-      finally { lastSort = saved; headTable = savedHead }
+      finally {
+        lastSort = saved; headTable = savedHead; renderSeen = savedRender
+      }
     }
 
     // -------------------------------------------------------- datatable
@@ -487,6 +501,96 @@ object Kql {
     //   tabular let, joined via lookup). Translates to a LocalRelation:
     //   a handful of driver-local rows that broadcast like any other
     //   small dimension, never a scan.
+
+    /** `find [withsource=Col] in (T1, T2, ...) where <predicate>` — the
+      * CROSS-TABLE grep (`search`'s multi-table sibling): matching rows
+      * from every listed table, schemas merged by name (a column a
+      * table lacks is null there — so a typed predicate simply never
+      * matches rows from tables without the column, ADX's effective
+      * semantics), each row tagged with its origin table in the
+      * `source_` column (ADX's default name), emitted first. The union
+      * machinery is applyUnion's withsource path; the predicate pushes
+      * DOWN through the union onto each side's scan (Catalyst splits a
+      * filter over a Union into per-child filters).
+      */
+    private def findSource(toks: Vector[Tok]): DataFrame = {
+      var rem = toks
+      val wsrc = rem match {
+        case TIdent("withsource") +: TSym("=") +: TIdent(nm) +: t =>
+          rem = t; nm
+        case _ => "source_"
+      }
+      val (names, predToks) = rem match {
+        case TIdent("in") +: TSym("(") +: t =>
+          val close = t.indexOf(TSym(")"))
+          if (close < 0) fail("find: unbalanced table list")
+          val nms = splitOn(t.take(close), TSym(",")).map {
+            case Vector(TIdent(n)) => n
+            case other => fail(s"find table references must be plain names, got $other")
+          }
+          t.drop(close + 1) match {
+            case TIdent("where") +: p if p.nonEmpty => (nms, p)
+            case _ => fail("find needs `where <predicate>` after the table list")
+          }
+        case _ => fail("find syntax: find [withsource=Col] in (T1, T2) where <pred>")
+      }
+      if (names.isEmpty) fail("find needs at least one table")
+      val sides = names.map { t =>
+        val d = sourceTable(t)
+        d.select((lit(t).as(wsrc) +: d.columns.map(col).toSeq): _*)
+      }
+      sides.reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(parsePredicate(predToks))
+    }
+
+    /** `externaldata (name: type, ...) ['uri'] [with (format='csv')]` —
+      * the typed external-file source: rows come from a URI outside the
+      * database, with the schema declared inline (the ADX idiom for
+      * allow-lists and reference snapshots living in blob storage).
+      * Translates to a schema'd Spark csv read of the URI — a real
+      * distributed scan, pruned and pushed like any file source. csv is
+      * the only format in this subset (ADX's default).
+      */
+    private def externaldataSource(toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.types._
+      var rem = toks match {
+        case TSym("(") +: t => t
+        case _ => fail("externaldata needs a (name: type, ...) schema")
+      }
+      val fields = Vector.newBuilder[StructField]
+      var inSchema = true
+      while (inSchema) rem match {
+        case TIdent(nm) +: TSym(":") +: TIdent(ty) +: t =>
+          if (!kqlScalarTypes.contains(ty))
+            fail(s"unsupported externaldata column type '$ty'")
+          fields += StructField(nm,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(kqlScalarTypes(ty)), nullable = true)
+          t match {
+            case TSym(",") +: t2 => rem = t2
+            case TSym(")") +: t2 => rem = t2; inSchema = false
+            case _ => fail("externaldata schema items must be `name: type`")
+          }
+        case _ => fail("externaldata schema items must be `name: type`")
+      }
+      val schema = StructType(fields.result())
+      if (schema.isEmpty) fail("externaldata needs at least one column")
+      val uri = rem match {
+        case TSym("[") +: TStr(u) +: TSym("]") +: t =>
+          rem = t
+          if (u.isEmpty) fail("externaldata needs a non-empty URI")
+          u
+        case _ => fail("externaldata needs ['<uri>'] after the schema")
+      }
+      rem match {
+        case Vector() => ()
+        case Vector(TIdent("with"), TSym("("), TIdent("format"), TSym("="),
+            TStr(fmt), TSym(")")) =>
+          if (fmt != "csv") fail(s"externaldata format '$fmt' unsupported (csv only)")
+        case other => fail(s"externaldata: expected `with (format='csv')`, got $other")
+      }
+      s.read.schema(schema).csv(uri)
+    }
 
     /** `print x = expr [, y = expr ...]` — the ADX one-row evaluator
       * (the statement every ADX user types to poke at a scalar).
@@ -624,16 +728,19 @@ object Kql {
       * order, so serialize after them is rejected again.
       */
     private def applyStage(df: DataFrame, st: Vector[Tok]): DataFrame = {
+      // `render` is a terminal annotation: ADX rejects operators after it
+      if (renderSeen) fail("render must be the last operator in the query")
       val out = applyStage0(df, st)
       st match {
         case TIdent("top") +: TSym("-") +: TIdent(sub) +: _
             if sub == "nested" || sub == "hitters" =>
           lastSort = None // both drill-down forms aggregate; frozen order gone
         // `search` is a row-wise filter (the `where` class): it keeps
-        // row identity, so a frozen sort survives it in ADX too
+        // row identity, so a frozen sort survives it in ADX too;
+        // `render` and `as` are row-identity no-ops by construction
         case TIdent(op) +: _ if Set("where", "project", "extend", "parse",
             "take", "limit", "sort", "order", "top", "serialize",
-            "search")(op) => ()
+            "search", "render", "as")(op) => ()
         case _ => lastSort = None
       }
       out
@@ -789,6 +896,51 @@ object Kql {
           df.groupBy(regexp_replace(parseArithToks(rest).cast("string"),
               "[0-9]+", "*").as("Pattern"))
             .agg(count(lit(1)).as("Count"))
+        // `render <kind> [with (...)]` — ACCEPT-AND-STRIP: render is a
+        // client-side visualization annotation (every dashboard-saved
+        // ADX query ends in one); the data result is the pipeline's,
+        // unchanged. Any identifier is a legal kind (ADX adds kinds
+        // over time; rejecting unknown ones would break saved queries),
+        // the optional with(...) property bag is validated for shape
+        // only, and nothing may follow (renderSeen, checked by
+        // applyStage — ADX's own rule).
+        case TIdent("render") +: rest =>
+          rest match {
+            case TIdent(_) +: more =>
+              more match {
+                case Vector() => ()
+                case TIdent("with") +: TSym("(") +: (inner :+ TSym(")"))
+                    if !inner.contains(TSym("(")) => ()
+                case _ => fail("render syntax: render <kind> [with (...)]")
+              }
+              renderSeen = true
+              df
+            case _ => fail("render needs a visualization kind")
+          }
+        // `as [hint.materialized=true|false] Name` — bind the pipeline's
+        // current result to a name later stages of the SAME query can
+        // reference (the inline form of a tabular let; same letTables
+        // registry, so join/union/invoke sides resolve it identically).
+        // The materialized hint maps to localCheckpoint(true) exactly
+        // like `let x = materialize(...)`.
+        case TIdent("as") +: rest =>
+          val (mat, nameToks) = rest match {
+            case TIdent("hint") +: TSym(".") +: TIdent("materialized") +:
+                TSym("=") +: TIdent(b) +: t if b == "true" || b == "false" =>
+              (b == "true", t)
+            case t => (false, t)
+          }
+          nameToks match {
+            case Vector(TIdent(name)) =>
+              val bound = if (mat) df.localCheckpoint(true) else df
+              letTables(name) = bound
+              bound
+            case _ => fail("as syntax: as [hint.materialized=true] Name")
+          }
+        case TIdent("fork") +: rest =>
+          applyFork(df, rest)
+        case TIdent("facet") +: TIdent("by") +: rest =>
+          applyFacet(df, rest)
         case TIdent(op) +: _ =>
           fail(s"unsupported operator '$op'")
         case _ =>
@@ -1451,6 +1603,87 @@ object Kql {
     //   every side (left side's column order). Each side is a full
     //   sub-pipeline, so Catalyst sees one Union node over N scans and
     //   pushes downstream filters into every branch.
+
+    /** `fork [name =] (stages) [name =] (stages) ...` — multi-output
+      * pipelines: every branch is an independent stage chain over the
+      * SAME input. ADX returns one result table per branch; through the
+      * single-DataFrame gateway the output is the LABELED UNion — each
+      * branch's rows tagged `source_` = branch name (the
+      * union-withsource convention), schemas merged by name with nulls
+      * for columns a branch lacks. The shared input materializes ONCE
+      * (localCheckpoint — the q_kql_materialize machinery) before the
+      * fan-out: N differently-pruned consumers would otherwise
+      * re-derive the whole upstream lineage per branch (the engine's
+      * recall-harness lesson). Fork inputs are interactive-bounded by
+      * the time a dashboard forks them; a 100 TB fan-out would stage to
+      * parquet instead — same pattern, durable medium.
+      */
+    private def applyFork(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      var rem = toks
+      val branches = Vector.newBuilder[(String, Vector[Tok])]
+      var idx = 0
+      while (rem.nonEmpty) {
+        val name = rem match {
+          case TIdent(n) +: TSym("=") +: t => rem = t; Some(n)
+          case _ => None
+        }
+        rem match {
+          case TSym("(") +: t =>
+            var depth = 1
+            var i = 0
+            while (i < t.length && depth > 0) {
+              t(i) match {
+                case TSym("(") => depth += 1
+                case TSym(")") => depth -= 1
+                case _ => ()
+              }
+              i += 1
+            }
+            if (depth != 0) fail("unbalanced fork branch parentheses")
+            val body = t.take(i - 1)
+            if (body.isEmpty) fail("empty fork branch")
+            branches += ((name.getOrElse(s"fork_$idx"), body))
+            idx += 1
+            rem = t.drop(i)
+          case _ => fail("fork branches are `[name =] (stage | stage ...)`")
+        }
+      }
+      val bs = branches.result()
+      if (bs.length < 2) fail("fork needs at least two branches")
+      val base = df.localCheckpoint(true)
+      val outs = bs.map { case (nm, body) =>
+        // branch isolation: a branch's sort/render state must not leak
+        // into its siblings or the outer pipeline
+        val savedSort = lastSort
+        val savedRender = renderSeen
+        lastSort = None
+        val r =
+          try splitPipes(body).foldLeft(base)(applyStage)
+          finally { lastSort = savedSort; renderSeen = savedRender }
+        val tagged = r.withColumn("source_", lit(nm))
+        tagged.select((col("source_") +:
+          r.columns.filterNot(_ == "source_").map(col).toSeq): _*)
+      }
+      outs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+    /** `facet by c1[, c2 ...]` — one value-distribution table per
+      * listed column (the ADX drill-down operator). Through the
+      * single-DataFrame gateway: the labeled union (source_ = column
+      * name, value = the stringified column value, count_ = rows), the
+      * same convention as fork. One hash aggregate per column over the
+      * once-materialized input.
+      */
+    private def applyFacet(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val names = parseNameList(toks)
+      if (names.isEmpty) fail("facet needs at least one column")
+      val base = df.localCheckpoint(true)
+      names.map { c =>
+        base.groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("count_"))
+          .select(lit(c).as("source_"), col("value"), col("count_"))
+      }.reduce(_.unionByName(_))
+    }
 
     private def applyUnion(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       var rem = toks

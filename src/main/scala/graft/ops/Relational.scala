@@ -1474,6 +1474,82 @@ object Relational {
         "c = array_length(pack_array(1, 2, 3)), " +
         "d = array_index_of(split('p q r', ' '), 'r')")
 
+  /** KQL `render` (accept-and-strip) + `as` — the dashboard pair: every
+    * saved ADX panel query ends in `| render <kind> ...` (a client-side
+    * annotation the engine strips, returning the data unchanged), and
+    * `as` binds the mid-pipeline result to a name a later join side
+    * references — exercised here for real: the `as`-bound filtered
+    * frame feeds the join's right side, so the binding is load-bearing,
+    * not decorative.
+    */
+  private def kqlRender(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type == 'click' " +
+        "| as hint.materialized=true Clicks " +
+        "| summarize clicks = count() by user_id " +
+        "| join kind=inner (Clicks | summarize idsum = sum(event_id) by user_id) on user_id " +
+        "| sort by user_id asc " +
+        "| render timechart with (title='clicks by user')")
+  }
+
+  /** KQL `find in (T1, T2) where ...` — the cross-table grep (`search`'s
+    * multi-table sibling): rows from every listed table merged by name
+    * (absent columns null), tagged with their origin in `src`, filtered
+    * by one predicate. The projection coalesces the per-table keys so
+    * the output is null-free and deterministically sortable.
+    */
+  private def kqlFind(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_csl")
+    Tables.region(s, dir).createOrReplaceTempView("region_csl")
+    graft.ingest.Kql.translate(s,
+      "find withsource=src in (nation_csl, region_csl) " +
+        "where n_regionkey == 2 or r_regionkey == 2 " +
+        "| project src, key = coalesce(n_nationkey, r_regionkey), " +
+        "name = coalesce(n_name, r_name) " +
+        "| sort by src asc, key asc")
+  }
+
+  /** KQL `externaldata` — the typed external-file source (ADX's idiom
+    * for allow-lists/reference snapshots in blob storage): inline
+    * schema, URI, csv format, read as a real schema'd distributed scan.
+    * The fixture csv is written deterministically by this entry so the
+    * DuckDB twin reads the identical bytes.
+    */
+  private def kqlExternaldata(s: SparkSession, dir: String): DataFrame = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_externaldata_fixture.csv"),
+      java.util.Arrays.asList("1,alpha", "2,beta", "3,gamma", "4,delta"))
+    graft.ingest.Kql.translate(s,
+      "externaldata (id: long, tag: string) " +
+        "['file:///tmp/graft_externaldata_fixture.csv'] with (format='csv') " +
+        "| where id >= 2 | sort by id asc")
+  }
+
+  /** KQL `fork` — multi-output pipelines: two branches over the same
+    * filtered input (materialized once before the fan-out), returned
+    * through the gateway as the labeled union (`source_` per branch,
+    * schemas merged by name).
+    */
+  private def kqlFork(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where value >= 50 | fork " +
+        "by_type = (summarize n = count() by event_type) " +
+        "purchases = (where event_type == 'purchase' " +
+        "| summarize total = sum(event_id) by user_id | top 20 by user_id)")
+  }
+
+  /** KQL `facet by` — one value-distribution table per listed column,
+    * as the labeled union (source_ = column, value, count_): the ADX
+    * drill-down operator, one hash aggregate per column.
+    */
+  private def kqlFacet(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where value >= 100 | facet by event_type, user_id")
+  }
+
   /** KQL `partition by` — the per-key subquery operator, compiled to
     * per-partition SEMANTICS (a Col-partitioned rank window for the
     * `top` stage) instead of ADX's per-value subquery loop: the form
@@ -1754,6 +1830,11 @@ object Relational {
     "q_kql_kv" -> (kqlParsekv _),
     "q_kql_array" -> (kqlArray _),
     "q_kql_print" -> (kqlPrint _),
+    "q_kql_render" -> (kqlRender _),
+    "q_kql_find" -> (kqlFind _),
+    "q_kql_externaldata" -> (kqlExternaldata _),
+    "q_kql_fork" -> (kqlFork _),
+    "q_kql_facet" -> (kqlFacet _),
     "q_kql_seriescorr" -> (kqlSeriesCorr _),
     "q_kql_fir" -> (kqlFir _),
     "q_kql_reduce" -> (kqlReduce _),
@@ -2372,6 +2453,40 @@ object Relational {
         "SELECT 'nation_csl' AS src FROM nation " +
         "UNION ALL SELECT 'region_csl' AS src FROM region) " +
         "GROUP BY src ORDER BY src"),
+    // render is accept-and-strip: the oracle is the pipeline WITHOUT it;
+    // the as-bound frame is the shared CTE both aggregate sides read
+    "q_kql_render" ->
+      ("WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'), " +
+        "a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS clicks FROM clicks GROUP BY user_id), " +
+        "b AS (SELECT user_id, CAST(sum(event_id) AS BIGINT) AS idsum FROM clicks GROUP BY user_id) " +
+        "SELECT user_id, clicks, idsum FROM a JOIN b USING (user_id) ORDER BY user_id"),
+    "q_kql_find" ->
+      ("WITH u AS (" +
+        "SELECT 'nation_csl' AS src, n_nationkey, n_name, n_regionkey, " +
+        "CAST(NULL AS INTEGER) AS r_regionkey, CAST(NULL AS VARCHAR) AS r_name FROM nation " +
+        "UNION ALL SELECT 'region_csl', NULL, NULL, NULL, r_regionkey, r_name FROM region) " +
+        "SELECT src, COALESCE(n_nationkey, r_regionkey) AS key, " +
+        "COALESCE(n_name, r_name) AS name " +
+        "FROM u WHERE n_regionkey = 2 OR r_regionkey = 2 ORDER BY src, key"),
+    "q_kql_externaldata" ->
+      ("SELECT id, tag FROM read_csv('/tmp/graft_externaldata_fixture.csv', " +
+        "header=false, columns={'id': 'BIGINT', 'tag': 'VARCHAR'}) " +
+        "WHERE id >= 2 ORDER BY id"),
+    "q_kql_fork" ->
+      ("WITH base AS (SELECT * FROM events WHERE value >= 50), " +
+        "b1 AS (SELECT 'by_type' AS source_, event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS total FROM base GROUP BY event_type), " +
+        "b2p AS (SELECT user_id, CAST(sum(event_id) AS BIGINT) AS total FROM base " +
+        "WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id DESC LIMIT 20), " +
+        "b2 AS (SELECT 'purchases' AS source_, CAST(NULL AS VARCHAR) AS event_type, " +
+        "CAST(NULL AS BIGINT) AS n, user_id, total FROM b2p) " +
+        "SELECT * FROM b1 UNION ALL SELECT * FROM b2 ORDER BY source_, event_type, user_id"),
+    "q_kql_facet" ->
+      ("WITH base AS (SELECT * FROM events WHERE value >= 100) " +
+        "SELECT 'event_type' AS source_, CAST(event_type AS VARCHAR) AS value, " +
+        "CAST(count(*) AS BIGINT) AS count_ FROM base GROUP BY event_type " +
+        "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR), " +
+        "CAST(count(*) AS BIGINT) FROM base GROUP BY user_id"),
     "q_kql_parsewhere" ->
       ("SELECT rest, CAST(count(*) AS BIGINT) AS n FROM (" +
         "SELECT regexp_extract(props, '^\\{\"k\": 1(.*)\\}', 1) AS rest " +

@@ -308,10 +308,8 @@ class KqlSpec extends SparkSpec {
   test("constructs outside the subset fail loudly, never silently") {
     ev.createOrReplaceTempView("kql_events")
     for (bad <- Seq(
-        "kql_events | render timechart",
         "kql_events | mv-apply x on (summarize count())",
         "kql_events | make-series n = count() on ts_ts step 1h",
-        "kql_events | facet by event_type",
         "kql_events | join kind=rightsemi (kql_events) on event_id",
         "kql_events | join kind=inner kql_events",
         "kql_events | summarize hll(user_id) by event_type",
@@ -1577,5 +1575,114 @@ class KqlSpec extends SparkSpec {
         "kql_events | top-hitters 3 of event_type by user_id").collect().toSeq
       assert(bySum.nonEmpty)
     } finally spark.conf.unset("spark.graft.kql.topHittersSketch")
+  }
+
+  test("render is accept-and-strip: data unchanged, unknown kinds ok, never mid-pipeline") {
+    ev.createOrReplaceTempView("kql_events")
+    val bare = Kql.translate(spark,
+      "kql_events | summarize n = count() by event_type | sort by event_type asc")
+      .collect().toSeq
+    // stripped: with-props form, bare form, and an UNKNOWN kind (ADX
+    // adds kinds over time; saved queries must not start failing)
+    for (suffix <- Seq("| render timechart",
+        "| render barchart with (title='x', kind=unstacked)",
+        "| render somefuturechart")) {
+      val got = Kql.translate(spark,
+        "kql_events | summarize n = count() by event_type " +
+          s"| sort by event_type asc $suffix").collect().toSeq
+      assert(got === bare, suffix)
+    }
+    // ADX rejects operators after render
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | render timechart | take 5")
+    }
+  }
+
+  test("as binds the mid-pipeline result like a tabular let") {
+    ev.createOrReplaceTempView("kql_events")
+    // the as-bound frame feeds a later union side: rows double
+    val n = ev.filter($"event_type" === "click").count()
+    val got = Kql.translate(spark,
+      "kql_events | where event_type == 'click' | as Clicks " +
+        "| union Clicks | count").as[Long].head()
+    assert(got === 2 * n)
+    // materialized hint: same result, checkpointed binding
+    val got2 = Kql.translate(spark,
+      "kql_events | where event_type == 'click' " +
+        "| as hint.materialized=true Clicks | union Clicks | count")
+      .as[Long].head()
+    assert(got2 === 2 * n)
+  }
+
+  test("find unions by name with source_ provenance; predicate scopes by column presence") {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("kql_nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("kql_region")
+    val got = Kql.translate(spark,
+      "find in (kql_nation, kql_region) where n_regionkey == 2 or r_regionkey == 2")
+      .collect().toSeq
+    // default provenance column name is ADX's source_, emitted first
+    assert(got.head.schema.fieldNames.head === "source_")
+    val bySrc = got.groupBy(_.getAs[String]("source_"))
+    // nation rows match on n_regionkey; region rows only via r_regionkey
+    // (their n_regionkey is null in the merged schema — never matches)
+    val nNation = Tables.nation(spark, sfDir)
+      .filter($"n_regionkey" === 2).count()
+    assert(bySrc("kql_nation").size.toLong === nNation)
+    assert(bySrc("kql_region").size === 1)
+    bySrc("kql_region").foreach { r =>
+      assert(r.getAs[Any]("n_nationkey") == null) // merged-schema null
+    }
+  }
+
+  test("fork: branch isolation — sibling state never leaks, labels tag rows") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | fork a = (where event_type == 'click' | count) " +
+        "b = (where event_type == 'purchase' | count)")
+    assert(got.columns.head === "source_")
+    val m = got.collect().map(r =>
+      r.getAs[String]("source_") -> r.getAs[Long]("Count")).toMap
+    assert(m("a") === ev.filter($"event_type" === "click").count())
+    assert(m("b") === ev.filter($"event_type" === "purchase").count())
+    // a sort inside one branch must not satisfy a sibling's serialize
+    // precondition (branch isolation of lastSort)
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | fork a = (sort by event_id asc | take 1) " +
+          "b = (serialize rn = row_number())")
+    }
+    // unnamed branches get positional names
+    val anon = Kql.translate(spark,
+      "kql_events | fork (count) (count)").collect()
+      .map(_.getAs[String]("source_")).toSet
+    assert(anon === Set("fork_0", "fork_1"))
+  }
+
+  test("facet: one labeled distribution per column") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark, "kql_events | facet by event_type")
+    assert(got.columns.toSeq === Seq("source_", "value", "count_"))
+    val want = ev.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = got.collect()
+    assert(rows.map(_.getAs[String]("source_")).toSet === Set("event_type"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("count_") === want(r.getAs[String]("value")))
+    }
+  }
+
+  test("externaldata: typed csv scan; non-csv formats rejected") {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_externaldata_spec.csv"),
+      java.util.Arrays.asList("10,x", "20,y"))
+    val got = Kql.translate(spark,
+      "externaldata (id: long, tag: string) " +
+        "['file:///tmp/graft_externaldata_spec.csv'] with (format='csv') " +
+        "| sort by id asc").as[(Long, String)].collect().toSeq
+    assert(got === Seq((10L, "x"), (20L, "y")))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "externaldata (id: long) ['file:///tmp/x.json'] with (format='json')")
+    }
   }
 }
