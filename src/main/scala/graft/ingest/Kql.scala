@@ -1774,15 +1774,24 @@ object Kql {
         case Vector(TIdent(nm)) => nm
         case other => fail(s"extend multi-assign names must be identifiers, got $other")
       }
-      val (fn, vcol, period) = toks.drop(close + 1) match {
-        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(")")) =>
-          (f, c, None)
-        case Vector(TSym("="), TIdent(f), TSym("("), TIdent(c), TSym(","),
-            TNum(k), TSym(")")) if !k.contains('.') =>
-          (f, c, Some(k.toInt))
-        case _ => fail("extend (...) = fn(column[, intLiteral]): " +
-          "one array-column argument (+ an integer period for decompose)")
+      val (fn, vcol, ints) = toks.drop(close + 1) match {
+        case TSym("=") +: TIdent(f) +: TSym("(") +: TIdent(c) +: rest0
+            if rest0.lastOption.contains(TSym(")")) =>
+          val args = rest0.init match {
+            case Vector() => Vector.empty[Int]
+            case TSym(",") +: t =>
+              splitOn(t, TSym(",")).map {
+                case Vector(TNum(k)) if !k.contains('.') => k.toInt
+                case other => fail(s"$f: arguments after the series " +
+                  s"column must be integer literals, got $other")
+              }
+            case other => fail(s"$f: malformed argument list $other")
+          }
+          (f, c, args)
+        case _ => fail("extend (...) = fn(column[, intLiteral...]): " +
+          "one array-column argument (+ integer literals per function)")
       }
+      val period: Option[Int] = ints.headOption
       if (!df.columns.contains(vcol)) fail(s"$fn: no column '$vcol'")
       df.schema(vcol).dataType match {
         case ArrayType(_, _) => ()
@@ -1814,6 +1823,7 @@ object Kql {
         applyExtendSeriesDecompose(v, p, dec, toD, zero, d12, n, sy)
       val outs: Seq[(String, Column)] = fn match {
         case "series_stats" =>
+          if (ints.nonEmpty) fail("series_stats takes no extra arguments")
           if (names.length != 7)
             fail("series_stats multi-assign takes exactly 7 names " +
               "(min, min_idx, max, max_idx, avg, variance, stdev)")
@@ -1825,6 +1835,7 @@ object Kql {
             mx, (array_position(vd, mx) - 1).cast("long"),
             sy / n, variance, sqrt(variance)))
         case "series_fit_line" =>
+          if (ints.nonEmpty) fail("series_fit_line takes no extra arguments")
           if (names.length != 5)
             fail("series_fit_line multi-assign takes exactly 5 names " +
               "(rsquare, slope, variance, rvariance, interception)")
@@ -1862,11 +1873,31 @@ object Kql {
           if (names.length != 4)
             fail("series_decompose multi-assign takes exactly 4 names " +
               "(baseline, seasonal, trend, residual)")
-          val p = period.getOrElse(fail("series_decompose needs an " +
-            "explicit integer period in this subset (detection is out)"))
-          if (p < 2 || p > 1000) fail(s"series_decompose period $p out of [2, 1000]")
-          val (base, sea, trend, resid) = decomposeParts(p)
-          names.zip(Seq(base, sea, trend, resid))
+          if (ints.length > 1) fail("series_decompose takes at most one period")
+          period match {
+            case Some(p) =>
+              if (p < 2 || p > 1000)
+                fail(s"series_decompose period $p out of [2, 1000]")
+              val (base, sea, trend, resid) = decomposeParts(p)
+              names.zip(Seq(base, sea, trend, resid))
+            case None =>
+              // AUTO period (round 11): the omitted-period ADX form.
+              // The period is series_periods_detect's top lag over the
+              // documented 2..14 band (daily/weekly seasonality on
+              // typical grids; wider bands go through an explicit
+              // series_periods_detect + explicit period), falling back
+              // to p = 1 when nothing correlates (r0 = 0 or no valid
+              // lag) — with one phase the phase mean of the detrended
+              // series is algebraically 0 by the normal equations, so
+              // p = 1 IS "no seasonality". The detected period is a
+              // data-dependent COLUMN, so the recipe runs in its
+              // dynamic-period form (see below); arithmetic is
+              // operation-for-operation the unrolled recipe's, which
+              // KqlSpec pins by equating the auto and explicit forms
+              // on a planted 7-cycle.
+              return applySeriesDecomposeAuto(df, names, vcol, v,
+                dec, toD, zero, d12, n, sy, sy2)
+          }
         case "series_decompose_anomalies" =>
           // ADX series_decompose_anomalies(series, period) — the
           // one-call anomaly idiom: decompose (the exact recipe above),
@@ -1903,14 +1934,139 @@ object Kql {
             .withColumn(names(1), col(scoreCol))
             .withColumn(names(2), base)
             .drop(resCol, scoreCol)
+        case "series_periods_detect" =>
+          // ADX series_periods_detect(x, min_period, max_period,
+          // num_periods) → (periods, scores): the dominant seasonality
+          // lags. This dialect's deterministic recipe (ADX's is
+          // FFT-based): DEMEANED AUTOCORRELATION per lag L in
+          // [min, max], derived ALGEBRAICALLY from exact sums —
+          // r(L) = Σyᵢyᵢ₊L − μ·Σheadᵢyᵢ − μ·Σtailᵢyᵢ + (n−L)·μ², with
+          // the product and plain sums exact decimal folds (order-free)
+          // and the combination one fixed IEEE expression — never a
+          // float running sum (the engine's exact-components rule).
+          // score = r(L)/r(0); a lag is valid only while n ≥ 2L;
+          // r(0) = 0 (constant series) → empty results. Top-k by
+          // (score desc, lag asc) — a rank cut, ulp-proof under the
+          // strictly-decreasing score structure of finite series.
+          // Lag bounds are call-site literals, so the lag scan unrolls
+          // at translate time like the phase means.
+          if (names.length != 2)
+            fail("series_periods_detect multi-assign takes exactly 2 " +
+              "names (periods, scores)")
+          val (minP, maxP, k) = ints match {
+            case Vector(a, b, c) => (a, b, c)
+            case _ => fail("series_periods_detect(col, min_period, " +
+              "max_period, num_periods): three integer literals")
+          }
+          if (minP < 2) fail("series_periods_detect min_period must be >= 2")
+          if (maxP < minP) fail("series_periods_detect max_period < min_period")
+          if (maxP > 1000) fail("series_periods_detect max_period out of range")
+          if (maxP - minP >= 100)
+            fail("series_periods_detect scans at most 100 lags")
+          if (k < 1) fail("series_periods_detect num_periods must be >= 1")
+          val (periodsE, scoresE) =
+            periodsDetect(v, minP, maxP, k, dec, toD, zero, d12, n, sy, sy2)
+          names.zip(Seq(periodsE, scoresE))
         case other =>
           fail(s"unsupported multi-assign function '$other' " +
-            "(series_stats/series_fit_line/series_decompose[_anomalies])")
+            "(series_stats/series_fit_line/series_decompose[_anomalies]/" +
+            "series_periods_detect)")
       }
-      if (period.isDefined &&
-          !Set("series_decompose", "series_decompose_anomalies")(fn))
+      if (ints.nonEmpty && !Set("series_decompose",
+          "series_decompose_anomalies", "series_periods_detect")(fn))
         fail(s"$fn takes no period argument")
       outs.foldLeft(df) { case (d, (nm, e)) => d.withColumn(nm, e) }
+    }
+
+    /** The demeaned-autocorrelation lag scan shared by
+      * series_periods_detect and the auto-period series_decompose:
+      * returns (periods, scores) arrays — top-k lags by
+      * (score desc, lag asc), scores 4-dp-rounded.
+      */
+    private def periodsDetect(v: Column, minP: Int, maxP: Int, k: Int,
+        dec: Column => Column, toD: Column => Column, zero: Column,
+        d12: org.apache.spark.sql.types.DecimalType, n: Column,
+        sy: Column, sy2: Column): (Column, Column) = {
+      val mu = sy / n
+      val r0 = sy2 - lit(2.0) * mu * sy + n * mu * mu
+      val cands: Seq[Column] = (minP to maxP).map { l =>
+        val head = slice(v, lit(1), size(v) - lit(l))
+        val tail = slice(v, lit(l + 1), size(v) - lit(l))
+        val sp = toD(aggregate(zip_with(head, tail, (a, b) => dec(a) * dec(b)),
+          zero, (acc, x) => (acc + x).cast(d12)))
+        val syh = aggregate(head, zero, (a, x) => (a + dec(x)).cast(d12))
+          .cast("double")
+        val syt = aggregate(tail, zero, (a, x) => (a + dec(x)).cast(d12))
+          .cast("double")
+        val cL = n - lit(l.toDouble)
+        val sc = (sp - mu * syh - mu * syt + cL * mu * mu) / r0
+        when(r0 > 0 && size(v) >= 2 * l,
+          struct((-sc).as("ns"), lit(l.toLong).as("lag")))
+          .otherwise(lit(null))
+      }
+      val ranked = slice(array_sort(filter(array(cands: _*),
+        x => x.isNotNull)), 1, k)
+      (transform(ranked, x => x.getField("lag")),
+        transform(ranked, x => round(-x.getField("ns"), 4)))
+    }
+
+    /** The DYNAMIC-period decompose (auto mode): identical arithmetic
+      * to [[applyExtendSeriesDecompose]], but the period is a per-row
+      * COLUMN (the detected lag), so the phase means cannot unroll at
+      * translate time — each element's phase mean is computed by
+      * nested array folds instead (O(len²) per row; series are
+      * make-series grids, bounded by the time window, never the
+      * corpus). The nested lambdas are SQL text because the Scala HOF
+      * API's fixed x/y variable names shadow each other when nested.
+      * Intermediates (period, slope, intercept) MATERIALIZE as columns
+      * (the series_decompose_anomalies plan-size rule).
+      */
+    private def applySeriesDecomposeAuto(df: DataFrame,
+        names: Vector[String], vcol: String, v: Column,
+        dec: Column => Column, toD: Column => Column, zero: Column,
+        d12: org.apache.spark.sql.types.DecimalType, n: Column,
+        sy: Column, sy2: Column): DataFrame = {
+      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val (periodsE, _) =
+        periodsDetect(v, 2, 14, 1, dec, toD, zero, d12, n, sy, sy2)
+      val sxy = toD(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (y, i) => dec(y) * i.cast(d6)),
+        zero, (a, x) => (a + x).cast(d12)))
+      val sx = (n - lit(1.0)) * n / lit(2.0)
+      val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
+      val slope = when(size(v) > 1, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
+      val inter = sy / n - slope * (sx / n)
+      val pC = "__graft_sd_p"
+      val slC = "__graft_sd_slope"
+      val inC = "__graft_sd_inter"
+      // the phase-mean SQL mirrors the unrolled recipe's folds: exact
+      // decimal Σ_q y, exact integer Σ_q i, count from the grid formula
+      val cq = s"CAST(IF(size(`$vcol`) > pmod(i, `$pC`), " +
+        s"floor((size(`$vcol`) - 1 - pmod(i, `$pC`)) / `$pC`) + 1, 0) AS DOUBLE)"
+      val syq = s"CAST(aggregate(zip_with(`$vcol`, " +
+        s"sequence(0, size(`$vcol`) - 1), (yy, ii) -> " +
+        s"IF(pmod(ii, `$pC`) = pmod(i, `$pC`), CAST(yy AS DECIMAL(18,6)), " +
+        "CAST(0 AS DECIMAL(18,6)))), CAST(0 AS DECIMAL(37,12)), " +
+        "(acc, x) -> CAST(acc + x AS DECIMAL(37,12))) AS DOUBLE)"
+      val siq = s"CAST(aggregate(zip_with(`$vcol`, " +
+        s"sequence(0, size(`$vcol`) - 1), (yy, ii) -> " +
+        s"IF(pmod(ii, `$pC`) = pmod(i, `$pC`), ii, 0)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT)) AS DOUBLE)"
+      val seaSql = s"transform(sequence(0, size(`$vcol`) - 1), i -> " +
+        s"($syq - `$slC` * $siq - `$inC` * $cq) / $cq)"
+      val idx = sequence(lit(0), size(v) - 1)
+      df.withColumn(pC, coalesce(try_element_at(periodsE, lit(1)), lit(1L)))
+        .withColumn(slC, slope)
+        .withColumn(inC, inter)
+        .withColumn(names(2),
+          transform(idx, i => col(slC) * i.cast("double") + col(inC)))
+        .withColumn(names(1), expr(seaSql))
+        .withColumn(names(0),
+          zip_with(col(names(2)), col(names(1)), (t, m) => t + m))
+        .withColumn(names(3),
+          zip_with(zip_with(v, col(names(2)), (y, t) => y.cast("double") - t),
+            col(names(1)), (x, m) => x - m))
+        .drop(pC, slC, inC)
     }
 
     /** The series_decompose recipe shared by `series_decompose` and

@@ -1272,6 +1272,34 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL `series_periods_detect` + AUTO-period `series_decompose`
+    * (round 11): the detection ADX applies when the period argument is
+    * omitted. Deterministic recipe: demeaned autocorrelation per lag,
+    * derived algebraically from exact decimal/integer sums (never a
+    * float running sum), top-k by (score desc, lag asc); the omitted-
+    * period decompose plugs the top lag into the dynamic-period
+    * recipe. Output: per-key detected (p1, p2, s1, s2) beside the
+    * exploded seasonal/residual rows.
+    */
+  private def kqlPeriods(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | make-series n = count() default = 0 on ts_ts " +
+        "from datetime(2024-01-01) to datetime(2024-02-01) step 1d by event_type " +
+        "| extend (periods, scores) = series_periods_detect(n, 2, 14, 2) " +
+        "| extend (base, sea, tr, res) = series_decompose(n)")
+      .select(col("event_type"),
+        try_element_at(col("periods"), lit(1)).as("p1"),
+        try_element_at(col("periods"), lit(2)).as("p2"),
+        try_element_at(col("scores"), lit(1)).as("s1"),
+        try_element_at(col("scores"), lit(2)).as("s2"),
+        posexplode(arrays_zip(col("n"), col("sea"), col("res"))))
+      .select(col("event_type"), col("p1"), col("p2"), col("s1"), col("s2"),
+        (col("pos") + 1).cast("int").as("bin"),
+        col("col.n").as("n"), col("col.sea").as("sea"), col("col.res").as("res"))
+      .orderBy("event_type", "bin")
+  }
+
   /** KQL series-fill family — `series_fill_forward` /
     * `series_fill_linear` / `series_fill_const` over a make-series
     * grid WITHOUT a default (absent bins stay null, this dialect's
@@ -1822,6 +1850,7 @@ object Relational {
     "q_kql_getschema" -> (kqlGetschema _),
     "q_kql_invoke" -> (kqlInvoke _),
     "q_kql_decompose" -> (kqlDecompose _),
+    "q_kql_periods" -> (kqlPeriods _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2112,6 +2141,60 @@ object Relational {
         "d.d - p.sea AS res " +
         "FROM det d JOIN ph2 p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
         "ORDER BY d.event_type, bin"),
+    // the lag scan and the per-key detected-period decompose mirror the
+    // Spark folds exactly: exact product/plain sums (order-free), one
+    // fixed IEEE combination per score, phase means from exact sums
+    "q_kql_periods" ->
+      (kqlSeriesGrid +
+        "sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sy2, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(i AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sxy " +
+        "FROM ser GROUP BY event_type), " +
+        "mus AS (SELECT *, sy / nd AS mu, " +
+        "sy2 - 2 * (sy / nd) * sy + nd * (sy / nd) * (sy / nd) AS r0 FROM sums), " +
+        "lags AS (SELECT k.event_type, CAST(t.L AS BIGINT) AS L FROM " +
+        "(SELECT DISTINCT event_type FROM ser) k CROSS JOIN range(2, 15) t(L)), " +
+        "lsum AS (SELECT l.event_type, l.L, " +
+        "CAST(CAST(sum(CAST(s1.y AS DECIMAL(19,6)) * CAST(s2.y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sp, " +
+        "CAST(sum(CAST(s1.y AS DECIMAL(18,6))) AS DOUBLE) AS syh, " +
+        "CAST(sum(CAST(s2.y AS DECIMAL(18,6))) AS DOUBLE) AS syt, " +
+        "CAST(count(*) AS DOUBLE) AS c " +
+        "FROM lags l JOIN ser s1 ON s1.event_type = l.event_type " +
+        "JOIN ser s2 ON s2.event_type = l.event_type AND s2.i = s1.i + l.L " +
+        "GROUP BY 1, 2), " +
+        "scored AS (SELECT m.event_type, l.L, " +
+        "(l.sp - m.mu * l.syh - m.mu * l.syt + l.c * m.mu * m.mu) / m.r0 AS s " +
+        "FROM lsum l JOIN mus m ON l.event_type = m.event_type " +
+        "WHERE m.r0 > 0 AND m.nd >= 2 * l.L), " +
+        "rk AS (SELECT event_type, L, s, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY s DESC, L) AS r FROM scored), " +
+        "det AS (SELECT event_type, " +
+        "max(CASE WHEN r = 1 THEN L END) AS p1, max(CASE WHEN r = 2 THEN L END) AS p2, " +
+        "max(CASE WHEN r = 1 THEN round(s, 4) END) AS s1, " +
+        "max(CASE WHEN r = 2 THEN round(s, 4) END) AS s2 FROM rk GROUP BY event_type), " +
+        "pp AS (SELECT k.event_type, COALESCE(d.p1, 1) AS p FROM " +
+        "(SELECT DISTINCT event_type FROM ser) k LEFT JOIN det d ON k.event_type = d.event_type), " +
+        "fit AS (SELECT *, (nd - 1) * nd / 2 AS sx, " +
+        "(nd - 1) * nd * (2 * nd - 1) / 6 AS sx2 FROM mus), " +
+        "fit2 AS (SELECT *, (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope FROM fit), " +
+        "fit3 AS (SELECT *, sy / nd - slope * (sx / nd) AS inter FROM fit2), " +
+        "ph AS (SELECT s.event_type, s.i % p.p AS q, " +
+        "CAST(sum(CAST(s.y AS DECIMAL(18,6))) AS DOUBLE) AS syq, " +
+        "CAST(sum(s.i) AS DOUBLE) AS siq, CAST(count(*) AS DOUBLE) AS pc " +
+        "FROM ser s JOIN pp p ON s.event_type = p.event_type GROUP BY 1, 2), " +
+        "ph2 AS (SELECT p.event_type, p.q, " +
+        "(p.syq - f.slope * p.siq - f.inter * p.pc) / p.pc AS sea " +
+        "FROM ph p JOIN fit3 f ON p.event_type = f.event_type) " +
+        "SELECT s.event_type AS event_type, d.p1, d.p2, d.s1, d.s2, " +
+        "CAST(s.i + 1 AS INT) AS bin, s.y AS n, p2c.sea AS sea, " +
+        "(s.y - (f.slope * s.i + f.inter)) - p2c.sea AS res " +
+        "FROM ser s " +
+        "JOIN pp ON s.event_type = pp.event_type " +
+        "JOIN fit3 f ON s.event_type = f.event_type " +
+        "JOIN ph2 p2c ON s.event_type = p2c.event_type AND s.i % pp.p = p2c.q " +
+        "LEFT JOIN det d ON s.event_type = d.event_type " +
+        "ORDER BY event_type, bin"),
     "q_kql_fillseries" ->
       ("WITH keys AS (SELECT DISTINCT event_type FROM events WHERE event_id % 50 = 0 " +
         "AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +

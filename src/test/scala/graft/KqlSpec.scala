@@ -1258,9 +1258,11 @@ class KqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_dec | extend (a, b) = series_decompose(v, 2)")
     }
-    intercept[IllegalArgumentException] {
-      Kql.translate(spark, "kql_dec | extend (a, b, c, d) = series_decompose(v)")
-    }
+    // the omitted-period form is the AUTO mode since round 11 — it
+    // translates (its semantics are pinned by the planted-cycle test)
+    assert(Kql.translate(spark,
+      "kql_dec | extend (a, b, c, d) = series_decompose(v)")
+      .columns.count(Set("a", "b", "c", "d")) === 4)
     intercept[IllegalArgumentException] {
       Kql.translate(spark,
         "kql_dec | extend (a, b, c, d, e, f, g) = series_stats(v, 2)")
@@ -1669,6 +1671,46 @@ class KqlSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("count_") === want(r.getAs[String]("value")))
     }
+  }
+
+  test("series_periods_detect finds a planted 7-cycle; auto decompose equals explicit") {
+    // a PURE 7-periodic series (no trend): lag 7 must win, lag 14 is
+    // the echo (same correlation structure, fewer overlap terms, so a
+    // strictly lower score) — the tie-break law is deterministic
+    spark.range(1).selectExpr(
+      "transform(sequence(0, 83), i -> CAST(i % 7 AS DOUBLE) * 3.0) AS y")
+      .createOrReplaceTempView("kql_planted")
+    val det = Kql.translate(spark,
+      "kql_planted | extend (periods, scores) = series_periods_detect(y, 2, 20, 3)")
+      .select("periods", "scores").as[(Seq[Long], Seq[Double])].head()
+    assert(det._1.head === 7L, det.toString)
+    assert(det._1.contains(14L))
+    assert(det._2.head >= det._2(det._1.indexOf(14L)))
+    assert(det._2.head > 0.9, s"planted cycle should score near 1: ${det._2}")
+    // the auto (omitted-period) decompose detects 7 and must equal the
+    // explicit-period form ELEMENT-FOR-ELEMENT (same recipe, dynamic
+    // phase means vs unrolled)
+    val auto = Kql.translate(spark,
+      "kql_planted | extend (b, s, t, r) = series_decompose(y)")
+      .select("b", "s", "t", "r").collect().toSeq
+    val explicit = Kql.translate(spark,
+      "kql_planted | extend (b, s, t, r) = series_decompose(y, 7)")
+      .select("b", "s", "t", "r").collect().toSeq
+    assert(auto === explicit)
+    // a constant series has no period: empty detection, and the auto
+    // decompose falls back to p = 1 (seasonal ≡ phase mean of the
+    // detrended series ≡ 0 by the normal equations)
+    spark.range(1).selectExpr(
+      "transform(sequence(0, 29), i -> 5.0) AS y")
+      .createOrReplaceTempView("kql_flat")
+    val flat = Kql.translate(spark,
+      "kql_flat | extend (periods, scores) = series_periods_detect(y, 2, 10, 2)")
+      .select("periods").as[Seq[Long]].head()
+    assert(flat.isEmpty)
+    val flatSea = Kql.translate(spark,
+      "kql_flat | extend (b, s, t, r) = series_decompose(y)")
+      .select("s").as[Seq[Double]].head()
+    flatSea.foreach(x => assert(math.abs(x) < 1e-9))
   }
 
   test("externaldata: typed csv scan; non-csv formats rejected") {
