@@ -685,7 +685,15 @@ object Curation {
     def q8(c: Column): Column = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
     var ranks = deg.select(col("src").as("node"),
       q8(lit(1.0) / lit(nNodes)).as("pr"))
-    for (_ <- 1 to 5) {
+    // per-iteration L1 residual Σ|pr_k − pr_{k−1}| — the convergence
+    // evidence that justifies the iteration count (round 11): every pr
+    // is 1e-8-grid quantized, so the diff/abs/sum runs EXACTLY in
+    // decimal (both engines recover the grid point from the double and
+    // subtract exactly) — one bounded 1-row aggregate per round over
+    // the already-checkpointed rank tables
+    val residuals = Vector.newBuilder[DataFrame]
+    for (k <- 1 to 5) {
+      val prev = ranks
       val sums = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           q8(col("pr") / col("outdeg").cast("double")).as("c"))
@@ -696,11 +704,17 @@ object Curation {
         .select(col("node"), q8(lit(0.15) / lit(nNodes) +
           lit(0.85) * coalesce(col("sc").cast(DoubleType), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      residuals += prev.select(col("node"), col("pr").as("ppr"))
+        .join(ranks, "node")
+        .agg(sum(abs(col("pr").cast(DecimalType(18, 8)) -
+          col("ppr").cast(DecimalType(18, 8)))).cast(DoubleType).as(s"res$k"))
     }
     val top = ranks.orderBy(col("pr").desc, col("node")).limit(20)
-    top.withColumn("rk",
-        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
-      .select(col("rk"), col("node"), col("pr"))
+    residuals.result().foldLeft(
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+        .select(col("rk"), col("node"), col("pr")))((d, r) =>
+        d.crossJoin(broadcast(r)))
       .orderBy("rk")
   }
 
@@ -1817,7 +1831,11 @@ object Curation {
           s"FROM edges e JOIN $prev r ON e.src = r.node GROUP BY e.dst), " +
           s"r$k AS MATERIALIZED (SELECT d.src AS node, " +
           "floor((0.15 / nn.n + 0.85 * COALESCE(s.sc, 0.0)) * 1e8 + 0.5) / 1e8 AS pr " +
-          s"FROM deg d CROSS JOIN nn LEFT JOIN s$k s ON d.src = s.dst), "
+          s"FROM deg d CROSS JOIN nn LEFT JOIN s$k s ON d.src = s.dst), " +
+          // the L1 residual vs the previous round — grid-exact decimal
+          s"d$k AS (SELECT CAST(sum(abs(CAST(a.pr AS DECIMAL(18,8)) - " +
+          s"CAST(b.pr AS DECIMAL(18,8)))) AS DOUBLE) AS res$k " +
+          s"FROM r$k a JOIN $prev b ON a.node = b.node), "
       }
       "WITH pairs AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
         "edges0 AS MATERIALIZED (SELECT 'p' || CAST(pk AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM pairs " +
@@ -1828,7 +1846,9 @@ object Curation {
         "r0 AS MATERIALIZED (SELECT src AS node, floor((1.0 / nn.n) * 1e8 + 0.5) / 1e8 AS pr FROM deg CROSS JOIN nn), " +
         (1 to 5).map(iter).mkString +
         "fin AS (SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rn FROM r5) " +
-        "SELECT CAST(rn AS INT) AS rk, node, pr FROM fin WHERE rn <= 20 ORDER BY rk"
+        "SELECT CAST(rn AS INT) AS rk, node, pr, res1, res2, res3, res4, res5 " +
+        "FROM fin CROSS JOIN d1 CROSS JOIN d2 CROSS JOIN d3 CROSS JOIN d4 CROSS JOIN d5 " +
+        "WHERE rn <= 20 ORDER BY rk"
     },
     "q_weighted_sample" ->
       ("WITH k AS (SELECT doc_id, n_chars, " +

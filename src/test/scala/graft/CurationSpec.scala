@@ -805,5 +805,16 @@ class CurationSpec extends SparkSpec {
     // suppliers are ~20x fewer than parts in TPC-H shapes, so they
     // concentrate rank: the #1 node must be a supplier
     assert(top.head._2.startsWith("s"), s"got ${top.head._2}")
+    // convergence evidence (round 11): the per-iteration L1 residuals
+    // decrease monotonically — damped iteration contracts by at most
+    // d = 0.85 per round, and the residual columns measure it
+    val res = q("q_pagerank")
+      .select("res1", "res2", "res3", "res4", "res5")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val rs = Seq(res._1, res._2, res._3, res._4, res._5)
+    rs.sliding(2).foreach { case Seq(a, b) => assert(b < a, rs.toString) }
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 0.851, s"contraction bound violated: $rs")
+    }
   }
 }
