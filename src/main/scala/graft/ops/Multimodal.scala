@@ -8,12 +8,15 @@ import graft.Tables
   * columns"): media as opaque `binary` columns with typed metadata
   * structs, processed partition-wise in batches.
   *
-  * The decode step is STUBBED with a deterministic fake (this container
-  * has no image/audio codecs — see `MediaFeatures.fakeDecode`); the
-  * Spark-side plumbing is real: binary column, metadata schema,
-  * per-partition batched processing (the Scala analog of
-  * `mapInPandas`), and the partitioning/batch shape a real
-  * decoder would see at 100 TB.
+  * Since round 11 the pHash op runs a REAL image path — an
+  * uncompressed P5 PGM fixture, a pure-JVM header parse/decode, and
+  * the standard DCT perceptual hash in exact integer arithmetic
+  * ([[Ppm]]). The compressed-codec decodes (JPEG, audio, video) remain
+  * STUBBED with deterministic fakes (this container ships no codecs —
+  * see `MediaFeaturesStub.fakeDecode`); the Spark-side plumbing is
+  * real everywhere: binary column, metadata schema, per-partition
+  * batched processing (the Scala analog of `mapInPandas`), and the
+  * partitioning/batch shape a real decoder would see at 100 TB.
   */
 object Multimodal {
 
@@ -145,49 +148,163 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
-  /** Perceptual-hash near-dup over the binary media column — the image
-    * dedup stage of a multimodal pipeline (pHash/aHash family): each
-    * payload hashes to a 64-bit code (64 byte-windows → one parity bit
-    * each via the same bounded modular rolling hash as the features
-    * stub — a real pHash would DCT the decoded pixels; the code SHAPE
-    * and everything downstream is the production pipeline), packed as
-    * two 32-bit words (the q_ann_bq signed-BIGINT lesson). Candidate
-    * pairs come from 4×16-bit band buckets (the minhash banding shape:
-    * any shared quarter of the code makes a candidate — Hamming ≤ 8
-    * guarantees ≥ one clean band by pigeonhole), then exact
-    * `bit_count(xor)` verification keeps pairs at distance ≤ 8. The
-    * fixture has no binary near-dups, so each payload also emits a
-    * last-byte-flipped re-encode variant (doc_id + 10⁹) — "the same
-    * image re-encoded with one corrupted byte": only the final window's
-    * parity can change, so every planted pair verifies at distance ≤ 1
-    * while random pairs sit near 32 and never pass. Scale shape:
-    * banding bounds the candidate join exactly like text minhash; the
-    * verify is register arithmetic on 16 bytes/pair. Fully oracled
-    * (DuckDB replays the byte windows from hex, the parity packing,
-    * the band join, and the xor popcount).
+  /** Deterministic uncompressed image fixture + pure-JVM decode + the
+    * REAL pHash transform (round 11 — retires the rolling-hash stub):
+    *
+    *   - `tile` synthesizes a 64×64 grayscale image from a document's
+    *     bytes (generator-side fixture: no codecs exist in this
+    *     container, and an uncompressed format needs none);
+    *   - `encode`/`decode` are a real P5 PGM (binary portable graymap)
+    *     writer/parser — magic, ASCII dimensions, maxval, payload — so
+    *     the op genuinely round-trips a standard image FORMAT, not a
+    *     blob;
+    *   - `phash` is the standard pHash recipe (Zauner 2010) in EXACT
+    *     INTEGER arithmetic: 2×2 block sums to 32×32, separable 2-D
+    *     DCT-II against the FIXED-POINT basis [[DctBasis]]
+    *     (round(cos(π(2x+1)u/64)·10⁶) — 8×32 integer constants shared
+    *     verbatim with the DuckDB twin, so both engines run the same
+    *     integer sums; |coefficient| < 2⁶⁰, overflow-free), 64
+    *     low-frequency coefficients (u,v ∈ 0..7) thresholded at their
+    *     exact lower median.
+    */
+  private[graft] object Ppm {
+    val W = 64
+    val H = 64
+
+    /** 8×32 fixed-point DCT-II basis: B(u,x) = round(cos(π(2x+1)u/64)·1e6).
+      * Baked integer constants — both engines consume the same numbers.
+      */
+    val DctBasis: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * 1e6)
+    }
+
+    /** The image fixture: document bytes tiled to a w·h grayscale
+      * payload (empty docs → black).
+      */
+    def tile(bytes: Array[Byte], len: Int): Array[Byte] =
+      if (bytes.isEmpty) new Array[Byte](len)
+      else Array.tabulate(len)(i => bytes(i % bytes.length))
+
+    def encode(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(gray.length == w * h, "payload size must be w*h")
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+    }
+
+    /** Parse a binary P5 PGM: magic, whitespace-separated ASCII width/
+      * height/maxval, single whitespace, then w·h raw bytes.
+      */
+    def decode(ppm: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(ppm.length >= 2 && ppm(0) == 'P'.toByte && ppm(1) == '5'.toByte,
+        "not a P5 PGM")
+      var i = 2
+      def readInt(): Int = {
+        while (i < ppm.length && ppm(i).toChar.isWhitespace) i += 1
+        require(i < ppm.length && ppm(i) >= '0'.toByte && ppm(i) <= '9'.toByte,
+          "malformed PGM header")
+        var v = 0
+        while (i < ppm.length && ppm(i) >= '0'.toByte && ppm(i) <= '9'.toByte) {
+          v = v * 10 + (ppm(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxv = readInt()
+      require(maxv == 255, s"unsupported maxval $maxv")
+      i += 1 // the single whitespace byte after maxval
+      require(ppm.length - i >= w * h, "truncated PGM payload")
+      (w, h, java.util.Arrays.copyOfRange(ppm, i, i + w * h))
+    }
+
+    /** 64-bit pHash of a 64×64 grayscale image, packed as two 32-bit
+      * words (the q_ann_bq signed-BIGINT lesson). All-integer: block
+      * sums, fixed-point DCT, median threshold.
+      */
+    def phash(px: Array[Byte]): (Long, Long) = {
+      val g = Array.ofDim[Long](32, 32) // (y2)(x2) 2×2 block sums
+      var y2 = 0
+      while (y2 < 32) {
+        var x2 = 0
+        while (x2 < 32) {
+          g(y2)(x2) =
+            (px(2 * y2 * W + 2 * x2) & 0xff).toLong +
+              (px(2 * y2 * W + 2 * x2 + 1) & 0xff) +
+              (px((2 * y2 + 1) * W + 2 * x2) & 0xff) +
+              (px((2 * y2 + 1) * W + 2 * x2 + 1) & 0xff)
+          x2 += 1
+        }
+        y2 += 1
+      }
+      // separable DCT: inner(x, v) = Σ_y g(y)(x)·B(v,y);
+      // F(u,v) = Σ_x B(u,x)·inner(x, v)
+      val inner = Array.ofDim[Long](32, 8)
+      var x = 0
+      while (x < 32) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L; var y = 0
+          while (y < 32) { acc += g(y)(x) * DctBasis(v)(y); y += 1 }
+          inner(x)(v) = acc; v += 1
+        }
+        x += 1
+      }
+      val coeffs = new Array[Long](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L; var xx = 0
+          while (xx < 32) { acc += DctBasis(u)(xx) * inner(xx)(v); xx += 1 }
+          coeffs(u * 8 + v) = acc; v += 1
+        }
+        u += 1
+      }
+      val med = coeffs.sorted.apply(31) // exact lower median
+      val bits = coeffs.map(c => if (c > med) 1L else 0L)
+      def word(lo: Int): Long =
+        (lo until lo + 32).foldLeft(0L)((a, k) => a * 2 + bits(k))
+      (word(0), word(32))
+    }
+  }
+
+  /** Perceptual-hash near-dup over the media column — the image dedup
+    * stage of a multimodal pipeline, now over a REAL image path
+    * (round 11): each document's bytes become a deterministic 64×64 P5
+    * PGM ([[Ppm.tile]] + [[Ppm.encode]]), the op DECODES the image
+    * ([[Ppm.decode]] — a real header parse, spec-pinned to round-trip
+    * and to reject non-P5 payloads), and hashes the PIXELS with the
+    * standard pHash transform: 32×32 block downsample → integer 2-D
+    * DCT against the shared fixed-point basis → 64 low-frequency
+    * coefficients thresholded at their exact median ([[Ppm.phash]]).
+    * Candidate pairs come from 4×16-bit band buckets over the 64-bit
+    * code (the minhash banding shape), then exact `bit_count(xor)`
+    * verification keeps pairs at distance ≤ 8. The fixture has no
+    * image near-dups, so each image also ships a re-encode variant
+    * (doc_id + 10⁹) with ONE corrupted pixel (last pixel's low bit) —
+    * the DCT's whole point is that such a pair hashes within a few
+    * bits while different documents' images sit near 32. Scale shape
+    * unchanged: banding bounds the candidate join exactly like text
+    * minhash; the verify is register arithmetic on 16 bytes/pair.
+    * Fully oracled — DuckDB rebuilds the pixel grid from the document
+    * bytes, replays the block sums, the SAME integer DCT basis
+    * constants, the median threshold, the band join, and the xor
+    * popcount (the encode/decode round-trip itself is spec territory:
+    * SQL has no byte-array PGM parser, and the oracle grades the
+    * pixel→code→pair pipeline end to end).
     */
   private def mediaPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = mediaRows(s, dir)
-    val variants = rows.map { r =>
-      val c = r.media.clone()
-      if (c.nonEmpty) c(c.length - 1) = (c(c.length - 1) ^ 1).toByte
-      MediaRow(r.doc_id + 1000000000L, c)
-    }
-    val codes = rows.union(variants).mapPartitions { it =>
-      it.map { r =>
-        val n = r.media.length
-        val bits = Array.tabulate(64) { i =>
-          val start = if (n == 0) 0 else (i.toLong * n / 64).toInt
-          val end = if (n == 0) 0 else ((i + 1).toLong * n / 64).toInt
-          var acc = 0L
-          var j = start
-          while (j < end) { acc = (acc * 31 + (r.media(j) & 0xff)) % 1000003L; j += 1 }
-          acc % 2L
+    val codes = mediaRows(s, dir).mapPartitions { it =>
+      it.flatMap { r =>
+        val gray = Ppm.tile(r.media, Ppm.W * Ppm.H)
+        val corrupt = gray.clone()
+        corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 1).toByte
+        Seq((r.doc_id, gray), (r.doc_id + 1000000000L, corrupt)).map {
+          case (id, payload) =>
+            val ppm = Ppm.encode(payload, Ppm.W, Ppm.H)
+            val (w, h, px) = Ppm.decode(ppm)
+            require(w == Ppm.W && h == Ppm.H)
+            val (w1, w2) = Ppm.phash(px)
+            MediaPhash(id, w1, w2)
         }
-        def word(lo: Int): Long =
-          (lo until lo + 32).foldLeft(0L)((a, k) => a * 2 + bits(k))
-        MediaPhash(r.doc_id, word(0), word(32))
       }
     }.toDF()
     val bandRows = codes.select(col("doc_id"), col("w1"), col("w2"),
@@ -250,30 +367,45 @@ object Multimodal {
         "round(CAST(max(CASE WHEN i = 0 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat0, " +
         "round(CAST(max(CASE WHEN i = 7 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat7 " +
         "FROM f GROUP BY doc_id ORDER BY doc_id"),
-    "q_media_phash" ->
-      ("WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
-        // decode the hex into a byte list once, then emit the original
-        // and the last-byte-flipped re-encode variant
+    "q_media_phash" -> {
+      // the SAME fixed-point DCT basis constants the Spark side bakes —
+      // the integer arithmetic is then engine-identical by construction
+      val basisValues = (for (u <- 0 until 8; x <- 0 until 32)
+        yield s"($u, $x, ${Ppm.DctBasis(u)(x)})").mkString(", ")
+      "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
         "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
         "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
         "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
-        "allm AS MATERIALIZED (SELECT doc_id, n, bs FROM bylist " +
-        "UNION ALL SELECT doc_id + 1000000000, n, " +
-        "CASE WHEN n = 0 THEN bs ELSE list_append(bs[1:CAST(n-1 AS BIGINT)], xor(bs[CAST(n AS BIGINT)], 1)) END FROM bylist), " +
-        // 64 window parities -> two 32-bit words (MSB-first fold)
-        "w AS (SELECT doc_id, i, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "bs[CAST((i*n)//64 + 1 AS BIGINT):CAST(((i+1)*n)//64 AS BIGINT)]), " +
-        "(a, b) -> (a * 31 + b) % 1000003) % 2 AS bit " +
-        "FROM allm CROSS JOIN range(0, 64) t(i)), " +
+        // the 64×64 tiled pixel grid (the image fixture); the variant
+        // corrupts the LAST pixel's low bit — one bad byte re-encode
+        "pxl AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 4096), " +
+        "i -> CASE WHEN n = 0 THEN 0 ELSE bs[CAST(i % n AS BIGINT) + 1] END) AS p FROM bylist), " +
+        "allpx AS MATERIALIZED (SELECT doc_id, p FROM pxl " +
+        "UNION ALL SELECT doc_id + 1000000000, list_append(p[1:4095], xor(p[4096], 1)) FROM pxl), " +
+        // 2×2 block sums at (y2, x2) — the 32×32 downsample
+        "g AS MATERIALIZED (SELECT doc_id, CAST(t.k // 32 AS BIGINT) AS y2, CAST(t.k % 32 AS BIGINT) AS x2, " +
+        "p[CAST(2*(t.k//32)*64 + 2*(t.k%32) AS BIGINT) + 1] + p[CAST(2*(t.k//32)*64 + 2*(t.k%32) AS BIGINT) + 2] + " +
+        "p[CAST((2*(t.k//32)+1)*64 + 2*(t.k%32) AS BIGINT) + 1] + p[CAST((2*(t.k//32)+1)*64 + 2*(t.k%32) AS BIGINT) + 2] AS gv " +
+        "FROM allpx CROSS JOIN range(0, 1024) t(k)), " +
+        s"basis AS (SELECT * FROM (VALUES $basisValues) b(u, x, bv)), " +
+        // separable integer DCT: inner(x2, v), then F(u, v) — exact sums
+        "inr AS MATERIALIZED (SELECT g.doc_id, g.x2, b.u AS v, CAST(sum(g.gv * b.bv) AS BIGINT) AS s " +
+        "FROM g JOIN basis b ON b.x = g.y2 GROUP BY 1, 2, 3), " +
+        "co AS MATERIALIZED (SELECT i.doc_id, b.u, i.v, CAST(sum(b.bv * i.s) AS BIGINT) AS c " +
+        "FROM inr i JOIN basis b ON b.x = i.x2 GROUP BY 1, 2, 3), " +
+        "md AS (SELECT doc_id, (list(c ORDER BY c))[32] AS med FROM co GROUP BY doc_id), " +
+        "bits AS (SELECT co.doc_id, co.u, co.v, CASE WHEN co.c > md.med THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit " +
+        "FROM co JOIN md ON co.doc_id = md.doc_id), " +
         "c AS MATERIALIZED (SELECT doc_id, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY i))[1:32]), (a, b) -> a * 2 + b) AS w1, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY i))[33:64]), (a, b) -> a * 2 + b) AS w2 " +
-        "FROM w GROUP BY doc_id), " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY u, v))[1:32]), (a, b) -> a * 2 + b) AS w1, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), (list(bit ORDER BY u, v))[33:64]), (a, b) -> a * 2 + b) AS w2 " +
+        "FROM bits GROUP BY doc_id), " +
         "bands AS (SELECT doc_id, w1, w2, unnest([(w1 >> 16) & 65535, w1 & 65535, (w2 >> 16) & 65535, w2 & 65535]) AS v, " +
         "unnest([0, 1, 2, 3]) AS band FROM c), " +
         "p AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi, a.w1 AS aw1, a.w2 AS aw2, b.w1 AS bw1, b.w2 AS bw2 " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id) " +
         "SELECT ai, bi, CAST(bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) AS INT) AS ham " +
-        "FROM p WHERE bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) <= 8 ORDER BY ai, bi")
+        "FROM p WHERE bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) <= 8 ORDER BY ai, bi"
+    }
   )
 }

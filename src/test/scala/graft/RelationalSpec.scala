@@ -139,16 +139,42 @@ class RelationalSpec extends SparkSpec {
     assert(a.length === Tables.documents(spark, sfDir).count())
   }
 
-  test("media phash finds every planted re-encode pair and nothing random") {
+  test("media phash: real PGM decode + DCT hash recovers planted corrupt-pixel pairs") {
+    import graft.ops.Multimodal.Ppm
+    // the image format round-trips: header parse + payload recovery
+    val gray = Array.tabulate(Ppm.W * Ppm.H)(i => (i % 251).toByte)
+    val (w, h, px) = Ppm.decode(Ppm.encode(gray, Ppm.W, Ppm.H))
+    assert(w === Ppm.W && h === Ppm.H && px.toSeq === gray.toSeq)
+    intercept[IllegalArgumentException] {
+      Ppm.decode("P6\n2 2\n255\nxxxxxxxxxxxx".getBytes("US-ASCII"))
+    }
+    // the DCT hash is perceptual: a one-pixel corruption moves the code
+    // a few bits; an unrelated image sits far away
+    val (a1, a2) = Ppm.phash(px)
+    val corrupt = px.clone(); corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 1).toByte
+    val (b1, b2) = Ppm.phash(corrupt)
+    def ham(x1: Long, x2: Long, y1: Long, y2: Long) =
+      java.lang.Long.bitCount(x1 ^ y1) + java.lang.Long.bitCount(x2 ^ y2)
+    assert(ham(a1, a2, b1, b2) <= 8)
+    val other = Ppm.tile("a completely different document body".getBytes, Ppm.W * Ppm.H)
+    val (c1, c2) = Ppm.phash(other)
+    assert(ham(a1, a2, c1, c2) > 8)
+
     val got = q("q_media_phash").collect()
     val nDocs = Tables.documents(spark, sfDir).count()
-    // every doc's one-corrupt-byte re-encode variant is found...
+    // nearly every doc's one-corrupt-pixel re-encode variant is found —
+    // a REAL perceptual hash can move > 8 bits when many coefficients
+    // sit near the median, and banding can miss a ≤ 8 pair whose flips
+    // touch all 4 bands, so the law is a recall floor, not equality
     val planted = got.filter(r => r.getLong(1) == r.getLong(0) + 1000000000L)
-    assert(planted.length === nDocs, s"planted pairs: ${planted.length}/$nDocs")
-    // ...at Hamming distance <= 1 (only the final window's parity moves)
-    planted.foreach(r => assert(r.getInt(2) <= 1, s"planted pair too far: $r"))
-    // random 64-bit codes sit near distance 32; none survive the <= 8 cut
-    assert(got.length === planted.length, s"unplanted survivors: ${got.length - planted.length}")
+    assert(planted.length >= (nDocs * 95) / 100,
+      s"planted pairs: ${planted.length}/$nDocs")
+    // every emitted pair passed the exact verify
+    got.foreach(r => assert(r.getInt(2) <= 8, s"unverified pair: $r"))
+    // non-planted survivors are rare (genuinely similar tiled images,
+    // e.g. short low-entropy docs) — the cut stays discriminating
+    assert(got.length - planted.length <= (nDocs * 5) / 100,
+      s"unplanted survivors: ${got.length - planted.length}")
   }
 
   test("full outer join keeps customers with no orders as zero rows") {
