@@ -263,9 +263,15 @@ class GatewaySpec extends SparkSpec {
       val tn = gw.handle(Request("POST", "/query", body =
         """{"db":"x","csl":"TelemetryData | top-nested 1 of event_type by c = count() | project event_type"}"""))
       assert(tn.status === 200, tn)
+      // a dashboard-saved query's trailing render is stripped at the
+      // endpoint (round 11) — the data result comes back unchanged
+      val rend = gw.handle(Request("POST", "/query", body =
+        """{"db":"x","csl":"TelemetryData | count | render timechart"}"""))
+      assert(rend.status === 200, rend)
+      assert(rend.body.contains("\"Count\""), rend.body.take(200))
       // unsupported dialect still 400s with the parse error, never 500s
       val bad = gw.handle(Request("POST", "/query", body =
-        """{"db":"x","csl":"TelemetryData | render timechart"}"""))
+        """{"db":"x","csl":"TelemetryData | mv-apply x on (summarize count())"}"""))
       assert(bad.status === 400, bad)
     } finally rm(wh)
   }
