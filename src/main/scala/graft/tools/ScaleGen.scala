@@ -122,14 +122,21 @@ object ScaleGen {
       // panel, the % 5 upsert split, the % 100 anchors — lands on the
       // same rows) but draws the VALUES from a deterministic
       // 8-component Gaussian mixture: center[c][j] ~ U(-1,1) hashed
-      // from (c, j), vector = center + 0.6·g with g an Irwin-Hall(4)
+      // from (c, j), vector = center + 1.2·g with g an Irwin-Hall(4)
       // normal approximant hashed from (vec_id, j) — intra-cluster
-      // cosines ≈ 0.85, cross ≈ 0, the geometry embedding models
-      // actually emit. label = the true component (the IVF/centroid
-      // queries then group by real structure).
+      // cosines ≈ 0.4, cross ≈ 0: a clear mixture, but with the ≥0.95
+      // near-dup band EMPTY of organic pairs (at 0.6 noise the tail
+      // produced 265k organic ≥0.95 pairs at ~sf1, drowning the
+      // planted-dup recall gates). label = the true component (the
+      // IVF/centroid queries then group by real structure). Every
+      // value is half-up-quantized to the 1e-4 decimal grid BEFORE the
+      // float cast: a scale-8 decimal-cast tie needs a dyadic with
+      // k = 9 exactly (j odd/512), and no float of a 1e-4-grid value
+      // is one — raw hashed floats DID land on ties (the
+      // q_embed_centroid mismatch this mode's first cut produced).
       import spark.implicits._
       val k = 8
-      val noise = 0.6
+      val noise = 1.2
       val idsBase = read("embeddings").select(col("vec_id")).as[Long]
       val allIds = (0 until tiles).map(t => idsBase.map(_ + t * Off))
         .reduce(_ union _)
@@ -139,7 +146,7 @@ object ScaleGen {
           val c = unif(1000L + comp, j) * 2.0 - 1.0
           val g = unif(id, 4L * j) + unif(id, 4L * j + 1) +
             unif(id, 4L * j + 2) + unif(id, 4L * j + 3) - 2.0
-          (c + noise * g).toFloat
+          (math.floor((c + noise * g) * 1e4 + 0.5) / 1e4).toFloat
         }
         (id, emb, comp.toInt)
       }.toDF("vec_id", "embedding", "label"), "embeddings")

