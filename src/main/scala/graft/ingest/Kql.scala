@@ -169,7 +169,7 @@ object Kql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CSL: $msg")
 
-  private val twoCharSyms = Set("==", "!=", "<=", ">=", "<>")
+  private val twoCharSyms = Set("==", "!=", "<=", ">=", "<>", "=~", "!~")
 
   // ADX timespan suffixes → µs per unit (d/h/m/s/ms subset)
   private val spanUnits = Map(
@@ -276,7 +276,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/%.;[]:{}".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/%.;[]:{}~".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -995,11 +995,41 @@ object Kql {
 
     private def applyJoin(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       var rem = toks
-      val kind = rem match {
-        case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
-        case _ => "innerunique" // the ADX default
+      // kind= and hint.*= parameters in any order (ADX allows both
+      // orders; saved production queries carry hints routinely).
+      // hint.strategy=broadcast maps to a REAL broadcast hint on the
+      // right side; hint.strategy=shuffle is Spark's default plan and
+      // strips; shufflekey/num_partitions are advisory (Spark already
+      // hash-partitions on the join keys) and strip with the shape
+      // validated.
+      var kind = "innerunique" // the ADX default
+      var broadcastRight = false
+      var loop = true
+      while (loop) rem match {
+        case TIdent("kind") +: TSym("=") +: TIdent(k) +: t =>
+          kind = k; rem = t
+        case TIdent("hint") +: TSym(".") +: TIdent(h) +: TSym("=") +: v +: t =>
+          h match {
+            case "strategy" => v match {
+              case TIdent("broadcast") => broadcastRight = true
+              case TIdent("shuffle") => ()
+              case other => fail(s"unsupported join strategy hint $other")
+            }
+            case "shufflekey" => v match {
+              case TIdent(_) => ()
+              case other => fail(s"hint.shufflekey needs a column, got $other")
+            }
+            case "num_partitions" => v match {
+              case TNum(_) => ()
+              case other => fail(s"hint.num_partitions needs a number, got $other")
+            }
+            case other => fail(s"unsupported join hint 'hint.$other'")
+          }
+          rem = t
+        case _ => loop = false
       }
-      val (right, keys) = joinRightSide(rem)
+      val (right0, keys) = joinRightSide(rem)
+      val right = if (broadcastRight) broadcast(right0) else right0
       kind match {
         case "inner" => df.join(right, keys, "inner")
         // ADX innerunique: left side deduplicated on the keys first
@@ -2376,7 +2406,25 @@ object Kql {
     //   HLL estimate) — exactness keeps the result oracle-comparable; the
     //   approximate twin is q_agg_approx_distinct.
 
-    private def applySummarize(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+    private def applySummarize(df: DataFrame, toks0: Vector[Tok]): DataFrame = {
+      // ADX shuffle hints (`summarize hint.shufflekey=Col hint.strategy=
+      // shuffle hint.num_partitions=N ...`) are ADVISORY here: Spark's
+      // hash aggregate already map-side-combines and shuffles on the
+      // group keys, which IS the shuffle strategy — validate the shape,
+      // strip the hint
+      var toks = toks0
+      var hints = true
+      while (hints) toks match {
+        case TIdent("hint") +: TSym(".") +: TIdent(h) +: TSym("=") +: v +: t =>
+          (h, v) match {
+            case ("shufflekey", TIdent(_)) => ()
+            case ("strategy", TIdent("shuffle")) => ()
+            case ("num_partitions", TNum(_)) => ()
+            case other => fail(s"unsupported summarize hint $other")
+          }
+          toks = t
+        case _ => hints = false
+      }
       val byIdx = toks.indexOf(TIdent("by"))
       val (aggToks, keys) =
         if (byIdx < 0) (toks, Vector.empty[Column])
@@ -2522,6 +2570,9 @@ object Kql {
     private def cmpSuffix(c: Cur, l: Column): Column = c.peek match {
       case Some(TSym("==")) | Some(TSym("=")) => c.next(); l === parseArith(c)
       case Some(TSym("!=")) | Some(TSym("<>")) => c.next(); l =!= parseArith(c)
+      // ADX case-insensitive string equality / inequality
+      case Some(TSym("=~")) => c.next(); lower(l) === lower(parseArith(c))
+      case Some(TSym("!~")) => c.next(); lower(l) =!= lower(parseArith(c))
       case Some(TSym("<")) => c.next(); l < parseArith(c)
       case Some(TSym("<=")) => c.next(); l <= parseArith(c)
       case Some(TSym(">")) => c.next(); l > parseArith(c)
@@ -2563,10 +2614,20 @@ object Kql {
       case Some(TIdent("has_all")) =>
         c.next()
         parseStrList(c).map(hasNeedle(l, _, cs = false)).reduce(_ && _)
-      // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only
-      case Some(TIdent("in")) => c.next(); l.isin(parseLitList(c): _*)
+      // ADX `x in (a, b, c)` / `x !in (...)` — literal lists only;
+      // `in~` / `!in~` are the case-insensitive forms
+      case Some(TIdent("in")) =>
+        c.next()
+        if (c.peek.contains(TSym("~"))) {
+          c.next()
+          lower(l).isin(parseLitList(c).map(ciLit): _*)
+        } else l.isin(parseLitList(c): _*)
       case Some(TSym("!")) if c.peek2.contains(TIdent("in")) =>
-        c.next(); c.next(); !l.isin(parseLitList(c): _*)
+        c.next(); c.next()
+        if (c.peek.contains(TSym("~"))) {
+          c.next()
+          !lower(l).isin(parseLitList(c).map(ciLit): _*)
+        } else !l.isin(parseLitList(c): _*)
       // negated string operators: !contains / !startswith / !endswith / !has
       case Some(TSym("!")) if c.peek2.exists {
           case TIdent(op) => Set("contains", "startswith", "endswith", "has")(op)
@@ -2677,6 +2738,14 @@ object Kql {
     }
 
     /** Parenthesized literal list for `in`: '(' lit (',' lit)* ')'. */
+    /** Lowercase string literals for the case-insensitive list forms;
+      * non-strings compare as themselves.
+      */
+    private def ciLit(v: Any): Any = v match {
+      case s: String => s.toLowerCase
+      case other => other
+    }
+
     private def parseLitList(c: Cur): Seq[Any] = {
       c.expect(TSym("("))
       val items = Seq.newBuilder[Any]
@@ -3260,6 +3329,45 @@ object Kql {
         case "startofday" => nArgs(1); date_trunc("day", arg(0))
         case "startofhour" => nArgs(1); date_trunc("hour", arg(0))
         case "startofmonth" => nArgs(1); date_trunc("month", arg(0))
+        case "startofyear" => nArgs(1); date_trunc("year", arg(0))
+        // ADX weeks start SUNDAY; Spark/ISO date_trunc('week') is
+        // Monday — shift one day in, truncate, shift back
+        case "startofweek" =>
+          nArgs(1)
+          date_trunc("week", arg(0) + expr("interval 1 day")) -
+            expr("interval 1 day")
+        // the endof* family: next period start minus one µs (the
+        // engine's timestamp resolution; ADX's is 100 ns ticks —
+        // documented dialect)
+        case "endofday" =>
+          nArgs(1)
+          timestamp_micros(unix_micros(date_trunc("day", arg(0))) +
+            lit(86400000000L - 1L))
+        case "endofhour" =>
+          nArgs(1)
+          timestamp_micros(unix_micros(date_trunc("hour", arg(0))) +
+            lit(3600000000L - 1L))
+        case "endofweek" =>
+          nArgs(1)
+          timestamp_micros(unix_micros(
+            date_trunc("week", arg(0) + expr("interval 1 day")) -
+              expr("interval 1 day")) + lit(7L * 86400000000L - 1L))
+        case "endofmonth" =>
+          nArgs(1)
+          timestamp_micros(unix_micros(
+            add_months(date_trunc("month", arg(0)), 1).cast("timestamp")) -
+            lit(1L))
+        case "endofyear" =>
+          nArgs(1)
+          timestamp_micros(unix_micros(
+            add_months(date_trunc("year", arg(0)), 12).cast("timestamp")) -
+            lit(1L))
+        case "hourofday" => nArgs(1); hour(arg(0))
+        case "dayofmonth" => nArgs(1); dayofmonth(arg(0))
+        case "monthofyear" => nArgs(1); month(arg(0))
+        case "getyear" => nArgs(1); year(arg(0))
+        case "getmonth" => nArgs(1); month(arg(0))
+        case "week_of_year" => nArgs(1); weekofyear(arg(0))
         case "datetime_part" =>
           // datetime_part("hour", ts) → int, ADX part names lowercased
           nArgs(2); date_part(lit(litStr(0).toLowerCase), arg(1)).cast("int")

@@ -1300,6 +1300,49 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** KQL datetime tier 2 + case-insensitive operators (round 11):
+    * the startof/endof period family (ADX weeks start SUNDAY — one-day
+    * shift around the ISO truncation; endof* = next period start minus
+    * one µs, the engine's resolution), the part extractors
+    * (hourofday/dayofmonth/monthofyear/getyear/week_of_year), and the
+    * `=~` / `in~` case-insensitive string forms. Timestamps emit as
+    * epoch-µs (the q_kql_timebin convention).
+    */
+  private def kqlDates(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_type =~ 'CLICK' or event_type in~ ('PURCHASE', 'Signup') " +
+        "| extend sow = startofweek(ts_ts), eod = endofday(ts_ts), " +
+        "eom = endofmonth(ts_ts), eoy = endofyear(ts_ts), " +
+        "hod = hourofday(ts_ts), dom = dayofmonth(ts_ts), " +
+        "moy = monthofyear(ts_ts), yr = getyear(ts_ts), wk = week_of_year(ts_ts) " +
+        "| sort by event_id asc | take 500")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("sow")).as("sow_us"),
+        unix_micros(col("eod")).as("eod_us"),
+        unix_micros(col("eom")).as("eom_us"),
+        unix_micros(col("eoy")).as("eoy_us"),
+        col("hod"), col("dom"), col("moy"), col("yr"), col("wk"))
+  }
+
+  /** KQL hint acceptance (round 11): saved production queries carry
+    * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
+    * routinely — the translator now validates and strips the advisory
+    * ones (Spark's hash aggregate already IS the shuffle strategy) and
+    * maps `join hint.strategy=broadcast` to a REAL broadcast hint on
+    * the right side (KqlSpec pins the BroadcastHashJoin in the plan).
+    */
+  private def kqlHints(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | summarize hint.shufflekey = user_id hint.strategy = shuffle " +
+        "n = count() by user_id " +
+        "| join hint.strategy = broadcast kind=inner (events_csl " +
+        "| where event_type == 'purchase' " +
+        "| summarize hint.num_partitions = 8 p = count() by user_id) on user_id " +
+        "| sort by user_id asc")
+  }
+
   /** KQL series-fill family — `series_fill_forward` /
     * `series_fill_linear` / `series_fill_const` over a make-series
     * grid WITHOUT a default (absent bins stay null, this dialect's
@@ -1851,6 +1894,8 @@ object Relational {
     "q_kql_invoke" -> (kqlInvoke _),
     "q_kql_decompose" -> (kqlDecompose _),
     "q_kql_periods" -> (kqlPeriods _),
+    "q_kql_dates" -> (kqlDates _),
+    "q_kql_hints" -> (kqlHints _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2141,6 +2186,24 @@ object Relational {
         "d.d - p.sea AS res " +
         "FROM det d JOIN ph2 p ON d.event_type = p.event_type AND d.i % 7 = p.q " +
         "ORDER BY d.event_type, bin"),
+    "q_kql_dates" ->
+      ("WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS d FROM events " +
+        "WHERE lower(event_type) = 'click' OR lower(event_type) IN ('purchase', 'signup')) " +
+        "SELECT event_id, event_type, " +
+        "CAST(epoch_us(date_trunc('week', d + INTERVAL 1 DAY) - INTERVAL 1 DAY) AS BIGINT) AS sow_us, " +
+        "CAST(epoch_us(date_trunc('day', d)) + 86399999999 AS BIGINT) AS eod_us, " +
+        "CAST(epoch_us(date_trunc('month', d) + INTERVAL 1 MONTH) - 1 AS BIGINT) AS eom_us, " +
+        "CAST(epoch_us(date_trunc('year', d) + INTERVAL 12 MONTH) - 1 AS BIGINT) AS eoy_us, " +
+        "CAST(hour(d) AS INT) AS hod, CAST(day(d) AS INT) AS dom, " +
+        "CAST(month(d) AS INT) AS moy, CAST(year(d) AS INT) AS yr, " +
+        "CAST(weekofyear(d) AS INT) AS wk " +
+        "FROM e ORDER BY event_id LIMIT 500"),
+    "q_kql_hints" ->
+      ("WITH n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id), " +
+        "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS p FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id) " +
+        "SELECT n.user_id AS user_id, n.n AS n, p.p AS p " +
+        "FROM n JOIN p ON n.user_id = p.user_id ORDER BY user_id"),
     // the lag scan and the per-key detected-period decompose mirror the
     // Spark folds exactly: exact product/plain sums (order-free), one
     // fixed IEEE combination per score, phase means from exact sums

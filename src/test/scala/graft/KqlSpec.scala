@@ -1713,6 +1713,64 @@ class KqlSpec extends SparkSpec {
     flatSea.foreach(x => assert(math.abs(x) < 1e-9))
   }
 
+  test("case-insensitive operators and the endof/startof datetime family") {
+    ev.createOrReplaceTempView("kql_events")
+    // =~ / in~ match regardless of case; == does not
+    val ci = Kql.translate(spark,
+      "kql_events | where event_type =~ 'CLICK' | count").as[Long].head()
+    assert(ci === ev.filter($"event_type" === "click").count() && ci > 0)
+    val cin = Kql.translate(spark,
+      "kql_events | where event_type in~ ('CLICK', 'Purchase') | count")
+      .as[Long].head()
+    assert(cin === ev.filter($"event_type".isin("click", "purchase")).count())
+    val notIn = Kql.translate(spark,
+      "kql_events | where event_type !in~ ('CLICK', 'Purchase') | count")
+      .as[Long].head()
+    assert(notIn === ev.count() - cin)
+    assert(Kql.translate(spark,
+      "kql_events | where event_type == 'CLICK' | count").as[Long].head() === 0L)
+    // bare '~' is still not an operator
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_events | where value ~ 3")
+    }
+    // the period family: ADX weeks start SUNDAY; endof* = next period
+    // start minus one µs
+    val r = Kql.translate(spark,
+      "print d = datetime(2024-01-10 13:45:30) " + // a Wednesday
+        "| extend sow = startofweek(d), eod = endofday(d), eow = endofweek(d), " +
+        "eom = endofmonth(d), eoy = endofyear(d), hod = hourofday(d), " +
+        "dom = dayofmonth(d), moy = monthofyear(d), yr = getyear(d)")
+      .selectExpr("CAST(sow AS STRING)", "CAST(eod AS STRING)",
+        "CAST(eow AS STRING)", "CAST(eom AS STRING)", "CAST(eoy AS STRING)",
+        "hod", "dom", "moy", "yr").head()
+    assert(r.getString(0) === "2024-01-07 00:00:00") // the Sunday before
+    assert(r.getString(1) === "2024-01-10 23:59:59.999999")
+    assert(r.getString(2) === "2024-01-13 23:59:59.999999") // Saturday end
+    assert(r.getString(3) === "2024-01-31 23:59:59.999999")
+    assert(r.getString(4) === "2024-12-31 23:59:59.999999")
+    assert((r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8)) === ((13, 10, 1, 2024)))
+  }
+
+  test("hints: advisory ones strip; join hint.strategy=broadcast is a real broadcast") {
+    ev.createOrReplaceTempView("kql_events")
+    val df = Kql.translate(spark,
+      "kql_events | summarize hint.shufflekey = user_id n = count() by user_id " +
+        "| join hint.strategy = broadcast kind=inner (kql_events " +
+        "| summarize hint.num_partitions = 8 p = count() by user_id) on user_id")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "hint.strategy=broadcast must pin a broadcast join")
+    assert(df.count() === ev.select("user_id").distinct().count())
+    // a malformed hint fails loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | join hint.strategy = sideways kind=inner (kql_events) on user_id")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | summarize hint.shufflekey = 3 n = count() by user_id")
+    }
+  }
+
   test("externaldata: typed csv scan; non-csv formats rejected") {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_externaldata_spec.csv"),
