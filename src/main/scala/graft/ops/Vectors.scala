@@ -1068,6 +1068,20 @@ object Vectors {
     * vector re-derives identical rows), so replayed appends are
     * dedup-safe on vec_id.
     */
+  /** The full serving funnel over explicit index tables — ADC at the
+    * derived probes + exact re-rank at the derived shortlist. Seam for
+    * the STREAMING upsert sink's spec ([[graft.streaming.StreamOps
+    * .vectorUpsertSink]]): a served read over (frozen tables ∪
+    * streamed generations) must equal the batch upsert bit-for-bit.
+    */
+  private[graft] def serveFunnel(s: SparkSession, dir: String,
+      c2: DataFrame, pcb2: DataFrame, codes: DataFrame,
+      asgn: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    exactRerank(s, ivfPqServe(s, dir, c2, pcb2, codes, asgn, None), e,
+      shortlistWidth(e.count()))
+  }
+
   /** The frozen-index fixture: base-generation fit + its index tables,
     * materialized — (c2, pcb2, codesB, asgnB, base). Seam shared by
     * [[annUpsert]] and the spec that proves encode idempotence

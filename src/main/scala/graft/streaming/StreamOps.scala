@@ -577,6 +577,60 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING vector-index maintenance (round 11) — the continuous-
+    * ingest loop applied to the ANN index, closing the last static
+    * piece of the serving stack: micro-batches of new vectors are
+    * add-with-assign-encoded onto the FROZEN persisted quantizer
+    * ([[graft.ops.Vectors.encodeOnto]] — deterministic argmins over
+    * the q_ann_persist tables, no Lloyd pass at ingest time) and their
+    * code/assignment rows land as per-batch generations
+    * `codes_inc/bid=<b>` and `assign_inc/bid=<b>` beside the frozen
+    * tables — the same generation layout (and the same replay story)
+    * as the near-dup index: a replayed batch re-derives the identical
+    * rows and overwrites its own partitions, so the sink is
+    * exactly-once at the row level. Serving reads
+    * frozen ∪ generations ([[loadVectorIndex]]); an upserted vector is
+    * searchable at the next query with NO index rebuild. Refit policy
+    * is the q_ann_upsert contract (cell-skew drift or new/total
+    * fraction); compaction of the `bid=` generations is
+    * [[nearDupSelfSink]]'s compactEvery machinery applied verbatim
+    * when batch counts warrant it.
+    */
+  def vectorUpsertSink(vecs: DataFrame, idxDir: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val c2 = s.read.parquet(s"$idxDir/coarse")
+        val pcb2 = s.read.parquet(s"$idxDir/codebooks")
+        val (asgnN, codesN) = graft.ops.Vectors.encodeOnto(s, c2, pcb2, batch)
+        codesN.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=$batchId")
+        asgnN.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=$batchId")
+      }
+      .start()
+
+  /** Load a persisted IVF-PQ index PLUS its streamed upsert
+    * generations: (coarse, codebooks, codes ∪ codes_inc,
+    * assign ∪ assign_inc) — what a serving tier reads after
+    * [[vectorUpsertSink]] has been appending.
+    */
+  def loadVectorIndex(s: SparkSession, idxDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def withInc(base: DataFrame, sub: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$idxDir/$sub")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        base.unionByName(
+          s.read.parquet(p.toString).select(base.columns.map(col).toSeq: _*))
+      else base
+    }
+    (s.read.parquet(s"$idxDir/coarse"),
+      s.read.parquet(s"$idxDir/codebooks"),
+      withInc(s.read.parquet(s"$idxDir/codes"), "codes_inc"),
+      withInc(s.read.parquet(s"$idxDir/assign"), "assign_inc"))
+  }
+
   /** Streaming upsert sink via `foreachBatch` — the lakehouse MERGE loop:
     * each micro-batch folds into a keyed parquet state table as
     * "latest row per (user_id, event_type) wins", i.e. q_changelog_compact

@@ -208,6 +208,62 @@ class StreamingIngestSpec extends SparkSpec {
       === survivors)
   }
 
+  test("streaming vector upsert: adds become searchable; serve equals the batch upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // build the frozen index on the base generation (the q_ann_upsert
+    // fixture), persist its four tables
+    val (c2, pcb2, codesB, asgnB, _) =
+      graft.ops.Vectors.upsertParts(spark, sfDir)
+    val idxDir = tmp("graft_vidx"); val cp = tmp("graft_vidxcp")
+    c2.write.mode("overwrite").parquet(s"$idxDir/coarse")
+    pcb2.write.mode("overwrite").parquet(s"$idxDir/codebooks")
+    codesB.write.mode("overwrite").parquet(s"$idxDir/codes")
+    asgnB.write.mode("overwrite").parquet(s"$idxDir/assign")
+
+    // stream the incoming generation in TWO micro-batches
+    val incoming = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % 5 === 4)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.vectorUpsertSink(
+      in.toDF().toDF("vec_id", "embedding"), idxDir, cp)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    // two generations landed beside the frozen tables
+    val (lc2, lpcb2, lcodes, lasgn) = StreamOps.loadVectorIndex(spark, idxDir)
+    val nAsgn = lasgn.count()
+    val nCodes = lcodes.count()
+    assert(nAsgn === asgnB.count() + incoming.length)
+    assert(nCodes === codesB.count() + 4L * incoming.length)
+
+    // the served funnel over frozen ∪ streamed generations equals the
+    // BATCH upsert bit-for-bit (same frozen fit, same deterministic
+    // encode, same derived knobs)
+    val served = graft.ops.Vectors
+      .serveFunnel(spark, sfDir, lc2, lpcb2, lcodes, lasgn)
+      .collect().toSeq
+    val batchUpsert = graft.SparkEntry.queries("q_ann_upsert")(spark, sfDir)
+      .drop("is_new").collect().toSeq
+    assert(served === batchUpsert)
+    // replay idempotence: re-encoding batch 2 overwrites its own
+    // generation — counts and the served answer are unchanged
+    val s2 = spark.createDataset(b2).toDF("vec_id", "embedding")
+    val (ra, rc) = graft.ops.Vectors.encodeOnto(spark, lc2, lpcb2, s2)
+    rc.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=1")
+    ra.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=1")
+    val (_, _, lcodes2, lasgn2) = StreamOps.loadVectorIndex(spark, idxDir)
+    assert(lasgn2.count() === nAsgn)
+    assert(lcodes2.count() === nCodes)
+    assert(graft.ops.Vectors
+      .serveFunnel(spark, sfDir, lc2, lpcb2, lcodes2, lasgn2)
+      .collect().toSeq === served)
+  }
+
   test("self-updating gate compacts its index; replay across the boundary holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
