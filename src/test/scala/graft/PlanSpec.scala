@@ -489,6 +489,18 @@ class PlanSpec extends SparkSpec {
     assert(df.collect()(0).toSeq === want.toSeq)
   }
 
+  test("fork branches read the materialized input, never the upstream lineage") {
+    // N differently-pruned branches over one input would re-derive the
+    // whole upstream per branch (the recall-harness 311-scan lesson);
+    // applyFork localCheckpoints before the fan-out, so the executed
+    // plan reads the checkpointed RDD and contains NO parquet scans
+    val p = finalPlan("q_kql_fork")
+    assert(!p.contains("Scan parquet"),
+      s"fork branches must read the checkpointed input:\n${p.take(800)}")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"), p.take(800))
+  }
+
   test("media phash candidates come from the band equi-join, never a cartesian") {
     val p = finalPlan("q_media_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
