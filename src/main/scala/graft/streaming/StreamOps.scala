@@ -544,38 +544,47 @@ object StreamOps {
         graft.ops.Text.minhashBandTable(survivors)
           .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
           .write.mode("overwrite").parquet(s"$idxDir/bid=$batchId")
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          val marker =
-            new org.apache.hadoop.fs.Path(idxRoot, s"_compacted_$batchId")
-          if (!fs.exists(marker)) {
-            // fold into a FRESH generation dir (bid = -b): the write
-            // never deletes a committed sole copy, and a crash here
-            // leaves the originals intact for the replay to re-fold
-            val folded = s.read.parquet(idxDir).filter(col("bid") < batchId)
-              .select("band", "bucket", "corpus_sig")
-              .distinct().localCheckpoint()
-            folded.write.mode("overwrite")
-              .parquet(s"$idxDir/bid=-$batchId")
-            // atomic publish: the fold is superseding-authoritative
-            // only once this single create succeeds
-            fs.create(marker, false).close()
-          }
-          // delete superseded dirs (and stale markers) only AFTER the
-          // marker exists; idempotent under replay
-          fs.listStatus(idxRoot).map(_.getPath)
-            .filter { p =>
-              val n = p.getName
-              (n.startsWith("bid=") &&
-                scala.util.Try(n.stripPrefix("bid=").toLong).toOption
-                  .exists(v => v < batchId && v != -batchId)) ||
-              (n.startsWith("_compacted_") &&
-                scala.util.Try(n.stripPrefix("_compacted_").toLong).toOption
-                  .exists(_ < batchId))
-            }
-            .foreach(fs.delete(_, true))
-        }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactGenerations(s, idxDir, batchId,
+            Seq("band", "bucket", "corpus_sig"))
       }
       .start()
+
+  /** The crash-safe generation fold shared by [[nearDupSelfSink]] and
+    * [[vectorUpsertSink]]: fold all `bid < batchId` rows (distinct —
+    * the tables are sets of identical-on-replay rows) into the FRESH
+    * partition `bid = -batchId`, publish with an atomic
+    * `_compacted_<batchId>` marker create, and only then delete
+    * superseded dirs and stale markers. A replay that sees the marker
+    * SKIPS the fold, so a committed fold — by then possibly the sole
+    * copy — is never overwritten mid-write (Spark's overwrite deletes
+    * before it commits).
+    */
+  private def compactGenerations(s: SparkSession, root: String,
+      batchId: Long, cols: Seq[String]): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val marker = new org.apache.hadoop.fs.Path(rootP, s"_compacted_$batchId")
+    if (!fs.exists(marker)) {
+      val folded = s.read.parquet(root).filter(col("bid") < batchId)
+        .select(cols.map(col): _*)
+        .distinct().localCheckpoint()
+      folded.write.mode("overwrite").parquet(s"$root/bid=-$batchId")
+      fs.create(marker, false).close()
+    }
+    fs.listStatus(rootP).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("bid=") &&
+          scala.util.Try(n.stripPrefix("bid=").toLong).toOption
+            .exists(v => v < batchId && v != -batchId)) ||
+        (n.startsWith("_compacted_") &&
+          scala.util.Try(n.stripPrefix("_compacted_").toLong).toOption
+            .exists(_ < batchId))
+      }
+      .foreach(fs.delete(_, true))
+  }
 
   /** STREAMING vector-index maintenance (round 11) — the continuous-
     * ingest loop applied to the ANN index, closing the last static
@@ -592,12 +601,12 @@ object StreamOps {
     * frozen ∪ generations ([[loadVectorIndex]]); an upserted vector is
     * searchable at the next query with NO index rebuild. Refit policy
     * is the q_ann_upsert contract (cell-skew drift or new/total
-    * fraction); compaction of the `bid=` generations is
-    * [[nearDupSelfSink]]'s compactEvery machinery applied verbatim
-    * when batch counts warrant it.
+    * fraction); `compactEvery` folds the `bid=` generations through
+    * the same crash-safe marker machinery as the near-dup index
+    * ([[compactGenerations]]).
     */
   def vectorUpsertSink(vecs: DataFrame, idxDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -607,6 +616,12 @@ object StreamOps {
         val (asgnN, codesN) = graft.ops.Vectors.encodeOnto(s, c2, pcb2, batch)
         codesN.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=$batchId")
         asgnN.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          compactGenerations(s, s"$idxDir/codes_inc", batchId,
+            Seq("vec_id", "m", "code"))
+          compactGenerations(s, s"$idxDir/assign_inc", batchId,
+            Seq("vec_id", "cl"))
+        }
       }
       .start()
 
@@ -614,16 +629,35 @@ object StreamOps {
     * generations: (coarse, codebooks, codes ∪ codes_inc,
     * assign ∪ assign_inc) — what a serving tier reads after
     * [[vectorUpsertSink]] has been appending.
+    *
+    * Crash-window consistency: between a compaction's marker create
+    * and the completion of its deletes, folded rows COEXIST with
+    * not-yet-deleted originals. The near-dup probes are set-semantic
+    * and shrug; ADC scoring SUMS per (vec_id, m) rows, so a duplicate
+    * would double-count a subspace distance. The reader therefore
+    * resolves the live generation set from the highest marker B:
+    * valid bids are exactly {-B} ∪ [B, ∞) — superseded leftovers
+    * (< B, ≠ -B) are filtered out, whatever the deletes' progress.
     */
   def loadVectorIndex(s: SparkSession, idxDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def withInc(base: DataFrame, sub: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(s"$idxDir/$sub")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        base.unionByName(
-          s.read.parquet(p.toString).select(base.columns.map(col).toSeq: _*))
-      else base
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val markers = fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("_compacted_"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("_compacted_").toLong).toOption)
+        val inc0 = s.read.parquet(p.toString)
+        val inc =
+          if (markers.isEmpty) inc0
+          else {
+            val b = markers.max
+            inc0.filter(col("bid") === -b || col("bid") >= b)
+          }
+        base.unionByName(inc.select(base.columns.map(col).toSeq: _*))
+      } else base
     }
     (s.read.parquet(s"$idxDir/coarse"),
       s.read.parquet(s"$idxDir/codebooks"),

@@ -221,18 +221,32 @@ class StreamingIngestSpec extends SparkSpec {
     codesB.write.mode("overwrite").parquet(s"$idxDir/codes")
     asgnB.write.mode("overwrite").parquet(s"$idxDir/assign")
 
-    // stream the incoming generation in TWO micro-batches
+    // stream the incoming generation in THREE micro-batches with
+    // compaction every 2 — batch 2 folds generations 0..1 into bid=-2
     val incoming = Tables.embeddings(spark, sfDir)
       .filter($"vec_id" % 5 === 4)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toSeq
-    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val third = incoming.length / 3
+    val (b1, rest) = incoming.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
     val in = MemoryStream[(Long, Array[Float])]
     val q = StreamOps.vectorUpsertSink(
-      in.toDF().toDF("vec_id", "embedding"), idxDir, cp)
+      in.toDF().toDF("vec_id", "embedding"), idxDir, cp, compactEvery = 2)
     in.addData(b1: _*); q.processAllAvailable()
     in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
     q.stop()
+
+    // compacted layout: generations 0..1 folded into bid=-2, batch 2
+    // intact, published by the marker
+    val bids = spark.read.parquet(s"$idxDir/codes_inc").select("bid")
+      .as[Int].distinct().collect().toSet
+    assert(bids === Set(-2, 2), bids.toString)
+    val gfs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(gfs.exists(
+      new org.apache.hadoop.fs.Path(s"$idxDir/codes_inc/_compacted_2")))
 
     // two generations landed beside the frozen tables
     val (lc2, lpcb2, lcodes, lasgn) = StreamOps.loadVectorIndex(spark, idxDir)
@@ -250,17 +264,30 @@ class StreamingIngestSpec extends SparkSpec {
     val batchUpsert = graft.SparkEntry.queries("q_ann_upsert")(spark, sfDir)
       .drop("is_new").collect().toSeq
     assert(served === batchUpsert)
-    // replay idempotence: re-encoding batch 2 overwrites its own
+    // replay idempotence: re-encoding the LAST batch overwrites its own
     // generation — counts and the served answer are unchanged
-    val s2 = spark.createDataset(b2).toDF("vec_id", "embedding")
-    val (ra, rc) = graft.ops.Vectors.encodeOnto(spark, lc2, lpcb2, s2)
-    rc.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=1")
-    ra.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=1")
+    val s3 = spark.createDataset(b3).toDF("vec_id", "embedding")
+    val (ra, rc) = graft.ops.Vectors.encodeOnto(spark, lc2, lpcb2, s3)
+    rc.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=2")
+    ra.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=2")
     val (_, _, lcodes2, lasgn2) = StreamOps.loadVectorIndex(spark, idxDir)
     assert(lasgn2.count() === nAsgn)
     assert(lcodes2.count() === nCodes)
     assert(graft.ops.Vectors
       .serveFunnel(spark, sfDir, lc2, lpcb2, lcodes2, lasgn2)
+      .collect().toSeq === served)
+    // crash-window consistency: a superseded generation the compaction
+    // has not deleted yet (simulated bid=0 leftover) must be INVISIBLE
+    // to the reader — ADC sums would double-count duplicated code rows
+    val s1 = spark.createDataset(b1).toDF("vec_id", "embedding")
+    val (la, lc) = graft.ops.Vectors.encodeOnto(spark, lc2, lpcb2, s1)
+    lc.write.mode("overwrite").parquet(s"$idxDir/codes_inc/bid=0")
+    la.write.mode("overwrite").parquet(s"$idxDir/assign_inc/bid=0")
+    val (_, _, lcodes3, lasgn3) = StreamOps.loadVectorIndex(spark, idxDir)
+    assert(lcodes3.count() === nCodes, "leftover generation must be filtered")
+    assert(lasgn3.count() === nAsgn)
+    assert(graft.ops.Vectors
+      .serveFunnel(spark, sfDir, lc2, lpcb2, lcodes3, lasgn3)
       .collect().toSeq === served)
   }
 
