@@ -761,6 +761,15 @@ object Kql {
           // ADX keeps the TABLE's column order, not the list's
           val keep = parseNameList(rest).toSet
           df.select(df.columns.filter(keep).map(col).toSeq: _*)
+        case TIdent("project") +: TSym("-") +: TIdent("reorder") +: rest =>
+          // project-reorder c1, c2: listed columns first (in list
+          // order), every other column follows in TABLE order — a pure
+          // projection, zero cost
+          val front = parseNameList(rest)
+          front.foreach(c =>
+            if (!df.columns.contains(c)) fail(s"project-reorder: no column '$c'"))
+          val back = df.columns.filterNot(front.contains)
+          df.select((front ++ back).map(col): _*)
         case TIdent("project") +: TSym("-") +: TIdent("rename") +: rest =>
           // project-rename new = old, ...: renames in place, keeps the rest
           parseRenameItems(rest).foldLeft(df) { case (d, (to, from)) =>
@@ -3304,6 +3313,27 @@ object Kql {
           // ADX specifiers (yyyy MM dd HH mm ss) share Java semantics
           nArgs(2); date_format(arg(0), litStr(1))
         case "tohex" => nArgs(1); lower(hex(arg(0)))
+        case "tobool" | "toboolean" => nArgs(1); arg(0).cast("boolean")
+        case "base64_encode_tostring" =>
+          nArgs(1); base64(arg(0).cast("binary"))
+        case "base64_decode_tostring" =>
+          nArgs(1); unbase64(arg(0)).cast("string")
+        // strrep(v, n[, delim]) — v repeated n times, delim-joined
+        // (the delimiter is a string literal in this subset)
+        case "strrep" =>
+          if (groups.length < 2 || groups.length > 3)
+            fail("strrep takes (value, multiplier[, delimiter])")
+          val delim = if (groups.length == 3) litStr(2) else ""
+          array_join(array_repeat(arg(0).cast("string"),
+            arg(1).cast("int")), delim)
+        // array_sum folds in index order with double terms — exact for
+        // integral arrays (< 2^53), the oracle-safe regime; the fold
+        // order is the engines' shared list_sum order for doubles
+        case "array_sum" =>
+          nArgs(1)
+          aggregate(arg(0), lit(0.0), (a, e) => a + e.cast("double"))
+        case "array_sort_asc" => nArgs(1); sort_array(arg(0))
+        case "array_sort_desc" => nArgs(1); sort_array(arg(0), asc = false)
         case "isnan" => nArgs(1); isnan(arg(0))
         case "round" =>
           nArgs(1, 2)

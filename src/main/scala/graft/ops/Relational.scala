@@ -1325,6 +1325,27 @@ object Relational {
         col("hod"), col("dom"), col("moy"), col("yr"), col("wk"))
   }
 
+  /** KQL scalar tier 3 + `project-reorder` (round 11): the base64
+    * pair (RFC 4648, both engines), strrep with a delimiter, tobool,
+    * array_sum (index-order double fold — exact on integral arrays),
+    * array_sort_asc/desc, and the zero-cost column reorder projection.
+    */
+  private def kqlScalar2(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_id < 200 " +
+        "| extend b64 = base64_encode_tostring(event_type), " +
+        "rt = base64_decode_tostring(base64_encode_tostring(event_type)), " +
+        "rep = strrep(event_type, 3, '-'), " +
+        "flag = tobool(iff(value > 100, 'true', 'false')), " +
+        "arr = pack_array(event_id, user_id, 7) " +
+        "| extend asum = array_sum(arr), sasc = array_sort_asc(arr), " +
+        "sdesc = array_sort_desc(arr) " +
+        "| project event_id, event_type, b64, rt, rep, flag, asum, sasc, sdesc " +
+        "| project-reorder rep, b64 " +
+        "| sort by event_id asc")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -1896,6 +1917,7 @@ object Relational {
     "q_kql_periods" -> (kqlPeriods _),
     "q_kql_dates" -> (kqlDates _),
     "q_kql_hints" -> (kqlHints _),
+    "q_kql_scalar2" -> (kqlScalar2 _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2198,6 +2220,16 @@ object Relational {
         "CAST(month(d) AS INT) AS moy, CAST(year(d) AS INT) AS yr, " +
         "CAST(weekofyear(d) AS INT) AS wk " +
         "FROM e ORDER BY event_id LIMIT 500"),
+    "q_kql_scalar2" ->
+      ("WITH e AS (SELECT * FROM events WHERE event_id < 200) " +
+        "SELECT event_type || '-' || event_type || '-' || event_type AS rep, " +
+        "to_base64(encode(event_type)) AS b64, event_id, event_type, " +
+        "decode(from_base64(to_base64(encode(event_type)))) AS rt, " +
+        "CASE WHEN value > 100 THEN true ELSE false END AS flag, " +
+        "CAST(event_id + user_id + 7 AS DOUBLE) AS asum, " +
+        "list_sort([event_id, user_id, 7]) AS sasc, " +
+        "list_reverse_sort([event_id, user_id, 7]) AS sdesc " +
+        "FROM e ORDER BY event_id"),
     "q_kql_hints" ->
       ("WITH n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id), " +
         "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS p FROM events " +

@@ -1771,6 +1771,32 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("scalar tier 3: base64 round trip, strrep, array ops, project-reorder") {
+    val r = Kql.translate(spark,
+      "print s = 'abc', n = pack_array(3, 1, 2) " +
+        "| extend b = base64_encode_tostring(s), " +
+        "r2 = strrep(s, 2), r3 = strrep(s, 3, '|'), " +
+        "t = tobool('TRUE'), sm = array_sum(n), " +
+        "sa = array_sort_asc(n), sd = array_sort_desc(n) " +
+        "| extend d = base64_decode_tostring(b)")
+    val row = r.head()
+    assert(row.getAs[String]("b") === "YWJj")
+    assert(row.getAs[String]("d") === "abc")
+    assert(row.getAs[String]("r2") === "abcabc")
+    assert(row.getAs[String]("r3") === "abc|abc|abc")
+    assert(row.getAs[Boolean]("t") === true)
+    assert(row.getAs[Double]("sm") === 6.0)
+    assert(row.getAs[Seq[Long]]("sa") === Seq(1L, 2L, 3L))
+    assert(row.getAs[Seq[Long]]("sd") === Seq(3L, 2L, 1L))
+    // project-reorder: listed first in list order, the rest in TABLE order
+    val cols = Kql.translate(spark,
+      "print a = 1, b = 2, c = 3, d = 4 | project-reorder c, b").columns.toSeq
+    assert(cols === Seq("c", "b", "a", "d"))
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "print a = 1 | project-reorder zz")
+    }
+  }
+
   test("externaldata: typed csv scan; non-csv formats rejected") {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_externaldata_spec.csv"),
