@@ -582,14 +582,39 @@ object Kql {
           u
         case _ => fail("externaldata needs ['<uri>'] after the schema")
       }
-      rem match {
-        case Vector() => ()
+      val format = rem match {
+        case Vector() => "csv"
         case Vector(TIdent("with"), TSym("("), TIdent("format"), TSym("="),
             TStr(fmt), TSym(")")) =>
-          if (fmt != "csv") fail(s"externaldata format '$fmt' unsupported (csv only)")
-        case other => fail(s"externaldata: expected `with (format='csv')`, got $other")
+          if (fmt != "csv" && fmt != "parquet")
+            fail(s"externaldata format '$fmt' unsupported (csv, parquet)")
+          fmt
+        case other => fail(s"externaldata: expected `with (format=...)`, got $other")
       }
-      s.read.schema(schema).csv(uri)
+      format match {
+        case "csv" => s.read.schema(schema).csv(uri)
+        case "parquet" =>
+          // the reference's documented external-read idiom is PARQUET
+          // over its own output layout (OPENROWSET FORMAT='PARQUET',
+          // reference README.md:92-100). The inline schema is a
+          // CONTRACT, not a cast: every declared column must exist in
+          // the file footer with exactly the declared type — a drifted
+          // file fails loudly at translate time, never silently casts.
+          val file = s.read.parquet(uri)
+          val byName = file.schema.fields.map(f => f.name -> f.dataType).toMap
+          schema.fields.foreach { f =>
+            byName.get(f.name) match {
+              case None => fail(
+                s"externaldata parquet: column '${f.name}' absent from " +
+                  s"file footer (has: ${file.schema.fieldNames.mkString(", ")})")
+              case Some(dt) if dt != f.dataType => fail(
+                s"externaldata parquet: column '${f.name}' declared " +
+                  s"${f.dataType.simpleString} but file footer has ${dt.simpleString}")
+              case _ => ()
+            }
+          }
+          file.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      }
     }
 
     /** `print x = expr [, y = expr ...]` — the ADX one-row evaluator
@@ -2751,7 +2776,10 @@ object Kql {
       * non-strings compare as themselves.
       */
     private def ciLit(v: Any): Any = v match {
-      case s: String => s.toLowerCase
+      // Locale.ROOT: the column side uses Spark's locale-independent
+      // lower(); a default-locale toLowerCase would diverge under e.g.
+      // a Turkish JVM ('TITLE' -> 'tıtle') and silently miss matches
+      case s: String => s.toLowerCase(java.util.Locale.ROOT)
       case other => other
     }
 
@@ -3026,6 +3054,71 @@ object Kql {
         case "strcat_array" =>
           // strcat_array(arr, delimiter) — the array join
           nArgs(2); array_join(arg(0).cast("array<string>"), litStr(1))
+        case "parse_url" =>
+          // ADX parse_url: a dynamic of URL parts; ABSENT PARTS ARE
+          // EMPTY STRINGS (the ADX contract). Dynamic IS JSON text in
+          // this dialect ([[dynPath]]), so the result is a JSON object
+          // assembled from codegen'd regexp_extracts — each pattern
+          // RE2-safe (no backrefs/lookaround), so the DuckDB twin runs
+          // the identical regexes. `Query` carries the raw query
+          // string (the "Query Parameters" dict is out of this subset).
+          nArgs(1)
+          val u = arg(0)
+          def part(p: String) = regexp_extract(u, p, 1)
+          val auth = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?"
+          concat(
+            lit("{\"Scheme\":\""), part("^([A-Za-z][A-Za-z0-9+.-]*)://"),
+            lit("\",\"Host\":\""), part(auth + "([^:/?#]*)"),
+            lit("\",\"Port\":\""), part(auth + "[^:/?#]*:([0-9]+)"),
+            lit("\",\"Path\":\""),
+            part("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"),
+            lit("\",\"Query\":\""), part("\\?([^#]*)"),
+            lit("\",\"Fragment\":\""), part("#(.*)$"), lit("\"}"))
+        case "url_decode" =>
+          // application/x-www-form-urlencoded decode ('+' → space,
+          // %XX → byte) — Spark's codegen'd built-in (java.net
+          // .URLDecoder semantics); the oracle twin replays ASCII
+          // percent-escapes with a split/fold
+          nArgs(1); url_decode(arg(0))
+        case "format_bytes" =>
+          // format_bytes(size): the ADX human-readable byte formatter
+          // at its default precision 0 — largest 1024-power unit with
+          // value ≥ 1, half-up integer count. The tier pick and the
+          // one rounding are plain IEEE compares on exact powers of
+          // two — engine-identical
+          nArgs(1)
+          val b = arg(0).cast("double")
+          def tier(p: Int) = lit(math.pow(1024.0, p))
+          val u = when(b >= tier(5), 5).when(b >= tier(4), 4)
+            .when(b >= tier(3), 3).when(b >= tier(2), 2)
+            .when(b >= tier(1), 1).otherwise(0)
+          val unit = element_at(array(lit("Bytes"), lit("KB"), lit("MB"),
+            lit("GB"), lit("TB"), lit("PB")), u + lit(1))
+          val v = floor(b / pow(lit(1024.0), u.cast("double")) + lit(0.5))
+            .cast("long")
+          concat(v.cast("string"), lit(" "), unit)
+        case "has_all" | "has_any" =>
+          // the FUNCTION forms over a dynamic array literal —
+          // has_all(col, dynamic(['a','b'])) — saved ADX queries use
+          // these beside the infix operator forms; same whole-term
+          // boundary semantics ([[hasNeedle]]), AND/OR-folded into one
+          // pushable Filter
+          nArgs(2)
+          val needles = groups(1) match {
+            case TIdent("dynamic") +: TSym("(") +: TSym("[") +: mid
+                if mid.endsWith(Vector(TSym("]"), TSym(")"))) =>
+              splitOn(mid.dropRight(2), TSym(",")).map {
+                case Vector(TStr(v)) => v
+                case other =>
+                  fail(s"$fn needs string literals in dynamic([...]), got $other")
+              }
+            case other =>
+              fail(s"$fn(col, dynamic(['t1', ...])) — second arg must " +
+                s"be a dynamic array literal, got $other")
+          }
+          if (needles.isEmpty) fail(s"$fn needs at least one needle")
+          val terms = needles.map(hasNeedle(arg(0), _, cs = false))
+          if (fn == "has_all") terms.reduce(_ && _) else terms.reduce(_ || _)
         case "pack_array" =>
           if (groups.isEmpty) fail("pack_array needs at least one element")
           array((0 until groups.length).map(arg): _*)

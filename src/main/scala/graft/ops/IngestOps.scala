@@ -229,6 +229,23 @@ object IngestOps {
     """[{"timestamp":"BIGINT","timeOffsetHours":"BIGINT","pointId":"VARCHAR","sequence":"BIGINT","project":"VARCHAR","value":"DOUBLE","res":"VARCHAR","quality":"BIGINT"}]"""
 
   val oracleSql: Map[String, String] = Map(
+    // round-12 upgrade out of the ⊘ set: the oracle asserts the
+    // ROUND-TRIP INVARIANT — per format, (count, Σ n_chars, content
+    // checksum) read back from the written files must equal the same
+    // three aggregates computed directly from `documents`. DuckDB
+    // computes the direct side with the identical 48-bit md5-prefix
+    // fold; any format leg that drops/corrupts/retypes a row makes the
+    // Spark side diverge and the row hash-mismatches
+    "q_format_matrix" ->
+      ("WITH r AS (SELECT n_chars, CAST(list_reduce(list_transform(range(1, 13), c -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' " +
+        "|| CAST(n_chars AS VARCHAR) || '|' || md5(text)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b) AS BIGINT) AS rh FROM documents), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(rh) AS BIGINT) AS checksum FROM r) " +
+        "SELECT f.format AS format, n_rows, sum_chars, checksum " +
+        "FROM c CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format) " +
+        "ORDER BY format"),
     "q_parquet_roundtrip" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n, " +
         "min(1697049600000 + i * 1000) AS min_ts, " +

@@ -11,9 +11,12 @@ import graft.Tables
   * Since round 11 the pHash op runs a REAL image path — an
   * uncompressed P5 PGM fixture, a pure-JVM header parse/decode, and
   * the standard DCT perceptual hash in exact integer arithmetic
-  * ([[Ppm]]). The compressed-codec decodes (JPEG, audio, video) remain
-  * STUBBED with deterministic fakes (this container ships no codecs —
-  * see `MediaFeaturesStub.fakeDecode`); the Spark-side plumbing is
+  * ([[Ppm]]); since round 12 the audio op runs a REAL audio path — a
+  * RIFF/PCM16 WAV container with a pure-JVM chunk-walk decode and
+  * exact integer signal features ([[Wav]]). Only COMPRESSED codecs
+  * (JPEG, MP3/AAC, video) remain STUBBED with deterministic fakes
+  * (this container ships no codecs — see
+  * `MediaFeaturesStub.fakeDecode`); the Spark-side plumbing is
   * real everywhere: binary column, metadata schema, per-partition
   * batched processing (the Scala analog of `mapInPandas`), and the
   * partitioning/batch shape a real decoder would see at 100 TB.
@@ -265,6 +268,150 @@ object Multimodal {
     }
   }
 
+  /** Deterministic uncompressed AUDIO fixture + pure-JVM decode + exact
+    * integer features (round 12 — the second real media modality,
+    * narrowing the stub seam to compressed codecs only): a real
+    * RIFF/PCM16 WAV writer/parser (the [[Ppm]] pattern — magic, chunk
+    * walk, typed fmt validation, little-endian payload) and
+    * all-integer signal features: energy (Σs², exact int64),
+    * zero-crossing count, and 8 fixed-point spectral bands computed
+    * against the SAME shared integer DCT basis ([[Ppm.DctBasis]]) the
+    * image path uses — 1024 samples block-summed to 32 frames, then
+    * band(u) = Σₓ B(u,x)·frame(x). Bounds: |frame| ≤ 32·2¹⁵ = 2²⁰,
+    * basis ≤ 10⁶ < 2²⁰, 32 terms ⇒ |band| < 2⁴⁵ — overflow-free,
+    * bit-exact cross-engine.
+    */
+  private[graft] object Wav {
+    val SampleRate = 8000
+    val NSamples = 1024
+
+    /** The audio fixture: document bytes tiled to 2·N bytes, read as
+      * N little-endian signed 16-bit samples (empty docs → silence).
+      */
+    def tileSamples(bytes: Array[Byte]): Array[Short] = {
+      val raw =
+        if (bytes.isEmpty) new Array[Byte](2 * NSamples)
+        else Array.tabulate(2 * NSamples)(i => bytes(i % bytes.length))
+      Array.tabulate(NSamples) { k =>
+        (((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff)).toShort
+      }
+    }
+
+    /** A real RIFF/WAVE encoder: PCM (format 1), mono, 16-bit. */
+    def encode(samples: Array[Short], rate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(rate).putInt(rate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Parse a RIFF/WAVE container: validate magic, walk chunks (any
+      * order, odd-size padding honored), require PCM mono 16-bit, and
+      * return (sampleRate, samples).
+      */
+    def decode(wav: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(wav.length >= 44 && tag() == "RIFF", "not a RIFF container")
+      bb.getInt() // declared riff size
+      require(tag() == "WAVE", "not a WAVE file")
+      var rate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag(); val len = bb.getInt()
+        require(len >= 0 && bb.remaining() >= len, s"truncated '$id' chunk")
+        id match {
+          case "fmt " =>
+            val p = bb.position()
+            val (fmt, ch, sr, bits) =
+              (bb.getShort(), bb.getShort(), bb.getInt(),
+                { bb.getInt(); bb.getShort(); bb.getShort() })
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits (PCM16 mono only)")
+            rate = sr
+            bb.position(p + len)
+          case "data" =>
+            samples = Array.fill(len / 2)(bb.getShort())
+          case _ => bb.position(bb.position() + len)
+        }
+        if (len % 2 == 1 && bb.remaining() > 0) bb.get() // RIFF pad byte
+      }
+      require(rate > 0 && samples != null, "missing fmt /data chunk")
+      (rate, samples)
+    }
+
+    /** All-integer features: (energy, zero crossings, 8 DCT bands). */
+    def features(s: Array[Short]): (Long, Int, Array[Long]) = {
+      var energy = 0L
+      var zcr = 0
+      var k = 0
+      while (k < s.length) {
+        energy += s(k).toLong * s(k)
+        if (k > 0 && (s(k - 1) < 0) != (s(k) < 0)) zcr += 1
+        k += 1
+      }
+      val frames = Array.tabulate(32) { x =>
+        var acc = 0L; var j = 0
+        while (j < 32) { acc += s(32 * x + j); j += 1 }
+        acc
+      }
+      val bands = Array.tabulate(8) { u =>
+        var acc = 0L; var x = 0
+        while (x < 32) { acc += Ppm.DctBasis(u)(x) * frames(x); x += 1 }
+        acc
+      }
+      (energy, zcr, bands)
+    }
+  }
+
+  case class AudioFeatures(doc_id: Long, n_samples: Int, energy: Long,
+      zcr: Int, bands: Array[Long])
+
+  /** Audio feature extraction over the media column (q_media_audio):
+    * each document's bytes become a deterministic PCM16 mono WAV
+    * ([[Wav.tileSamples]] + [[Wav.encode]]), the op DECODES the
+    * container ([[Wav.decode]] — a real chunk walk, spec-pinned to
+    * round-trip and to reject non-RIFF payloads), and extracts exact
+    * integer features from the SAMPLES: energy, zero-crossing count,
+    * 8 spectral bands via the shared integer DCT basis; rms is the one
+    * IEEE op (sqrt of an exact ≤2⁴⁰ integer ratio — correctly rounded
+    * in both engines). Pure per-row bounded work in the batched
+    * partition-wise decoder shape — no shuffle, scales linearly.
+    * Fully oracled: DuckDB rebuilds the samples from the document
+    * bytes and replays every integer fold (the encode/decode
+    * round-trip itself is spec territory, as with [[Ppm]]).
+    */
+  private def mediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = mediaRows(s, dir).mapPartitions { it =>
+      // per-partition init would amortize a real codec handle here
+      it.map { r =>
+        val wav = Wav.encode(Wav.tileSamples(r.media), Wav.SampleRate)
+        val (rate, samples) = Wav.decode(wav)
+        require(rate == Wav.SampleRate && samples.length == Wav.NSamples)
+        val (energy, zcr, bands) = Wav.features(samples)
+        AudioFeatures(r.doc_id, samples.length, energy, zcr, bands)
+      }
+    }.toDF()
+    val bandCols = (0 until 8).map(u =>
+      element_at(col("bands"), u + 1).as(s"b$u"))
+    feats.select(Seq(col("doc_id"), col("n_samples"), col("energy"),
+      sqrt(col("energy").cast("double") / col("n_samples")).as("rms"),
+      col("zcr")) ++ bandCols: _*)
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash near-dup over the media column — the image dedup
     * stage of a multimodal pipeline, now over a REAL image path
     * (round 11): each document's bytes become a deterministic 64×64 P5
@@ -334,8 +481,17 @@ object Multimodal {
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
-    "q_media_phash" -> (mediaPhash _)
+    "q_media_phash" -> (mediaPhash _),
+    "q_media_audio" -> (mediaAudio _)
   )
+
+  /** The fixed-point DCT basis as a DuckDB VALUES list — the SAME baked
+    * integer constants [[Ppm.DctBasis]] both the image and audio twins
+    * join against.
+    */
+  private def dctBasisValues: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u, $x, ${Ppm.DctBasis(u)(x)})").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -367,11 +523,41 @@ object Multimodal {
         "round(CAST(max(CASE WHEN i = 0 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat0, " +
         "round(CAST(max(CASE WHEN i = 7 THEN acc % 1000 END) AS DOUBLE)/1000, 4) AS feat7 " +
         "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    "q_media_audio" ->
+      // replay the fixture rule (bytes → tiled LE PCM16 samples) and
+      // every integer fold; the one IEEE op is the final sqrt
+      ("WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "bylist AS MATERIALIZED (SELECT doc_id, list_transform(range(CAST(0 AS BIGINT), CAST(2048 AS BIGINT)), " +
+        "j -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST((strpos('0123456789ABCDEF', substr(mhex, CAST((j % n)*2+1 AS BIGINT), 1))-1)*16 " +
+        "+ strpos('0123456789ABCDEF', substr(mhex, CAST((j % n)*2+2 AS BIGINT), 1))-1 AS BIGINT) END) AS bs FROM m), " +
+        // little-endian signed 16-bit: low byte at 2k, high at 2k+1
+        "smp AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 1024), " +
+        "k -> bs[CAST(2*k AS BIGINT)+1] + 256*bs[CAST(2*k AS BIGINT)+2] " +
+        "- CASE WHEN bs[CAST(2*k AS BIGINT)+2] >= 128 THEN 65536 ELSE 0 END) AS sm FROM bylist), " +
+        "feat AS MATERIALIZED (SELECT doc_id, " +
+        "CAST(list_sum(list_transform(sm, v -> v*v)) AS BIGINT) AS energy, " +
+        "CAST(len(list_filter(range(1, 1024), k -> (sm[CAST(k AS BIGINT)] < 0) <> (sm[CAST(k AS BIGINT)+1] < 0))) AS INT) AS zcr " +
+        "FROM smp), " +
+        "fr AS MATERIALIZED (SELECT doc_id, t.x AS x, " +
+        "CAST(list_sum(sm[CAST(32*t.x AS BIGINT)+1 : CAST(32*t.x+32 AS BIGINT)]) AS BIGINT) AS f " +
+        "FROM smp CROSS JOIN range(0, 32) t(x)), " +
+        s"basis AS (SELECT * FROM (VALUES $dctBasisValues) b(u, x, bv)), " +
+        "bnd AS (SELECT fr.doc_id, b.u AS u, CAST(sum(b.bv * fr.f) AS BIGINT) AS bb " +
+        "FROM fr JOIN basis b ON b.x = fr.x GROUP BY 1, 2), " +
+        "bp AS (SELECT doc_id, " +
+        (0 until 8).map(u => s"max(CASE WHEN u = $u THEN bb END) AS b$u")
+          .mkString(", ") +
+        " FROM bnd GROUP BY doc_id) " +
+        "SELECT f.doc_id AS doc_id, CAST(1024 AS INT) AS n_samples, f.energy AS energy, " +
+        "sqrt(CAST(f.energy AS DOUBLE) / 1024) AS rms, f.zcr AS zcr, " +
+        (0 until 8).map(u => s"bp.b$u AS b$u").mkString(", ") +
+        " FROM feat f JOIN bp USING (doc_id) ORDER BY doc_id"),
     "q_media_phash" -> {
       // the SAME fixed-point DCT basis constants the Spark side bakes —
       // the integer arithmetic is then engine-identical by construction
-      val basisValues = (for (u <- 0 until 8; x <- 0 until 32)
-        yield s"($u, $x, ${Ppm.DctBasis(u)(x)})").mkString(", ")
+      val basisValues = dctBasisValues
       "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
         "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
         "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +

@@ -1341,8 +1341,39 @@ object Relational {
         "arr = pack_array(event_id, user_id, 7) " +
         "| extend asum = array_sum(arr), sasc = array_sort_asc(arr), " +
         "sdesc = array_sort_desc(arr) " +
-        "| project event_id, event_type, b64, rt, rep, flag, asum, sasc, sdesc " +
+        // the driver's oracle harness sorts every output column via
+        // pandas and crashes on array cells — registry outputs must be
+        // scalar, so the sorted arrays ship stringified (strcat_array,
+        // the q_kql_array pattern), never raw
+        "| extend sascs = strcat_array(sasc, '|'), sdescs = strcat_array(sdesc, '|') " +
+        "| project event_id, event_type, b64, rt, rep, flag, asum, sascs, sdescs " +
         "| project-reorder rep, b64 " +
+        "| sort by event_id asc")
+  }
+
+  /** KQL scalar tier 4 (round 12): `parse_url` (dynamic of URL parts,
+    * absent parts empty strings, accessed through the standard dynamic
+    * path idiom), `url_decode`, `format_bytes` (default precision 0),
+    * and the FUNCTION forms of `has_all`/`has_any` over dynamic array
+    * literals. Output stays array-free (the round-11 lesson): every
+    * projected part is a scalar string/int.
+    */
+  private def kqlScalar3(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_id < 150 " +
+        "| extend url = strcat('https://svc.example.com:', tostring(8000 + user_id), " +
+        "'/v1/', event_type, '/item?id=', tostring(event_id), '&tag=x%20y#sec-', tostring(user_id)) " +
+        "| extend p = parse_url(url) " +
+        "| extend scheme = tostring(p.Scheme), host = tostring(p.Host), " +
+        "port = tostring(p.Port), path = tostring(p.Path), " +
+        "qs = tostring(p.Query), frag = tostring(p.Fragment) " +
+        "| extend dec = url_decode(strcat('name%3A+', event_type, '%2Fid%3D', tostring(event_id))) " +
+        "| extend fb1 = format_bytes(event_id * 1048576 + user_id), " +
+        "fb2 = format_bytes(value * 1000000000.0) " +
+        "| extend hall = iff(has_all(strcat(event_type, ' ', props), dynamic(['k', 'purchase'])), 1, 0), " +
+        "hany = iff(has_any(event_type, dynamic(['click', 'view'])), 1, 0) " +
+        "| project event_id, scheme, host, port, path, qs, frag, dec, fb1, fb2, hall, hany " +
         "| sort by event_id asc")
   }
 
@@ -1609,14 +1640,34 @@ object Relational {
     * DuckDB twin reads the identical bytes.
     */
   private def kqlExternaldata(s: SparkSession, dir: String): DataFrame = {
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_externaldata_fixture.csv"),
+    // a FRESH temp file per execution: a shared hardcoded path raced
+    // across concurrent runs (truncate+write is not atomic), and the
+    // oracle silently depended on Spark having executed first — the
+    // DuckDB twin is a VALUES literal over the same constant rows, so
+    // neither engine reads the other's side effects
+    val fixture = java.nio.file.Files.createTempFile("graft_externaldata_", ".csv")
+    fixture.toFile.deleteOnExit()
+    java.nio.file.Files.write(fixture,
       java.util.Arrays.asList("1,alpha", "2,beta", "3,gamma", "4,delta"))
     graft.ingest.Kql.translate(s,
       "externaldata (id: long, tag: string) " +
-        "['file:///tmp/graft_externaldata_fixture.csv'] with (format='csv') " +
+        s"['file://$fixture'] with (format='csv') " +
         "| where id >= 2 | sort by id asc")
   }
+
+  /** KQL `externaldata` over PARQUET — the reference's own documented
+    * external-read idiom (OPENROWSET FORMAT='PARQUET' over its output
+    * layout, reference README.md:92-100): the inline schema is checked
+    * against the file footer (exact types, loud failure on drift), and
+    * the scan is the native columnar reader — pushdown and pruning
+    * intact, unlike the csv leg.
+    */
+  private def kqlExternaldataPq(s: SparkSession, dir: String): DataFrame =
+    graft.ingest.Kql.translate(s,
+      "externaldata (r_regionkey: int, r_name: string) " +
+        s"['file://$dir/region.parquet'] with (format='parquet') " +
+        "| where r_regionkey >= 1 | project r_regionkey, r_name " +
+        "| sort by r_regionkey asc")
 
   /** KQL `fork` — multi-output pipelines: two branches over the same
     * filtered input (materialized once before the fan-out), returned
@@ -1918,6 +1969,7 @@ object Relational {
     "q_kql_dates" -> (kqlDates _),
     "q_kql_hints" -> (kqlHints _),
     "q_kql_scalar2" -> (kqlScalar2 _),
+    "q_kql_scalar3" -> (kqlScalar3 _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -1929,6 +1981,7 @@ object Relational {
     "q_kql_render" -> (kqlRender _),
     "q_kql_find" -> (kqlFind _),
     "q_kql_externaldata" -> (kqlExternaldata _),
+    "q_kql_externaldata_pq" -> (kqlExternaldataPq _),
     "q_kql_fork" -> (kqlFork _),
     "q_kql_facet" -> (kqlFacet _),
     "q_kql_seriescorr" -> (kqlSeriesCorr _),
@@ -2227,9 +2280,52 @@ object Relational {
         "decode(from_base64(to_base64(encode(event_type)))) AS rt, " +
         "CASE WHEN value > 100 THEN true ELSE false END AS flag, " +
         "CAST(event_id + user_id + 7 AS DOUBLE) AS asum, " +
-        "list_sort([event_id, user_id, 7]) AS sasc, " +
-        "list_reverse_sort([event_id, user_id, 7]) AS sdesc " +
+        "list_aggregate(list_sort([event_id, user_id, 7]), 'string_agg', '|') AS sascs, " +
+        "list_aggregate(list_reverse_sort([event_id, user_id, 7]), 'string_agg', '|') AS sdescs " +
         "FROM e ORDER BY event_id"),
+    "q_kql_scalar3" -> {
+      // url_decode replay: '+' → space, then ASCII %XX percent-escapes
+      // via a split/fold (the media-oracle hex-digit idiom); format_bytes
+      // replay: the same exact-power-of-two tier compares and the one
+      // half-up rounding; has_* replay: the standing boundary regexes
+      def fmtB(b: String, u: String): String =
+        s"CAST(CAST(floor($b / power(1024.0, $u) + 0.5) AS BIGINT) AS VARCHAR) " +
+          s"|| ' ' || (['Bytes', 'KB', 'MB', 'GB', 'TB', 'PB'])[$u + 1]"
+      def tierOf(b: String): String =
+        s"CASE WHEN $b >= power(1024, 5) THEN 5 WHEN $b >= power(1024, 4) THEN 4 " +
+          s"WHEN $b >= power(1024, 3) THEN 3 WHEN $b >= power(1024, 2) THEN 2 " +
+          s"WHEN $b >= power(1024, 1) THEN 1 ELSE 0 END"
+      def term(c: String, t: String) =
+        s"regexp_matches($c, '(?i)(^|[^A-Za-z0-9_])$t($$|[^A-Za-z0-9_])')"
+      "WITH e AS (SELECT * FROM events WHERE event_id < 150), " +
+        "u AS (SELECT event_id, user_id, event_type, value, props, " +
+        "'https://svc.example.com:' || CAST(8000 + user_id AS VARCHAR) || '/v1/' || event_type " +
+        "|| '/item?id=' || CAST(event_id AS VARCHAR) || '&tag=x%20y#sec-' || CAST(user_id AS VARCHAR) AS url FROM e), " +
+        "p AS (SELECT *, " +
+        "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)', 1) AS host, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?[^:/?#]*:([0-9]+)', 1) AS port, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS qs, " +
+        "regexp_extract(url, '#(.*)$', 1) AS frag FROM u), " +
+        "dd AS (SELECT *, string_split(replace('name%3A+' || event_type || '%2Fid%3D' " +
+        "|| CAST(event_id AS VARCHAR), '+', ' '), '%') AS pieces FROM p), " +
+        "de AS (SELECT *, CASE WHEN len(pieces) = 1 THEN pieces[1] ELSE " +
+        "list_reduce(list_prepend(pieces[1], list_transform(pieces[2:], s -> " +
+        "chr(CAST((strpos('0123456789ABCDEF', upper(substr(s, 1, 1))) - 1) * 16 " +
+        "+ strpos('0123456789ABCDEF', upper(substr(s, 2, 1))) - 1 AS INT)) || substr(s, 3))), " +
+        "(a, b) -> a || b) END AS dec FROM dd), " +
+        "fb AS (SELECT *, CAST(event_id * 1048576 + user_id AS DOUBLE) AS bb1, " +
+        "value * 1000000000.0 AS bb2 FROM de), " +
+        s"fu AS (SELECT *, ${tierOf("bb1")} AS u1, ${tierOf("bb2")} AS u2 FROM fb) " +
+        "SELECT event_id, scheme, host, port, path, qs, frag, dec, " +
+        s"${fmtB("bb1", "u1")} AS fb1, ${fmtB("bb2", "u2")} AS fb2, " +
+        s"CASE WHEN ${term("event_type || ' ' || props", "k")} " +
+        s"AND ${term("event_type || ' ' || props", "purchase")} THEN 1 ELSE 0 END AS hall, " +
+        s"CASE WHEN ${term("event_type", "click")} " +
+        s"OR ${term("event_type", "view")} THEN 1 ELSE 0 END AS hany " +
+        "FROM fu ORDER BY event_id"
+    },
     "q_kql_hints" ->
       ("WITH n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id), " +
         "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS p FROM events " +
@@ -2647,9 +2743,12 @@ object Relational {
         "COALESCE(n_name, r_name) AS name " +
         "FROM u WHERE n_regionkey = 2 OR r_regionkey = 2 ORDER BY src, key"),
     "q_kql_externaldata" ->
-      ("SELECT id, tag FROM read_csv('/tmp/graft_externaldata_fixture.csv', " +
-        "header=false, columns={'id': 'BIGINT', 'tag': 'VARCHAR'}) " +
+      ("SELECT id, tag FROM (VALUES (CAST(1 AS BIGINT), 'alpha'), (2, 'beta'), " +
+        "(3, 'gamma'), (4, 'delta')) AS t(id, tag) " +
         "WHERE id >= 2 ORDER BY id"),
+    "q_kql_externaldata_pq" ->
+      ("SELECT r_regionkey, r_name FROM region " +
+        "WHERE r_regionkey >= 1 ORDER BY r_regionkey"),
     "q_kql_fork" ->
       ("WITH base AS (SELECT * FROM events WHERE value >= 50), " +
         "b1 AS (SELECT 'by_type' AS source_, event_type, CAST(count(*) AS BIGINT) AS n, " +

@@ -1111,6 +1111,70 @@ object Vectors {
       .withColumn("is_new", (col("vec_id") % 5 === 4).cast("int"))
   }
 
+  /** The REFIT TRIGGER as a first-class report (q_ann_drift) — at
+    * 100 TB the "when do we refit the quantizer" decision is a daily
+    * dashboard row, not a test assertion. Two scenarios over the same
+    * frozen fit: the natural held-out batch (uniform — the trigger
+    * must stay quiet) and a planted batch cloning the fit-time max
+    * cell's members (skewed — the trigger must fire). Emits, per
+    * scenario, the documented drift inputs — fit-time cell-size skew
+    * (max/mean over the coarse assignment), merged skew after the
+    * upsert, upserted fraction — and the refit boolean:
+    * merged_skew > 1.5·fit_skew OR frac > 0.2. Every input is an
+    * exact integer count; each output is ONE IEEE division/compare,
+    * so the DuckDB twin replays it bit-for-bit. Scale shape: one
+    * bounded-key hash agg per scenario over √N cells + the same
+    * broadcast-argmax assign the serving path uses — no new shuffle
+    * class.
+    */
+  private def annDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val (a2r, c2r) = kmeansFit(base)
+    val c2 = c2r.localCheckpoint(true)
+    val a2 = a2r.select(col("vec_id"), col("embedding"), col("c"))
+      .localCheckpoint(true)
+    // route a batch onto the FROZEN centroids — the coarse half of
+    // encodeOnto (same packed broadcast + codegen'd argmax, same ties)
+    val packed = broadcast(c2.agg(
+      sort_array(collect_list(struct(col("c"), col("centroid")))).as("cents")))
+    def assignOnto(vecs: DataFrame): DataFrame =
+      vecs.crossJoin(packed)
+        .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+          s, col("embedding"), col("cents")))
+        .select(col("best.c").as("c"))
+    val uni = e.filter(col("vec_id") % 5 === 4)
+    val cnts = a2.groupBy("c").count()
+    val maxCl = cnts.orderBy(col("count").desc, col("c")).limit(1).select("c")
+    val skewed = a2.join(broadcast(maxCl), "c")
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    def stats(asg: DataFrame, p: String): DataFrame =
+      asg.groupBy("c").count().agg(
+        max("count").as(p + "mx"), count(lit(1)).as(p + "cells"),
+        sum("count").as(p + "tot"))
+    val fit = stats(a2.select(col("c")), "f")
+    def row(scn: String, newAsg: DataFrame): DataFrame = {
+      val m = stats(a2.select(col("c")).unionByName(newAsg), "m")
+      val nn = newAsg.agg(count(lit(1)).as("nn"))
+      fit.crossJoin(m).crossJoin(nn).select(
+        lit(scn).as("scenario"),
+        col("ftot").as("n_base"), col("nn").as("n_new"),
+        col("mcells").as("merged_cells"),
+        ((col("fmx") * col("fcells")).cast("double") / col("ftot"))
+          .as("fit_skew"),
+        ((col("mmx") * col("mcells")).cast("double") / col("mtot"))
+          .as("merged_skew"),
+        (col("nn").cast("double") / (col("ftot") + col("nn")))
+          .as("upserted_frac"))
+        .withColumn("refit",
+          (col("merged_skew") > col("fit_skew") * 1.5 ||
+            col("upserted_frac") > 0.2).cast("int"))
+    }
+    row("uniform", assignOnto(uni))
+      .unionByName(row("planted_skew", assignOnto(skewed)))
+      .orderBy("scenario")
+  }
+
   /** The IVF-PQ/ADC search given an already-fitted coarse quantizer —
     * shared by q_ann_ivfpq (own fit) and q_ann_recall (one fit).
     */
@@ -1148,7 +1212,7 @@ object Vectors {
     * a filter on a per-qid rank window and a driver-side count would
     * be a needless job on the already-loaded corpus.
     */
-  private def shortlistDf(e: DataFrame): DataFrame =
+  private[graft] def shortlistDf(e: DataFrame): DataFrame =
     e.agg(count(lit(1)).cast("double").as("n"))
       .select((lit(10) * ceil(sqrt(
         ceil(sqrt(ceil(sqrt(col("n"))).cast("double"))).cast("double") *
@@ -1627,6 +1691,7 @@ object Vectors {
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_persist" -> (annPersist _),
     "q_ann_upsert" -> (annUpsert _),
+    "q_ann_drift" -> (annDrift _),
     "q_ann_rerank" -> (annRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_embed_centroid" -> (embedCentroid _),
@@ -1771,6 +1836,46 @@ object Vectors {
       "CAST(sh.vec_id % 5 = 4 AS INT) AS is_new " +
       "FROM short sh JOIN fe ON sh.vec_id = fe.vec_id CROSS JOIN q " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** The q_ann_drift twin: the same frozen base fit, both incoming
+    * batches coarse-routed by the crossJoin+row_number argmax replay,
+    * cell counts as exact BIGINTs, one IEEE division per skew/frac and
+    * one compare for the trigger — no PQ stage is involved, so the
+    * chain stops at the coarse assignment.
+    */
+  private def annDriftOracle: String =
+    s"WITH ${kmeansUnrollCtesOn("(SELECT * FROM embeddings WHERE vec_id % 5 <> 4)")}, " +
+      "cnt AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY c), " +
+      "fstat AS (SELECT max(n) AS fmx, CAST(count(*) AS BIGINT) AS fcells, CAST(sum(n) AS BIGINT) AS ftot FROM cnt), " +
+      "maxcl AS (SELECT c FROM (SELECT c, row_number() OVER (ORDER BY n DESC, c) AS rn FROM cnt) WHERE rn = 1), " +
+      "fe AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+      "uni AS (SELECT vec_id, emb FROM fe WHERE vec_id % 5 = 4), " +
+      "skw AS (SELECT a2.vec_id + 10000000 AS vec_id, a2.emb AS emb FROM a2 JOIN maxcl USING (c)), " +
+      s"us AS (SELECT uni.vec_id AS vec_id, c2.c AS c, ${dcos("emb", "centroid")} AS cos FROM uni CROSS JOIN c2), " +
+      "ua AS MATERIALIZED (SELECT c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM us) WHERE rn = 1), " +
+      s"ss AS (SELECT skw.vec_id AS vec_id, c2.c AS c, ${dcos("emb", "centroid")} AS cos FROM skw CROSS JOIN c2), " +
+      "sa AS MATERIALIZED (SELECT c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM ss) WHERE rn = 1), " +
+      "mu AS (SELECT max(n) AS mmx, CAST(count(*) AS BIGINT) AS mcells, CAST(sum(n) AS BIGINT) AS mtot FROM " +
+      "(SELECT c, CAST(count(*) AS BIGINT) AS n FROM (SELECT c FROM a2 UNION ALL SELECT c FROM ua) GROUP BY c)), " +
+      "ms AS (SELECT max(n) AS mmx, CAST(count(*) AS BIGINT) AS mcells, CAST(sum(n) AS BIGINT) AS mtot FROM " +
+      "(SELECT c, CAST(count(*) AS BIGINT) AS n FROM (SELECT c FROM a2 UNION ALL SELECT c FROM sa) GROUP BY c)), " +
+      "un AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ua), " +
+      "sn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sa), " +
+      "allr AS (" +
+      "SELECT 'uniform' AS scenario, ftot AS n_base, nn AS n_new, mcells AS merged_cells, " +
+      "CAST(fmx * fcells AS DOUBLE) / ftot AS fit_skew, " +
+      "CAST(mmx * mcells AS DOUBLE) / mtot AS merged_skew, " +
+      "CAST(nn AS DOUBLE) / (ftot + nn) AS upserted_frac " +
+      "FROM fstat CROSS JOIN mu CROSS JOIN un " +
+      "UNION ALL " +
+      "SELECT 'planted_skew' AS scenario, ftot AS n_base, nn AS n_new, mcells AS merged_cells, " +
+      "CAST(fmx * fcells AS DOUBLE) / ftot AS fit_skew, " +
+      "CAST(mmx * mcells AS DOUBLE) / mtot AS merged_skew, " +
+      "CAST(nn AS DOUBLE) / (ftot + nn) AS upserted_frac " +
+      "FROM fstat CROSS JOIN ms CROSS JOIN sn) " +
+      "SELECT scenario, n_base, n_new, merged_cells, fit_skew, merged_skew, upserted_frac, " +
+      "CAST(merged_skew > fit_skew * 1.5 OR upserted_frac > 0.2 AS INT) AS refit " +
+      "FROM allr ORDER BY scenario"
 
   private def rerankOracle: String =
     s"WITH ${ivfPqOracleCtes(derivedProbeCut)}, " +
@@ -2065,6 +2170,7 @@ object Vectors {
     "q_ann_persist" -> rerankOracle,
     "q_ann_rerank" -> rerankOracle,
     "q_ann_upsert" -> annUpsertOracle,
+    "q_ann_drift" -> annDriftOracle,
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim, " +
         "round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2 " +

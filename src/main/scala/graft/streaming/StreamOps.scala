@@ -650,8 +650,13 @@ object StreamOps {
           .flatMap(n => scala.util.Try(
             n.stripPrefix("_compacted_").toLong).toOption)
         val inc0 = s.read.parquet(p.toString)
+        // negative-bid folds are only valid once their marker exists:
+        // if the FIRST compaction crashes between its bid=-B commit and
+        // the marker create, no marker is on disk yet and the folded
+        // rows would coexist with the not-yet-deleted originals — so
+        // with no marker, only non-negative generations are live
         val inc =
-          if (markers.isEmpty) inc0
+          if (markers.isEmpty) inc0.filter(col("bid") >= 0)
           else {
             val b = markers.max
             inc0.filter(col("bid") === -b || col("bid") >= b)

@@ -817,4 +817,23 @@ class CurationSpec extends SparkSpec {
       assert(b <= a * 0.851, s"contraction bound violated: $rs")
     }
   }
+
+  test("pagerank converged: the rank table is a fixpoint up to the documented tolerance") {
+    val rows = q("q_pagerank_converged")
+      .select("rk", "node", "pr", "iters", "resid")
+      .as[(Int, String, Double, Int, Double)].collect().toSeq
+    assert(rows.length === 20 && rows.map(_._1) === (1 to 20))
+    val (iters, resid) = (rows.head._4, rows.head._5)
+    assert(iters <= graft.ops.Curation.PrCap)
+    // the residual at the selected round is under the relative target:
+    // res_1 <= 2 (two unit-mass distributions), so the absolute bound
+    // 2·PrRelEps always certifies the relative rule fired (or the
+    // contraction-backed cap landed us under it anyway)
+    assert(resid < 2.0 * graft.ops.Curation.PrRelEps,
+      s"iters=$iters resid=$resid")
+    // a fixpoint refines, never contradicts, the 5-round snapshot: the
+    // top node (the degree-dominant supplier) is stable
+    val snap = q("q_pagerank").select("node").as[String].head()
+    assert(rows.head._2 === snap, s"fixpoint top ${rows.head._2} vs snapshot $snap")
+  }
 }

@@ -1811,4 +1811,68 @@ class KqlSpec extends SparkSpec {
         "externaldata (id: long) ['file:///tmp/x.json'] with (format='json')")
     }
   }
+
+  test("scalar tier 4: parse_url absent parts, url_decode, format_bytes, has_all/has_any function forms") {
+    // parse_url: ABSENT PARTS ARE EMPTY STRINGS (the ADX contract) and
+    // access rides the standard dynamic path idiom
+    val full = Kql.translate(spark,
+      "print p = parse_url('https://u:pw@h.example.com:8443/a/b?x=1&y=2#frag') " +
+        "| project scheme = tostring(p.Scheme), host = tostring(p.Host), " +
+        "port = tostring(p.Port), path = tostring(p.Path), " +
+        "qs = tostring(p.Query), frag = tostring(p.Fragment)")
+      .as[(String, String, String, String, String, String)].head()
+    assert(full === ("https", "h.example.com", "8443", "/a/b", "x=1&y=2", "frag"))
+    val bare = Kql.translate(spark,
+      "print p = parse_url('http://host') " +
+        "| project port = tostring(p.Port), path = tostring(p.Path), " +
+        "qs = tostring(p.Query), frag = tostring(p.Fragment)")
+      .as[(String, String, String, String)].head()
+    assert(bare === ("", "", "", ""))
+    // url_decode: '+' is a space, %XX decodes (URLDecoder semantics)
+    assert(Kql.translate(spark,
+      "print d = url_decode('a%20b+c%2Fd%3De')").as[String].head() === "a b c/d=e")
+    // format_bytes: default precision 0, half-up, largest unit >= 1
+    val fb = Kql.translate(spark,
+      "print a = format_bytes(0), b = format_bytes(1023), c = format_bytes(1024), " +
+        "d = format_bytes(1536), e = format_bytes(1048576), f = format_bytes(5497558138880)")
+      .as[(String, String, String, String, String, String)].head()
+    assert(fb === ("0 Bytes", "1023 Bytes", "1 KB", "2 KB", "1 MB", "5 TB"))
+    // has_all / has_any function forms over dynamic array literals:
+    // whole-term boundary semantics, same as the infix operators
+    val h = Kql.translate(spark,
+      "print t = 'spark shuffles data' " +
+        "| project a = iff(has_all(t, dynamic(['spark', 'data'])), 1, 0), " +
+        "b = iff(has_all(t, dynamic(['spark', 'shuffle'])), 1, 0), " +
+        "c = iff(has_any(t, dynamic(['shuffle', 'data'])), 1, 0)")
+      .as[(Long, Long, Long)].head()
+    assert(h === ((1L, 0L, 1L)), "term boundaries: 'shuffle' is not a term of 'shuffles'")
+    // malformed second arg fails loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "print x = has_all('a b', 'a')")
+    }
+  }
+
+  test("externaldata parquet: footer-validated scan; schema drift rejected") {
+    val uri = s"file://$sfDir/region.parquet"
+    val got = Kql.translate(spark,
+      s"externaldata (r_regionkey: int, r_name: string) ['$uri'] " +
+        "with (format='parquet') | sort by r_regionkey asc")
+      .as[(Int, String)].collect().toSeq
+    val want = Tables.region(spark, sfDir)
+      .select("r_regionkey", "r_name").orderBy("r_regionkey")
+      .as[(Int, String)].collect().toSeq
+    assert(got === want && got.nonEmpty)
+    // declared type diverges from the footer (int32 in the file) -> loud
+    val eTy = intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        s"externaldata (r_regionkey: string) ['$uri'] with (format='parquet')")
+    }
+    assert(eTy.getMessage.contains("declared string"))
+    // declared column absent from the footer -> loud
+    val eCol = intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        s"externaldata (nope: int) ['$uri'] with (format='parquet')")
+    }
+    assert(eCol.getMessage.contains("absent from"))
+  }
 }

@@ -177,6 +177,35 @@ class RelationalSpec extends SparkSpec {
       s"unplanted survivors: ${got.length - planted.length}")
   }
 
+  test("media audio: real RIFF/PCM16 round-trip + exact integer features") {
+    import graft.ops.Multimodal.Wav
+    // the container round-trips: chunk walk + typed fmt + LE payload
+    val samples = Wav.tileSamples("the quick brown fox".getBytes("UTF-8"))
+    val (rate, back) = Wav.decode(Wav.encode(samples, Wav.SampleRate))
+    assert(rate === Wav.SampleRate && back.toSeq === samples.toSeq)
+    // non-RIFF and non-PCM16 payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Wav.decode("notawavfile".getBytes("US-ASCII") ++ new Array[Byte](64))
+    }
+    val stereo = Wav.encode(samples, Wav.SampleRate)
+    stereo(22) = 2 // channels field inside fmt
+    intercept[IllegalArgumentException] { Wav.decode(stereo) }
+    // features recompute locally: energy/zcr/bands are exact integers
+    val (energy, zcr, bands) = Wav.features(samples)
+    assert(energy === samples.map(s => s.toLong * s).sum)
+    assert(zcr === (1 until samples.length)
+      .count(k => (samples(k - 1) < 0) != (samples(k) < 0)))
+    assert(bands.length === 8)
+    val got = q("q_media_audio").collect()
+    assert(got.length === Tables.documents(spark, sfDir).count())
+    // rms is the sqrt of the integer energy ratio, row-checked
+    got.foreach { r =>
+      val e = r.getAs[Long]("energy")
+      assert(r.getAs[Double]("rms") ===
+        math.sqrt(e.toDouble / r.getAs[Int]("n_samples")))
+    }
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),

@@ -451,6 +451,37 @@ class VectorSpec extends SparkSpec {
     assert(skew >= 1.0 && skew < 10.0, s"merged cell skew $skew")
   }
 
+  test("drift report: trigger fires on the planted skewed batch, stays quiet on the uniform one") {
+    val rows = q("q_ann_drift")
+      .select("scenario", "fit_skew", "merged_skew", "upserted_frac", "refit")
+      .as[(String, Double, Double, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("uniform", "planted_skew"))
+    val u = rows("uniform")
+    val p = rows("planted_skew")
+    // the natural held-out batch resembles the fit distribution: skew
+    // barely moves, fraction is exactly the 20% holdout -> quiet
+    assert(u._5 === 0, s"uniform fired: $u")
+    assert(u._3 <= u._2 * 1.5, s"uniform skew drifted: $u")
+    // doubling the max cell pushes merged skew past 1.5x fit -> fires
+    assert(p._5 === 1, s"planted skew stayed quiet: $p")
+    assert(p._3 > p._2 * 1.5, s"planted skew below threshold: $p")
+  }
+
+  test("shortlistWidth and shortlistDf derive the identical width over the N grid") {
+    // the served funnel reads the Scala form, the panel harness the
+    // Column form — a divergence silently skews the panel vs the
+    // served path, so pin them equal from 10 to 10^7
+    for (n <- Seq(10L, 37L, 100L, 999L, 1000L, 12345L, 100000L,
+        1000000L, 10000000L)) {
+      val viaDf = graft.ops.Vectors.shortlistDf(
+        spark.range(n).select(col("id").as("vec_id")))
+        .as[Int].head()
+      val viaScala = graft.ops.Vectors.shortlistWidth(n)
+      assert(viaDf === viaScala, s"n=$n: df=$viaDf scala=$viaScala")
+    }
+  }
+
   test("filtered ANN honors the allow-list on both branches; exact branch bounds the prefilter") {
     import org.apache.spark.sql.functions.col
     val rows = q("q_ann_filtered")
