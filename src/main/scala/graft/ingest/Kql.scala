@@ -818,6 +818,10 @@ object Kql {
           applyPivot(df, inner)
         case TIdent("evaluate") +: TIdent("bag_unpack") +: TSym("(") +: inner :+ TSym(")") =>
           applyBagUnpack(df, inner)
+        case TIdent("evaluate") +: TIdent("activity_counts_metrics") +: TSym("(") +: inner :+ TSym(")") =>
+          applyActivityCounts(df, inner)
+        case TIdent("evaluate") +: TIdent("activity_engagement") +: TSym("(") +: inner :+ TSym(")") =>
+          applyActivityEngagement(df, inner)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -1510,6 +1514,129 @@ object Kql {
         else df.columns.toSeq.filterNot(c => c == pcol || aggInput.contains(c))
       if (by.isEmpty) fail("pivot() needs at least one group column")
       df.groupBy(by.map(col): _*).pivot(pcol).agg(agg)
+    }
+
+    /** Shared front half of the activity plugins: parse
+      * (IdColumn, TimelineColumn, Start, End) and return the projected
+      * in-range frame as (__id, __b) with the bin anchored at Start —
+      * exact epoch-µs integer arithmetic, the make-series convention.
+      * The range filter compares the raw timestamp column against
+      * foldable literals so it reaches PushedFilters (row-group
+      * pruning), exactly like applyMakeSeries.
+      */
+    private def activityBase(df: DataFrame, args: Vector[Vector[Tok]],
+        stepUs: Long): (DataFrame, Column, Column) = {
+      val idName = args(0) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"activity plugin IdColumn must be a plain column, got $o")
+      }
+      val tsName = args(1) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"activity plugin TimelineColumn must be a plain column, got $o")
+      }
+      val fromUs = unix_micros(parseArithToks(args(2)).cast("timestamp"))
+      val toUs = unix_micros(parseArithToks(args(3)).cast("timestamp"))
+      val tsc = col(tsName).cast("timestamp")
+      val u = unix_micros(tsc)
+      val inRange = df
+        .filter(tsc >= timestamp_micros(fromUs) && tsc < timestamp_micros(toUs))
+        .select(col(idName).as("__id"),
+          (u - pmod(u - fromUs, lit(stepUs))).as("__b"))
+      (inRange, fromUs, toUs)
+    }
+
+    /** The bounded timeline grid [from, to) stepped by `stepUs` — one
+      * foldable sequence() off a 1-row frame, broadcast-joined against
+      * the (bins × small) aggregates; bins with no activity fill as 0.
+      */
+    private def activityGrid(s: SparkSession, fromUs: Column, toUs: Column,
+        stepUs: Long): DataFrame =
+      s.range(1).select(
+        explode(sequence(fromUs, toUs - lit(1), lit(stepUs))).as("__b"))
+
+    /** ADX `evaluate activity_counts_metrics(Id, Timeline, Start, End,
+      * Step)` — per timeline bin: total activities, distinct actors,
+      * NEW actors (first-ever bin = this bin), and the cumulative
+      * distinct actor count. The 100 TB shape: the corpus is touched by
+      * two hash aggregates (per-bin counts; per-id first bin — both
+      * map-side combinable), and everything after runs on the BOUNDED
+      * bin axis: new_dcount is a count over the per-id firsts, and
+      * aggregated_dcount is a prefix sum over #bins rows — the window's
+      * single-partition sort is a bin-count-sized frame, never the
+      * corpus. Timeline emitted as epoch-µs (the q_kql_timebin
+      * convention).
+      */
+    private def applyActivityCounts(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val args = splitOn(toks, TSym(","))
+      if (args.length != 5)
+        fail("activity_counts_metrics(IdColumn, TimelineColumn, Start, End, Step)")
+      val stepUs = args(4) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"activity_counts_metrics Step must be a positive timespan, got $o")
+      }
+      val (inRange, fromUs, toUs) = activityBase(df, args, stepUs)
+      val perBin = inRange.groupBy("__b")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("__id")).as("__dc"))
+      val firstBin = inRange.groupBy("__id").agg(min(col("__b")).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__new"))
+      activityGrid(df.sparkSession, fromUs, toUs, stepUs)
+        .join(perBin, Seq("__b"), "left")
+        .join(firstBin, Seq("__b"), "left")
+        .select(col("__b").as("bin_us"),
+          coalesce(col("__n"), lit(0L)).as("n_rows"),
+          coalesce(col("__dc"), lit(0L)).as("dcount"),
+          coalesce(col("__new"), lit(0L)).as("new_dcount"))
+        .withColumn("agg_dcount",
+          sum(col("new_dcount")).over(
+            Window.orderBy("bin_us").rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+    }
+
+    /** ADX `evaluate activity_engagement(Id, Timeline, Start, End,
+      * InnerWindow, OuterWindow)` — the DAU/WAU family: per inner-window
+      * bin, distinct actors in the bin vs distinct actors in the
+      * TRAILING outer window ending at that bin, and their ratio. The
+      * sliding outer distinct never rescans the corpus: the corpus
+      * collapses once to distinct (id, bin) pairs, and each pair then
+      * fans out to the ≤ outer/inner bins it can serve (bounded
+      * replication — the standard trailing-window-distinct trick),
+      * followed by one more distinct aggregate. The ratio divides two
+      * exact integers, so the double is engine-identical.
+      */
+    private def applyActivityEngagement(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val args = splitOn(toks, TSym(","))
+      if (args.length != 6)
+        fail("activity_engagement(IdColumn, TimelineColumn, Start, End, InnerWindow, OuterWindow)")
+      val innerUs = args(4) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"activity_engagement InnerWindow must be a positive timespan, got $o")
+      }
+      val outerUs = args(5) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"activity_engagement OuterWindow must be a positive timespan, got $o")
+      }
+      if (outerUs % innerUs != 0)
+        fail("activity_engagement OuterWindow must be a multiple of InnerWindow")
+      val r = (outerUs / innerUs).toInt
+      val (inRange, fromUs, toUs) = activityBase(df, args, innerUs)
+      val pairs = inRange.distinct()
+      val inner = pairs.groupBy("__b").agg(count(lit(1)).as("__in"))
+      // an actor active in bin b is "outer-active" for bins b .. b+r-1
+      val outer = pairs
+        .select(col("__id"), explode(sequence(col("__b"),
+          col("__b") + lit((r - 1) * innerUs), lit(innerUs))).as("__b"))
+        .groupBy("__b").agg(countDistinct(col("__id")).as("__out"))
+      activityGrid(df.sparkSession, fromUs, toUs, innerUs)
+        .join(inner, Seq("__b"), "left")
+        .join(outer, Seq("__b"), "left")
+        .select(col("__b").as("bin_us"),
+          coalesce(col("__in"), lit(0L)).as("dcount_inner"),
+          coalesce(col("__out"), lit(0L)).as("dcount_outer"))
+        .withColumn("activity_ratio",
+          when(col("dcount_outer") > 0,
+            col("dcount_inner").cast("double") / col("dcount_outer").cast("double"))
+            .otherwise(lit(0.0)))
     }
 
     /** `partition by Col ( subquery )` — ADX runs the subquery once per

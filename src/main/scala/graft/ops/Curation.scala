@@ -1008,17 +1008,33 @@ object Curation {
       .orderBy("user_id", "event_type")
   }
 
-  /** Sketch-tier incremental maintenance (⊘ rows-only — DuckDB's HLL is
-    * a different implementation): q_incremental_agg's base ⊎ delta
-    * property extended to DISTINCT counts via DataSketches HLL
+  /** Sketch-tier incremental maintenance: q_incremental_agg's base ⊎
+    * delta property extended to DISTINCT counts via DataSketches HLL
     * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`). HLL
     * registers are order-independent maxima, so union-of-half-sketches
     * is BIT-IDENTICAL to the one-pass sketch — the spec asserts exact
     * estimate equality, plus closeness to the exact distinct count.
-    * This is how a 100 TB view maintains distinct users per type at
-    * delta cost, where exact distinct would re-shuffle all history.
+    * Invariant oracle (round 12, upgraded out of the ⊘ set): DuckDB's
+    * HLL is a different implementation, so the GRADED projection is
+    * (group, exact distinct, `merge_lossless`, `within_tol`) — the
+    * first boolean is the register-max identity above (exact, and
+    * deterministic because sketch merge is commutative/associative),
+    * the second bounds the estimate at 10% of truth (the default lgK
+    * promises ~2.4% rsd). The raw estimates stay on [[sketchMergeRaw]]
+    * for the spec. This is how a 100 TB view maintains distinct users
+    * per type at delta cost, where exact distinct would re-shuffle all
+    * history.
     */
-  private def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+  private def sketchMerge(s: SparkSession, dir: String): DataFrame =
+    sketchMergeRaw(s, dir)
+      .select(col("event_type"), col("n_exact"),
+        (col("est_direct") === col("est_merged")).as("merge_lossless"),
+        (abs(col("est_direct") - col("n_exact")) / col("n_exact") <= lit(0.10))
+          .as("within_tol"))
+      .orderBy("event_type")
+
+  /** Ungraded frame with the raw HLL estimates behind [[sketchMerge]]. */
+  def sketchMergeRaw(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     def sk(pred: org.apache.spark.sql.Column) =
       ev.filter(pred).groupBy("event_type")
@@ -1651,6 +1667,13 @@ object Curation {
     s"WITH ${classifierEvalOracleBody("documents")}"
 
   val oracleSql: Map[String, String] = Map(
+    // invariant oracle: exact distinct from DuckDB + the booleans the
+    // sketch contract guarantees (register-max merge identity; 10%
+    // tolerance at ~2.4% rsd) — see sketchMerge's Scaladoc
+    "q_sketch_merge" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+        "TRUE AS merge_lossless, TRUE AS within_tol " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_domain_reweight" -> {
       val rounds = (1 to DomainRounds).map { i =>
         val prev = s"d${i - 1}"

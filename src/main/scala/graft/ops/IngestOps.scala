@@ -130,24 +130,40 @@ object IngestOps {
     }
   }
 
-  /** Compaction as an operator (⊘ self-checked): write 4 small batches
-    * into the hour layout (the reference's one-file-per-POST shape),
-    * compact, and report file counts + row preservation. The assertion
-    * of value-equality lives in IngestSpec; this registers the
-    * operational path in the inventory.
+  /** Compaction as an operator: write the events table 3× (appended —
+    * the reference's one-file-per-POST shape) into the mandated
+    * source/YYYY/MM/DD/HH layout, compact to one file per partition,
+    * and report the invariants. Invariant oracle (round 12, upgraded
+    * out of the ⊘ set): the fixture is the EVENTS table itself, so
+    * every reported value is DuckDB-derivable — `files_after` equals
+    * the distinct (year,month,day,hour) count (compactPartitions
+    * clusters each partition's rows into one task and dynamic
+    * partition-overwrite writes one file per directory),
+    * `rows_compacted`/`rows_after` are 3 × the slice count, and
+    * `compacted` holds because each of the 3 appends contributes ≥ 1
+    * file per partition before compaction. The fixture is the FIRST TWO
+    * DAYS of events (≤ 48 hour-partitions at any SF): the operator's
+    * cost is filesystem metadata (dirs × files), so an unbounded slice
+    * measures the local FS, not the engine — the WHERE is mirrored
+    * verbatim in the oracle. File-count-vs-before value-equality
+    * assertions live in IngestSpec.
     */
   private def compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val outPath = java.nio.file.Files.createTempDirectory("graft_compact_q")
     val out = outPath.toString
     try {
-      (0 until 3).foreach { i =>
-        Ingest.withPartitionColumns(
-            Ingest.syntheticBatch(s, 1000, seed = i.toLong),
-            lit("factory-1"), col("timestamp"))
-          // pin the slice count: file counts must not depend on the
-          // session's parallelism (local[4] Verify vs local[32] Bench)
-          .repartition(2)
+      val src = Tables.events(s, dir)
+        .filter(col("ts_ts") < lit("2024-01-03").cast("timestamp"))
+        .select(
+        col("event_id"), col("value"),
+        lit("factory-1").as("source"),
+        year(col("ts_ts")).as("year"), month(col("ts_ts")).as("month"),
+        dayofmonth(col("ts_ts")).as("day"), hour(col("ts_ts")).as("hour"))
+      (0 until 3).foreach { _ =>
+        // pin the slice count: file counts must not depend on the
+        // session's parallelism (local[4] Verify vs local[32] Bench)
+        src.repartition(2)
           .write.mode("append")
           .partitionBy("source", "year", "month", "day", "hour")
           .parquet(out)
@@ -161,10 +177,10 @@ object IngestOps {
       val filesBefore = nFiles
       val rows = Ingest.compactPartitions(s, out, lit(true))
       // everything below is materialized eagerly so the temp dir can go
-      val result = (rows, filesBefore.toLong, nFiles.toLong,
+      val result = (rows, filesBefore > nFiles, nFiles.toLong,
         s.read.parquet(out).count())
       Seq(result)
-        .toDF("rows_compacted", "files_before", "files_after", "rows_after")
+        .toDF("rows_compacted", "compacted", "files_after", "rows_after")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
@@ -293,6 +309,14 @@ object IngestOps {
     "q_hour_partition" ->
       ("SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, " +
         "CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h, " +
-        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY y, m, d, h ORDER BY y, m, d, h")
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY y, m, d, h ORDER BY y, m, d, h"),
+    // invariant oracle: the compaction fixture is the events table
+    // written 3×, so rows and the one-file-per-partition target count
+    // are exact DuckDB aggregates (see compact's Scaladoc)
+    "q_compact_partitions" ->
+      ("SELECT CAST(3 * count(*) AS BIGINT) AS rows_compacted, TRUE AS compacted, " +
+        "CAST(count(DISTINCT (year(ts), month(ts), day(ts), hour(ts))) AS BIGINT) AS files_after, " +
+        "CAST(3 * count(*) AS BIGINT) AS rows_after FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03'")
   )
 }

@@ -284,12 +284,27 @@ object Relational {
 
   /** Approximate distinct (HLL++): constant memory per group vs the exact
     * version's hash table — the 100 TB answer when 2% error is fine.
-    * ⊘ rows-only check: HLL estimate differs engine-to-engine, so the
-    * query emits both the estimate and the exact count plus their
-    * relative error, and the spec asserts the error bound instead of a
-    * DuckDB hash.
+    * Invariant oracle (round 12, upgraded out of the ⊘ set): the HLL++
+    * estimate itself differs engine-to-engine, so the GRADED projection
+    * is (group, exact count, `within_tol`) where within_tol asserts the
+    * estimate sits inside 5× the requested rsd — HLL++ register merge is
+    * commutative/associative, so the boolean is deterministic for a
+    * given dataset regardless of partitioning, and the oracle's side is
+    * the constant TRUE the sketch contract promises (P[err > 5·rsd] is
+    * astronomically small at these cardinalities). The spec still
+    * asserts the raw rel_err bound on the un-projected frame.
     */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    aggApproxDistinctRaw(s, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (col("rel_err") <= lit(0.10)).as("within_tol"))
+      .orderBy("l_returnflag")
+
+  /** The ungraded frame with the raw estimate + relative error —
+    * [[aggApproxDistinct]] projects the deterministic invariant view of
+    * this; RelationalSpec asserts the numeric bound here.
+    */
+  def aggApproxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
@@ -655,14 +670,42 @@ object Relational {
       .orderBy("event_id")
 
   /** Generated ids + hash battery (reference tests/main.go:94-101 GUID
-    * generation analog). uuid() is nondeterministic ⇒ ⊘ rows-only; the
-    * deterministic hashes are spot-checked by shape (the spec asserts
-    * uuid format + hash stability).
+    * generation analog). Invariant oracle (round 12, upgraded out of the
+    * ⊘ set): uuid() is nondeterministic and the hash functions are
+    * Spark-specific, so the GRADED projection is the 1-row contract
+    * profile every value of which IS deterministic — exact corpus
+    * counts plus booleans the generators guarantee: RFC-4122 v4 shape
+    * and all-distinct for uuid(), injectivity for the 64-bit hash
+    * (collision prob ≤ n²/2⁶⁵ — and the count is a fixed function of
+    * the data either way), and a birthday-bounded collision allowance
+    * for the two 32-bit hashes (1% + 8 — vastly above the n²/2³³
+    * expectation at every gate SF, still catching a broken hash that
+    * maps everything to one bucket). The per-row battery stays
+    * available as [[uuidHashRaw]] for the spec's format/stability
+    * assertions.
     */
-  private def uuidHash(s: SparkSession, dir: String): DataFrame =
+  private def uuidHash(s: SparkSession, dir: String): DataFrame = {
+    val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    uuidHashRaw(s, dir)
+      .agg(
+        cnt.as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        min(col("gen_id").rlike(v4)).as("uuid_v4_all"),
+        (countDistinct(col("gen_id")) === cnt).as("uuid_distinct"),
+        (countDistinct(col("xxh")) === countDistinct(col("text")))
+          .as("xxh64_injective"),
+        (countDistinct(col("text")) - countDistinct(col("h32")) <=
+          countDistinct(col("text")) / 100 + 8).as("h32_bounded"),
+        (countDistinct(col("text")) - countDistinct(col("crc")) <=
+          countDistinct(col("text")) / 100 + 8).as("crc32_bounded"))
+  }
+
+  /** Ungraded per-row battery behind [[uuidHash]] — kept for the spec. */
+  def uuidHashRaw(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
+        col("text"),
         expr("uuid()").as("gen_id"),
         xxhash64(col("text")).as("xxh"),
         hash(col("text")).as("h32"),
@@ -1377,6 +1420,37 @@ object Relational {
         "| sort by event_id asc")
   }
 
+  /** ADX activity plugin tier 1 (round 12): `evaluate
+    * activity_counts_metrics` — per-day totals, distinct actors, NEW
+    * actors, and the cumulative distinct-actor curve over January.
+    * The growth/adoption report every ADX telemetry store runs (the
+    * reference proxies arbitrary CSL, so the plugin surface is in
+    * scope). See the translator's applyActivityCounts for the
+    * bounded-bin-axis scale analysis.
+    */
+  private def kqlActivity(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate activity_counts_metrics(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-31), 1d) " +
+        "| sort by bin_us asc")
+  }
+
+  /** ADX activity plugin tier 2 (round 12): `evaluate
+    * activity_engagement` — the DAU/WAU ratio (1d inner window over a
+    * trailing 7d outer window). The corpus collapses once to distinct
+    * (actor, day) pairs; the sliding 7-day distinct is the bounded
+    * ≤7× fanout of those pairs, never a rescan (see
+    * applyActivityEngagement).
+    */
+  private def kqlEngagement(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate activity_engagement(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-31), 1d, 7d) " +
+        "| sort by bin_us asc")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -1970,6 +2044,8 @@ object Relational {
     "q_kql_hints" -> (kqlHints _),
     "q_kql_scalar2" -> (kqlScalar2 _),
     "q_kql_scalar3" -> (kqlScalar3 _),
+    "q_kql_activity" -> (kqlActivity _),
+    "q_kql_engagement" -> (kqlEngagement _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2078,6 +2154,15 @@ object Relational {
       "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->
       "SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    // invariant oracle: exact counts from DuckDB + the booleans the
+    // sketch/generator contracts guarantee (see the query Scaladocs —
+    // each boolean is a deterministic function of the data)
+    "q_agg_approx_distinct" ->
+      "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, TRUE AS within_tol FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_uuid_hash" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT text) AS BIGINT) AS n_texts, " +
+        "TRUE AS uuid_v4_all, TRUE AS uuid_distinct, TRUE AS xxh64_injective, " +
+        "TRUE AS h32_bounded, TRUE AS crc32_bounded FROM documents"),
     "q_agg_maxby" ->
       "SELECT user_id, arg_max(value, ts) AS last_value, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
     "q_rollup" ->
@@ -2283,6 +2368,35 @@ object Relational {
         "list_aggregate(list_sort([event_id, user_id, 7]), 'string_agg', '|') AS sascs, " +
         "list_aggregate(list_reverse_sort([event_id, user_id, 7]), 'string_agg', '|') AS sdescs " +
         "FROM e ORDER BY event_id"),
+    // activity plugins: the bin is anchored epoch-µs arithmetic
+    // (2024-01-01 = 1704067200000000 µs, 1d = 86400000000 µs); the
+    // cumulative distinct is a prefix sum of per-actor first bins; the
+    // DAU/WAU outer distinct is the bounded 7× pair fanout — both
+    // engines divide the same exact integers so the ratio double is
+    // bit-identical
+    "q_kql_activity" ->
+      ("WITH e AS (SELECT user_id AS id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS u FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'), " +
+        "eb AS (SELECT id, u - ((u - 1704067200000000) % 86400000000) AS b FROM e), " +
+        "agg AS (SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT id) AS BIGINT) AS dc FROM eb GROUP BY b), " +
+        "fs AS (SELECT id, min(b) AS b FROM eb GROUP BY id), " +
+        "nw AS (SELECT b, CAST(count(*) AS BIGINT) AS newc FROM fs GROUP BY b), " +
+        "grid AS (SELECT unnest(range(1704067200000000, 1706659200000000, 86400000000)) AS b) " +
+        "SELECT g.b AS bin_us, COALESCE(a.n, 0) AS n_rows, COALESCE(a.dc, 0) AS dcount, " +
+        "COALESCE(n2.newc, 0) AS new_dcount, " +
+        "CAST(sum(COALESCE(n2.newc, 0)) OVER (ORDER BY g.b) AS BIGINT) AS agg_dcount " +
+        "FROM grid g LEFT JOIN agg a ON g.b = a.b LEFT JOIN nw n2 ON g.b = n2.b ORDER BY bin_us"),
+    "q_kql_engagement" ->
+      ("WITH e AS (SELECT DISTINCT user_id AS id, " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'), " +
+        "inn AS (SELECT b, CAST(count(*) AS BIGINT) AS dci FROM e GROUP BY b), " +
+        "con AS (SELECT DISTINCT id, b + k * 86400000000 AS t FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks), " +
+        "outc AS (SELECT t AS b, CAST(count(*) AS BIGINT) AS dco FROM con GROUP BY t), " +
+        "grid AS (SELECT unnest(range(1704067200000000, 1706659200000000, 86400000000)) AS b) " +
+        "SELECT g.b AS bin_us, COALESCE(i.dci, 0) AS dcount_inner, COALESCE(o.dco, 0) AS dcount_outer, " +
+        "CASE WHEN COALESCE(o.dco, 0) > 0 THEN CAST(COALESCE(i.dci, 0) AS DOUBLE) / CAST(o.dco AS DOUBLE) ELSE 0.0 END AS activity_ratio " +
+        "FROM grid g LEFT JOIN inn i ON g.b = i.b LEFT JOIN outc o ON g.b = o.b ORDER BY bin_us"),
     "q_kql_scalar3" -> {
       // url_decode replay: '+' → space, then ASCII %XX percent-escapes
       // via a split/fold (the media-oracle hex-digit idiom); format_bytes

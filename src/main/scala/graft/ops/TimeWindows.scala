@@ -211,7 +211,74 @@ object TimeWindows {
       .orderBy("event_id")
   }
 
+  /** Cohort retention (round 12) — the product-analytics counterpart of
+    * the ADX activity plugins (q_kql_activity/q_kql_engagement): cohort
+    * = an actor's first-seen day; for each (cohort, days-since-cohort)
+    * cell, how many of the cohort's actors were active. The classic
+    * retention triangle, emitted flat. 100 TB shape: the corpus
+    * collapses once to distinct (actor, day) pairs; first-seen is a
+    * map-side-combinable min over those pairs; the pairs re-join their
+    * cohort ON THE SAME actor key they were just aggregated on (AQE
+    * sees a co-partitioned join, no extra corpus shuffle), and the
+    * final cell aggregate runs on the bounded cohort×period grid. The
+    * ratio divides two exact integers, so the double is
+    * engine-identical.
+    */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), (col("ts_us") - pmod(col("ts_us"), lit(dayUs))).as("day_us"))
+      .distinct()
+    val cohorts = pairs.groupBy("user_id")
+      .agg(min(col("day_us")).as("cohort_us"))
+    val sizes = cohorts.groupBy("cohort_us").agg(cnt.as("cohort_size"))
+    pairs.join(cohorts, "user_id")
+      .groupBy(col("cohort_us"),
+        ((col("day_us") - col("cohort_us")) / lit(dayUs)).cast("long").as("period"))
+      .agg(cnt.as("retained"))
+      .join(sizes, "cohort_us")
+      .select(col("cohort_us"), col("period"), col("retained"), col("cohort_size"),
+        (col("retained").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_us", "period")
+  }
+
+  /** Ordered funnel (round 12): view → click → purchase per actor, each
+    * step's timestamp strictly after the previous step's FIRST
+    * occurrence (the standard conditional-min chain — an actor who
+    * clicked before ever viewing does not convert). Emits per-step
+    * reached counts and step-to-step conversion. 100 TB shape: each
+    * step is a pushed-down type filter + a hash aggregate, and the
+    * chain joins stay on the actor key throughout — three co-keyed
+    * shuffles, no window over the corpus, no all-pairs. The final
+    * 3-row summary folds from the three bounded aggregates.
+    */
+  private def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+    def step(idx: Int, name: String, d: DataFrame) =
+      d.agg(cnt.as("n_users"))
+        .select(lit(idx).as("step"), lit(name).as("stage"), col("n_users"))
+    step(1, "view", s1)
+      .unionByName(step(2, "click", s2))
+      .unionByName(step(3, "purchase", s3))
+      .withColumn("conversion",
+        col("n_users").cast("double") /
+          coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
+            col("n_users")).cast("double"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention_cohorts" -> (retentionCohorts _),
+    "q_funnel_steps" -> (funnelSteps _),
     "q_dedup_ids" -> (dedupIds _),
     "q_interpolate" -> (interpolate _),
     "q_ohlc" -> (ohlc _),
@@ -225,6 +292,29 @@ object TimeWindows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // retention/funnel: ts_us ≡ epoch_us(ts) (the standing q_agg_max
+    // equivalence); day bins are UTC-midnight anchored µs; every ratio
+    // divides exact integers so the doubles are engine-identical
+    "q_retention_cohorts" ->
+      ("WITH pairs AS (SELECT DISTINCT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) % 86400000000) AS day_us FROM events), " +
+        "coh AS (SELECT user_id, min(day_us) AS cohort_us FROM pairs GROUP BY user_id), " +
+        "sz AS (SELECT cohort_us, CAST(count(*) AS BIGINT) AS cohort_size FROM coh GROUP BY cohort_us), " +
+        "cells AS (SELECT c.cohort_us AS cohort_us, CAST((p.day_us - c.cohort_us) / 86400000000 AS BIGINT) AS period, CAST(count(*) AS BIGINT) AS retained " +
+        "FROM pairs p JOIN coh c ON p.user_id = c.user_id GROUP BY 1, 2) " +
+        "SELECT cells.cohort_us, period, retained, cohort_size, " +
+        "CAST(retained AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention " +
+        "FROM cells JOIN sz ON cells.cohort_us = sz.cohort_us ORDER BY cells.cohort_us, period"),
+    "q_funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t2 GROUP BY e.user_id), " +
+        "steps AS (SELECT CAST(1 AS INT) AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1 " +
+        "UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2 " +
+        "UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
+        "SELECT step, stage, n_users, CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) AS conversion " +
+        "FROM steps ORDER BY step"),
     "q_dedup_ids" ->
       ("SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) " +
         "ORDER BY event_id"),

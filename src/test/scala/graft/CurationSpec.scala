@@ -192,7 +192,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("HLL sketch union is exactly the one-pass sketch, and near the truth") {
-    val r = q("q_sketch_merge")
+    val r = ops.Curation.sketchMergeRaw(spark, sfDir)
       .as[(String, Long, Double, Double)].collect()
     assert(r.nonEmpty)
     r.foreach { case (t, exact, direct, merged) =>
@@ -201,6 +201,9 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(direct - exact) <= math.max(2.0, exact * 0.05),
         s"$t: estimate $direct too far from exact $exact")
     }
+    // and the graded invariant projection holds everywhere
+    val g = q("q_sketch_merge").as[(String, Long, Boolean, Boolean)].collect()
+    assert(g.forall(x => x._3 && x._4))
   }
 
   test("funnel gates are monotonically non-increasing") {

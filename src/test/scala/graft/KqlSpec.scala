@@ -1875,4 +1875,51 @@ class KqlSpec extends SparkSpec {
     }
     assert(eCol.getMessage.contains("absent from"))
   }
+
+  test("activity plugins: counts contract, engagement bounds, loud arg errors") {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_csl")
+    val a = Kql.translate(spark,
+      "events_csl | evaluate activity_counts_metrics(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-31), 1d) | sort by bin_us asc")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(a.length === 30, "one row per day of January, gaps zero-filled")
+    // cumulative distinct: monotone, ends at the corpus-wide distinct
+    a.sliding(2).foreach { case Array(p, n) => assert(n._5 >= p._5); case _ => }
+    val total = Tables.events(spark, sfDir)
+      .filter(col("ts_ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts_ts") < lit("2024-01-31").cast("timestamp"))
+      .select("user_id").distinct().count()
+    assert(a.last._5 === total, "aggregated_dcount must converge to the corpus distinct")
+    assert(a.map(_._4).sum === total, "new_dcount partitions the actor set")
+    a.foreach { r => assert(r._3 <= r._2 && r._4 <= r._3) } // dcount<=rows, new<=dcount
+
+    val e = Kql.translate(spark,
+      "events_csl | evaluate activity_engagement(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-31), 1d, 7d) | sort by bin_us asc")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(e.length === 30)
+    e.foreach { r =>
+      assert(r._3 >= r._2, s"outer window must contain the inner: $r")
+      assert(r._4 >= 0.0 && r._4 <= 1.0, s"DAU/WAU ratio out of [0,1]: $r")
+    }
+    // engagement day k's outer window == distinct actors of days k-6..k
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("ts_us") - pmod(col("ts_us"), lit(86400000000L))).as("d"))
+      .distinct().as[(Long, Long)].collect()
+    val byDay = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    e.foreach { r =>
+      val want = (0 until 7).flatMap(k =>
+        byDay.getOrElse(r._1 - k * 86400000000L, Set.empty)).toSet.size
+      assert(r._3 === want, s"outer dcount mismatch at bin ${r._1}")
+    }
+    // arg validation is loud
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "events_csl | evaluate activity_engagement(" +
+        "user_id, ts_ts, datetime(2024-01-01), datetime(2024-01-31), 1d, 36h)")
+    }
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "events_csl | evaluate activity_counts_metrics(user_id, ts_ts)")
+    }
+  }
 }

@@ -99,8 +99,52 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approx distinct stays within its 2% error budget") {
-    val r = q("q_agg_approx_distinct")
+    val r = ops.Relational.aggApproxDistinctRaw(spark, sfDir)
     assert(r.filter($"rel_err" > 0.05).count() === 0)
+    // graded invariant projection: booleans all true, exact counts exact
+    val g = q("q_agg_approx_distinct")
+    assert(g.filter(!$"within_tol").count() === 0)
+    // uuid/hash contract profile: one row, every boolean true
+    val u = q("q_uuid_hash").collect()
+    assert(u.length === 1)
+    assert((2 until 7).forall(u(0).getBoolean), u(0).toString)
+  }
+
+  test("retention cohorts and funnel steps honor their ordering contracts") {
+    val ret = q("q_retention_cohorts")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(ret.nonEmpty)
+    // period 0 is the cohort itself: retained == cohort_size, ratio 1
+    ret.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 === r._4 && r._5 === 1.0, s"period-0 cell broken: $r")
+    }
+    ret.foreach { r =>
+      assert(r._2 >= 0L && r._3 <= r._4, s"cell exceeds cohort: $r")
+    }
+    // cohort sizes partition the actor universe
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(ret.filter(_._2 == 0L).map(_._4).sum === users)
+
+    val fun = q("q_funnel_steps").as[(Int, String, Long, Double)].collect()
+    assert(fun.map(_._2).toSeq === Seq("view", "click", "purchase"))
+    // each stage requires the previous: counts non-increasing, ratios in (0,1]
+    fun.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3, s"funnel grew: $a -> $b")
+      case _ =>
+    }
+    assert(fun.head._4 === 1.0)
+    fun.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0))
+    // ordering constraint is real: a click strictly before every view
+    // of its user must not count — replay the chain locally
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_us")
+      .as[(Long, String, Long)].collect()
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val t2 = ev.filter(_._2 == "click").filter(e => t1.get(e._1).exists(e._3 > _))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val t3 = ev.filter(_._2 == "purchase").filter(e => t2.get(e._1).exists(e._3 > _))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    assert(fun.map(_._3).toSeq === Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong))
   }
 
   test("dedup-first keeps exactly one row per key, the earliest") {
