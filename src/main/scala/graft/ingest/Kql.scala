@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   * `has_any`/`has_all`
   * whole-term matching with the negated string-operator family, and a
   * scalar function library (iff/case/strcat/substring/extract/split/
-  * conversions/date parts/null tests — see [[Translator.parseFnCall]]).
+  * conversions/date parts/null tests, plus tier 5: `datetime_diff`
+  * over all eight parts / `dayofweek` / `make_datetime` /
+  * `unixtime_*_todatetime` / `hash_md5`+`hash_sha256` / ADX-order
+  * `translate` / `isfinite`+`isinf` / sorted-distinct `set_union`/
+  * `set_intersect`/`set_difference` / general `dynamic([...])` array
+  * literals — see [[Translator.parseFnCall]]).
   *
   * TEMPORAL tier (the queries the reference's hour-partitioned layout
   * exists to serve, `/root/reference/README.md:5`): `datetime(...)`
@@ -3618,6 +3623,86 @@ object Kql {
         case "getyear" => nArgs(1); year(arg(0))
         case "getmonth" => nArgs(1); month(arg(0))
         case "week_of_year" => nArgs(1); weekofyear(arg(0))
+        // ---- scalar tier 5 (round 12): the datetime-arithmetic and
+        // set-algebra band. datetime_diff counts BOUNDARY CROSSINGS
+        // (the ADX/T-SQL DATEDIFF contract, d1 − d2), each part an
+        // exact integer derivation: calendar parts from year/quarter/
+        // month ordinals, week from Sunday-aligned days-since-epoch
+        // (1970-01-04 is a Sunday; ADX weeks start Sunday, so DuckDB's
+        // Monday-week date_diff is NOT the twin — the oracle replays
+        // this exact formula), sub-day parts from truncated epoch-µs.
+        case "datetime_diff" =>
+          nArgs(3)
+          val d1 = arg(1).cast("timestamp")
+          val d2 = arg(2).cast("timestamp")
+          def trUs(c: Column, p: String) = unix_micros(date_trunc(p, c))
+          def subDay(usPer: Long) =
+            ((trUs(d1, partName(usPer)) - trUs(d2, partName(usPer))) / lit(usPer))
+          def partName(usPer: Long) = usPer match {
+            case 3600000000L => "hour"
+            case 60000000L => "minute"
+            case _ => "second"
+          }
+          // Sunday-aligned week index: floorDiv of days since the
+          // epoch's first Sunday (handles pre-1970 dates correctly
+          // where a truncating division would round toward zero)
+          def sundayWeek(c: Column) =
+            floor(datediff(to_date(c), to_date(lit("1970-01-04"))).cast("double") / 7.0)
+          (litStr(0).toLowerCase match {
+            case "year" => year(d1) - year(d2)
+            case "quarter" =>
+              (year(d1) * 4 + quarter(d1)) - (year(d2) * 4 + quarter(d2))
+            case "month" =>
+              (year(d1) * 12 + month(d1)) - (year(d2) * 12 + month(d2))
+            case "week" => sundayWeek(d1) - sundayWeek(d2)
+            case "day" => datediff(to_date(d1), to_date(d2))
+            case "hour" => subDay(3600000000L)
+            case "minute" => subDay(60000000L)
+            case "second" => subDay(1000000L)
+            case other => fail(s"datetime_diff: unsupported part '$other'")
+          }).cast("long")
+        // DIALECT: ADX dayofweek returns a TIMESPAN since the
+        // preceding Sunday; this engine emits the integer day count
+        // 0 (Sunday) … 6 (Saturday) — the value everyone bins on
+        case "dayofweek" => nArgs(1); (dayofweek(arg(0)) - lit(1)).cast("int")
+        case "make_datetime" =>
+          nArgs(3, 6)
+          if (groups.length == 3)
+            make_timestamp(arg(0), arg(1), arg(2), lit(0), lit(0), lit(0))
+          else make_timestamp(arg(0), arg(1), arg(2), arg(3), arg(4), arg(5))
+        case "unixtime_seconds_todatetime" =>
+          nArgs(1); timestamp_seconds(arg(0))
+        case "unixtime_milliseconds_todatetime" =>
+          nArgs(1); timestamp_millis(arg(0).cast("long"))
+        case "unixtime_microseconds_todatetime" =>
+          nArgs(1); timestamp_micros(arg(0).cast("long"))
+        case "hash_md5" => nArgs(1); md5(arg(0).cast("binary"))
+        case "hash_sha256" => nArgs(1); sha2(arg(0).cast("binary"), 256)
+        // ADX translate(searchList, replacementList, text) — note the
+        // text-LAST argument order vs Spark/SQL translate(text, ...)
+        case "translate" =>
+          nArgs(3)
+          // Kql.translate (the dialect entry point) shadows the
+          // functions._ char-map builtin here — call it qualified
+          org.apache.spark.sql.functions.translate(
+            arg(2), litStr(0), litStr(1))
+        case "isinf" =>
+          nArgs(1)
+          abs(arg(0).cast("double")) === lit(Double.PositiveInfinity)
+        case "isfinite" =>
+          nArgs(1)
+          val d = arg(0).cast("double")
+          !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+        // DIALECT: ADX set_* preserve first-appearance order; this
+        // engine canonicalizes to SORTED distinct so the result is a
+        // set in both value and representation (deterministic across
+        // partitionings — what a 100 TB rerun needs)
+        case "set_union" =>
+          nArgs(2); array_sort(array_union(arg(0), arg(1)))
+        case "set_intersect" =>
+          nArgs(2); array_sort(array_intersect(arg(0), arg(1)))
+        case "set_difference" =>
+          nArgs(2); array_sort(array_except(arg(0), arg(1)))
         case "datetime_part" =>
           // datetime_part("hour", ts) → int, ADX part names lowercased
           nArgs(2); date_part(lit(litStr(0).toLowerCase), arg(1)).cast("int")
@@ -3670,6 +3755,27 @@ object Kql {
           val shift = 32 - prefix
           shiftright(parseIpv4(arg(0).cast("string")), shift) ===
             lit(base >> shift)
+        case "dynamic" =>
+          // general literal-array form — dynamic(['a', ...]) usable as
+          // a value wherever an array argument is expected (set_*,
+          // array_*); the has_all/has_any needle lists keep their own
+          // string-only fast path above. argGroups splits on top-level
+          // commas (bracket-unaware), so re-join before re-splitting.
+          if (groups.isEmpty) fail("dynamic() needs a literal")
+          val joined = groups.reduce((a, b) => a ++ Vector(TSym(",")) ++ b)
+          joined match {
+            case TSym("[") +: mid :+ TSym("]") =>
+              val items = splitOn(mid, TSym(",")).map {
+                case Vector(TStr(v)) => lit(v)
+                case Vector(TNum(v)) =>
+                  if (v.contains('.')) lit(v.toDouble) else lit(v.toLong)
+                case other =>
+                  fail(s"dynamic([...]) items must be scalar literals, got $other")
+              }
+              array(items: _*)
+            case other =>
+              fail(s"dynamic() supports only array literals in value position, got $other")
+          }
         case "isnull" => nArgs(1); arg(0).isNull
         case "isnotnull" => nArgs(1); arg(0).isNotNull
         case "isempty" => nArgs(1); coalesce(arg(0).cast("string"), lit("")) === lit("")

@@ -1420,6 +1420,51 @@ object Relational {
         "| sort by event_id asc")
   }
 
+  /** KQL scalar tier 5 (round 12): the datetime-arithmetic and
+    * set-algebra band — `datetime_diff` over all eight parts (boundary
+    * crossings, ADX/T-SQL DATEDIFF contract; `week` is Sunday-aligned
+    * days-since-epoch, which DuckDB's Monday-week date_diff cannot
+    * twin, so the oracle replays the formula), `dayofweek` (0=Sunday
+    * dialect), row-dependent `make_datetime` and the
+    * `unixtime_*_todatetime` family (projected through
+    * datetime_diff('second') so the output stays integer),
+    * `hash_md5`/`hash_sha256`, ADX-argument-order `translate`,
+    * `isfinite`/`isinf` (exp overflow to IEEE inf — both engines
+    * overflow identically; division by zero does NOT twin, DuckDB
+    * returns NULL), and the sorted-distinct `set_union`/
+    * `set_intersect`/`set_difference` (projected via strcat_array —
+    * the round-11 array-free lesson). All codegen'd built-ins.
+    */
+  private def kqlScalar4(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_id < 200 " +
+        "| extend dd_y = datetime_diff('year', ts_ts, datetime(2023-12-31)), " +
+        "dd_q = datetime_diff('quarter', ts_ts, datetime(2023-11-30)), " +
+        "dd_m = datetime_diff('month', ts_ts, datetime(2023-12-31)), " +
+        "dd_w = datetime_diff('week', ts_ts, datetime(2024-01-06)), " +
+        "dd_d = datetime_diff('day', ts_ts, datetime(2024-01-01)), " +
+        "dd_h = datetime_diff('hour', ts_ts, datetime(2024-01-01)), " +
+        "dd_mi = datetime_diff('minute', ts_ts, datetime(2024-01-01)), " +
+        "dd_s = datetime_diff('second', ts_ts, datetime(2024-01-01)), " +
+        "dow = dayofweek(ts_ts) " +
+        "| extend md_s = datetime_diff('second', " +
+        "make_datetime(2024, 1, dayofmonth(ts_ts), hourofday(ts_ts), 0, 0), datetime(2024-01-01)), " +
+        "ut_s = datetime_diff('second', unixtime_seconds_todatetime(1704067200 + event_id * 3600), datetime(2024-01-01)), " +
+        "ut_ms = datetime_diff('second', unixtime_milliseconds_todatetime(1704067200000 + event_id * 60000), datetime(2024-01-01)) " +
+        "| extend hm = hash_md5(event_type), " +
+        "hs = hash_sha256(strcat(event_type, tostring(user_id))), " +
+        "tr = translate('cikl', 'CIKL', event_type), " +
+        "fin = iff(isfinite(exp(value * value * 1000.0 + 1.0)), 1, 0), " +
+        "inf = iff(isinf(exp(value * value * 1000.0 + 1.0)), 1, 0) " +
+        "| extend su = strcat_array(set_union(split(event_type, 'i'), split('click', 'i')), '|'), " +
+        "si = strcat_array(set_intersect(split(event_type, 'i'), split('click', 'i')), '|'), " +
+        "sd = strcat_array(set_difference(split(event_type, 'i'), split('click', 'i')), '|') " +
+        "| project event_id, dd_y, dd_q, dd_m, dd_w, dd_d, dd_h, dd_mi, dd_s, dow, " +
+        "md_s, ut_s, ut_ms, hm, hs, tr, fin, inf, su, si, sd " +
+        "| sort by event_id asc")
+  }
+
   /** ADX activity plugin tier 1 (round 12): `evaluate
     * activity_counts_metrics` — per-day totals, distinct actors, NEW
     * actors, and the cumulative distinct-actor curve over January.
@@ -2044,6 +2089,7 @@ object Relational {
     "q_kql_hints" -> (kqlHints _),
     "q_kql_scalar2" -> (kqlScalar2 _),
     "q_kql_scalar3" -> (kqlScalar3 _),
+    "q_kql_scalar4" -> (kqlScalar4 _),
     "q_kql_activity" -> (kqlActivity _),
     "q_kql_engagement" -> (kqlEngagement _),
     "q_kql_fillseries" -> (kqlFillseries _),
@@ -2368,6 +2414,35 @@ object Relational {
         "list_aggregate(list_sort([event_id, user_id, 7]), 'string_agg', '|') AS sascs, " +
         "list_aggregate(list_reverse_sort([event_id, user_id, 7]), 'string_agg', '|') AS sdescs " +
         "FROM e ORDER BY event_id"),
+    // scalar tier 5: DuckDB date_diff shares the boundary-crossing
+    // contract for calendar/sub-day parts (args swapped — ADX is
+    // d1 − d2); 'week' does NOT twin (DuckDB weeks start Monday, ADX
+    // Sunday) so the oracle replays the Sunday-aligned formula
+    "q_kql_scalar4" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS d FROM events WHERE event_id < 200), " +
+        "s AS (SELECT *, string_split(event_type, 'i') AS a, string_split('click', 'i') AS b FROM e) " +
+        "SELECT event_id, " +
+        "date_diff('year', TIMESTAMP '2023-12-31', d) AS dd_y, " +
+        "date_diff('quarter', TIMESTAMP '2023-11-30', d) AS dd_q, " +
+        "date_diff('month', TIMESTAMP '2023-12-31', d) AS dd_m, " +
+        "CAST(floor(date_diff('day', DATE '1970-01-04', CAST(d AS DATE)) / 7.0) - floor(date_diff('day', DATE '1970-01-04', DATE '2024-01-06') / 7.0) AS BIGINT) AS dd_w, " +
+        "date_diff('day', TIMESTAMP '2024-01-01', d) AS dd_d, " +
+        "date_diff('hour', TIMESTAMP '2024-01-01', d) AS dd_h, " +
+        "date_diff('minute', TIMESTAMP '2024-01-01', d) AS dd_mi, " +
+        "date_diff('second', TIMESTAMP '2024-01-01', d) AS dd_s, " +
+        "CAST(dayofweek(d) AS INT) AS dow, " +
+        "date_diff('second', TIMESTAMP '2024-01-01', make_timestamp(2024, 1, day(d), hour(d), 0, 0.0)) AS md_s, " +
+        "date_diff('second', TIMESTAMP '2024-01-01', to_timestamp(1704067200 + event_id * 3600)) AS ut_s, " +
+        "date_diff('second', TIMESTAMP '2024-01-01', make_timestamp((1704067200000 + event_id * 60000) * 1000)) AS ut_ms, " +
+        "md5(event_type) AS hm, " +
+        "sha256(event_type || CAST(user_id AS VARCHAR)) AS hs, " +
+        "translate(event_type, 'cikl', 'CIKL') AS tr, " +
+        "CAST(CASE WHEN isfinite(exp(value * value * 1000.0 + 1.0)) THEN 1 ELSE 0 END AS BIGINT) AS fin, " +
+        "CAST(CASE WHEN isinf(exp(value * value * 1000.0 + 1.0)) THEN 1 ELSE 0 END AS BIGINT) AS inf, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS su, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|'), '') AS si, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), '|'), '') AS sd " +
+        "FROM s ORDER BY event_id"),
     // activity plugins: the bin is anchored epoch-µs arithmetic
     // (2024-01-01 = 1704067200000000 µs, 1d = 86400000000 µs); the
     // cumulative distinct is a prefix sum of per-actor first bins; the

@@ -1876,6 +1876,43 @@ class KqlSpec extends SparkSpec {
     assert(eCol.getMessage.contains("absent from"))
   }
 
+  test("scalar tier 5: datetime_diff boundaries, sets, hashes, inf family") {
+    // boundary-crossing contract: one µs across a boundary counts 1
+    val d = Kql.translate(spark,
+      "print y = datetime_diff('year', datetime(2015-01-01), datetime(2014-12-31)), " +
+        "m = datetime_diff('month', datetime(2015-01-01), datetime(2014-12-31)), " +
+        "q = datetime_diff('quarter', datetime(2015-01-01), datetime(2014-12-31)), " +
+        // ADX weeks start SUNDAY: Sat 2024-01-06 -> Sun 2024-01-07 crosses
+        "w = datetime_diff('week', datetime(2024-01-07), datetime(2024-01-06)), " +
+        "w0 = datetime_diff('week', datetime(2024-01-06), datetime(2024-01-01)), " +
+        "h = datetime_diff('hour', datetime(2024-01-01 01:00:00), datetime(2024-01-01 00:59:59)), " +
+        "neg = datetime_diff('day', datetime(2024-01-01), datetime(2024-01-05))")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(d === ((1L, 1L, 1L, 1L, 0L, 1L, -4L)))
+    val t = Kql.translate(spark,
+      "print dow = dayofweek(datetime(2024-01-07)), " + // a Sunday
+        "mk = iff(make_datetime(2024, 1, 7, 10, 30, 15) == todatetime('2024-01-07 10:30:15'), 1, 0), " +
+        "us = iff(unixtime_seconds_todatetime(1704067200) == datetime(2024-01-01), 1, 0), " +
+        "ums = iff(unixtime_milliseconds_todatetime(1704067200500) == todatetime('2024-01-01 00:00:00.5'), 1, 0), " +
+        "tr = translate('abc', 'xyz', 'aabbcc'), " + // ADX order: text LAST
+        "fin = iff(isfinite(1.5), 1, 0), inf = iff(isinf(exp(1000.0)), 1, 0), " +
+        "nf = iff(isfinite(exp(1000.0)), 1, 0)")
+      .as[(Int, Long, Long, Long, String, Long, Long, Long)].head()
+    assert(t === ((0, 1L, 1L, 1L, "xxyyzz", 1L, 1L, 0L)))
+    val sets = Kql.translate(spark,
+      "print su = strcat_array(set_union(dynamic(['b', 'a', 'b']), dynamic(['c', 'a'])), ','), " +
+        "si = strcat_array(set_intersect(dynamic(['b', 'a', 'b']), dynamic(['c', 'a'])), ','), " +
+        "sd = strcat_array(set_difference(dynamic(['b', 'a', 'b']), dynamic(['c', 'a'])), ','), " +
+        "hm = hash_md5('abc'), hs = hash_sha256('abc')")
+      .as[(String, String, String, String, String)].head()
+    assert(sets._1 === "a,b,c" && sets._2 === "a" && sets._3 === "b")
+    assert(sets._4 === "900150983cd24fb0d6963f7d28e17f72")
+    assert(sets._5 === "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "print x = datetime_diff('fortnight', now(), now())")
+    }
+  }
+
   test("activity plugins: counts contract, engagement bounds, loud arg errors") {
     Tables.events(spark, sfDir).createOrReplaceTempView("events_csl")
     val a = Kql.translate(spark,
