@@ -123,6 +123,64 @@ object Relational {
       .agg(cnt.as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
       .orderBy("r_name")
 
+  /** TPC-H Q3 (shipping priority) — the classic composed fact-fact
+    * pipeline a complete engine must run as ONE query: segment-filtered
+    * customers ⋈ date-filtered orders ⋈ ship-date-filtered lineitem,
+    * revenue per order, top 10. 100 TB shape: both date/segment
+    * filters push to the scans; customer⋈orders shuffles on custkey,
+    * the result re-shuffles on orderkey against lineitem (each fact
+    * shuffled exactly once); the top-10 is a TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. Revenue through the
+    * house decimal-sum rule; (revenue desc, key) ordering is
+    * deterministic because the decimal sum is exact.
+    */
+  private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("od_us"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local-supplier revenue) — the 6-table star-plus-chain:
+    * region-filtered nation dims broadcast onto both fact legs, the
+    * customer-nation = supplier-nation locality constraint applied as
+    * a post-join filter, one exact decimal revenue aggregate per
+    * nation. 100 TB shape: lineitem shuffles once (orderkey) to meet
+    * orders⋈customer (custkey chain), supplier/nation/region broadcast
+    * (bounded dims); the by-nation aggregate is map-side combinable
+    * over ≤ |nations| groups.
+    */
+  private def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** LeftSemi (EXISTS): emits each order at most once however many
     * lineitems match — no fan-out, and the probe side short-circuits on
     * first match.
@@ -2009,6 +2067,8 @@ object Relational {
     "q_join_smj" -> (joinSmj _),
     "q_join_full" -> (joinFull _),
     "q_join_multiway" -> (joinMultiway _),
+    "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q5" -> (tpchQ5 _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_join_range" -> (joinRange _),
@@ -2414,6 +2474,24 @@ object Relational {
         "list_aggregate(list_sort([event_id, user_id, 7]), 'string_agg', '|') AS sascs, " +
         "list_aggregate(list_reverse_sort([event_id, user_id, 7]), 'string_agg', '|') AS sdescs " +
         "FROM e ORDER BY event_id"),
+    // TPC-H composed pipelines: revenue through the q_agg_group decimal
+    // rule (2dp × 2dp products land ON the 4dp grid, never a cast tie)
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+        "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS od_us, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-03-15' AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1996-03-15' " +
+        "GROUP BY l_orderkey, od_us, o_orderpriority " +
+        "ORDER BY revenue DESC, od_us, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     // scalar tier 5: DuckDB date_diff shares the boundary-crossing
     // contract for calendar/sub-day parts (args swapped — ADX is
     // d1 − d2); 'week' does NOT twin (DuckDB weeks start Monday, ADX

@@ -91,6 +91,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("TPC-H pipelines: Q3 heaps its top-10, Q5 broadcasts every dim") {
+    val p3 = finalPlan("q_tpch_q3")
+    assert(p3.contains("TakeOrderedAndProject"), p3.take(600))
+    assert(p3.contains("PushedFilters"), p3.take(600))
+    val p5 = finalPlan("q_tpch_q5")
+    // supplier and the region-filtered nation list ride broadcasts —
+    // the fact legs never shuffle for a dimension
+    assert(p5.contains("BroadcastHashJoin"), p5.take(800))
+    assert(!p5.contains("CartesianProduct"))
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(q("q_topk").queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
