@@ -63,6 +63,38 @@ object StreamOps {
       }
   }
 
+  case class NewActor(user_id: Long, day_us: Long)
+
+  /** First-ever-sight detector — the streaming leg of the activity tier
+    * (q_kql_activity's `new_dcount` is the batch rollup of exactly this
+    * table): one keyed state cell per actor holding the first-seen UTC
+    * day; an actor emits ONCE, on the micro-batch that first carries
+    * them, and is silent forever after. State is one long per actor —
+    * bounded by the actor universe, not the event volume — which is
+    * why the adoption curve of a 100 TB/day event stream is maintained
+    * incrementally here instead of re-scanning history per report.
+    * Late events for an already-seen actor are ignored by design (the
+    * batch twin agrees when input is replayed in event-time order; a
+    * true out-of-order first-sight would need a retraction channel,
+    * which the append-only contract rules out).
+    */
+  def newActorStream(events: Dataset[Ev]): Dataset[NewActor] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, NewActor](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.map(e => e.ts_us - e.ts_us % dayUs).min
+            state.update(first)
+            Iterator.single(NewActor(user, first))
+          }
+      }
+  }
+
   case class Batch(source: String, timeGenerated: Long, maxTimestamp: Long, arrivalSeq: Long)
   case class Registers(source: String, maxTimestamp: Long, lastTimeGenerated: Long)
 

@@ -274,6 +274,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("new-actor stream equals the batch firsts; actors emit exactly once") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamOps.newActorStream(input.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("newactor_spec").start()
+    // event-time-ordered replay in three micro-batches: cross-batch
+    // state must suppress re-emission of chunk-1 actors in chunks 2-3
+    val evs = eventsBatch.select($"event_id", $"user_id", $"ts_us", $"value")
+      .orderBy("ts_us").as[Ev].collect()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toSeq: _*); query.processAllAvailable()
+    }
+    query.stop()
+    val got = spark.table("newactor_spec")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).distinct.length === got.length,
+      "an actor emitted more than once across micro-batches")
+    val dayUs = 86400000000L
+    val expect = eventsBatch.groupBy("user_id")
+      .agg(min(($"ts_us" - $"ts_us" % dayUs)).as("d"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got.sorted === expect.sorted,
+      "streamed first-sight table must equal the batch min-day-per-actor")
+    // and its per-day rollup IS q_kql_activity's new_dcount column
+    val rolled = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val activity = q("q_kql_activity")
+      .select("bin_us", "new_dcount").as[(Long, Long)].collect()
+    activity.foreach { case (bin, n) =>
+      assert(rolled.getOrElse(bin, 0L) === n, s"new_dcount parity at bin $bin")
+    }
+  }
+
   test("state survives across micro-batches (register semantics)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
