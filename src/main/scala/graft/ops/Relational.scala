@@ -358,6 +358,53 @@ object Relational {
         (col("rel_err") <= lit(0.10)).as("within_tol"))
       .orderBy("l_returnflag")
 
+  /** Approximate quantiles (q_quantile_sketch) — the sketch tier's
+    * second leg beside [[aggApproxDistinct]]'s HLL: `percentile_approx`
+    * (Greenwald-Khanna, rank error ≤ 1/accuracy) at p50/p90 per group,
+    * merged across partitions by the distributed aggregate itself —
+    * constant memory per group where the exact percentile sorts the
+    * group. Invariant oracle: the estimate differs engine-to-engine,
+    * so the GRADED projection verifies the sketch's CONTRACT — the
+    * estimate's true rank window [#<v, #≤v], computed by one exact
+    * pass, must intersect the target rank ± (n/accuracy + 1). Both the
+    * rank counts and the sketch are deterministic functions of the
+    * data (GK merge is deterministic), so the booleans hash stably;
+    * DuckDB supplies exact n and TRUE. `p50 ≤ p90` rides along (the
+    * sketch must preserve quantile monotonicity).
+    */
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val base = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_extendedprice").as("x"))
+    val appx = base.groupBy("l_returnflag")
+      .agg(percentile_approx(col("x"),
+          array(lit(0.5), lit(0.9)), lit(acc)).as("qs"),
+        cnt.as("n"))
+      .select(col("l_returnflag"), col("n"),
+        col("qs").getItem(0).as("v50"), col("qs").getItem(1).as("v90"))
+    val ranked = base.join(broadcast(appx), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(min(col("n")).as("n_rows"),
+        sum(when(col("x") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < col("v90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("x") <= col("v90"), 1L).otherwise(0L)).as("le90"),
+        (min(col("v50")) <= min(col("v90"))).as("monotone"))
+    def ok(p: Double, lt: String, le: String) = {
+      val slack = col("n_rows").cast("double") / acc + 1.0
+      val target = col("n_rows").cast("double") * p
+      // the rank window the estimate occupies must intersect
+      // [target - slack, target + slack]
+      (col(lt).cast("double") <= target + slack) &&
+        (col(le).cast("double") >= target - slack)
+    }
+    ranked.select(col("l_returnflag"), col("n_rows"),
+        ok(0.5, "lt50", "le50").as("p50_ok"),
+        ok(0.9, "lt90", "le90").as("p90_ok"),
+        col("monotone"))
+      .orderBy("l_returnflag")
+  }
+
   /** The ungraded frame with the raw estimate + relative error —
     * [[aggApproxDistinct]] projects the deterministic invariant view of
     * this; RelationalSpec asserts the numeric bound here.
@@ -2080,6 +2127,7 @@ object Relational {
     "q_agg_group" -> (aggGroup _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_agg_maxby" -> (aggMaxBy _),
     "q_stats_profile" -> (statsProfile _),
     "q_rollup" -> (rollupAgg _),
@@ -2265,6 +2313,9 @@ object Relational {
     // each boolean is a deterministic function of the data)
     "q_agg_approx_distinct" ->
       "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, TRUE AS within_tol FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_quantile_sketch" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS p50_ok, TRUE AS p90_ok, " +
+        "TRUE AS monotone FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_uuid_hash" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT text) AS BIGINT) AS n_texts, " +
         "TRUE AS uuid_v4_all, TRUE AS uuid_distinct, TRUE AS xxh64_injective, " +

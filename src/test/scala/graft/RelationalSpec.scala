@@ -108,6 +108,22 @@ class RelationalSpec extends SparkSpec {
     val u = q("q_uuid_hash").collect()
     assert(u.length === 1)
     assert((2 until 7).forall(u(0).getBoolean), u(0).toString)
+    // quantile sketch: graded booleans all true, and the raw GK
+    // estimate sits within its rank-error budget of the exact value
+    val qs = q("q_quantile_sketch").collect()
+    assert(qs.nonEmpty && qs.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+    val raw = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("v"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+    raw.foreach { case (g, v, ex, n) =>
+      // rank error 1/1000 on a heavy-tailed price column stays well
+      // under 5% in value terms at these group sizes
+      assert(math.abs(v - ex) / ex < 0.05, s"$g: approx $v vs exact $ex (n=$n)")
+    }
   }
 
   test("retention cohorts and funnel steps honor their ordering contracts") {
