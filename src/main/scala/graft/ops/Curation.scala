@@ -1010,25 +1010,30 @@ object Curation {
 
   /** Sketch-tier incremental maintenance: q_incremental_agg's base ⊎
     * delta property extended to DISTINCT counts via DataSketches HLL
-    * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`). HLL
-    * registers are order-independent maxima, so union-of-half-sketches
-    * is BIT-IDENTICAL to the one-pass sketch — the spec asserts exact
-    * estimate equality, plus closeness to the exact distinct count.
-    * Invariant oracle (round 12, upgraded out of the ⊘ set): DuckDB's
-    * HLL is a different implementation, so the GRADED projection is
-    * (group, exact distinct, `merge_lossless`, `within_tol`) — the
-    * first boolean is the register-max identity above (exact, and
-    * deterministic because sketch merge is commutative/associative),
-    * the second bounds the estimate at 10% of truth (the default lgK
-    * promises ~2.4% rsd). The raw estimates stay on [[sketchMergeRaw]]
-    * for the spec. This is how a 100 TB view maintains distinct users
-    * per type at delta cost, where exact distinct would re-shuffle all
-    * history.
+    * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`). In the
+    * sketch's exact (coupon list/set) region, union-of-half-sketches
+    * reproduces the one-pass sketch EXACTLY; once the halves promote
+    * to HLL-register mode, the union-gadget path and the direct build
+    * can round differently and the estimates diverge within error
+    * bounds — measured at ~sf1 (15 000 distinct per group), caught by
+    * the standing scale gate, so the graded invariant is the BOUNDED
+    * form. Invariant oracle (round 12, upgraded out of the ⊘ set):
+    * DuckDB's HLL is a different implementation, so the GRADED
+    * projection is (group, exact distinct, `merge_consistent`,
+    * `within_tol`) — merge_consistent bounds |merged − direct| at 5%
+    * of truth + 2 (both estimates target ~2.4% rsd; deterministic
+    * because sketch build AND union are order-independent on a fixed
+    * dataset), within_tol bounds the direct estimate at 10% of truth.
+    * The raw estimates stay on [[sketchMergeRaw]] for the spec, which
+    * additionally pins EXACT merge equality in the coupon region.
+    * This is how a 100 TB view maintains distinct users per type at
+    * delta cost, where exact distinct would re-shuffle all history.
     */
   private def sketchMerge(s: SparkSession, dir: String): DataFrame =
     sketchMergeRaw(s, dir)
       .select(col("event_type"), col("n_exact"),
-        (col("est_direct") === col("est_merged")).as("merge_lossless"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          col("n_exact") * lit(0.05) + lit(2.0)).as("merge_consistent"),
         (abs(col("est_direct") - col("n_exact")) / col("n_exact") <= lit(0.10))
           .as("within_tol"))
       .orderBy("event_type")
@@ -1672,7 +1677,7 @@ object Curation {
     // tolerance at ~2.4% rsd) — see sketchMerge's Scaladoc
     "q_sketch_merge" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
-        "TRUE AS merge_lossless, TRUE AS within_tol " +
+        "TRUE AS merge_consistent, TRUE AS within_tol " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_domain_reweight" -> {
       val rounds = (1 to DomainRounds).map { i =>
