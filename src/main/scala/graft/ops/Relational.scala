@@ -181,6 +181,56 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 (returned-item reporting): quarter-filtered orders ⋈
+    * returned lineitem ⋈ customer ⋈ broadcast nation, revenue per
+    * customer, top 20. The date AND returnflag filters reach their
+    * scans; facts shuffle once each (custkey, then orderkey); the
+    * top-20 is a heap. The "who costs us the most returns" report.
+    */
+  private def tpchQ10(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18 (large-volume customers): the group-HAVING semi-join
+    * shape — orders whose lineitems total > 300 units, re-joined to
+    * customer and lineitem for the report. The HAVING aggregate is
+    * map-side combinable and its survivor set is tiny (≈0.1% of
+    * orders), so the re-join broadcasts the survivors; the final
+    * per-order quantity aggregate shuffles lineitem once on its
+    * natural key. Classic "whale detection".
+    */
+  private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .as("qty"))
+      .filter(col("qty") > 300)
+      .select(col("l_orderkey").as("big_orderkey"),
+        col("qty").cast("double").as("total_qty"))
+    Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("big_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** LeftSemi (EXISTS): emits each order at most once however many
     * lineitems match — no fan-out, and the probe side short-circuits on
     * first match.
@@ -2116,6 +2166,8 @@ object Relational {
     "q_join_multiway" -> (joinMultiway _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
+    "q_tpch_q10" -> (tpchQ10 _),
+    "q_tpch_q18" -> (tpchQ18 _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_join_range" -> (joinRange _),
@@ -2543,6 +2595,21 @@ object Relational {
         "AND r_name = 'ASIA' AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
         "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+        "c_acctbal, n_name FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey " +
+        "AND l_returnflag = 'R' AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS od_us, " +
+        "o_totalprice, total_qty FROM customer, orders, big " +
+        "WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
     // scalar tier 5: DuckDB date_diff shares the boundary-crossing
     // contract for calendar/sub-day parts (args swapped — ADX is
     // d1 − d2); 'week' does NOT twin (DuckDB weeks start Monday, ADX
