@@ -827,6 +827,8 @@ object Kql {
           applyActivityCounts(df, inner)
         case TIdent("evaluate") +: TIdent("activity_engagement") +: TSym("(") +: inner :+ TSym(")") =>
           applyActivityEngagement(df, inner)
+        case TIdent("evaluate") +: TIdent("new_activity_metrics") +: TSym("(") +: inner :+ TSym(")") =>
+          applyNewActivityMetrics(df, inner)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -1642,6 +1644,44 @@ object Kql {
           when(col("dcount_outer") > 0,
             col("dcount_inner").cast("double") / col("dcount_outer").cast("double"))
             .otherwise(lit(0.0)))
+    }
+
+    /** ADX `evaluate new_activity_metrics(Id, Timeline, Start, End,
+      * Window)` — cohort retention: cohort = an actor's first-seen
+      * window inside [Start, End); for each (cohort, periods-since)
+      * cell, the retained distinct actors, the cohort size, and their
+      * ratio. DIALECT: ADX's plugin emits a wide activity/churn column
+      * battery; this engine emits the canonical retention-triangle
+      * projection (cohort_us, period, retained, cohort_size,
+      * retention) — the columns every saved retention query actually
+      * consumes, flat and array-free. Scale shape = the native
+      * q_retention_cohorts: corpus → distinct (actor, window) pairs
+      * once; first-seen is a map-side-combinable min; the cohort join
+      * returns on the SAME actor key; the cell aggregate runs on the
+      * bounded cohort×period grid. The ratio divides exact integers —
+      * engine-identical doubles.
+      */
+    private def applyNewActivityMetrics(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val args = splitOn(toks, TSym(","))
+      if (args.length != 5)
+        fail("new_activity_metrics(IdColumn, TimelineColumn, Start, End, Window)")
+      val stepUs = args(4) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"new_activity_metrics Window must be a positive timespan, got $o")
+      }
+      val (inRange, _, _) = activityBase(df, args, stepUs)
+      val pairs = inRange.distinct()
+      val cohorts = pairs.groupBy("__id").agg(min(col("__b")).as("__c"))
+      val sizes = cohorts.groupBy("__c").agg(count(lit(1)).as("__size"))
+      pairs.join(cohorts, "__id")
+        .groupBy(col("__c"),
+          ((col("__b") - col("__c")) / lit(stepUs)).cast("long").as("period"))
+        .agg(count(lit(1)).as("retained"))
+        .join(sizes, "__c")
+        .select(col("__c").as("cohort_us"), col("period"), col("retained"),
+          col("__size").as("cohort_size"),
+          (col("retained").cast("double") / col("__size").cast("double"))
+            .as("retention"))
     }
 
     /** `partition by Col ( subquery )` — ADX runs the subquery once per

@@ -42,6 +42,8 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, n_bytes: Int, feat: Array[Float])
   case class MediaPhash(doc_id: Long, w1: Long, w2: Long)
+  case class MediaColor(doc_id: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+    rg_abs: Long, yb2_abs: Long, dom: String)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -191,6 +193,38 @@ object Multimodal {
     def encode(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
       require(gray.length == w * h, "payload size must be w*h")
       s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+    }
+
+    /** P6 PPM (binary portable PIXMAP — interleaved RGB, the color
+      * sibling of the P5 graymap): same header grammar, 3·w·h payload.
+      */
+    def encodeP6(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(rgb.length == 3 * w * h, "payload size must be 3*w*h")
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    /** Parse a binary P6 PPM; rejects a P5 graymap loudly (wrong
+      * channel count is the classic silent-corruption path).
+      */
+    def decodeP6(ppm: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(ppm.length >= 2 && ppm(0) == 'P'.toByte && ppm(1) == '6'.toByte,
+        "not a P6 PPM")
+      var i = 2
+      def readInt(): Int = {
+        while (i < ppm.length && ppm(i).toChar.isWhitespace) i += 1
+        require(i < ppm.length && ppm(i) >= '0'.toByte && ppm(i) <= '9'.toByte,
+          "malformed PPM header")
+        var v = 0
+        while (i < ppm.length && ppm(i) >= '0'.toByte && ppm(i) <= '9'.toByte) {
+          v = v * 10 + (ppm(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxv = readInt()
+      require(maxv == 255, s"unsupported maxval $maxv")
+      i += 1 // the single whitespace byte after maxval
+      require(ppm.length - i >= 3 * w * h, "truncated PPM payload")
+      (w, h, java.util.Arrays.copyOfRange(ppm, i, i + 3 * w * h))
     }
 
     /** Parse a binary P5 PGM: magic, whitespace-separated ASCII width/
@@ -476,13 +510,54 @@ object Multimodal {
       .orderBy("ai", "bi")
   }
 
+  /** Color-image features over a REAL P6 PPM round-trip (round 12 —
+    * the third real modality next to the P5 graymap and RIFF/PCM WAV):
+    * each document's bytes tile a 64×64 interleaved-RGB pixmap, a real
+    * P6 writer/parser round-trips it (the parser rejects a P5 graymap
+    * loudly — wrong channel count is the classic silent corruption),
+    * and the features are EXACT INTEGERS so the DuckDB twin replays
+    * them from the same bytes: per-channel sums, the opponent-axis
+    * accumulators Σ|r−g| and Σ|r+g−2b| (the Hasler–Süsstrunk
+    * colorfulness components kept in integer form — ×2 on the
+    * yellow-blue axis avoids the /2), and the dominant channel
+    * (deterministic r≥g≥b tiebreak). Scale: one mapPartitions decode
+    * pass, 12 KiB and O(w·h) work per row, no shuffle before the
+    * final sort — the same batched-decoder contract as the other
+    * media ops.
+    */
+  private def mediaColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaRows(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val rgb = Ppm.tile(r.media, 3 * Ppm.W * Ppm.H)
+        val ppm = Ppm.encodeP6(rgb, Ppm.W, Ppm.H)
+        val (w, h, px) = Ppm.decodeP6(ppm)
+        require(w == Ppm.W && h == Ppm.H)
+        var rs = 0L; var gs = 0L; var bs = 0L; var rg = 0L; var yb = 0L
+        var p = 0
+        while (p < w * h) {
+          val r0 = px(3 * p) & 0xff
+          val g0 = px(3 * p + 1) & 0xff
+          val b0 = px(3 * p + 2) & 0xff
+          rs += r0; gs += g0; bs += b0
+          rg += math.abs(r0 - g0)
+          yb += math.abs(r0 + g0 - 2 * b0)
+          p += 1
+        }
+        val dom = if (rs >= gs && rs >= bs) "r" else if (gs >= bs) "g" else "b"
+        MediaColor(r.doc_id, rs, gs, bs, rg, yb, dom)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
     "q_media_phash" -> (mediaPhash _),
-    "q_media_audio" -> (mediaAudio _)
+    "q_media_audio" -> (mediaAudio _),
+    "q_media_color" -> (mediaColor _)
   )
 
   /** The fixed-point DCT basis as a DuckDB VALUES list — the SAME baked
@@ -592,6 +667,25 @@ object Multimodal {
         "FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id) " +
         "SELECT ai, bi, CAST(bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) AS INT) AS ham " +
         "FROM p WHERE bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) <= 8 ORDER BY ai, bi"
-    }
+    },
+    "q_media_color" ->
+      // the P6 pixel replay: byte list from the document's hex, tiled
+      // to 12288 interleaved-RGB bytes, per-pixel channel triples, all
+      // sums exact integers (the phash bylist machinery, color form)
+      ("WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+        "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+        "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+        "px AS (SELECT doc_id, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p) % n AS BIGINT) + 1] END AS r, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 1) % n AS BIGINT) + 1] END AS g, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 2) % n AS BIGINT) + 1] END AS b " +
+        "FROM bylist CROSS JOIN range(0, 4096) t(p)), " +
+        "agg AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum, " +
+        "CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(abs(r - g)) AS BIGINT) AS rg_abs, " +
+        "CAST(sum(abs(r + g - 2*b)) AS BIGINT) AS yb2_abs FROM px GROUP BY doc_id) " +
+        "SELECT doc_id, r_sum, g_sum, b_sum, rg_abs, yb2_abs, " +
+        "CASE WHEN r_sum >= g_sum AND r_sum >= b_sum THEN 'r' WHEN g_sum >= b_sum THEN 'g' ELSE 'b' END AS dom " +
+        "FROM agg ORDER BY doc_id")
   )
 }

@@ -1651,6 +1651,19 @@ object Relational {
         "| sort by bin_us asc")
   }
 
+  /** ADX activity plugin tier 3 (round 12): `evaluate
+    * new_activity_metrics` — cohort retention through the translator
+    * (the canonical retention-triangle projection; see
+    * applyNewActivityMetrics for the dialect note and scale shape).
+    */
+  private def kqlRetention(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate new_activity_metrics(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-02-01), 1d) " +
+        "| sort by cohort_us asc, period asc")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -2252,6 +2265,7 @@ object Relational {
     "q_kql_scalar4" -> (kqlScalar4 _),
     "q_kql_activity" -> (kqlActivity _),
     "q_kql_engagement" -> (kqlEngagement _),
+    "q_kql_retention" -> (kqlRetention _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2657,6 +2671,17 @@ object Relational {
         "COALESCE(n2.newc, 0) AS new_dcount, " +
         "CAST(sum(COALESCE(n2.newc, 0)) OVER (ORDER BY g.b) AS BIGINT) AS agg_dcount " +
         "FROM grid g LEFT JOIN agg a ON g.b = a.b LEFT JOIN nw n2 ON g.b = n2.b ORDER BY bin_us"),
+    "q_kql_retention" ->
+      ("WITH pairs AS (SELECT DISTINCT user_id AS id, " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'), " +
+        "coh AS (SELECT id, min(b) AS c FROM pairs GROUP BY id), " +
+        "sz AS (SELECT c, CAST(count(*) AS BIGINT) AS cohort_size FROM coh GROUP BY c), " +
+        "cells AS (SELECT coh.c AS c, CAST((p.b - coh.c) / 86400000000 AS BIGINT) AS period, CAST(count(*) AS BIGINT) AS retained " +
+        "FROM pairs p JOIN coh ON p.id = coh.id GROUP BY 1, 2) " +
+        "SELECT cells.c AS cohort_us, period, retained, cohort_size, " +
+        "CAST(retained AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention " +
+        "FROM cells JOIN sz ON cells.c = sz.c ORDER BY cohort_us, period"),
     "q_kql_engagement" ->
       ("WITH e AS (SELECT DISTINCT user_id AS id, " +
         "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +

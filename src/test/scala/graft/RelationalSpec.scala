@@ -237,6 +237,44 @@ class RelationalSpec extends SparkSpec {
       s"unplanted survivors: ${got.length - planted.length}")
   }
 
+  test("media color: real P6 PPM round-trip + exact opponent-axis features") {
+    import graft.ops.Multimodal.Ppm
+    // the color format round-trips: header parse + 3-channel payload
+    val rgb = Array.tabulate(3 * Ppm.W * Ppm.H)(i => (i % 249).toByte)
+    val (w, h, px) = Ppm.decodeP6(Ppm.encodeP6(rgb, Ppm.W, Ppm.H))
+    assert(w === Ppm.W && h === Ppm.H && px.toSeq === rgb.toSeq)
+    // a P5 graymap is rejected loudly (channel-count corruption path)
+    intercept[IllegalArgumentException] {
+      Ppm.decodeP6(Ppm.encode(Array.fill(Ppm.W * Ppm.H)(7.toByte), Ppm.W, Ppm.H))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      Ppm.decodeP6("P6\n64 64\n255\nabc".getBytes("US-ASCII"))
+    }
+    // hand-checkable features on the query output: sums bounded by
+    // 255·4096 per channel; the opponent axes obey the triangle bound
+    // |r+g−2b| ≤ |r−g| + 2·max-channel-gap ≤ 2·255 per pixel
+    val got = q("q_media_color").collect()
+    assert(got.length === Tables.documents(spark, sfDir).count())
+    got.foreach { r =>
+      val Seq(rs, gs, bs, rg, yb) = (1 to 5).map(r.getLong)
+      assert(rs <= 255L * 4096 && gs <= 255L * 4096 && bs <= 255L * 4096)
+      assert(rg <= 255L * 4096 && yb <= 2L * 255 * 4096)
+      val dom = r.getString(6)
+      val want = if (rs >= gs && rs >= bs) "r" else if (gs >= bs) "g" else "b"
+      assert(dom === want)
+    }
+    // a pure-red pixmap: exact closed-form features
+    val red = Array.tabulate(3 * Ppm.W * Ppm.H)(i =>
+      if (i % 3 == 0) 200.toByte else 0.toByte)
+    val (_, _, rp) = Ppm.decodeP6(Ppm.encodeP6(red, Ppm.W, Ppm.H))
+    var rSum = 0L; var rgAbs = 0L; var ybAbs = 0L
+    (0 until Ppm.W * Ppm.H).foreach { p =>
+      val r0 = rp(3 * p) & 0xff; val g0 = rp(3 * p + 1) & 0xff; val b0 = rp(3 * p + 2) & 0xff
+      rSum += r0; rgAbs += math.abs(r0 - g0); ybAbs += math.abs(r0 + g0 - 2 * b0)
+    }
+    assert(rSum === 200L * 4096 && rgAbs === 200L * 4096 && ybAbs === 200L * 4096)
+  }
+
   test("media audio: real RIFF/PCM16 round-trip + exact integer features") {
     import graft.ops.Multimodal.Wav
     // the container round-trips: chunk walk + typed fmt + LE payload
