@@ -829,6 +829,8 @@ object Kql {
           applyActivityEngagement(df, inner)
         case TIdent("evaluate") +: TIdent("new_activity_metrics") +: TSym("(") +: inner :+ TSym(")") =>
           applyNewActivityMetrics(df, inner)
+        case TIdent("evaluate") +: TIdent("funnel_sequence_completion") +: TSym("(") +: inner :+ TSym(")") =>
+          applyFunnelCompletion(df, inner)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -1682,6 +1684,88 @@ object Kql {
           col("__size").as("cohort_size"),
           (col("retained").cast("double") / col("__size").cast("double"))
             .as("retention"))
+    }
+
+    /** ADX `evaluate funnel_sequence_completion(Id, Timeline, Start,
+      * End, State, Sequence, MaxStepWindow)` — the WINDOWED ordered
+      * funnel: an actor completes step k+1 only with an event of the
+      * k+1-th state STRICTLY after their step-k completion and within
+      * MaxStepWindow of it (the un-windowed chain is the native
+      * q_funnel_steps). DIALECT, two deliberate deviations: (1) ADX
+      * bins completions per period; this engine emits the funnel
+      * summary (step, stage, n_users, step-to-step conversion) — the
+      * columns funnel dashboards consume. (2) Each stage anchors at
+      * the actor's EARLIEST completion of the previous stage — the
+      * conservative funnel: a later re-entry into stage k does NOT
+      * reopen the window for stage k+1 (full re-entrant sequence
+      * matching needs a per-actor event walk; the KqlSpec pins this
+      * semantics with an explicit re-entry case). Scale shape: each
+      * stage is a pushed state filter + a
+      * per-actor min aggregate, chained by co-keyed actor joins — the
+      * corpus is scanned once per stage (bounded by sequence length),
+      * never windowed or all-paired; the conversion window runs on
+      * |sequence| rows.
+      */
+    private def applyFunnelCompletion(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val args = splitOn(toks, TSym(","))
+      if (args.length != 7)
+        fail("funnel_sequence_completion(IdColumn, TimelineColumn, Start, End, StateColumn, Sequence, MaxStepWindow)")
+      val stateName = args(4) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"funnel StateColumn must be a plain column, got $o")
+      }
+      val stages: Vector[String] = args(5) match {
+        case TIdent("dynamic") +: TSym("(") +: TSym("[") +: mid
+            if mid.endsWith(Vector(TSym("]"), TSym(")"))) =>
+          splitOn(mid.dropRight(2), TSym(",")).map {
+            case Vector(TStr(v)) => v
+            case other => fail(s"funnel Sequence items must be string literals, got $other")
+          }
+        case other => fail(s"funnel Sequence must be dynamic(['s1', ...]), got $other")
+      }
+      if (stages.length < 2) fail("funnel Sequence needs at least two stages")
+      val windowUs = args(6) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"funnel MaxStepWindow must be a positive timespan, got $o")
+      }
+      // activityBase with a 1-µs "bin" = the raw event time
+      val idName = args(0) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"funnel IdColumn must be a plain column, got $o")
+      }
+      val tsName = args(1) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"funnel TimelineColumn must be a plain column, got $o")
+      }
+      val fromUs = unix_micros(parseArithToks(args(2)).cast("timestamp"))
+      val toUs = unix_micros(parseArithToks(args(3)).cast("timestamp"))
+      val tsc = col(tsName).cast("timestamp")
+      val base = df
+        .filter(tsc >= timestamp_micros(fromUs) && tsc < timestamp_micros(toUs))
+        .select(col(idName).as("__id"), unix_micros(tsc).as("__t"),
+          col(stateName).as("__st"))
+      var reached = base.filter(col("__st") === stages(0))
+        .groupBy("__id").agg(min(col("__t")).as("__tk"))
+      def summary(idx: Int, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx + 1).as("step"), lit(stages(idx)).as("stage"),
+            col("n_users"))
+      var out = summary(0, reached)
+      stages.indices.drop(1).foreach { k =>
+        val prev = reached.withColumnRenamed("__tk", "__tp")
+        reached = base.filter(col("__st") === stages(k))
+          .join(prev, "__id")
+          .filter(col("__t") > col("__tp") &&
+            col("__t") <= col("__tp") + lit(windowUs))
+          .groupBy("__id").agg(min(col("__t")).as("__tk"))
+        out = out.unionByName(summary(k, reached))
+      }
+      out.withColumn("conversion",
+        col("n_users").cast("double") /
+          coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
+            col("n_users")).cast("double"))
+        .orderBy("step")
     }
 
     /** `partition by Col ( subquery )` — ADX runs the subquery once per

@@ -231,6 +231,68 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4 (order-priority checking), adapted to this schema: the
+    * fixture's lineitem has no commit/receipt dates, so the EXISTS
+    * predicate is "some line shipped ≥ 60 days after the order was
+    * placed" — same shape, same point: a date-windowed fact, an
+    * EXISTS semi-join that emits each order at most once however many
+    * lines match, a tiny by-priority aggregate. The semi-join probe
+    * short-circuits on first match; no fan-out ever reaches the agg.
+    */
+  private def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val late = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("interval 60 days"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q12 (shipping-mode priority analysis), adapted: the fixture
+    * carries no l_shipmode, so the lineitem attribute is l_returnflag —
+    * the shape is intact: fact⋈fact on the natural key, a date window
+    * at the scan, and the classic CONDITIONAL aggregate splitting each
+    * group into high/low priority counts in ONE pass (two `sum(case)`
+    * columns, not two queries).
+    */
+  private def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 (promotion effect): month-windowed lineitem against the
+    * broadcast part dimension; promo revenue share = one conditional
+    * decimal aggregate over the joined month, the division of two
+    * exact decimal sums closing in one IEEE op. Broadcast keeps the
+    * fact side shuffle-free.
+    */
+  private def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum(rev).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_share"))
+  }
+
   /** LeftSemi (EXISTS): emits each order at most once however many
     * lineitems match — no fan-out, and the probe side short-circuits on
     * first match.
@@ -1664,6 +1726,20 @@ object Relational {
         "| sort by cohort_us asc, period asc")
   }
 
+  /** ADX activity plugin tier 4 (round 12): `evaluate
+    * funnel_sequence_completion` — the WINDOWED ordered funnel (each
+    * step within 3 days of the previous; see applyFunnelCompletion
+    * for the earliest-anchor dialect). The un-windowed native twin is
+    * q_funnel_steps.
+    */
+  private def kqlFunnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate funnel_sequence_completion(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-02-01), event_type, " +
+        "dynamic(['view', 'click', 'purchase']), 3d)")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -2179,7 +2255,10 @@ object Relational {
     "q_join_multiway" -> (joinMultiway _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
+    "q_tpch_q4" -> (tpchQ4 _),
     "q_tpch_q10" -> (tpchQ10 _),
+    "q_tpch_q12" -> (tpchQ12 _),
+    "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
@@ -2266,6 +2345,7 @@ object Relational {
     "q_kql_activity" -> (kqlActivity _),
     "q_kql_engagement" -> (kqlEngagement _),
     "q_kql_retention" -> (kqlRetention _),
+    "q_kql_funnel" -> (kqlFunnel _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2609,6 +2689,29 @@ object Relational {
         "AND r_name = 'ASIA' AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
         "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders " +
+        "WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-07-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND CAST(l_shipdate AS TIMESTAMP) >= CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_tpch_q12" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem, orders WHERE l_orderkey = o_orderkey " +
+        "AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_tpch_q14" ->
+      ("SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev, " +
+        "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) " +
+        "/ CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share " +
+        "FROM lineitem, part WHERE l_partkey = p_partkey " +
+        "AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-03-01' " +
+        "AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'"),
     "q_tpch_q10" ->
       ("SELECT c_custkey, c_name, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
         "c_acctbal, n_name FROM customer, orders, lineitem, nation " +
@@ -2682,6 +2785,23 @@ object Relational {
         "SELECT cells.c AS cohort_us, period, retained, cohort_size, " +
         "CAST(retained AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention " +
         "FROM cells JOIN sz ON cells.c = sz.c ORDER BY cohort_us, period"),
+    // windowed funnel: the same conditional-min chain as q_funnel_steps
+    // with the per-step window bound and epoch-µs arithmetic; both
+    // engines anchor each stage at the earliest previous completion
+    "q_kql_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1 FROM events " +
+        "WHERE event_type = 'view' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(e.ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' " +
+        "AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1 AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t1 + 259200000000 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id AS user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(e.ts AS TIMESTAMP) < TIMESTAMP '2024-02-01' " +
+        "AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t2 AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s2.t2 + 259200000000 GROUP BY e.user_id), " +
+        "steps AS (SELECT CAST(1 AS INT) AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1 " +
+        "UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2 " +
+        "UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
+        "SELECT step, stage, n_users, CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) AS conversion " +
+        "FROM steps ORDER BY step"),
     "q_kql_engagement" ->
       ("WITH e AS (SELECT DISTINCT user_id AS id, " +
         "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +

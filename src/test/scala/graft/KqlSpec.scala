@@ -1913,6 +1913,34 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("funnel_sequence_completion: windowed chain, earliest-anchor dialect pinned") {
+    // actor 1 completes all three inside 3d windows; actor 2's click is
+    // past the window; actor 3 RE-ENTERS view on day 5 but the dialect
+    // anchors at the EARLIEST view (day 1) so the day-6 click is out;
+    // actor 4 never views
+    val rows =
+      "1, datetime(2024-01-01), 'view', 1, datetime(2024-01-02), 'click', 1, datetime(2024-01-03), 'purchase', " +
+        "2, datetime(2024-01-01), 'view', 2, datetime(2024-01-10), 'click', " +
+        "3, datetime(2024-01-01), 'view', 3, datetime(2024-01-05), 'view', 3, datetime(2024-01-06), 'click', " +
+        "4, datetime(2024-01-02), 'click'"
+    val got = Kql.translate(spark,
+      s"datatable(id: long, t: datetime, st: string)[$rows] " +
+        "| evaluate funnel_sequence_completion(id, t, datetime(2024-01-01), " +
+        "datetime(2024-02-01), st, dynamic(['view', 'click', 'purchase']), 3d)")
+      .as[(Int, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    assert(got(0)._4 === 1.0 && got(2)._4 === 1.0)
+    assert(math.abs(got(1)._4 - 1.0 / 3.0) < 1e-15)
+    // malformed sequence fails loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "datatable(id: long, t: datetime, st: string)[1, datetime(2024-01-01), 'view'] " +
+          "| evaluate funnel_sequence_completion(id, t, " +
+          "datetime(2024-01-01), datetime(2024-02-01), st, dynamic(['view']), 3d)")
+    }
+  }
+
   test("activity plugins: counts contract, engagement bounds, loud arg errors") {
     Tables.events(spark, sfDir).createOrReplaceTempView("events_csl")
     val a = Kql.translate(spark,
