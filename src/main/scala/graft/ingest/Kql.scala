@@ -831,6 +831,10 @@ object Kql {
           applyNewActivityMetrics(df, inner)
         case TIdent("evaluate") +: TIdent("funnel_sequence_completion") +: TSym("(") +: inner :+ TSym(")") =>
           applyFunnelCompletion(df, inner)
+        case TIdent("evaluate") +: TIdent("basket") +: TSym("(") +: inner :+ TSym(")") =>
+          applyBasket(df, inner)
+        case Vector(TIdent("evaluate"), TIdent("basket")) =>
+          applyBasket(df, Vector.empty)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -1684,6 +1688,51 @@ object Kql {
           col("__size").as("cohort_size"),
           (col("retained").cast("double") / col("__size").cast("double"))
             .as("retention"))
+    }
+
+    /** ADX `evaluate basket([Threshold])` — frequent-pattern mining
+      * over the pipeline's current columns: emit every attribute
+      * PATTERN (a subset of columns fixed to values, the rest
+      * wildcard) covering at least Threshold (default 5%) of the
+      * rows. The Spark-native mapping is exact: `cube` over all
+      * columns enumerates every pattern with its count in ONE pass
+      * (the Expand operator — map-side combinable, no Apriori
+      * candidate generation needed at this arity), the grand-total
+      * row IS the denominator, and the threshold filter runs on the
+      * bounded cube result. NULL in an output column = wildcard (the
+      * ADX shape); input rows with genuine NULLs are excluded up
+      * front so the two meanings cannot conflate — documented
+      * dialect. Capped at 5 pattern columns: 2⁵ Expand replication is
+      * the honest cost ceiling; beyond that ADX itself samples.
+      */
+    private def applyBasket(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val threshold = toks match {
+        case Vector() => 0.05
+        case Vector(TNum(v)) =>
+          val t = v.toDouble
+          if (t <= 0 || t > 1) fail(s"basket threshold must be in (0, 1], got $t")
+          t
+        case other => fail(s"basket() takes at most one numeric threshold, got $other")
+      }
+      val cols = df.columns.toSeq
+      if (cols.isEmpty || cols.length > 5)
+        fail(s"basket() needs 1-5 pattern columns in scope, got ${cols.length} — project first")
+      val clean = df.na.drop(cols)
+      val cubed = clean.cube(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      // the grand-total pattern (all wildcards) is the denominator —
+      // lift it across the BOUNDED cube result with one unpartitioned
+      // window (rows = product of per-column cardinalities + 1, never
+      // the corpus)
+      val allNull = cols.map(c => col(c).isNull).reduce(_ && _)
+      val total = max(when(allNull, col("cnt"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      cubed.withColumn("__total", total)
+        .filter(col("cnt") >= ceil(col("__total") * lit(threshold)) && !allNull)
+        .select((cols.map(col) :+ col("cnt") :+
+          (col("cnt").cast("double") / col("__total").cast("double"))
+            .as("percent")): _*)
+        .orderBy((col("cnt").desc +: cols.map(c => asc_nulls_first(c))): _*)
     }
 
     /** ADX `evaluate funnel_sequence_completion(Id, Timeline, Start,

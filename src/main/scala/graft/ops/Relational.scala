@@ -1740,6 +1740,18 @@ object Relational {
         "dynamic(['view', 'click', 'purchase']), 3d)")
   }
 
+  /** ADX diagnostic plugin (round 12): `evaluate basket` — frequent
+    * attribute patterns over (event type, value band, user bucket);
+    * the Spark-native mapping is ONE cube aggregate (see applyBasket).
+    */
+  private def kqlBasket(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
+        "ub = tostring(user_id % 3) " +
+        "| evaluate basket(0.02)")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -2346,6 +2358,7 @@ object Relational {
     "q_kql_engagement" -> (kqlEngagement _),
     "q_kql_retention" -> (kqlRetention _),
     "q_kql_funnel" -> (kqlFunnel _),
+    "q_kql_basket" -> (kqlBasket _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2785,6 +2798,19 @@ object Relational {
         "SELECT cells.c AS cohort_us, period, retained, cohort_size, " +
         "CAST(retained AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention " +
         "FROM cells JOIN sz ON cells.c = sz.c ORDER BY cohort_us, period"),
+    // basket: CUBE enumerates every pattern; the all-wildcard row is
+    // the denominator; NULL output = wildcard (inputs pre-filtered
+    // non-null so the meanings cannot conflate)
+    "q_kql_basket" ->
+      ("WITH src AS (SELECT event_type, CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END AS vb, " +
+        "CAST(user_id % 3 AS VARCHAR) AS ub FROM events " +
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "cub AS (SELECT event_type, vb, ub, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY CUBE(event_type, vb, ub)), " +
+        "tot AS (SELECT cnt AS total FROM cub WHERE event_type IS NULL AND vb IS NULL AND ub IS NULL) " +
+        "SELECT event_type, vb, ub, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS percent " +
+        "FROM cub CROSS JOIN tot " +
+        "WHERE cnt >= ceil(total * 0.02) AND NOT (event_type IS NULL AND vb IS NULL AND ub IS NULL) " +
+        "ORDER BY cnt DESC, event_type NULLS FIRST, vb NULLS FIRST, ub NULLS FIRST"),
     // windowed funnel: the same conditional-min chain as q_funnel_steps
     // with the per-step window bound and epoch-µs arithmetic; both
     // engines anchor each stage at the earliest previous completion

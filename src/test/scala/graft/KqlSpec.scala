@@ -1913,6 +1913,31 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("basket: cube patterns, wildcard rows, threshold gate, null exclusion") {
+    // 4 clean rows + 1 null row (excluded up front): patterns over
+    // (a, b) with threshold 0.5 → count >= 2 of 4
+    val got = Kql.translate(spark,
+      "datatable(a: string, b: string)['x', 'p', 'x', 'p', 'x', 'q', 'y', 'p', null, 'p'] " +
+        "| evaluate basket(0.5)")
+      .as[(Option[String], Option[String], Long, Double)].collect().toSeq
+    val want = Seq(
+      (Some("x"), None, 3L, 0.75),        // a=x wildcard-b
+      (None, Some("p"), 3L, 0.75),        // wildcard-a b=p
+      (Some("x"), Some("p"), 2L, 0.5))    // the joint pattern
+    assert(got.toSet === want.toSet, got.toString)
+    // threshold gate: at 0.8 only nothing survives except... nothing
+    val none = Kql.translate(spark,
+      "datatable(a: string, b: string)['x', 'p', 'x', 'q', 'y', 'p', 'y', 'q'] " +
+        "| evaluate basket(0.8)").count()
+    assert(none === 0L)
+    // arity cap fails loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "datatable(a: long, b: long, c: long, d: long, e: long, f: long)" +
+          "[1, 2, 3, 4, 5, 6] | evaluate basket")
+    }
+  }
+
   test("funnel_sequence_completion: windowed chain, earliest-anchor dialect pinned") {
     // actor 1 completes all three inside 3d windows; actor 2's click is
     // past the window; actor 3 RE-ENTERS view on day 5 but the dialect
