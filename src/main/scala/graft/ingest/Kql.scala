@@ -92,8 +92,10 @@ object Kql {
   def looksLikeCsl(text: String): Boolean =
     try {
       tokenize(text) match {
-        case Vector(TIdent(t)) => !sqlStarters(t.toLowerCase)
-        case TIdent(t) +: TSym("|") +: _ => !sqlStarters(t.toLowerCase)
+        case Vector(TIdent(t)) =>
+          !sqlStarters(t.toLowerCase(java.util.Locale.ROOT))
+        case TIdent(t) +: TSym("|") +: _ =>
+          !sqlStarters(t.toLowerCase(java.util.Locale.ROOT))
         // `let name = ...;` can only open a CSL statement list — no SQL
         // statement starts with the bare word `let`
         case TIdent("let") +: TIdent(_) +: TSym("=") +: _ => true
@@ -1538,7 +1540,8 @@ object Kql {
       * pruning), exactly like applyMakeSeries.
       */
     private def activityBase(df: DataFrame, args: Vector[Vector[Tok]],
-        stepUs: Long): (DataFrame, Column, Column) = {
+        stepUs: Long,
+        extra: Seq[(String, String)] = Nil): (DataFrame, Column, Column) = {
       val idName = args(0) match {
         case Vector(TIdent(c)) => c
         case o => fail(s"activity plugin IdColumn must be a plain column, got $o")
@@ -1553,8 +1556,9 @@ object Kql {
       val u = unix_micros(tsc)
       val inRange = df
         .filter(tsc >= timestamp_micros(fromUs) && tsc < timestamp_micros(toUs))
-        .select(col(idName).as("__id"),
-          (u - pmod(u - fromUs, lit(stepUs))).as("__b"))
+        .select((Seq(col(idName).as("__id"),
+          (u - pmod(u - fromUs, lit(stepUs))).as("__b")) ++
+          extra.map { case (src, alias) => col(src).as(alias) }): _*)
       (inRange, fromUs, toUs)
     }
 
@@ -1778,22 +1782,11 @@ object Kql {
         case Vector(TSpan(us)) if us > 0 => us
         case o => fail(s"funnel MaxStepWindow must be a positive timespan, got $o")
       }
-      // activityBase with a 1-µs "bin" = the raw event time
-      val idName = args(0) match {
-        case Vector(TIdent(c)) => c
-        case o => fail(s"funnel IdColumn must be a plain column, got $o")
-      }
-      val tsName = args(1) match {
-        case Vector(TIdent(c)) => c
-        case o => fail(s"funnel TimelineColumn must be a plain column, got $o")
-      }
-      val fromUs = unix_micros(parseArithToks(args(2)).cast("timestamp"))
-      val toUs = unix_micros(parseArithToks(args(3)).cast("timestamp"))
-      val tsc = col(tsName).cast("timestamp")
-      val base = df
-        .filter(tsc >= timestamp_micros(fromUs) && tsc < timestamp_micros(toUs))
-        .select(col(idName).as("__id"), unix_micros(tsc).as("__t"),
-          col(stateName).as("__st"))
+      // the shared activity front half with a 1-µs "bin" = the raw
+      // event time (pmod by 1 is 0), plus the state column carried
+      // through the projection
+      val (base0, _, _) = activityBase(df, args, 1L, Seq(stateName -> "__st"))
+      val base = base0.withColumnRenamed("__b", "__t")
       var reached = base.filter(col("__st") === stages(0))
         .groupBy("__id").agg(min(col("__t")).as("__tk"))
       def summary(idx: Int, d: DataFrame): DataFrame =
@@ -3369,7 +3362,13 @@ object Kql {
           // string (the "Query Parameters" dict is out of this subset).
           nArgs(1)
           val u = arg(0)
-          def part(p: String) = regexp_extract(u, p, 1)
+          // JSON-escape each embedded part (backslash first, then
+          // quote): without this a URL containing " or \ makes the
+          // assembled dynamic malformed JSON and every part silently
+          // reads back NULL through the path idiom
+          def part(p: String) = regexp_replace(
+            regexp_replace(regexp_extract(u, p, 1), "\\\\", "\\\\\\\\"),
+            "\"", "\\\\\"")
           val auth = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?"
           concat(
             lit("{\"Scheme\":\""), part("^([A-Za-z][A-Za-z0-9+.-]*)://"),
@@ -3821,7 +3820,9 @@ object Kql {
           // where a truncating division would round toward zero)
           def sundayWeek(c: Column) =
             floor(datediff(to_date(c), to_date(lit("1970-01-04"))).cast("double") / 7.0)
-          (litStr(0).toLowerCase match {
+          // Locale.ROOT: under tr_TR, 'MINUTE'.toLowerCase is
+          // 'mınute' (the ciLit lesson applied to part names)
+          (litStr(0).toLowerCase(java.util.Locale.ROOT) match {
             case "year" => year(d1) - year(d2)
             case "quarter" =>
               (year(d1) * 4 + quarter(d1)) - (year(d2) * 4 + quarter(d2))
@@ -3878,7 +3879,9 @@ object Kql {
           nArgs(2); array_sort(array_except(arg(0), arg(1)))
         case "datetime_part" =>
           // datetime_part("hour", ts) → int, ADX part names lowercased
-          nArgs(2); date_part(lit(litStr(0).toLowerCase), arg(1)).cast("int")
+          nArgs(2)
+          date_part(lit(litStr(0).toLowerCase(java.util.Locale.ROOT)),
+            arg(1)).cast("int")
         // ---- IPv4 family: pure integer arithmetic end to end, so every
         // predicate stays codegen'd + pushable and the DuckDB twin is
         // bit-identical. parse_ipv4 → long (null on malformed/out-of-

@@ -376,7 +376,14 @@ object Multimodal {
             rate = sr
             bb.position(p + len)
           case "data" =>
+            // reposition to chunk start + len: an odd-length data
+            // chunk's trailing half-sample byte must be consumed as
+            // CHUNK content, or the pad-byte branch below would eat it
+            // instead of the real RIFF pad and misalign every
+            // subsequent chunk read
+            val p = bb.position()
             samples = Array.fill(len / 2)(bb.getShort())
+            bb.position(p + len)
           case _ => bb.position(bb.position() + len)
         }
         if (len % 2 == 1 && bb.remaining() > 0) bb.get() // RIFF pad byte

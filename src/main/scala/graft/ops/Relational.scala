@@ -2014,19 +2014,27 @@ object Relational {
     * The fixture csv is written deterministically by this entry so the
     * DuckDB twin reads the identical bytes.
     */
-  private def kqlExternaldata(s: SparkSession, dir: String): DataFrame = {
-    // a FRESH temp file per execution: a shared hardcoded path raced
-    // across concurrent runs (truncate+write is not atomic), and the
-    // oracle silently depended on Spark having executed first — the
-    // DuckDB twin is a VALUES literal over the same constant rows, so
-    // neither engine reads the other's side effects
-    val fixture = java.nio.file.Files.createTempFile("graft_externaldata_", ".csv")
-    fixture.toFile.deleteOnExit()
-    java.nio.file.Files.write(fixture,
+  // one fixture per JVM, created lazily: per-execution temp files
+  // accumulated both disk entries and the JVM's only-grows
+  // deleteOnExit list under bench loops; a per-JVM-unique path keeps
+  // the original no-cross-process-race property at O(1) cost
+  private lazy val externaldataFixture: java.nio.file.Path = {
+    val f = java.nio.file.Files.createTempFile("graft_externaldata_", ".csv")
+    f.toFile.deleteOnExit()
+    java.nio.file.Files.write(f,
       java.util.Arrays.asList("1,alpha", "2,beta", "3,gamma", "4,delta"))
+    f
+  }
+
+  private def kqlExternaldata(s: SparkSession, dir: String): DataFrame = {
+    // a per-JVM temp file: a shared hardcoded path raced across
+    // concurrent runs (truncate+write is not atomic), and the oracle
+    // silently depended on Spark having executed first — the DuckDB
+    // twin is a VALUES literal over the same constant rows, so
+    // neither engine reads the other's side effects
     graft.ingest.Kql.translate(s,
       "externaldata (id: long, tag: string) " +
-        s"['file://$fixture'] with (format='csv') " +
+        s"['file://$externaldataFixture'] with (format='csv') " +
         "| where id >= 2 | sort by id asc")
   }
 
