@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * queries then run in sorted name order for run-to-run comparability.
   */
 object Bench {
+  /** Queries whose timed body writes real files (fixture cost, local-FS
+    * bound — partition appends, compaction, shard manifests): their
+    * wall time measures the filesystem, not the engine, so the bench
+    * line flags them and publishes engine-only vs fs-bound subtotals.
+    * Round-over-round comparisons should read `total_engine`.
+    */
+  private val FsBound = Set(
+    "q_compact_partitions", "q_parquet_roundtrip",
+    "q_shard_write", "q_file_manifest")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract is local[32]; SPARK_GRAFT_CPUS only overrides for
@@ -56,7 +66,10 @@ object Bench {
     val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failures excluded, visible as -1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"rep_errors":$errs,"sf":"$sfDir"}""")
+    val totalEngine = results.filterNot(r => FsBound(r._1)).map(_._2).filter(_ >= 0).sum
+    val totalFs = results.filter(r => FsBound(r._1)).map(_._2).filter(_ >= 0).sum
+    val fsList = FsBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_engine":$totalEngine,"total_fs_bound":$totalFs,"fs_bound":$fsList,"queries":$qs,"queries_cold":$qsCold,"rep_errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -283,7 +283,7 @@ object Kql {
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (twoCharSyms(two)) { emit(TSym(two)); i += 2 }
-        else if ("|(),<>=!+-*/%.;[]:{}~".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
+        else if ("|(),<>=!+-*/%.;[]:{}~$".indexOf(c) >= 0) { emit(TSym(c.toString)); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -837,6 +837,12 @@ object Kql {
           applyBasket(df, inner)
         case Vector(TIdent("evaluate"), TIdent("basket")) =>
           applyBasket(df, Vector.empty)
+        case TIdent("evaluate") +: TIdent("autocluster") +: TSym("(") +: inner :+ TSym(")") =>
+          applyAutocluster(df, inner)
+        case Vector(TIdent("evaluate"), TIdent("autocluster")) =>
+          applyAutocluster(df, Vector.empty)
+        case TIdent("evaluate") +: TIdent("diffpatterns") +: TSym("(") +: inner :+ TSym(")") =>
+          applyDiffpatterns(df, inner)
         case TIdent("evaluate") +: TIdent(plugin) +: _ =>
           fail(s"unsupported evaluate plugin '$plugin'")
         case Vector(TIdent("getschema")) =>
@@ -1041,10 +1047,15 @@ object Kql {
 
     // ------------------------------------------------------------ join
     //   join := ['kind' '=' ident] ('(' pipeline ')' | table)
-    //           'on' ident (',' ident)*
-    //   Right side is a FULL sub-pipeline; equality keys only (the ADX
-    //   `$left.x == $right.y` form is out of subset). Keys merge
-    //   using-join style.
+    //           'on' key (',' key)*
+    //   key  := ident | '$left' '.' ident '==' '$right' '.' ident
+    //   Right side is a FULL sub-pipeline. Keys are equalities only
+    //   (as in ADX). Bare keys merge using-join style (one output key
+    //   column — the subset's standing contract); the explicit
+    //   `$left.x == $right.y` form (round 13) keeps BOTH key columns
+    //   and renames right-side collisions with ADX's next-free-`1`
+    //   suffix rule. Either side order is accepted; non-equi
+    //   operators fail loudly.
 
     private def applyJoin(df: DataFrame, toks: Vector[Tok]): DataFrame = {
       var rem = toks
@@ -1081,27 +1092,99 @@ object Kql {
           rem = t
         case _ => loop = false
       }
-      val (right0, keys) = joinRightSide(rem)
+      val (right0, keyPairs) = joinRightSide(rem)
       val right = if (broadcastRight) broadcast(right0) else right0
+      if (keyPairs.forall { case (a, b) => a == b }) {
+        val keys = keyPairs.map(_._1)
+        kind match {
+          case "inner" => df.join(right, keys, "inner")
+          // ADX innerunique: left side deduplicated on the keys first
+          // (which left row survives is arbitrary — same as ADX)
+          case "innerunique" => df.dropDuplicates(keys).join(right, keys, "inner")
+          case "leftouter" => df.join(right, keys, "left")
+          case "rightouter" => df.join(right, keys, "right")
+          case "fullouter" => df.join(right, keys, "full")
+          case "leftanti" | "anti" => df.join(right, keys, "left_anti")
+          case "leftsemi" => df.join(right, keys, "left_semi")
+          // right-flavored kinds: Spark has no right_semi/right_anti —
+          // swap the sides (output is the RIGHT schema, per ADX)
+          case "rightsemi" => right.join(df, keys, "left_semi")
+          case "rightanti" => right.join(df, keys, "left_anti")
+          case other => fail(s"unsupported join kind '$other'")
+        }
+      } else explicitKeyJoin(df, right, keyPairs, kind)
+    }
+
+    /** The `$left.x == $right.y` join path: explicit equality
+      * condition over aliased sides (no using-merge). Output follows
+      * ADX: left columns first, then EVERY right column, with
+      * collisions renamed by the next-free `1` suffix
+      * (`key`→`key1`→`key2`…). Semi/anti kinds keep only the surviving
+      * side's schema, unrenamed. The physical plan is identical to the
+      * using-join path (equi-keys hash-partition; a broadcast hint on
+      * the right survives the alias), so the 100 TB shape is unchanged.
+      */
+    private def explicitKeyJoin(df: DataFrame, right: DataFrame,
+        keyPairs: Vector[(String, String)], kind: String): DataFrame = {
+      // disambiguation by RENAME, not by alias: both sides routinely
+      // share lineage (self-joins over the same source view), where
+      // Spark's dataset-apply resolution trips its ambiguous-self-join
+      // check; a scratch `__jr_` prefix on every right column makes the
+      // namespaces disjoint before the join, so name resolution is
+      // trivially unambiguous and the final select restores the ADX
+      // output names
+      val leftKeys = keyPairs.map(_._1).distinct
       kind match {
-        case "inner" => df.join(right, keys, "inner")
-        // ADX innerunique: left side deduplicated on the keys first
-        // (which left row survives is arbitrary — same as ADX)
-        case "innerunique" => df.dropDuplicates(keys).join(right, keys, "inner")
-        case "leftouter" => df.join(right, keys, "left")
-        case "rightouter" => df.join(right, keys, "right")
-        case "fullouter" => df.join(right, keys, "full")
-        case "leftanti" | "anti" => df.join(right, keys, "left_anti")
-        case "leftsemi" => df.join(right, keys, "left_semi")
-        case other => fail(s"unsupported join kind '$other'")
+        case "rightsemi" | "rightanti" =>
+          // output is the RIGHT schema — prefix the LEFT side instead
+          val lPref = df.toDF(df.columns.map("__jl_" + _).toIndexedSeq: _*)
+          val cond = keyPairs
+            .map { case (a, b) => col("__jl_" + a) === col(b) }
+            .reduce(_ && _)
+          right.join(lPref, cond,
+            if (kind == "rightsemi") "left_semi" else "left_anti")
+        case "leftanti" | "anti" | "leftsemi" =>
+          val rPref = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val cond = keyPairs
+            .map { case (a, b) => col(a) === col("__jr_" + b) }
+            .reduce(_ && _)
+          df.join(rPref, cond,
+            if (kind == "leftsemi") "left_semi" else "left_anti")
+        case _ =>
+          val how = kind match {
+            case "inner" | "innerunique" => "inner"
+            case "leftouter" => "left"
+            case "rightouter" => "right"
+            case "fullouter" => "full"
+            case other => fail(s"unsupported join kind '$other'")
+          }
+          val lBase =
+            if (kind == "innerunique") df.dropDuplicates(leftKeys) else df
+          val rPref = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val cond = keyPairs
+            .map { case (a, b) => col(a) === col("__jr_" + b) }
+            .reduce(_ && _)
+          val used = scala.collection.mutable.Set(lBase.columns.toSeq: _*)
+          val rightCols = right.columns.map { n =>
+            if (!used.contains(n)) { used += n; col("__jr_" + n).as(n) }
+            else {
+              var k = 1
+              while (used.contains(n + k)) k += 1
+              used += (n + k)
+              col("__jr_" + n).as(n + k)
+            }
+          }
+          lBase.join(rPref, cond, how)
+            .select(lBase.columns.map(col(_)).toSeq ++ rightCols: _*)
       }
     }
 
     /** Shared join/lookup right-side parse: `(pipeline)` or a table
-      * name, followed by `on key[, key]` (equality keys only). Returns
-      * the translated right side and the key names.
+      * name, followed by `on key[, key]` where each key is a bare name
+      * or `$left.x == $right.y`. Returns the translated right side and
+      * the (leftName, rightName) key pairs (bare `k` → (k, k)).
       */
-    private def joinRightSide(toks: Vector[Tok]): (DataFrame, Seq[String]) = {
+    private def joinRightSide(toks: Vector[Tok]): (DataFrame, Vector[(String, String)]) = {
       val (rightToks, afterRight) = toks match {
         case TSym("(") +: t =>
           var depth = 1
@@ -1120,11 +1203,35 @@ object Kql {
         case _ => fail("join needs a right side: (pipeline) or a table name")
       }
       val keys = afterRight match {
-        case TIdent("on") +: keyToks => parseNameList(keyToks)
+        case TIdent("on") +: keyToks => parseJoinKeys(keyToks)
         case _ => fail("join requires `on key[, key]` (equality keys only)")
       }
       (pipeline(splitPipes(rightToks)), keys)
     }
+
+    /** Join key list: bare idents and/or `$left.x == $right.y` items
+      * (either side order). Any operator other than `==` fails loudly
+      * — ADX joins are equi-only, and a silent drop would turn a
+      * range-join intent into a wrong answer.
+      */
+    private def parseJoinKeys(toks: Vector[Tok]): Vector[(String, String)] =
+      splitOn(toks, TSym(",")).map {
+        case Vector(TIdent(k)) => (k, k)
+        case Vector(TSym("$"), TIdent(s1), TSym("."), TIdent(a), TSym(op),
+            TSym("$"), TIdent(s2), TSym("."), TIdent(b)) =>
+          if (op != "==")
+            fail(s"join keys are equalities only ($$left.x == $$right.y); " +
+              s"got operator '$op' — rewrite a non-equi condition as a " +
+              "post-join `where`")
+          (s1, s2) match {
+            case ("left", "right") => (a, b)
+            case ("right", "left") => (b, a)
+            case _ => fail(
+              s"join key sides must be $$left and $$right, got $$$s1 / $$$s2")
+          }
+        case other => fail(
+          s"join key must be a column name or `$$left.x == $$right.y`, got $other")
+      }
 
     // -------------------------------------------------------- mv-apply
     //   mv-apply := [name '='] arrExpr 'on' '(' stage ('|' stage)* ')'
@@ -1552,6 +1659,15 @@ object Kql {
       }
       val fromUs = unix_micros(parseArithToks(args(2)).cast("timestamp"))
       val toUs = unix_micros(parseArithToks(args(3)).cast("timestamp"))
+      // validate Start < End LOUDLY: the bounds are foldable literals,
+      // so a 1-row eval is free — without it the timeline sequence()
+      // fails at runtime with an opaque 'Illegal sequence boundaries'
+      // instead of the plugins' argument-validation contract
+      val boundsOk = df.sparkSession.range(1)
+        .select(coalesce(toUs > fromUs, lit(false)).as("ok"))
+        .head().getBoolean(0)
+      if (!boundsOk)
+        fail("activity plugin requires Start < End (and both parseable as datetime)")
       val tsc = col(tsName).cast("timestamp")
       val u = unix_micros(tsc)
       val inRange = df
@@ -1739,6 +1855,131 @@ object Kql {
         .orderBy((col("cnt").desc +: cols.map(c => asc_nulls_first(c))): _*)
     }
 
+    /** ADX `evaluate autocluster([SizeWeight])` — segment mining: the
+      * common attribute patterns (null = wildcard) that cover a
+      * significant share of the input, pruned so a generic pattern is
+      * dropped when a STRICTLY more specific refinement keeps ≥ half
+      * its rows (the dominance rule — autocluster's reason to exist
+      * over a plain frequency cut). Spark-native mapping (round 13,
+      * proven by basket in round 12): ONE cube aggregate over ≤5
+      * pattern columns; everything after the cube runs on the BOUNDED
+      * pattern table (≤ Π(|col|+1) rows, never the corpus) — coverage
+      * filter, dominance anti-join (broadcast), segment numbering over
+      * a pattern-table-sized window. DIALECT: ADX's SizeWeight trades
+      * segment size against informativeness inside its heuristic
+      * search; here it maps monotonically to the coverage cut
+      * (SizeWeight/10 — 5% at the ADX default 0.5), and rows with
+      * genuine NULLs are excluded up front so null-as-wildcard cannot
+      * conflate (the basket rule). Output follows ADX: SegmentId
+      * (0-based, by falling count), count, percent, then the pattern
+      * columns.
+      */
+    private def applyAutocluster(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = toks match {
+        case Vector() => 0.5
+        case Vector(TNum(v)) =>
+          val t = v.toDouble
+          if (t <= 0 || t > 1) fail(s"autocluster SizeWeight must be in (0, 1], got $t")
+          t
+        case other => fail(s"autocluster() takes at most one numeric SizeWeight, got $other")
+      }
+      val minCov = w / 10 // 5% at the ADX default 0.5
+      val cols = df.columns.toSeq
+      if (cols.isEmpty || cols.length > 5)
+        fail(s"autocluster() needs 1-5 pattern columns in scope, got ${cols.length} — project first")
+      val allNull = cols.map(col(_).isNull).reduce(_ && _)
+      val clean = df.na.drop(cols)
+      // bounded result, fans into total + both dominance sides — the
+      // checkpoint stops each consumer re-deriving the corpus Expand
+      val cubed = clean.cube(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val total = cubed.filter(allNull).select(col("cnt").as("__total"))
+      val pats = cubed.filter(!allNull)
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") >= ceil(col("__total") * lit(minCov)))
+        .withColumn("__spec",
+          cols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _))
+      val qd = pats.select((cols.map(c => col(c).as("__q_" + c)) :+
+        col("cnt").as("__q_cnt") :+ col("__spec").as("__q_spec")): _*)
+      val kept = pats.join(broadcast(qd),
+        cols.map(c => col(c).isNull || col("__q_" + c) === col(c)).reduce(_ && _) &&
+          col("__q_spec") > col("__spec") &&
+          col("__q_cnt") * 2 >= col("cnt"),
+        "left_anti")
+      val ord = col("cnt").desc +: cols.map(c => col(c).asc_nulls_first)
+      kept.withColumn("segment_id",
+          row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
+        .select((Seq(col("segment_id"), col("cnt").as("count_"),
+          (col("cnt").cast("double") / col("__total").cast("double")).as("percent")) ++
+          cols.map(col)): _*)
+        .orderBy("segment_id")
+    }
+
+    /** ADX `evaluate diffpatterns(SplitColumn, 'ValueA', 'ValueB')` —
+      * the patterns that DIFFERENTIATE two cohorts: the same cube +
+      * coverage + dominance machinery as [[applyAutocluster]], but the
+      * single count splits into per-cohort conditional counts in the
+      * SAME one pass (two sum(when) aggregates — never two cubes), the
+      * coverage cut applies on EITHER side, dominance ranks on the
+      * combined count, and the output ranks by |percent_a − percent_b|
+      * (the differentiation signal). Divisions are guarded (a cohort
+      * with zero rows reads 0.0, the activity_ratio rule).
+      */
+    private def applyDiffpatterns(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val (splitCol, va, vb) = splitOn(toks, TSym(",")) match {
+        case Vector(Vector(TIdent(c)), Vector(TStr(a)), Vector(TStr(b))) =>
+          if (a == b) fail("diffpatterns split values must differ")
+          (c, a, b)
+        case other =>
+          fail(s"diffpatterns(SplitColumn, 'ValueA', 'ValueB') — got $other")
+      }
+      if (!df.columns.contains(splitCol))
+        fail(s"diffpatterns split column '$splitCol' not in scope")
+      val cols = df.columns.toSeq.filterNot(_ == splitCol)
+      if (cols.isEmpty || cols.length > 5)
+        fail(s"diffpatterns() needs 1-5 pattern columns beside the split, got ${cols.length}")
+      val allNull = cols.map(col(_).isNull).reduce(_ && _)
+      val clean = df.filter(col(splitCol).isin(va, vb)).na.drop(cols)
+      val cubed = clean.cube(cols.map(col): _*)
+        .agg(sum(when(col(splitCol) === va, 1L).otherwise(0L)).as("count_a"),
+          sum(when(col(splitCol) === vb, 1L).otherwise(0L)).as("count_b"))
+        .localCheckpoint(true)
+      val total = cubed.filter(allNull)
+        .select(col("count_a").as("__ta"), col("count_b").as("__tb"))
+      val pats = cubed.filter(!allNull)
+        .crossJoin(broadcast(total))
+        .filter(col("count_a") >= ceil(col("__ta") * lit(0.05)) ||
+          col("count_b") >= ceil(col("__tb") * lit(0.05)))
+        .withColumn("__spec",
+          cols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _))
+      val qd = pats.select((cols.map(c => col(c).as("__q_" + c)) :+
+        (col("count_a") + col("count_b")).as("__q_cnt") :+
+        col("__spec").as("__q_spec")): _*)
+      val kept = pats.join(broadcast(qd),
+        cols.map(c => col(c).isNull || col("__q_" + c) === col(c)).reduce(_ && _) &&
+          col("__q_spec") > col("__spec") &&
+          col("__q_cnt") * 2 >= col("count_a") + col("count_b"),
+        "left_anti")
+      def pct(cn: Column, tot: Column): Column =
+        when(tot > 0, cn.cast("double") / tot.cast("double")).otherwise(lit(0.0))
+      val withPct = kept
+        .withColumn("percent_a", pct(col("count_a"), col("__ta")))
+        .withColumn("percent_b", pct(col("count_b"), col("__tb")))
+        .withColumn("percent_diff", col("percent_a") - col("percent_b"))
+      val ord = abs(col("percent_diff")).desc +:
+        (col("count_a") + col("count_b")).desc +:
+        cols.map(c => col(c).asc_nulls_first)
+      withPct.withColumn("segment_id",
+          row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
+        .select((Seq(col("segment_id"), col("count_a"), col("count_b"),
+          col("percent_a"), col("percent_b"), col("percent_diff")) ++
+          cols.map(col)): _*)
+        .orderBy("segment_id")
+    }
+
     /** ADX `evaluate funnel_sequence_completion(Id, Timeline, Start,
       * End, State, Sequence, MaxStepWindow)` — the WINDOWED ordered
       * funnel: an actor completes step k+1 only with an event of the
@@ -1803,10 +2044,17 @@ object Kql {
           .groupBy("__id").agg(min(col("__t")).as("__tk"))
         out = out.unionByName(summary(k, reached))
       }
-      out.withColumn("conversion",
-        col("n_users").cast("double") /
-          coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
-            col("n_users")).cast("double"))
+      out.withColumn("conversion", {
+        // guarded lag (the activity_ratio pattern): a 0-completer
+        // stage must yield 0.0, not Spark NaN vs DuckDB's
+        // version-dependent ÷0 result
+        val prevN = coalesce(
+          lag(col("n_users"), 1).over(Window.orderBy("step")),
+          col("n_users"))
+        when(prevN > 0,
+          col("n_users").cast("double") / prevN.cast("double"))
+          .otherwise(lit(0.0))
+      })
         .orderBy("step")
     }
 
@@ -2597,10 +2845,17 @@ object Kql {
         case TIdent("kind") +: TSym("=") +: TIdent(k) +: t => rem = t; k
         case _ => "leftouter"
       }
-      val (right, keys) = joinRightSide(rem)
-      kind match {
-        case "leftouter" => df.join(broadcast(right), keys, "left")
-        case "inner" => df.join(broadcast(right), keys, "inner")
+      val (right, keyPairs) = joinRightSide(rem)
+      if (keyPairs.forall { case (a, b) => a == b }) {
+        val keys = keyPairs.map(_._1)
+        kind match {
+          case "leftouter" => df.join(broadcast(right), keys, "left")
+          case "inner" => df.join(broadcast(right), keys, "inner")
+          case other => fail(s"unsupported lookup kind '$other' (leftouter|inner)")
+        }
+      } else kind match {
+        case "leftouter" | "inner" =>
+          explicitKeyJoin(df, broadcast(right), keyPairs, kind)
         case other => fail(s"unsupported lookup kind '$other' (leftouter|inner)")
       }
     }

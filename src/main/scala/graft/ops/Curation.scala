@@ -723,27 +723,34 @@ object Curation {
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     val (edges, deg, nNodes) = prGraph(s, dir)
     var ranks = deg.select(col("src").as("node"),
-      q8(lit(1.0) / lit(nNodes)).as("pr"))
+      q8(lit(1.0) / lit(nNodes)).as("pr")).localCheckpoint(true)
     // per-iteration L1 residual Σ|pr_k − pr_{k−1}| — the convergence
     // evidence that justifies the iteration count (round 11): every pr
     // is 1e-8-grid quantized, so the diff/abs/sum runs EXACTLY in
     // decimal (both engines recover the grid point from the double and
     // subtract exactly) — one bounded 1-row aggregate per round over
-    // the already-checkpointed rank tables
-    val residuals = Vector.newBuilder[DataFrame]
-    for (k <- 1 to 5) {
+    // the already-checkpointed rank tables. The residual is read
+    // EAGERLY (the toscalar class, 1 row/round) so the superseded
+    // round's checkpoint blocks release immediately — the repo's
+    // measured rule (Text.scala releaseCheckpoint doc): un-released
+    // round checkpoints accumulate in storage memory and repeated
+    // invocation degrades run-over-run.
+    val residuals = Vector.newBuilder[Double]
+    for (_ <- 1 to 5) {
       val prev = ranks
       ranks = prStep(edges, deg, nNodes, prev)
       residuals += prev.select(col("node"), col("pr").as("ppr"))
         .join(ranks, "node")
-        .agg(prResidual.as(s"res$k"))
+        .agg(prResidual.as("res"))
+        .head().getDouble(0)
+      Text.releaseCheckpoint(prev)
     }
-    val top = ranks.orderBy(col("pr").desc, col("node")).limit(20)
-    residuals.result().foldLeft(
-      top.withColumn("rk",
+    residuals.result().zipWithIndex.foldLeft(
+      ranks.orderBy(col("pr").desc, col("node")).limit(20)
+        .withColumn("rk",
           row_number().over(Window.orderBy(col("pr").desc, col("node"))))
-        .select(col("rk"), col("node"), col("pr")))((d, r) =>
-        d.crossJoin(broadcast(r)))
+        .select(col("rk"), col("node"), col("pr"))) { case (d, (r, i)) =>
+        d.withColumn(s"res${i + 1}", lit(r)) }
       .orderBy("rk")
   }
 
@@ -794,6 +801,11 @@ object Curation {
         .join(ranks, "node")
         .agg(prResidual.as("res"))
         .head().getDouble(0)
+      // the residual action just materialized `ranks` and consumed
+      // `prev` — release the superseded round's checkpoint blocks NOW
+      // (the Text.releaseCheckpoint measured rule; without it up to
+      // PrCap node-sized rank tables pin storage memory)
+      Text.releaseCheckpoint(prev)
       if (k == 1) res1 = res
       converged = res < PrRelEps * res1
     }

@@ -44,6 +44,8 @@ object Multimodal {
   case class MediaPhash(doc_id: Long, w1: Long, w2: Long)
   case class MediaColor(doc_id: Long, r_sum: Long, g_sum: Long, b_sum: Long,
     rg_abs: Long, yb2_abs: Long, dom: String)
+  case class MediaPng(doc_id: Long, w: Int, h: Int, roundtrip: Boolean,
+    size_ok: Boolean, r_sum: Long, g_sum: Long, b_sum: Long)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -302,6 +304,158 @@ object Multimodal {
     }
   }
 
+  /** A real COMPRESSED image codec, pure JVM (round 13 — closes the
+    * compressed-codec seam for lossless formats; the stub boundary
+    * narrows to lossy codecs): 8-bit truecolor RGB PNG. The encoder
+    * emits the standard container — signature, IHDR, one zlib IDAT
+    * (java.util.zip.Deflater), IEND — with filter type 0 per
+    * scanline; the decoder is a full chunk walk with per-chunk CRC32
+    * validation, loud rejection of 16-bit depth / non-RGB color types /
+    * Adam7 interlace / unknown CRITICAL chunks (ancillary chunks skip),
+    * zlib inflate, and ALL FIVE standard scanline unfilters (None/Sub/
+    * Up/Average/Paeth) so foreign encoders' output decodes too.
+    * Determinism note: the COMPRESSED bytes depend on the deflate
+    * implementation and are never compared — only the decoded pixels
+    * (lossless round-trip contract) and the container's guaranteed
+    * bounds are oracle-visible.
+    */
+  private[graft] object Png {
+    import java.util.zip.{CRC32, Deflater, Inflater}
+
+    val Signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new CRC32
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** Encode 8-bit interleaved RGB as a standards-valid PNG (color
+      * type 2, filter 0 scanlines, one IDAT).
+      */
+    def encode(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(rgb.length == 3 * w * h, "payload size must be 3*w*h")
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+      val stride = 3 * w + 1
+      val raw = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        raw(y * stride) = 0 // filter type 0 (None)
+        System.arraycopy(rgb, y * 3 * w, raw, y * stride + 1, 3 * w)
+        y += 1
+      }
+      val defl = new Deflater // default level, zlib wrapper (PNG requires it)
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Decode a truecolor-RGB PNG: chunk walk with CRC validation,
+      * inflate, unfilter. Returns (w, h, interleaved RGB).
+      */
+    def decode(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(png.length >= 8 &&
+        java.util.Arrays.equals(java.util.Arrays.copyOfRange(png, 0, 8), Signature),
+        "not a PNG (bad signature)")
+      def rd32(at: Int): Int =
+        ((png(at) & 0xff) << 24) | ((png(at + 1) & 0xff) << 16) |
+          ((png(at + 2) & 0xff) << 8) | (png(at + 3) & 0xff)
+      var i = 8
+      var w = -1; var h = -1
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream
+      while (!seenIend) {
+        require(i + 8 <= png.length, "truncated chunk header")
+        val len = rd32(i)
+        require(len >= 0 && i + 12 + len <= png.length, "truncated chunk")
+        val tag = new String(png, i + 4, 4, "US-ASCII")
+        val crc = new CRC32
+        crc.update(png, i + 4, 4 + len)
+        require(crc.getValue.toInt == rd32(i + 8 + len), s"CRC mismatch in $tag")
+        tag match {
+          case "IHDR" =>
+            require(!seenIhdr, "duplicate IHDR"); seenIhdr = true
+            require(len == 13, "bad IHDR length")
+            w = rd32(i + 8); h = rd32(i + 12)
+            require(w > 0 && h > 0, "bad dimensions")
+            val bitDepth = png(i + 16); val colorType = png(i + 17)
+            require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 only)")
+            require(colorType == 2, s"unsupported color type $colorType (RGB only)")
+            require(png(i + 18) == 0 && png(i + 19) == 0,
+              "unsupported compression/filter method")
+            require(png(i + 20) == 0, "Adam7 interlace unsupported")
+          case "IDAT" =>
+            require(seenIhdr, "IDAT before IHDR")
+            idat.write(png, i + 8, len)
+          case "IEND" =>
+            require(len == 0, "bad IEND"); seenIend = true
+          case other =>
+            // ancillary chunks (lowercase first letter) skip; an unknown
+            // CRITICAL chunk means we cannot render faithfully — reject
+            require(other.head.isLower, s"unknown critical chunk '$other'")
+        }
+        i += 12 + len
+      }
+      require(seenIhdr, "missing IHDR")
+      val inf = new Inflater
+      inf.setInput(idat.toByteArray)
+      val stride = 3 * w + 1
+      val raw = new Array[Byte](stride * h)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || inf.finished(), "truncated/invalid IDAT stream")
+        off += n
+      }
+      inf.end()
+      require(off == raw.length,
+        s"decompressed size $off != expected ${raw.length}")
+      // unfilter — the five standard per-scanline filters, bpp = 3
+      val out = new Array[Byte](3 * w * h)
+      val bpp = 3
+      var y = 0
+      while (y < h) {
+        val f = raw(y * stride) & 0xff
+        var x = 0
+        while (x < 3 * w) {
+          val cur = raw(y * stride + 1 + x) & 0xff
+          val a = if (x >= bpp) out(y * 3 * w + x - bpp) & 0xff else 0
+          val b = if (y > 0) out((y - 1) * 3 * w + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) out((y - 1) * 3 * w + x - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => fail(s"unknown scanline filter type $other")
+          }
+          out(y * 3 * w + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PNG: $msg")
+  }
+
   /** Deterministic uncompressed AUDIO fixture + pure-JVM decode + exact
     * integer features (round 12 — the second real media modality,
     * narrowing the stub seam to compressed codecs only): a real
@@ -557,8 +711,53 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** One compress→decode→featurize row: the lossless round-trip
+    * contract plus exact integer channel sums over the DECODED pixels
+    * — because the round-trip is lossless, the sums are replayable by
+    * the oracle from the raw source bytes, upgrading what would be an
+    * invariant-only row into full value parity. `size_ok` pins the
+    * container bound (deflate can never exceed the stored-block bound:
+    * 12 352 raw bytes + ~11 zlib + ~57 container < 13 000).
+    */
+  private def pngRow(id: Long, rgb: Array[Byte]): MediaPng = {
+    val png = Png.encode(rgb, Ppm.W, Ppm.H)
+    val (w, h, px) = Png.decode(png)
+    val roundtrip = w == Ppm.W && h == Ppm.H &&
+      java.util.Arrays.equals(px, rgb)
+    val sizeOk = png.length <= 13000
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var p = 0
+    while (p < w * h) {
+      rs += px(3 * p) & 0xff
+      gs += px(3 * p + 1) & 0xff
+      bs += px(3 * p + 2) & 0xff
+      p += 1
+    }
+    MediaPng(id, w, h, roundtrip, sizeOk, rs, gs, bs)
+  }
+
+  /** q_media_png (round 13, VERDICT r12 #4): real PNG compress →
+    * decode → featurize over the tiled RGB fixture, PLUS one planted
+    * closed-form gradient image (doc_id −1: byte i = (7i+13) mod 256)
+    * whose channel sums the oracle derives in closed form — decoder
+    * correctness evidence independent of the document corpus. Scale:
+    * per-partition batched codec work (the mapInPandas contract), zero
+    * shuffles before the final sort.
+    */
+  private def mediaPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docRows = mediaRows(s, dir).mapPartitions { it =>
+      it.map(r => pngRow(r.doc_id, Ppm.tile(r.media, 3 * Ppm.W * Ppm.H)))
+    }
+    val planted = Seq(0).toDS().map { _ =>
+      pngRow(-1L, Array.tabulate(3 * Ppm.W * Ppm.H)(i => ((i * 7 + 13) % 256).toByte))
+    }
+    docRows.union(planted).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
+    "q_media_png" -> (mediaPng _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
@@ -693,6 +892,32 @@ object Multimodal {
         "CAST(sum(abs(r + g - 2*b)) AS BIGINT) AS yb2_abs FROM px GROUP BY doc_id) " +
         "SELECT doc_id, r_sum, g_sum, b_sum, rg_abs, yb2_abs, " +
         "CASE WHEN r_sum >= g_sum AND r_sum >= b_sum THEN 'r' WHEN g_sum >= b_sum THEN 'g' ELSE 'b' END AS dom " +
-        "FROM agg ORDER BY doc_id")
+        "FROM agg ORDER BY doc_id"),
+    "q_media_png" ->
+      // the PNG twin replays the channel sums from the RAW source bytes
+      // (the round-trip contract makes decoded pixels ≡ source tiling,
+      // so this is full value parity, not invariant-only); round-trip
+      // and container-bound booleans assert the codec contract, and the
+      // planted gradient row's sums come from the closed form
+      // byte(i) = (7i+13) mod 256 → r(p)=(21p+13)%256 etc.
+      ("WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+        "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+        "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+        "px AS (SELECT doc_id, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p) % n AS BIGINT) + 1] END AS r, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 1) % n AS BIGINT) + 1] END AS g, " +
+        "CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 2) % n AS BIGINT) + 1] END AS b " +
+        "FROM bylist CROSS JOIN range(0, 4096) t(p)), " +
+        "docs AS (SELECT doc_id, CAST(64 AS INT) AS w, CAST(64 AS INT) AS h, " +
+        "TRUE AS roundtrip, TRUE AS size_ok, " +
+        "CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum, " +
+        "CAST(sum(b) AS BIGINT) AS b_sum FROM px GROUP BY doc_id), " +
+        "planted AS (SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(64 AS INT) AS w, CAST(64 AS INT) AS h, " +
+        "TRUE AS roundtrip, TRUE AS size_ok, " +
+        "CAST(sum((21*t.p + 13) % 256) AS BIGINT) AS r_sum, " +
+        "CAST(sum((21*t.p + 20) % 256) AS BIGINT) AS g_sum, " +
+        "CAST(sum((21*t.p + 27) % 256) AS BIGINT) AS b_sum FROM range(0, 4096) t(p)) " +
+        "SELECT * FROM planted UNION ALL SELECT * FROM docs ORDER BY doc_id")
   )
 }

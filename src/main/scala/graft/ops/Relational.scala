@@ -231,6 +231,86 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue) — the CORRELATED SCALAR
+    * SUBQUERY class (round 13, VERDICT r12 #3): canonical Q17 compares
+    * each candidate line's quantity against `0.2 × avg(l_quantity)` of
+    * ITS OWN part. The Spark-first form is the decorrelated plan every
+    * engine (incl. ADX/DuckDB) rewrites to: one map-side-combinable
+    * per-part aggregate over lineitem, semi-restricted to the brand's
+    * candidate parts, broadcast back onto the fact scan — zero
+    * per-row subquery executions, one lineitem shuffle on l_partkey.
+    * Adaptation (fixture has no p_container): the brand filter plus
+    * `p_size < 15` stands in for the brand+container cut. Determinism:
+    * l_quantity is integer-valued f64 (1..50), so sum/count/0.2× are
+    * all exact-or-single-IEEE in both engines; the revenue sum runs in
+    * DECIMAL(18,4) (the q_tpch_q18 rule) with ONE double division at
+    * the end.
+    */
+  private def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgq = li.groupBy("l_partkey")
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      .select(col("l_partkey").as("ap_partkey"),
+        (lit(0.2) * col("avg_qty")).as("qty_thr"))
+    val cand = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+      .select("p_partkey")
+      .join(avgq, col("p_partkey") === col("ap_partkey"))
+      .select(col("p_partkey"), col("qty_thr"))
+    li.join(broadcast(cand), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) — the EXISTS /
+    * NOT-EXISTS chain with MULTI-CONDITION correlation (same-order,
+    * DIFFERENT-supplier), round 13: for finished orders, count each
+    * late line whose order has another supplier's line (EXISTS → one
+    * hash semi-join on the order key with the ≠-supplier residual
+    * condition) but no OTHER late supplier (NOT EXISTS → the anti-join
+    * twin over the late set). Adaptations: lateness is the Q4 rule
+    * (shipped ≥ 60 days after o_orderdate — the fixture has no
+    * commit/receipt dates), and the canonical single-nation cut widens
+    * to four nations so the survivor set stays statistically
+    * meaningful at the fixture's 100-supplier scale. The late set is
+    * materialized once and fans into both the probe and the anti side
+    * (`localCheckpoint` would be overkill: it is one co-keyed join
+    * past the shuffle, and exchange reuse dedups the scan). Supplier ⋈
+    * is broadcast (bounded dimension).
+    */
+  private def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ordF = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("interval 60 days"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_12", "NATION_21"))
+      .select("n_nationkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    late
+      .join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(cnt.as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q4 (order-priority checking), adapted to this schema: the
     * fixture's lineitem has no commit/receipt dates, so the EXISTS
     * predicate is "some line shipped ≥ 60 days after the order was
@@ -1027,6 +1107,51 @@ object Relational {
         "| sort by user_id asc")
   }
 
+  /** KQL join on DIFFERENTLY-NAMED keys — the `$left.x == $right.y`
+    * form (round 13; previously a loud out-of-subset rejection,
+    * VERDICT r12 #1): one explicit key mixed with one bare key, ADX
+    * wide-output semantics (both key columns kept; the right side's
+    * colliding `value` lands as `value1` by the next-free-`1` suffix
+    * rule). Physically identical to the using-join path: equi-keys
+    * hash-partition both sides, the aggregated right is
+    * broadcast-sized under AQE.
+    */
+  private def kqlJoin2(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | where event_id < 500 " +
+        "| project event_id, user_id, event_type, value " +
+        "| join kind=inner (events_csl | where event_type == 'click' " +
+        "| project uid = user_id, event_type, value " +
+        "| summarize n = count(), value = max(value) by uid, event_type) " +
+        "on $left.user_id == $right.uid, event_type " +
+        "| project event_id, user_id, event_type, value, uid, value1, n " +
+        "| sort by event_id asc")
+  }
+
+  /** KQL `rightsemi` / `rightanti` join kinds (round 13) over the
+    * explicit-key form: region-2 nations against the customer table —
+    * the rightsemi leg keeps customers OF those nations, the rightanti
+    * leg the complement (output schema is the RIGHT side's, per ADX).
+    * Aggregates are selection-exact (count/min/max — no float-order
+    * sums), so the DuckDB IN/NOT-IN twin matches bit-for-bit.
+    */
+  private def kqlJoin3(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_csl")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_csl")
+    def leg(kind: String) = graft.ingest.Kql.translate(s,
+      "nation_csl | where n_regionkey == 2 " +
+        s"| join kind=$kind (customer_csl " +
+        "| project c_custkey, c_nationkey, c_acctbal) " +
+        "on $left.n_nationkey == $right.c_nationkey " +
+        "| summarize nc = count(), lo = min(c_acctbal), hi = max(c_acctbal) " +
+        "by c_nationkey")
+      .withColumn("leg", lit(kind))
+      .select("leg", "c_nationkey", "nc", "lo", "hi")
+    leg("rightsemi").unionByName(leg("rightanti"))
+      .orderBy("leg", "c_nationkey")
+  }
+
   /** KQL `mv-expand` — the dynamic-array unnest, here over the embedding
     * vector: explode is a Generator inside whole-stage codegen, ×dim row
     * fan-out with no shuffle; the summarize after it is the one hash
@@ -1752,6 +1877,34 @@ object Relational {
         "| evaluate basket(0.02)")
   }
 
+  /** ADX `evaluate autocluster` (round 13, VERDICT r12 #5) — segment
+    * mining over (event type, value band, user bucket): the basket
+    * cube machinery plus the dominance prune (drop a generic pattern
+    * when a strictly more specific refinement keeps ≥ half its rows).
+    * One corpus cube; the prune and numbering run on the bounded
+    * pattern table.
+    */
+  private def kqlAutocluster(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
+        "ub = tostring(user_id % 3) " +
+        "| evaluate autocluster(0.5)")
+  }
+
+  /** ADX `evaluate diffpatterns` (round 13) — the patterns separating
+    * the hi- and lo-value cohorts: one cube with per-cohort
+    * conditional counts, either-side coverage, dominance on the
+    * combined count, ranked by |percent_a − percent_b|.
+    */
+  private def kqlDiffpatterns(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | project event_type, ub = tostring(user_id % 3), " +
+        "grp = iff(value >= 50.0, 'hi', 'lo') " +
+        "| evaluate diffpatterns(grp, 'hi', 'lo')")
+  }
+
   /** KQL hint acceptance (round 11): saved production queries carry
     * `hint.shufflekey` / `hint.strategy` / `hint.num_partitions`
     * routinely — the translator now validates and strips the advisory
@@ -2021,8 +2174,22 @@ object Relational {
   private lazy val externaldataFixture: java.nio.file.Path = {
     val f = java.nio.file.Files.createTempFile("graft_externaldata_", ".csv")
     f.toFile.deleteOnExit()
-    java.nio.file.Files.write(f,
-      java.util.Arrays.asList("1,alpha", "2,beta", "3,gamma", "4,delta"))
+    java.nio.file.Files.write(f, externaldataRows)
+    f
+  }
+
+  private val externaldataRows: java.util.List[String] =
+    java.util.Arrays.asList("1,alpha", "2,beta", "3,gamma", "4,delta")
+
+  /** The fixture path, re-created if a tmp cleaner removed it during a
+    * long-lived JVM (the lazy val pins the PATH per JVM; the bytes are
+    * deterministic, so a rewrite is idempotent and keeps the O(1)
+    * no-cross-process-race property).
+    */
+  private def externaldataPath: java.nio.file.Path = {
+    val f = externaldataFixture
+    if (java.nio.file.Files.notExists(f))
+      java.nio.file.Files.write(f, externaldataRows)
     f
   }
 
@@ -2034,7 +2201,7 @@ object Relational {
     // neither engine reads the other's side effects
     graft.ingest.Kql.translate(s,
       "externaldata (id: long, tag: string) " +
-        s"['file://$externaldataFixture'] with (format='csv') " +
+        s"['file://$externaldataPath'] with (format='csv') " +
         "| where id >= 2 | sort by id asc")
   }
 
@@ -2279,7 +2446,9 @@ object Relational {
     "q_tpch_q10" -> (tpchQ10 _),
     "q_tpch_q12" -> (tpchQ12 _),
     "q_tpch_q14" -> (tpchQ14 _),
+    "q_tpch_q17" -> (tpchQ17 _),
     "q_tpch_q18" -> (tpchQ18 _),
+    "q_tpch_q21" -> (tpchQ21 _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_join_range" -> (joinRange _),
@@ -2322,6 +2491,8 @@ object Relational {
     "q_kql_top" -> (kqlTop _),
     "q_kql_timebin" -> (kqlTimebin _),
     "q_kql_join" -> (kqlJoin _),
+    "q_kql_join2" -> (kqlJoin2 _),
+    "q_kql_join3" -> (kqlJoin3 _),
     "q_kql_mvexpand" -> (kqlMvexpand _),
     "q_kql_parse" -> (kqlParse _),
     "q_kql_let" -> (kqlLet _),
@@ -2367,6 +2538,8 @@ object Relational {
     "q_kql_retention" -> (kqlRetention _),
     "q_kql_funnel" -> (kqlFunnel _),
     "q_kql_basket" -> (kqlBasket _),
+    "q_kql_autocluster" -> (kqlAutocluster _),
+    "q_kql_diffpatterns" -> (kqlDiffpatterns _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
     "q_kql_sample" -> (kqlSample _),
@@ -2741,6 +2914,24 @@ object Relational {
         "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01' " +
         "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q17" ->
+      ("WITH avgq AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thr " +
+        "FROM lineitem GROUP BY l_partkey), " +
+        "cand AS (SELECT p_partkey, qty_thr FROM part JOIN avgq ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#23' AND p_size < 15) " +
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly " +
+        "FROM lineitem JOIN cand ON l_partkey = p_partkey WHERE l_quantity < qty_thr"),
+    "q_tpch_q21" ->
+      ("WITH late AS MATERIALIZED (SELECT l.l_orderkey, l.l_suppkey FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderstatus = 'F' AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY) " +
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_12', 'NATION_21') " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
     "q_tpch_q18" ->
       ("WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty " +
         "FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300) " +
@@ -2819,6 +3010,49 @@ object Relational {
         "FROM cub CROSS JOIN tot " +
         "WHERE cnt >= ceil(total * 0.02) AND NOT (event_type IS NULL AND vb IS NULL AND ub IS NULL) " +
         "ORDER BY cnt DESC, event_type NULLS FIRST, vb NULLS FIRST, ub NULLS FIRST"),
+    "q_kql_autocluster" ->
+      // the basket CUBE twin + the dominance NOT EXISTS: a pattern
+      // falls when a strictly more specific refinement (every concrete
+      // attribute matched, spec strictly higher) keeps ≥ half its rows
+      ("WITH src AS MATERIALIZED (SELECT event_type, CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END AS vb, " +
+        "CAST(user_id % 3 AS VARCHAR) AS ub FROM events " +
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "cub AS MATERIALIZED (SELECT event_type, vb, ub, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY CUBE(event_type, vb, ub)), " +
+        "tot AS (SELECT cnt AS total FROM cub WHERE event_type IS NULL AND vb IS NULL AND ub IS NULL), " +
+        "pats AS MATERIALIZED (SELECT event_type, vb, ub, cnt, total, " +
+        "(CASE WHEN event_type IS NULL THEN 0 ELSE 1 END + CASE WHEN vb IS NULL THEN 0 ELSE 1 END + CASE WHEN ub IS NULL THEN 0 ELSE 1 END) AS spec " +
+        "FROM cub CROSS JOIN tot " +
+        "WHERE cnt >= ceil(total * 0.05) AND NOT (event_type IS NULL AND vb IS NULL AND ub IS NULL)), " +
+        "kept AS (SELECT * FROM pats p WHERE NOT EXISTS (SELECT 1 FROM pats q WHERE q.spec > p.spec " +
+        "AND (p.event_type IS NULL OR q.event_type = p.event_type) AND (p.vb IS NULL OR q.vb = p.vb) " +
+        "AND (p.ub IS NULL OR q.ub = p.ub) AND q.cnt * 2 >= p.cnt)) " +
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type NULLS FIRST, vb NULLS FIRST, ub NULLS FIRST) AS BIGINT) - 1 AS segment_id, " +
+        "cnt AS count_, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS percent, event_type, vb, ub " +
+        "FROM kept ORDER BY segment_id"),
+    "q_kql_diffpatterns" ->
+      ("WITH src AS MATERIALIZED (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS ub, " +
+        "CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END AS grp FROM events " +
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "cub AS MATERIALIZED (SELECT event_type, ub, " +
+        "CAST(sum(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS count_a, " +
+        "CAST(sum(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS count_b " +
+        "FROM src GROUP BY CUBE(event_type, ub)), " +
+        "tot AS (SELECT count_a AS ta, count_b AS tb FROM cub WHERE event_type IS NULL AND ub IS NULL), " +
+        "pats AS MATERIALIZED (SELECT event_type, ub, count_a, count_b, ta, tb, " +
+        "(CASE WHEN event_type IS NULL THEN 0 ELSE 1 END + CASE WHEN ub IS NULL THEN 0 ELSE 1 END) AS spec " +
+        "FROM cub CROSS JOIN tot " +
+        "WHERE (count_a >= ceil(ta * 0.05) OR count_b >= ceil(tb * 0.05)) " +
+        "AND NOT (event_type IS NULL AND ub IS NULL)), " +
+        "kept AS (SELECT * FROM pats p WHERE NOT EXISTS (SELECT 1 FROM pats q WHERE q.spec > p.spec " +
+        "AND (p.event_type IS NULL OR q.event_type = p.event_type) AND (p.ub IS NULL OR q.ub = p.ub) " +
+        "AND (q.count_a + q.count_b) * 2 >= p.count_a + p.count_b)), " +
+        "pct AS (SELECT event_type, ub, count_a, count_b, " +
+        "CASE WHEN ta > 0 THEN CAST(count_a AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END AS percent_a, " +
+        "CASE WHEN tb > 0 THEN CAST(count_b AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END AS percent_b " +
+        "FROM kept) " +
+        "SELECT CAST(row_number() OVER (ORDER BY abs(percent_a - percent_b) DESC, count_a + count_b DESC, event_type NULLS FIRST, ub NULLS FIRST) AS BIGINT) - 1 AS segment_id, " +
+        "count_a, count_b, percent_a, percent_b, percent_a - percent_b AS percent_diff, event_type, ub " +
+        "FROM pct ORDER BY segment_id"),
     // windowed funnel: the same conditional-min chain as q_funnel_steps
     // with the per-step window bound and epoch-µs arithmetic; both
     // engines anchor each stage at the earliest previous completion
@@ -2834,7 +3068,8 @@ object Relational {
         "steps AS (SELECT CAST(1 AS INT) AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1 " +
         "UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2 " +
         "UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
-        "SELECT step, stage, n_users, CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) AS conversion " +
+        "SELECT step, stage, n_users, CASE WHEN COALESCE(lag(n_users) OVER (ORDER BY step), n_users) > 0 " +
+        "THEN CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) ELSE 0.0 END AS conversion " +
         "FROM steps ORDER BY step"),
     "q_kql_engagement" ->
       ("WITH e AS (SELECT DISTINCT user_id AS id, " +
@@ -3228,6 +3463,24 @@ object Relational {
         "SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS purchases, " +
         "CAST(max(c.clicks) AS BIGINT) AS clicks " +
         "FROM p JOIN c USING (user_id) GROUP BY 1 ORDER BY 1"),
+    "q_kql_join2" ->
+      ("WITH l AS (SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 500), " +
+        "r AS (SELECT user_id AS uid, event_type, CAST(count(*) AS BIGINT) AS n, max(value) AS value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT l.event_id, l.user_id, l.event_type, l.value, r.uid, r.value AS value1, r.n " +
+        "FROM l JOIN r ON l.user_id = r.uid AND l.event_type = r.event_type " +
+        "ORDER BY l.event_id"),
+    "q_kql_join3" ->
+      ("WITH n2 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 2), " +
+        "c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer) " +
+        "SELECT 'rightsemi' AS leg, c_nationkey, CAST(count(*) AS BIGINT) AS nc, " +
+        "min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM c " +
+        "WHERE c_nationkey IN (SELECT n_nationkey FROM n2) GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'rightanti', c_nationkey, CAST(count(*) AS BIGINT), " +
+        "min(c_acctbal), max(c_acctbal) FROM c " +
+        "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM n2) GROUP BY 2 " +
+        "ORDER BY leg, c_nationkey"),
     "q_kql_mvexpand" ->
       ("SELECT vec_id, CAST(count(*) AS BIGINT) AS dim FROM " +
         "(SELECT vec_id, unnest(embedding) AS e FROM embeddings) " +

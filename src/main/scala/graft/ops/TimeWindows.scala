@@ -269,10 +269,18 @@ object TimeWindows {
     step(1, "view", s1)
       .unionByName(step(2, "click", s2))
       .unionByName(step(3, "purchase", s3))
-      .withColumn("conversion",
-        col("n_users").cast("double") /
-          coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
-            col("n_users")).cast("double"))
+      .withColumn("conversion", {
+        // guard the lag: a 0-completer stage would divide 0.0/0.0 into
+        // NaN on Spark while DuckDB's ÷0 behavior differs by version —
+        // the activity_ratio pattern (0.0 on an empty denominator),
+        // mirrored as CASE in the oracle
+        val prev = coalesce(
+          lag(col("n_users"), 1).over(Window.orderBy("step")),
+          col("n_users"))
+        when(prev > 0,
+          col("n_users").cast("double") / prev.cast("double"))
+          .otherwise(lit(0.0))
+      })
       .orderBy("step")
   }
 
@@ -313,7 +321,8 @@ object TimeWindows {
         "steps AS (SELECT CAST(1 AS INT) AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1 " +
         "UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2 " +
         "UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
-        "SELECT step, stage, n_users, CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) AS conversion " +
+        "SELECT step, stage, n_users, CASE WHEN COALESCE(lag(n_users) OVER (ORDER BY step), n_users) > 0 " +
+        "THEN CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) ELSE 0.0 END AS conversion " +
         "FROM steps ORDER BY step"),
     "q_dedup_ids" ->
       ("SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) " +

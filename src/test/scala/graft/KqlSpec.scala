@@ -280,6 +280,154 @@ class KqlSpec extends SparkSpec {
     assert(anti + inner === lo)
   }
 
+  test("join on $left.x == $right.y: both keys kept, right collisions get the `1` suffix") {
+    ev.createOrReplaceTempView("kql_events")
+    // differently-named keys: the explicit form joins user_id to uid and
+    // keeps BOTH columns in the output (no using-merge)
+    val got = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| project event_id, user_id, value " +
+        "| join kind=inner (kql_events | where event_type == 'click' " +
+        "| project uid = user_id, value " +
+        "| summarize clicks = count(), value = max(value) by uid) " +
+        "on $left.user_id == $right.uid " +
+        "| sort by event_id asc")
+    // output schema: left columns first, then right's, with the colliding
+    // `value` renamed value1 by the ADX next-free-`1` suffix rule
+    assert(got.columns.toSeq ===
+      Seq("event_id", "user_id", "value", "uid", "clicks", "value1"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("clicks"), max("value").as("value1"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .join(clicks, col("user_id") === col("uid"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("uid"), col("clicks"), col("value1"))
+      .orderBy("event_id").collect().toSeq
+    assert(got.collect().toSeq === want)
+    assert(want.nonEmpty)
+    // both key columns agree row-for-row (the equality held)
+    assert(got.filter(col("user_id") =!= col("uid")).count() === 0)
+    // the swapped side order ($right before $left) binds identically
+    val swapped = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        "| project event_id, user_id, value " +
+        "| join kind=inner (kql_events | where event_type == 'click' " +
+        "| project uid = user_id, value " +
+        "| summarize clicks = count(), value = max(value) by uid) " +
+        "on $right.uid == $left.user_id " +
+        "| sort by event_id asc")
+    assert(swapped.collect().toSeq === want)
+    // mixed bare + explicit keys translate together
+    val mixed = Kql.translate(spark,
+      "kql_events | project event_id, user_id, event_type " +
+        "| join kind=inner (kql_events " +
+        "| project uid = user_id, event_type " +
+        "| summarize n = count() by uid, event_type) " +
+        "on $left.user_id == $right.uid, event_type " +
+        "| sort by event_id asc")
+    assert(mixed.columns.toSeq ===
+      Seq("event_id", "user_id", "event_type", "uid", "event_type1", "n"))
+    assert(mixed.count() === ev.count())
+  }
+
+  test("rightsemi/rightanti keep the right schema and partition the right rows") {
+    ev.createOrReplaceTempView("kql_events")
+    val right = "(kql_events | where event_type == 'click' | project uid = user_id, value)"
+    def n(kind: String): Long = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        s"| join kind=$kind $right on $$left.user_id == $$right.uid | count")
+      .as[Long].head()
+    val clickRows = ev.filter(col("event_type") === "click").count()
+    assert(n("rightsemi") + n("rightanti") === clickRows)
+    // the rightsemi output schema is the RIGHT side's, unrenamed
+    val rs = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' " +
+        s"| join kind=rightsemi $right on $$left.user_id == $$right.uid")
+    assert(rs.columns.toSeq === Seq("uid", "value"))
+    // and equals the click rows whose uid appears among purchase users
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid")).distinct()
+    val wantSemi = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("uid"), col("value"))
+      .join(buyers, Seq("uid"), "left_semi").count()
+    assert(n("rightsemi") === wantSemi)
+    // same-named bare keys admit the right-flavored kinds too
+    val rsBare = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' | project user_id " +
+        "| join kind=rightsemi (kql_events | where event_type == 'click' " +
+        "| project user_id, value) on user_id | count").as[Long].head()
+    assert(rsBare === wantSemi)
+  }
+
+  test("autocluster/diffpatterns: wildcard cube, dominance prune, loud arg errors") {
+    ev.createOrReplaceTempView("kql_events")
+    val ac = Kql.translate(spark,
+      "kql_events | project event_type, ub = tostring(user_id % 3) " +
+        "| evaluate autocluster(0.5)").cache()
+    assert(ac.columns.toSeq ===
+      Seq("segment_id", "count_", "percent", "event_type", "ub"))
+    val rows = ac.collect()
+    assert(rows.nonEmpty)
+    // segment ids are dense from 0 in falling-count order
+    assert(rows.map(_.getLong(0)).toSeq === rows.indices.map(_.toLong))
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sortBy(-_).toSeq)
+    // every surviving pattern clears the 5% coverage cut (w = 0.5)
+    val total = ev.filter($"event_type".isNotNull && $"user_id".isNotNull).count()
+    assert(rows.forall(r => r.getLong(1) >= math.ceil(total * 0.05).toLong))
+    // dominance: no survivor is refined by another survivor keeping
+    // >= half its rows (the contract the prune enforces)
+    def spec(r: org.apache.spark.sql.Row) =
+      Seq(3, 4).count(i => !r.isNullAt(i))
+    def refines(q: org.apache.spark.sql.Row, p: org.apache.spark.sql.Row) =
+      Seq(3, 4).forall(i => p.isNullAt(i) || (!q.isNullAt(i) && q.get(i) == p.get(i)))
+    for (p <- rows; q <- rows if spec(q) > spec(p) && refines(q, p))
+      assert(q.getLong(1) * 2 < p.getLong(1),
+        s"pattern $p should have been dominated by $q")
+    // percent is count/total exactly
+    rows.foreach(r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble / total.toDouble))
+
+    val dp = Kql.translate(spark,
+      "kql_events | project event_type, grp = iff(value >= 50.0, 'hi', 'lo') " +
+        "| evaluate diffpatterns(grp, 'hi', 'lo')").cache()
+    assert(dp.columns.toSeq === Seq("segment_id", "count_a", "count_b",
+      "percent_a", "percent_b", "percent_diff", "event_type"))
+    val dRows = dp.collect()
+    assert(dRows.nonEmpty)
+    // ranked by falling |percent_diff|
+    val diffs = dRows.map(r => math.abs(r.getDouble(5)))
+    assert(diffs.toSeq === diffs.sortBy(-_).toSeq)
+    // cohort counts conserve: each pattern's a+b equals its event_type count
+    val byType = ev.filter($"event_type".isNotNull && $"value".isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    dRows.filter(!_.isNullAt(6)).foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byType(r.getString(6)))
+    }
+
+    def rejects(q: String): Unit =
+      intercept[IllegalArgumentException](Kql.translate(spark, q))
+    rejects("kql_events | project event_type | evaluate autocluster(1.5)")
+    rejects("kql_events | evaluate autocluster(0.5)") // 6+ columns in scope
+    rejects("kql_events | project event_type, grp = 'x' | evaluate diffpatterns(grp, 'a', 'a')")
+    rejects("kql_events | project event_type | evaluate diffpatterns(missing, 'a', 'b')")
+  }
+
+  test("non-equi $left/$right join keys and malformed sides fail loudly") {
+    ev.createOrReplaceTempView("kql_events")
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Kql.translate(spark, q))
+      assert(e.getMessage.toLowerCase.contains(frag), e.getMessage)
+    }
+    rejects("kql_events | join kind=inner (kql_events) on $left.user_id > $right.user_id",
+      "equalities")
+    rejects("kql_events | join kind=inner (kql_events) on $left.user_id == $left.user_id",
+      "sides")
+    rejects("kql_events | join kind=inner (kql_events) on $left.user_id", "join key")
+  }
+
   test("mv-expand unnests arrays; parse extracts via one anchored regex") {
     Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq.empty[String]))
       .toDF("id", "xs").createOrReplaceTempView("kql_arrays")
@@ -310,7 +458,7 @@ class KqlSpec extends SparkSpec {
     for (bad <- Seq(
         "kql_events | mv-apply x on (summarize count())",
         "kql_events | make-series n = count() on ts_ts step 1h",
-        "kql_events | join kind=rightsemi (kql_events) on event_id",
+        "kql_events | join kind=cross (kql_events) on event_id",
         "kql_events | join kind=inner kql_events",
         "kql_events | summarize hll(user_id) by event_type",
         "kql_events | summarize percentile(value, 950) by event_type",

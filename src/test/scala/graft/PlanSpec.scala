@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("TPC-H Q17/Q21: decorrelated plans — no cartesian, broadcast + semi/anti joins") {
+    // Q17: the correlated scalar subquery decorrelates to a broadcast
+    // of the (candidate-part, threshold) table onto the fact scan
+    val p17 = finalPlan("q_tpch_q17")
+    assert(!p17.contains("CartesianProduct"), p17.take(800))
+    assert(p17.contains("BroadcastHashJoin"), p17.take(800))
+    // Q21: EXISTS → hash semi-join, NOT EXISTS → hash anti-join, both
+    // keyed on the order key (the ≠-supplier correlation rides as the
+    // join residual, never a nested-loop)
+    val p21 = finalPlan("q_tpch_q21")
+    assert(!p21.contains("CartesianProduct"), p21.take(800))
+    assert(p21.contains("LeftSemi"), p21.take(1200))
+    assert(p21.contains("LeftAnti"), p21.take(1200))
+    assert(p21.contains("TakeOrderedAndProject"), p21.take(800))
+  }
+
   test("bucketed join runs without a shuffle on either input") {
     val p = finalPlan("q_bucketed_join")
     // SortMergeJoin over bucketed scans: exchanges may exist ABOVE the

@@ -304,6 +304,101 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("media png: real compress/decode round-trip, all five unfilters, loud rejections") {
+    import graft.ops.Multimodal.{Png, Ppm}
+    import java.util.zip.{CRC32, Deflater}
+    // lossless round trip through the real deflate path
+    val rgb = Array.tabulate(3 * Ppm.W * Ppm.H)(i => ((i * 31 + 5) % 256).toByte)
+    val png = Png.encode(rgb, Ppm.W, Ppm.H)
+    val (w, h, px) = Png.decode(png)
+    assert(w === Ppm.W && h === Ppm.H && px.toSeq === rgb.toSeq)
+
+    // a FOREIGN encoder's output: an independent chunk builder (its own
+    // CRC32 calls) emitting each scanline under a different filter type
+    // (0..4) — the decoder must reconstruct the identical image
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def mkChunk(tag: String, data: Array[Byte]) = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new CRC32; crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val (fw, fh) = (4, 5)
+    val img = Array.tabulate(3 * fw * fh)(i => ((i * 53 + 11) % 256).toByte)
+    val bpp = 3
+    val raw = new java.io.ByteArrayOutputStream
+    for (y <- 0 until fh) {
+      val f = y % 5 // filter type varies per scanline
+      raw.write(f)
+      for (x <- 0 until 3 * fw) {
+        val cur = img(y * 3 * fw + x) & 0xff
+        val a = if (x >= bpp) img(y * 3 * fw + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * 3 * fw + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) img((y - 1) * 3 * fw + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new Deflater
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(fw) ++ be32(fh) ++ Array[Byte](8, 2, 0, 0, 0)
+    val foreign = Png.Signature ++ mkChunk("IHDR", ihdr) ++
+      mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    val (gw, gh, gpx) = Png.decode(foreign)
+    assert(gw === fw && gh === fh && gpx.toSeq === img.toSeq)
+
+    // loud rejections: 16-bit depth, grayscale, interlace, bad CRC,
+    // unknown critical chunk, truncation, non-PNG
+    def variant(depth: Byte = 8, ctype: Byte = 2, inter: Byte = 0) =
+      Png.Signature ++ mkChunk("IHDR",
+        be32(fw) ++ be32(fh) ++ Array[Byte](depth, ctype, 0, 0, inter)) ++
+        mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException] { Png.decode(variant(depth = 16)) }
+    intercept[IllegalArgumentException] { Png.decode(variant(ctype = 0)) }
+    intercept[IllegalArgumentException] { Png.decode(variant(inter = 1)) }
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte // inside IDAT payload
+    intercept[IllegalArgumentException] { Png.decode(corrupt) }
+    val critical = Png.Signature ++ mkChunk("IHDR", ihdr) ++
+      mkChunk("ABCD", Array[Byte](1, 2)) ++
+      mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException] { Png.decode(critical) }
+    intercept[IllegalArgumentException] { Png.decode(png.take(30)) }
+    intercept[IllegalArgumentException] {
+      Png.decode("notapngfile!".getBytes("US-ASCII"))
+    }
+    // an ancillary chunk (lowercase first letter) skips cleanly
+    val ancillary = Png.Signature ++ mkChunk("IHDR", ihdr) ++
+      mkChunk("tEXt", "k v".getBytes("US-ASCII")) ++
+      mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    assert(Png.decode(ancillary)._3.toSeq === img.toSeq)
+
+    // the registered query: every row round-trips inside the size bound,
+    // and the planted gradient row carries its closed-form sums
+    val got = q("q_media_png").cache()
+    assert(got.count() === Tables.documents(spark, sfDir).count() + 1)
+    assert(got.filter(!$"roundtrip" || !$"size_ok").count() === 0)
+    val planted = got.filter($"doc_id" === -1L).collect()(0)
+    def closed(off: Int) =
+      (0 until 4096).map(p => (21 * p + off) % 256).map(_.toLong).sum
+    assert(planted.getAs[Long]("r_sum") === closed(13))
+    assert(planted.getAs[Long]("g_sum") === closed(20))
+    assert(planted.getAs[Long]("b_sum") === closed(27))
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),

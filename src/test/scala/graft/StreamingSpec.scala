@@ -298,7 +298,20 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got.sorted === expect.sorted,
       "streamed first-sight table must equal the batch min-day-per-actor")
-    // and its per-day rollup IS q_kql_activity's new_dcount column
+    // and its per-day rollup IS q_kql_activity's new_dcount column.
+    // Parity is only valid while the fixture lies entirely inside the
+    // plugin's [2024-01-01, 2024-01-31) window (an actor whose GLOBAL
+    // first sight fell outside would differ from the plugin's
+    // in-window first even though both systems are correct) — pin the
+    // precondition so a fixture change fails loudly here, not as a
+    // confusing bin mismatch
+    val (fixLo, fixHi) = eventsBatch
+      .agg(min($"ts_us"), max($"ts_us")).as[(Long, Long)].head()
+    val winLo = 1704067200000000L // 2024-01-01 epoch-µs
+    val winHi = 1706659200000000L // 2024-01-31 epoch-µs
+    assert(fixLo >= winLo && fixHi < winHi,
+      s"events fixture [$fixLo, $fixHi] left the activity window — " +
+        "re-scope the parity comparison before trusting it")
     val rolled = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val activity = q("q_kql_activity")
       .select("bin_us", "new_dcount").as[(Long, Long)].collect()
