@@ -176,7 +176,7 @@ object Kql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CSL: $msg")
 
-  private val twoCharSyms = Set("==", "!=", "<=", ">=", "<>", "=~", "!~")
+  private val twoCharSyms = Set("==", "!=", "<=", ">=", "<>", "=~", "!~", "=>")
 
   // ADX timespan suffixes → µs per unit (d/h/m/s/ms subset)
   private val spanUnits = Map(
@@ -1366,17 +1366,30 @@ object Kql {
     }
 
     // ------------------------------------------------------------ scan
-    //   scan := 'with' '(' step (';' step)* [';'] ')'
-    //   step := 'step' name ':' predicate
+    //   scan := ['declare' '(' decl (',' decl)* ')'] 'with' '(' step (';' step)* [';'] ')'
+    //   decl := name ':' ('long'|'int') ['=' intLit]
+    //   step := 'step' name ':' predicate ['=>' asg (',' asg)*]
+    //   asg  := x '=' x '+' intLit | x '=' x '-' intLit | x '=' intLit
     //   ADX's sequence-matching operator, restricted to the first-match
     //   funnel fragment: over the order a preceding `sort by` froze,
     //   step k admits exactly the FIRST row satisfying its predicate
     //   strictly after step k-1's matched row; matched rows are emitted
     //   with their original columns (a stalled chain still emits the
     //   prefix it matched — ADX's output=all default for a single
-    //   non-repeating sequence). Greedy step repeats, concurrent
-    //   matches, and declare-state assignments are out of subset and
-    //   rejected loudly.
+    //   non-repeating sequence). Greedy step repeats and concurrent
+    //   matches remain out of subset and rejected loudly.
+    //
+    //   DECLARE-STATE (round 13, VERDICT r12 #6): declared integer
+    //   variables with step assignments restricted to the
+    //   funnel-counter class — constant sets and literal increments/
+    //   decrements of the variable ITSELF. Because each step matches
+    //   exactly once per scan, the state after step k is a STATIC fold
+    //   of the assignment chain — so the whole state machine compiles
+    //   to one literal CASE over the matched step index (zero extra
+    //   window passes; the "one more scratch column" plan). Output rows
+    //   carry each variable's POST-assignment value at their step.
+    //   General mutation (cross-variable reads, expression updates,
+    //   data-dependent values) fails loudly.
     //
     //   Plan: rn = row_number over the frozen order, then ONE
     //   whole-frame conditional-min window per step (min(rn) where
@@ -1391,21 +1404,58 @@ object Kql {
       import org.apache.spark.sql.expressions.Window
       val keys = order.getOrElse(
         fail("scan requires a preceding `sort by` (no deterministic order to scan)"))
-      val inner = toks match {
-        case TIdent("with") +: TSym("(") +: body :+ TSym(")") => body
-        case TIdent("declare") +: _ =>
-          fail("scan declare-state is out of subset (first-match steps only)")
+      val (decls, inner) = toks match {
+        case TIdent("declare") +: TSym("(") +: rest =>
+          var depth = 1
+          var idx = 0
+          while (idx < rest.length && depth > 0) {
+            rest(idx) match {
+              case TSym("(") => depth += 1
+              case TSym(")") => depth -= 1
+              case _ => ()
+            }
+            idx += 1
+          }
+          if (depth != 0) fail("unbalanced parens in scan declare")
+          val declToks = rest.take(idx - 1)
+          val body = rest.drop(idx) match {
+            case TIdent("with") +: TSym("(") +: b :+ TSym(")") => b
+            case _ => fail("scan needs `with (step name: predicate; ...)` after declare")
+          }
+          (parseScanDecls(declToks, df), body)
+        case TIdent("with") +: TSym("(") +: body :+ TSym(")") =>
+          (Vector.empty[(String, Long)], body)
         case _ => fail("scan needs `with (step name: predicate; ...)`")
       }
       // ADX allows a trailing `;` after the last step
       val stepToks =
         if (inner.lastOption.contains(TSym(";"))) inner.dropRight(1) else inner
+      val declared = decls.map(_._1).toSet
       val steps = splitOn(stepToks, TSym(";")).map {
-        case TIdent("step") +: TIdent(name) +: TSym(":") +: p if p.nonEmpty =>
-          (name, parsePredicate(p))
-        case _ => fail("scan steps must be `step name: predicate`")
+        case TIdent("step") +: TIdent(name) +: TSym(":") +: rest if rest.nonEmpty =>
+          val (predToks, asgToks) = rest.indexOf(TSym("=>")) match {
+            case -1 => (rest, Vector.empty[Tok])
+            case ix => (rest.take(ix), rest.drop(ix + 1))
+          }
+          if (predToks.isEmpty) fail(s"scan step $name needs a predicate")
+          val asgs =
+            if (asgToks.isEmpty) Vector.empty[(String, Long, Boolean)]
+            else splitOn(asgToks, TSym(",")).map(a => parseScanAssign(a, declared))
+          (name, parsePredicate(predToks), asgs)
+        case _ => fail("scan steps must be `step name: predicate [=> assignments]`")
       }
       if (steps.isEmpty) fail("scan needs at least one step")
+      // static state fold: each step matches once, so the value of every
+      // declared variable after step k is a compile-time constant
+      val stateAfter: Vector[Map[String, Long]] = {
+        var cur = decls.toMap
+        steps.map { case (_, _, asgs) =>
+          asgs.foreach { case (v, value, isInc) =>
+            cur = cur.updated(v, if (isInc) cur(v) + value else value)
+          }
+          cur
+        }
+      }
       val wOrd =
         if (part.isEmpty) Window.orderBy(keys: _*)
         else Window.partitionBy(part: _*).orderBy(keys: _*)
@@ -1414,15 +1464,70 @@ object Kql {
         else Window.partitionBy(part: _*)
       val rn = col("__scan_rn")
       val base = df.withColumn("__scan_rn", row_number().over(wOrd))
-      val marked = steps.zipWithIndex.foldLeft(base) { case (d, ((_, p), i)) =>
+      val marked = steps.zipWithIndex.foldLeft(base) { case (d, ((_, p, _), i)) =>
         // rn > NULL is NULL, so a stalled previous step stalls this one
         val after = if (i == 0) lit(true) else rn > col(s"__scan_r${i - 1}")
         d.withColumn(s"__scan_r$i", min(when(p && after, rn)).over(wAll))
       }
       val isMatch = steps.indices.map(i => rn === col(s"__scan_r$i")).reduce(_ || _)
-      marked.filter(isMatch)
+      val matched = marked.filter(isMatch)
+      val withState = decls.foldLeft(matched) { case (d, (vn, _)) =>
+        val cases = steps.indices.map(i =>
+          when(rn === col(s"__scan_r$i"), lit(stateAfter(i)(vn))))
+        d.withColumn(vn, coalesce(cases: _*).cast("long"))
+      }
+      withState
         .drop(("__scan_rn" +: steps.indices.map(i => s"__scan_r$i")): _*)
     }
+
+    /** `declare (x: long [= lit], ...)` — integer variables only (the
+      * funnel-counter class); the default initializer is the typed
+      * zero, per ADX. A declared name must not shadow an input column.
+      */
+    private def parseScanDecls(toks: Vector[Tok],
+        df: DataFrame): Vector[(String, Long)] = {
+      if (toks.isEmpty) fail("scan declare needs at least one variable")
+      splitOn(toks, TSym(",")).map { d =>
+        val (name, ty, init) = d match {
+          case Vector(TIdent(n), TSym(":"), TIdent(t)) => (n, t, 0L)
+          case Vector(TIdent(n), TSym(":"), TIdent(t), TSym("="), TNum(v)) =>
+            (n, t, parseScanLong(v))
+          case other =>
+            fail(s"scan declare items must be `name: long [= intLit]`, got $other")
+        }
+        if (ty != "long" && ty != "int")
+          fail(s"scan declare supports integer state only (long|int), got '$ty'")
+        if (df.columns.contains(name))
+          fail(s"scan declare variable '$name' shadows an input column")
+        (name, init)
+      }
+    }
+
+    /** One step assignment, restricted to the monotone/constant class:
+      * (variable, literal, isIncrement). `x = x - k` folds to an
+      * increment of −k.
+      */
+    private def parseScanAssign(toks: Vector[Tok],
+        declared: Set[String]): (String, Long, Boolean) = {
+      val out = toks match {
+        case Vector(TIdent(x), TSym("="), TIdent(x2), TSym("+"), TNum(v)) if x == x2 =>
+          (x, parseScanLong(v), true)
+        case Vector(TIdent(x), TSym("="), TIdent(x2), TSym("-"), TNum(v)) if x == x2 =>
+          (x, -parseScanLong(v), true)
+        case Vector(TIdent(x), TSym("="), TNum(v)) =>
+          (x, parseScanLong(v), false)
+        case other => fail(
+          "scan step assignments are restricted to `x = x + lit`, `x = x - lit`, " +
+            s"or `x = lit` over a declared variable (general mutation is out of subset), got $other")
+      }
+      if (!declared.contains(out._1))
+        fail(s"scan assignment target '${out._1}' is not declared")
+      out
+    }
+
+    private def parseScanLong(v: String): Long =
+      if (v.matches("-?\\d+")) v.toLong
+      else fail(s"scan state literals must be integers, got '$v'")
 
     // ------------------------------------------------------ top-nested
     //   top-nested := clause (',' 'top' '-' 'nested' clause)*

@@ -1447,6 +1447,25 @@ object Relational {
         "| sort by user_id asc, event_id asc")
   }
 
+  /** KQL `scan declare` (round 13, VERDICT r12 #6) — the stateful
+    * funnel: declared integer counters updated by step assignments of
+    * the monotone/constant class. Each step matches once, so the state
+    * machine folds to literal CASE columns over the matched step —
+    * the oracle replays the identical constants over the same
+    * conditional-min cascade.
+    */
+  private def kqlScan2(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by user_id (sort by ts asc, event_id asc " +
+        "| scan declare (hops: long = 0, bonus: long = 10) with (" +
+        "step s1: event_type == 'signup' => hops = hops + 1; " +
+        "step s2: event_type == 'click' => hops = hops + 1, bonus = bonus - 3; " +
+        "step s3: event_type == 'purchase' => hops = hops + 1, bonus = 100;)) " +
+        "| project user_id, event_id, event_type, hops, bonus " +
+        "| sort by user_id asc, event_id asc")
+  }
+
   /** KQL dynamic tier — `todynamic()` + dot-path access over the events
     * `props` JSON column, the single most common ADX telemetry idiom
     * (`| extend k = tolong(todynamic(props).k)`): the path access
@@ -2522,6 +2541,7 @@ object Relational {
     "q_kql_hasany" -> (kqlHasany _),
     "q_kql_search" -> (kqlSearch _),
     "q_kql_rowrank" -> (kqlRowrank _),
+    "q_kql_scan2" -> (kqlScan2 _),
     "q_kql_seriesstats" -> (kqlSeriesStats _),
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
@@ -3662,6 +3682,22 @@ object Relational {
         "OVER (PARTITION BY user_id) AS r3 FROM m2) " +
         "SELECT user_id, event_id, event_type FROM m3 " +
         "WHERE rn IN (r1, r2, r3) ORDER BY user_id, event_id"),
+    // the declare-state twin: the same cascade, with the statically
+    // folded counter values attached per matched step (s1: hops 1 /
+    // bonus 10; s2: hops 2 / bonus 7; s3: hops 3 / bonus 100)
+    "q_kql_scan2" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "m1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r1 FROM b), " +
+        "m2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > r1 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r2 FROM m1), " +
+        "m3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > r2 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r3 FROM m2) " +
+        "SELECT user_id, event_id, event_type, " +
+        "CAST(CASE WHEN rn = r1 THEN 1 WHEN rn = r2 THEN 2 ELSE 3 END AS BIGINT) AS hops, " +
+        "CAST(CASE WHEN rn = r1 THEN 10 WHEN rn = r2 THEN 7 ELSE 100 END AS BIGINT) AS bonus " +
+        "FROM m3 WHERE rn IN (r1, r2, r3) ORDER BY user_id, event_id"),
     "q_kql_dynamic" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS ksum FROM (" +

@@ -361,6 +361,51 @@ class KqlSpec extends SparkSpec {
     assert(rsBare === wantSemi)
   }
 
+  test("scan declare: static counter fold per matched step; general mutation rejected") {
+    // a planted sequence with a known match structure: one entity whose
+    // rows hit s1, s2, s3 in order plus decoys between
+    val rows = Seq(
+      (1L, 10L, "signup"), (1L, 11L, "noise"), (1L, 12L, "click"),
+      (1L, 13L, "click"), (1L, 14L, "purchase"),
+      (2L, 20L, "click"), (2L, 21L, "signup"), (2L, 22L, "click"))
+      .toDF("uid", "seq", "et")
+    rows.createOrReplaceTempView("scan_state_src")
+    val got = Kql.translate(spark,
+      "scan_state_src | partition by uid (sort by seq asc " +
+        "| scan declare (hops: long = 0, bonus: long = 10) with (" +
+        "step s1: et == 'signup' => hops = hops + 1; " +
+        "step s2: et == 'click' => hops = hops + 1, bonus = bonus - 3; " +
+        "step s3: et == 'purchase' => hops = hops + 1, bonus = 100;)) " +
+        "| sort by uid asc, seq asc")
+      .select("uid", "seq", "hops", "bonus")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // entity 1 completes the chain (first click AFTER signup matches);
+    // entity 2 stalls after s2 (no purchase) and still emits the prefix
+    assert(got === Seq(
+      (1L, 10L, 1L, 10L), (1L, 12L, 2L, 7L), (1L, 14L, 3L, 100L),
+      (2L, 21L, 1L, 10L), (2L, 22L, 2L, 7L)))
+    // general mutation stays out of subset, loudly
+    def rejects(scanBody: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Kql.translate(spark,
+        "scan_state_src | partition by uid (sort by seq asc | scan " + scanBody + ")"))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("declare (x: long) with (step a: et == 'signup' => x = x * 2;)",
+      "restricted")
+    rejects("declare (x: long, y: long) with (step a: et == 'signup' => x = y + 1;)",
+      "restricted")
+    rejects("declare (x: long) with (step a: et == 'signup' => x = seq;)",
+      "restricted")
+    rejects("declare (x: long) with (step a: et == 'signup' => y = 1;)",
+      "not declared")
+    rejects("declare (x: real) with (step a: et == 'signup';)",
+      "integer state")
+    rejects("declare (x: long = 0.5) with (step a: et == 'signup';)",
+      "integers")
+    rejects("declare (et: long) with (step a: et == 'signup';)",
+      "shadows")
+  }
+
   test("autocluster/diffpatterns: wildcard cube, dominance prune, loud arg errors") {
     ev.createOrReplaceTempView("kql_events")
     val ac = Kql.translate(spark,
