@@ -946,14 +946,19 @@ object Kql {
             (argT :+ TSym(")")) =>
           applyInvoke(df, fname, argT)
         // `reduce by Expr` — pattern clustering: rows group by their
-        // string's PATTERN, where this dialect's pattern derivation is
-        // deterministic (decimal digit runs fold to `*`; ADX's fuller
-        // heuristic also folds GUID/hex shapes — documented subset).
-        // Output contract matches ADX: Pattern, Count. One hash
-        // aggregate over a codegen'd projection — no extra pass.
+        // string's PATTERN. The deterministic fold chain (round 13
+        // extends digit runs with ADX's GUID/hex shapes): (1) whole
+        // GUIDs (8-4-4-4-12 hex) → `*`; (2) decimal digit runs → `*`;
+        // (3) hex-letter runs ADJACENT to a fold absorb into it — so a
+        // mixed hex token like `deadbeef1234cafe` folds completely,
+        // while pure-letter words (`cafe`, `added`) never fold (the
+        // at-least-one-digit heuristic, expressed without lookaheads so
+        // DuckDB's RE2 replays it verbatim); (4) adjacent stars
+        // collapse. Output contract matches ADX: Pattern, Count. One
+        // hash aggregate over a codegen'd projection — no extra pass.
         case TIdent("reduce") +: TIdent("by") +: rest if rest.nonEmpty =>
-          df.groupBy(regexp_replace(parseArithToks(rest).cast("string"),
-              "[0-9]+", "*").as("Pattern"))
+          df.groupBy(reducePattern(parseArithToks(rest).cast("string"))
+              .as("Pattern"))
             .agg(count(lit(1)).as("Count"))
         // `render <kind> [with (...)]` — ACCEPT-AND-STRIP: render is a
         // client-side visualization annotation (every dashboard-saved
@@ -1177,6 +1182,19 @@ object Kql {
           lBase.join(rPref, cond, how)
             .select(lBase.columns.map(col(_)).toSeq ++ rightCols: _*)
       }
+    }
+
+    /** The `reduce by` fold chain (see the dispatcher comment). Kept as
+      * four plain RE2-compatible passes so the DuckDB twin is the same
+      * four regexp_replace calls.
+      */
+    private def reducePattern(s0: Column): Column = {
+      val hex = "[0-9a-fA-F]"
+      val guid = s"$hex{8}-$hex{4}-$hex{4}-$hex{4}-$hex{12}"
+      val p1 = regexp_replace(s0, guid, "*")
+      val p2 = regexp_replace(p1, "[0-9]+", "*")
+      val p3 = regexp_replace(p2, s"$hex*\\*$hex*", "*")
+      regexp_replace(p3, "\\*+", "*")
     }
 
     /** Shared join/lookup right-side parse: `(pipeline)` or a table

@@ -2330,8 +2330,15 @@ object Relational {
     */
   private def kqlReduce(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    // the tag plants all three fold shapes: a decimal run, a full GUID
+    // (md5 hex re-sliced 8-4-4-4-12), and a bare 16-char hex run —
+    // round 13's GUID/hex folds collapse each to `*`
     graft.ingest.Kql.translate(s,
-      "events_csl | extend tag = strcat(event_type, '_', tostring(user_id % 100)) " +
+      "events_csl | extend h = hash_md5(tostring(event_id)) " +
+        "| extend tag = strcat(event_type, '_', tostring(user_id % 100), " +
+        "'_g_', substring(h, 0, 8), '-', substring(h, 8, 4), '-', " +
+        "substring(h, 12, 4), '-', substring(h, 16, 4), '-', substring(h, 20, 12), " +
+        "'_h_', substring(h, 0, 16)) " +
         "| reduce by tag | sort by Pattern asc")
   }
 
@@ -3380,10 +3387,19 @@ object Relational {
       ("SELECT CAST(2 AS BIGINT) AS a, 'xy' AS b, " +
         "CAST(3 AS BIGINT) AS c, CAST(2 AS BIGINT) AS d"),
     "q_kql_reduce" ->
-      ("SELECT regexp_replace(event_type || '_' || CAST(user_id % 100 AS VARCHAR), " +
-        "'[0-9]+', '*', 'g') AS \"Pattern\", " +
+      // the same four RE2-safe passes as reducePattern: GUID, digit
+      // runs, star-adjacent hex absorption, star collapse
+      ("WITH src AS (SELECT event_type, user_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events), " +
+        "t AS (SELECT event_type || '_' || CAST(user_id % 100 AS VARCHAR) || '_g_' || " +
+        "substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12) || " +
+        "'_h_' || substr(h,1,16) AS tag FROM src) " +
+        "SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(tag, " +
+        "'[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '*', 'g'), " +
+        "'[0-9]+', '*', 'g'), " +
+        "'[0-9a-fA-F]*\\*[0-9a-fA-F]*', '*', 'g'), " +
+        "'\\*+', '*', 'g') AS \"Pattern\", " +
         "CAST(count(*) AS BIGINT) AS \"Count\" " +
-        "FROM events GROUP BY 1 ORDER BY \"Pattern\""),
+        "FROM t GROUP BY 1 ORDER BY \"Pattern\""),
     "q_kql_ipv4" -> {
       def oc(i: Int) = s"CAST(split_part(ip, '.', $i) AS BIGINT)"
       "WITH e AS (SELECT *, CASE WHEN event_type = 'click' THEN 10 " +

@@ -1508,6 +1508,28 @@ class KqlSpec extends SparkSpec {
     assert(got === Seq(("err_*_disk", 2L), ("ok_*", 2L), ("plain", 1L)))
   }
 
+  test("reduce by: GUID and digit-bearing hex runs fold; pure-letter words survive") {
+    Seq(
+      // GUIDs fold whole regardless of digit content
+      "req 550e8400-e29b-41d4-a716-446655440000 done",
+      "req deadbeef-cafe-babe-feed-deadbeefcafe done",
+      // a mixed hex run folds (digits inside seed the absorption)
+      "sess deadbeef1234cafe end",
+      "sess 00ff00ff00ff00ff end",
+      // pure-letter hex-alphabet words must NOT fold
+      "cafe added a deed",
+      "cafe added a face")
+      .toDF("msg").createOrReplaceTempView("kql_red2")
+    val got = Kql.translate(spark,
+      "kql_red2 | reduce by msg | sort by Pattern asc")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(
+      ("cafe added a deed", 1L),
+      ("cafe added a face", 1L),
+      ("req * done", 2L),
+      ("sess * end", 2L)))
+  }
+
   test("ipv4 family: parse bounds, format round trip, RFC1918, CIDR edges") {
     Seq("0.0.0.0", "255.255.255.255", "256.1.1.1", "1.2.3.4.5", "1.2.3",
       "10.0.0.1", "9.255.255.255", "172.15.255.255", "172.16.0.0",
