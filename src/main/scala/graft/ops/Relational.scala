@@ -231,6 +231,90 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q2 (minimum-cost supplier) — the CORRELATED-MIN subquery
+    * class (round 13): canonical Q2 keeps (part, supplier) pairs whose
+    * supply cost equals the part's minimum cost among a region's
+    * suppliers. Adaptations: the fixture has no partsupp, so the cost
+    * table derives from lineitem (cost(part, supp) = min unit price
+    * over their lines — one map-side-combinable aggregate); the
+    * brand/container cut becomes p_type + p_size. The decorrelated
+    * plan: per-part min over the region-restricted cost table
+    * (broadcast back as a threshold — zero per-row subqueries), dims
+    * broadcast, one lineitem shuffle on the pair key. Determinism: the
+    * unit price is ONE IEEE division per line and every later step is
+    * min/equality on identically-computed doubles, exact in both
+    * engines.
+    */
+  private def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_brand")
+    // the partsupp stand-in: min unit price per (part, supplier) pair
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val regionalCost = ps
+      .join(broadcast(supp.select(col("s_suppkey").as("rs_suppkey"))),
+        col("l_suppkey") === col("rs_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_brand", "l_suppkey", "cost")
+    val minCost = regionalCost.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    regionalCost
+      .join(broadcast(minCost),
+        col("p_partkey") === col("mc_partkey") && col("cost") === col("min_cost"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q7 (volume shipping) — the two-nation flow report: revenue
+    * between a supplier nation and a customer nation per year, both
+    * directions. The classic double-dimension fact join: lineitem ⋈
+    * orders on the natural key (the one fact⋈fact shuffle), customer
+    * and supplier nations ride broadcasts, and the pair filter prunes
+    * before the aggregate. Revenue follows the Q3 rule (identical IEEE
+    * product per line, decimal-exact sum).
+    */
+  private def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_5"
+    val n2 = "NATION_8"
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(n1, n2))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q17 (small-quantity-order revenue) — the CORRELATED SCALAR
     * SUBQUERY class (round 13, VERDICT r12 #3): canonical Q17 compares
     * each candidate line's quantity against `0.2 × avg(l_quantity)` of
@@ -2472,6 +2556,8 @@ object Relational {
     "q_tpch_q10" -> (tpchQ10 _),
     "q_tpch_q12" -> (tpchQ12 _),
     "q_tpch_q14" -> (tpchQ14 _),
+    "q_tpch_q2" -> (tpchQ2 _),
+    "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q17" -> (tpchQ17 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -2941,6 +3027,29 @@ object Relational {
         "AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01' " +
         "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q2" ->
+      ("WITH rn AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "s AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier JOIN rn ON s_nationkey = n_nationkey), " +
+        "p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'LARGE' AND p_size <= 10), " +
+        "ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost FROM lineitem GROUP BY 1, 2), " +
+        "rc AS MATERIALIZED (SELECT p.p_partkey, p.p_brand, ps.l_suppkey, ps.cost FROM ps " +
+        "JOIN s ON ps.l_suppkey = s.s_suppkey JOIN p ON ps.l_partkey = p.p_partkey), " +
+        "mc AS (SELECT p_partkey AS mc_partkey, min(cost) AS min_cost FROM rc GROUP BY 1) " +
+        "SELECT s.s_acctbal, s.s_name, s.n_name, rc.p_partkey, rc.p_brand, rc.cost FROM rc " +
+        "JOIN mc ON rc.p_partkey = mc.mc_partkey AND rc.cost = mc.min_cost " +
+        "JOIN s ON rc.l_suppkey = s.s_suppkey " +
+        "ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, rc.p_partkey LIMIT 100"),
+    "q_tpch_q7" ->
+      ("WITH ns AS (SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('NATION_5', 'NATION_8')), " +
+        "s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN ns ON s_nationkey = n_nationkey), " +
+        "c AS (SELECT c_custkey, n_name AS cust_nation FROM customer JOIN ns ON c_nationkey = n_nationkey) " +
+        "SELECT supp_nation, cust_nation, CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN s ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN c ON o_custkey = c_custkey " +
+        "WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01' " +
+        "AND supp_nation <> cust_nation " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_tpch_q17" ->
       ("WITH avgq AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thr " +
         "FROM lineitem GROUP BY l_partkey), " +

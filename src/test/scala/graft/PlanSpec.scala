@@ -121,6 +121,17 @@ class PlanSpec extends SparkSpec {
     assert(p21.contains("LeftSemi"), p21.take(1200))
     assert(p21.contains("LeftAnti"), p21.take(1200))
     assert(p21.contains("TakeOrderedAndProject"), p21.take(800))
+    // Q2: the correlated-min class — per-part min broadcast back, dims
+    // broadcast, the top-100 a heap, never a cartesian
+    val p2 = finalPlan("q_tpch_q2")
+    assert(!p2.contains("CartesianProduct"), p2.take(800))
+    assert(p2.contains("BroadcastHashJoin"), p2.take(800))
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(800))
+    // Q7: both nation-keyed dims ride broadcasts; the only fact⋈fact
+    // shuffle is lineitem ⋈ orders
+    val p7 = finalPlan("q_tpch_q7")
+    assert(!p7.contains("CartesianProduct"), p7.take(800))
+    assert(p7.contains("BroadcastHashJoin"), p7.take(800))
   }
 
   test("bucketed join runs without a shuffle on either input") {
