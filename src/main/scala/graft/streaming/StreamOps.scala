@@ -199,6 +199,69 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class ScanStep(user_id: Long, event_id: Long, step: Int,
+      hops: Long, bonus: Long)
+  case class ScanState(stepIdx: Int, lastTs: Long, lastId: Long)
+
+  /** The STREAMING twin of the KQL declare-state scan (q_kql_scan2,
+    * round 13): a per-actor first-match step machine maintained
+    * incrementally — step k+1 admits the first event of its type
+    * strictly after step k's matched event in (ts, event_id) order,
+    * and the declared counters are the SAME compile-time fold the
+    * batch translator produces (each step matches once, so per-step
+    * state values are literals — the state store carries only
+    * (stepIdx, last matched position): 3 fields per live actor,
+    * bounded at any scale). Emitted rows are append-only (a matched
+    * step never retracts). Contract: event-time-ordered replay
+    * converges to the batch scan's exact output (StreamingSpec pins
+    * parity with q_kql_scan2 row-for-row); out-of-order arrival
+    * follows the arrival-order register contract (A9) — the stream
+    * matches on what it has seen, the caller's watermark governs
+    * reordering.
+    */
+  class ScanFunnelProcessor(stepTypes: IndexedSeq[String],
+      hops: IndexedSeq[Long], bonus: IndexedSeq[Long])
+      extends StatefulProcessor[Long, TypedEv, ScanStep] {
+    @transient private var st: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ScanState]("scan",
+        Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[ScanStep] = {
+      var s = if (st.exists()) st.get()
+        else ScanState(0, Long.MinValue, Long.MinValue)
+      val out = Vector.newBuilder[ScanStep]
+      rows.toVector.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val after = e.ts > s.lastTs ||
+          (e.ts == s.lastTs && e.event_id > s.lastId)
+        if (s.stepIdx < stepTypes.length && after &&
+            e.event_type == stepTypes(s.stepIdx)) {
+          out += ScanStep(key, e.event_id, s.stepIdx + 1,
+            hops(s.stepIdx), bonus(s.stepIdx))
+          s = ScanState(s.stepIdx + 1, e.ts, e.event_id)
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[ScanFunnelProcessor]] with the
+    * q_kql_scan2 step/counter program (signup→click→purchase; hops
+    * 1/2/3, bonus 10/7/100).
+    */
+  def scanFunnelStream(events: Dataset[TypedEv]): Dataset[ScanStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new ScanFunnelProcessor(
+          Vector("signup", "click", "purchase"),
+          Vector(1L, 2L, 3L), Vector(10L, 7L, 100L)),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

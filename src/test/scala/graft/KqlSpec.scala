@@ -1074,10 +1074,12 @@ class KqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_scan_t | scan with (step a: et == 'signup')")
     }
-    // declare-state is out of subset and must fail loudly
+    // declare-state is IN subset since round 13 (see the dedicated
+    // spec); only the funnel-counter class is admitted — general
+    // mutation still fails loudly
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_scan_t | sort by seq asc " +
-        "| scan declare (m: long) with (step a: et == 'signup')")
+        "| scan declare (m: long) with (step a: et == 'signup' => m = m * 2)")
     }
     // steps must be `step name: predicate`
     intercept[IllegalArgumentException] {

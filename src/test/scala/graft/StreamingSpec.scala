@@ -127,6 +127,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming scan funnel equals the batch declare-state scan row-for-row") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select($"event_id", $"user_id", $"event_type", $"ts", $"ts_us", $"value")
+        .as[StreamOps.TypedEv].collect()
+      val input = MemoryStream[StreamOps.TypedEv]
+      val q2 = StreamOps.scanFunnelStream(input.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scanfunnel_spec").start()
+      // event-time-ordered replay in three micro-batches: cross-batch
+      // state must carry each actor's step machine forward
+      evs.sortBy(e => (e.ts, e.event_id))
+        .grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq); q2.processAllAvailable()
+        }
+      q2.stop()
+      val streamed = spark.table("scanfunnel_spec")
+        .select("user_id", "event_id", "hops", "bonus")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = q("q_kql_scan2")
+        .select("user_id", "event_id", "hops", "bonus")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed === batch,
+        "ordered streaming replay must equal the batch scan output")
+      assert(streamed.nonEmpty)
+      // append-only: no (user, step) emitted twice
+      val perUserSteps = spark.table("scanfunnel_spec")
+        .select("user_id", "step").as[(Long, Int)].collect().toSeq
+      assert(perUserSteps.distinct.length === perUserSteps.length)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming event registers replayed in micro-batches equal the batch register pipeline") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
