@@ -315,6 +315,88 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 (national market share) — the conditional-share report:
+    * one fact pass computes the region's total volume AND the target
+    * nation's volume as two decimal-exact conditional sums in the same
+    * aggregate (never two queries); the share is ONE double division
+    * of identically-derived operands. Customers restrict to region
+    * ASIA, parts to type ECONOMY, the target supplier nation is
+    * NATION_5; every dimension rides a broadcast.
+    */
+  private def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("an_key"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("an_key"))
+      .select("c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0)))
+          .as("nation_vol"),
+        dsum(vol).as("total_vol"))
+      .withColumn("mkt_share", col("nation_vol") / col("total_vol"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 (product-type profit) — per supplier-nation/year profit
+    * = revenue − supply cost. The fixture has no ps_supplycost, so the
+    * cost proxy is the canonical generator rule re-expressed on this
+    * schema: 60% of the part's retail price. Determinism: retail
+    * price and quantity are grid values, so the cost side runs as
+    * EXACT INTEGER milli-currency (cents×6×qty — the GRID×GRID
+    * decimal-cast trap never arises because no post-IEEE double is
+    * cast); revenue runs the Q3 decimal rule; profit is one IEEE
+    * subtraction of two identically-derived doubles.
+    */
+  private def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "n_name")
+    // retail cents recovered from the 2-dp grid with the engine-uniform
+    // half-up floor; cost_milli = 0.6·price in exact milli-units
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"),
+        (floor(col("p_retailprice") * lit(100) + lit(0.5)).cast("long") * lit(6L))
+          .as("cost_milli"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        sum(col("cost_milli") * col("l_quantity").cast("long")).as("cm"))
+      .withColumn("profit",
+        col("revenue") - col("cm").cast("double") / lit(1000.0))
+      .select("n_name", "o_year", "profit")
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
   /** TPC-H Q17 (small-quantity-order revenue) — the CORRELATED SCALAR
     * SUBQUERY class (round 13, VERDICT r12 #3): canonical Q17 compares
     * each candidate line's quantity against `0.2 × avg(l_quantity)` of
@@ -2558,6 +2640,8 @@ object Relational {
     "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q2" -> (tpchQ2 _),
     "q_tpch_q7" -> (tpchQ7 _),
+    "q_tpch_q8" -> (tpchQ8 _),
+    "q_tpch_q9" -> (tpchQ9 _),
     "q_tpch_q17" -> (tpchQ17 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -3050,6 +3134,31 @@ object Relational {
         "WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01' " +
         "AND supp_nation <> cust_nation " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q8" ->
+      ("WITH an AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+        "c AS (SELECT c_custkey FROM customer JOIN an ON c_nationkey = n_nationkey), " +
+        "s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "p AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') " +
+        "SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year, " +
+        "CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS nation_vol, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_vol, " +
+        "CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) / " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share " +
+        "FROM lineitem JOIN p ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN c ON o_custkey = c_custkey " +
+        "JOIN s ON l_suppkey = s_suppkey " +
+        "WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q9" ->
+      ("WITH s AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "p AS (SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 6 AS cost_milli " +
+        "FROM part WHERE p_type = 'PROMO') " +
+        "SELECT n_name, CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) " +
+        "- CAST(CAST(sum(cost_milli * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000.0 AS profit " +
+        "FROM lineitem JOIN p ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN s ON l_suppkey = s_suppkey " +
+        "GROUP BY 1, 2 ORDER BY n_name, o_year DESC"),
     "q_tpch_q17" ->
       ("WITH avgq AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thr " +
         "FROM lineitem GROUP BY l_partkey), " +

@@ -132,6 +132,12 @@ class PlanSpec extends SparkSpec {
     val p7 = finalPlan("q_tpch_q7")
     assert(!p7.contains("CartesianProduct"), p7.take(800))
     assert(p7.contains("BroadcastHashJoin"), p7.take(800))
+    // Q8/Q9: every dimension broadcast, no cartesian
+    for (name <- Seq("q_tpch_q8", "q_tpch_q9")) {
+      val p = finalPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(800)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(800)}")
+    }
   }
 
   test("bucketed join runs without a shuffle on either input") {
