@@ -1567,10 +1567,20 @@ object Kql {
     //   rank window over ≤ Π Nⱼ × |keys| rows. Determinism: ADX leaves
     //   aggregate ties unspecified; this cut breaks them by key
     //   ascending.
+    //
+    //   `with others = 'label'` (round 13): one extra row per surviving
+    //   prefix bucketing the NON-top keys, value = complement total —
+    //   computed as a per-prefix sum over the same bounded rollup rows
+    //   (no second corpus pass), admitted for count()/sum() aggregates
+    //   only (the decomposable class — an avg/dcount complement would
+    //   need its own grain) and emitted only when a complement exists.
+    //   A with-others level emits its key column as STRING (the label
+    //   shares the column).
 
-    private def applyTopNested(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+    private def applyTopNested(df0: DataFrame, toks: Vector[Tok]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      case class Level(n: Int, key: String, aggName: String, agg: Column)
+      case class Level(n: Int, key: String, aggName: String, agg: Column,
+        others: Option[String] = None)
       val frags = splitOn(toks, TSym(","))
       val levels = frags.zipWithIndex.map { case (f, i) =>
         val body = if (i == 0) f
@@ -1579,16 +1589,38 @@ object Kql {
           case _ => fail("top-nested clauses must each start with `top-nested`")
         }
         body match {
-          case TNum(n) +: TIdent("of") +: TIdent(key) +: TIdent("by") +: aggToks =>
+          case TNum(n) +: TIdent("of") +: TIdent(key) +: rest =>
+            // optional ADX `with others = 'label'` before `by`
+            val (others, afterWith) = rest match {
+              case TIdent("with") +: TIdent("others") +: TSym("=") +:
+                  TStr(lbl) +: t => (Some(lbl), t)
+              case t => (None, t)
+            }
+            val aggToks = afterWith match {
+              case TIdent("by") +: a => a
+              case _ => fail("top-nested clause must be `N of key [with others = 'label'] by [alias =] agg()`")
+            }
             val (alias, call) = aggToks match {
               case TIdent(a) +: TSym("=") +: c => (Some(a), c)
               case c => (None, c)
             }
+            // the others bucket is total − kept — sound only for
+            // DECOMPOSABLE aggregates; reject the rest loudly
+            if (others.isDefined) call.headOption match {
+              case Some(TIdent("count")) | Some(TIdent("sum")) => ()
+              case other => fail(
+                s"top-nested `with others` supports count()/sum() aggregates only, got $other")
+            }
             val (dflt, agg) = parseAggCallNamed(call)
-            Level(n.toInt, key, alias.getOrElse(dflt), agg)
-          case _ => fail("top-nested clause must be `N of key by [alias =] agg()`")
+            Level(n.toInt, key, alias.getOrElse(dflt), agg, others)
+          case _ => fail("top-nested clause must be `N of key [with others = 'label'] by [alias =] agg()`")
         }
       }
+      // a with-others level emits its key column as STRING (the label
+      // shares the column — ADX's dynamic column made typed); cast once
+      // at the source so every grain and prefix-join sees one type
+      val df = levels.filter(_.others.isDefined).map(_.key).distinct
+        .foldLeft(df0)((d, k) => d.withColumn(k, col(k).cast("string")))
       // de-duplicate default output names (`by count(), ... by count()`
       // both default to count_): later collisions get a level suffix, as
       // ADX generates distinct aggregated_* names per level
@@ -1618,16 +1650,38 @@ object Kql {
           (levelsU.tail.zipWithIndex.map { case (l, i) => l.agg.as(s"__a${i + 1}") } :+
             grouping_id().as("__gid")): _*)
         .localCheckpoint(true)
-      levelsU.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
+      // with-others rows buffer per level and rejoin the final frame
+      // with deeper columns null
+      val othersBuf = Vector.newBuilder[DataFrame]
+      val last = levelsU.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (prev, (l, i)) =>
         val p = i + 1
         val gid = (1 << (nLevels - p)) - 1
         val cur = rolled.filter(col("__gid") === gid)
           .select((keyCols.take(p).map(col) :+ col(s"__a$i").as(l.aggName)): _*)
         prev match {
           case None =>
-            // level 1's cut is a global top-N — TakeOrderedAndProject
-            // (per-partition heap), never an empty-partition window
-            Some(cur.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
+            l.others match {
+              case None =>
+                // level 1's cut is a global top-N — TakeOrderedAndProject
+                // (per-partition heap), never an empty-partition window
+                Some(cur.orderBy(col(l.aggName).desc, col(l.key).asc).limit(l.n))
+              case Some(lbl) =>
+                // with-others needs the complement too: one rank window
+                // over the BOUNDED level-1 table (grain-sized, never the
+                // corpus); the others row is total-of-complement, only
+                // emitted when a complement exists. Others rows do NOT
+                // seed deeper levels (the label matches no data) — they
+                // buffer and rejoin the final frame with deeper columns
+                // null (the dialect's output contract).
+                val ranked = cur.withColumn("__rn", row_number().over(
+                  Window.orderBy(col(l.aggName).desc, col(l.key).asc)))
+                val kept1 = ranked.filter(col("__rn") <= l.n).drop("__rn")
+                othersBuf += ranked.filter(col("__rn") > l.n)
+                  .agg(sum(col(l.aggName)).as(l.aggName), count(lit(1)).as("__cn"))
+                  .filter(col("__cn") > 0)
+                  .select(lit(lbl).as(l.key), col(l.aggName))
+                Some(kept1)
+            }
           case Some(kept) =>
             // restrict to the surviving prefix (broadcast — ≤ Π Nⱼ
             // rows), carry its aggregates along, cut within each prefix.
@@ -1640,14 +1694,28 @@ object Kql {
             val carried = kept.columns.filterNot(prefix.contains).toSeq
             val w = Window.partitionBy(prefix.map(col): _*)
               .orderBy(col(l.aggName).desc, col(l.key).asc)
-            Some(cur.join(broadcast(keptR), cond)
+            val joined = cur.join(broadcast(keptR), cond)
               .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") <= l.n)
+            val keptRows = joined.filter(col("__rn") <= l.n)
               .select((prefix.map(col) ++
                 carried.map(c => col(s"__p_$c").as(c)) ++
-                Seq(col(l.key), col(l.aggName))): _*))
+                Seq(col(l.key), col(l.aggName))): _*)
+            l.others.foreach { lbl =>
+              // per-prefix complement total (decomposable aggregates
+              // only, enforced at parse), buffered for the final union
+              othersBuf += joined.filter(col("__rn") > l.n)
+                .groupBy((prefix.map(col) ++
+                  carried.map(c => col(s"__p_$c").as(c))): _*)
+                .agg(sum(col(l.aggName)).as(l.aggName))
+                .withColumn(l.key, lit(lbl))
+                .select((prefix.map(col) ++ carried.map(col) ++
+                  Seq(col(l.key), col(l.aggName))): _*)
+            }
+            Some(keptRows)
         }
       }.get
+      othersBuf.result().foldLeft(last)(
+        (d, o) => d.unionByName(o, allowMissingColumns = true))
     }
 
     // ------------------------------------------- top-hitters / pivot /

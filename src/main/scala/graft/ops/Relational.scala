@@ -2062,6 +2062,22 @@ object Relational {
         "| evaluate basket(0.02)")
   }
 
+  /** `top-nested ... with others = 'label'` (round 13): the dashboard
+    * drill-down with explicit remainder buckets — per surviving
+    * prefix, one extra row totaling the non-top keys (complement sums
+    * over the SAME bounded rollup rows, no second corpus pass;
+    * count/sum only). Others rows rejoin the final frame with deeper
+    * columns null; the Spark-side sort places them deterministically.
+    */
+  private def kqlOthers(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | extend ub = tostring(user_id % 5) " +
+        "| top-nested 2 of event_type with others = 'OTHER' by cnt = count(), " +
+        "top-nested 2 of ub with others = 'rest' by n = count()")
+      .orderBy(col("event_type"), col("ub").asc_nulls_first)
+  }
+
   /** ADX `evaluate autocluster` (round 13, VERDICT r12 #5) — segment
     * mining over (event type, value band, user bucket): the basket
     * cube machinery plus the dominance prune (drop a generic pattern
@@ -2736,6 +2752,7 @@ object Relational {
     "q_kql_funnel" -> (kqlFunnel _),
     "q_kql_basket" -> (kqlBasket _),
     "q_kql_autocluster" -> (kqlAutocluster _),
+    "q_kql_others" -> (kqlOthers _),
     "q_kql_diffpatterns" -> (kqlDiffpatterns _),
     "q_kql_fillseries" -> (kqlFillseries _),
     "q_kql_forecast" -> (kqlForecast _),
@@ -3255,6 +3272,20 @@ object Relational {
         "FROM cub CROSS JOIN tot " +
         "WHERE cnt >= ceil(total * 0.02) AND NOT (event_type IS NULL AND vb IS NULL AND ub IS NULL) " +
         "ORDER BY cnt DESC, event_type NULLS FIRST, vb NULLS FIRST, ub NULLS FIRST"),
+    "q_kql_others" ->
+      ("WITH src AS (SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS ub FROM events), " +
+        "l1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY 1), " +
+        "r1 AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, event_type) AS rn FROM l1), " +
+        "k1 AS (SELECT event_type, cnt FROM r1 WHERE rn <= 2), " +
+        "o1 AS (SELECT 'OTHER' AS event_type, CAST(sum(cnt) AS BIGINT) AS cnt FROM r1 WHERE rn > 2 HAVING count(*) > 0), " +
+        "l2 AS (SELECT s.event_type, k1.cnt, s.ub, CAST(count(*) AS BIGINT) AS n " +
+        "FROM src s JOIN k1 ON s.event_type = k1.event_type GROUP BY 1, 2, 3), " +
+        "r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, ub) AS rn FROM l2), " +
+        "k2 AS (SELECT event_type, cnt, ub, n FROM r2 WHERE rn <= 2), " +
+        "o2 AS (SELECT event_type, cnt, 'rest' AS ub, CAST(sum(n) AS BIGINT) AS n FROM r2 WHERE rn > 2 GROUP BY 1, 2) " +
+        "SELECT * FROM k2 UNION ALL SELECT * FROM o2 " +
+        "UNION ALL SELECT event_type, cnt, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM o1 " +
+        "ORDER BY event_type, ub NULLS FIRST"),
     "q_kql_autocluster" ->
       // the basket CUBE twin + the dominance NOT EXISTS: a pattern
       // falls when a strictly more specific refinement (every concrete

@@ -361,6 +361,34 @@ class KqlSpec extends SparkSpec {
     assert(rsBare === wantSemi)
   }
 
+  test("top-nested with others: complement totals conserve; non-decomposable rejected") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | extend ub = tostring(user_id % 5) " +
+        "| top-nested 2 of event_type with others = 'OTHER' by cnt = count(), " +
+        "top-nested 2 of ub with others = 'rest' by n = count()").cache()
+    assert(got.columns.toSeq === Seq("event_type", "cnt", "ub", "n"))
+    // level-1 conservation: kept types + OTHER bucket = corpus rows
+    val l1 = got.select("event_type", "cnt").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(l1.values.sum === ev.count())
+    assert(l1.contains("OTHER"))
+    // the OTHER row carries null deeper columns
+    val otherRows = got.filter($"event_type" === "OTHER").collect()
+    assert(otherRows.length === 1 && otherRows(0).isNullAt(2) && otherRows(0).isNullAt(3))
+    // level-2 conservation per kept type: kept ubs + rest = type count
+    got.filter($"event_type" =!= "OTHER").collect()
+      .groupBy(_.getString(0)).foreach { case (et, rows) =>
+        assert(rows.map(_.getLong(3)).sum === l1(et), s"type $et")
+        assert(rows.exists(_.getString(2) == "rest"), s"type $et rest bucket")
+      }
+    // non-decomposable aggregates cannot form an others bucket
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark,
+        "kql_events | top-nested 2 of event_type with others = 'x' by avg(value)")
+    }
+  }
+
   test("scan declare: static counter fold per matched step; general mutation rejected") {
     // a planted sequence with a known match structure: one entity whose
     // rows hit s1, s2, s3 in order plus decoys between
