@@ -1112,12 +1112,18 @@ object Kql {
           case "leftanti" | "anti" => df.join(right, keys, "left_anti")
           case "leftsemi" => df.join(right, keys, "left_semi")
           // right-flavored kinds: Spark has no right_semi/right_anti —
-          // swap the sides (output is the RIGHT schema, per ADX)
-          case "rightsemi" => right.join(df, keys, "left_semi")
-          case "rightanti" => right.join(df, keys, "left_anti")
+          // swap the sides (output is the RIGHT schema, per ADX). Spark
+          // can only BUILD the right side of LeftSemi/LeftAnti, so a
+          // broadcast hint repoints to the probe set (the only
+          // broadcastable side after the swap) instead of going inert
+          case "rightsemi" =>
+            right0.join(if (broadcastRight) broadcast(df) else df, keys, "left_semi")
+          case "rightanti" =>
+            right0.join(if (broadcastRight) broadcast(df) else df, keys, "left_anti")
           case other => fail(s"unsupported join kind '$other'")
         }
-      } else explicitKeyJoin(df, right, keyPairs, kind)
+      } else explicitKeyJoin(df, right0, keyPairs, kind,
+        broadcastRight = broadcastRight)
     }
 
     /** The `$left.x == $right.y` join path: explicit equality
@@ -1130,7 +1136,9 @@ object Kql {
       * the right survives the alias), so the 100 TB shape is unchanged.
       */
     private def explicitKeyJoin(df: DataFrame, right: DataFrame,
-        keyPairs: Vector[(String, String)], kind: String): DataFrame = {
+        keyPairs: Vector[(String, String)], kind: String,
+        broadcastRight: Boolean = false,
+        dropRightKeys: Boolean = false): DataFrame = {
       // disambiguation by RENAME, not by alias: both sides routinely
       // share lineage (self-joins over the same source view), where
       // Spark's dataset-apply resolution trips its ambiguous-self-join
@@ -1139,17 +1147,22 @@ object Kql {
       // trivially unambiguous and the final select restores the ADX
       // output names
       val leftKeys = keyPairs.map(_._1).distinct
+      val rightKeys = keyPairs.map(_._2).toSet
       kind match {
         case "rightsemi" | "rightanti" =>
-          // output is the RIGHT schema — prefix the LEFT side instead
-          val lPref = df.toDF(df.columns.map("__jl_" + _).toIndexedSeq: _*)
+          // output is the RIGHT schema — prefix the LEFT side instead.
+          // Spark can only build the right side of a LeftSemi/LeftAnti,
+          // so a broadcast hint repoints to the probe set
+          val lPref0 = df.toDF(df.columns.map("__jl_" + _).toIndexedSeq: _*)
+          val lPref = if (broadcastRight) broadcast(lPref0) else lPref0
           val cond = keyPairs
             .map { case (a, b) => col("__jl_" + a) === col(b) }
             .reduce(_ && _)
           right.join(lPref, cond,
             if (kind == "rightsemi") "left_semi" else "left_anti")
         case "leftanti" | "anti" | "leftsemi" =>
-          val rPref = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val rPref0 = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val rPref = if (broadcastRight) broadcast(rPref0) else rPref0
           val cond = keyPairs
             .map { case (a, b) => col(a) === col("__jr_" + b) }
             .reduce(_ && _)
@@ -1165,20 +1178,25 @@ object Kql {
           }
           val lBase =
             if (kind == "innerunique") df.dropDuplicates(leftKeys) else df
-          val rPref = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val rPref0 = right.toDF(right.columns.map("__jr_" + _).toIndexedSeq: _*)
+          val rPref = if (broadcastRight) broadcast(rPref0) else rPref0
           val cond = keyPairs
             .map { case (a, b) => col(a) === col("__jr_" + b) }
             .reduce(_ && _)
           val used = scala.collection.mutable.Set(lBase.columns.toSeq: _*)
-          val rightCols = right.columns.map { n =>
-            if (!used.contains(n)) { used += n; col("__jr_" + n).as(n) }
-            else {
-              var k = 1
-              while (used.contains(n + k)) k += 1
-              used += (n + k)
-              col("__jr_" + n).as(n + k)
+          // dropRightKeys = the ADX lookup contract: lookup output
+          // excludes the right-side KEY columns (unlike join)
+          val rightCols = right.columns
+            .filterNot(n => dropRightKeys && rightKeys.contains(n))
+            .map { n =>
+              if (!used.contains(n)) { used += n; col("__jr_" + n).as(n) }
+              else {
+                var k = 1
+                while (used.contains(n + k)) k += 1
+                used += (n + k)
+                col("__jr_" + n).as(n + k)
+              }
             }
-          }
           lBase.join(rPref, cond, how)
             .select(lBase.columns.map(col(_)).toSeq ++ rightCols: _*)
       }
@@ -1505,6 +1523,7 @@ object Kql {
     private def parseScanDecls(toks: Vector[Tok],
         df: DataFrame): Vector[(String, Long)] = {
       if (toks.isEmpty) fail("scan declare needs at least one variable")
+      val seen = scala.collection.mutable.Set.empty[String]
       splitOn(toks, TSym(",")).map { d =>
         val (name, ty, init) = d match {
           case Vector(TIdent(n), TSym(":"), TIdent(t)) => (n, t, 0L)
@@ -1517,6 +1536,8 @@ object Kql {
           fail(s"scan declare supports integer state only (long|int), got '$ty'")
         if (df.columns.contains(name))
           fail(s"scan declare variable '$name' shadows an input column")
+        if (!seen.add(name))
+          fail(s"scan declare variable '$name' is declared twice")
         (name, init)
       }
     }
@@ -2103,15 +2124,8 @@ object Kql {
       val pats = cubed.filter(!allNull)
         .crossJoin(broadcast(total))
         .filter(col("cnt") >= ceil(col("__total") * lit(minCov)))
-        .withColumn("__spec",
-          cols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _))
-      val qd = pats.select((cols.map(c => col(c).as("__q_" + c)) :+
-        col("cnt").as("__q_cnt") :+ col("__spec").as("__q_spec")): _*)
-      val kept = pats.join(broadcast(qd),
-        cols.map(c => col(c).isNull || col("__q_" + c) === col(c)).reduce(_ && _) &&
-          col("__q_spec") > col("__spec") &&
-          col("__q_cnt") * 2 >= col("cnt"),
-        "left_anti")
+        .withColumn("__spec", patternSpec(cols))
+      val kept = dominancePrune(pats, cols, col("cnt"))
       val ord = col("cnt").desc +: cols.map(c => col(c).asc_nulls_first)
       kept.withColumn("segment_id",
           row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
@@ -2119,6 +2133,29 @@ object Kql {
           (col("cnt").cast("double") / col("__total").cast("double")).as("percent")) ++
           cols.map(col)): _*)
         .orderBy("segment_id")
+    }
+
+    /** Specificity of a cube pattern row = its non-wildcard attribute
+      * count (nulls were excluded from the input, so null ⇔ wildcard).
+      */
+    private def patternSpec(cols: Seq[String]): Column =
+      cols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _)
+
+    /** The segment-mining dominance prune shared by autocluster and
+      * diffpatterns: drop a pattern when a STRICTLY more specific
+      * refinement (every concrete attribute matched, higher `__spec`)
+      * keeps ≥ half of `cnt`. `pats` must carry `__spec`; the
+      * comparison side is broadcast (bounded pattern table).
+      */
+    private def dominancePrune(pats: DataFrame, cols: Seq[String],
+        cnt: Column): DataFrame = {
+      val qd = pats.select((cols.map(c => col(c).as("__q_" + c)) :+
+        cnt.as("__q_cnt") :+ col("__spec").as("__q_spec")): _*)
+      pats.join(broadcast(qd),
+        cols.map(c => col(c).isNull || col("__q_" + c) === col(c)).reduce(_ && _) &&
+          col("__q_spec") > col("__spec") &&
+          col("__q_cnt") * 2 >= cnt,
+        "left_anti")
     }
 
     /** ADX `evaluate diffpatterns(SplitColumn, 'ValueA', 'ValueB')` —
@@ -2157,16 +2194,8 @@ object Kql {
         .crossJoin(broadcast(total))
         .filter(col("count_a") >= ceil(col("__ta") * lit(0.05)) ||
           col("count_b") >= ceil(col("__tb") * lit(0.05)))
-        .withColumn("__spec",
-          cols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _))
-      val qd = pats.select((cols.map(c => col(c).as("__q_" + c)) :+
-        (col("count_a") + col("count_b")).as("__q_cnt") :+
-        col("__spec").as("__q_spec")): _*)
-      val kept = pats.join(broadcast(qd),
-        cols.map(c => col(c).isNull || col("__q_" + c) === col(c)).reduce(_ && _) &&
-          col("__q_spec") > col("__spec") &&
-          col("__q_cnt") * 2 >= col("count_a") + col("count_b"),
-        "left_anti")
+        .withColumn("__spec", patternSpec(cols))
+      val kept = dominancePrune(pats, cols, col("count_a") + col("count_b"))
       def pct(cn: Column, tot: Column): Column =
         when(tot > 0, cn.cast("double") / tot.cast("double")).otherwise(lit(0.0))
       val withPct = kept
@@ -3059,7 +3088,11 @@ object Kql {
         }
       } else kind match {
         case "leftouter" | "inner" =>
-          explicitKeyJoin(df, broadcast(right), keyPairs, kind)
+          // ADX lookup output EXCLUDES the right-side key columns
+          // (unlike join — they'd be pure duplicates of the left keys
+          // on matched rows); broadcast stays pinned on the dimension
+          explicitKeyJoin(df, right, keyPairs, kind,
+            broadcastRight = true, dropRightKeys = true)
         case other => fail(s"unsupported lookup kind '$other' (leftouter|inner)")
       }
     }

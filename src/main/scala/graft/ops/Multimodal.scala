@@ -388,6 +388,12 @@ object Multimodal {
             require(len == 13, "bad IHDR length")
             w = rd32(i + 8); h = rd32(i + 12)
             require(w > 0 && h > 0, "bad dimensions")
+            // cap the pixel count so stride·h / 3·w·h arithmetic can
+            // never wrap Int on attacker-controlled headers (a wrapped
+            // product would mis-size the buffers and die with an
+            // uncontracted ArrayIndexOutOfBounds instead of this)
+            require((3L * w + 1L) * h <= Int.MaxValue,
+              s"dimensions ${w}x$h exceed the supported pixel budget")
             val bitDepth = png(i + 16); val colorType = png(i + 17)
             require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 only)")
             require(colorType == 2, s"unsupported color type $colorType (RGB only)")
@@ -416,6 +422,15 @@ object Multimodal {
         val n = inf.inflate(raw, off, raw.length - off)
         require(n > 0 || inf.finished(), "truncated/invalid IDAT stream")
         off += n
+      }
+      // the stream must terminate EXACTLY at the declared size: extra
+      // filtered scanlines beyond h would otherwise be silently
+      // discarded (the mirror of the too-short rejection below)
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        val extra = inf.inflate(probe)
+        require(extra == 0 && inf.finished(),
+          "IDAT decompresses beyond the declared dimensions")
       }
       inf.end()
       require(off == raw.length,

@@ -2057,7 +2057,10 @@ object Relational {
   private def kqlBasket(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_csl")
     graft.ingest.Kql.translate(s,
-      "events_csl | project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
+      // null guard aligned with the oracle's WHERE (the autocluster
+      // review finding applied to the pre-existing sibling)
+      "events_csl | where isnotnull(event_type) and isnotnull(value) and isnotnull(user_id) " +
+        "| project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
         "ub = tostring(user_id % 3) " +
         "| evaluate basket(0.02)")
   }
@@ -2088,7 +2091,11 @@ object Relational {
   private def kqlAutocluster(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_csl")
     graft.ingest.Kql.translate(s,
-      "events_csl | project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
+      // the null guard matches the oracle's WHERE: without it a NULL
+      // value would bucket as 'lo' via iff's otherwise while the twin
+      // excludes the row (review finding, round 13)
+      "events_csl | where isnotnull(event_type) and isnotnull(value) and isnotnull(user_id) " +
+        "| project event_type, vb = iff(value >= 50.0, 'hi', 'lo'), " +
         "ub = tostring(user_id % 3) " +
         "| evaluate autocluster(0.5)")
   }
@@ -2101,7 +2108,8 @@ object Relational {
   private def kqlDiffpatterns(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_csl")
     graft.ingest.Kql.translate(s,
-      "events_csl | project event_type, ub = tostring(user_id % 3), " +
+      "events_csl | where isnotnull(event_type) and isnotnull(value) and isnotnull(user_id) " +
+        "| project event_type, ub = tostring(user_id % 3), " +
         "grp = iff(value >= 50.0, 'hi', 'lo') " +
         "| evaluate diffpatterns(grp, 'hi', 'lo')")
   }

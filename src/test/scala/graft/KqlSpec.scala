@@ -359,6 +359,31 @@ class KqlSpec extends SparkSpec {
         "| join kind=rightsemi (kql_events | where event_type == 'click' " +
         "| project user_id, value) on user_id | count").as[Long].head()
     assert(rsBare === wantSemi)
+    // a broadcast hint on a right-flavored kind repoints to the probe
+    // set (the only buildable side after the swap) — same result, and
+    // the plan actually carries a broadcast join
+    val rsHinted = Kql.translate(spark,
+      "kql_events | where event_type == 'purchase' | project user_id " +
+        "| join hint.strategy=broadcast kind=rightsemi (kql_events " +
+        "| where event_type == 'click' | project user_id, value) on user_id")
+    assert(rsHinted.count() === wantSemi)
+    assert(rsHinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("lookup with explicit keys drops the right key column, per the ADX contract") {
+    ev.createOrReplaceTempView("kql_events")
+    val got = Kql.translate(spark,
+      "kql_events | project event_id, user_id, value " +
+        "| lookup (kql_events | where event_type == 'click' " +
+        "| project uid = user_id, value | summarize clicks = count(), " +
+        "value = max(value) by uid) on $left.user_id == $right.uid")
+    // the right KEY column uid is excluded; non-key right columns stay
+    // (colliding value still takes the `1` suffix)
+    assert(got.columns.toSeq ===
+      Seq("event_id", "user_id", "value", "clicks", "value1"))
+    // leftouter default: every fact row survives
+    assert(got.count() === ev.count())
   }
 
   test("top-nested with others: complement totals conserve; non-decomposable rejected") {
@@ -430,6 +455,8 @@ class KqlSpec extends SparkSpec {
       "integer state")
     rejects("declare (x: long = 0.5) with (step a: et == 'signup';)",
       "integers")
+    rejects("declare (x: long = 1, x: long = 5) with (step a: et == 'signup';)",
+      "declared twice")
     rejects("declare (et: long) with (step a: et == 'signup';)",
       "shadows")
   }

@@ -385,6 +385,17 @@ class RelationalSpec extends SparkSpec {
       mkChunk("tEXt", "k v".getBytes("US-ASCII")) ++
       mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
     assert(Png.decode(ancillary)._3.toSeq === img.toSeq)
+    // an IDAT that inflates BEYOND the declared dimensions is rejected,
+    // not silently truncated: declare one row less than the data holds
+    val shortIhdr = be32(fw) ++ be32(fh - 1) ++ Array[Byte](8, 2, 0, 0, 0)
+    val overlong = Png.Signature ++ mkChunk("IHDR", shortIhdr) ++
+      mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException] { Png.decode(overlong) }
+    // attacker-controlled dimensions cannot wrap the Int buffer math
+    val hugeIhdr = be32(65536) ++ be32(65536) ++ Array[Byte](8, 2, 0, 0, 0)
+    val huge = Png.Signature ++ mkChunk("IHDR", hugeIhdr) ++
+      mkChunk("IDAT", zout.toByteArray) ++ mkChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException] { Png.decode(huge) }
 
     // the registered query: every row round-trips inside the size bound,
     // and the planted gradient row carries its closed-form sums
