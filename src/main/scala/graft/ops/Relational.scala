@@ -315,6 +315,117 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q6 (forecasting revenue change) — the pure scan-side
+    * aggregate: a date window, a discount band, and a quantity cut,
+    * all pushable to the parquet scan, then ONE decimal-exact sum of
+    * price×discount (both 2-dp grid values — the product is an exact
+    * 4-dp value, no cast tie). The simplest query a TPC-H engine must
+    * run at full scan speed: zero joins, zero shuffles beyond the
+    * final 1-row combine.
+    */
+  private def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q13 (customer distribution) — the two-level aggregate with
+    * a filtered LEFT join: per-customer order counts (customers with
+    * no qualifying orders count 0 — the left join is the point), then
+    * the distribution of those counts. Adaptation: the comment-pattern
+    * exclusion becomes an order-priority exclusion. One orders
+    * shuffle on custkey, then a bounded second aggregate.
+    */
+  private def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(cnt.as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 (top supplier) — the correlated MAX: suppliers whose
+    * quarterly revenue equals the global maximum. Decorrelated: the
+    * per-supplier revenue table aggregates once, its 1-row max
+    * broadcasts back, and the equality compares two decimal-exact
+    * sums derived identically — ties (multiple top suppliers) all
+    * emit, per the spec.
+    */
+  private def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 (discounted revenue) — the DISJUNCTION of conjunctive
+    * band predicates (brand × size × quantity ranges): the classic
+    * OR-of-ANDs filter an engine must keep scan-side (each disjunct
+    * is sargable; the union of row-group ranges still prunes).
+    * Adaptation: container becomes the p_size band. One broadcast part
+    * join carries the attributes; the sum is the Q3 decimal rule.
+    */
+  private def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity) — the scalar-subquery +
+    * NOT-EXISTS pair: customers with above-average positive balances
+    * and NO orders. The average is ONE broadcast 1-row aggregate (the
+    * decorrelated scalar subquery); the no-orders test is a hash
+    * anti-join. Adaptations: the phone country code becomes the
+    * customer's nation key (same bounded-group shape), and canonical
+    * "no orders in 7 years" becomes "no orders since 1999" — every
+    * fixture customer has SOME order, so the unwindowed test is
+    * vacuous; the windowed one leaves real survivors and keeps the
+    * anti-join's date filter pushable. Balance sums run the decimal
+    * rule.
+    */
+  private def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(cnt.as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** TPC-H Q8 (national market share) — the conditional-share report:
     * one fact pass computes the region's total volume AND the target
     * nation's volume as two decimal-exact conditional sums in the same
@@ -2664,8 +2775,13 @@ object Relational {
     "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q2" -> (tpchQ2 _),
     "q_tpch_q7" -> (tpchQ7 _),
+    "q_tpch_q6" -> (tpchQ6 _),
     "q_tpch_q8" -> (tpchQ8 _),
     "q_tpch_q9" -> (tpchQ9 _),
+    "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q15" -> (tpchQ15 _),
+    "q_tpch_q19" -> (tpchQ19 _),
+    "q_tpch_q22" -> (tpchQ22 _),
     "q_tpch_q17" -> (tpchQ17 _),
     "q_tpch_q18" -> (tpchQ18 _),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -3159,6 +3275,39 @@ object Relational {
         "WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01' " +
         "AND supp_nation <> cust_nation " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "q_tpch_q13" ->
+      ("WITH co AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o " +
+        "ON c_custkey = o.o_custkey GROUP BY c_custkey) " +
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM co " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q_tpch_q15" ->
+      ("WITH rev AS MATERIALIZED (SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue " +
+        "FROM lineitem WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01' " +
+        "AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_revenue FROM rev " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey"),
+    "q_tpch_q19" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    "q_tpch_q22" ->
+      ("WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal " +
+        "FROM customer WHERE c_acctbal > 0.0) " +
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal " +
+        "FROM customer CROSS JOIN ab " +
+        "WHERE c_acctbal > avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1999-01-01') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q_tpch_q8" ->
       ("WITH an AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
         "c AS (SELECT c_custkey FROM customer JOIN an ON c_nationkey = n_nationkey), " +

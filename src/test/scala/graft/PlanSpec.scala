@@ -138,6 +138,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name: ${p.take(800)}")
       assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(800)}")
     }
+    // Q6: the pure scan-side aggregate — filters reach the parquet scan
+    val p6 = finalPlan("q_tpch_q6")
+    assert(p6.contains("PushedFilters"), p6.take(800))
+    // Q15/Q19/Q22: broadcast thresholds/dims, anti-join for Q22's
+    // no-recent-orders test, never a cartesian fact product
+    for (name <- Seq("q_tpch_q15", "q_tpch_q19")) {
+      val p = finalPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(800)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(800)}")
+    }
+    val p22 = finalPlan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), p22.take(1200))
   }
 
   test("bucketed join runs without a shuffle on either input") {
