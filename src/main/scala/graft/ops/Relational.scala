@@ -508,6 +508,33 @@ object Relational {
       .orderBy(col("n_name"), col("o_year").desc)
   }
 
+  /** TPC-H Q16 (parts/supplier relationship) — distinct-supplier
+    * counts per part attribute group with a supplier EXCLUSION
+    * anti-join: partsupp is the lineitem-derived pair table (the Q2
+    * stand-in), the brand/type cut inverts (<>), and the canonical
+    * complaints-comment exclusion becomes the negative-balance
+    * supplier set (the fixture carries no comments). One pair-grain
+    * aggregate; the distinct count runs on the bounded
+    * (attrs × suppkey) table; exclusions broadcast.
+    */
+  private def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val excl = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(excl, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** TPC-H Q17 (small-quantity-order revenue) — the CORRELATED SCALAR
     * SUBQUERY class (round 13, VERDICT r12 #3): canonical Q17 compares
     * each candidate line's quantity against `0.2 × avg(l_quantity)` of
@@ -2780,6 +2807,7 @@ object Relational {
     "q_tpch_q9" -> (tpchQ9 _),
     "q_tpch_q13" -> (tpchQ13 _),
     "q_tpch_q15" -> (tpchQ15 _),
+    "q_tpch_q16" -> (tpchQ16 _),
     "q_tpch_q19" -> (tpchQ19 _),
     "q_tpch_q22" -> (tpchQ22 _),
     "q_tpch_q17" -> (tpchQ17 _),
@@ -3293,6 +3321,14 @@ object Relational {
         "SELECT s_suppkey, s_name, total_revenue FROM rev " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey"),
+    "q_tpch_q16" ->
+      ("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+        "x AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) " +
+        "SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM ps JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) " +
+        "AND NOT EXISTS (SELECT 1 FROM x WHERE x.s_suppkey = ps.l_suppkey) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
     "q_tpch_q19" ->
       ("SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
