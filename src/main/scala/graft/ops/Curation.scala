@@ -576,6 +576,48 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test (round 13) — the
+    * distribution-free sibling of [[driftKl]]: KS = max |F_A − F_B|
+    * between the click and purchase value distributions. The 100 TB
+    * form runs on a FIXED VALUE GRID (5e-3 buckets over the value
+    * domain — ≤10⁴ rows whatever the corpus): per-bucket conditional
+    * counts in ONE map-side-combinable aggregate, cumulative sums over
+    * the bounded grid only (the single-partition window is 10⁴ rows,
+    * never the corpus), and the statistic in EXACT INTEGER arithmetic
+    * — max |cumA·n_B − cumB·n_A| over the grid, ONE double division at
+    * the end (grid-KS ≤ true KS ≤ grid-KS + max-bucket-mass; the
+    * bucket width bounds the gap). The α=0.05 rejection compares
+    * against c(α)·√((n_A+n_B)/(n_A·n_B)) — sqrt is IEEE
+    * correctly-rounded, so both engines derive the identical double.
+    */
+  private def driftKs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(col("event_type").as("side"),
+        floor(col("value") * lit(200)).cast("long").as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("side") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "purchase", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .as("ks_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("ks_num").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks_stat"),
+        (lit(1.3581) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double"))).as("crit_05"))
+      .withColumn("reject_h0", col("ks_stat") > col("crit_05"))
+  }
+
   private def corpusReport(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .agg(
@@ -1593,6 +1635,7 @@ object Curation {
     "q_pagerank" -> (pagerank _),
     "q_pagerank_converged" -> (pagerankConverged _),
     "q_drift_kl" -> (driftKl _),
+    "q_drift_ks" -> (driftKs _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -1893,6 +1936,20 @@ object Curation {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
         "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM o GROUP BY doc_id ORDER BY doc_id"),
+    "q_drift_ks" ->
+      ("WITH c AS (SELECT CAST(floor(value * 200) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c), " +
+        "cum AS (SELECT b, CAST(sum(ca) OVER (ORDER BY b) AS BIGINT) AS cuma, " +
+        "CAST(sum(cb) OVER (ORDER BY b) AS BIGINT) AS cumb FROM c), " +
+        "ks AS (SELECT CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num, na, nb " +
+        "FROM cum CROSS JOIN tot GROUP BY na, nb) " +
+        "SELECT na AS n_a, nb AS n_b, CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_stat, " +
+        "1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS crit_05, " +
+        "CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) > 1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS reject_h0 " +
+        "FROM ks"),
     "q_drift_kl" ->
       ("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), " +
         "bs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1), " +

@@ -523,6 +523,36 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("KS drift equals the exact grid recompute; identical samples read 0") {
+    val row = q("q_drift_ks").collect()(0)
+    val ks = row.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    // local exact recompute on the same 5e-3 grid
+    val samples = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase") && $"value".isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = samples.filter(_._1 == "click").map(t => math.floor(t._2 * 200).toLong)
+    val b = samples.filter(_._1 == "purchase").map(t => math.floor(t._2 * 200).toLong)
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    val grid = (a ++ b).distinct.sorted
+    val ksNum = grid.map { g =>
+      math.abs(a.count(_ <= g).toLong * b.length - b.count(_ <= g).toLong * a.length)
+    }.max
+    assert(ks === ksNum.toDouble / (a.length.toLong * b.length).toDouble)
+    // the rejection column is consistent with its own critical value
+    assert(row.getAs[Boolean]("reject_h0") ===
+      (ks > row.getAs[Double]("crit_05")))
+    // two identical samples: KS exactly 0 (same cumulative counts)
+    val same = a
+    val gridS = same.distinct.sorted
+    val zero = gridS.map { g =>
+      math.abs(same.count(_ <= g).toLong * same.length -
+        same.count(_ <= g).toLong * same.length)
+    }.max
+    assert(zero === 0L)
+  }
+
   test("KL drift is non-negative per source and matches a local recompute") {
     val rows = q("q_drift_kl").collect()
     val srcCount = Tables.documents(spark, sfDir)
