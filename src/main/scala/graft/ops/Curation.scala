@@ -618,6 +618,46 @@ object Curation {
       .withColumn("reject_h0", col("ks_stat") > col("crit_05"))
   }
 
+  /** Population Stability Index (round 13) — the MLOps-standard drift
+    * score between the click and purchase value distributions, on a
+    * COARSE decile-style grid (unit buckets over the value domain —
+    * PSI is a binned statistic by definition; fine grids starve the
+    * bins). PSI = Σ (p_b − q_b)·ln(p_b / q_b) with add-one smoothing
+    * on counts (zero-bin-safe, the driftKl rule). Determinism: p and q
+    * are single divisions of exact integers, ln() of integer-derived
+    * doubles is IEEE-identical cross-engine (the q_drift_kl
+    * precedent), each term pre-rounds to the 8-dp grid so the bounded
+    * sum is order-invariant, and the total runs in DECIMAL. Same
+    * bounded shape as [[driftKs]]: one combinable aggregate over the
+    * corpus, everything after on ≤|value domain| rows.
+    */
+  private def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(col("event_type").as("side"),
+        floor(col("value")).cast("long").as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("side") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "purchase", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      cnt.as("nbins"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    val p = (col("ca") + lit(1)).cast("double") /
+      (col("na") + col("nbins")).cast("double")
+    val q = (col("cb") + lit(1)).cast("double") /
+      (col("nb") + col("nbins")).cast("double")
+    withTot
+      .select(col("na"), col("nb"),
+        round((p - q) * log(p / q), 8).as("term"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(round(sum(col("term").cast(DecimalType(18, 8))).cast("double"), 6)
+        .as("psi"))
+      .withColumn("stable", col("psi") < 0.1)
+      .withColumn("drifted", col("psi") >= 0.25)
+  }
+
   private def corpusReport(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .agg(
@@ -1636,6 +1676,7 @@ object Curation {
     "q_pagerank_converged" -> (pagerankConverged _),
     "q_drift_kl" -> (driftKl _),
     "q_drift_ks" -> (driftKs _),
+    "q_drift_psi" -> (driftPsi _),
     "q_passage_rewrite" -> (passageRewrite _),
     "q_zscore_outliers" -> (zscoreOutliers _),
     "q_winsorize" -> (winsorize _),
@@ -1950,6 +1991,19 @@ object Curation {
         "1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS crit_05, " +
         "CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) > 1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS reject_h0 " +
         "FROM ks"),
+    "q_drift_psi" ->
+      ("WITH c AS (SELECT CAST(floor(value) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS nbins FROM c), " +
+        "terms AS (SELECT na, nb, round(" +
+        "((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)) - (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE))) * " +
+        "ln((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)) / (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE))), 8) AS term " +
+        "FROM c CROSS JOIN tot), " +
+        "agg AS (SELECT na AS n_a, nb AS n_b, round(CAST(sum(CAST(term AS DECIMAL(18,8))) AS DOUBLE), 6) AS psi " +
+        "FROM terms GROUP BY 1, 2) " +
+        "SELECT n_a, n_b, psi, psi < 0.1 AS stable, psi >= 0.25 AS drifted FROM agg"),
     "q_drift_kl" ->
       ("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), " +
         "bs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1), " +

@@ -553,6 +553,30 @@ class CurationSpec extends SparkSpec {
     assert(zero === 0L)
   }
 
+  test("PSI drift is non-negative and matches a local recompute") {
+    val row = q("q_drift_psi").collect()(0)
+    val psi = row.getAs[Double]("psi")
+    // (p - q) and ln(p/q) always share sign, so every term >= 0
+    assert(psi >= 0.0)
+    assert(row.getAs[Boolean]("stable") === (psi < 0.1))
+    assert(row.getAs[Boolean]("drifted") === (psi >= 0.25))
+    // local recompute on the same unit-bucket grid
+    val samples = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase") && $"value".isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val byBin = samples.groupBy(t => math.floor(t._2).toLong)
+    val na = samples.count(_._1 == "click").toLong
+    val nb = samples.count(_._1 == "purchase").toLong
+    val nbins = byBin.size.toLong
+    def r8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val want = byBin.values.map { xs =>
+      val p = (xs.count(_._1 == "click") + 1).toDouble / (na + nbins)
+      val q0 = (xs.count(_._1 == "purchase") + 1).toDouble / (nb + nbins)
+      BigDecimal(r8((p - q0) * math.log(p / q0))).setScale(8)
+    }.sum
+    assert(psi === (want.setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+  }
+
   test("KL drift is non-negative per source and matches a local recompute") {
     val rows = q("q_drift_kl").collect()
     val srcCount = Tables.documents(spark, sfDir)
