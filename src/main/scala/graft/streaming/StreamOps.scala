@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.ingest.Ingest
 
 /** Structured-Streaming formulations of the reference's unbounded-ingest
@@ -260,6 +260,65 @@ object StreamOps {
           Vector("signup", "click", "purchase"),
           Vector(1L, 2L, 3L), Vector(10L, 7L, 100L)),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  case class PsiOut(window_day: Long, n: Long, psi: Double,
+      stable: Boolean, drifted: Boolean)
+
+  /** STREAMING drift monitor (round 13) — the q_drift_psi statistic
+    * maintained incrementally against a BROADCAST reference histogram:
+    * per event-time window (UTC day of ts_us), a MapState of unit-bin
+    * counts (bounded by the value domain, ~50 entries per live
+    * window); every micro-batch folds its rows in and re-emits the
+    * window's refreshed PSI (Update mode — a monitor's contract: the
+    * latest score per window wins). The PSI formula is byte-identical
+    * to the batch query's: add-one smoothing over the UNION of
+    * reference and observed bins, per-term 8-dp grid rounding, the
+    * 6-dp decimal total, standard 0.1/0.25 verdicts — so a window
+    * that has seen all its data reads EXACTLY the batch PSI
+    * (StreamingSpec pins the parity). State is O(bins) per window —
+    * bounded at any corpus size.
+    */
+  class PsiMonitorProcessor(ref: Map[Long, Long])
+      extends StatefulProcessor[Long, Ev, PsiOut] {
+    @transient private var bins: MapState[Long, Long] = _
+    private val refN = ref.values.sum
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bins = getHandle.getMapState[Long, Long]("bins",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(windowDay: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[PsiOut] = {
+      rows.foreach { e =>
+        val b = math.floor(e.value).toLong
+        bins.updateValue(b, (if (bins.containsKey(b)) bins.getValue(b) else 0L) + 1L)
+      }
+      val cur = bins.iterator().map(p => p._1 -> p._2).toMap
+      val n = cur.values.sum
+      val domain = (ref.keySet ++ cur.keySet).toSeq.sorted
+      val nbins = domain.size.toLong
+      def r8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+      val total = domain.map { b =>
+        val p = (ref.getOrElse(b, 0L) + 1).toDouble / (refN + nbins)
+        val q = (cur.getOrElse(b, 0L) + 1).toDouble / (n + nbins)
+        BigDecimal(r8((p - q) * math.log(p / q))).setScale(8)
+      }.sum
+      val psi = total.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Iterator.single(PsiOut(windowDay, n, psi, psi < 0.1, psi >= 0.25))
+    }
+  }
+
+  /** `transformWithState` wiring for [[PsiMonitorProcessor]], keyed by
+    * the event's UTC day.
+    */
+  def psiMonitorStream(events: Dataset[Ev],
+      ref: Map[Long, Long]): Dataset[PsiOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    events.groupByKey(e => e.ts_us - (((e.ts_us % dayUs) + dayUs) % dayUs))
+      .transformWithState(new PsiMonitorProcessor(ref),
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class SessionState(startUs: Long, lastUs: Long, n: Long)

@@ -127,6 +127,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PSI monitor converges to the batch drift statistic") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reference = the click value histogram (unit bins) of the corpus
+      val ref = Tables.events(spark, sfDir)
+        .filter($"event_type" === "click" && $"value".isNotNull)
+        .select(floor($"value").cast("long").as("b"))
+        .groupBy("b").count()
+        .as[(Long, Long)].collect().toMap
+      // streamed sample = the purchase events, pinned to ONE window
+      // (ts_us = 0) so the final emission is the GLOBAL statistic
+      val purchases = Tables.events(spark, sfDir)
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .select($"event_id", $"user_id", lit(0L).as("ts_us"), $"value")
+        .as[StreamOps.Ev].collect()
+      val input = MemoryStream[StreamOps.Ev]
+      val q2 = StreamOps.psiMonitorStream(input.toDS(), ref).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("psimon_spec").start()
+      purchases.grouped(math.max(1, purchases.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      val emissions = spark.table("psimon_spec")
+        .as[StreamOps.PsiOut].collect()
+      // the monitor re-emits per batch; the final (max-n) emission has
+      // seen everything and must equal the batch q_drift_psi exactly
+      val fin = emissions.maxBy(_.n)
+      assert(fin.n === purchases.length.toLong)
+      val batch = q("q_drift_psi").collect()(0)
+      assert(fin.psi === batch.getAs[Double]("psi"),
+        "converged streaming PSI must equal the batch statistic")
+      assert(fin.stable === batch.getAs[Boolean]("stable"))
+      assert(fin.drifted === batch.getAs[Boolean]("drifted"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming scan funnel equals the batch declare-state scan row-for-row") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
