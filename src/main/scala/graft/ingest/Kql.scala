@@ -1887,9 +1887,15 @@ object Kql {
       }
       val boundsOk = (litBoundUs(args(2)), litBoundUs(args(3))) match {
         case (Some(f), Some(t)) => t > f
-        case _ => df.sparkSession.range(1)
-          .select(coalesce(toUs > fromUs, lit(false)).as("ok"))
-          .head().getBoolean(0)
+        case _ =>
+          // evaluate exotic bound expressions against df itself (one
+          // row suffices) so a bound referencing an input column still
+          // resolves — range(1) would fail analysis on it (ADVICE
+          // r13). An EMPTY input passes vacuously: the plugin output
+          // is empty regardless, and there is no row to bind against.
+          val probe = df.limit(1)
+            .select(coalesce(toUs > fromUs, lit(false)).as("ok")).collect()
+          probe.isEmpty || probe(0).getBoolean(0)
       }
       if (!boundsOk)
         fail("activity plugin requires Start < End (and both parseable as datetime)")

@@ -388,12 +388,15 @@ object Multimodal {
             require(len == 13, "bad IHDR length")
             w = rd32(i + 8); h = rd32(i + 12)
             require(w > 0 && h > 0, "bad dimensions")
-            // cap the pixel count so stride·h / 3·w·h arithmetic can
-            // never wrap Int on attacker-controlled headers (a wrapped
-            // product would mis-size the buffers and die with an
-            // uncontracted ArrayIndexOutOfBounds instead of this)
-            require((3L * w + 1L) * h <= Int.MaxValue,
-              s"dimensions ${w}x$h exceed the supported pixel budget")
+            // cap the raw-buffer size WELL below Int.MaxValue: besides
+            // the Int-wrap hazard, a ~100-byte crafted header must not
+            // be able to drive a ~2 GiB allocation before any IDAT
+            // sanity check runs (ADVICE r13 — decompression/allocation
+            // hazard). 256 MiB ≈ an 89-megapixel RGB frame, far above
+            // any real still image this tier decodes.
+            require((3L * w + 1L) * h <= (1L << 28),
+              s"dimensions ${w}x$h exceed the supported pixel budget " +
+                "(raw size capped at 256 MiB)")
             val bitDepth = png(i + 16); val colorType = png(i + 17)
             require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 only)")
             require(colorType == 2, s"unsupported color type $colorType (RGB only)")

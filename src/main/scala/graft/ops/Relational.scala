@@ -552,13 +552,22 @@ object Relational {
     */
   private def tpchQ17(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val avgq = li.groupBy("l_partkey")
+    val candParts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+      .select("p_partkey")
+    // semi-restrict the per-part aggregate to the brand's candidate
+    // parts BEFORE grouping (ADVICE r13: the docstring claimed this,
+    // the plan now does it) — the per-part average is unchanged by
+    // dropping other parts, but the shuffle carries only the
+    // candidate slice of lineitem instead of the full fact table
+    val avgq = li
+      .join(broadcast(candParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_partkey")
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       .select(col("l_partkey").as("ap_partkey"),
         (lit(0.2) * col("avg_qty")).as("qty_thr"))
-    val cand = Tables.part(s, dir)
-      .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
-      .select("p_partkey")
+    val cand = candParts
       .join(avgq, col("p_partkey") === col("ap_partkey"))
       .select(col("p_partkey"), col("qty_thr"))
     li.join(broadcast(cand), col("l_partkey") === col("p_partkey"))
@@ -2213,7 +2222,12 @@ object Relational {
   private def kqlOthers(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_csl")
     graft.ingest.Kql.translate(s,
-      "events_csl | extend ub = tostring(user_id % 5) " +
+      // null guard aligned with the oracle's WHERE (the autocluster
+      // review finding applied here too, round 14): without it a NULL
+      // event_type/user_id would sort nulls-first in Spark but
+      // nulls-last in DuckDB's default ORDER BY
+      "events_csl | where isnotnull(event_type) and isnotnull(user_id) " +
+        "| extend ub = tostring(user_id % 5) " +
         "| top-nested 2 of event_type with others = 'OTHER' by cnt = count(), " +
         "top-nested 2 of ub with others = 'rest' by n = count()")
       .orderBy(col("event_type"), col("ub").asc_nulls_first)
@@ -3370,10 +3384,10 @@ object Relational {
         "JOIN orders ON l_orderkey = o_orderkey JOIN s ON l_suppkey = s_suppkey " +
         "GROUP BY 1, 2 ORDER BY n_name, o_year DESC"),
     "q_tpch_q17" ->
-      ("WITH avgq AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thr " +
-        "FROM lineitem GROUP BY l_partkey), " +
-        "cand AS (SELECT p_partkey, qty_thr FROM part JOIN avgq ON p_partkey = l_partkey " +
-        "WHERE p_brand = 'Brand#23' AND p_size < 15) " +
+      ("WITH cp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size < 15), " +
+        "avgq AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thr " +
+        "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM cp) GROUP BY l_partkey), " +
+        "cand AS (SELECT p_partkey, qty_thr FROM cp JOIN avgq ON p_partkey = l_partkey) " +
         "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly " +
         "FROM lineitem JOIN cand ON l_partkey = p_partkey WHERE l_quantity < qty_thr"),
     "q_tpch_q21" ->
@@ -3466,7 +3480,8 @@ object Relational {
         "WHERE cnt >= ceil(total * 0.02) AND NOT (event_type IS NULL AND vb IS NULL AND ub IS NULL) " +
         "ORDER BY cnt DESC, event_type NULLS FIRST, vb NULLS FIRST, ub NULLS FIRST"),
     "q_kql_others" ->
-      ("WITH src AS (SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS ub FROM events), " +
+      ("WITH src AS (SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS ub FROM events " +
+        "WHERE event_type IS NOT NULL AND user_id IS NOT NULL), " +
         "l1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY 1), " +
         "r1 AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, event_type) AS rn FROM l1), " +
         "k1 AS (SELECT event_type, cnt FROM r1 WHERE rn <= 2), " +

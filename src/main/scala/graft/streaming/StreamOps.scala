@@ -298,13 +298,23 @@ object StreamOps {
       val n = cur.values.sum
       val domain = (ref.keySet ++ cur.keySet).toSeq.sorted
       val nbins = domain.size.toLong
-      def r8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+      // Spark's round(double, s) is BigDecimal.valueOf(d) (i.e. the
+      // shortest-decimal representation via Double.toString) scaled
+      // HALF_UP — replay it exactly so a term landing on a 9th-decimal
+      // half-tie rounds identically to the batch query (ADVICE r13:
+      // floor(x*1e8+0.5)/1e8 diverges on those ties)
+      def sparkRound(x: Double, s: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
       val total = domain.map { b =>
         val p = (ref.getOrElse(b, 0L) + 1).toDouble / (refN + nbins)
         val q = (cur.getOrElse(b, 0L) + 1).toDouble / (n + nbins)
-        BigDecimal(r8((p - q) * math.log(p / q))).setScale(8)
+        BigDecimal(sparkRound((p - q) * math.log(p / q), 8)).setScale(8)
       }.sum
-      val psi = total.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // batch twin: sum(DECIMAL(18,8)) cast to DOUBLE, THEN round to
+      // 6 dp — the decimal→double cast must happen before the final
+      // round, same as q_drift_psi's round(cast(sum ...), 6)
+      val psi = sparkRound(total.toDouble, 6)
       Iterator.single(PsiOut(windowDay, n, psi, psi < 0.1, psi >= 0.25))
     }
   }
