@@ -13,9 +13,11 @@ import graft.Tables
   * the standard DCT perceptual hash in exact integer arithmetic
   * ([[Ppm]]); since round 12 the audio op runs a REAL audio path — a
   * RIFF/PCM16 WAV container with a pure-JVM chunk-walk decode and
-  * exact integer signal features ([[Wav]]). Only COMPRESSED codecs
-  * (JPEG, MP3/AAC, video) remain STUBBED with deterministic fakes
-  * (this container ships no codecs — see
+  * exact integer signal features ([[Wav]]); since round 13 the
+  * compressed-image path is real too ([[Png]], lossless), and since
+  * round 14 so is the LOSSY image path ([[Jpeg]], baseline JFIF).
+  * Only lossy AUDIO/VIDEO codecs (MP3/AAC, H.26x) remain STUBBED
+  * with deterministic fakes (this container ships no codecs — see
   * `MediaFeaturesStub.fakeDecode`); the Spark-side plumbing is
   * real everywhere: binary column, metadata schema, per-partition
   * batched processing (the Scala analog of `mapInPandas`), and the
@@ -46,6 +48,8 @@ object Multimodal {
     rg_abs: Long, yb2_abs: Long, dom: String)
   case class MediaPng(doc_id: Long, w: Int, h: Int, roundtrip: Boolean,
     size_ok: Boolean, r_sum: Long, g_sum: Long, b_sum: Long)
+  case class MediaJpeg(doc_id: Long, w: Int, h: Int, ok: Boolean,
+    size_ok: Boolean, pix_sum: Long, max_err: Int, abs_err: Long)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -474,6 +478,676 @@ object Multimodal {
       throw new IllegalArgumentException(s"PNG: $msg")
   }
 
+  /** A real LOSSY image codec, pure JVM (round 14, VERDICT r13 #1 —
+    * closes the highest-frequency multimodal stub): baseline sequential
+    * JFIF/JPEG (ITU-T T.81).
+    *
+    * Encoder: 8-bit grayscale, the Annex K quality-50 luminance
+    * quantization table (Table K.1) and the Annex K typical Huffman
+    * tables (K.3/K.5), single non-interleaved scan, standard zigzag,
+    * JFIF APP0. Decoder: the full marker walk (SOI/APP/COM/DQT/DHT/
+    * DRI/SOF0/SOS/RST/EOI), canonical Huffman decode, dequantize,
+    * integer IDCT, and for 3-component streams the JFIF YCbCr→RGB
+    * fixed-point transform with replicated chroma upsampling — so
+    * FOREIGN encoders' output (javax.imageio writes 4:2:0 color and
+    * 1-component grayscale) decodes too. Loud rejections: progressive
+    * (SOF2), extended/lossless/differential SOFs, arithmetic coding
+    * (SOF9+/DAC), 12-bit precision, 16-bit quantization tables,
+    * 4-component (Adobe CMYK) streams, non-baseline scan parameters,
+    * sampling factors beyond 2, oversized dimensions, truncation, and
+    * corrupt coefficient magnitudes.
+    *
+    * DETERMINISM (the PNG-template invariant-oracle rule, upgraded to
+    * full value parity): every stage of the DCT runs in STAGED EXACT
+    * INTEGER arithmetic — the fixed-point basis [[B4]]
+    * (round(cos((2x+1)uπ/16)·10⁴)), the 1/√2 normalizers as 7071/10⁴,
+    * and explicit round-half-away-from-zero divisions ([[divHalf]])
+    * between stages. Entropy coding is lossless, so
+    * encode→decode ≡ fdctQuant→dequant→idct, a pipeline the DuckDB
+    * twin replays verbatim in BIGINT arithmetic (magnitude bounds:
+    * FDCT |raw·CU| ≤ 8.2·10¹⁵, IDCT |Σ i2·B| ≤ 3.4·10¹⁵ under the
+    * enforced |dequantized| ≤ 2¹⁹ coefficient bound — overflow-free).
+    */
+  private[graft] object Jpeg {
+    /** Annex K Table K.1 (luminance, quality 50), natural order:
+      * index = v·8+u with v = vertical frequency (table row), u =
+      * horizontal frequency (table column).
+      */
+    val QNat: Array[Int] = Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99)
+
+    /** Zigzag scan: position k → natural index (v·8+u), generated by
+      * the standard diagonal walk (no baked table to typo).
+      */
+    val Zigzag: Array[Int] = {
+      val out = new Array[Int](64)
+      var r = 0; var c = 0
+      for (k <- 0 until 64) {
+        out(k) = r * 8 + c
+        if ((r + c) % 2 == 0) {
+          if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+        } else {
+          if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+        }
+      }
+      out
+    }
+
+    /** 8×8 fixed-point DCT basis at scale 10⁴:
+      * B4(u,x) = round(cos((2x+1)uπ/16)·10⁴). Small enough that all
+      * staged products stay far inside int64; both engines consume the
+      * same integers.
+      */
+    val B4: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 16.0) * 1e4)
+    }
+
+    /** cu normalizer at scale 10⁴: 1/√2 → 7071 for frequency 0. */
+    def cu4(u: Int): Long = if (u == 0) 7071L else 10000L
+
+    /** Round half away from zero — the one integer division both
+      * engines share verbatim (b > 0; the SQL twin spells the same
+      * two-branch CASE).
+      */
+    def divHalf(a: Long, b: Long): Long =
+      if (a >= 0) (a + b / 2) / b else -((-a + b / 2) / b)
+
+    /** Forward DCT + quantize, all-integer: input 64 level-shifted
+      * samples in spatial raster (y·8+x), output 64 quantized
+      * coefficients in natural order (v·8+u).
+      */
+    def fdctQuant(s: Array[Int]): Array[Int] = {
+      val inner = Array.ofDim[Long](8, 8) // (x)(v) = Σ_y s(y,x)·B4(v,y)
+      var x = 0
+      while (x < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L; var y = 0
+          while (y < 8) { acc += s(y * 8 + x) * B4(v)(y); y += 1 }
+          inner(x)(v) = acc; v += 1
+        }
+        x += 1
+      }
+      val out = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var raw = 0L; var xx = 0
+          while (xx < 8) { raw += inner(xx)(v) * B4(u)(xx); xx += 1 }
+          val r2 = divHalf(raw * cu4(u), 10000L)
+          val r3 = divHalf(r2 * cu4(v), 10000L)
+          out(v * 8 + u) = divHalf(r3, 4L * QNat(v * 8 + u) * 100000000L).toInt
+          v += 1
+        }
+        u += 1
+      }
+      out
+    }
+
+    /** Inverse DCT over DEQUANTIZED coefficients (natural order
+      * v·8+u), staged exactly like the SQL twin; returns 64 clamped
+      * pixels in spatial raster. The |d| ≤ 2¹⁹ bound is enforced by
+      * the caller (decode) so every stage stays inside int64.
+      */
+    def idctBlock(d: Array[Long]): Array[Int] = {
+      val t = Array.ofDim[Long](8, 8) // (u)(v)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          t(u)(v) = divHalf(d(v * 8 + u) * cu4(u) * cu4(v), 10000L)
+          v += 1
+        }
+        u += 1
+      }
+      val i2 = Array.ofDim[Long](8, 8) // (u)(y) = round(Σ_v t·B4(v,y) / 1e4)
+      u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 8) {
+          var acc = 0L; var v = 0
+          while (v < 8) { acc += t(u)(v) * B4(v)(y); v += 1 }
+          i2(u)(y) = divHalf(acc, 10000L); y += 1
+        }
+        u += 1
+      }
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L; var uu = 0
+          while (uu < 8) { acc += i2(uu)(y) * B4(uu)(x); uu += 1 }
+          val p = divHalf(acc, 400000000L) + 128L
+          out(y * 8 + x) = math.max(0L, math.min(255L, p)).toInt
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    // ---- Annex K typical Huffman tables (luminance) ----
+    val DcLumBits: Array[Int] =
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val DcLumVals: Array[Int] = (0 to 11).toArray
+    val AcLumBits: Array[Int] =
+      Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val AcLumVals: Array[Int] = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+
+    /** Canonical code assignment: value → (code, length). */
+    private def huffCodes(bits: Array[Int],
+        vals: Array[Int]): Map[Int, (Int, Int)] = {
+      val out = Map.newBuilder[Int, (Int, Int)]
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len - 1)) {
+          out += vals(k) -> (code, len); code += 1; k += 1
+        }
+        code <<= 1
+      }
+      out.result()
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"JPEG: $msg")
+
+    // ---- encoder ----
+    private final class BitWriter {
+      val out = new java.io.ByteArrayOutputStream
+      private var buf = 0L
+      private var cnt = 0
+      def put(bits: Int, len: Int): Unit = {
+        buf = (buf << len) | (bits & ((1L << len) - 1))
+        cnt += len
+        while (cnt >= 8) {
+          val b = ((buf >> (cnt - 8)) & 0xff).toInt
+          out.write(b)
+          if (b == 0xff) out.write(0) // byte stuffing
+          cnt -= 8
+        }
+        buf &= (1L << cnt) - 1
+      }
+      /** pad the final partial byte with 1-bits (T.81 F.1.2.3) */
+      def finish(): Unit = if (cnt > 0) {
+        val b = (((buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0)
+        cnt = 0; buf = 0L
+      }
+    }
+
+    private def bitSize(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be16(payload.length + 2) ++ payload
+
+    /** Encode 8-bit grayscale as baseline JFIF: Annex K Q50 luminance
+      * quantization, Annex K typical Huffman tables, one
+      * non-interleaved scan, edge-replicated partial blocks. A
+      * positive `restartInterval` emits a DRI segment and RSTn
+      * markers every that-many MCUs (decoder-coverage path; the
+      * fixture queries use 0).
+      */
+    def encodeGray(px: Array[Byte], w: Int, h: Int,
+        restartInterval: Int = 0): Array[Byte] = {
+      require(px.length == w * h, "payload size must be w*h")
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dimensions")
+      val dcCodes = huffCodes(DcLumBits, DcLumVals)
+      val acCodes = huffCodes(AcLumBits, AcLumVals)
+      val bw = new BitWriter
+      val blocksX = (w + 7) / 8
+      val blocksY = (h + 7) / 8
+      var pred = 0
+      var mcu = 0
+      var rstCnt = 0
+      var by = 0
+      while (by < blocksY) {
+        var bx = 0
+        while (bx < blocksX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bw.finish() // byte-align, pad with 1s
+            bw.out.write(0xff); bw.out.write(0xd0 | (rstCnt & 7))
+            rstCnt += 1
+            pred = 0
+          }
+          val s = new Array[Int](64)
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(by * 8 + y, h - 1) // edge replication
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, w - 1)
+              s(y * 8 + x) = (px(sy * w + sx) & 0xff) - 128
+              x += 1
+            }
+            y += 1
+          }
+          val coef = fdctQuant(s)
+          // DC: difference from predictor, SSSS category + magnitude bits
+          val diff = coef(0) - pred
+          pred = coef(0)
+          val ds = bitSize(diff)
+          require(ds <= 11, "DC difference out of 8-bit baseline range")
+          val (dc, dl) = dcCodes(ds)
+          bw.put(dc, dl)
+          if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+          // AC: run-length of zeros in zigzag order, ZRL/EOB
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val c = coef(Zigzag(k))
+            if (c == 0) run += 1
+            else {
+              while (run >= 16) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
+              val as = bitSize(c)
+              require(as <= 10, "AC coefficient out of 8-bit baseline range")
+              val (ac, al) = acCodes((run << 4) | as)
+              bw.put(ac, al)
+              bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) } // EOB
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      bw.finish()
+      val app0 = "JFIF ".getBytes("US-ASCII") ++
+        Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no density/thumb
+      val dqt = Array(0.toByte) ++ // pq=0 (8-bit), tq=0
+        Array.tabulate(64)(k => QNat(Zigzag(k)).toByte)
+      val sof = Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](1, 1, 0x11, 0) // 1 component, id 1, 1×1 sampling, tq 0
+      val dhtDc = Array(0x00.toByte) ++ DcLumBits.map(_.toByte) ++
+        DcLumVals.map(_.toByte)
+      val dhtAc = Array(0x10.toByte) ++ AcLumBits.map(_.toByte) ++
+        AcLumVals.map(_.toByte)
+      val sos = Array[Byte](1, 1, 0x00, 0, 63, 0) // 1 comp, td/ta 0, Ss/Se/AhAl
+      val dri =
+        if (restartInterval > 0) seg(0xdd, be16(restartInterval))
+        else Array.emptyByteArray
+      Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+        seg(0xe0, app0) ++ seg(0xdb, dqt) ++ seg(0xc0, sof) ++
+        seg(0xc4, dhtDc) ++ seg(0xc4, dhtAc) ++ dri ++ seg(0xda, sos) ++
+        bw.out.toByteArray ++
+        Array(0xff.toByte, 0xd9.toByte) // EOI
+    }
+
+    // ---- decoder ----
+    private final class BitReader(data: Array[Byte], var pos: Int) {
+      private var bitBuf = 0
+      private var bitCnt = 0
+      def readBit(): Int = {
+        if (bitCnt == 0) {
+          require(pos < data.length, "truncated entropy stream")
+          val b = data(pos) & 0xff; pos += 1
+          if (b == 0xff) {
+            require(pos < data.length, "truncated entropy stream")
+            val b2 = data(pos) & 0xff; pos += 1
+            if (b2 != 0x00)
+              fail(f"unexpected marker 0xff$b2%02x inside entropy data")
+          }
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def align(): Unit = bitCnt = 0
+      private def require(ok: Boolean, msg: => String): Unit =
+        if (!ok) fail(msg)
+    }
+
+    private final class HuffTable(map: Map[Int, Int]) {
+      def decode(br: BitReader): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | br.readBit(); len += 1
+          map.get((len << 16) | code) match {
+            case Some(v) => return v
+            case None =>
+          }
+        }
+        fail("invalid Huffman code (no match within 16 bits)")
+      }
+    }
+
+    private def buildHuff(bits: Array[Int], vals: Array[Int]): HuffTable = {
+      val m = Map.newBuilder[Int, Int]
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len - 1)) {
+          m += ((len << 16) | code) -> vals(k); code += 1; k += 1
+        }
+        code <<= 1
+      }
+      new HuffTable(m.result())
+    }
+
+    /** EXTEND (T.81 F.2.2.1): map the SSSS magnitude bits to a signed
+      * value.
+      */
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    private case class Component(id: Int, hs: Int, vs: Int, tq: Int) {
+      var td: Int = 0
+      var ta: Int = 0
+    }
+
+    /** Decode a baseline JPEG. Returns (w, h, nComponents, pixels) —
+      * grayscale bytes for 1 component, interleaved RGB for 3.
+      */
+    def decode(jpg: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      if (jpg.length < 4 || (jpg(0) & 0xff) != 0xff || (jpg(1) & 0xff) != 0xd8)
+        fail("not a JPEG (missing SOI)")
+      var i = 2
+      def u8(at: Int): Int = { if (at >= jpg.length) fail("truncated"); jpg(at) & 0xff }
+      def u16(at: Int): Int = (u8(at) << 8) | u8(at + 1)
+      val qtabs = new Array[Array[Int]](4) // natural order
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var comps: Array[Component] = null
+      var w = 0; var h = 0
+      var restartInterval = 0
+      var planes: Array[Array[Int]] = null // per comp, padded plane raster
+      var planeW: Array[Int] = null
+      var planeH: Array[Int] = null
+
+      def parseSof(at: Int, len: Int, code: Int): Unit = {
+        code match {
+          case 0xc0 => // baseline — supported
+          case 0xc2 => fail("progressive JPEG unsupported (baseline sequential only)")
+          case 0xc1 => fail("extended sequential JPEG unsupported (baseline only)")
+          case 0xc3 | 0xc7 | 0xcb | 0xcf => fail("lossless JPEG unsupported")
+          case 0xc5 | 0xc6 | 0xcd | 0xce => fail("differential JPEG unsupported")
+          case 0xc9 | 0xca => fail("arithmetic-coded JPEG unsupported (Huffman baseline only)")
+          case other => fail(f"unsupported SOF marker 0xff$other%02x")
+        }
+        val prec = u8(at)
+        if (prec != 8) fail(s"unsupported sample precision $prec (8-bit only)")
+        h = u16(at + 1); w = u16(at + 3)
+        if (w <= 0 || h <= 0) fail("bad dimensions")
+        if (3L * w * h > (1L << 28))
+          fail(s"dimensions ${w}x$h exceed the supported pixel budget")
+        val nf = u8(at + 5)
+        if (nf == 4) fail("4-component (Adobe CMYK/YCCK) JPEG unsupported")
+        if (nf != 1 && nf != 3) fail(s"unsupported component count $nf (1 or 3)")
+        if (len != 8 + 3 * nf) fail("bad SOF length")
+        comps = Array.tabulate(nf) { c =>
+          val id = u8(at + 6 + 3 * c)
+          val hv = u8(at + 7 + 3 * c)
+          val tq = u8(at + 8 + 3 * c)
+          val hs = hv >> 4; val vs = hv & 15
+          if (hs < 1 || hs > 2 || vs < 1 || vs > 2)
+            fail(s"unsupported sampling factor ${hs}x$vs (1 or 2 only)")
+          if (tq > 3) fail("bad quantization table selector")
+          Component(id, hs, vs, tq)
+        }
+        if (nf == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
+          fail("subsampled single-component stream is malformed")
+      }
+
+      def decodeScan(at: Int): Int = {
+        val ns = u8(at)
+        if (comps == null) fail("SOS before SOF")
+        if (ns != comps.length)
+          fail("multi-scan baseline streams unsupported (one interleaved scan)")
+        for (c <- 0 until ns) {
+          val cs = u8(at + 1 + 2 * c)
+          val comp = comps.find(_.id == cs).getOrElse(fail(s"unknown scan component $cs"))
+          val tdta = u8(at + 2 + 2 * c)
+          comp.td = tdta >> 4; comp.ta = tdta & 15
+        }
+        val ss = u8(at + 1 + 2 * ns); val se = u8(at + 2 + 2 * ns)
+        val ahal = u8(at + 3 + 2 * ns)
+        if (ss != 0 || se != 63 || ahal != 0)
+          fail("non-baseline scan parameters (progressive/partial scan)")
+        val maxH = comps.map(_.hs).max
+        val maxV = comps.map(_.vs).max
+        val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+        val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+        planeW = comps.map(c => mcusX * c.hs * 8)
+        planeH = comps.map(c => mcusY * c.vs * 8)
+        planes = Array.tabulate(comps.length)(c =>
+          new Array[Int](planeW(c) * planeH(c)))
+        for (c <- comps) {
+          if (qtabs(c.tq) == null) fail(s"missing quantization table ${c.tq}")
+          if (dcTabs(c.td) == null) fail(s"missing DC Huffman table ${c.td}")
+          if (acTabs(c.ta) == null) fail(s"missing AC Huffman table ${c.ta}")
+        }
+        val br = new BitReader(jpg, at + 4 + 2 * ns)
+        val preds = new Array[Int](comps.length)
+        var mcu = 0
+        var rstCnt = 0
+        val totalMcus = mcusX * mcusY
+        while (mcu < totalMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            br.align()
+            if (u8(br.pos) != 0xff || u8(br.pos + 1) != (0xd0 | (rstCnt & 7)))
+              fail(f"expected restart marker RST${rstCnt & 7} at MCU $mcu")
+            br.pos += 2
+            rstCnt += 1
+            java.util.Arrays.fill(preds, 0)
+          }
+          val my = mcu / mcusX; val mx = mcu % mcusX
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            val q = qtabs(c.tq)
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                // one block: DC diff + AC run-length, dequantized into
+                // natural order, bound-checked, then the staged IDCT
+                val d = new Array[Long](64)
+                val dcs = dcTabs(c.td).decode(br)
+                if (dcs > 11) fail("corrupt DC size category")
+                var bitsv = 0
+                for (_ <- 0 until dcs) bitsv = (bitsv << 1) | br.readBit()
+                preds(ci) += extend(bitsv, dcs)
+                d(0) = preds(ci).toLong * q(0)
+                if (math.abs(d(0)) > (1L << 19))
+                  fail("corrupt DC coefficient magnitude")
+                var k = 1
+                var open = true
+                while (open && k < 64) {
+                  val rs = acTabs(c.ta).decode(br)
+                  val run = rs >> 4; val size = rs & 15
+                  if (size == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else open = false // EOB
+                  } else {
+                    if (size > 10) fail("corrupt AC size category")
+                    k += run
+                    if (k > 63) fail("AC run past end of block")
+                    var av = 0
+                    for (_ <- 0 until size) av = (av << 1) | br.readBit()
+                    val nat = Zigzag(k)
+                    d(nat) = extend(av, size).toLong * q(nat)
+                    if (math.abs(d(nat)) > (1L << 19))
+                      fail("corrupt AC coefficient magnitude")
+                    k += 1
+                  }
+                }
+                val pxb = idctBlock(d)
+                val x0 = (mx * c.hs + bx) * 8; val y0 = (my * c.vs + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(ci)((y0 + yy) * planeW(ci) + x0 + xx) = pxb(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+        br.align()
+        br.pos
+      }
+
+      var pixelsDone = false
+      var endPos = -1
+      while (endPos < 0) {
+        if (i >= jpg.length) fail("truncated (no EOI)")
+        if (u8(i) != 0xff) fail(f"expected marker, got 0x${u8(i)}%02x")
+        var m = u8(i + 1)
+        var j = i + 1
+        while (m == 0xff) { j += 1; m = u8(j) } // fill bytes
+        i = j + 1
+        m match {
+          case 0xd9 => // EOI
+            if (!pixelsDone) fail("EOI before any scan")
+            endPos = i
+          case 0x01 => // TEM — standalone
+          case n if n >= 0xd0 && n <= 0xd7 =>
+            fail("restart marker outside entropy data")
+          case 0xda =>
+            if (pixelsDone) fail("multi-scan baseline streams unsupported")
+            val len = u16(i)
+            i = decodeScan(i + 2)
+            pixelsDone = true
+            val _ = len
+          case 0xdb =>
+            val len = u16(i)
+            var p = i + 2
+            while (p < i + len) {
+              val pqtq = u8(p)
+              if ((pqtq >> 4) != 0)
+                fail("16-bit quantization tables unsupported (8-bit baseline)")
+              val tq = pqtq & 15
+              if (tq > 3) fail("bad quantization table id")
+              val tab = new Array[Int](64)
+              for (k <- 0 until 64) tab(Zigzag(k)) = u8(p + 1 + k)
+              if (tab.exists(_ == 0)) fail("zero quantization table entry")
+              qtabs(tq) = tab
+              p += 65
+            }
+            i += len
+          case 0xc4 =>
+            val len = u16(i)
+            var p = i + 2
+            while (p < i + len) {
+              val tcth = u8(p)
+              val tc = tcth >> 4; val th = tcth & 15
+              if (tc > 1 || th > 3) fail("bad Huffman table class/id")
+              val bits = Array.tabulate(16)(k => u8(p + 1 + k))
+              val total = bits.sum
+              if (total > 256) fail("bad Huffman table (too many codes)")
+              val vals = Array.tabulate(total)(k => u8(p + 17 + k))
+              if (tc == 0) dcTabs(th) = buildHuff(bits, vals)
+              else acTabs(th) = buildHuff(bits, vals)
+              p += 17 + total
+            }
+            i += len
+          case 0xcc => fail("arithmetic-coded JPEG unsupported (Huffman baseline only)")
+          case 0xdd =>
+            restartInterval = u16(i + 2)
+            i += u16(i)
+          case 0xdc => fail("DNL (deferred height) unsupported")
+          case n if (n >= 0xc0 && n <= 0xcf) && n != 0xc4 && n != 0xc8 =>
+            val len = u16(i)
+            parseSof(i + 2, len, n)
+            i += len
+          case 0xc8 => fail("JPG extension marker unsupported")
+          case n if n >= 0xe0 && n <= 0xef => i += u16(i) // APPn
+          case 0xfe => i += u16(i) // COM
+          case other => fail(f"unsupported marker 0xff$other%02x")
+        }
+      }
+
+      val nf = comps.length
+      if (nf == 1) {
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = planes(0)(y * planeW(0) + x).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 1, out)
+      } else {
+        // JFIF YCbCr→RGB in 16-bit fixed point; chroma planes sample by
+        // replication (x·hs/maxH) — the documented upsampling dialect
+        val maxH = comps.map(_.hs).max
+        val maxV = comps.map(_.vs).max
+        val c1 = Math.round(1.402 * 65536).toInt
+        val c2 = Math.round(0.344136 * 65536).toInt
+        val c3 = Math.round(0.714136 * 65536).toInt
+        val c4 = Math.round(1.772 * 65536).toInt
+        def clamp(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+        val out = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def samp(ci: Int): Int = {
+              val c = comps(ci)
+              val sx = x * c.hs / maxH; val sy = y * c.vs / maxV
+              planes(ci)(sy * planeW(ci) + sx)
+            }
+            val yy = samp(0).toLong
+            val cb = samp(1) - 128L
+            val cr = samp(2) - 128L
+            out(3 * (y * w + x)) = clamp(yy + divHalf(c1 * cr, 65536L)).toByte
+            out(3 * (y * w + x) + 1) =
+              clamp(yy - divHalf(c2 * cb + c3 * cr, 65536L)).toByte
+            out(3 * (y * w + x) + 2) = clamp(yy + divHalf(c4 * cb, 65536L)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 3, out)
+      }
+    }
+  }
+
   /** Deterministic uncompressed AUDIO fixture + pure-JVM decode + exact
     * integer features (round 12 — the second real media modality,
     * narrowing the stub seam to compressed codecs only): a real
@@ -773,9 +1447,61 @@ object Multimodal {
     docRows.union(planted).toDF().orderBy("doc_id")
   }
 
+  /** One lossy compress→decode→featurize row: the decode contract
+    * (dims + component count), the container-size bound, and EXACT
+    * INTEGER fidelity stats against the source — pixel sum, max
+    * absolute error, total absolute error. Because every DCT stage is
+    * staged integer arithmetic and entropy coding is lossless, the
+    * DuckDB twin replays the decoded pixels bit-for-bit from the raw
+    * source bytes (full value parity, not invariant-only).
+    */
+  private def jpegRow(id: Long, gray: Array[Byte], w: Int, h: Int): MediaJpeg = {
+    val jpg = Jpeg.encodeGray(gray, w, h)
+    val (dw, dh, nc, px) = Jpeg.decode(jpg)
+    val ok = dw == w && dh == h && nc == 1
+    // header ≈ 330 B fixed; 16×16 entropy data worst-case ≪ 1.5 KiB
+    val sizeOk = jpg.length <= 2000
+    var sum = 0L; var maxe = 0; var abse = 0L
+    var p = 0
+    while (p < px.length) {
+      val d = px(p) & 0xff
+      val s = gray(p) & 0xff
+      sum += d
+      val e = math.abs(d - s)
+      if (e > maxe) maxe = e
+      abse += e
+      p += 1
+    }
+    MediaJpeg(id, dw, dh, ok, sizeOk, sum, maxe, abse)
+  }
+
+  /** q_media_jpeg (round 14, VERDICT r13 #1): real baseline JPEG
+    * compress → decode → featurize over a 16×16 grayscale tile of each
+    * document's bytes, PLUS one planted closed-form gradient image
+    * (doc_id −1: pixel i = (7i+13) mod 256). The oracle replays the
+    * ENTIRE lossy pipeline — level shift, staged-integer FDCT,
+    * quantization against the Annex K table, dequantization, staged-
+    * integer IDCT, clamp — in BIGINT SQL from the same bytes, so the
+    * fidelity stats are hash-matched values, not just invariants.
+    * Scale: per-partition batched codec work (the mapInPandas
+    * contract), zero shuffles before the final sort.
+    */
+  private def mediaJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jw = 16; val jh = 16
+    val docRows = mediaRows(s, dir).mapPartitions { it =>
+      it.map(r => jpegRow(r.doc_id, Ppm.tile(r.media, jw * jh), jw, jh))
+    }
+    val planted = Seq(0).toDS().map { _ =>
+      jpegRow(-1L, Array.tabulate(jw * jh)(i => ((i * 7 + 13) % 256).toByte), jw, jh)
+    }
+    docRows.union(planted).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_png" -> (mediaPng _),
+    "q_media_jpeg" -> (mediaJpeg _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
@@ -792,7 +1518,81 @@ object Multimodal {
     (for (u <- 0 until 8; x <- 0 until 32)
       yield s"($u, $x, ${Ppm.DctBasis(u)(x)})").mkString(", ")
 
+  /** The 8×8 fixed-point JPEG DCT basis and the Annex K quantization
+    * table as DuckDB VALUES lists — the SAME baked integers the codec
+    * uses, so the staged arithmetic is engine-identical by construction.
+    */
+  private def jpegBasisValues: String =
+    (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.B4(u)(x)})").mkString(", ")
+
+  private def jpegQtValues: String =
+    (for (u <- 0 until 8; v <- 0 until 8)
+      yield s"($u, $v, ${Jpeg.QNat(v * 8 + u)})").mkString(", ")
+
+  /** Round half away from zero in SQL — the twin of [[Jpeg.divHalf]]
+    * (b always even and positive here, so `//` floor-division equals
+    * truncation on the non-negative branches).
+    */
+  private def dhs(a: String, b: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN (($a) + ($b)//2)//($b) " +
+      s"ELSE -((-($a) + ($b)//2)//($b)) END)"
+
+  /** q_media_jpeg twin: replay the ENTIRE lossy pipeline in BIGINT —
+    * tile 16×16 grayscale from the document bytes (planted gradient
+    * row from its closed form), level shift, staged-integer FDCT
+    * (basis scale 10⁴, 1/√2 = 7071/10⁴, round-half-away divisions),
+    * quantize/dequantize against Annex K, staged-integer IDCT, clamp —
+    * then the exact fidelity stats. Entropy coding is lossless, so
+    * this equals the Spark side's encode→decode bit-for-bit.
+    */
+  private def jpegOracleSql: String =
+    "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+      "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+      "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+      "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+      "pxs AS MATERIALIZED (SELECT doc_id, t.p AS p, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST(t.p % n AS BIGINT) + 1] END AS BIGINT) AS v " +
+      "FROM bylist CROSS JOIN range(0, 256) t(p) " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, t.p AS p, CAST((7*t.p + 13) % 256 AS BIGINT) AS v FROM range(0, 256) t(p)), " +
+      "px AS MATERIALIZED (SELECT doc_id, (p//16)//8*2 + (p%16)//8 AS bi, " +
+      "(p//16)%8 AS y, (p%16)%8 AS x, v, v - 128 AS s FROM pxs), " +
+      s"basis AS (SELECT * FROM (VALUES $jpegBasisValues) b(u, x, bv)), " +
+      s"qt AS (SELECT * FROM (VALUES $jpegQtValues) q(u, v, qv)), " +
+      // FDCT stage 1: iv(x, v) = Σ_y s(y,x)·B4(v,y)
+      "i1 AS MATERIALIZED (SELECT p.doc_id, p.bi, p.x, b.u AS v, CAST(sum(p.s * b.bv) AS BIGINT) AS iv " +
+      "FROM px p JOIN basis b ON b.x = p.y GROUP BY 1, 2, 3, 4), " +
+      // FDCT stage 2: rv(u, v) = Σ_x iv·B4(u,x)
+      "rw AS MATERIALIZED (SELECT i.doc_id, i.bi, b.u AS u, i.v AS v, CAST(sum(i.iv * b.bv) AS BIGINT) AS rv " +
+      "FROM i1 i JOIN basis b ON b.x = i.x GROUP BY 1, 2, 3, 4), " +
+      // normalize (cu, cv) and quantize→dequantize: d = round(r3/(4·Q·1e8))·Q
+      "r2c AS (SELECT doc_id, bi, u, v, " +
+      dhs("rv * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r2v FROM rw), " +
+      "r3c AS (SELECT doc_id, bi, u, v, " +
+      dhs("r2v * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r3v FROM r2c), " +
+      "qc AS MATERIALIZED (SELECT r.doc_id, r.bi, r.u, r.v, " +
+      dhs("r.r3v", "4 * CAST(q.qv AS BIGINT) * 100000000") + " * q.qv AS d " +
+      "FROM r3c r JOIN qt q ON q.u = r.u AND q.v = r.v), " +
+      // IDCT: t = round(d·cu·cv/1e4); i2 = round(Σ_v t·B4(v,y)/1e4); raw2 = Σ_u i2·B4(u,x)
+      "tt AS MATERIALIZED (SELECT doc_id, bi, u, v, " +
+      dhs("d * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END) * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") +
+      " AS t FROM qc), " +
+      "i2 AS MATERIALIZED (SELECT t.doc_id, t.bi, t.u, b.x AS y, " +
+      dhs("CAST(sum(t.t * b.bv) AS BIGINT)", "10000") + " AS iv2 " +
+      "FROM tt t JOIN basis b ON b.u = t.v GROUP BY 1, 2, 3, 4), " +
+      "r2b AS MATERIALIZED (SELECT i.doc_id, i.bi, b.x AS x, i.y AS y, CAST(sum(i.iv2 * b.bv) AS BIGINT) AS rv2 " +
+      "FROM i2 i JOIN basis b ON b.u = i.u GROUP BY 1, 2, 3, 4), " +
+      "dec AS MATERIALIZED (SELECT doc_id, bi, x, y, " +
+      "GREATEST(0, LEAST(255, " + dhs("rv2", "400000000") + " + 128)) AS pv FROM r2b), " +
+      "er AS (SELECT d.doc_id, d.pv, p.v FROM dec d JOIN px p " +
+      "ON p.doc_id = d.doc_id AND p.bi = d.bi AND p.x = d.x AND p.y = d.y) " +
+      "SELECT doc_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, TRUE AS ok, TRUE AS size_ok, " +
+      "CAST(sum(pv) AS BIGINT) AS pix_sum, CAST(max(abs(pv - v)) AS INT) AS max_err, " +
+      "CAST(sum(abs(pv - v)) AS BIGINT) AS abs_err " +
+      "FROM er GROUP BY doc_id ORDER BY doc_id"
+
   val oracleSql: Map[String, String] = Map(
+    "q_media_jpeg" -> jpegOracleSql,
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, " +
         "md5(text) AS content_md5 FROM documents ORDER BY doc_id"),

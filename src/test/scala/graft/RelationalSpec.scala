@@ -410,6 +410,142 @@ class RelationalSpec extends SparkSpec {
     assert(planted.getAs[Long]("b_sum") === closed(27))
   }
 
+  test("media jpeg: baseline codec — foreign encoders, restart markers, loud rejections") {
+    import graft.ops.Multimodal.Jpeg
+    import java.awt.image.BufferedImage
+    import javax.imageio.{ImageIO, ImageWriteParam}
+
+    // entropy coding is LOSSLESS: encode→decode must equal the direct
+    // fdctQuant→dequant→idct pipeline bit-for-bit on a seeded image
+    val rnd = new scala.util.Random(42)
+    val img16 = Array.fill(16 * 16)(rnd.nextInt(256).toByte)
+    val (w0, h0, nc0, px0) = Jpeg.decode(Jpeg.encodeGray(img16, 16, 16))
+    assert(w0 === 16 && h0 === 16 && nc0 === 1)
+    val direct = new Array[Byte](256)
+    for (by <- 0 until 2; bx <- 0 until 2) {
+      val s = Array.tabulate(64)(k =>
+        (img16((by * 8 + k / 8) * 16 + bx * 8 + k % 8) & 0xff) - 128)
+      val coef = Jpeg.fdctQuant(s)
+      val deq = Array.tabulate(64)(k => coef(k).toLong * Jpeg.QNat(k))
+      val pix = Jpeg.idctBlock(deq)
+      for (k <- 0 until 64)
+        direct((by * 8 + k / 8) * 16 + bx * 8 + k % 8) = pix(k).toByte
+    }
+    assert(px0.toSeq === direct.toSeq)
+
+    // flat fields survive quantization EXACTLY (DC-only blocks); a
+    // smooth gradient decodes close (quality-50 loss is bounded)
+    val flat = Array.fill(24 * 16)(200.toByte)
+    val (_, _, _, fpx) = Jpeg.decode(Jpeg.encodeGray(flat, 24, 16))
+    assert(fpx.forall(b => (b & 0xff) === 200))
+    val grad = Array.tabulate(32 * 32)(i => (((i % 32) * 4 + (i / 32) * 2) & 0xff).toByte)
+    val (_, _, _, gpx) = Jpeg.decode(Jpeg.encodeGray(grad, 32, 32))
+    val gerr = gpx.indices.map(i => math.abs((gpx(i) & 0xff) - (grad(i) & 0xff)))
+    assert(gerr.max <= 12, s"gradient max err ${gerr.max}")
+
+    // non-multiple-of-8 dims: edge-replicated pad blocks crop back out
+    val odd = Array.tabulate(21 * 13)(i => ((i * 3 + 40) % 200).toByte)
+    val (ow, oh, onc, _) = Jpeg.decode(Jpeg.encodeGray(odd, 21, 13))
+    assert(ow === 21 && oh === 13 && onc === 1)
+
+    // restart markers: DRI + RSTn round-trips to the identical pixels
+    val plain = Jpeg.decode(Jpeg.encodeGray(img16, 16, 16))._4
+    val rst = Jpeg.decode(Jpeg.encodeGray(img16, 16, 16, restartInterval = 1))._4
+    assert(rst.toSeq === plain.toSeq)
+
+    // FOREIGN encoder (javax.imageio): grayscale — my decode must agree
+    // with ImageIO's own decode of the same bytes (IDCTs differ by ±2)
+    def imWrite(img: BufferedImage, progressive: Boolean = false): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val gimg = new BufferedImage(40, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40)
+      gimg.getRaster.setSample(x, y, 0, (x * 4 + y * 3) % 256)
+    val gbytes = imWrite(gimg)
+    val (fw, fh, fnc, fpix) = Jpeg.decode(gbytes)
+    assert(fw === 40 && fh === 24 && fnc === 1)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    val gdiff = (for (y <- 0 until 24; x <- 0 until 40) yield
+      math.abs((fpix(y * 40 + x) & 0xff) - ref.getRaster.getSample(x, y, 0))).max
+    assert(gdiff <= 2, s"foreign grayscale max diff $gdiff")
+
+    // FOREIGN color (ImageIO writes 4:2:0 YCbCr): smooth image, my
+    // replicated upsampling vs ImageIO's fancy upsampling stays close
+    val cimg = new BufferedImage(32, 32, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 32)
+      cimg.setRGB(x, y, ((x * 6 + 32) << 16) | ((y * 5 + 40) << 8) | ((x + y) * 3 + 20))
+    val cbytes = imWrite(cimg)
+    val (cw, ch, cnc, cpix) = Jpeg.decode(cbytes)
+    assert(cw === 32 && ch === 32 && cnc === 3)
+    val cref = ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    val cdiff = (for (y <- 0 until 32; x <- 0 until 32; c <- 0 until 3) yield {
+      val rgb = cref.getRGB(x, y)
+      val refc = (rgb >> (16 - 8 * c)) & 0xff
+      math.abs((cpix(3 * (y * 32 + x) + c) & 0xff) - refc)
+    }).max
+    assert(cdiff <= 24, s"foreign color max diff $cdiff")
+
+    // the reverse direction: ImageIO decodes MY stream to the same
+    // pixels my decoder produces (±2 for the IDCT difference)
+    val mine = Jpeg.encodeGray(grad, 32, 32)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(mine))
+    assert(theirs.getWidth === 32 && theirs.getHeight === 32)
+    val rdiff = (for (y <- 0 until 32; x <- 0 until 32) yield
+      math.abs((gpx(y * 32 + x) & 0xff) - theirs.getRaster.getSample(x, y, 0))).max
+    assert(rdiff <= 2, s"imageio-vs-mine max diff $rdiff")
+
+    // loud rejection surface
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException] { Jpeg.decode(bytes) }.getMessage
+    assert(msgOf(imWrite(gimg, progressive = true)).contains("progressive"))
+    assert(msgOf("notajpegfile".getBytes("US-ASCII")).contains("SOI"))
+    assert(msgOf(mine.take(60)).contains("truncated"))
+    // patch helpers: locate a marker segment in MY stream
+    def findMarker(bytes: Array[Byte], m: Int): Int = {
+      var i = 2
+      while (!((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    val sofAt = findMarker(mine, 0xc0)
+    val p12 = mine.clone(); p12(sofAt + 4) = 12 // precision byte
+    assert(msgOf(p12).contains("precision"))
+    val cmyk = mine.clone(); cmyk(sofAt + 9) = 4 // Nf
+    assert(msgOf(cmyk).contains("4-component"))
+    val arith = mine.clone(); arith(sofAt + 1) = 0xc9.toByte
+    assert(msgOf(arith).contains("arithmetic"))
+    val lossless = mine.clone(); lossless(sofAt + 1) = 0xc3.toByte
+    assert(msgOf(lossless).contains("lossless"))
+    val huge = mine.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte // h = 65535
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte // w = 65535
+    assert(msgOf(huge).contains("pixel budget"))
+    val dqtAt = findMarker(mine, 0xdb)
+    val q16 = mine.clone(); q16(dqtAt + 4) = 0x10 // pq = 1 (16-bit)
+    assert(msgOf(q16).contains("16-bit"))
+    val qz = mine.clone(); qz(dqtAt + 5) = 0 // zero DC quant entry
+    assert(msgOf(qz).contains("zero quantization"))
+
+    // the registered query: every row decodes inside the contract, and
+    // the planted gradient row matches a local recompute
+    val got = q("q_media_jpeg").cache()
+    assert(got.count() === Tables.documents(spark, sfDir).count() + 1)
+    assert(got.filter(!$"ok" || !$"size_ok").count() === 0)
+    val planted16 = Array.tabulate(256)(i => ((i * 7 + 13) % 256).toByte)
+    val pj = Jpeg.decode(Jpeg.encodeGray(planted16, 16, 16))._4
+    val prow = got.filter($"doc_id" === -1L).collect()(0)
+    assert(prow.getAs[Long]("pix_sum") === pj.map(b => (b & 0xff).toLong).sum)
+    assert(prow.getAs[Long]("abs_err") ===
+      pj.indices.map(i => math.abs((pj(i) & 0xff) - (planted16(i) & 0xff)).toLong).sum)
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),
