@@ -834,6 +834,67 @@ object Text {
   private def bpeWordLengths(s: SparkSession, dir: String): DataFrame =
     bpeWordLengthsAt(s, dir, BpeMerges)
 
+  /** Tokenizer persistence round-trip (round 14, VERDICT r13 #2) — the
+    * build/serve split for the TEXT tier, mirroring q_ann_persist's
+    * index lifecycle: at 100 TB the tokenizer trains ONCE and ships to
+    * every later job, so the trained state must survive a process
+    * restart (the reference's whole premise — state that outlives the
+    * process, src/cache.go:46-92). BUILD: the depth-[[BpeMerges]]
+    * trainer's rank-1 merge per round (the same loop as q_bpe_train),
+    * WRITTEN as a parquet merge table (step, a, b) — the only state a
+    * serving tokenizer holds. SERVE: a FRESH lineage reads the table
+    * back and re-encodes the corpus by folding the LOADED merges in
+    * step order over the rebuilt vocabulary — note the serve side runs
+    * NO pair counting (training cost never recurs; that asymmetry is
+    * the point of persisting). Oracled against the SAME DuckDB twin as
+    * q_bpe_encode, so the parquet round-trip must reproduce the
+    * one-shot encode token-for-token; the spec additionally pins
+    * row-level equality between the two queries. The result is
+    * checkpointed before the temp index dir is deleted.
+    */
+  private def bpePersist(s: SparkSession, dir: String): DataFrame = {
+    val (fin, tops) = bpeLoop(s, dir, BpeMerges, needFinal = false)
+    releaseCheckpoint(fin)
+    val merges = tops.map(_.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .select(col("step"), col("a"), col("b")))
+      .reduce(_.unionByName(_))
+    val tokPath = java.nio.file.Files.createTempDirectory("graft_bpe_tok")
+    val tok = tokPath.toString
+    try {
+      merges.coalesce(1).write.mode("overwrite").parquet(s"$tok/merges")
+      tops.foreach(releaseCheckpoint)
+      val loaded = s.read.parquet(s"$tok/merges")
+      var cur = bpeInitVocab(s, dir).localCheckpoint(true)
+      for (k <- 1 to BpeMerges) {
+        // one broadcast 1-row merge per round, exactly the trainer's
+        // apply path — but driven by the LOADED table, not a fresh fit
+        val t1 = loaded.filter(col("step") === k)
+          .select(col("a").as("ta"), col("b").as("tb"))
+        val merged = cur.join(broadcast(t1), lit(true), "left")
+          .withColumn("syms", expr(bpeMergeApply)).drop("ta", "tb")
+          .localCheckpoint(true)
+        releaseCheckpoint(cur)
+        cur = merged
+      }
+      val wordLen = cur.select(col("w"), size(col("syms")).as("n_bpe"))
+      val out = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens).as("w"))
+        .join(wordLen, "w")
+        .groupBy("doc_id")
+        .agg(cnt.as("n_words"),
+          sum(length(col("w"))).as("n_chars_sym"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      releaseCheckpoint(cur)
+      out
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tokPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * and characters per BPE token under the TRAINED tokenizer: the
     * numbers that decide whether a tokenizer is fair to a language (high
@@ -1857,6 +1918,7 @@ object Text {
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_bpe_persist" -> (bpePersist _),
     "q_bigram_lm" -> (bigramLm _),
     "q_kneser_ney" -> (kneserNey _),
     "q_hash_embed" -> (hashEmbed _),
@@ -2322,6 +2384,15 @@ object Text {
         s"SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM ($steps) ORDER BY step, rnk"
     },
     "q_bpe_encode" ->
+      (s"WITH $bpeWlenCtes, " +
+        "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_chars_sym, " +
+        "CAST(sum(n_bpe) AS BIGINT) AS n_bpe " +
+        "FROM dw JOIN wlen USING (w) GROUP BY doc_id ORDER BY doc_id"),
+    // the persistence round-trip must reproduce the one-shot encode
+    // token-for-token — SAME twin as q_bpe_encode by design
+    "q_bpe_persist" ->
       (s"WITH $bpeWlenCtes, " +
         "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +

@@ -416,6 +416,18 @@ class TextDedupSpec extends SparkSpec {
       === r.toSeq)
   }
 
+  test("bpe persist: the parquet round-trip re-encodes token-for-token") {
+    // the build/serve split (VERDICT r13 #2): training writes the merge
+    // table, a fresh lineage loads it and re-encodes — the persisted
+    // tokenizer must price every document EXACTLY like the one-shot
+    // train+encode pipeline (same contract as q_ann_persist vs the
+    // in-memory funnel)
+    val oneShot = q("q_bpe_encode").as[(Long, Long, Long, Long)].collect().toSeq
+    val persisted = q("q_bpe_persist").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(persisted === oneShot,
+      "loaded-tokenizer encoding must equal the one-shot encode row-for-row")
+  }
+
   test("leakage-safe split: no near-dup pair straddles train/val; per-doc hashing would") {
     // the whole point of cluster-keyed splitting: every near-dup pair
     // shares its cluster's split, structurally
