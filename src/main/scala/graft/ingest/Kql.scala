@@ -1404,7 +1404,7 @@ object Kql {
     // ------------------------------------------------------------ scan
     //   scan := ['declare' '(' decl (',' decl)* ')'] 'with' '(' step (';' step)* [';'] ')'
     //   decl := name ':' ('long'|'int') ['=' intLit]
-    //   step := 'step' name ':' predicate ['=>' asg (',' asg)*]
+    //   step := 'step' name ['repeats'] ':' predicate ['=>' asg (',' asg)*]
     //   asg  := x '=' x '+' intLit | x '=' x '-' intLit | x '=' intLit
     //   ADX's sequence-matching operator, restricted to the first-match
     //   funnel fragment: over the order a preceding `sort by` froze,
@@ -1412,8 +1412,22 @@ object Kql {
     //   strictly after step k-1's matched row; matched rows are emitted
     //   with their original columns (a stalled chain still emits the
     //   prefix it matched — ADX's output=all default for a single
-    //   non-repeating sequence). Greedy step repeats and concurrent
-    //   matches remain out of subset and rejected loudly.
+    //   non-repeating sequence).
+    //
+    //   GREEDY REPEATS (round 14, VERDICT r13 #3): `step s repeats:`
+    //   absorbs the anchor row AND every CONSECUTIVE following row
+    //   satisfying its predicate before the next step arms — the
+    //   process-mining shape (a burst of views, then the purchase).
+    //   Cost: ONE additional conditional-min window per repeating step
+    //   (the first post-anchor VIOLATOR row; the absorbed range is
+    //   [anchor, violator)), still no self-join, still k-ish window
+    //   passes over a single sort. A null predicate row BREAKS the run
+    //   (violator = NOT coalesce(pred, false) — spelled identically in
+    //   the DuckDB twin). Declared state cannot combine with repeats:
+    //   per-absorbed-row assignments make the post-step state
+    //   data-dependent, which is outside the static-fold subset —
+    //   rejected loudly. Concurrent matches (a row starting a new
+    //   sequence while one is open) remain out of subset and rejected.
     //
     //   DECLARE-STATE (round 13, VERDICT r12 #6): declared integer
     //   variables with step assignments restricted to the
@@ -1467,25 +1481,37 @@ object Kql {
       val stepToks =
         if (inner.lastOption.contains(TSym(";"))) inner.dropRight(1) else inner
       val declared = decls.map(_._1).toSet
+      def parseStep(name: String, repeats: Boolean,
+          rest: Vector[Tok]): (String, Column, Vector[(String, Long, Boolean)], Boolean) = {
+        val (predToks, asgToks) = rest.indexOf(TSym("=>")) match {
+          case -1 => (rest, Vector.empty[Tok])
+          case ix => (rest.take(ix), rest.drop(ix + 1))
+        }
+        if (predToks.isEmpty) fail(s"scan step $name needs a predicate")
+        val asgs =
+          if (asgToks.isEmpty) Vector.empty[(String, Long, Boolean)]
+          else splitOn(asgToks, TSym(",")).map(a => parseScanAssign(a, declared))
+        (name, parsePredicate(predToks), asgs, repeats)
+      }
       val steps = splitOn(stepToks, TSym(";")).map {
         case TIdent("step") +: TIdent(name) +: TSym(":") +: rest if rest.nonEmpty =>
-          val (predToks, asgToks) = rest.indexOf(TSym("=>")) match {
-            case -1 => (rest, Vector.empty[Tok])
-            case ix => (rest.take(ix), rest.drop(ix + 1))
-          }
-          if (predToks.isEmpty) fail(s"scan step $name needs a predicate")
-          val asgs =
-            if (asgToks.isEmpty) Vector.empty[(String, Long, Boolean)]
-            else splitOn(asgToks, TSym(",")).map(a => parseScanAssign(a, declared))
-          (name, parsePredicate(predToks), asgs)
-        case _ => fail("scan steps must be `step name: predicate [=> assignments]`")
+          parseStep(name, repeats = false, rest)
+        case TIdent("step") +: TIdent(name) +: TIdent("repeats") +: TSym(":") +: rest
+            if rest.nonEmpty =>
+          parseStep(name, repeats = true, rest)
+        case _ =>
+          fail("scan steps must be `step name [repeats]: predicate [=> assignments]`")
       }
       if (steps.isEmpty) fail("scan needs at least one step")
-      // static state fold: each step matches once, so the value of every
-      // declared variable after step k is a compile-time constant
+      if (decls.nonEmpty && steps.exists(_._4))
+        fail("scan declare cannot combine with repeating steps: " +
+          "per-absorbed-row state is data-dependent (out of the static-fold subset)")
+      // static state fold: each (non-repeating) step matches once, so
+      // the value of every declared variable after step k is a
+      // compile-time constant
       val stateAfter: Vector[Map[String, Long]] = {
         var cur = decls.toMap
-        steps.map { case (_, _, asgs) =>
+        steps.map { case (_, _, asgs, _) =>
           asgs.foreach { case (v, value, isInc) =>
             cur = cur.updated(v, if (isInc) cur(v) + value else value)
           }
@@ -1500,20 +1526,36 @@ object Kql {
         else Window.partitionBy(part: _*)
       val rn = col("__scan_rn")
       val base = df.withColumn("__scan_rn", row_number().over(wOrd))
-      val marked = steps.zipWithIndex.foldLeft(base) { case (d, ((_, p, _), i)) =>
-        // rn > NULL is NULL, so a stalled previous step stalls this one
-        val after = if (i == 0) lit(true) else rn > col(s"__scan_r${i - 1}")
-        d.withColumn(s"__scan_r$i", min(when(p && after, rn)).over(wAll))
+      val marked = steps.zipWithIndex.foldLeft(base) { case (d, ((_, p, _, rep), i)) =>
+        // rn > NULL is NULL, so a stalled previous step stalls this one;
+        // arming compares against the previous step's absorption END
+        // (== its anchor for non-repeating steps)
+        val after = if (i == 0) lit(true) else rn > col(s"__scan_e${i - 1}")
+        val d1 = d.withColumn(s"__scan_a$i", min(when(p && after, rn)).over(wAll))
+        if (!rep) d1.withColumn(s"__scan_e$i", col(s"__scan_a$i"))
+        else {
+          // the absorbed range is [anchor, first violator): one extra
+          // conditional-min window; a null-predicate row BREAKS the run
+          val a = col(s"__scan_a$i")
+          val viol = min(when(!coalesce(p, lit(false)) && rn > a, rn)).over(wAll)
+          d1.withColumn(s"__scan_e$i",
+            when(a.isNull, lit(null).cast("long"))
+              .otherwise(coalesce(viol - 1, lit(Long.MaxValue))))
+        }
       }
-      val isMatch = steps.indices.map(i => rn === col(s"__scan_r$i")).reduce(_ || _)
+      val isMatch = steps.zipWithIndex.map { case ((_, _, _, rep), i) =>
+        if (rep) rn >= col(s"__scan_a$i") && rn <= col(s"__scan_e$i")
+        else rn === col(s"__scan_a$i")
+      }.reduce(_ || _)
       val matched = marked.filter(isMatch)
       val withState = decls.foldLeft(matched) { case (d, (vn, _)) =>
         val cases = steps.indices.map(i =>
-          when(rn === col(s"__scan_r$i"), lit(stateAfter(i)(vn))))
+          when(rn === col(s"__scan_a$i"), lit(stateAfter(i)(vn))))
         d.withColumn(vn, coalesce(cases: _*).cast("long"))
       }
       withState
-        .drop(("__scan_rn" +: steps.indices.map(i => s"__scan_r$i")): _*)
+        .drop(("__scan_rn" +: steps.indices.flatMap(i =>
+          Seq(s"__scan_a$i", s"__scan_e$i"))): _*)
     }
 
     /** `declare (x: long [= lit], ...)` — integer variables only (the

@@ -1779,6 +1779,27 @@ object Relational {
         "| sort by user_id asc, event_id asc")
   }
 
+  /** KQL `scan` greedy repeats (round 14, VERDICT r13 #3) — the
+    * process-mining shape the first-match fragment couldn't express: a
+    * BURST of views, then a burst of clicks, then the purchase. `step s
+    * repeats:` absorbs the anchor row and every CONSECUTIVE following
+    * row satisfying its predicate before the next step arms; a stalled
+    * chain still emits the prefix (incl. partial absorption runs).
+    * Cost: ONE extra conditional-min window per repeating step (the
+    * first post-anchor violator) over the SAME per-user partitioning —
+    * still one shuffle, no self-join, fully distributed per entity.
+    */
+  private def kqlScan3(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by user_id (sort by ts asc, event_id asc " +
+        "| scan with (step views repeats: event_type == 'view'; " +
+        "step clicks repeats: event_type == 'click'; " +
+        "step buy: event_type == 'purchase';)) " +
+        "| project user_id, event_id, event_type " +
+        "| sort by user_id asc, event_id asc")
+  }
+
   /** KQL dynamic tier — `todynamic()` + dot-path access over the events
     * `props` JSON column, the single most common ADX telemetry idiom
     * (`| extend k = tolong(todynamic(props).k)`): the path access
@@ -2901,6 +2922,7 @@ object Relational {
     "q_kql_search" -> (kqlSearch _),
     "q_kql_rowrank" -> (kqlRowrank _),
     "q_kql_scan2" -> (kqlScan2 _),
+    "q_kql_scan3" -> (kqlScan3 _),
     "q_kql_seriesstats" -> (kqlSeriesStats _),
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
@@ -4171,6 +4193,32 @@ object Relational {
         "CAST(CASE WHEN rn = r1 THEN 1 WHEN rn = r2 THEN 2 ELSE 3 END AS BIGINT) AS hops, " +
         "CAST(CASE WHEN rn = r1 THEN 10 WHEN rn = r2 THEN 7 ELSE 100 END AS BIGINT) AS bonus " +
         "FROM m3 WHERE rn IN (r1, r2, r3) ORDER BY user_id, event_id"),
+    // the greedy-repeats twin: per repeating step, one extra
+    // conditional-min window finds the first post-anchor VIOLATOR
+    // (NOT coalesce(pred, false) — spelled identically in Spark);
+    // the absorbed range is [anchor, violator), open runs cap at
+    // Long.MaxValue, and a stalled anchor nulls its end (stall
+    // propagates through rn > NULL)
+    "q_kql_scan3" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "m1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS a1 FROM b), " +
+        "v1 AS (SELECT *, min(CASE WHEN NOT COALESCE(event_type = 'view', FALSE) AND rn > a1 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS viol1 FROM m1), " +
+        "e1c AS (SELECT *, CASE WHEN a1 IS NULL THEN CAST(NULL AS BIGINT) " +
+        "ELSE COALESCE(viol1 - 1, 9223372036854775807) END AS e1 FROM v1), " +
+        "m2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > e1 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS a2 FROM e1c), " +
+        "v2 AS (SELECT *, min(CASE WHEN NOT COALESCE(event_type = 'click', FALSE) AND rn > a2 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS viol2 FROM m2), " +
+        "e2c AS (SELECT *, CASE WHEN a2 IS NULL THEN CAST(NULL AS BIGINT) " +
+        "ELSE COALESCE(viol2 - 1, 9223372036854775807) END AS e2 FROM v2), " +
+        "m3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > e2 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS a3 FROM e2c) " +
+        "SELECT user_id, event_id, event_type FROM m3 " +
+        "WHERE (rn BETWEEN a1 AND e1) OR (rn BETWEEN a2 AND e2) OR rn = a3 " +
+        "ORDER BY user_id, event_id"),
     "q_kql_dynamic" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS ksum FROM (" +

@@ -1142,6 +1142,60 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("scan repeats: consecutive absorption, run breaks, stalls, and rejections") {
+    Seq(
+      // uid 1: view burst (1,2), interloper click at 3 breaks nothing —
+      // run already ended at 2 by the click; purchase at 5 completes
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 4L, "view"), (1L, 5L, "purchase"),
+      // uid 2: single view then purchase immediately (a 1-row run)
+      (2L, 1L, "view"), (2L, 2L, "purchase"),
+      // uid 3: open-ended view run, never purchases — the stalled
+      // chain emits the WHOLE absorbed run (prefix semantics)
+      (3L, 1L, "view"), (3L, 2L, "view"), (3L, 3L, "view"),
+      // uid 4: purchase before any view — nothing matches
+      (4L, 1L, "purchase")
+    ).toDF("uid", "seq", "et").createOrReplaceTempView("kql_scan_r")
+    val got = Kql.translate(spark,
+      "kql_scan_r | partition by uid (sort by seq asc | scan with (" +
+        "step v repeats: et == 'view'; step p: et == 'purchase';))" +
+        " | project uid, seq | sort by uid asc, seq asc")
+      .as[(Long, Long)].collect().toSeq
+    // uid 1: views 1,2 absorbed (view at 4 is NOT — the run broke at
+    // the click, and a broken run never re-opens), purchase 5
+    assert(got === Seq((1L, 1L), (1L, 2L), (1L, 5L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L)))
+    // two chained repeating steps: the click run arms only after the
+    // view run's END, and absorbs its own consecutive burst
+    Seq(
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 4L, "click"), (1L, 5L, "view"), (1L, 6L, "click"),
+      (1L, 7L, "purchase")
+    ).toDF("uid", "seq", "et").createOrReplaceTempView("kql_scan_r2")
+    val got2 = Kql.translate(spark,
+      "kql_scan_r2 | partition by uid (sort by seq asc | scan with (" +
+        "step v repeats: et == 'view'; step c repeats: et == 'click'; " +
+        "step p: et == 'purchase';)) | project seq | sort by seq asc")
+      .as[Long].collect().toSeq
+    // views 1-2, clicks 3-4 (the view at 5 breaks the click run; the
+    // click at 6 is NOT re-absorbed), purchase 7
+    assert(got2 === Seq(1L, 2L, 3L, 4L, 7L))
+    // declare-state cannot combine with repeats (data-dependent fold)
+    val e = intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_r | sort by seq asc " +
+        "| scan declare (n: long = 0) with (" +
+        "step v repeats: et == 'view' => n = n + 1; step p: et == 'purchase')")
+    }
+    assert(e.getMessage.contains("repeat"))
+    // concurrent matches remain out of subset: there is no syntax for
+    // them, and a step clause with extra flags is rejected loudly
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_r | sort by seq asc " +
+        "| scan with (step v concurrent: et == 'view')")
+    }
+  }
+
   test("toscalar folds the inner query's first value into a constant") {
     ev.createOrReplaceTempView("kql_events")
     // inline use, no let binding required
