@@ -833,6 +833,10 @@ object Kql {
           applyNewActivityMetrics(df, inner)
         case TIdent("evaluate") +: TIdent("funnel_sequence_completion") +: TSym("(") +: inner :+ TSym(")") =>
           applyFunnelCompletion(df, inner)
+        case TIdent("evaluate") +: TIdent("sequence_detect") +: TSym("(") +: inner :+ TSym(")") =>
+          applySequenceDetect(df, inner)
+        case TIdent("evaluate") +: TIdent("dcount_intersect") +: TSym("(") +: inner :+ TSym(")") =>
+          applyDcountIntersect(df, inner)
         case TIdent("evaluate") +: TIdent("basket") +: TSym("(") +: inner :+ TSym(")") =>
           applyBasket(df, inner)
         case Vector(TIdent("evaluate"), TIdent("basket")) =>
@@ -2337,6 +2341,107 @@ object Kql {
           .otherwise(lit(0.0))
       })
         .orderBy("step")
+    }
+
+    /** ADX `evaluate sequence_detect(TimelineColumn,
+      * MaxSequenceStepWindow, MaxSequenceSpan, Expr1, …, ExprN,
+      * Dim1, …, DimM)` (round 14, VERDICT r13 #4) — per-entity ordered
+      * event-sequence matching with time bounds, compiled onto the
+      * funnel conditional-min chain: step k's event is the EARLIEST row
+      * satisfying Expr_k strictly after step k−1's event and within
+      * MaxSequenceStepWindow of it; a detected sequence must span at
+      * most MaxSequenceSpan end to end. DIALECT: earliest-anchor, one
+      * occurrence per entity (the applyFunnelCompletion rule — ADX can
+      * re-detect after completion; the first occurrence is the one
+      * retention/abuse queries act on), and timelines emit as epoch-µs
+      * columns s1_timeline…sN_timeline plus duration_us (the
+      * q_kql_timebin convention). Trailing plain-column args are the
+      * Dims; everything between the span and the Dims must be a
+      * predicate. The 100 TB shape: one hash aggregate per step over
+      * the (pred-filtered) corpus keyed by the Dims — map-side
+      * combinable, no windows, no self-joins on the raw stream.
+      */
+    private def applySequenceDetect(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val args = splitOn(toks, TSym(","))
+      if (args.length < 5)
+        fail("sequence_detect(TimelineColumn, MaxSequenceStepWindow, " +
+          "MaxSequenceSpan, Expr1, Expr2, ..., Dim1, ...)")
+      val tsName = args(0) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"sequence_detect TimelineColumn must be a plain column, got $o")
+      }
+      def spanArg(ix: Int, what: String): Long = args(ix) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"sequence_detect $what must be a positive timespan, got $o")
+      }
+      val stepUs = spanArg(1, "MaxSequenceStepWindow")
+      val spanUs = spanArg(2, "MaxSequenceSpan")
+      val tail0 = args.drop(3)
+      def isDim(a: Vector[Tok]) = a match {
+        case Vector(TIdent(_)) => true
+        case _ => false
+      }
+      val dims = tail0.reverse.takeWhile(isDim).reverse
+        .map { case Vector(TIdent(c)) => c case _ => fail("unreachable") }
+      val exprToks = tail0.dropRight(dims.length)
+      if (exprToks.length < 2)
+        fail("sequence_detect needs at least two step expressions " +
+          "(a bare column name parses as a Dim — write a boolean column as `c == true`)")
+      val preds = exprToks.map(parsePredicate)
+      val u = unix_micros(col(tsName).cast("timestamp"))
+      val base = df.select(dims.map(col) ++ Seq(u.as("__t")) ++
+        preds.zipWithIndex.map { case (p, i) => p.as(s"__p$i") }: _*)
+      var reached = base.filter(col("__p0"))
+        .groupBy(dims.map(col): _*).agg(min(col("__t")).as("__t0"))
+      for (k <- 1 until preds.length) {
+        val carried = dims ++ (0 until k).map(i => s"__t$i")
+        val joined =
+          if (dims.isEmpty) base.filter(col(s"__p$k")).crossJoin(broadcast(reached))
+          else base.filter(col(s"__p$k")).join(reached, dims)
+        reached = joined
+          .filter(col("__t") > col(s"__t${k - 1}") &&
+            col("__t") <= col(s"__t${k - 1}") + lit(stepUs))
+          .groupBy(carried.map(col): _*).agg(min(col("__t")).as(s"__t$k"))
+      }
+      val n = preds.length
+      reached
+        .filter(col(s"__t${n - 1}") - col("__t0") <= lit(spanUs))
+        .select(dims.map(col) ++ (0 until n).map(i =>
+          col(s"__t$i").as(s"s${i + 1}_timeline")) :+
+          (col(s"__t${n - 1}") - col("__t0")).as("duration_us"): _*)
+    }
+
+    /** ADX `evaluate dcount_intersect(IdColumn, Expr1, …, ExprN)`
+      * (round 14, VERDICT r13 #4) — cumulative-intersection distinct
+      * counts: s0 = |ids in set 1|, s1 = |set 1 ∩ set 2|, … an id is in
+      * set i when ANY of its rows satisfies Expr_i. DIALECT: ADX's
+      * spelling takes hll() sketches from a prior summarize and
+      * estimates; this subset takes the id column + the set predicates
+      * directly and counts EXACTLY — two map-side-combinable aggregates
+      * (per-id membership flags, then one 1-row conjunction sum), no
+      * sketch error to reconcile cross-engine. Null ids are ignored
+      * (the dcount rule).
+      */
+    private def applyDcountIntersect(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val args = splitOn(toks, TSym(","))
+      if (args.length < 3)
+        fail("dcount_intersect(IdColumn, Expr1, Expr2, ...)")
+      val idName = args(0) match {
+        case Vector(TIdent(c)) => c
+        case o => fail(s"dcount_intersect IdColumn must be a plain column, got $o")
+      }
+      val preds = args.drop(1).map(parsePredicate)
+      val flagCols = preds.zipWithIndex.map { case (p, i) =>
+        max(when(p, 1L).otherwise(0L)).as(s"__f$i")
+      }
+      val flags = df.filter(col(idName).isNotNull)
+        .groupBy(col(idName))
+        .agg(flagCols.head, flagCols.tail: _*)
+      val cums = preds.indices.map { i =>
+        val conj = (0 to i).map(j => col(s"__f$j")).reduce(_ * _)
+        sum(conj).as(s"s$i")
+      }
+      flags.agg(cums.head, cums.tail: _*)
     }
 
     /** `partition by Col ( subquery )` — ADX runs the subquery once per

@@ -2218,6 +2218,32 @@ object Relational {
         "dynamic(['view', 'click', 'purchase']), 3d)")
   }
 
+  /** ADX `evaluate sequence_detect` (round 14, VERDICT r13 #4) — the
+    * per-user view→click→purchase sequence with a 7-day step window
+    * and a 30-day total span, earliest-anchor (see
+    * applySequenceDetect for the dialect note and the per-step hash-
+    * aggregate scale shape).
+    */
+  private def kqlSeqdetect(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate sequence_detect(ts_ts, 7d, 30d, " +
+        "event_type == 'view', event_type == 'click', event_type == 'purchase', " +
+        "user_id) | sort by user_id asc")
+  }
+
+  /** ADX `evaluate dcount_intersect` (round 14, VERDICT r13 #4) — how
+    * many users viewed, viewed∩clicked, viewed∩clicked∩purchased: the
+    * cumulative-intersection audience counts (exact in this dialect;
+    * see applyDcountIntersect).
+    */
+  private def kqlDcountint(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate dcount_intersect(user_id, " +
+        "event_type == 'view', event_type == 'click', event_type == 'purchase')")
+  }
+
   /** ADX diagnostic plugin (round 12): `evaluate basket` — frequent
     * attribute patterns over (event type, value band, user bucket);
     * the Spark-native mapping is ONE cube aggregate (see applyBasket).
@@ -2938,6 +2964,8 @@ object Relational {
     "q_kql_engagement" -> (kqlEngagement _),
     "q_kql_retention" -> (kqlRetention _),
     "q_kql_funnel" -> (kqlFunnel _),
+    "q_kql_seqdetect" -> (kqlSeqdetect _),
+    "q_kql_dcountint" -> (kqlDcountint _),
     "q_kql_basket" -> (kqlBasket _),
     "q_kql_autocluster" -> (kqlAutocluster _),
     "q_kql_others" -> (kqlOthers _),
@@ -3577,6 +3605,26 @@ object Relational {
         "SELECT step, stage, n_users, CASE WHEN COALESCE(lag(n_users) OVER (ORDER BY step), n_users) > 0 " +
         "THEN CAST(n_users AS DOUBLE) / CAST(COALESCE(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) ELSE 0.0 END AS conversion " +
         "FROM steps ORDER BY step"),
+    // the sequence_detect twin: the same earliest-anchor chain as the
+    // funnel oracle, carrying each step's timeline through; span cut
+    // and epoch-µs columns per the dialect note
+    "q_kql_seqdetect" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events), " +
+        "c1 AS (SELECT user_id, min(t) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c2 AS (SELECT e.user_id AS user_id, c1.t0 AS t0, min(e.t) AS t1 FROM e JOIN c1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.t > c1.t0 AND e.t <= c1.t0 + 604800000000 GROUP BY 1, 2), " +
+        "c3 AS (SELECT e.user_id AS user_id, c2.t0 AS t0, c2.t1 AS t1, min(e.t) AS t2 FROM e JOIN c2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.t > c2.t1 AND e.t <= c2.t1 + 604800000000 GROUP BY 1, 2, 3) " +
+        "SELECT user_id, t0 AS s1_timeline, t1 AS s2_timeline, t2 AS s3_timeline, " +
+        "t2 - t0 AS duration_us FROM c3 WHERE t2 - t0 <= 2592000000000 ORDER BY user_id"),
+    "q_kql_dcountint" ->
+      ("WITH f AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f2 " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id) " +
+        "SELECT CAST(sum(f0) AS BIGINT) AS s0, CAST(sum(f0*f1) AS BIGINT) AS s1, " +
+        "CAST(sum(f0*f1*f2) AS BIGINT) AS s2 FROM f"),
     "q_kql_engagement" ->
       ("WITH e AS (SELECT DISTINCT user_id AS id, " +
         "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +

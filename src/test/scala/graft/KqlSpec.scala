@@ -1142,6 +1142,56 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("sequence_detect: time-bounded per-entity chains; dcount_intersect: exact cumulative audiences") {
+    val dayUs = 86400000000L
+    def mkTs(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    Seq(
+      // uid 1: view d1 → click d3 (within 7d) → purchase d8 (within 7d
+      // of click, span 7d ≤ 30d) — detected
+      (1L, mkTs(1), "view"), (1L, mkTs(3), "click"), (1L, mkTs(8), "purchase"),
+      // uid 2: click comes 9 days after the view — step window blown
+      (2L, mkTs(1), "view"), (2L, mkTs(10), "click"), (2L, mkTs(11), "purchase"),
+      // uid 3: steps each within window but total span 40d > 30d
+      (3L, mkTs(1), "view"), (3L, mkTs(7), "click"), (3L, mkTs(41), "purchase"),
+      // uid 4: purchase BEFORE the click — order matters
+      (4L, mkTs(1), "view"), (4L, mkTs(3), "purchase"), (4L, mkTs(5), "click")
+    ).toDF("uid", "ts_ts", "et").createOrReplaceTempView("kql_seq_t")
+    val got = Kql.translate(spark,
+      "kql_seq_t | evaluate sequence_detect(ts_ts, 7d, 30d, " +
+        "et == 'view', et == 'click', et == 'purchase', uid) | sort by uid asc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1 * dayUs, 3 * dayUs, 8 * dayUs, 7 * dayUs)))
+    // (uid 2 drops on the step window, uid 3 on the 30d span cut,
+    // uid 4 on step order); the arg-validation surface:
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_seq_t | evaluate sequence_detect(ts_ts, 7d, 30d, et == 'view', uid)")
+    } // one expression is not a sequence
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_seq_t | evaluate sequence_detect(ts_ts, 0d, 30d, et == 'a', et == 'b', uid)")
+    } // non-positive step window
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_seq_t | evaluate sequence_detect(ts_ts + 1d, 7d, 30d, et == 'a', et == 'b', uid)")
+    } // timeline must be a plain column
+
+    // dcount_intersect: hand-checkable cumulative audiences — every
+    // uid in kql_seq_t has all three event types, so all counts = 4
+    val (s0, s1, s2) = Kql.translate(spark,
+      "kql_seq_t | evaluate dcount_intersect(uid, et == 'view', et == 'click', et == 'purchase')")
+      .as[(Long, Long, Long)].collect().head
+    assert((s0, s1, s2) === (4L, 4L, 4L))
+    // a discriminating fixture: 3 viewers, 1 also clicked, none did all
+    Seq((1L, "view"), (1L, "click"), (2L, "view"), (3L, "view"), (3L, "buy"))
+      .toDF("uid", "et").createOrReplaceTempView("kql_dci_t")
+    val (d0, d1, d2) = Kql.translate(spark,
+      "kql_dci_t | evaluate dcount_intersect(uid, et == 'view', et == 'click', et == 'buy')")
+      .as[(Long, Long, Long)].collect().head
+    assert((d0, d1, d2) === (3L, 1L, 0L))
+    // fewer than two set expressions is just dcount — rejected
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_dci_t | evaluate dcount_intersect(uid)")
+    }
+  }
+
   test("scan repeats: consecutive absorption, run breaks, stalls, and rejections") {
     Seq(
       // uid 1: view burst (1,2), interloper click at 3 breaks nothing —
