@@ -611,9 +611,22 @@ object Vectors {
     * to one moment computation via ReusedExchange — cost at 100 TB is
     * one corpus pass plus O(sample·d²) bounded work.
     */
-  private def embedPca(s: SparkSession, dir: String): DataFrame = {
+  /** The PC1 direction as a 1-row frame (column `v`, unit double
+    * array) — embedPca's covariance-sample + 3-step power iteration,
+    * factored out so the OPQ rotation (round 14) reuses the identical
+    * unroll the oracle replays.
+    */
+  private def pcaDirection(s: SparkSession, dir: String): DataFrame =
+    powerSteps(s, covMatRows(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))))
+
+  /** The md5-sampled covariance-proxy matrix M = n·Sxx − Sx·Sxᵀ as
+    * 64 index-ordered rows (i, marr) — embedPca's front half, factored
+    * so the OPQ isotropy trigger (round 14) can read λ̂ and trace(M)
+    * from the same frame.
+    */
+  private def covMatRows(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val samp = e.filter(mdUniform("pca:", col("vec_id")) < 8388608L)
     val cells = samp
       .select(col("embedding").as("e"))
@@ -628,7 +641,7 @@ object Vectors {
       .groupBy("i")
       .agg(sum(col("xi").cast(DecimalType(30, 14))).cast("double").as("sx"))
     val n = samp.agg(cnt.as("n"))
-    val mrows = sxx
+    sxx
       .join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), "i")
       .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
       .crossJoin(broadcast(n))
@@ -637,6 +650,13 @@ object Vectors {
       .groupBy("i")
       .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")
         .as("marr"))
+  }
+
+  /** Three unrolled power-iteration steps over the [[covMatRows]]
+    * frame — embedPca's back half. Returns the 1-row unit direction
+    * (column v).
+    */
+  private def powerSteps(s: SparkSession, mrows: DataFrame): DataFrame = {
     def step(v: DataFrame): DataFrame =
       mrows.crossJoin(broadcast(v))
         .select(col("i"), expr(
@@ -649,10 +669,88 @@ object Vectors {
           .as("v"))
     val v0 = s.range(1)
       .select(expr(s"transform(sequence(1, $dim), x -> 1.0D)").as("v"))
-    val v3 = step(step(step(v0)))
-    e.crossJoin(broadcast(v3))
+    step(step(step(v0)))
+  }
+
+  private def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.crossJoin(broadcast(pcaDirection(s, dir)))
       .select(col("vec_id"), round(dot(col("embedding"), col("v")), 4).as("pc1"))
       .orderBy("vec_id")
+  }
+
+  /** OPQ-lite rotation (round 14, VERDICT r13 #5 — Ge et al. 2013,
+    * "Optimized Product Quantization", and FAISS's OPQ/PCAR
+    * preprocessors, both public): a HOUSEHOLDER reflection
+    * H = I − 2uuᵀ mapping the corpus's top principal direction onto
+    * the balanced all-ones direction (1/√d)·1 — so the dominant
+    * variance, instead of loading a few coordinates (and therefore a
+    * few PQ subspaces), spreads evenly across all of them, which is
+    * the imbalance OPQ exists to fix. Orthogonal by construction
+    * (distances/cosines are preserved — only the SUBSPACE SPLIT
+    * changes) and deterministic (the [[powerSteps]] unroll is already
+    * oracle-exact; 1/√64 = 0.125 is an exact double).
+    *
+    * LEARNED, not forced: full OPQ minimizes quantization error over
+    * all rotations, and on an ISOTROPIC corpus that optimum is the
+    * identity — a forced reflection only shuffles noise (measured on
+    * this fixture: 0.334 → 0.320 recall, inside codebook-init noise,
+    * with subspace variance already balanced to 5%). So the
+    * preprocessor includes the isotropy DECISION: the Householder
+    * engages only when the top-eigenvalue estimate λ̂ = v₃ᵀMv₃
+    * carries more than 3× the mean eigenvalue (trace/d) — above the
+    * Marchenko–Pastur sampling-noise edge (1+√(d/n))² ≈ 2.3 at this
+    * d/n, so sampling fluctuation cannot trip it — otherwise u = 0
+    * ⇒ H = I and the rotated branch is bit-identical to the plain
+    * one. λ̂ and trace fold in fixed index order, so the boolean is
+    * engine-identical. Returns a 1-row frame (column `u`); rotating a
+    * vector costs one dot product and one axpy — codegen'd, no
+    * shuffle.
+    */
+  private[graft] def opqHouseholderOf(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val mrows = covMatRows(e)
+    val v3 = powerSteps(s, mrows)
+    // y4 = M·v3 gathered in index order; λ̂ = v3ᵀ·y4
+    val y4 = mrows.crossJoin(broadcast(v3))
+      .select(col("i"), expr(
+        "aggregate(zip_with(marr, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+        .as("y"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, y))), x -> x.y)")
+        .as("yv"))
+    // trace(M) = Σᵢ M_ii, folded in index order (bit-stable)
+    val tr = mrows
+      .select(col("i"), expr("element_at(marr, CAST(i + 1 AS INT))").as("mii"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(i, mii))), " +
+        "x -> x.mii), 0D, (a, b) -> a + b)").as("tr"))
+    v3.crossJoin(broadcast(y4)).crossJoin(broadcast(tr))
+      .select(col("v"), col("tr"), expr(
+        "aggregate(zip_with(v, yv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+        .as("lam"))
+      .select(expr("transform(v, x -> x - 0.125D)").as("dv"),
+        (col("lam") * lit(dim.toDouble) > lit(3.0) * col("tr")).as("aniso"))
+      .select(col("dv"), col("aniso"), expr(
+        "aggregate(transform(dv, t -> t * t), 0D, (a, b) -> a + b)").as("n2"))
+      .select(expr(
+        "transform(dv, x -> CASE WHEN aniso AND n2 > 0D THEN x / sqrt(n2) ELSE 0D END)")
+        .as("u"))
+  }
+
+  private def opqHouseholder(s: SparkSession, dir: String): DataFrame =
+    opqHouseholderOf(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** H·x over an array column: x − 2(uᵀx)u, with the dot product and
+    * the per-element update in the SAME fold order as the DuckDB twin.
+    */
+  private[graft] def rotate(d: DataFrame, arr: String, uDf: DataFrame): DataFrame = {
+    val keep = d.columns.filter(_ != arr)
+    d.crossJoin(broadcast(uDf))
+      .withColumn("__dp", aggregate(zip_with(col(arr), col("u"),
+        (a, b) => a * b), lit(0.0), (x, y) => x + y))
+      .select((keep.map(col) :+
+        zip_with(col(arr), col("u"),
+          (a, b) => a - lit(2.0) * col("__dp") * b).as(arr)): _*)
   }
 
   /** Cluster profiling — the composed cross-TABLE pipeline: the trained
@@ -1542,11 +1640,60 @@ object Vectors {
     val scores3 = scores3r.localCheckpoint(true)
     val short3 = topPerQCut(scores3, Seq(col("adc").asc, col("vec_id")), slDf)
     val rerank3 = panelRerank(s, short3, e, qp)
+    // the OPQ-rotated PQ branch (round 14): SAME coarse lists, SAME
+    // derived probes — only the residual space rotates (Householder,
+    // distance-preserving) before the subspace split, so any recall
+    // delta against 'ivfpq' is attributable to the split alone. One
+    // extra PQ fit + ADC pass; codes/codebooks are rotated-space.
+    val uDf = opqHouseholder(s, dir).localCheckpoint(true)
+    val resR = rotate(
+      a2.join(broadcast(c2), "c")
+        .select(col("vec_id"), col("c").as("cl"),
+          zip_with(col("embedding"), col("centroid"),
+            (a, b) => a.cast("double") - b).as("remb")),
+      "remb", uDf)
+    val (pa2Rr, pcb2Rr) = pqFit(subspaces(resR, "remb", 4), PqCodewords)
+    val pcb2R = pcb2Rr.localCheckpoint(true)
+    val codesR = pa2Rr.select(col("vec_id"), col("m"), col("c").as("code"))
+      .localCheckpoint(true)
+    val ivfpqOpq = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val pbR = c2.crossJoin(broadcast(qp))
+        .select(col("qid"), col("qv"), col("c").as("cl"), col("centroid"),
+          cos(s, col("centroid"), col("qv")).as("ls"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("ls").desc, col("cl"))))
+        .crossJoin(broadcast(nprobeDf(s, c2, None, 1)))
+        .filter(col("rn") <= col("np"))
+        .select(col("qid"), col("cl"), col("centroid"), col("qv"))
+      val qrR = rotate(
+        pbR.select(col("qid"), col("cl"),
+          zip_with(expr("transform(qv, v -> CAST(v AS DOUBLE))"),
+            col("centroid"), (a, b) => a - b).as("qres")),
+        "qres", uDf)
+      val adcR = subspaces(qrR, "qres", 4)
+        .join(broadcast(pcb2R), "m")
+        .select(col("qid"), col("cl"), col("m"), col("c").as("code"),
+          aggregate(zip_with(col("sv"), col("centroid"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+      val scoredR = codesR
+        .join(asgn, "vec_id")
+        .join(broadcast(adcR), Seq("cl", "m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("d2").cast(DecimalType(30, 12))).cast(DoubleType).as("adc0"))
+        .select(col("qid"), col("vec_id"), round(col("adc0"), 4).as("adc"))
+      topPerQ(scoredR, Seq(col("adc").asc, col("vec_id")), 10)
+        .select("qid", "vec_id")
+    }
     lshPanel(s, e, qp).select(lit("lsh").as("method"), col("qid"), col("vec_id"))
       .unionByName(ivfPanel(s, a2, c2, qp)
         .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
       .unionByName(ivfpq
         .select(lit("ivfpq").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivfpqOpq
+        .select(lit("ivfpq_opq").as("method"), col("qid"), col("vec_id")))
       .unionByName(np1
         .select(lit("ivfpq_np1").as("method"), col("qid"), col("vec_id")))
       .unionByName(rerank
@@ -1904,17 +2051,75 @@ object Vectors {
   private def pqFitCtes: String =
     // residual from the assigned coarse centroid
     "res AS MATERIALIZED (SELECT a2.vec_id AS vec_id, a2.c AS cl, list_transform(list_zip(a2.emb, c2.centroid), x -> x[1] - x[2]) AS remb FROM a2 JOIN c2 USING (c)), " +
-      "rsub AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM res CROSS JOIN range(0, 4) mm(m)), " +
-      // two unrolled Lloyd rounds per subspace over the residuals
-      s"p0 AS MATERIALIZED (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub), " +
-      "pce1 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-      "pcb1 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1 GROUP BY m, c), " +
-      s"pd1 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb1 b USING (m)), " +
-      "pa1 AS MATERIALIZED (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1) WHERE rn = 1), " +
-      "pce2 AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1 CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
-      "pcb2 AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2 GROUP BY m, c), " +
-      s"pd2 AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub s JOIN pcb2 b USING (m)), " +
-      "pa2 AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2) WHERE rn = 1)"
+      pqFitCtesOn("res", "")
+
+  /** The two unrolled Lloyd rounds per subspace over `src`
+    * (vec_id, cl, remb), every CTE suffixed `x` — so the recall
+    * panel's OPQ branch replays the identical fit over the ROTATED
+    * residual table without name collisions.
+    */
+  private def pqFitCtesOn(src: String, x: String): String =
+    s"rsub$x AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM $src CROSS JOIN range(0, 4) mm(m)), " +
+      s"p0$x AS MATERIALIZED (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub$x), " +
+      s"pce1$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0$x CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      s"pcb1$x AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1$x GROUP BY m, c), " +
+      s"pd1$x AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub$x s JOIN pcb1$x b USING (m)), " +
+      s"pa1$x AS MATERIALIZED (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1$x) WHERE rn = 1), " +
+      s"pce2$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1$x CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      s"pcb2$x AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2$x GROUP BY m, c), " +
+      s"pd2$x AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub$x s JOIN pcb2$x b USING (m)), " +
+      s"pa2$x AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2$x) WHERE rn = 1)"
+
+  /** The PCA power-iteration chain over the existing `e` CTE, every
+    * name prefixed pc_ (the recall oracle also defines s1/s2 —
+    * kmeans unroll names) — shared by the q_embed_pca oracle and the
+    * recall panel's OPQ rotation. Ends at pc_v3 (column v) and the
+    * Householder vector opq_u (column u).
+    */
+  private def pcaDirCtes: String = {
+    val mdU = "CAST(list_reduce(list_transform(range(1, 7), c -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5('pca:' || CAST(vec_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
+      "(a, b) -> a * 16 + b) AS BIGINT)"
+    val steps = (1 to 3).map { k =>
+      val prev = if (k == 1) "pc_v0" else s"pc_v${k - 1}"
+      s"pc_s$k AS (SELECT mr.i AS i, list_sum(list_transform(list_zip(marr, v), x -> x[1] * x[2])) AS y FROM pc_mr mr CROSS JOIN $prev), " +
+        s"pc_y$k AS (SELECT list(y ORDER BY i) AS yv FROM pc_s$k), " +
+        s"pc_v$k AS MATERIALIZED (SELECT list_transform(yv, x -> x / sqrt(list_sum(list_transform(yv, t -> t * t)))) AS v FROM pc_y$k)"
+    }.mkString(", ")
+    s"pc_samp AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE $mdU < 8388608), " +
+      "pc_cells AS (SELECT ii.i AS i, jj.j AS j, emb[CAST(ii.i AS INT)] * emb[CAST(jj.j AS INT)] AS p " +
+      s"FROM pc_samp CROSS JOIN range(1, ${dim + 1}) ii(i) CROSS JOIN range(1, ${dim + 1}) jj(j)), " +
+      "pc_sxx AS MATERIALIZED (SELECT i, j, CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) AS sv FROM pc_cells GROUP BY i, j), " +
+      "pc_sx AS MATERIALIZED (SELECT ii.i AS i, CAST(sum(CAST(emb[CAST(ii.i AS INT)] AS DECIMAL(30,14))) AS DOUBLE) AS sx " +
+      s"FROM pc_samp CROSS JOIN range(1, ${dim + 1}) ii(i) GROUP BY 1), " +
+      "pc_nn AS (SELECT count(*) AS n FROM pc_samp), " +
+      "pc_m AS (SELECT pc_sxx.i AS i, pc_sxx.j AS j, CAST(n AS DOUBLE) * pc_sxx.sv - sa.sx * sb.sx AS m " +
+      "FROM pc_sxx JOIN pc_sx sa ON pc_sxx.i = sa.i JOIN pc_sx sb ON pc_sxx.j = sb.i CROSS JOIN pc_nn), " +
+      "pc_mr AS MATERIALIZED (SELECT i, list(m ORDER BY j) AS marr FROM pc_m GROUP BY i), " +
+      s"pc_v0 AS (SELECT list_transform(range(1, ${dim + 1}), x -> 1.0) AS v), " +
+      steps + ", " +
+      // the isotropy trigger (λ̂·d > 3·trace) and the Householder
+      // u = normalize(v − (1/√64)·1); an isotropic corpus (or a
+      // degenerate v ≈ t) collapses to u = 0 (H = I) — the exact twin
+      // of opqHouseholderOf, every fold in fixed index order
+      "opq_y4 AS (SELECT list(y ORDER BY i) AS yv FROM (SELECT mr.i AS i, " +
+      "list_sum(list_transform(list_zip(marr, v), x -> x[1] * x[2])) AS y FROM pc_mr mr CROSS JOIN pc_v3) t4), " +
+      "opq_tr AS (SELECT list_sum(list(m ORDER BY i)) AS tr FROM pc_m WHERE i = j), " +
+      "opq_lam AS (SELECT list_sum(list_transform(list_zip(v, yv), x -> x[1] * x[2])) AS lam FROM pc_v3 CROSS JOIN opq_y4), " +
+      s"opq_d AS (SELECT list_transform(v, x -> x - 0.125) AS dv, (lam * $dim.0 > 3.0 * tr) AS aniso " +
+      "FROM pc_v3 CROSS JOIN opq_lam CROSS JOIN opq_tr), " +
+      "opq_n AS (SELECT dv, aniso, list_sum(list_transform(dv, t -> t * t)) AS n2 FROM opq_d), " +
+      "opq_u AS MATERIALIZED (SELECT list_transform(dv, x -> CASE WHEN aniso AND n2 > 0 THEN x / sqrt(n2) ELSE 0.0 END) AS u FROM opq_n)"
+  }
+
+  /** H·x in SQL: the dot product and the per-element axpy in the SAME
+    * fold order as the Spark [[rotate]] helper.
+    */
+  private def rotateSql(src: String, cols: String, arr: String): String =
+    s"(SELECT $cols, list_transform(list_zip($arr, u), x -> x[1] - 2 * dp * x[2]) AS $arr " +
+      s"FROM (SELECT $src.*, opq_u.u AS u, " +
+      s"list_sum(list_transform(list_zip($src.$arr, opq_u.u), x -> x[1] * x[2])) AS dp " +
+      s"FROM $src CROSS JOIN opq_u) t)"
 
   private def ivfPqOracleCtes(probeCut: String): String = {
     def l2(a: String, b: String): String = dl2(a, b)
@@ -2191,35 +2396,13 @@ object Vectors {
         "sel AS (SELECT a_id, vec_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rnk FROM cand WHERE cos < 0.95) " +
         "SELECT a_id, CAST(rnk AS INT) AS rnk, vec_id, cos FROM sel WHERE rnk <= 3 ORDER BY a_id, rnk"
     },
-    "q_embed_pca" -> {
-      val mdU = "CAST(list_reduce(list_transform(range(1, 7), c -> " +
-        "CAST(strpos('0123456789abcdef', substr(md5('pca:' || CAST(vec_id AS VARCHAR)), CAST(c AS INT), 1)) - 1 AS BIGINT)), " +
-        "(a, b) -> a * 16 + b) AS BIGINT)"
-      // three unrolled power-iteration steps: s<k> = matvec, y<k> =
-      // index-ordered gather, v<k> = renormalize — mirrors step() exactly
-      val steps = (1 to 3).map { k =>
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"s$k AS (SELECT mr.i AS i, list_sum(list_transform(list_zip(marr, v), x -> x[1] * x[2])) AS y FROM mr CROSS JOIN $prev), " +
-          s"y$k AS (SELECT list(y ORDER BY i) AS yv FROM s$k), " +
-          s"v$k AS (SELECT list_transform(yv, x -> x / sqrt(list_sum(list_transform(yv, t -> t * t)))) AS v FROM y$k)"
-      }.mkString(", ")
-      "WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
-        s"samp AS (SELECT vec_id, emb FROM e WHERE $mdU < 8388608), " +
-        "cells AS (SELECT ii.i AS i, jj.j AS j, emb[CAST(ii.i AS INT)] * emb[CAST(jj.j AS INT)] AS p " +
-        s"FROM samp CROSS JOIN range(1, ${dim + 1}) ii(i) CROSS JOIN range(1, ${dim + 1}) jj(j)), " +
-        "sxx AS (SELECT i, j, CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) AS sv FROM cells GROUP BY i, j), " +
-        "sx AS (SELECT ii.i AS i, CAST(sum(CAST(emb[CAST(ii.i AS INT)] AS DECIMAL(30,14))) AS DOUBLE) AS sx " +
-        s"FROM samp CROSS JOIN range(1, ${dim + 1}) ii(i) GROUP BY 1), " +
-        "nn AS (SELECT count(*) AS n FROM samp), " +
-        "m AS (SELECT sxx.i AS i, sxx.j AS j, CAST(n AS DOUBLE) * sxx.sv - sa.sx * sb.sx AS m " +
-        "FROM sxx JOIN sx sa ON sxx.i = sa.i JOIN sx sb ON sxx.j = sb.i CROSS JOIN nn), " +
-        "mr AS (SELECT i, list(m ORDER BY j) AS marr FROM m GROUP BY i), " +
-        s"v0 AS (SELECT list_transform(range(1, ${dim + 1}), x -> 1.0) AS v), " +
-        steps + " " +
-        // + 0.0 scrubs IEEE negative zero (cf. q_sim_scores)
+    "q_embed_pca" ->
+      // the shared pc_-prefixed chain (see pcaDirCtes) mirrors step()
+      // exactly; + 0.0 scrubs IEEE negative zero (cf. q_sim_scores)
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings), " +
+        s"$pcaDirCtes " +
         "SELECT vec_id, round(list_sum(list_transform(list_zip(emb, v), x -> x[1] * x[2])), 4) + 0.0 AS pc1 " +
-        "FROM e CROSS JOIN v3 ORDER BY vec_id"
-    }
+        "FROM e CROSS JOIN pc_v3 ORDER BY vec_id")
   )
 
   /** Per-qid top-k cut in SQL: rank inside each panel query. */
@@ -2242,6 +2425,10 @@ object Vectors {
         "(a, b) -> a * 2 + b)"
     s"WITH $kmeansUnrollCtes, " +
       s"$pqFitCtes, " +
+      s"$pcaDirCtes, " +
+      // the OPQ-rotated residual table + its own PQ fit (suffix r)
+      s"resr AS MATERIALIZED ${rotateSql("res", "vec_id, cl", "remb")}, " +
+      s"${pqFitCtesOn("resr", "r")}, " +
       s"qp AS MATERIALIZED (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < $PanelSize), " +
       // exact per-query ground truth
       s"bq0 AS MATERIALIZED (SELECT qp.qid AS qid, e.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
@@ -2282,6 +2469,18 @@ object Vectors {
       "FROM cand JOIN adc ON cand.cl = adc.cl AND cand.m = adc.m AND cand.code = adc.code " +
       "WHERE cand.vec_id <> adc.qid GROUP BY 1, 2, 3), " +
       s"ivfpqt AS MATERIALIZED ${sqlTopPerQ("scored", "adc", 10)}, " +
+      // the OPQ branch: the SAME derived probes (qr), query residuals
+      // rotated into the same space as resr, ADC against the rotated
+      // codebooks/codes
+      s"qrr AS MATERIALIZED ${rotateSql("qr", "qid, cl", "qres")}, " +
+      "qrsr AS (SELECT qid, cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS qsv FROM qrr CROSS JOIN range(0, 4) mm(m)), " +
+      s"adcr AS MATERIALIZED (SELECT qrsr.qid AS qid, qrsr.cl AS cl, qrsr.m AS m, b.c AS code, ${dl2("qrsr.qsv", "b.centroid")} AS d2 FROM qrsr JOIN pcb2r b ON qrsr.m = b.m), " +
+      "candr AS (SELECT pa2r.vec_id AS vec_id, res.cl AS cl, pa2r.m AS m, pa2r.c AS code FROM pa2r JOIN res USING (vec_id)), " +
+      "scoredr AS MATERIALIZED (SELECT adcr.qid AS qid, candr.vec_id AS vec_id, " +
+      "round(CAST(sum(CAST(adcr.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM candr JOIN adcr ON candr.cl = adcr.cl AND candr.m = adcr.m AND candr.code = adcr.code " +
+      "WHERE candr.vec_id <> adcr.qid GROUP BY 1, 2), " +
+      s"opqt AS MATERIALIZED ${sqlTopPerQ("scoredr", "adc", 10)}, " +
       "np1s AS (SELECT s.qid AS qid, s.vec_id AS vec_id, s.adc AS adc FROM scored s " +
       "JOIN pbr ON pbr.qid = s.qid AND pbr.cl = s.cluster AND pbr.rn = 1), " +
       s"np1t AS MATERIALIZED ${sqlTopPerQ("np1s", "adc", 10)}, " +
@@ -2334,6 +2533,7 @@ object Vectors {
       "cands AS (SELECT 'lsh' AS method, qid, vec_id FROM lsht " +
       "UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivft " +
       "UNION ALL SELECT 'ivfpq' AS method, qid, vec_id FROM ivfpqt " +
+      "UNION ALL SELECT 'ivfpq_opq' AS method, qid, vec_id FROM opqt " +
       "UNION ALL SELECT 'ivfpq_np1' AS method, qid, vec_id FROM np1t " +
       "UNION ALL SELECT 'rerank' AS method, qid, vec_id FROM rert " +
       "UNION ALL SELECT 'ivf_np3x' AS method, qid, vec_id FROM ivft3 " +

@@ -330,8 +330,8 @@ class VectorSpec extends SparkSpec {
   test("ANN recall harness: panel MEAN recall@10 for every index family") {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
-      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "rerank", "bq", "trunc16",
-        "ivf_np3x", "rerank_np3x", "rerank_sl50"))
+      Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "ivfpq_opq", "rerank", "bq",
+        "trunc16", "ivf_np3x", "rerank_np3x", "rerank_sl50"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
@@ -353,6 +353,13 @@ class VectorSpec extends SparkSpec {
     // score the brute set itself is cut on
     assert(rec("rerank") >= rec("ivfpq"),
       s"rerank ${rec("rerank")} < ivfpq ${rec("ivfpq")}")
+    // the learned OPQ preprocessor can never lose to the plain split:
+    // on an isotropic corpus the isotropy trigger holds the rotation
+    // at the identity (branches bit-identical); on an anisotropic one
+    // the Householder spreads the dominant direction across subspaces
+    // (the planted-anisotropy test below exercises that arm)
+    assert(rec("ivfpq_opq") >= rec("ivfpq"),
+      s"ivfpq_opq ${rec("ivfpq_opq")} < ivfpq ${rec("ivfpq")}")
     // widening the probe budget is also structural for the EXACT-
     // distance branch: the 3× candidate set is a superset, and a true
     // top-10 member can only be displaced by other true top-10 members
@@ -396,6 +403,53 @@ class VectorSpec extends SparkSpec {
     // cross-check the lsh branch against a recomputation is covered by
     // the oracle (hash-match); here assert the panel is the full 50
     assert(qids.size === graft.ops.Vectors.PanelSize)
+  }
+
+  test("OPQ rotation: identity on isotropy, variance-spreading Householder on planted skew") {
+    import org.apache.spark.sql.functions._
+    // this corpus is isotropic (measured: subspace variance balanced
+    // within 5%, top eig ≈ 1.8× mean < the 3× trigger) — the learned
+    // rotation must be the identity (u = 0), which is what full OPQ
+    // converges to on isotropic data
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val u0 = graft.ops.Vectors.opqHouseholderOf(e)
+      .collect()(0).getSeq[Double](0)
+    assert(u0.forall(_ == 0.0), "isotropic corpus must learn H = I")
+    // planted ANISOTROPY: variance concentrated on coordinate 0 — the
+    // trigger must fire and the reflection must spread that variance
+    // across all four PQ subspaces
+    val planted = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(CASE WHEN j = 0 " +
+        "THEN CAST(id % 40 AS DOUBLE) - 20.0D " +
+        "ELSE 0.01D * CAST((id * 7 + j) % 5 AS DOUBLE) END AS DOUBLE))")
+        .as("embedding"))
+    val uDf = graft.ops.Vectors.opqHouseholderOf(planted)
+    val u = uDf.collect()(0).getSeq[Double](0)
+    assert(u.exists(_ != 0.0), "planted skew must engage the rotation")
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-9, "u is unit")
+    val rot = graft.ops.Vectors.rotate(planted, "embedding", uDf)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val raw = planted.collect().map(_.getSeq[Double](1).toArray)
+    // Householder is orthogonal: norms preserved
+    raw.zip(rot).foreach { case (a, b) =>
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      assert(math.abs(na - nb) < 1e-6 * (na + 1), "rotation must preserve norms")
+    }
+    def subVar(vs: Array[Array[Double]]): Array[Double] =
+      (0 until 4).map { m =>
+        (0 until 16).map { j =>
+          val c = vs.map(_(m * 16 + j))
+          val mu = c.sum / c.length
+          c.map(x => (x - mu) * (x - mu)).sum / c.length
+        }.sum
+      }.toArray
+    val before = subVar(raw)
+    val after = subVar(rot)
+    assert(before.max / before.min > 100.0,
+      "the planted fixture concentrates variance in one subspace")
+    assert(after.max / after.min < 2.0,
+      s"rotation must balance subspace variance, got ${after.toSeq}")
   }
 
   test("persisted IVF-PQ index serves the in-memory answer bit-for-bit") {
