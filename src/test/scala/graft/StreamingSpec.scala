@@ -172,6 +172,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KS monitor converges to the batch drift statistic") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // both sample sides stream in, pinned to ONE window (ts_us = 0)
+      // so the final emission is the GLOBAL two-sample statistic
+      val evs = Tables.events(spark, sfDir)
+        .filter($"event_type".isin("click", "purchase") && $"value".isNotNull)
+        .select($"event_id", $"user_id", $"event_type", $"ts",
+          lit(0L).as("ts_us"), $"value")
+        .as[StreamOps.TypedEv].collect()
+      val input = MemoryStream[StreamOps.TypedEv]
+      val q2 = StreamOps.ksMonitorStream(input.toDS()).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("ksmon_spec").start()
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      val emissions = spark.table("ksmon_spec")
+        .as[StreamOps.KsOut].collect()
+      val fin = emissions.maxBy(e => e.n_a + e.n_b)
+      val batch = q("q_drift_ks").collect()(0)
+      assert(fin.n_a === batch.getAs[Long]("n_a"))
+      assert(fin.n_b === batch.getAs[Long]("n_b"))
+      assert(fin.ks_stat === batch.getAs[Double]("ks_stat"),
+        "converged streaming KS must equal the batch statistic")
+      assert(fin.crit_05 === batch.getAs[Double]("crit_05"))
+      assert(fin.reject_h0 === batch.getAs[Boolean]("reject_h0"))
+      // the monitor is incremental: intermediate emissions exist and
+      // carry growing sample sizes
+      assert(emissions.length >= 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming scan funnel equals the batch declare-state scan row-for-row") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
