@@ -15,10 +15,12 @@ import graft.Tables
   * RIFF/PCM16 WAV container with a pure-JVM chunk-walk decode and
   * exact integer signal features ([[Wav]]); since round 13 the
   * compressed-image path is real too ([[Png]], lossless), and since
-  * round 14 so is the LOSSY image path ([[Jpeg]], baseline JFIF).
-  * Only lossy AUDIO/VIDEO codecs (MP3/AAC, H.26x) remain STUBBED
-  * with deterministic fakes (this container ships no codecs — see
-  * `MediaFeaturesStub.fakeDecode`); the Spark-side plumbing is
+  * round 14 so are the LOSSY paths: image ([[Jpeg]], baseline JFIF)
+  * and audio ([[Mulaw]] G.711 + [[Adpcm]] IMA/DVI, both in real RIFF
+  * containers). Only PERCEPTUAL-TRANSFORM codecs (MP3/AAC, H.26x
+  * video) remain STUBBED with deterministic fakes (this container
+  * ships no codecs — see `MediaFeaturesStub.fakeDecode`); the
+  * Spark-side plumbing is
   * real everywhere: binary column, metadata schema, per-partition
   * batched processing (the Scala analog of `mapInPandas`), and the
   * partitioning/batch shape a real decoder would see at 100 TB.
@@ -1262,8 +1264,237 @@ object Multimodal {
     }
   }
 
+  /** G.711 μ-law (round 14) — a REAL lossy audio codec, the telephony
+    * standard (ITU-T G.711, public): 8-bit logarithmic companding of
+    * 16-bit PCM via the CCITT bias-132 algorithm. Pure per-sample
+    * integer arithmetic — exactly replayable in SQL — and the JDK
+    * ships an independent implementation (javax.sound.sampled ULAW),
+    * so the spec cross-checks a FOREIGN codec in both directions.
+    */
+  private[graft] object Mulaw {
+    private val Bias = 132
+    private val Clip = 32635
+
+    def encode(s: Short): Byte = {
+      var x = s.toInt
+      val sign = if (x < 0) { x = -x; 0x80 } else 0
+      if (x > Clip) x = Clip
+      x += Bias
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = (x >> (exp + 3)) & 0x0f
+      (~(sign | (exp << 4) | mant)).toByte
+    }
+
+    def decode(b: Byte): Short = {
+      val u = (~b) & 0xff
+      val exp = (u >> 4) & 7
+      val mant = u & 0x0f
+      val x = (((mant << 3) + Bias) << exp) - Bias
+      (if ((u & 0x80) != 0) -x else x).toShort
+    }
+
+    /** A real RIFF/WAVE μ-law container (format tag 7, 8-bit). */
+    def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(7).putShort(1) // μ-law, mono
+        .putInt(rate).putInt(rate) // byte rate = 1 B/sample
+        .putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length)
+      samples.foreach(s => bb.put(encode(s)))
+      bb.array()
+    }
+
+    /** Chunk-walk + μ-law expand; rejects non-μ-law formats loudly. */
+    def decodeWav(wav: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(wav.length >= 44 && tag() == "RIFF", "not a RIFF container")
+      bb.getInt()
+      require(tag() == "WAVE", "not a WAVE file")
+      var rate = -1
+      var out: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag(); val len = bb.getInt()
+        require(len >= 0 && bb.remaining() >= len, s"truncated '$id' chunk")
+        val p = bb.position()
+        id match {
+          case "fmt " =>
+            val (fmt, ch) = (bb.getShort(), bb.getShort())
+            rate = bb.getInt()
+            bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(fmt == 7 && ch == 1 && bits == 8,
+              s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits (mu-law mono only)")
+          case "data" =>
+            out = Array.tabulate(len)(k => decode(bb.get(p + k)))
+          case _ => ()
+        }
+        bb.position(p + len)
+        if (len % 2 == 1 && bb.remaining() > 0) bb.get()
+      }
+      require(rate > 0 && out != null, "missing fmt /data chunk")
+      (rate, out)
+    }
+  }
+
+  /** IMA/DVI ADPCM (round 14) — the second real lossy audio codec:
+    * 4:1 compression of 16-bit PCM via the standard 89-entry
+    * step-size table and the 4-bit sign+magnitude delta coder (IMA
+    * ADPCM reference algorithm; public — the `fmt` tag 0x11 WAV
+    * codec). The coder is a per-sample STATE MACHINE (predictor +
+    * step index); encode and decode reconstruct the identical
+    * predictor chain, so decode(encode(x)) is deterministic integer
+    * arithmetic end to end — the DuckDB twin replays the whole fold
+    * with a struct accumulator. Container: a real RIFF/WAVE with
+    * format tag 0x11 and the standard 4-byte block header; DIALECT:
+    * one block per payload with the initial state (pred 0, index 0)
+    * in the header and ALL samples nibble-coded (the standard stores
+    * sample 1 raw in the header; starting from the zero state keeps
+    * the SQL fold uniform — documented, and no foreign IMA decoder
+    * exists in this container to disagree with).
+    */
+  private[graft] object Adpcm {
+    val StepTab: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val IdxTab: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Reconstruct one sample from a 4-bit code: the shared half of
+      * encode and decode (both run it to stay in lockstep).
+      */
+    def decodeStep(pred: Int, idx: Int, code: Int): (Int, Int) = {
+      val step = StepTab(idx)
+      var vp = step >> 3
+      if ((code & 4) != 0) vp += step
+      if ((code & 2) != 0) vp += step >> 1
+      if ((code & 1) != 0) vp += step >> 2
+      val p = if ((code & 8) != 0) pred - vp else pred + vp
+      (math.max(-32768, math.min(32767, p)),
+        math.max(0, math.min(88, idx + IdxTab(code & 7))))
+    }
+
+    /** Quantize one sample against the current state → (code, state'). */
+    def encodeStep(pred: Int, idx: Int, s: Int): (Int, Int, Int) = {
+      val step = StepTab(idx)
+      var diff = s - pred
+      var code = 0
+      if (diff < 0) { code = 8; diff = -diff }
+      if (diff >= step) { code |= 4; diff -= step }
+      if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) code |= 1
+      val (p2, i2) = decodeStep(pred, idx, code)
+      (code, p2, i2)
+    }
+
+    /** Nibble-pack the code stream (low nibble first — the IMA WAV
+      * data order) into a real RIFF container, fmt tag 0x11.
+      */
+    def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      require(samples.length % 2 == 0, "IMA ADPCM packs two samples per byte")
+      val n = samples.length
+      val dataLen = 4 + n / 2 // block header + nibbles
+      val bb = java.nio.ByteBuffer.allocate(48 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(0x11).putShort(1) // IMA ADPCM, mono
+        .putInt(rate).putInt(rate * dataLen / math.max(1, n)) // approx byte rate
+        .putShort(dataLen.toShort).putShort(4) // block align, bits/sample
+        .putShort(2).putShort(n.toShort) // cbSize, samples/block
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.putShort(0).put(0.toByte).put(0.toByte) // block header: pred 0, idx 0
+      var pred = 0; var idx = 0
+      var k = 0
+      while (k < n) {
+        val (c1, p1, i1) = encodeStep(pred, idx, samples(k))
+        val (c2, p2, i2) = encodeStep(p1, i1, samples(k + 1))
+        bb.put(((c2 << 4) | c1).toByte)
+        pred = p2; idx = i2
+        k += 2
+      }
+      bb.array()
+    }
+
+    /** Chunk-walk the container (the [[Wav.decode]] grammar), validate
+      * fmt 0x11 / mono / 4-bit, unpack nibbles, replay the state
+      * machine. Returns (rate, decoded samples).
+      */
+    def decodeWav(wav: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(wav.length >= 48 && tag() == "RIFF", "not a RIFF container")
+      bb.getInt()
+      require(tag() == "WAVE", "not a WAVE file")
+      var rate = -1
+      var nSamples = -1
+      var out: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag(); val len = bb.getInt()
+        require(len >= 0 && bb.remaining() >= len, s"truncated '$id' chunk")
+        val p = bb.position()
+        id match {
+          case "fmt " =>
+            val (fmt, ch) = (bb.getShort(), bb.getShort())
+            rate = bb.getInt()
+            bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(fmt == 0x11 && ch == 1 && bits == 4,
+              s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits (IMA ADPCM mono only)")
+            require(len >= 20, "missing IMA extension fields")
+            bb.getShort() // cbSize
+            nSamples = bb.getShort() & 0xffff
+          case "data" =>
+            require(nSamples >= 0, "data chunk before fmt")
+            require(len >= 4 + nSamples / 2, "truncated ADPCM block")
+            var pred: Int = bb.getShort().toInt
+            var idx: Int = bb.get() & 0xff
+            bb.get() // reserved
+            require(idx <= 88, "corrupt step index in block header")
+            out = new Array[Short](nSamples)
+            var k = 0
+            while (k < nSamples) {
+              val byte = bb.get() & 0xff
+              val (p1, i1) = decodeStep(pred, idx, byte & 0x0f)
+              out(k) = p1.toShort
+              val (p2, i2) = decodeStep(p1, i1, byte >> 4)
+              out(k + 1) = p2.toShort
+              pred = p2; idx = i2
+              k += 2
+            }
+          case _ => ()
+        }
+        bb.position(p + len)
+        if (len % 2 == 1 && bb.remaining() > 0) bb.get()
+      }
+      require(rate > 0 && out != null, "missing fmt /data chunk")
+      (rate, out)
+    }
+  }
+
   case class AudioFeatures(doc_id: Long, n_samples: Int, energy: Long,
       zcr: Int, bands: Array[Long])
+  case class MediaMulaw(doc_id: Long, n_samples: Int, ok: Boolean,
+    size_ok: Boolean, energy_dec: Long, max_err: Int, abs_err: Long)
+  case class MediaAdpcm(doc_id: Long, n_samples: Int, ok: Boolean,
+    size_ok: Boolean, energy_dec: Long, max_err: Int, abs_err: Long)
 
   /** Audio feature extraction over the media column (q_media_audio):
     * each document's bytes become a deterministic PCM16 mono WAV
@@ -1403,6 +1634,67 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** q_media_mulaw (round 14): real G.711 μ-law compress → container →
+    * decode → exact integer fidelity stats, the telephony lossy-audio
+    * path. The companding math is stateless per-sample integer
+    * arithmetic, so the DuckDB twin replays decode(encode(s)) from the
+    * raw document bytes — full value parity. Spec cross-checks BOTH
+    * directions against the JDK's independent ULAW codec
+    * (javax.sound.sampled — a true foreign implementation).
+    */
+  private def mediaMulaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaRows(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val samples = Wav.tileSamples(r.media)
+        val wav = Mulaw.encodeWav(samples, Wav.SampleRate)
+        val (rate, dec) = Mulaw.decodeWav(wav)
+        val ok = rate == Wav.SampleRate && dec.length == Wav.NSamples
+        val sizeOk = wav.length == 44 + Wav.NSamples // 2:1, fixed rate
+        var energy = 0L; var maxe = 0; var abse = 0L
+        var k = 0
+        while (k < dec.length) {
+          energy += dec(k).toLong * dec(k)
+          val e = math.abs(dec(k) - samples(k))
+          if (e > maxe) maxe = e
+          abse += e
+          k += 1
+        }
+        MediaMulaw(r.doc_id, dec.length, ok, sizeOk, energy, maxe, abse)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** q_media_adpcm (round 14): real IMA ADPCM compress → fmt-0x11 RIFF
+    * container → decode → exact integer fidelity stats, the 4:1
+    * lossy-audio workhorse. The coder is a per-sample state machine;
+    * the DuckDB twin replays the ENTIRE fold (predictor, step index,
+    * quantize, reconstruct, clamp) with a struct accumulator — full
+    * value parity on a genuinely stateful lossy codec.
+    */
+  private def mediaAdpcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaRows(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val samples = Wav.tileSamples(r.media)
+        val wav = Adpcm.encodeWav(samples, Wav.SampleRate)
+        val (rate, dec) = Adpcm.decodeWav(wav)
+        val ok = rate == Wav.SampleRate && dec.length == Wav.NSamples
+        val sizeOk = wav.length == 48 + 4 + Wav.NSamples / 2 // 4:1 + headers
+        var energy = 0L; var maxe = 0; var abse = 0L
+        var k = 0
+        while (k < dec.length) {
+          energy += dec(k).toLong * dec(k)
+          val e = math.abs(dec(k) - samples(k))
+          if (e > maxe) maxe = e
+          abse += e
+          k += 1
+        }
+        MediaAdpcm(r.doc_id, dec.length, ok, sizeOk, energy, maxe, abse)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** One compress→decode→featurize row: the lossless round-trip
     * contract plus exact integer channel sums over the DECODED pixels
     * — because the round-trip is lossless, the sums are replayable by
@@ -1507,6 +1799,8 @@ object Multimodal {
     "q_frame_sample" -> (frameSample _),
     "q_media_phash" -> (mediaPhash _),
     "q_media_audio" -> (mediaAudio _),
+    "q_media_mulaw" -> (mediaMulaw _),
+    "q_media_adpcm" -> (mediaAdpcm _),
     "q_media_color" -> (mediaColor _)
   )
 
@@ -1529,6 +1823,85 @@ object Multimodal {
   private def jpegQtValues: String =
     (for (u <- 0 until 8; v <- 0 until 8)
       yield s"($u, $v, ${Jpeg.QNat(v * 8 + u)})").mkString(", ")
+
+  /** The PCM16 sample CTEs shared by the audio-codec twins: document
+    * bytes → tiled little-endian signed 16-bit samples (the
+    * q_media_audio fixture rule).
+    */
+  private def pcmSmpCtes: String =
+    "m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+      "bylist AS MATERIALIZED (SELECT doc_id, list_transform(range(CAST(0 AS BIGINT), CAST(2048 AS BIGINT)), " +
+      "j -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST((strpos('0123456789ABCDEF', substr(mhex, CAST((j % n)*2+1 AS BIGINT), 1))-1)*16 " +
+      "+ strpos('0123456789ABCDEF', substr(mhex, CAST((j % n)*2+2 AS BIGINT), 1))-1 AS BIGINT) END) AS bs FROM m), " +
+      "smp AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 1024), " +
+      "k -> bs[CAST(2*k AS BIGINT)+1] + 256*bs[CAST(2*k AS BIGINT)+2] " +
+      "- CASE WHEN bs[CAST(2*k AS BIGINT)+2] >= 128 THEN 65536 ELSE 0 END) AS sm FROM bylist)"
+
+  /** The IMA ADPCM per-sample state transition as one DuckDB fold
+    * lambda — quantize (sign + three threshold bits against the
+    * current step), reconstruct, clamp, step-index update: the exact
+    * twin of Adpcm.encodeStep∘decodeStep. The accumulator is a LIST of
+    * (pred+32768)·89+idx PACKED states (one appended per sample), NOT
+    * a multi-field struct: DuckDB 1.0's list_reduce mis-evaluates a
+    * struct field that reuses a subtree an earlier field already
+    * computed (the later copy sees a rebound accumulator — found by
+    * the round-14 differential test), while a single-expression
+    * accumulator is immune. The decoded samples unpack from the state
+    * list, so the fidelity stats aggregate over plain rows.
+    */
+  private def adpcmFoldLambda: String = {
+    val pr = "(acc[len(acc)] // 89 - 32768)" // previous predictor
+    val ix = "(acc[len(acc)] % 89)" // previous step index
+    val st = s"stp[CAST($ix AS INT) + 1]"
+    val es = "el[1]"
+    val d0 = s"abs($es - $pr)"
+    val b4 = s"($d0 >= $st)"
+    val d1 = s"($d0 - CASE WHEN $b4 THEN $st ELSE 0 END)"
+    val b2 = s"($d1 >= $st // 2)"
+    val d2 = s"($d1 - CASE WHEN $b2 THEN $st // 2 ELSE 0 END)"
+    val b1 = s"($d2 >= $st // 4)"
+    val vp = s"($st // 8 + CASE WHEN $b4 THEN $st ELSE 0 END + " +
+      s"CASE WHEN $b2 THEN $st // 2 ELSE 0 END + CASE WHEN $b1 THEN $st // 4 ELSE 0 END)"
+    val predn = s"greatest(-32768, least(32767, " +
+      s"CASE WHEN $es < $pr THEN $pr - $vp ELSE $pr + $vp END))"
+    val idxn = s"greatest(0, least(88, $ix + itb[CAST(" +
+      s"CASE WHEN $b4 THEN 4 ELSE 0 END + CASE WHEN $b2 THEN 2 ELSE 0 END + " +
+      s"CASE WHEN $b1 THEN 1 ELSE 0 END AS INT) + 1]))"
+    s"(acc, el) -> list_append(acc, (($predn) + 32768) * 89 + ($idxn))"
+  }
+
+  private def adpcmOracleSql: String =
+    s"WITH $pcmSmpCtes, " +
+      s"tabs AS (SELECT [${Adpcm.StepTab.mkString(", ")}] AS stp, " +
+      s"[${Adpcm.IdxTab.mkString(", ")}] AS itb), " +
+      // init = [pack(pred 0, idx 0)] = [32768·89]
+      "fold AS MATERIALIZED (SELECT doc_id, sm, " +
+      "list_reduce(list_prepend([CAST(2916352 AS BIGINT)], " +
+      s"list_transform(sm, x -> [x])), $adpcmFoldLambda) AS states " +
+      "FROM smp CROSS JOIN tabs), " +
+      "dec AS (SELECT doc_id, sm, list_transform(states[2:], v -> v // 89 - 32768) AS dv FROM fold), " +
+      "er AS (SELECT doc_id, dv[CAST(t.k AS BIGINT) + 1] AS d, sm[CAST(t.k AS BIGINT) + 1] AS s " +
+      "FROM dec CROSS JOIN range(0, 1024) t(k)) " +
+      "SELECT doc_id, CAST(1024 AS INT) AS n_samples, TRUE AS ok, TRUE AS size_ok, " +
+      "CAST(sum(d * d) AS BIGINT) AS energy_dec, CAST(max(abs(d - s)) AS INT) AS max_err, " +
+      "CAST(sum(abs(d - s)) AS BIGINT) AS abs_err " +
+      "FROM er GROUP BY doc_id ORDER BY doc_id"
+
+  private def mulawOracleSql: String =
+    s"WITH $pcmSmpCtes, " +
+      "base AS (SELECT doc_id, sm[CAST(t.k AS BIGINT) + 1] AS s FROM smp CROSS JOIN range(0, 1024) t(k)), " +
+      "c1 AS (SELECT doc_id, s, least(32635, abs(s)) + 132 AS xm FROM base), " +
+      "c2 AS (SELECT *, CASE WHEN xm >= 16384 THEN 7 WHEN xm >= 8192 THEN 6 " +
+      "WHEN xm >= 4096 THEN 5 WHEN xm >= 2048 THEN 4 WHEN xm >= 1024 THEN 3 " +
+      "WHEN xm >= 512 THEN 2 WHEN xm >= 256 THEN 1 ELSE 0 END AS ex FROM c1), " +
+      "c3 AS (SELECT doc_id, s, CASE WHEN s < 0 THEN -mag ELSE mag END AS dec FROM " +
+      "(SELECT *, ((((xm >> (ex + 3)) & 15) * 8 + 132) << ex) - 132 AS mag FROM c2) t2) " +
+      "SELECT doc_id, CAST(1024 AS INT) AS n_samples, TRUE AS ok, TRUE AS size_ok, " +
+      "CAST(sum(dec * dec) AS BIGINT) AS energy_dec, CAST(max(abs(dec - s)) AS INT) AS max_err, " +
+      "CAST(sum(abs(dec - s)) AS BIGINT) AS abs_err " +
+      "FROM c3 GROUP BY doc_id ORDER BY doc_id"
 
   /** Round half away from zero in SQL — the twin of [[Jpeg.divHalf]]
     * (b always even and positive here, so `//` floor-division equals
@@ -1593,6 +1966,8 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "q_media_jpeg" -> jpegOracleSql,
+    "q_media_mulaw" -> mulawOracleSql,
+    "q_media_adpcm" -> adpcmOracleSql,
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, " +
         "md5(text) AS content_md5 FROM documents ORDER BY doc_id"),

@@ -546,6 +546,101 @@ class RelationalSpec extends SparkSpec {
       pj.indices.map(i => math.abs((pj(i) & 0xff) - (planted16(i) & 0xff)).toLong).sum)
   }
 
+  test("media mulaw/adpcm: real lossy audio codecs — foreign ULAW cross-check, stateful fold, rejections") {
+    import graft.ops.Multimodal.{Adpcm, Mulaw, Wav}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    // a sample set covering the G.711-defined domain |s| ≤ 32635: the
+    // JDK's ULAW encoder WRAPS past the clip point (32636 encodes as
+    // +0 — a short-overflow quirk of the sun codec) where the standard
+    // clips; the cross-check runs where both agree the math, and the
+    // clip law is pinned separately below
+    val n = 512
+    val samples = Array.tabulate(n)(k =>
+      math.max(-32635, math.min(32635,
+        ((k * 1237L + 11) % 65536) - 32768)).toShort)
+
+    // FOREIGN codec, direction 1: the JDK's independent G.711 encoder
+    // must produce the identical μ-law bytes
+    val pcm = new Array[Byte](2 * n)
+    for (k <- 0 until n) {
+      pcm(2 * k) = (samples(k) & 0xff).toByte
+      pcm(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+    }
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val javaCodes = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, n))
+      .readAllBytes()
+    assert(javaCodes.length === n)
+    val myCodes = samples.map(Mulaw.encode)
+    assert(myCodes.toSeq === javaCodes.toSeq,
+      "CCITT bias-132 encode must match the JDK ULAW codec byte-for-byte")
+    // direction 2: the JDK decodes MY μ-law stream to the same PCM my
+    // decoder produces
+    val back = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(myCodes),
+        ulawFmt, n)).readAllBytes()
+    for (k <- 0 until n) {
+      val jv = ((back(2 * k) & 0xff) | (back(2 * k + 1) << 8)).toShort
+      assert(jv === Mulaw.decode(myCodes(k)), s"sample $k decode mismatch")
+    }
+    // the G.711 clip law (where the JDK wraps instead): everything at
+    // or beyond the clip point encodes like the clip point
+    assert(Mulaw.encode(32767.toShort) === Mulaw.encode(32635.toShort))
+    assert(Mulaw.encode((-32768).toShort) === Mulaw.encode((-32635).toShort))
+    // μ-law container round-trip + the codec-law error bound: the top
+    // segment's quantization step is 2^10 = 1024
+    val (mr, mdec) = Mulaw.decodeWav(Mulaw.encodeWav(samples, 8000))
+    assert(mr === 8000 && mdec.length === n)
+    assert(mdec.indices.map(k => math.abs(mdec(k) - samples(k))).max <= 1024)
+
+    // ADPCM: deterministic round-trip through the fmt-0x11 container;
+    // the state machine TRACKS a slowly-varying signal (error bounded
+    // by the adapted step size after attack)
+    // triangle wave, slope ±40/sample — no cliffs, so the adapted step
+    // stays near the slope and the error near the step size
+    val smooth = Array.tabulate(n) { k =>
+      val ph = k % 200
+      (40 * (if (ph < 100) ph else 200 - ph)).toShort
+    }
+    val (ar, adec) = Adpcm.decodeWav(Adpcm.encodeWav(smooth, 8000))
+    assert(ar === 8000 && adec.length === n)
+    val tail = (n / 4 until n).map(k => math.abs(adec(k) - smooth(k)))
+    assert(tail.max <= 256, s"ADPCM must track the smooth signal, err ${tail.max}")
+    val again = Adpcm.decodeWav(Adpcm.encodeWav(smooth, 8000))._2
+    assert(again.toSeq === adec.toSeq, "codec is deterministic")
+
+    // cross rejections: each container parser rejects the other's fmt
+    intercept[IllegalArgumentException] {
+      Adpcm.decodeWav(Wav.encode(samples, 8000))
+    }
+    intercept[IllegalArgumentException] {
+      Wav.decode(Adpcm.encodeWav(samples, 8000))
+    }
+    intercept[IllegalArgumentException] {
+      Mulaw.decodeWav(Adpcm.encodeWav(samples, 8000))
+    }
+    // corrupt step index in the ADPCM block header
+    val ima = Adpcm.encodeWav(samples, 8000)
+    val bad = ima.clone()
+    bad(48 + 2) = 99.toByte // idx byte of the block header
+    intercept[IllegalArgumentException] { Adpcm.decodeWav(bad) }
+    intercept[IllegalArgumentException] { Adpcm.decodeWav(ima.take(60)) }
+
+    // the registered queries: contract booleans hold on every row, and
+    // the μ-law codec-law bound holds corpus-wide
+    val mu = q("q_media_mulaw").cache()
+    assert(mu.count() === Tables.documents(spark, sfDir).count())
+    assert(mu.filter(!$"ok" || !$"size_ok").count() === 0)
+    assert(mu.agg(max($"max_err")).collect()(0).getInt(0) <= 1024)
+    val ad = q("q_media_adpcm").cache()
+    assert(ad.count() === Tables.documents(spark, sfDir).count())
+    assert(ad.filter(!$"ok" || !$"size_ok").count() === 0)
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),
