@@ -52,6 +52,8 @@ object Multimodal {
     size_ok: Boolean, r_sum: Long, g_sum: Long, b_sum: Long)
   case class MediaJpeg(doc_id: Long, w: Int, h: Int, ok: Boolean,
     size_ok: Boolean, pix_sum: Long, max_err: Int, abs_err: Long)
+  case class MediaMjpeg(doc_id: Long, n_frames: Int, ok: Boolean,
+    size_ok: Boolean, pix_sum: Long, motion_abs: Long, max_motion: Int)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -876,9 +878,20 @@ object Multimodal {
       * grayscale bytes for 1 component, interleaved RGB for 3.
       */
     def decode(jpg: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-      if (jpg.length < 4 || (jpg(0) & 0xff) != 0xff || (jpg(1) & 0xff) != 0xd8)
+      val (w, h, nc, px, _) = decodeFrom(jpg, 0)
+      (w, h, nc, px)
+    }
+
+    /** [[decode]] from an offset, also returning the position just
+      * past the frame's EOI — the MJPEG stream walk ([[Mjpeg]])
+      * decodes concatenated JFIF frames with it.
+      */
+    def decodeFrom(jpg: Array[Byte],
+        start: Int): (Int, Int, Int, Array[Byte], Int) = {
+      if (jpg.length < start + 4 || (jpg(start) & 0xff) != 0xff ||
+          (jpg(start + 1) & 0xff) != 0xd8)
         fail("not a JPEG (missing SOI)")
-      var i = 2
+      var i = start + 2
       def u8(at: Int): Int = { if (at >= jpg.length) fail("truncated"); jpg(at) & 0xff }
       def u16(at: Int): Int = (u8(at) << 8) | u8(at + 1)
       val qtabs = new Array[Array[Int]](4) // natural order
@@ -1113,7 +1126,7 @@ object Multimodal {
           }
           y += 1
         }
-        (w, h, 1, out)
+        (w, h, 1, out, endPos)
       } else {
         // JFIF YCbCr→RGB in 16-bit fixed point; chroma planes sample by
         // replication (x·hs/maxH) — the documented upsampling dialect
@@ -1145,7 +1158,31 @@ object Multimodal {
           }
           y += 1
         }
-        (w, h, 3, out)
+        (w, h, 3, out, endPos)
+      }
+    }
+
+    /** Motion JPEG: the standard concatenated-JFIF stream form (what
+      * MJPEG-over-HTTP and many AVI payloads carry). Decode = walk
+      * SOI→EOI frames with [[decodeFrom]]; 0xffd8 cannot occur inside
+      * entropy data (stuffing), so frame boundaries are unambiguous.
+      */
+    object Mjpeg {
+      def encode(frames: Seq[(Array[Byte], Int, Int)]): Array[Byte] =
+        frames.toArray.flatMap { case (px, w, h) => Jpeg.encodeGray(px, w, h) }
+
+      /** Returns per-frame (w, h, nComponents, pixels). */
+      def decode(stream: Array[Byte]): Vector[(Int, Int, Int, Array[Byte])] = {
+        if (stream.isEmpty) fail("empty MJPEG stream")
+        val out = Vector.newBuilder[(Int, Int, Int, Array[Byte])]
+        var pos = 0
+        while (pos < stream.length) {
+          val (w, h, nc, px, end) = Jpeg.decodeFrom(stream, pos)
+          out += ((w, h, nc, px))
+          require(end > pos, "frame made no progress")
+          pos = end
+        }
+        out.result()
       }
     }
   }
@@ -1790,10 +1827,58 @@ object Multimodal {
     docRows.union(planted).toDF().orderBy("doc_id")
   }
 
+  /** q_media_mjpeg (round 14): the VIDEO modality's codec goes real —
+    * Motion JPEG as the standard concatenated-JFIF stream (what
+    * MJPEG-over-HTTP and AVI payloads carry), two 16×16 frames per
+    * document: frame 2 is frame 1 cyclically shifted one pixel (the
+    * planted "motion"). The op encodes the stream, WALKS the SOI→EOI
+    * frame boundaries, decodes each frame through the real baseline
+    * JPEG path, and emits temporal features: total decoded pixel sum,
+    * motion energy Σ|f₂−f₁| and the max per-pixel motion — all exact
+    * integers the DuckDB twin replays (the q_media_jpeg staged-integer
+    * pipeline, keyed by frame, joined across frames). The container
+    * walk (a real multi-frame stream, not one image) is the point;
+    * what remains stubbed of video is only inter-frame prediction
+    * (H.26x-class), i.e. the perceptual-transform tier.
+    */
+  private def mjpegRow(id: Long, f1: Array[Byte], jw: Int, jh: Int): MediaMjpeg = {
+    val n = jw * jh
+    val f2 = Array.tabulate(n)(i => f1((i + 1) % n))
+    val stream = Jpeg.Mjpeg.encode(Seq((f1, jw, jh), (f2, jw, jh)))
+    val frames = Jpeg.Mjpeg.decode(stream)
+    val ok = frames.length == 2 &&
+      frames.forall(f => f._1 == jw && f._2 == jh && f._3 == 1)
+    val sizeOk = stream.length <= 4000
+    val d1 = frames(0)._4; val d2 = frames(1)._4
+    var sum = 0L; var mabs = 0L; var mmax = 0
+    var p = 0
+    while (p < d1.length) {
+      sum += (d1(p) & 0xff) + (d2(p) & 0xff)
+      val m = math.abs((d2(p) & 0xff) - (d1(p) & 0xff))
+      mabs += m
+      if (m > mmax) mmax = m
+      p += 1
+    }
+    MediaMjpeg(id, frames.length, ok, sizeOk, sum, mabs, mmax)
+  }
+
+  private def mediaMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jw = 16; val jh = 16
+    val docRows = mediaRows(s, dir).mapPartitions { it =>
+      it.map(r => mjpegRow(r.doc_id, Ppm.tile(r.media, jw * jh), jw, jh))
+    }
+    val planted = Seq(0).toDS().map { _ =>
+      mjpegRow(-1L, Array.tabulate(jw * jh)(i => ((i * 7 + 13) % 256).toByte), jw, jh)
+    }
+    docRows.union(planted).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_png" -> (mediaPng _),
     "q_media_jpeg" -> (mediaJpeg _),
+    "q_media_mjpeg" -> (mediaMjpeg _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
@@ -1964,8 +2049,58 @@ object Multimodal {
       "CAST(sum(abs(pv - v)) AS BIGINT) AS abs_err " +
       "FROM er GROUP BY doc_id ORDER BY doc_id"
 
+  /** q_media_mjpeg twin: the q_media_jpeg staged-integer pipeline
+    * keyed by (doc, frame) — frame 1 = the 16×16 tile, frame 2 = its
+    * one-pixel cyclic shift — then the decoded frames join on the
+    * pixel grid for the motion stats.
+    */
+  private def mjpegOracleSql: String =
+    "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+      "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+      "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+      "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+      "pxs AS MATERIALIZED (SELECT doc_id, f.fr AS fr, t.p AS p, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST(((t.p + f.fr) % 256) % n AS BIGINT) + 1] END AS BIGINT) AS v " +
+      "FROM bylist CROSS JOIN range(0, 256) t(p) CROSS JOIN range(0, 2) f(fr) " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, f.fr AS fr, t.p AS p, " +
+      "CAST((7*((t.p + f.fr) % 256) + 13) % 256 AS BIGINT) AS v " +
+      "FROM range(0, 256) t(p) CROSS JOIN range(0, 2) f(fr)), " +
+      "px AS MATERIALIZED (SELECT doc_id, fr, (p//16)//8*2 + (p%16)//8 AS bi, " +
+      "(p//16)%8 AS y, (p%16)%8 AS x, v, v - 128 AS s FROM pxs), " +
+      s"basis AS (SELECT * FROM (VALUES $jpegBasisValues) b(u, x, bv)), " +
+      s"qt AS (SELECT * FROM (VALUES $jpegQtValues) q(u, v, qv)), " +
+      "i1 AS MATERIALIZED (SELECT p.doc_id, p.fr, p.bi, p.x, b.u AS v, CAST(sum(p.s * b.bv) AS BIGINT) AS iv " +
+      "FROM px p JOIN basis b ON b.x = p.y GROUP BY ALL), " +
+      "rw AS MATERIALIZED (SELECT i.doc_id, i.fr, i.bi, b.u AS u, i.v AS v, CAST(sum(i.iv * b.bv) AS BIGINT) AS rv " +
+      "FROM i1 i JOIN basis b ON b.x = i.x GROUP BY ALL), " +
+      "r2c AS (SELECT doc_id, fr, bi, u, v, " +
+      dhs("rv * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r2v FROM rw), " +
+      "r3c AS (SELECT doc_id, fr, bi, u, v, " +
+      dhs("r2v * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r3v FROM r2c), " +
+      "qc AS MATERIALIZED (SELECT r.doc_id, r.fr, r.bi, r.u, r.v, " +
+      dhs("r.r3v", "4 * CAST(q.qv AS BIGINT) * 100000000") + " * q.qv AS d " +
+      "FROM r3c r JOIN qt q ON q.u = r.u AND q.v = r.v), " +
+      "tt AS MATERIALIZED (SELECT doc_id, fr, bi, u, v, " +
+      dhs("d * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END) * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") +
+      " AS t FROM qc), " +
+      "i2 AS MATERIALIZED (SELECT t.doc_id, t.fr, t.bi, t.u, b.x AS y, " +
+      dhs("CAST(sum(t.t * b.bv) AS BIGINT)", "10000") + " AS iv2 " +
+      "FROM tt t JOIN basis b ON b.u = t.v GROUP BY ALL), " +
+      "r2b AS MATERIALIZED (SELECT i.doc_id, i.fr, i.bi, b.x AS x, i.y AS y, CAST(sum(i.iv2 * b.bv) AS BIGINT) AS rv2 " +
+      "FROM i2 i JOIN basis b ON b.u = i.u GROUP BY ALL), " +
+      "dec AS MATERIALIZED (SELECT doc_id, fr, bi, x, y, " +
+      "GREATEST(0, LEAST(255, " + dhs("rv2", "400000000") + " + 128)) AS pv FROM r2b), " +
+      "mo AS (SELECT e0.doc_id AS doc_id, abs(e1.pv - e0.pv) AS mv " +
+      "FROM (SELECT * FROM dec WHERE fr = 0) e0 JOIN (SELECT * FROM dec WHERE fr = 1) e1 " +
+      "ON e0.doc_id = e1.doc_id AND e0.bi = e1.bi AND e0.x = e1.x AND e0.y = e1.y), " +
+      "ps AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS pix_sum FROM dec GROUP BY doc_id), " +
+      "mg AS (SELECT doc_id, CAST(sum(mv) AS BIGINT) AS motion_abs, CAST(max(mv) AS INT) AS max_motion FROM mo GROUP BY doc_id) " +
+      "SELECT ps.doc_id AS doc_id, CAST(2 AS INT) AS n_frames, TRUE AS ok, TRUE AS size_ok, " +
+      "pix_sum, motion_abs, max_motion FROM ps JOIN mg USING (doc_id) ORDER BY doc_id"
+
   val oracleSql: Map[String, String] = Map(
     "q_media_jpeg" -> jpegOracleSql,
+    "q_media_mjpeg" -> mjpegOracleSql,
     "q_media_mulaw" -> mulawOracleSql,
     "q_media_adpcm" -> adpcmOracleSql,
     "q_multimodal_meta" ->

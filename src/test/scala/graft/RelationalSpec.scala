@@ -544,6 +544,32 @@ class RelationalSpec extends SparkSpec {
     assert(prow.getAs[Long]("pix_sum") === pj.map(b => (b & 0xff).toLong).sum)
     assert(prow.getAs[Long]("abs_err") ===
       pj.indices.map(i => math.abs((pj(i) & 0xff) - (planted16(i) & 0xff)).toLong).sum)
+
+    // MJPEG: the concatenated-JFIF stream walk — frames of DIFFERENT
+    // sizes decode in order, each bit-identical to its solo decode
+    val fA = Array.tabulate(256)(i => ((i * 3 + 7) % 256).toByte)
+    val fB = Array.tabulate(24 * 16)(i => ((i * 5 + 1) % 256).toByte)
+    val stream = Jpeg.Mjpeg.encode(Seq((fA, 16, 16), (fB, 24, 16), (fA, 16, 16)))
+    val fr = Jpeg.Mjpeg.decode(stream)
+    assert(fr.map(f => (f._1, f._2, f._3)) === Vector((16, 16, 1), (24, 16, 1), (16, 16, 1)))
+    assert(fr(0)._4.toSeq === Jpeg.decode(Jpeg.encodeGray(fA, 16, 16))._4.toSeq)
+    assert(fr(1)._4.toSeq === Jpeg.decode(Jpeg.encodeGray(fB, 24, 16))._4.toSeq)
+    assert(fr(2)._4.toSeq === fr(0)._4.toSeq)
+    // garbage between frames and empty streams reject loudly
+    intercept[IllegalArgumentException] {
+      Jpeg.Mjpeg.decode(Jpeg.encodeGray(fA, 16, 16) ++ "junk".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { Jpeg.Mjpeg.decode(Array.emptyByteArray) }
+    // the registered query: contract booleans + the planted motion row
+    // (a one-pixel cyclic shift of a gradient has small per-pixel
+    // motion everywhere except the wrap seam)
+    val gotV = q("q_media_mjpeg").cache()
+    assert(gotV.count() === Tables.documents(spark, sfDir).count() + 1)
+    assert(gotV.filter(!$"ok" || !$"size_ok").count() === 0)
+    val vrow = gotV.filter($"doc_id" === -1L).collect()(0)
+    assert(vrow.getAs[Int]("n_frames") === 2)
+    assert(vrow.getAs[Long]("motion_abs") > 0L,
+      "the planted shift must register as motion")
   }
 
   test("media mulaw/adpcm: real lossy audio codecs — foreign ULAW cross-check, stateful fold, rejections") {
