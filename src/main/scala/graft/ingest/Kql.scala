@@ -833,6 +833,8 @@ object Kql {
           applyNewActivityMetrics(df, inner)
         case TIdent("evaluate") +: TIdent("funnel_sequence_completion") +: TSym("(") +: inner :+ TSym(")") =>
           applyFunnelCompletion(df, inner)
+        case TIdent("evaluate") +: TIdent("sliding_window_counts") +: TSym("(") +: inner :+ TSym(")") =>
+          applySlidingWindow(df, inner)
         case TIdent("evaluate") +: TIdent("sequence_detect") +: TSym("(") +: inner :+ TSym(")") =>
           applySequenceDetect(df, inner)
         case TIdent("evaluate") +: TIdent("dcount_intersect") +: TSym("(") +: inner :+ TSym(")") =>
@@ -2047,6 +2049,50 @@ object Kql {
           when(col("dcount_outer") > 0,
             col("dcount_inner").cast("double") / col("dcount_outer").cast("double"))
             .otherwise(lit(0.0)))
+    }
+
+    /** ADX `evaluate sliding_window_counts(IdColumn, TimelineColumn,
+      * Start, End, LookbackWindow, Bin)` (round 14) — per timeline
+      * bin, the event count and the distinct-actor count over the
+      * TRAILING lookback window (the "active in the last N days"
+      * dashboard row). The 100 TB shape is the engagement trick: the
+      * corpus collapses once to per-bin counts / distinct (actor, bin)
+      * pairs, and the sliding window is the bounded ≤(lookback/bin)×
+      * fanout of those — never a rescan, never a row-frame window over
+      * the corpus. Lookback must be a multiple of Bin (the ADX grid
+      * contract); bins emit zero-filled over [Start, End).
+      */
+    private def applySlidingWindow(df: DataFrame, toks: Vector[Tok]): DataFrame = {
+      val args = splitOn(toks, TSym(","))
+      if (args.length != 6)
+        fail("sliding_window_counts(IdColumn, TimelineColumn, Start, End, LookbackWindow, Bin)")
+      val lookUs = args(4) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"sliding_window_counts LookbackWindow must be a positive timespan, got $o")
+      }
+      val binUs = args(5) match {
+        case Vector(TSpan(us)) if us > 0 => us
+        case o => fail(s"sliding_window_counts Bin must be a positive timespan, got $o")
+      }
+      if (lookUs % binUs != 0)
+        fail("sliding_window_counts LookbackWindow must be a multiple of Bin")
+      val r = (lookUs / binUs).toInt
+      val (inRange, fromUs, toUs) = activityBase(df, args, binUs)
+      // an event in bin b is window-visible for bins b .. b+r-1
+      val cnts = inRange.groupBy("__b").agg(count(lit(1)).as("__c"))
+        .select(col("__c"), explode(sequence(col("__b"),
+          col("__b") + lit((r - 1) * binUs), lit(binUs))).as("__b"))
+        .groupBy("__b").agg(sum(col("__c")).as("__cnt"))
+      val dcnt = inRange.distinct()
+        .select(col("__id"), explode(sequence(col("__b"),
+          col("__b") + lit((r - 1) * binUs), lit(binUs))).as("__b"))
+        .groupBy("__b").agg(countDistinct(col("__id")).as("__d"))
+      activityGrid(df.sparkSession, fromUs, toUs, binUs)
+        .join(cnts, Seq("__b"), "left")
+        .join(dcnt, Seq("__b"), "left")
+        .select(col("__b").as("bin_us"),
+          coalesce(col("__cnt"), lit(0L)).as("count_"),
+          coalesce(col("__d"), lit(0L)).as("dcount"))
     }
 
     /** ADX `evaluate new_activity_metrics(Id, Timeline, Start, End,

@@ -2218,6 +2218,19 @@ object Relational {
         "dynamic(['view', 'click', 'purchase']), 3d)")
   }
 
+  /** ADX `evaluate sliding_window_counts` (round 14) — per-day event
+    * count and distinct-user count over a trailing 7-day window (the
+    * "active in the last week" dashboard row; see applySlidingWindow
+    * for the bounded-fanout scale shape).
+    */
+  private def kqlSlidingwin(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | evaluate sliding_window_counts(user_id, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-31), 7d, 1d) " +
+        "| sort by bin_us asc")
+  }
+
   /** ADX `evaluate sequence_detect` (round 14, VERDICT r13 #4) — the
     * per-user view→click→purchase sequence with a 7-day step window
     * and a 30-day total span, earliest-anchor (see
@@ -2966,6 +2979,7 @@ object Relational {
     "q_kql_funnel" -> (kqlFunnel _),
     "q_kql_seqdetect" -> (kqlSeqdetect _),
     "q_kql_dcountint" -> (kqlDcountint _),
+    "q_kql_slidingwin" -> (kqlSlidingwin _),
     "q_kql_basket" -> (kqlBasket _),
     "q_kql_autocluster" -> (kqlAutocluster _),
     "q_kql_others" -> (kqlOthers _),
@@ -3625,6 +3639,22 @@ object Relational {
         "FROM events WHERE user_id IS NOT NULL GROUP BY user_id) " +
         "SELECT CAST(sum(f0) AS BIGINT) AS s0, CAST(sum(f0*f1) AS BIGINT) AS s1, " +
         "CAST(sum(f0*f1*f2) AS BIGINT) AS s2 FROM f"),
+    // the sliding-window twin: per-bin counts / distinct (id, bin)
+    // pairs fan out ≤7× onto the trailing-window targets, zero-filled
+    // over the [Start, End) grid
+    "q_kql_slidingwin" ->
+      ("WITH e AS (SELECT user_id AS id, " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'), " +
+        "cn AS (SELECT b, count(*) AS c FROM e GROUP BY b), " +
+        "cne AS (SELECT b + k * 86400000000 AS t, c FROM cn CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks), " +
+        "cnt AS (SELECT t AS b, CAST(sum(c) AS BIGINT) AS cnt FROM cne GROUP BY t), " +
+        "dp AS (SELECT DISTINCT id, b FROM e), " +
+        "de AS (SELECT DISTINCT id, b + k * 86400000000 AS t FROM dp CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks), " +
+        "dc AS (SELECT t AS b, CAST(count(*) AS BIGINT) AS d FROM de GROUP BY t), " +
+        "grid AS (SELECT unnest(range(1704067200000000, 1706659200000000, 86400000000)) AS b) " +
+        "SELECT g.b AS bin_us, COALESCE(cnt.cnt, 0) AS count_, COALESCE(dc.d, 0) AS dcount " +
+        "FROM grid g LEFT JOIN cnt ON g.b = cnt.b LEFT JOIN dc ON g.b = dc.b ORDER BY bin_us"),
     "q_kql_engagement" ->
       ("WITH e AS (SELECT DISTINCT user_id AS id, " +
         "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - 1704067200000000) % 86400000000) AS b FROM events " +

@@ -1192,6 +1192,31 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("sliding_window_counts: trailing-window fanout, zero fill, grid contract") {
+    def d(day: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse(f"2024-01-$day%02dT06:00:00Z").toEpochMilli)
+    // uid 1 active days 1 and 2; uid 2 active day 1 (twice); nothing after
+    Seq((1L, d(1)), (1L, d(2)), (2L, d(1)), (2L, d(1)))
+      .toDF("uid", "ts_ts").createOrReplaceTempView("kql_swc_t")
+    val got = Kql.translate(spark,
+      "kql_swc_t | evaluate sliding_window_counts(uid, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-06), 2d, 1d) | sort by bin_us asc")
+      .as[(Long, Long, Long)].collect().toSeq
+    val day1 = 1704067200000000L
+    val dayUs = 86400000000L
+    // day 1: 3 events, 2 actors; day 2: window = days 1-2 → 4 events,
+    // 2 actors; day 3: window = days 2-3 → 1 event, 1 actor; days 4-5
+    // zero-fill
+    assert(got === Seq(
+      (day1, 3L, 2L), (day1 + dayUs, 4L, 2L), (day1 + 2 * dayUs, 1L, 1L),
+      (day1 + 3 * dayUs, 0L, 0L), (day1 + 4 * dayUs, 0L, 0L)))
+    // lookback must be a multiple of the bin
+    intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_swc_t | evaluate sliding_window_counts(uid, ts_ts, " +
+        "datetime(2024-01-01), datetime(2024-01-06), 36h, 1d)")
+    }
+  }
+
   test("scan repeats: consecutive absorption, run breaks, stalls, and rejections") {
     Seq(
       // uid 1: view burst (1,2), interloper click at 3 breaks nothing —
