@@ -1498,6 +1498,10 @@ object Multimodal {
             require(len >= 20, "missing IMA extension fields")
             bb.getShort() // cbSize
             nSamples = bb.getShort() & 0xffff
+            // two samples per byte: an odd declared count would walk the
+            // nibble loop past the output array (crafted-header hazard)
+            require(nSamples % 2 == 0,
+              "odd sample count unsupported (two samples per byte)")
           case "data" =>
             require(nSamples >= 0, "data chunk before fmt")
             require(len >= 4 + nSamples / 2, "truncated ADPCM block")

@@ -3649,7 +3649,10 @@ object Relational {
         "cn AS (SELECT b, count(*) AS c FROM e GROUP BY b), " +
         "cne AS (SELECT b + k * 86400000000 AS t, c FROM cn CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks), " +
         "cnt AS (SELECT t AS b, CAST(sum(c) AS BIGINT) AS cnt FROM cne GROUP BY t), " +
-        "dp AS (SELECT DISTINCT id, b FROM e), " +
+        // id IS NOT NULL: Spark's countDistinct drops null ids, DuckDB's
+        // count(*) over the distinct pairs would keep one (latent — the
+        // fixture has no null user_ids; the r13 null-guard rule)
+        "dp AS (SELECT DISTINCT id, b FROM e WHERE id IS NOT NULL), " +
         "de AS (SELECT DISTINCT id, b + k * 86400000000 AS t FROM dp CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks), " +
         "dc AS (SELECT t AS b, CAST(count(*) AS BIGINT) AS d FROM de GROUP BY t), " +
         "grid AS (SELECT unnest(range(1704067200000000, 1706659200000000, 86400000000)) AS b) " +

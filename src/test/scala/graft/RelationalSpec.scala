@@ -655,6 +655,13 @@ class RelationalSpec extends SparkSpec {
     bad(48 + 2) = 99.toByte // idx byte of the block header
     intercept[IllegalArgumentException] { Adpcm.decodeWav(bad) }
     intercept[IllegalArgumentException] { Adpcm.decodeWav(ima.take(60)) }
+    // an ODD declared sample count would walk the nibble loop past the
+    // output array — rejected at the header, not an array crash
+    val odd = ima.clone()
+    odd(38) = ((n - 1) & 0xff).toByte // samplesPerBlock low byte
+    odd(39) = (((n - 1) >> 8) & 0xff).toByte
+    val oddErr = intercept[IllegalArgumentException] { Adpcm.decodeWav(odd) }
+    assert(oddErr.getMessage.contains("odd sample count"))
 
     // the registered queries: contract booleans hold on every row, and
     // the μ-law codec-law bound holds corpus-wide
