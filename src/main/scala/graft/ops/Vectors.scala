@@ -1646,17 +1646,35 @@ object Vectors {
     // delta against 'ivfpq' is attributable to the split alone. One
     // extra PQ fit + ADC pass; codes/codebooks are rotated-space.
     val uDf = opqHouseholder(s, dir).localCheckpoint(true)
-    val resR = rotate(
-      a2.join(broadcast(c2), "c")
-        .select(col("vec_id"), col("c").as("cl"),
-          zip_with(col("embedding"), col("centroid"),
-            (a, b) => a.cast("double") - b).as("remb")),
-      "remb", uDf)
-    val (pa2Rr, pcb2Rr) = pqFit(subspaces(resR, "remb", 4), PqCodewords)
-    val pcb2R = pcb2Rr.localCheckpoint(true)
-    val codesR = pa2Rr.select(col("vec_id"), col("m"), col("c").as("code"))
-      .localCheckpoint(true)
-    val ivfpqOpq = {
+    // when the learned rotation is the IDENTITY (u = 0 — the isotropy
+    // trigger's verdict on this corpus), H·x = x and the rotated index
+    // is bit-identical to the base one BY CONSTRUCTION: skip the
+    // second fit and serve the branch from the already-scored frame (a
+    // bounded 1-row driver read steers the plan — the toscalar class).
+    // The r14 gates verified the equality the hard way first: both
+    // branches computed independently hash-matched at sf0.01, ~sf1
+    // adversarial, AND ~sf1 clustered before this fast path landed;
+    // the DuckDB twin still replays the full rotated chain. On an
+    // anisotropic corpus the second fit runs — the cost buys recall
+    // only when the rotation is engaged.
+    val rotationIsIdentity = uDf
+      .select(expr("aggregate(u, 0D, (a, b) -> a + abs(b))").as("s"))
+      .head().getDouble(0) == 0.0
+    val ivfpqOpq = if (rotationIsIdentity) ivfpq else {
+      // materialize the rotated residuals AND the rotated fit eagerly:
+      // codes and codebooks are consumed by SEPARATE actions, and
+      // exchange reuse does not span actions — without the pins the
+      // two Lloyd passes and the rotate re-derived per consumer
+      val resR = rotate(
+        a2.join(broadcast(c2), "c")
+          .select(col("vec_id"), col("c").as("cl"),
+            zip_with(col("embedding"), col("centroid"),
+              (a, b) => a.cast("double") - b).as("remb")),
+        "remb", uDf).localCheckpoint(true)
+      val (pa2Rr, pcb2R) =
+        pqFit(subspaces(resR, "remb", 4), PqCodewords, checkpointFit = true)
+      val codesR = pa2Rr.select(col("vec_id"), col("m"), col("c").as("code"))
+        .localCheckpoint(true)
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val pbR = c2.crossJoin(broadcast(qp))
