@@ -331,6 +331,65 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class DocEv(doc_id: Long, source: String, lang: String)
+  case class KlOut(source: String, n_docs: Long, kl_nats: Double)
+
+  /** STREAMING KL drift monitor (round 14) — q_drift_kl maintained
+    * incrementally, completing the drift battery's streaming trilogy
+    * (KL here, KS and PSI beside it): per SOURCE (the key), a MapState
+    * of language counts (bounded by the language domain); every
+    * micro-batch folds its documents in and re-emits the source's
+    * refreshed KL divergence against the BROADCAST corpus language
+    * histogram (Update mode). The formula is byte-identical to the
+    * batch query's: add-one smoothing over the CORPUS language domain
+    * (the batch grid = sources × corpus langs, zero-filled), per-term
+    * 8-dp Spark-round (BigDecimal.valueOf HALF_UP — the PSI-monitor
+    * rule), the exact-decimal term sum, decimal→double cast before the
+    * final 6-dp round — so a source that has seen all its documents
+    * reads EXACTLY the batch q_drift_kl row (StreamingSpec pins the
+    * parity). State is O(|langs|) per live source.
+    */
+  class KlMonitorProcessor(ref: Map[String, Long])
+      extends StatefulProcessor[String, DocEv, KlOut] {
+    @transient private var langs: MapState[String, Long] = _
+    private val nn = ref.values.sum
+    private val nlangs = ref.size.toLong
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      langs = getHandle.getMapState[String, Long]("langs",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[DocEv],
+        timerValues: TimerValues): Iterator[KlOut] = {
+      rows.foreach { d =>
+        langs.updateValue(d.lang,
+          (if (langs.containsKey(d.lang)) langs.getValue(d.lang) else 0L) + 1L)
+      }
+      val cur = langs.iterator().map(p => p._1 -> p._2).toMap
+      val ns = cur.values.sum
+      def sparkRound(x: Double, s: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+      val total = ref.keysIterator.toSeq.sorted.map { l =>
+        val p = (cur.getOrElse(l, 0L) + 1).toDouble / (ns + nlangs)
+        val q = (ref(l) + 1).toDouble / (nn + nlangs)
+        BigDecimal(sparkRound(p * math.log(p / q), 8)).setScale(8)
+      }.sum
+      Iterator.single(KlOut(source, ns, sparkRound(total.toDouble, 6)))
+    }
+  }
+
+  /** `transformWithState` wiring for [[KlMonitorProcessor]], keyed by
+    * document source.
+    */
+  def klMonitorStream(docs: Dataset[DocEv],
+      ref: Map[String, Long]): Dataset[KlOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new KlMonitorProcessor(ref),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class KsCell(ca: Long, cb: Long)
   case class KsOut(window_day: Long, n_a: Long, n_b: Long, ks_stat: Double,
       crit_05: Double, reject_h0: Boolean)

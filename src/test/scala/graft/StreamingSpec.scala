@@ -172,6 +172,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KL monitor converges to the batch drift statistic per source") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reference = the corpus language histogram (the batch grid's
+      // q side); streamed = every document, keyed by source
+      val ref = Tables.documents(spark, sfDir)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"source", $"lang")
+        .as[StreamOps.DocEv].collect()
+      val input = MemoryStream[StreamOps.DocEv]
+      val q2 = StreamOps.klMonitorStream(input.toDS(), ref).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("klmon_spec").start()
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      val emissions = spark.table("klmon_spec").as[StreamOps.KlOut].collect()
+      // final (max-n) emission per source must equal the batch row
+      val fin = emissions.groupBy(_.source).view.mapValues(_.maxBy(_.n_docs)).toMap
+      val batch = q("q_drift_kl").collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val src = r.getAs[String]("source")
+        assert(fin(src).n_docs === r.getAs[Long]("n_docs"), s"$src n_docs")
+        assert(fin(src).kl_nats === r.getAs[Double]("kl_nats"),
+          s"$src: converged streaming KL must equal the batch statistic")
+      }
+      // incremental: more emissions than sources
+      assert(emissions.length > fin.size)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KS monitor converges to the batch drift statistic") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
