@@ -1936,14 +1936,20 @@ object Kql {
       val boundsOk = (litBoundUs(args(2)), litBoundUs(args(3))) match {
         case (Some(f), Some(t)) => t > f
         case _ =>
-          // evaluate exotic bound expressions against df itself (one
-          // row suffices) so a bound referencing an input column still
-          // resolves — range(1) would fail analysis on it (ADVICE
-          // r13). An EMPTY input passes vacuously: the plugin output
-          // is empty regardless, and there is no row to bind against.
-          val probe = df.limit(1)
-            .select(coalesce(toUs > fromUs, lit(false)).as("ok")).collect()
-          probe.isEmpty || probe(0).getBoolean(0)
+          // evaluate exotic bound expressions against df itself so a
+          // bound referencing an input column still resolves —
+          // range(1) would fail analysis on it (ADVICE r13). The
+          // verdict must be ROW-INDEPENDENT (a limit(1) probe picks an
+          // arbitrary row; ADVICE r14), so aggregate: min over
+          // booleans = bool_and — Start < End must hold against EVERY
+          // row the bound could bind to. One map-side-combinable pass,
+          // and only on the exotic-bound fallback path (literal bounds
+          // fold driver-side above). An EMPTY input passes vacuously
+          // (null min): the plugin output is empty regardless.
+          val probe = df
+            .select(coalesce(toUs > fromUs, lit(false)).as("ok"))
+            .agg(min(col("ok")).as("ok")).collect()
+          probe(0).isNullAt(0) || probe(0).getBoolean(0)
       }
       if (!boundsOk)
         fail("activity plugin requires Start < End (and both parseable as datetime)")
@@ -2076,6 +2082,14 @@ object Kql {
       }
       if (lookUs % binUs != 0)
         fail("sliding_window_counts LookbackWindow must be a multiple of Bin")
+      // the lookback/bin ratio IS the per-row fanout factor of the
+      // window explode below — validate it BEFORE the .toInt narrowing
+      // (a sub-second Bin with a long Lookback would wrap negative and
+      // die in sequence() instead of here; ADVICE r14), and cap it so
+      // the fanout stays sane
+      if (lookUs / binUs > 1000000L)
+        fail(s"sliding_window_counts LookbackWindow/Bin ratio ${lookUs / binUs} " +
+          "exceeds the supported window fanout (1e6 bins per lookback)")
       val r = (lookUs / binUs).toInt
       val (inRange, fromUs, toUs) = activityBase(df, args, binUs)
       // an event in bin b is window-visible for bins b .. b+r-1
@@ -2396,10 +2410,13 @@ object Kql {
       * funnel conditional-min chain: step k's event is the EARLIEST row
       * satisfying Expr_k strictly after step k−1's event and within
       * MaxSequenceStepWindow of it; a detected sequence must span at
-      * most MaxSequenceSpan end to end. DIALECT: earliest-anchor, one
-      * occurrence per entity (the applyFunnelCompletion rule — ADX can
-      * re-detect after completion; the first occurrence is the one
-      * retention/abuse queries act on), and timelines emit as epoch-µs
+      * most MaxSequenceSpan end to end. DIALECT: earliest-anchor —
+      * which CAN UNDER-DETECT vs ADX: fixing step k to the earliest
+      * satisfying row can miss a sequence a LATER anchor would have
+      * completed within the step window (greedy, not backtracking) —
+      * and one occurrence per entity (the applyFunnelCompletion rule —
+      * ADX can re-detect after completion; the first occurrence is the
+      * one retention/abuse queries act on). Timelines emit as epoch-µs
       * columns s1_timeline…sN_timeline plus duration_us (the
       * q_kql_timebin convention). Trailing plain-column args are the
       * Dims; everything between the span and the Dims must be a

@@ -916,10 +916,18 @@ object Multimodal {
         }
         val prec = u8(at)
         if (prec != 8) fail(s"unsupported sample precision $prec (8-bit only)")
+        if (comps != null)
+          fail("duplicate SOF marker (frame parameters already set)")
         h = u16(at + 1); w = u16(at + 3)
         if (w <= 0 || h <= 0) fail("bad dimensions")
-        if (3L * w * h > (1L << 28))
-          fail(s"dimensions ${w}x$h exceed the supported pixel budget")
+        // budget the ALLOCATION, not the pixel count: decodeScan
+        // allocates Int planes (4 B/sample, up to 3 components) plus
+        // the 3-byte RGB assembly — cap the worst case (12 B/px of
+        // planes + 3 B/px output, ~15 B/px) at 256 MiB so a crafted
+        // ~200-byte header cannot drive GiB-scale allocation before
+        // any entropy data is validated (ADVICE r14)
+        if (15L * w * h > (1L << 28))
+          fail(s"dimensions ${w}x$h exceed the supported allocation budget")
         val nf = u8(at + 5)
         if (nf == 4) fail("4-component (Adobe CMYK/YCCK) JPEG unsupported")
         if (nf != 1 && nf != 3) fail(s"unsupported component count $nf (1 or 3)")

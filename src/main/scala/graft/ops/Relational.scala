@@ -258,7 +258,17 @@ object Relational {
       .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
       .select("p_partkey", "p_brand")
     // the partsupp stand-in: min unit price per (part, supplier) pair
+    // — SEMI-RESTRICTED to the broadcast candidate key sets BEFORE the
+    // aggregate (round 15; the same shape as the r13 Q17 fix): the
+    // unrestricted (part, supp) aggregate was this query's dominant
+    // shuffle for a result the candidate joins then mostly discard.
+    // Both predicates are pair attributes, so every line of a
+    // surviving pair survives — the per-pair min is unchanged.
     val ps = Tables.lineitem(s, dir)
+      .join(broadcast(parts.select(col("p_partkey").as("cand_partkey"))),
+        col("l_partkey") === col("cand_partkey"), "left_semi")
+      .join(broadcast(supp.select(col("s_suppkey").as("cand_suppkey"))),
+        col("l_suppkey") === col("cand_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val regionalCost = ps
@@ -3362,7 +3372,8 @@ object Relational {
       ("WITH rn AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
         "s AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier JOIN rn ON s_nationkey = n_nationkey), " +
         "p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'LARGE' AND p_size <= 10), " +
-        "ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost FROM lineitem GROUP BY 1, 2), " +
+        "ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost FROM lineitem " +
+        "WHERE l_partkey IN (SELECT p_partkey FROM p) AND l_suppkey IN (SELECT s_suppkey FROM s) GROUP BY 1, 2), " +
         "rc AS MATERIALIZED (SELECT p.p_partkey, p.p_brand, ps.l_suppkey, ps.cost FROM ps " +
         "JOIN s ON ps.l_suppkey = s.s_suppkey JOIN p ON ps.l_partkey = p.p_partkey), " +
         "mc AS (SELECT p_partkey AS mc_partkey, min(cost) AS min_cost FROM rc GROUP BY 1) " +

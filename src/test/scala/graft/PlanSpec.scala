@@ -127,6 +127,12 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), p2.take(800))
     assert(p2.contains("BroadcastHashJoin"), p2.take(800))
     assert(p2.contains("TakeOrderedAndProject"), p2.take(800))
+    // r14 advisory: the partsupp stand-in aggregate must be
+    // semi-restricted to the broadcast candidate keys BEFORE the
+    // (part, supp) groupBy — the restriction rides as broadcast
+    // LeftSemi joins under the pair aggregate, so the query's dominant
+    // shuffle carries candidate pairs only
+    assert(p2.contains("LeftSemi"), p2.take(1600))
     // Q7: both nation-keyed dims ride broadcasts; the only fact⋈fact
     // shuffle is lineitem ⋈ orders
     val p7 = finalPlan("q_tpch_q7")
