@@ -250,49 +250,66 @@ object Vectors {
     * production training loop would persist the assignment per round
     * (the dupClusters localCheckpoint pattern).
     */
-  private def kmeansFit(e: DataFrame): (DataFrame, DataFrame) = {
+  // per-cluster dimension-wise mean, assembled into an ordered array
+  private def kmCentroids(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    assigned.select(col("c"), posexplode(col("embedding")))
+      .groupBy("c", "pos")
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(18, 8))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .groupBy("c")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+  }
 
+  // nearest-centroid assignment: the WHOLE centroid table packs into
+  // ONE c-sorted array row (a few KB) broadcast onto the corpus, and
+  // the argmax runs as a single codegen'd projection loop per vector
+  // (graft.functions.ArgmaxCosine — identical cosine accumulation and
+  // lowest-c tie-break, so the crossJoin-replaying oracles hold). The
+  // crossJoin + max_by twin materializes N × nlist joined rows per
+  // pass — with nlist = √N that is N^1.5 rows of join traffic at
+  // scale; this form has no row explosion and nothing to re-aggregate
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("c"), col("centroid")))).as("cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+        e.sparkSession, col("embedding"), col("cents")))
+      .select(col("vec_id"), col("embedding"),
+        col("best.c").as("c"), col("best.cos").as("cos"))
+  }
+
+  private def kmeansFit(e: DataFrame): (DataFrame, DataFrame) = {
     // nlist ≈ √N, derived from the corpus itself as a broadcast 1-row
     // scalar (never a driver-side collect): each inverted list stays
     // ≈ √N members as the corpus grows, so a probe's exact-search cost
     // is √N-bounded — a fixed test knob (the old k = 8) makes per-list
     // scans grow LINEARLY with corpus size instead
     val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
-
-    // per-cluster dimension-wise mean, assembled into an ordered array
-    def centroids(assigned: DataFrame): DataFrame =
-      assigned.select(col("c"), posexplode(col("embedding")))
-        .groupBy("c", "pos")
-        .agg((sum(col("col").cast(DoubleType).cast(DecimalType(18, 8))).cast(DoubleType) /
-          count(lit(1))).as("m"))
-        .groupBy("c")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-
-    // nearest-centroid assignment: the WHOLE centroid table packs into
-    // ONE c-sorted array row (a few KB) broadcast onto the corpus, and
-    // the argmax runs as a single codegen'd projection loop per vector
-    // (graft.functions.ArgmaxCosine — identical cosine accumulation and
-    // lowest-c tie-break, so the crossJoin-replaying oracles hold). The
-    // crossJoin + max_by twin materializes N × nlist joined rows per
-    // pass — with nlist = √N that is N^1.5 rows of join traffic at
-    // scale; this form has no row explosion and nothing to re-aggregate
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents.agg(
-        sort_array(collect_list(struct(col("c"), col("centroid")))).as("cents"))
-      e.crossJoin(broadcast(packed))
-        .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
-          e.sparkSession, col("embedding"), col("cents")))
-        .select(col("vec_id"), col("embedding"),
-          col("best.c").as("c"), col("best.cos").as("cos"))
-    }
-
     val a0 = e.crossJoin(broadcast(nlist))
       .withColumn("c", (col("vec_id") % col("nlist")).cast("int"))
       .drop("nlist")
-    val c2 = centroids(assign(centroids(a0)))
-    (assign(c2), c2)
+    val c2 = kmCentroids(kmAssign(e, kmCentroids(a0)))
+    (kmAssign(e, c2), c2)
+  }
+
+  /** Continue Lloyd from an existing assignment for `rounds` more
+    * (centroids ∘ assign) passes — Lloyd is Markovian, so 2 continued
+    * rounds over [[kmeansFit]]'s output ARE the 4-round fit from the
+    * same init, and the recall panel's improved-coarse branches reuse
+    * the already-materialized 2-round state instead of refitting from
+    * scratch. Returns (final assignment, final centroid table).
+    */
+  private def kmeansContinue(e: DataFrame, a: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    var cur = a
+    var cents: DataFrame = null
+    for (_ <- 0 until rounds) {
+      cents = kmCentroids(cur)
+      cur = kmAssign(e, cents)
+    }
+    (cur, cents)
   }
 
   private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -1009,13 +1026,13 @@ object Vectors {
     * codes (vec_id, m, code), list assignments (vec_id, cl).
     */
   private def ivfPqIndexTables(a2: DataFrame, c2: DataFrame,
-      checkpointFit: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      checkpointFit: Boolean = false, m: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     val res = a2.join(broadcast(c2), "c")
       .select(col("vec_id"), col("c").as("cl"),
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("remb"))
     val (pa2, pcb2) =
-      pqFit(subspaces(res, "remb", 4), PqCodewords, checkpointFit)
+      pqFit(subspaces(res, "remb", m), PqCodewords, checkpointFit)
     (pcb2, pa2.select(col("vec_id"), col("m"), col("c").as("code")),
       res.select(col("vec_id"), col("cl")))
   }
@@ -1502,10 +1519,9 @@ object Vectors {
     */
   private def ivfPqPanelServe(s: SparkSession, c2: DataFrame,
       pcb2: DataFrame, codes: DataFrame, asgn: DataFrame, qp: DataFrame,
-      mult: Int): (DataFrame, DataFrame) = {
+      mult: Int, m: Int = 4): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val m = 4
     val ranked = c2.crossJoin(broadcast(qp))
       .select(col("qid"), col("qv"), col("c").as("cl"), col("centroid"),
         cos(s, col("centroid"), col("qv")).as("ls"))
@@ -1579,7 +1595,7 @@ object Vectors {
       .select("qid", "vec_id")
   }
 
-  /** Per-(method, qid) candidate sets of all seven index branches —
+  /** Per-(method, qid) candidate sets of all fourteen index branches —
     * the harness core, exposed for the spec that asserts the
     * structural law recall(rerank) ≥ recall(ivfpq) PER QUERY.
     */
@@ -1589,7 +1605,7 @@ object Vectors {
     val qp = panelQ(e)
     // ONE coarse fit and ONE PQ fit feed every index branch — and the
     // shared artifacts MATERIALIZE (localCheckpoint) before fanning
-    // out: ten branches consume them through differently-pruned
+    // out: the branches consume them through differently-pruned
     // lineages, and exchange reuse alone left the executed plan
     // re-deriving the Lloyd passes per branch (311 parquet scans
     // measured; with the fit pinned the branches read bounded
@@ -1705,9 +1721,53 @@ object Vectors {
       topPerQ(scoredR, Seq(col("adc").asc, col("vec_id")), 10)
         .select("qid", "vec_id")
     }
+    // the two quantizer levers (round 15), priced separately and then
+    // composed — the ~sf1 panel showed recall is PROBE-bound under the
+    // M=4 codes, and the numpy-free in-engine pricing follows the same
+    // discipline as the OPQ branch: measure, don't assert.
+    // (a) ivfpq_m8 — M = d/8 = 8 PQ subspaces on the SAME base coarse
+    //     lists at the SAME derived probes (8 B/vector vs 4): any
+    //     recall delta against 'ivfpq' is attributable to the finer
+    //     subspace split alone. One extra PQ fit + ADC pass.
+    val (pcb8r, codes8r, _) = ivfPqIndexTables(a2, c2, m = 8)
+    val pcb8 = pcb8r.localCheckpoint(true)
+    val codes8 = codes8r.localCheckpoint(true)
+    val (scores8r, _) =
+      ivfPqPanelServe(s, c2, pcb8, codes8, asgn, qp, mult = 1, m = 8)
+    val scores8 = scores8r.localCheckpoint(true)
+    val ivfpqM8 = topPerQ(scores8, Seq(col("adc").asc, col("vec_id")), 10)
+      .select("qid", "vec_id")
+    // (b) ivf_l4 — the coarse quantizer at DOUBLE the Lloyd budget
+    //     (2 continued rounds over the materialized 2-round state =
+    //     the 4-round fit), exact distances at the derived probes:
+    //     the new probe-bound CEILING row. List quality, not code
+    //     quality, is what this prices.
+    val (a4r, c4r) = kmeansContinue(e, a2, 2)
+    val a4 = a4r.localCheckpoint(true)
+    val c4 = c4r.localCheckpoint(true)
+    val ivfL4 = ivfPanel(s, a4, c4, qp)
+    // (a)+(b) rerank_l4m8 — the composed serving point: M=8 codes on
+    //     the 4-round coarse residuals, derived probes, derived
+    //     shortlist, exact re-rank. This is the operating point the
+    //     panel prices against 'rerank' (the current serving default).
+    val (pcbL8r, codesL8r, asgnL8r) = ivfPqIndexTables(a4, c4, m = 8)
+    val pcbL8 = pcbL8r.localCheckpoint(true)
+    val codesL8 = codesL8r.localCheckpoint(true)
+    val asgnL8 = asgnL8r.localCheckpoint(true)
+    val (scoresL8r, _) =
+      ivfPqPanelServe(s, c4, pcbL8, codesL8, asgnL8, qp, mult = 1, m = 8)
+    val scoresL8 = scoresL8r.localCheckpoint(true)
+    val shortL8 = topPerQCut(scoresL8, Seq(col("adc").asc, col("vec_id")), slDf)
+    val rerankL8 = panelRerank(s, shortL8, e, qp)
     lshPanel(s, e, qp).select(lit("lsh").as("method"), col("qid"), col("vec_id"))
       .unionByName(ivfPanel(s, a2, c2, qp)
         .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivfL4
+        .select(lit("ivf_l4").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivfpqM8
+        .select(lit("ivfpq_m8").as("method"), col("qid"), col("vec_id")))
+      .unionByName(rerankL8
+        .select(lit("rerank_l4m8").as("method"), col("qid"), col("vec_id")))
       .unionByName(ivfpq
         .select(lit("ivfpq").as("method"), col("qid"), col("vec_id")))
       .unionByName(ivfpqOpq
@@ -2074,19 +2134,23 @@ object Vectors {
   /** The two unrolled Lloyd rounds per subspace over `src`
     * (vec_id, cl, remb), every CTE suffixed `x` — so the recall
     * panel's OPQ branch replays the identical fit over the ROTATED
-    * residual table without name collisions.
+    * residual table, and the M=8 branches (round 15) replay it at the
+    * finer subspace split, all without name collisions. `m` is the
+    * subspace count (subDim = 64/m).
     */
-  private def pqFitCtesOn(src: String, x: String): String =
-    s"rsub$x AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * 16 + 1 AS INT):CAST(mm.m * 16 + 16 AS INT)] AS sv FROM $src CROSS JOIN range(0, 4) mm(m)), " +
+  private def pqFitCtesOn(src: String, x: String, m: Int = 4): String = {
+    val subDim = dim / m
+    s"rsub$x AS MATERIALIZED (SELECT vec_id, cl, CAST(mm.m AS INT) AS m, remb[CAST(mm.m * $subDim + 1 AS INT):CAST(mm.m * $subDim + $subDim AS INT)] AS sv FROM $src CROSS JOIN range(0, $m) mm(m)), " +
       s"p0$x AS MATERIALIZED (SELECT vec_id, m, sv, CAST(vec_id % $PqCodewords AS INT) AS c FROM rsub$x), " +
-      s"pce1$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0$x CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      s"pce1$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM p0$x CROSS JOIN range(1, ${subDim + 1}) t(pos) GROUP BY 1, 2, 3), " +
       s"pcb1$x AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce1$x GROUP BY m, c), " +
       s"pd1$x AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub$x s JOIN pcb1$x b USING (m)), " +
       s"pa1$x AS MATERIALIZED (SELECT vec_id, m, sv, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd1$x) WHERE rn = 1), " +
-      s"pce2$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1$x CROSS JOIN range(1, 17) t(pos) GROUP BY 1, 2, 3), " +
+      s"pce2$x AS MATERIALIZED (SELECT m, c, t.pos AS pos, CAST(sum(CAST(sv[CAST(t.pos AS INT)] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu FROM pa1$x CROSS JOIN range(1, ${subDim + 1}) t(pos) GROUP BY 1, 2, 3), " +
       s"pcb2$x AS MATERIALIZED (SELECT m, c, list(mu ORDER BY pos) AS centroid FROM pce2$x GROUP BY m, c), " +
       s"pd2$x AS MATERIALIZED (SELECT s.vec_id AS vec_id, s.m AS m, b.c AS c, ${dl2("s.sv", "b.centroid")} AS d2 FROM rsub$x s JOIN pcb2$x b USING (m)), " +
       s"pa2$x AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn FROM pd2$x) WHERE rn = 1)"
+  }
 
   /** The PCA power-iteration chain over the existing `e` CTE, every
     * name prefixed pc_ (the recall oracle also defines s1/s2 —
@@ -2548,6 +2612,54 @@ object Vectors {
       "(PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rn FROM tdc) WHERE rn <= 50), " +
       s"tdr AS (SELECT qid, vec_id, round(${dcos("emb", "qv")}, 4) AS cos FROM tdsh), " +
       s"tdt AS MATERIALIZED ${sqlTopPerQ("tdr", "cos DESC", 10)}, " +
+      // ---- round-15 branches: the two quantizer levers, priced
+      // separately (ivfpq_m8, ivf_l4) and composed (rerank_l4m8) ----
+      // (a) the M=8 PQ fit on the SAME base residuals + ADC on the
+      // SAME derived-probe residual frame (qr)
+      s"${pqFitCtesOn("res", "m8", 8)}, " +
+      "qrs8 AS (SELECT qid, cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 8 + 1 AS INT):CAST(mm.m * 8 + 8 AS INT)] AS qsv FROM qr CROSS JOIN range(0, 8) mm(m)), " +
+      s"adc8 AS MATERIALIZED (SELECT qrs8.qid AS qid, qrs8.cl AS cl, qrs8.m AS m, b.c AS code, ${dl2("qrs8.qsv", "b.centroid")} AS d2 FROM qrs8 JOIN pcb2m8 b ON qrs8.m = b.m), " +
+      "cand8 AS (SELECT pa2m8.vec_id AS vec_id, res.cl AS cl, pa2m8.m AS m, pa2m8.c AS code FROM pa2m8 JOIN res USING (vec_id)), " +
+      "scored8 AS MATERIALIZED (SELECT adc8.qid AS qid, cand8.vec_id AS vec_id, " +
+      "round(CAST(sum(CAST(adc8.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand8 JOIN adc8 ON cand8.cl = adc8.cl AND cand8.m = adc8.m AND cand8.code = adc8.code " +
+      "WHERE cand8.vec_id <> adc8.qid GROUP BY 1, 2), " +
+      s"m8t AS MATERIALIZED ${sqlTopPerQ("scored8", "adc", 10)}, " +
+      // (b) Lloyd rounds 3-4 continued from a2 (= the 4-round fit)
+      s"c3 AS MATERIALIZED ${cent("a2")}, " +
+      s"s3 AS MATERIALIZED (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c3), " +
+      "a3 AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s3) WHERE rn = 1), " +
+      s"c4 AS MATERIALIZED ${cent("a3")}, " +
+      s"s4 AS MATERIALIZED (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c4), " +
+      "a4 AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s4) WHERE rn = 1), " +
+      // ivf_l4: exact cosines inside the 4-round lists at the probe
+      // count derived FROM THE 4-ROUND centroid table
+      s"ipl4 AS (SELECT qp.qid AS qid, c4.c AS c, ${dcos("centroid", "qv")} AS ls FROM c4 CROSS JOIN qp), " +
+      "iprk4 AS MATERIALIZED (SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM ipl4), " +
+      "ipr4 AS (SELECT qid, c FROM iprk4 WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c4)), " +
+      s"ivfc4 AS (SELECT pr.qid AS qid, a4.vec_id AS vec_id, round(${dcos("a4.emb", "qp.qv")}, 4) AS cos " +
+      "FROM a4 JOIN ipr4 pr ON a4.c = pr.c JOIN qp ON qp.qid = pr.qid WHERE a4.vec_id <> pr.qid), " +
+      s"ivfl4t AS MATERIALIZED ${sqlTopPerQ("ivfc4", "cos DESC", 10)}, " +
+      // composed serving point: M=8 codes over the 4-round residuals,
+      // derived probes, derived shortlist, exact re-rank
+      "resl AS MATERIALIZED (SELECT a4.vec_id AS vec_id, a4.c AS cl, list_transform(list_zip(a4.emb, c4.centroid), x -> x[1] - x[2]) AS remb FROM a4 JOIN c4 USING (c)), " +
+      s"${pqFitCtesOn("resl", "l8", 8)}, " +
+      s"pbl4 AS (SELECT qp.qid AS qid, qp.qv AS qv, c4.c AS cl, c4.centroid AS centroid, ${dcos("centroid", "qv")} AS ls FROM c4 CROSS JOIN qp), " +
+      "pbr4 AS MATERIALIZED (SELECT qid, qv, cl, centroid, row_number() OVER (PARTITION BY qid ORDER BY ls DESC, cl) AS rn FROM pbl4), " +
+      "pb4 AS (SELECT qid, qv, cl, centroid FROM pbr4 WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c4)), " +
+      "qr4 AS (SELECT qid, cl, list_transform(list_zip(qv, centroid), x -> x[1] - x[2]) AS qres FROM pb4), " +
+      "qrs48 AS (SELECT qid, cl, CAST(mm.m AS INT) AS m, qres[CAST(mm.m * 8 + 1 AS INT):CAST(mm.m * 8 + 8 AS INT)] AS qsv FROM qr4 CROSS JOIN range(0, 8) mm(m)), " +
+      s"adc48 AS MATERIALIZED (SELECT qrs48.qid AS qid, qrs48.cl AS cl, qrs48.m AS m, b.c AS code, ${dl2("qrs48.qsv", "b.centroid")} AS d2 FROM qrs48 JOIN pcb2l8 b ON qrs48.m = b.m), " +
+      "cand48 AS (SELECT pa2l8.vec_id AS vec_id, resl.cl AS cl, pa2l8.m AS m, pa2l8.c AS code FROM pa2l8 JOIN resl USING (vec_id)), " +
+      "scored48 AS MATERIALIZED (SELECT adc48.qid AS qid, cand48.vec_id AS vec_id, " +
+      "round(CAST(sum(CAST(adc48.d2 AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc " +
+      "FROM cand48 JOIN adc48 ON cand48.cl = adc48.cl AND cand48.m = adc48.m AND cand48.code = adc48.code " +
+      "WHERE cand48.vec_id <> adc48.qid GROUP BY 1, 2), " +
+      "shortl8 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM scored48) WHERE rn <= $derivedShortlistCut), " +
+      s"rercl8 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
+      "FROM shortl8 sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
+      s"rl8t AS MATERIALIZED ${sqlTopPerQ("rercl8", "cos DESC", 10)}, " +
       "cands AS (SELECT 'lsh' AS method, qid, vec_id FROM lsht " +
       "UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivft " +
       "UNION ALL SELECT 'ivfpq' AS method, qid, vec_id FROM ivfpqt " +
@@ -2558,7 +2670,10 @@ object Vectors {
       "UNION ALL SELECT 'rerank_np3x' AS method, qid, vec_id FROM rert3 " +
       "UNION ALL SELECT 'rerank_sl50' AS method, qid, vec_id FROM rert4 " +
       "UNION ALL SELECT 'bq' AS method, qid, vec_id FROM bqt " +
-      "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt), " +
+      "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt " +
+      "UNION ALL SELECT 'ivfpq_m8' AS method, qid, vec_id FROM m8t " +
+      "UNION ALL SELECT 'ivf_l4' AS method, qid, vec_id FROM ivfl4t " +
+      "UNION ALL SELECT 'rerank_l4m8' AS method, qid, vec_id FROM rl8t), " +
       "nq AS (SELECT count(*) AS nq FROM qp) " +
       "SELECT method, CAST(nq AS BIGINT) AS n_queries, " +
       "CAST(count(*) AS BIGINT) AS n_candidates, " +

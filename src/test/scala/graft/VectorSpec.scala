@@ -331,7 +331,8 @@ class VectorSpec extends SparkSpec {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getAs[String]("method")).toSet ===
       Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "ivfpq_opq", "rerank", "bq",
-        "trunc16", "ivf_np3x", "rerank_np3x", "rerank_sl50"))
+        "trunc16", "ivf_np3x", "rerank_np3x", "rerank_sl50",
+        "ivfpq_m8", "ivf_l4", "rerank_l4m8"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
