@@ -563,11 +563,26 @@ object Multimodal {
     def divHalf(a: Long, b: Long): Long =
       if (a >= 0) (a + b / 2) / b else -((-a + b / 2) / b)
 
+    /** Annex K Table K.2 (chrominance, quality 50), natural order —
+      * the color encoder's second quantization table (round 15).
+      */
+    val QChromaNat: Array[Int] = Array(
+      17, 18, 24, 47, 99, 99, 99, 99,
+      18, 21, 26, 66, 99, 99, 99, 99,
+      24, 26, 56, 99, 99, 99, 99, 99,
+      47, 66, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99)
+
     /** Forward DCT + quantize, all-integer: input 64 level-shifted
       * samples in spatial raster (y·8+x), output 64 quantized
-      * coefficients in natural order (v·8+u).
+      * coefficients in natural order (v·8+u). `QNat` (luma) by
+      * default; the color encoder passes [[QChromaNat]] for the
+      * chroma blocks.
       */
-    def fdctQuant(s: Array[Int]): Array[Int] = {
+    def fdctQuant(s: Array[Int], q: Array[Int] = QNat): Array[Int] = {
       val inner = Array.ofDim[Long](8, 8) // (x)(v) = Σ_y s(y,x)·B4(v,y)
       var x = 0
       while (x < 8) {
@@ -588,7 +603,7 @@ object Multimodal {
           while (xx < 8) { raw += inner(xx)(v) * B4(u)(xx); xx += 1 }
           val r2 = divHalf(raw * cu4(u), 10000L)
           val r3 = divHalf(r2 * cu4(v), 10000L)
-          out(v * 8 + u) = divHalf(r3, 4L * QNat(v * 8 + u) * 100000000L).toInt
+          out(v * 8 + u) = divHalf(r3, 4L * q(v * 8 + u) * 100000000L).toInt
           v += 1
         }
         u += 1
@@ -666,6 +681,35 @@ object Multimodal {
       0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
       0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
       0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+
+    // ---- Annex K typical Huffman tables (chrominance, K.4/K.6) ----
+    val DcChromBits: Array[Int] =
+      Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    val DcChromVals: Array[Int] = (0 to 11).toArray
+    val AcChromBits: Array[Int] =
+      Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+    val AcChromVals: Array[Int] = Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
       0xf9, 0xfa)
 
     /** Canonical code assignment: value → (code, length). */
@@ -810,6 +854,158 @@ object Multimodal {
         seg(0xe0, app0) ++ seg(0xdb, dqt) ++ seg(0xc0, sof) ++
         seg(0xc4, dhtDc) ++ seg(0xc4, dhtAc) ++ dri ++ seg(0xda, sos) ++
         bw.out.toByteArray ++
+        Array(0xff.toByte, 0xd9.toByte) // EOI
+    }
+
+    /** The decoder's YCbCr→RGB fixed-point constants (scale 2¹⁶) —
+      * hoisted so the color-codec oracle interpolates the SAME baked
+      * integers the decode path multiplies by.
+      */
+    val YccC1: Int = Math.round(1.402 * 65536).toInt
+    val YccC2: Int = Math.round(0.344136 * 65536).toInt
+    val YccC3: Int = Math.round(0.714136 * 65536).toInt
+    val YccC4: Int = Math.round(1.772 * 65536).toInt
+
+    /** JFIF forward RGB→YCbCr in the same fixed-point discipline as
+      * the decoder's inverse (scale 10⁴, [[divHalf]], clamp): the
+      * coefficient rows sum exactly to the scale (2990+5870+1140 =
+      * 10⁴; 1687+3313 = 4187+813 = 5000), so the transform is an
+      * exact-integer map both engines replay verbatim.
+      */
+    def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+      def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+      (cl(divHalf(2990L * r + 5870L * g + 1140L * b, 10000L)),
+        cl(128L + divHalf(-1687L * r - 3313L * g + 5000L * b, 10000L)),
+        cl(128L + divHalf(5000L * r - 4187L * g - 813L * b, 10000L)))
+    }
+
+    /** Encode interleaved RGB as baseline 4:2:0 color JFIF (round 15
+      * — the decoder handled foreign 3-component streams since r14;
+      * this closes the image codec in BOTH directions): JFIF forward
+      * [[rgbToYcc]], deterministic 2×2-mean chroma subsampling
+      * (round half up, edge-replicated), Annex K quantization (K.1
+      * luma / K.2 chroma) and typical Huffman tables (K.3/K.5 luma,
+      * K.4/K.6 chroma), one interleaved scan of 16×16 MCUs (4 Y
+      * blocks raster-ordered, then Cb, then Cr; per-component DC
+      * predictors). Every stage is exact integer, so the DuckDB twin
+      * replays the full encode→decode pixel pipeline in BIGINT.
+      */
+    def encodeColor(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(rgb.length == 3 * w * h, "payload size must be 3*w*h")
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dimensions")
+      val n = w * h
+      val yp = new Array[Int](n)
+      val cbF = new Array[Int](n)
+      val crF = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val (yy, cb, cr) = rgbToYcc(
+          rgb(3 * i) & 0xff, rgb(3 * i + 1) & 0xff, rgb(3 * i + 2) & 0xff)
+        yp(i) = yy; cbF(i) = cb; crF(i) = cr
+        i += 1
+      }
+      // 4:2:0: 2×2 mean per chroma sample (values non-negative, so
+      // (sum+2)/4 IS round half up), edges replicated for odd dims
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cbs = new Array[Int](cw * ch)
+      val crs = new Array[Int](cw * ch)
+      var cy = 0
+      while (cy < ch) {
+        var cx = 0
+        while (cx < cw) {
+          val x0 = 2 * cx; val x1 = math.min(2 * cx + 1, w - 1)
+          val y0 = 2 * cy; val y1 = math.min(2 * cy + 1, h - 1)
+          def m(p: Array[Int]): Int =
+            (p(y0 * w + x0) + p(y0 * w + x1) + p(y1 * w + x0) + p(y1 * w + x1) + 2) / 4
+          cbs(cy * cw + cx) = m(cbF)
+          crs(cy * cw + cx) = m(crF)
+          cx += 1
+        }
+        cy += 1
+      }
+      val dcL = huffCodes(DcLumBits, DcLumVals)
+      val acL = huffCodes(AcLumBits, AcLumVals)
+      val dcC = huffCodes(DcChromBits, DcChromVals)
+      val acC = huffCodes(AcChromBits, AcChromVals)
+      val bw = new BitWriter
+      val preds = Array(0, 0, 0)
+      def block(p: Array[Int], pw: Int, ph: Int, ox: Int, oy: Int,
+          q: Array[Int], dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)],
+          ci: Int): Unit = {
+        val s = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(oy + y, ph - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(ox + x, pw - 1)
+            s(y * 8 + x) = p(sy * pw + sx) - 128
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdctQuant(s, q)
+        val diff = coef(0) - preds(ci)
+        preds(ci) = coef(0)
+        val ds = bitSize(diff)
+        require(ds <= 11, "DC difference out of 8-bit baseline range")
+        val (c0, l0) = dc(ds)
+        bw.put(c0, l0)
+        if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val c = coef(Zigzag(k))
+          if (c == 0) run += 1
+          else {
+            while (run >= 16) { val (z, zl) = ac(0xf0); bw.put(z, zl); run -= 16 }
+            val as = bitSize(c)
+            require(as <= 10, "AC coefficient out of 8-bit baseline range")
+            val (a1, al) = ac((run << 4) | as)
+            bw.put(a1, al)
+            bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (e, el) = ac(0x00); bw.put(e, el) }
+      }
+      val mcuX = (w + 15) / 16; val mcuY = (h + 15) / 16
+      var my = 0
+      while (my < mcuY) {
+        var mx = 0
+        while (mx < mcuX) {
+          var j = 0
+          while (j < 4) {
+            block(yp, w, h, mx * 16 + (j % 2) * 8, my * 16 + (j / 2) * 8,
+              QNat, dcL, acL, 0)
+            j += 1
+          }
+          block(cbs, cw, ch, mx * 8, my * 8, QChromaNat, dcC, acC, 1)
+          block(crs, cw, ch, mx * 8, my * 8, QChromaNat, dcC, acC, 2)
+          mx += 1
+        }
+        my += 1
+      }
+      bw.finish()
+      val app0 = "JFIF ".getBytes("US-ASCII") ++
+        Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val dqt0 = Array(0.toByte) ++
+        Array.tabulate(64)(k => QNat(Zigzag(k)).toByte)
+      val dqt1 = Array(1.toByte) ++
+        Array.tabulate(64)(k => QChromaNat(Zigzag(k)).toByte)
+      val sof = Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      val dhts = Seq(
+        Array(0x00.toByte) ++ DcLumBits.map(_.toByte) ++ DcLumVals.map(_.toByte),
+        Array(0x10.toByte) ++ AcLumBits.map(_.toByte) ++ AcLumVals.map(_.toByte),
+        Array(0x01.toByte) ++ DcChromBits.map(_.toByte) ++ DcChromVals.map(_.toByte),
+        Array(0x11.toByte) ++ AcChromBits.map(_.toByte) ++ AcChromVals.map(_.toByte))
+      val sos = Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+      Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xe0, app0) ++ seg(0xdb, dqt0) ++ seg(0xdb, dqt1) ++
+        seg(0xc0, sof) ++ dhts.map(seg(0xc4, _)).reduce(_ ++ _) ++
+        seg(0xda, sos) ++ bw.out.toByteArray ++
         Array(0xff.toByte, 0xd9.toByte) // EOI
     }
 
@@ -1140,10 +1336,7 @@ object Multimodal {
         // replication (x·hs/maxH) — the documented upsampling dialect
         val maxH = comps.map(_.hs).max
         val maxV = comps.map(_.vs).max
-        val c1 = Math.round(1.402 * 65536).toInt
-        val c2 = Math.round(0.344136 * 65536).toInt
-        val c3 = Math.round(0.714136 * 65536).toInt
-        val c4 = Math.round(1.772 * 65536).toInt
+        val c1 = YccC1; val c2 = YccC2; val c3 = YccC3; val c4 = YccC4
         def clamp(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
         val out = new Array[Byte](3 * w * h)
         var y = 0
@@ -1839,6 +2032,54 @@ object Multimodal {
     docRows.union(planted).toDF().orderBy("doc_id")
   }
 
+  /** q_media_jpeg_color (round 15, VERDICT r14 #3): the color
+    * direction of the image codec — encode a 16×16 interleaved-RGB
+    * tile of each document's bytes as baseline 4:2:0 JFIF
+    * ([[Jpeg.encodeColor]]: JFIF forward YCbCr, 2×2-mean subsampling,
+    * Annex K K.1/K.2 quantization, K.3-K.6 Huffman, one interleaved
+    * MCU), decode it through the SAME 3-component path that handles
+    * foreign ImageIO streams, and emit exact integer fidelity stats
+    * over all 768 channel values. Every stage (color transform,
+    * subsample, staged-integer DCT both ways, replicated upsampling,
+    * fixed-point YCbCr→RGB) is exact integer arithmetic, so the
+    * DuckDB twin replays the ENTIRE lossy color pipeline in BIGINT —
+    * full value parity, the q_media_jpeg discipline extended to 3
+    * channels and 6 blocks per tile.
+    */
+  private def jpegColorRow(id: Long, rgb: Array[Byte], w: Int, h: Int): MediaJpeg = {
+    val jpg = Jpeg.encodeColor(rgb, w, h)
+    val (dw, dh, nc, px) = Jpeg.decode(jpg)
+    val ok = dw == w && dh == h && nc == 3
+    // header ≈ 600 B fixed (two DQTs, four DHTs); 6-block 16×16
+    // entropy data stays far under the bound
+    val sizeOk = jpg.length <= 4000
+    var sum = 0L; var maxe = 0; var abse = 0L
+    var p = 0
+    while (p < px.length) {
+      val d = px(p) & 0xff
+      val s = rgb(p) & 0xff
+      sum += d
+      val e = math.abs(d - s)
+      if (e > maxe) maxe = e
+      abse += e
+      p += 1
+    }
+    MediaJpeg(id, dw, dh, ok, sizeOk, sum, maxe, abse)
+  }
+
+  private def mediaJpegColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jw = 16; val jh = 16
+    val docRows = mediaRows(s, dir).mapPartitions { it =>
+      it.map(r => jpegColorRow(r.doc_id, Ppm.tile(r.media, 3 * jw * jh), jw, jh))
+    }
+    val planted = Seq(0).toDS().map { _ =>
+      jpegColorRow(-1L,
+        Array.tabulate(3 * jw * jh)(i => ((i * 7 + 13) % 256).toByte), jw, jh)
+    }
+    docRows.union(planted).toDF().orderBy("doc_id")
+  }
+
   /** q_media_mjpeg (round 14): the VIDEO modality's codec goes real —
     * Motion JPEG as the standard concatenated-JFIF stream (what
     * MJPEG-over-HTTP and AVI payloads carry), two 16×16 frames per
@@ -1890,6 +2131,7 @@ object Multimodal {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_png" -> (mediaPng _),
     "q_media_jpeg" -> (mediaJpeg _),
+    "q_media_jpeg_color" -> (mediaJpegColor _),
     "q_media_mjpeg" -> (mediaMjpeg _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
@@ -1920,6 +2162,15 @@ object Multimodal {
   private def jpegQtValues: String =
     (for (u <- 0 until 8; v <- 0 until 8)
       yield s"($u, $v, ${Jpeg.QNat(v * 8 + u)})").mkString(", ")
+
+  /** Both Annex K quantization tables keyed by selector (0 = K.1
+    * luma, 1 = K.2 chroma) — the color twin joins on (tq, u, v).
+    */
+  private def jpegQt2Values: String =
+    (for (tq <- 0 to 1; u <- 0 until 8; v <- 0 until 8) yield {
+      val t = if (tq == 0) Jpeg.QNat else Jpeg.QChromaNat
+      s"($tq, $u, $v, ${t(v * 8 + u)})"
+    }).mkString(", ")
 
   /** The PCM16 sample CTEs shared by the audio-codec twins: document
     * bytes → tiled little-endian signed 16-bit samples (the
@@ -2061,6 +2312,86 @@ object Multimodal {
       "CAST(sum(abs(pv - v)) AS BIGINT) AS abs_err " +
       "FROM er GROUP BY doc_id ORDER BY doc_id"
 
+  /** q_media_jpeg_color twin: the full lossy COLOR pipeline in BIGINT
+    * — interleaved-RGB tile, fixed-point JFIF forward YCbCr (clamped),
+    * 2×2-mean 4:2:0 subsample, the staged-integer FDCT/quant/dequant/
+    * IDCT over all SIX blocks (4 luma against K.1, Cb/Cr against K.2),
+    * replicated upsampling, and the decoder's exact fixed-point
+    * YCbCr→RGB — then the fidelity stats over all 768 channel values.
+    * Entropy coding is lossless, so this equals encodeColor→decode
+    * bit-for-bit.
+    */
+  private def jpegColorOracleSql: String = {
+    def cl(e: String): String = s"GREATEST(0, LEAST(255, $e))"
+    // chroma-plane list index of the 2×2 cell member (ori, oci) ∈ {0,1}²
+    def sub(pl: String, ori: Int, oci: Int): String =
+      s"$pl[CAST((t.cp//8*2 + $ori)*16 + (t.cp%8)*2 + ${oci + 1} AS BIGINT)]"
+    def mean4(pl: String): String =
+      s"(${sub(pl, 0, 0)} + ${sub(pl, 0, 1)} + ${sub(pl, 1, 0)} + ${sub(pl, 1, 1)} + 2)//4"
+    val chromaCp = "((y.p//16)//2)*8 + (y.p%16)//2"
+    "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+      "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+      "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+      "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+      "rgbp AS MATERIALIZED (SELECT doc_id, t.p AS p, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p) % n AS BIGINT) + 1] END AS BIGINT) AS r, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 1) % n AS BIGINT) + 1] END AS BIGINT) AS g, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST((3*t.p + 2) % n AS BIGINT) + 1] END AS BIGINT) AS b " +
+      "FROM bylist CROSS JOIN range(0, 256) t(p) " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, t.p AS p, " +
+      "CAST((7*(3*t.p) + 13) % 256 AS BIGINT), CAST((7*(3*t.p + 1) + 13) % 256 AS BIGINT), " +
+      "CAST((7*(3*t.p + 2) + 13) % 256 AS BIGINT) FROM range(0, 256) t(p)), " +
+      "ycc AS MATERIALIZED (SELECT doc_id, p, " +
+      cl(dhs("2990*r + 5870*g + 1140*b", "10000")) + " AS yy, " +
+      cl("128 + " + dhs("-1687*r - 3313*g + 5000*b", "10000")) + " AS cb, " +
+      cl("128 + " + dhs("5000*r - 4187*g - 813*b", "10000")) + " AS cr FROM rgbp), " +
+      "yccl AS MATERIALIZED (SELECT doc_id, list(cb ORDER BY p) AS cbl, list(cr ORDER BY p) AS crl FROM ycc GROUP BY doc_id), " +
+      s"cs AS MATERIALIZED (SELECT doc_id, t.cp AS cp, ${mean4("cbl")} AS cbs, ${mean4("crl")} AS crs " +
+      "FROM yccl CROSS JOIN range(0, 64) t(cp)), " +
+      "blk AS MATERIALIZED (SELECT doc_id, (p//16)//8*2 + (p%16)//8 AS bi, " +
+      "(p//16)%8 AS y, (p%16)%8 AS x, yy - 128 AS s FROM ycc " +
+      "UNION ALL SELECT doc_id, 4 AS bi, cp//8 AS y, cp%8 AS x, cbs - 128 AS s FROM cs " +
+      "UNION ALL SELECT doc_id, 5 AS bi, cp//8 AS y, cp%8 AS x, crs - 128 AS s FROM cs), " +
+      s"basis AS (SELECT * FROM (VALUES $jpegBasisValues) b(u, x, bv)), " +
+      s"qt AS (SELECT * FROM (VALUES $jpegQt2Values) q(tq, u, v, qv)), " +
+      "i1 AS MATERIALIZED (SELECT p.doc_id, p.bi, p.x, b.u AS v, CAST(sum(p.s * b.bv) AS BIGINT) AS iv " +
+      "FROM blk p JOIN basis b ON b.x = p.y GROUP BY 1, 2, 3, 4), " +
+      "rw AS MATERIALIZED (SELECT i.doc_id, i.bi, b.u AS u, i.v AS v, CAST(sum(i.iv * b.bv) AS BIGINT) AS rv " +
+      "FROM i1 i JOIN basis b ON b.x = i.x GROUP BY 1, 2, 3, 4), " +
+      "r2c AS (SELECT doc_id, bi, u, v, " +
+      dhs("rv * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r2v FROM rw), " +
+      "r3c AS (SELECT doc_id, bi, u, v, " +
+      dhs("r2v * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r3v FROM r2c), " +
+      "qc AS MATERIALIZED (SELECT r.doc_id, r.bi, r.u, r.v, " +
+      dhs("r.r3v", "4 * CAST(q.qv AS BIGINT) * 100000000") + " * q.qv AS d " +
+      "FROM r3c r JOIN qt q ON q.tq = (CASE WHEN r.bi < 4 THEN 0 ELSE 1 END) AND q.u = r.u AND q.v = r.v), " +
+      "tt AS MATERIALIZED (SELECT doc_id, bi, u, v, " +
+      dhs("d * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END) * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") +
+      " AS t FROM qc), " +
+      "i2 AS MATERIALIZED (SELECT t.doc_id, t.bi, t.u, b.x AS y, " +
+      dhs("CAST(sum(t.t * b.bv) AS BIGINT)", "10000") + " AS iv2 " +
+      "FROM tt t JOIN basis b ON b.u = t.v GROUP BY 1, 2, 3, 4), " +
+      "r2b AS MATERIALIZED (SELECT i.doc_id, i.bi, b.x AS x, i.y AS y, CAST(sum(i.iv2 * b.bv) AS BIGINT) AS rv2 " +
+      "FROM i2 i JOIN basis b ON b.u = i.u GROUP BY 1, 2, 3, 4), " +
+      "dec AS MATERIALIZED (SELECT doc_id, bi, x, y, " +
+      "GREATEST(0, LEAST(255, " + dhs("rv2", "400000000") + " + 128)) AS pv FROM r2b), " +
+      "ydec AS (SELECT doc_id, ((bi//2)*8 + y)*16 + (bi%2)*8 + x AS p, pv FROM dec WHERE bi < 4), " +
+      "cbd AS (SELECT doc_id, y*8 + x AS cp, pv FROM dec WHERE bi = 4), " +
+      "crd AS (SELECT doc_id, y*8 + x AS cp, pv FROM dec WHERE bi = 5), " +
+      "rgbd AS MATERIALIZED (SELECT y.doc_id AS doc_id, y.p AS p, y.pv AS yy, cb.pv - 128 AS cb, cr.pv - 128 AS cr " +
+      s"FROM ydec y JOIN cbd cb ON cb.doc_id = y.doc_id AND cb.cp = $chromaCp " +
+      s"JOIN crd cr ON cr.doc_id = y.doc_id AND cr.cp = $chromaCp), " +
+      s"out3 AS (SELECT doc_id, p, 0 AS ch, ${cl(s"yy + ${dhs(s"${Jpeg.YccC1}*cr", "65536")}")} AS pv FROM rgbd " +
+      s"UNION ALL SELECT doc_id, p, 1 AS ch, ${cl(s"yy - ${dhs(s"${Jpeg.YccC2}*cb + ${Jpeg.YccC3}*cr", "65536")}")} FROM rgbd " +
+      s"UNION ALL SELECT doc_id, p, 2 AS ch, ${cl(s"yy + ${dhs(s"${Jpeg.YccC4}*cb", "65536")}")} FROM rgbd), " +
+      "er AS (SELECT o.doc_id, o.pv, CASE o.ch WHEN 0 THEN s.r WHEN 1 THEN s.g ELSE s.b END AS v " +
+      "FROM out3 o JOIN rgbp s ON s.doc_id = o.doc_id AND s.p = o.p) " +
+      "SELECT doc_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, TRUE AS ok, TRUE AS size_ok, " +
+      "CAST(sum(pv) AS BIGINT) AS pix_sum, CAST(max(abs(pv - v)) AS INT) AS max_err, " +
+      "CAST(sum(abs(pv - v)) AS BIGINT) AS abs_err " +
+      "FROM er GROUP BY doc_id ORDER BY doc_id"
+  }
+
   /** q_media_mjpeg twin: the q_media_jpeg staged-integer pipeline
     * keyed by (doc, frame) — frame 1 = the 16×16 tile, frame 2 = its
     * one-pixel cyclic shift — then the decoded frames join on the
@@ -2112,6 +2443,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "q_media_jpeg" -> jpegOracleSql,
+    "q_media_jpeg_color" -> jpegColorOracleSql,
     "q_media_mjpeg" -> mjpegOracleSql,
     "q_media_mulaw" -> mulawOracleSql,
     "q_media_adpcm" -> adpcmOracleSql,

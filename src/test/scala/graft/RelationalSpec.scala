@@ -526,7 +526,13 @@ class RelationalSpec extends SparkSpec {
     val huge = mine.clone()
     huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte // h = 65535
     huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte // w = 65535
-    assert(msgOf(huge).contains("pixel budget"))
+    assert(msgOf(huge).contains("allocation budget"))
+    // a second SOF after the first fails loudly instead of rebinding
+    // frame state (ADVICE r14)
+    val sofLen = ((mine(sofAt + 2) & 0xff) << 8) | (mine(sofAt + 3) & 0xff)
+    val dupSof = mine.slice(0, sofAt + 2 + sofLen) ++
+      mine.slice(sofAt, mine.length)
+    assert(msgOf(dupSof).contains("duplicate SOF"))
     val dqtAt = findMarker(mine, 0xdb)
     val q16 = mine.clone(); q16(dqtAt + 4) = 0x10 // pq = 1 (16-bit)
     assert(msgOf(q16).contains("16-bit"))
@@ -570,6 +576,74 @@ class RelationalSpec extends SparkSpec {
     assert(vrow.getAs[Int]("n_frames") === 2)
     assert(vrow.getAs[Long]("motion_abs") > 0L,
       "the planted shift must register as motion")
+  }
+
+  test("media jpeg color: 4:2:0 encoder — round-trip, ImageIO cross-check, odd dims") {
+    import graft.ops.Multimodal.Jpeg
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    // self round-trip on a smooth RGB gradient: dims and component
+    // count exact, pixels close (chroma is 2×2-subsampled, so color
+    // gradients carry more loss than the grayscale codec)
+    val w = 32; val h = 24
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      rgb(3 * (y * w + x)) = ((x * 6 + 32) & 0xff).toByte
+      rgb(3 * (y * w + x) + 1) = ((y * 5 + 40) & 0xff).toByte
+      rgb(3 * (y * w + x) + 2) = (((x + y) * 3 + 20) & 0xff).toByte
+    }
+    val jpg = Jpeg.encodeColor(rgb, w, h)
+    val (dw, dh, nc, px) = Jpeg.decode(jpg)
+    assert(dw === w && dh === h && nc === 3)
+    val rerr = px.indices.map(i => math.abs((px(i) & 0xff) - (rgb(i) & 0xff)))
+    assert(rerr.max <= 30, s"color round-trip max err ${rerr.max}")
+
+    // FOREIGN decoder: ImageIO reads MY color stream close to my own
+    // decode (its interpolating chroma upsampling vs my replicated —
+    // the same ±24 dialect bound the foreign-color decode test pins)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(theirs.getWidth === w && theirs.getHeight === h)
+    val xdiff = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+      val refc = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      math.abs((px(3 * (y * w + x) + c) & 0xff) - refc)
+    }).max
+    assert(xdiff <= 24, s"imageio-vs-mine color max diff $xdiff")
+
+    // odd (non-MCU-multiple) dims crop back out; a flat color decodes
+    // flat and lands near the source triple
+    val flat = new Array[Byte](3 * 21 * 13)
+    for (i <- 0 until 21 * 13) {
+      flat(3 * i) = 120.toByte; flat(3 * i + 1) = 60.toByte
+      flat(3 * i + 2) = 200.toByte
+    }
+    val (ow, oh, onc, opx) = Jpeg.decode(Jpeg.encodeColor(flat, 21, 13))
+    assert(ow === 21 && oh === 13 && onc === 3)
+    assert((0 until 21 * 13).forall(i => opx(3 * i) == opx(0) &&
+      opx(3 * i + 1) == opx(1) && opx(3 * i + 2) == opx(2)),
+      "flat color must decode flat")
+    assert(math.abs((opx(0) & 0xff) - 120) <= 4 &&
+      math.abs((opx(1) & 0xff) - 60) <= 4 &&
+      math.abs((opx(2) & 0xff) - 200) <= 4,
+      s"flat triple decoded to (${opx(0) & 0xff}, ${opx(1) & 0xff}, ${opx(2) & 0xff})")
+
+    // payload contract
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeColor(new Array[Byte](10), 2, 2)
+    }
+
+    // the registered query: every row inside the contract; the planted
+    // gradient row matches a local recompute of the full pipeline
+    val got = q("q_media_jpeg_color").cache()
+    assert(got.count() === Tables.documents(spark, sfDir).count() + 1)
+    assert(got.filter(!$"ok" || !$"size_ok").count() === 0)
+    val planted = Array.tabulate(768)(i => ((i * 7 + 13) % 256).toByte)
+    val pj = Jpeg.decode(Jpeg.encodeColor(planted, 16, 16))._4
+    val prow = got.filter($"doc_id" === -1L).collect()(0)
+    assert(prow.getAs[Long]("pix_sum") === pj.map(b => (b & 0xff).toLong).sum)
+    assert(prow.getAs[Long]("abs_err") ===
+      pj.indices.map(i => math.abs((pj(i) & 0xff) - (planted(i) & 0xff)).toLong).sum)
+    got.unpersist()
   }
 
   test("media mulaw/adpcm: real lossy audio codecs — foreign ULAW cross-check, stateful fold, rejections") {
