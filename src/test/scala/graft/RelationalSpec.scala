@@ -748,6 +748,82 @@ class RelationalSpec extends SparkSpec {
     assert(ad.filter(!$"ok" || !$"size_ok").count() === 0)
   }
 
+  test("media mdct: perceptual-transform codec — TDAC reconstruction, tonal compaction, container walk, rejections") {
+    import graft.ops.Multimodal.{Mdct, Wav}
+
+    // TDAC survives the staged-integer arithmetic: with quantization
+    // BYPASSED (dequantized = raw MDCT coefficients), window + MDCT +
+    // IMDCT + window + overlap-add reconstructs 16-bit audio within
+    // ±5 — the Princen-Bradley identity is the codec's foundation and
+    // the substitute for a foreign decoder (no JDK MDCT codec exists)
+    val src = Array.tabulate(256)(k =>
+      (((k * 1237L + 11) % 65536) - 32768).toShort)
+    val recon = new Array[Long](256)
+    for (f <- 0 to 8) {
+      val x = Array.tabulate(64) { n =>
+        val g = 32 * (f - 1) + n
+        if (g >= 0 && g < 256) src(g).toInt else 0
+      }
+      val y = Mdct.imdctFrame(Mdct.mdctFrame(x))
+      for (n <- 0 until 64) {
+        val g = 32 * (f - 1) + n
+        if (g >= 0 && g < 256) recon(g) += y(n)
+      }
+    }
+    val prErr = (0 until 256).map(g => math.abs(recon(g) - src(g))).max
+    assert(prErr <= 5, s"TDAC reconstruction error $prErr")
+
+    // tonal energy compaction: a pure bin-5 cosine concentrates into
+    // coefficient 5 (the transform actually analyzes frequency)
+    val tone = Array.tabulate(64)(n =>
+      (10000 * math.cos(math.Pi / 32 * (n + 0.5 + 16) * 5.5)).toInt)
+    val spec = Mdct.mdctFrame(tone)
+    val kmax = spec.indices.maxBy(k => math.abs(spec(k)))
+    assert(kmax === 5, s"tone concentrated at bin $kmax")
+    val second = spec.indices.filter(_ != 5).map(k => math.abs(spec(k))).max
+    assert(math.abs(spec(5)) > 5 * second,
+      s"compaction ratio ${math.abs(spec(5))} vs $second")
+
+    // encode→decode: frame count, sample count, size exactness (the
+    // fixed allocation is byte-exact: 9 × (4 + 29) = 297 B for 512
+    // raw), and the quantization error stays inside the largest step
+    val stream = Mdct.encode(src)
+    assert(stream.length === 297)
+    val (nf, dec) = Mdct.decode(stream)
+    assert(nf === 9 && dec.length === 256)
+    val qErr = (0 until 256).map(g => math.abs(dec(g) - src(g))).max
+    assert(qErr > 0, "quantization must be lossy on white noise")
+    assert(qErr <= 65536, s"decode error $qErr beyond the coarsest step")
+
+    // container rejections: bad sync, truncated payload, wrong frame
+    // length for the fixed allocation, single-frame streams
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException] { Mdct.decode(bytes) }.getMessage
+    val badSync = stream.clone(); badSync(0) = 0x12
+    assert(msgOf(badSync).contains("sync"))
+    assert(msgOf(stream.take(20)).contains("truncated"))
+    val badLen = stream.clone(); badLen(3) = 99
+    assert(msgOf(badLen).contains("fixed allocation"))
+    assert(msgOf(stream.take(33)).contains("too short"))
+    intercept[IllegalArgumentException] { Mdct.encode(new Array[Short](33)) }
+
+    // the registered query: every row inside the contract, and one
+    // row matches a local recompute end to end
+    val got = q("q_media_mdct").cache()
+    assert(got.count() === Tables.documents(spark, sfDir).count())
+    assert(got.filter(!$"ok" || !$"size_ok").count() === 0)
+    val doc0 = Tables.documents(spark, sfDir)
+      .filter($"doc_id" === 0L).select("text").collect()(0).getString(0)
+    val s0 = Wav.tileSamples(doc0.getBytes("UTF-8")).take(256)
+    val (_, d0) = Mdct.decode(Mdct.encode(s0))
+    val row0 = got.filter($"doc_id" === 0L).collect()(0)
+    assert(row0.getAs[Long]("energy_dec") ===
+      d0.map(v => v.toLong * v).sum)
+    assert(row0.getAs[Long]("abs_err") ===
+      (0 until 256).map(k => math.abs(d0(k) - s0(k)).toLong).sum)
+    got.unpersist()
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),
