@@ -1810,6 +1810,27 @@ object Relational {
         "| sort by user_id asc, event_id asc")
   }
 
+  /** KQL `scan with_match_id` concurrent matches (round 15, VERDICT
+    * r14 #5) — the last scan-dialect gap with real ADX semantics
+    * behind it: multiple sequences in flight per partition key. Every
+    * 'view' row opens its own chain; each chain funnels independently
+    * to its earliest click-then-purchase, so overlapping sessions
+    * (a second view before the first click) each get their own
+    * match id and may SHARE later-step rows. One rn window + one
+    * following-frame conditional-min per non-anchor step + two
+    * bounded position joins — distributed per user, no driver loop.
+    */
+  private def kqlScan4(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by user_id (sort by ts asc, event_id asc " +
+        "| scan with_match_id = m with (step s1: event_type == 'view'; " +
+        "step s2: event_type == 'click'; " +
+        "step s3: event_type == 'purchase';)) " +
+        "| project user_id, event_id, event_type, m " +
+        "| sort by user_id asc, m asc, event_id asc")
+  }
+
   /** KQL dynamic tier — `todynamic()` + dot-path access over the events
     * `props` JSON column, the single most common ADX telemetry idiom
     * (`| extend k = tolong(todynamic(props).k)`): the path access
@@ -2972,6 +2993,7 @@ object Relational {
     "q_kql_rowrank" -> (kqlRowrank _),
     "q_kql_scan2" -> (kqlScan2 _),
     "q_kql_scan3" -> (kqlScan3 _),
+    "q_kql_scan4" -> (kqlScan4 _),
     "q_kql_seriesstats" -> (kqlSeriesStats _),
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
@@ -4311,6 +4333,29 @@ object Relational {
         "SELECT user_id, event_id, event_type FROM m3 " +
         "WHERE (rn BETWEEN a1 AND e1) OR (rn BETWEEN a2 AND e2) OR rn = a3 " +
         "ORDER BY user_id, event_id"),
+    // the concurrent-matches twin: per-anchor chains via one
+    // following-frame running min per non-anchor step and position
+    // joins at e_{k-1}+1 — spelled identically to the Spark cascade
+    "q_kql_scan4" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "n AS (SELECT *, " +
+        "min(CASE WHEN event_type = 'click' THEN rn END) OVER (PARTITION BY user_id ORDER BY rn " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt1, " +
+        "min(CASE WHEN event_type = 'purchase' THEN rn END) OVER (PARTITION BY user_id ORDER BY rn " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt2 FROM b), " +
+        "a AS (SELECT user_id, rn AS e0, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS m " +
+        "FROM n WHERE event_type = 'view'), " +
+        "c1 AS (SELECT a.user_id AS user_id, a.e0 AS e0, a.m AS m, n.nxt1 AS e1 " +
+        "FROM a LEFT JOIN n ON n.user_id = a.user_id AND n.rn = a.e0 + 1), " +
+        "c2 AS (SELECT c1.user_id AS user_id, c1.e0 AS e0, c1.m AS m, c1.e1 AS e1, n.nxt2 AS e2 " +
+        "FROM c1 LEFT JOIN n ON n.user_id = c1.user_id AND n.rn = c1.e1 + 1), " +
+        "memb AS (SELECT user_id, e0 AS mrn, m FROM c2 " +
+        "UNION ALL SELECT user_id, e1 AS mrn, m FROM c2 WHERE e1 IS NOT NULL " +
+        "UNION ALL SELECT user_id, e2 AS mrn, m FROM c2 WHERE e2 IS NOT NULL) " +
+        "SELECT b.user_id, b.event_id, b.event_type, CAST(memb.m AS BIGINT) AS m " +
+        "FROM memb JOIN b ON b.user_id = memb.user_id AND b.rn = memb.mrn " +
+        "ORDER BY b.user_id, memb.m, b.event_id"),
     "q_kql_dynamic" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS ksum FROM (" +

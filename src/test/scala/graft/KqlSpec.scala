@@ -1263,12 +1263,67 @@ class KqlSpec extends SparkSpec {
         "step v repeats: et == 'view' => n = n + 1; step p: et == 'purchase')")
     }
     assert(e.getMessage.contains("repeat"))
-    // concurrent matches remain out of subset: there is no syntax for
-    // them, and a step clause with extra flags is rejected loudly
+    // a step clause with unknown extra flags is rejected loudly
     intercept[IllegalArgumentException] {
       Kql.translate(spark, "kql_scan_r | sort by seq asc " +
         "| scan with (step v concurrent: et == 'view')")
     }
+  }
+
+  test("scan with_match_id: concurrent per-anchor matches — overlap, stalls, rejections") {
+    Seq(
+      // uid 1: TWO views before the first click — two OVERLAPPING
+      // chains that share the click at 3 and the purchase at 4
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 4L, "purchase"),
+      // uid 2: disjoint back-to-back sessions — two complete chains
+      // with their own clicks and purchases
+      (2L, 1L, "view"), (2L, 2L, "click"), (2L, 3L, "purchase"),
+      (2L, 4L, "view"), (2L, 5L, "click"), (2L, 6L, "purchase"),
+      // uid 3: a view whose click never comes — the stalled chain
+      // emits only its anchor (prefix semantics)
+      (3L, 1L, "view"), (3L, 2L, "purchase"),
+      // uid 4: click/purchase with no anchor — no chain at all
+      (4L, 1L, "click"), (4L, 2L, "purchase")
+    ).toDF("uid", "seq", "et").createOrReplaceTempView("kql_scan_c")
+    val got = Kql.translate(spark,
+      "kql_scan_c | partition by uid (sort by seq asc | scan " +
+        "with_match_id = m with (step v: et == 'view'; " +
+        "step c: et == 'click'; step p: et == 'purchase';))" +
+        " | project uid, m, seq | sort by uid asc, m asc, seq asc")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // uid 1: match 1 anchored at 1, match 2 anchored at 2 — both
+      // complete through the SHARED click 3 and purchase 4
+      (1L, 1L, 1L), (1L, 1L, 3L), (1L, 1L, 4L),
+      (1L, 2L, 2L), (1L, 2L, 3L), (1L, 2L, 4L),
+      // uid 2: two disjoint complete sessions
+      (2L, 1L, 1L), (2L, 1L, 2L), (2L, 1L, 3L),
+      (2L, 2L, 4L), (2L, 2L, 5L), (2L, 2L, 6L),
+      // uid 3: the stalled chain emits its anchor only (the purchase
+      // cannot arm before a click — stall propagates)
+      (3L, 1L, 1L)))
+    // wait-for-click semantics: uid 3's purchase at 2 must NOT attach
+    assert(!got.exists(r => r._1 == 3L && r._3 == 2L))
+    // with_match_id cannot combine with declare or repeats
+    val e1 = intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_c | sort by seq asc " +
+        "| scan with_match_id = m declare (n: long) with (" +
+        "step v: et == 'view' => n = n + 1; step p: et == 'purchase')")
+    }
+    assert(e1.getMessage.contains("declare"))
+    val e2 = intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_c | sort by seq asc " +
+        "| scan with_match_id = m with (" +
+        "step v repeats: et == 'view'; step p: et == 'purchase')")
+    }
+    assert(e2.getMessage.contains("repeat"))
+    // the match-id name must not shadow an input column
+    val e3 = intercept[IllegalArgumentException] {
+      Kql.translate(spark, "kql_scan_c | sort by seq asc " +
+        "| scan with_match_id = et with (step v: et == 'view')")
+    }
+    assert(e3.getMessage.contains("shadows"))
   }
 
   test("toscalar folds the inner query's first value into a constant") {
