@@ -895,30 +895,236 @@ object Text {
     }
   }
 
-  /** Tokenizer fertility per language — BPE tokens per whitespace word
-    * and characters per BPE token under the TRAINED tokenizer: the
-    * numbers that decide whether a tokenizer is fair to a language (high
-    * fertility = that language pays more sequence length per word, the
-    * standard multilingual-tokenizer audit). Same scale shape as
-    * q_bpe_encode: the merges fold once per distinct vocabulary word,
-    * the bounded (w, n_bpe) table joins back onto the word stream, and
-    * the per-language aggregate is map-side combinable. Ratios divide
+  // ------------------------------------------------------- unigram LM
+  // The SECOND tokenizer family (round 15, VERDICT r14 #6): a
+  // SentencePiece-style unigram-LM tokenizer — bounded candidate
+  // vocabulary, hard-EM (Viterbi E-step, count-renormalizing M-step
+  // with zero-count pruning), and min-cost Viterbi encoding — so
+  // q_tokenizer_fertility can run the standard tokenizer-SELECTION
+  // audit (compare families, not just languages under one family).
+  //
+  // DETERMINISM: piece costs are −log₂(c/T) QUANTIZED TO HALF BITS in
+  // exact integer arithmetic — f(x) = 2·(bitlen(x)−1) + [x ≥
+  // round(2^(e−1)·√2)], thresholds baked as exact integers
+  // ([[Sqrt2Thr]], BigInt isqrt — no libm call in either engine) —
+  // and the Viterbi DP runs over PACKED longs (cost·2²⁰ + pieceCount,
+  // so min() breaks cost ties toward fewer pieces), with path
+  // reconstruction preferring the LONGEST piece at each cut. Every
+  // stage is an integer list fold spelled identically in Spark HOFs
+  // and the DuckDB twin (single-expression list accumulators — the
+  // r14 list_reduce struct-field law).
+
+  /** Multi-char piece budget of the unigram trainer (single chars are
+    * always kept for coverage — every word stays segmentable).
+    */
+  private[graft] val UnigramPieces = 48
+
+  /** Hard-EM rounds (Viterbi E-step + renormalizing M-step). */
+  private[graft] val UnigramRounds = 2
+
+  /** round(2^(e−1)·√2) for bit lengths e = 1..62 — the half-bit
+    * mantissa thresholds of [[fHalfBits]], exact via BigInt integer
+    * sqrt of 2^(2e−1) (round-to-nearest: s+1 when s²+s < n).
+    */
+  private[graft] val Sqrt2Thr: IndexedSeq[Long] = (1 to 62).map { e =>
+    val n = BigInt(1) << (2 * e - 1)
+    // monotone-descent integer Newton from an upper bound: terminates
+    // at floor(√n) (the x != prev form two-cycles on n = x²+x inputs)
+    var x = BigInt(1) << e
+    var y = (x + n / x) >> 1
+    while (y < x) { x = y; y = (x + n / x) >> 1 }
+    (if (x * x + x < n) x + 1 else x).toLong
+  }
+
+  /** f(x) = half-bit-quantized 2·log₂(x) as a Spark SQL fragment. */
+  private def fHalfBits(x: String): String =
+    s"(2 * (length(bin($x)) - 1) + (CASE WHEN $x >= element_at(" +
+      s"array(${Sqrt2Thr.mkString("L, ")}L), length(bin($x))) THEN 1 ELSE 0 END))"
+
+  /** Distinct corpus words (len ≥ 1) with frequencies — the bounded
+    * table every unigram stage runs on (the bpeInitVocab rule).
+    */
+  private def uniWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(explode(tokens).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(cnt.as("f"))
+
+  /** Candidate pieces: every substring of length 1..4 of every
+    * distinct word, weighted by word frequency — ONE corpus-vocab
+    * pass, map-side combinable.
+    */
+  private def uniCandidates(words: DataFrame): DataFrame =
+    words.select(col("f"), explode(expr(
+      "filter(flatten(transform(sequence(1, length(w)), i -> " +
+        "transform(sequence(1, 4), l -> CASE WHEN i + l - 1 <= length(w) " +
+        "THEN substring(w, i, l) END))), x -> x IS NOT NULL)")).as("p"))
+      .groupBy("p").agg(sum(col("f")).as("c"))
+
+  /** Piece costs from a count table: cost = f(T) − f(c) half-bits,
+    * T = Σc as a broadcast 1-row scalar.
+    */
+  private def uniCosts(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("c")).as("tc"))))
+      .select(col("p"), col("c"),
+        (expr(fHalfBits("tc")) - expr(fHalfBits("c"))).cast("long").as("cost"))
+
+  /** Piece cost of DP slot (p−l, l) — pl is the per-word flat list
+    * PL[(i−1)·4+l] of PACKED costs (cost·2²⁰ + 1; missing pieces 10⁹
+    * half-bits, provably never on a min path — the single-char chain
+    * costs ≤ len·130 half-bits).
+    */
+  private def uniOpt(p: String, l: Int): String =
+    s"IF($p >= $l, element_at(acc, $p - $l + 1) + " +
+      s"element_at(pl, ($p - $l) * 4 + $l), NULL)"
+
+  /** Longest piece length closing the min-cost path at position `cp`
+    * (dp is the packed best-cost list, dp[k] = best for position k−1).
+    */
+  private def uniLstar(cp: String): String =
+    "CASE " + (4 to 2 by -1).map { l =>
+      s"WHEN $cp >= $l AND element_at(dp, $cp - $l + 1) + " +
+        s"element_at(pl, ($cp - $l) * 4 + $l) = element_at(dp, $cp + 1) THEN $l "
+    }.mkString + "ELSE 1 END"
+
+  /** Viterbi-segment every distinct word under a cost table: build
+    * the per-word flat slot list (vocab join — broadcast, the model
+    * is ≤ alphabet + [[UnigramPieces]] rows), run the packed-long DP
+    * fold over positions, reconstruct cuts longest-piece-last, and
+    * emit (w, f, pieces). Everything is vocabulary-bounded; the
+    * corpus is never rescanned.
+    */
+  private def uniSegment(words: DataFrame, costs: DataFrame): DataFrame = {
+    val slots = words.select(col("w"), col("f"),
+      explode(expr("sequence(1, 4 * length(w))")).as("idx"))
+      .select(col("w"), col("f"), col("idx"), expr(
+        "CASE WHEN ((idx + 3) div 4) + ((idx - 1) % 4 + 1) - 1 <= length(w) " +
+          "THEN substring(w, (idx + 3) div 4, (idx - 1) % 4 + 1) END").as("sub"))
+    val pl = slots
+      .join(broadcast(costs.select(col("p").as("sub"), col("cost"))),
+        Seq("sub"), "left")
+      .groupBy("w", "f")
+      .agg(expr("transform(array_sort(collect_list(struct(idx, " +
+        "coalesce(cost, 1000000000L) * 1048576 + 1 AS pk))), g -> g.pk)")
+        .as("pl"))
+    val dpE = "aggregate(sequence(1, length(w)), array(0L), " +
+      "(acc, p) -> array_append(acc, least(" +
+      (1 to 4).map(l => uniOpt("p", l)).mkString(", ") + ")))"
+    val reconE = "aggregate(sequence(1, length(w)), array(length(w)), " +
+      "(acc, x) -> IF(element_at(acc, -1) <= 0, acc, " +
+      s"array_append(acc, element_at(acc, -1) - (${uniLstar("element_at(acc, -1)")}))))"
+    pl.withColumn("dp", expr(dpE))
+      .withColumn("cuts", expr(reconE))
+      .select(col("w"), col("f"), expr(
+        "transform(sequence(1, size(cuts) - 1), k -> substring(w, " +
+          "element_at(cuts, k + 1) + 1, " +
+          "element_at(cuts, k) - element_at(cuts, k + 1)))").as("pieces"))
+  }
+
+  /** One hard-EM round: Viterbi counts weighted by word frequency;
+    * multi-char pieces with zero support are PRUNED (the unigram
+    * algorithm's prune step), single chars keep a coverage floor of 1.
+    */
+  private def uniEmRound(words: DataFrame, costs: DataFrame,
+      chars: DataFrame): DataFrame = {
+    val used = uniSegment(words, costs)
+      .select(col("f"), explode(col("pieces")).as("p"))
+      .groupBy("p").agg(sum(col("f")).as("c"))
+    used.filter(length(col("p")) >= 2)
+      .unionByName(chars.join(used, Seq("p"), "left")
+        .select(col("p"),
+          greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c")))
+  }
+
+  /** Train the unigram model: candidate harvest → top-K multi-char +
+    * all single chars → [[UnigramRounds]] hard-EM rounds. Returns the
+    * final (p, c, cost) model and the checkpointed word table — the
+    * bpeLoop checkpoint/release discipline.
+    */
+  private def uniModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val words = uniWords(s, dir).localCheckpoint(true)
+    val cand = uniCandidates(words).localCheckpoint(true)
+    val chars = cand.filter(length(col("p")) === 1).select("p")
+      .localCheckpoint(true)
+    val multi0 = cand.filter(length(col("p")) >= 2)
+      .orderBy(col("c").desc, col("p")).limit(UnigramPieces)
+    var vocab = cand.filter(length(col("p")) === 1)
+      .unionByName(multi0).localCheckpoint(true)
+    releaseCheckpoint(cand)
+    for (_ <- 1 to UnigramRounds) {
+      val nv = uniEmRound(words, uniCosts(vocab), chars).localCheckpoint(true)
+      releaseCheckpoint(vocab)
+      vocab = nv
+    }
+    (uniCosts(vocab).localCheckpoint(true), words)
+  }
+
+  /** (w, n) piece counts of every distinct word under the trained
+    * model — exposed for the spec's Viterbi-optimality recompute.
+    */
+  private[graft] def unigramWordPieces(s: SparkSession, dir: String): DataFrame = {
+    val (model, words) = uniModel(s, dir)
+    uniSegment(words, model).select(col("w"), size(col("pieces")).as("n"))
+  }
+
+  /** q_unigram_train: the trained unigram piece table — every kept
+    * piece with its final EM count and half-bit cost.
+    */
+  private def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val (model, _) = uniModel(s, dir)
+    model.select(col("p").as("piece"), col("c").as("n"), col("cost"))
+      .orderBy("piece")
+  }
+
+  /** q_unigram_encode: per-document piece counts under the trained
+    * unigram model — the q_bpe_encode contract for the second family
+    * (empty words carry 0 pieces, the bpe empty-syms rule).
+    */
+  private def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val (model, words) = uniModel(s, dir)
+    val wl = uniSegment(words, model)
+      .select(col("w"), size(col("pieces")).as("n_uni"))
+    Tables.documents(s, dir).select(col("doc_id"), explode(tokens).as("w"))
+      .join(wl, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_words"),
+        sum(length(col("w"))).as("n_chars_sym"),
+        sum(coalesce(col("n_uni"), lit(0))).cast("long").as("n_uni"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility per (FAMILY, language) — tokens per
+    * whitespace word and characters per token under BOTH trained
+    * tokenizers (BPE and unigram-LM): the numbers that decide whether
+    * a tokenizer is fair to a language AND which family to ship — the
+    * standard tokenizer-selection audit (round 15 adds the family
+    * dimension, VERDICT r14 #6). Same scale shape as q_bpe_encode:
+    * each family folds once per distinct vocabulary word, the bounded
+    * (w, n_tok) tables join back onto the word stream, and the
+    * per-language aggregate is map-side combinable. Ratios divide
     * exact longs once at the end — deterministic in both engines.
     */
   private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .select(col("lang"), explode(tokens).as("w"))
-      .join(bpeWordLengths(s, dir), "w")
-      .groupBy("lang")
-      .agg(cnt.as("n_words"),
-        sum(col("n_bpe")).as("n_tokens"),
-        sum(length(col("w"))).as("n_chars"))
-      .select(col("lang"), col("n_words"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
-          .as("fertility"),
-        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
-          .as("chars_per_token"))
-      .orderBy("lang")
+    def arm(wl: DataFrame, family: String): DataFrame =
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens).as("w"))
+        .join(wl, Seq("w"), "left")
+        .groupBy("lang")
+        .agg(cnt.as("n_words"),
+          sum(coalesce(col("n_tok"), lit(0))).cast("long").as("n_tokens"),
+          sum(length(col("w"))).as("n_chars"))
+        .select(lit(family).as("family"), col("lang"), col("n_words"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("chars_per_token"))
+    val bpeWl = bpeWordLengths(s, dir)
+      .select(col("w"), col("n_bpe").cast("long").as("n_tok"))
+    val (model, words) = uniModel(s, dir)
+    val uniWl = uniSegment(words, model)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
+    arm(bpeWl, "bpe").unionByName(arm(uniWl, "unigram"))
+      .orderBy("family", "lang")
   }
 
   /** Unigram language-model quality score (perplexity proxy) — the
@@ -1917,6 +2123,8 @@ object Text {
     "q_collocations" -> (collocations _),
     "q_phrase_rewrite" -> (phraseRewrite _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_unigram_train" -> (unigramTrain _),
+    "q_unigram_encode" -> (unigramEncode _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_persist" -> (bpePersist _),
     "q_bigram_lm" -> (bigramLm _),
@@ -1973,6 +2181,88 @@ object Text {
   private def bpeWlenCtes: String =
     bpeChainCtes +
       s", wlen AS (SELECT w, CAST(len(syms) AS INT) AS n_bpe FROM ch${BpeMerges + 1})"
+
+  // --------------------------------------------- unigram oracle twins
+
+  /** DuckDB f(x) — the half-bit-quantized 2·log₂ with the SAME baked
+    * √2 thresholds [[Sqrt2Thr]] the Spark side interpolates.
+    */
+  private def fHalfBitsDk(x: String): String =
+    s"(2 * (length(bin($x)) - 1) + (CASE WHEN $x >= " +
+      s"([${Sqrt2Thr.mkString(", ")}])[length(bin($x))] THEN 1 ELSE 0 END))"
+
+  private def uniCostCteDk(name: String, vsrc: String): String =
+    s"$name AS MATERIALIZED (SELECT p, c, " +
+      s"CAST(${fHalfBitsDk("t.tc")} - ${fHalfBitsDk("c")} AS BIGINT) AS cost " +
+      s"FROM $vsrc CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS tc FROM $vsrc) t)"
+
+  private def uniLstarDk(cp: String): String =
+    "CASE " + (4 to 2 by -1).map { l =>
+      s"WHEN $cp >= $l AND dp[$cp - $l + 1] + pl[($cp - $l) * 4 + $l] = dp[$cp + 1] THEN $l "
+    }.mkString + "ELSE 1 END"
+
+  /** One Viterbi segmentation pass over the distinct-word table `wf`
+    * under cost table `costSrc` — the EXACT integer twin of
+    * [[uniSegment]]: flat slot list (packed cost·2²⁰+1, missing 10⁹
+    * half-bits), the DP fold (least over ≤4 predecessors; both
+    * engines' least() skips the p<l NULLs), the longest-piece-last
+    * reconstruction fold, and the piece slices. Both folds carry a
+    * single-expression LIST accumulator (the r14 list_reduce law).
+    */
+  private def uniSegCtesDk(sfx: String, costSrc: String): String = {
+    val opts = (1 to 4).map(l =>
+      s"CASE WHEN el[1] >= $l THEN acc[el[1] - $l + 1] + pl[(el[1] - $l) * 4 + $l] END")
+      .mkString(", ")
+    s"sl$sfx AS (SELECT w, f, unnest(range(1, 4 * len(w) + 1)) AS idx FROM wf), " +
+      s"sb$sfx AS (SELECT w, f, idx, CASE WHEN ((idx + 3) // 4) + ((idx - 1) % 4 + 1) - 1 <= len(w) " +
+      s"THEN substr(w, CAST((idx + 3) // 4 AS INT), CAST((idx - 1) % 4 + 1 AS INT)) END AS sub FROM sl$sfx), " +
+      s"pl$sfx AS MATERIALIZED (SELECT s.w AS w, s.f AS f, " +
+      s"list(COALESCE(c.cost, 1000000000) * 1048576 + 1 ORDER BY s.idx) AS pl " +
+      s"FROM sb$sfx s LEFT JOIN $costSrc c ON c.p = s.sub GROUP BY s.w, s.f), " +
+      s"dp$sfx AS MATERIALIZED (SELECT w, f, pl, " +
+      s"list_reduce(list_prepend([CAST(0 AS BIGINT)], list_transform(range(1, len(w) + 1), p -> [p])), " +
+      s"(acc, el) -> list_append(acc, least($opts))) AS dp FROM pl$sfx), " +
+      s"rc$sfx AS MATERIALIZED (SELECT w, f, " +
+      s"list_reduce(list_prepend([CAST(len(w) AS BIGINT)], list_transform(range(1, len(w) + 1), x -> [x])), " +
+      s"(acc, el) -> CASE WHEN acc[len(acc)] <= 0 THEN acc " +
+      s"ELSE list_append(acc, acc[len(acc)] - (${uniLstarDk("acc[len(acc)]")})) END) AS cuts FROM dp$sfx), " +
+      s"pc$sfx AS MATERIALIZED (SELECT w, f, list_transform(range(1, len(cuts)), " +
+      s"k -> substr(w, CAST(cuts[k + 1] + 1 AS INT), CAST(cuts[k] - cuts[k + 1] AS INT))) AS pieces FROM rc$sfx)"
+  }
+
+  /** One hard-EM M-step: Viterbi counts, zero-count multi-char prune,
+    * single-char coverage floor 1, re-costed.
+    */
+  private def uniEmCtesDk(r: Int): String =
+    s"u$r AS MATERIALIZED (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM " +
+      s"(SELECT f, unnest(pieces) AS p FROM pc$r) GROUP BY p), " +
+      s"v$r AS MATERIALIZED (SELECT p, c FROM u$r WHERE length(p) >= 2 " +
+      s"UNION ALL SELECT ch.p AS p, greatest(COALESCE(u.c, 0), 1) AS c " +
+      s"FROM chars0 ch LEFT JOIN u$r u ON u.p = ch.p), " +
+      uniCostCteDk(s"cost$r", s"v$r")
+
+  /** The full unigram chain: word frequencies, candidate harvest,
+    * top-K vocab, [[UnigramRounds]] EM rounds; `withEncodePass` adds
+    * the final segmentation under the trained model (pc3).
+    */
+  private def uniChainCtes(withEncodePass: Boolean): String = {
+    val base =
+      "wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) >= 1 GROUP BY w), " +
+        "cand AS MATERIALIZED (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM " +
+        "(SELECT f, unnest(list_filter(flatten(list_transform(range(1, len(w) + 1), i -> " +
+        "list_transform(range(1, 5), l -> CASE WHEN i + l - 1 <= len(w) " +
+        "THEN substr(w, CAST(i AS INT), CAST(l AS INT)) END))), x -> x IS NOT NULL)) AS p " +
+        "FROM wf) GROUP BY p), " +
+        "chars0 AS MATERIALIZED (SELECT p, c FROM cand WHERE length(p) = 1), " +
+        s"multi0 AS (SELECT p, c FROM (SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rn " +
+        s"FROM cand WHERE length(p) >= 2) WHERE rn <= $UnigramPieces), " +
+        "v0 AS MATERIALIZED (SELECT p, c FROM chars0 UNION ALL SELECT p, c FROM multi0), " +
+        uniCostCteDk("cost0", "v0") + ", " +
+        uniSegCtesDk("1", "cost0") + ", " + uniEmCtesDk(1) + ", " +
+        uniSegCtesDk("2", "cost1") + ", " + uniEmCtesDk(2)
+    if (withEncodePass) base + ", " + uniSegCtesDk("3", "cost2") else base
+  }
 
   private def bpeMergeCtes(src: String, tsel: String, out: String, tag: String): String =
     s"mflag$tag AS (SELECT w, unnest(list_transform(range(1, len(syms)), i -> struct_pack(i := i, inp := syms[CAST(i AS INT)] = ta AND syms[CAST(i + 1 AS INT)] = tb))) AS g FROM $src CROSS JOIN $tsel), " +
@@ -2383,6 +2673,17 @@ object Text {
       s"WITH $bpeChainCtes " +
         s"SELECT CAST(step AS INT) AS step, rnk, a, b, c FROM ($steps) ORDER BY step, rnk"
     },
+    "q_unigram_train" ->
+      (s"WITH ${uniChainCtes(withEncodePass = false)} " +
+        "SELECT p AS piece, c AS n, cost FROM cost2 ORDER BY piece"),
+    "q_unigram_encode" ->
+      (s"WITH ${uniChainCtes(withEncodePass = true)}, " +
+        "uwlen AS MATERIALIZED (SELECT w, CAST(len(pieces) AS BIGINT) AS n_uni FROM pc3), " +
+        "dwu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_chars_sym, " +
+        "CAST(sum(COALESCE(n_uni, 0)) AS BIGINT) AS n_uni " +
+        "FROM dwu LEFT JOIN uwlen USING (w) GROUP BY doc_id ORDER BY doc_id"),
     "q_bpe_encode" ->
       (s"WITH $bpeWlenCtes, " +
         "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
@@ -2399,16 +2700,23 @@ object Text {
         "CAST(sum(len(w)) AS BIGINT) AS n_chars_sym, " +
         "CAST(sum(n_bpe) AS BIGINT) AS n_bpe " +
         "FROM dw JOIN wlen USING (w) GROUP BY doc_id ORDER BY doc_id"),
+    // round 15: the family dimension — BOTH trained tokenizers audited
+    // per language in one table (the tokenizer-SELECTION workflow)
     "q_tokenizer_fertility" ->
       (s"WITH $bpeWlenCtes, " +
+        s"${uniChainCtes(withEncodePass = true)}, " +
+        "uwlen AS MATERIALIZED (SELECT w, CAST(len(pieces) AS BIGINT) AS n_tok FROM pc3), " +
         "dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
-        "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words, " +
-        "CAST(sum(n_bpe) AS BIGINT) AS n_tokens, CAST(sum(len(w)) AS BIGINT) AS n_chars " +
-        "FROM dw JOIN wlen USING (w) GROUP BY lang) " +
-        "SELECT lang, n_words, n_tokens, " +
+        "g AS (SELECT 'bpe' AS family, lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(COALESCE(n_bpe, 0)) AS BIGINT) AS n_tokens, CAST(sum(len(w)) AS BIGINT) AS n_chars " +
+        "FROM dw LEFT JOIN wlen USING (w) GROUP BY lang " +
+        "UNION ALL SELECT 'unigram' AS family, lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(COALESCE(n_tok, 0)) AS BIGINT) AS n_tokens, CAST(sum(len(w)) AS BIGINT) AS n_chars " +
+        "FROM dw LEFT JOIN uwlen USING (w) GROUP BY lang) " +
+        "SELECT family, lang, n_words, n_tokens, " +
         "round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS fertility, " +
         "round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS chars_per_token " +
-        "FROM g ORDER BY lang"),
+        "FROM g ORDER BY family, lang"),
     "q_phrase_rewrite" ->
       (s"WITH $collocCtes, sel AS ($collocSelect), " +
         "top30 AS (SELECT a || ' ' || b AS phrase FROM sel), " +

@@ -416,6 +416,77 @@ class TextDedupSpec extends SparkSpec {
       === r.toSeq)
   }
 
+  test("unigram tokenizer: Viterbi optimality, coverage, EM pruning, family fertility") {
+    // the trained model: single-char coverage (every corpus char is a
+    // piece, count floor >= 1), multi-char pieces survive EM with real
+    // support, and the cost table is the half-bit quantization of the
+    // count mass — cost(p) = f(T) - f(c) >= 0, monotone in c
+    val model = q("q_unigram_train")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(model.nonEmpty)
+    val corpusChars = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .select(explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+      .distinct().as[String].collect().toSet
+    val pieceSet = model.map(_._1).toSet
+    assert(corpusChars.subsetOf(pieceSet),
+      "every corpus character must stay in the vocab (coverage)")
+    assert(model.forall(_._2 >= 1), "EM counts carry the coverage floor")
+    assert(model.forall(_._3 >= 0), "cost = f(T) - f(c) is non-negative")
+    // higher count => cost no larger (the half-bit quantizer is monotone)
+    val byCount = model.sortBy(-_._2)
+    byCount.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3, s"cost must be monotone: $a vs $b")
+    }
+    assert(model.exists(m => m._1.length >= 2),
+      "multi-char pieces must survive EM on this corpus")
+    // Viterbi optimality against a brute-force DP recompute on a
+    // sample of distinct words (same packed cost+count objective)
+    val costs = model.map(m => m._1 -> m._3).toMap
+    def bruteBest(w: String): Long = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Long.MaxValue / 2)
+      dp(0) = 0L
+      for (p <- 1 to n; l <- 1 to math.min(4, p)) {
+        val sub = w.substring(p - l, p)
+        costs.get(sub).foreach { c =>
+          dp(p) = math.min(dp(p), dp(p - l) + c * 1048576L + 1L)
+        }
+      }
+      dp(n)
+    }
+    val enc = q("q_unigram_encode").as[(Long, Long, Long, Long)].collect()
+    enc.foreach { case (id, nWords, nChars, nUni) =>
+      assert(nUni >= 0 && nUni <= nChars, s"doc $id piece count bounds")
+    }
+    // per-word check on the 200 most frequent words: the engine's
+    // Viterbi piece count equals the brute DP's packed-optimal count
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy("w").count().orderBy($"count".desc, $"w").limit(200)
+      .select("w").as[String].collect()
+    val wl = graft.ops.Text.unigramWordPieces(spark, sfDir)
+      .as[(String, Int)].collect().toMap
+    words.foreach { w =>
+      val best = bruteBest(w)
+      assert(best < Long.MaxValue / 4, s"'$w' must be segmentable")
+      assert(wl(w).toLong === best % 1048576L,
+        s"'$w': engine pieces ${wl(w)} != optimal ${best % 1048576L}")
+    }
+    // the family audit: both families present for every language, and
+    // the unigram rows are internally consistent (fertility >= 1)
+    val fert = q("q_tokenizer_fertility")
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    val fams = fert.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    fams.foreach { case (lang, fs) =>
+      assert(fs === Set("bpe", "unigram"), s"$lang families $fs")
+    }
+    assert(fert.forall(r => r._5 >= 1.0),
+      "every word is at least one token under either family")
+  }
+
   test("bpe persist: the parquet round-trip re-encodes token-for-token") {
     // the build/serve split (VERDICT r13 #2): training writes the merge
     // table, a fresh lineage loads it and re-encodes — the persisted
