@@ -461,6 +461,63 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class BinEv(bin_us: Long, id: Long)
+  case class SlideOut(bin_us: Long, count_ : Long, dcount: Long)
+
+  /** STREAMING sliding-window activity counts (round 15, VERDICT r14
+    * #7) — q_kql_slidingwin's trailing-window event count and
+    * distinct-actor count maintained incrementally, completing the
+    * activity family's streaming story. The batch engagement trick
+    * carries over verbatim: an event in bin b is window-visible for
+    * bins b..b+r−1, so the wiring fans each event out to its ≤r
+    * visible bins BEFORE keying, and the processor per OUTPUT bin is
+    * then a plain accumulator — a ValueState event counter plus a
+    * MapState actor set (bounded by lookback/bin × live actors, the
+    * same bound as the batch explode). Update mode: every micro-batch
+    * re-emits the bin's refreshed counts, so a bin that has seen all
+    * its data reads EXACTLY the batch q_kql_slidingwin row
+    * (StreamingSpec pins the parity on the same corpus slice).
+    */
+  class SlidingCountsProcessor
+      extends StatefulProcessor[Long, BinEv, SlideOut] {
+    @transient private var actors: MapState[Long, Long] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      actors = getHandle.getMapState[Long, Long]("actors",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(binUs: Long, rows: Iterator[BinEv],
+        timerValues: TimerValues): Iterator[SlideOut] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { e =>
+        c += 1L
+        actors.updateValue(e.id, 1L)
+      }
+      cnt.update(c)
+      Iterator.single(SlideOut(binUs, c, actors.iterator().size.toLong))
+    }
+  }
+
+  /** `transformWithState` wiring for [[SlidingCountsProcessor]]:
+    * events fan out to their `lookbackBins` visible bins (bin grid
+    * anchored at `anchorUs`, the plugin's Start), then key by bin.
+    */
+  def slidingCountsStream(events: Dataset[Ev], lookbackBins: Int,
+      binUs: Long, anchorUs: Long = 0L): Dataset[SlideOut] = {
+    import events.sparkSession.implicits._
+    events.flatMap { e =>
+      val off = e.ts_us - anchorUs
+      val b = e.ts_us - (((off % binUs) + binUs) % binUs)
+      (0 until lookbackBins).map(k => BinEv(b + k * binUs, e.user_id))
+    }.groupByKey(_.bin_us)
+      .transformWithState(new SlidingCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

@@ -172,6 +172,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding-window counts converge to the batch plugin rows") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the batch plugin over the SAME slice: daily bins, 7-day
+      // trailing window, [2024-01-01, 2024-01-31)
+      val fromUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .toEpochMilli * 1000L
+      val toUs = java.time.Instant.parse("2024-01-31T00:00:00Z")
+        .toEpochMilli * 1000L
+      Tables.events(spark, sfDir).createOrReplaceTempView("events_csl")
+      val batch = graft.ingest.Kql.translate(spark,
+        "events_csl | evaluate sliding_window_counts(user_id, ts_ts, " +
+          "datetime(2024-01-01), datetime(2024-01-31), 7d, 1d)")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // stream the same in-range events through the fanout processor
+      val evs = Tables.events(spark, sfDir)
+        .filter($"ts_us" >= fromUs && $"ts_us" < toUs)
+        .select($"event_id", $"user_id", $"ts_us", lit(0.0).as("value"))
+        .as[StreamOps.Ev].collect()
+      val input = MemoryStream[StreamOps.Ev]
+      val q2 = StreamOps.slidingCountsStream(input.toDS(),
+        lookbackBins = 7, binUs = 86400000000L, anchorUs = fromUs).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("slide_spec").start()
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      // last emission per bin = the bin's converged counts; restrict
+      // to the batch grid (the stream also emits the <r trailing bins
+      // past the range end, which the plugin's grid drops)
+      val emissions = spark.table("slide_spec").as[StreamOps.SlideOut]
+        .collect().groupBy(_.bin_us)
+        .view.mapValues(v => v.maxBy(_.count_)).toMap
+        .filter { case (b, _) => b >= fromUs && b < toUs }
+      emissions.foreach { case (b, out) =>
+        val (c, d) = batch.getOrElse(b,
+          fail(s"stream emitted bin $b the batch grid lacks"))
+        assert(out.count_ === c, s"count parity at bin $b")
+        assert(out.dcount === d, s"dcount parity at bin $b")
+      }
+      // every batch bin with activity was emitted by the stream
+      batch.filter(_._2._1 > 0).keys.foreach { b =>
+        assert(emissions.contains(b), s"batch-active bin $b not streamed")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KL monitor converges to the batch drift statistic per source") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
