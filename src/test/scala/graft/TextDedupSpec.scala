@@ -912,7 +912,12 @@ class TextDedupSpec extends SparkSpec {
     val rows = q("q_tokenizer_fertility").collect()
     val langs = Tables.documents(spark, sfDir)
       .select("lang").distinct().as[String].collect().toSet
-    assert(rows.map(_.getAs[String]("lang")).toSet === langs)
+    // both families audit every language, and nothing else
+    val byFamily = rows.groupBy(_.getAs[String]("family"))
+    assert(byFamily.keySet === Set("bpe", "unigram"))
+    byFamily.values.foreach { g =>
+      assert(g.map(_.getAs[String]("lang")).toSet === langs)
+    }
     rows.foreach { r =>
       val w = r.getAs[Long]("n_words"); val t = r.getAs[Long]("n_tokens")
       // every word is >= 1 piece, every piece >= 1 char
@@ -920,9 +925,12 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Double]("fertility") >= 1.0)
       assert(r.getAs[Double]("chars_per_token") >= 1.0)
     }
-    // the language totals tile the corpus-wide encode totals exactly
-    val total = q("q_bpe_encode").agg(sum("n_bpe")).as[Long].head()
-    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    // each family's language totals tile ITS corpus-wide encode totals
+    // exactly (the family dimension must not cross-contaminate)
+    val bpeTotal = q("q_bpe_encode").agg(sum("n_bpe")).as[Long].head()
+    assert(byFamily("bpe").map(_.getAs[Long]("n_tokens")).sum === bpeTotal)
+    val uniTotal = q("q_unigram_encode").agg(sum("n_uni")).as[Long].head()
+    assert(byFamily("unigram").map(_.getAs[Long]("n_tokens")).sum === uniTotal)
   }
 
   test("dedup recall harness cross-checks against the standalone pair queries") {
