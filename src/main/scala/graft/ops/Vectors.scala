@@ -312,6 +312,87 @@ object Vectors {
     (cur, cents)
   }
 
+  // candidate table (cid, cand) packed for argmax_cosine: ordinal int
+  // ids in cid order (vec_ids can exceed Int at corpus scale; the
+  // ordinal is what the tie-break and the weight regroup key on, and
+  // the DuckDB twin derives the identical ordinal with row_number)
+  private def kmppPacked(cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cands.withColumn("ordc",
+        (row_number().over(Window.orderBy("cid")) - 1).cast("int"))
+      .agg(sort_array(collect_list(struct(col("ordc").as("c"),
+        transform(col("cand"), v => v.cast("double")).as("centroid"))))
+        .as("cents"))
+  }
+
+  /** k-means|| (scalable k-means++) seeding for the coarse quantizer —
+    * the recall panel's init-quality lever (`ivf_pp`). Bahmani et
+    * al.'s oversampled D²-seeding with the engine's determinism
+    * discipline: the seed is the minimum-vec_id vector; each of the 2
+    * sampling rounds scores the corpus against the packed candidate
+    * table (ONE codegen'd argmax_cosine projection pass — no row
+    * explosion), sums the seeding potential d(x) = 1 − max-cos
+    * decimal-exact, and admits x iff u(x) < k·d(x)/Σd with u an
+    * md5-derived uniform ([[Ox.mdUniform]]) — every engine, run, and
+    * file layout agrees on the draw (ℓ = k per round, E|C| ≈ 2k + 1).
+    * Candidates then weight by corpus attraction (one more argmax
+    * pass) and the k heaviest (weight desc, cid) become the init; the
+    * Lloyd budget after init is the SAME 2 (centroid ∘ assign) rounds
+    * as [[kmeansFit]], so the panel's ivf_pp-vs-ivf delta is
+    * attributable to the seeding alone.
+    *
+    * 100 TB shape: 3 extra linear corpus passes, each against a
+    * broadcast candidate table (≈ 2√N rows — ~60 k rows / 30 MB at
+    * N = 10⁹, still a model-table broadcast); the only windows rank
+    * the BOUNDED candidate set. A degenerate draw (fewer than k
+    * admitted candidates) just yields a smaller init — nprobe and
+    * shortlist derive from the actual centroid table downstream, so
+    * the plan stays well-defined. Fully oracled: the DuckDB twin
+    * replays the draws (md5 hex fold), the decimal potential sums,
+    * and the argmax tie-breaks CTE for CTE.
+    */
+  private def kmppFit(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val kDf = e.agg(ceil(sqrt(count(lit(1)))).cast("double").as("k"))
+    var cands = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cand"))
+      .localCheckpoint(true)
+    for (r <- 1 to 2) {
+      val scored = e.crossJoin(broadcast(kmppPacked(cands)))
+        .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+          s, col("embedding"), col("cents")))
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - col("best").getField("cos")).as("d"))
+      val tot = scored.agg(
+        sum(col("d").cast(DecimalType(30, 12))).cast(DoubleType).as("td"))
+      // anti-join keeps a candidate from entering twice (a re-draw has
+      // d ≈ 0 and essentially never fires, but a duplicate cid would
+      // make the ordinal assignment order-ambiguous in both engines)
+      val drawn = scored.crossJoin(broadcast(tot)).crossJoin(broadcast(kDf))
+        .filter(Ox.mdUniform(s"kmpp:$r:", col("vec_id")).cast("double") /
+          lit(16777216.0) < col("k") * col("d") / col("td"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cand"))
+        .join(broadcast(cands.select("cid")), Seq("cid"), "left_anti")
+      cands = cands.unionByName(drawn).localCheckpoint(true)
+    }
+    val w = e.crossJoin(broadcast(kmppPacked(cands)))
+      .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
+        s, col("embedding"), col("cents")))
+      .groupBy(col("best").getField("c").as("ordc"))
+      .agg(count(lit(1)).as("w"))
+    val init = cands.withColumn("ordc",
+        (row_number().over(Window.orderBy("cid")) - 1).cast("int"))
+      .join(w, "ordc")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("w").desc, col("cid"))))
+      .crossJoin(broadcast(kDf))
+      .filter(col("rn") <= col("k"))
+      .select((col("rn") - 1).cast("int").as("c"),
+        transform(col("cand"), v => v.cast("double")).as("centroid"))
+    kmeansContinue(e, kmAssign(e, init), 2)
+  }
+
   private def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val (a2, _) = kmeansFit(
@@ -1746,6 +1827,14 @@ object Vectors {
     val a4 = a4r.localCheckpoint(true)
     val c4 = c4r.localCheckpoint(true)
     val ivfL4 = ivfPanel(s, a4, c4, qp)
+    // (c) ivf_pp — k-means|| seeding at the SAME 2-round Lloyd budget
+    //     as the base fit, exact distances at the derived probes: the
+    //     init-quality lever, priced against 'ivf' (same budget,
+    //     different start) and 'ivf_l4' (double budget, same start)
+    val (appR, cppR) = kmppFit(s, e)
+    val app = appR.localCheckpoint(true)
+    val cpp = cppR.localCheckpoint(true)
+    val ivfPp = ivfPanel(s, app, cpp, qp)
     // (a)+(b) rerank_l4m8 — the composed serving point: M=8 codes on
     //     the 4-round coarse residuals, derived probes, derived
     //     shortlist, exact re-rank. This is the operating point the
@@ -1764,6 +1853,8 @@ object Vectors {
         .select(lit("ivf").as("method"), col("qid"), col("vec_id")))
       .unionByName(ivfL4
         .select(lit("ivf_l4").as("method"), col("qid"), col("vec_id")))
+      .unionByName(ivfPp
+        .select(lit("ivf_pp").as("method"), col("qid"), col("vec_id")))
       .unionByName(ivfpqM8
         .select(lit("ivfpq_m8").as("method"), col("qid"), col("vec_id")))
       .unionByName(rerankL8
@@ -2493,6 +2584,24 @@ object Vectors {
       s"row_number() OVER (PARTITION BY qid ORDER BY $ord, vec_id) AS rn " +
       s"FROM $src) WHERE rn <= $k)"
 
+  /** One k-means|| sampling round as oracle CTEs: potential against
+    * `prev` (ordinal argmax replay, ORDER BY cs DESC, ord — the
+    * argmax_cosine tie-break), decimal-exact Σd, md5-uniform admit at
+    * ℓ = k, NOT-IN dedupe — emitting `out` = prev ∪ admitted. The
+    * md5 fold is [[Text.hexSql]], the same twin every sampler uses.
+    */
+  private def kmppRoundCtes(r: Int, prev: String, out: String): String = {
+    val u = Text.hexSql(s"md5('kmpp:$r:' || CAST(vec_id AS VARCHAR))", 1, 6)
+    s"kpc$r AS (SELECT cid, cand, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS ord FROM $prev), " +
+      s"kps$r AS (SELECT e.vec_id AS vec_id, e.emb AS emb, ${dcos("e.emb", s"kpc$r.cand")} AS cs, kpc$r.ord AS ord FROM e CROSS JOIN kpc$r), " +
+      s"kpd$r AS MATERIALIZED (SELECT vec_id, emb, 1.0 - cs AS d FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ord) AS rn FROM kps$r) WHERE rn = 1), " +
+      s"kpt$r AS (SELECT CAST(sum(CAST(d AS DECIMAL(30,12))) AS DOUBLE) AS td FROM kpd$r), " +
+      s"$out AS MATERIALIZED (SELECT cid, cand FROM $prev UNION ALL " +
+      s"SELECT vec_id AS cid, emb AS cand FROM kpd$r CROSS JOIN kpt$r CROSS JOIN kpp " +
+      s"WHERE CAST($u AS DOUBLE) / 16777216.0 < k * d / td " +
+      s"AND vec_id NOT IN (SELECT cid FROM $prev)), "
+  }
+
   /** q_ann_recall's panel oracle: ONE statement sharing the kmeans
     * unroll, the PQ fit, the panel, and the ADC scores across all
     * seven branches (every CTE MATERIALIZED — the replay-as-subqueries
@@ -2660,6 +2769,34 @@ object Vectors {
       s"rercl8 AS (SELECT sh.qid AS qid, sh.vec_id AS vec_id, round(${dcos("e.emb", "qp.qv")}, 4) AS cos " +
       "FROM shortl8 sh JOIN e ON e.vec_id = sh.vec_id JOIN qp ON qp.qid = sh.qid), " +
       s"rl8t AS MATERIALIZED ${sqlTopPerQ("rercl8", "cos DESC", 10)}, " +
+      // (c) ivf_pp — the k-means|| seeded fit: 2 md5-deterministic
+      // D²-sampling rounds (potential d = 1 − max-cos, decimal-exact
+      // Σd, admit iff u < k·d/Σd), attraction-weighted top-k init,
+      // then the SAME 2-round Lloyd budget as the base fit and exact
+      // serve at the probes derived from ITS centroid table
+      "kpp AS (SELECT CAST(ceil(sqrt(count(*))) AS DOUBLE) AS k FROM e), " +
+      "cd0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cand FROM e ORDER BY vec_id LIMIT 1), " +
+      kmppRoundCtes(1, "cd0", "cd1") +
+      kmppRoundCtes(2, "cd1", "cd2") +
+      "pw0 AS (SELECT cid, cand, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS ord FROM cd2), " +
+      s"pws AS (SELECT e.vec_id AS vec_id, pw0.ord AS ord, ${dcos("e.emb", "pw0.cand")} AS cs FROM e CROSS JOIN pw0), " +
+      "pwa AS (SELECT vec_id, ord FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ord) AS rn FROM pws) WHERE rn = 1), " +
+      "pww AS MATERIALIZED (SELECT ord, count(*) AS w FROM pwa GROUP BY ord), " +
+      "ipp AS MATERIALIZED (SELECT CAST(rn - 1 AS INT) AS c, cand AS centroid FROM (SELECT cand, row_number() OVER (ORDER BY w DESC, cid) AS rn FROM pw0 JOIN pww USING (ord)) CROSS JOIN kpp WHERE rn <= k), " +
+      s"s0pp AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN ipp), " +
+      "a0pp AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s0pp) WHERE rn = 1), " +
+      s"c1pp AS MATERIALIZED ${cent("a0pp")}, " +
+      s"s1pp AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c1pp), " +
+      "a1pp AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s1pp) WHERE rn = 1), " +
+      s"c2pp AS MATERIALIZED ${cent("a1pp")}, " +
+      s"s2pp AS (SELECT vec_id, emb, c, ${dcos("emb", "centroid")} AS cos FROM e CROSS JOIN c2pp), " +
+      "a2pp AS MATERIALIZED (SELECT vec_id, emb, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn FROM s2pp) WHERE rn = 1), " +
+      s"iplpp AS (SELECT qp.qid AS qid, c2pp.c AS c, ${dcos("centroid", "qv")} AS ls FROM c2pp CROSS JOIN qp), " +
+      "iprkpp AS MATERIALIZED (SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY ls DESC, c) AS rn FROM iplpp), " +
+      "iprpp AS (SELECT qid, c FROM iprkpp WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c2pp)), " +
+      s"ivfcpp AS (SELECT pr.qid AS qid, a2pp.vec_id AS vec_id, round(${dcos("a2pp.emb", "qp.qv")}, 4) AS cos " +
+      "FROM a2pp JOIN iprpp pr ON a2pp.c = pr.c JOIN qp ON qp.qid = pr.qid WHERE a2pp.vec_id <> pr.qid), " +
+      s"ivfppt AS MATERIALIZED ${sqlTopPerQ("ivfcpp", "cos DESC", 10)}, " +
       "cands AS (SELECT 'lsh' AS method, qid, vec_id FROM lsht " +
       "UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivft " +
       "UNION ALL SELECT 'ivfpq' AS method, qid, vec_id FROM ivfpqt " +
@@ -2673,6 +2810,7 @@ object Vectors {
       "UNION ALL SELECT 'trunc16' AS method, qid, vec_id FROM tdt " +
       "UNION ALL SELECT 'ivfpq_m8' AS method, qid, vec_id FROM m8t " +
       "UNION ALL SELECT 'ivf_l4' AS method, qid, vec_id FROM ivfl4t " +
+      "UNION ALL SELECT 'ivf_pp' AS method, qid, vec_id FROM ivfppt " +
       "UNION ALL SELECT 'rerank_l4m8' AS method, qid, vec_id FROM rl8t), " +
       "nq AS (SELECT count(*) AS nq FROM qp) " +
       "SELECT method, CAST(nq AS BIGINT) AS n_queries, " +

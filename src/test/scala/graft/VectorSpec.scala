@@ -332,7 +332,7 @@ class VectorSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("method")).toSet ===
       Set("lsh", "ivf", "ivfpq", "ivfpq_np1", "ivfpq_opq", "rerank", "bq",
         "trunc16", "ivf_np3x", "rerank_np3x", "rerank_sl50",
-        "ivfpq_m8", "ivf_l4", "rerank_l4m8"))
+        "ivfpq_m8", "ivf_l4", "rerank_l4m8", "ivf_pp"))
     val nq = graft.ops.Vectors.PanelSize.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_candidates")
