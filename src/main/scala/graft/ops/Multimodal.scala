@@ -54,6 +54,9 @@ object Multimodal {
     size_ok: Boolean, pix_sum: Long, max_err: Int, abs_err: Long)
   case class MediaMjpeg(doc_id: Long, n_frames: Int, ok: Boolean,
     size_ok: Boolean, pix_sum: Long, motion_abs: Long, max_motion: Int)
+  case class MediaPvid(doc_id: Long, n_frames: Int, ok: Boolean,
+    size_ok: Boolean, mv_abs: Long, pix_sum: Long, max_err: Int,
+    abs_err: Long)
 
   /** Batched partition-wise "decode + featurize": one iterator per
     * partition, so a real decoder would amortize model/codec init across
@@ -647,6 +650,48 @@ object Multimodal {
           while (uu < 8) { acc += i2(uu)(y) * B4(uu)(x); uu += 1 }
           val p = divHalf(acc, 400000000L) + 128L
           out(y * 8 + x) = math.max(0L, math.min(255L, p)).toInt
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Inverse DCT for RESIDUAL blocks: [[idctBlock]] without the
+      * +128 level shift or the [0,255] clamp — a P-frame decoder
+      * clamps the RECONSTRUCTION (prediction + residual), not the
+      * residual itself. Same staged divisions, same int64 bounds.
+      */
+    def idctResidual(d: Array[Long]): Array[Int] = {
+      val t = Array.ofDim[Long](8, 8)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          t(u)(v) = divHalf(d(v * 8 + u) * cu4(u) * cu4(v), 10000L)
+          v += 1
+        }
+        u += 1
+      }
+      val i2 = Array.ofDim[Long](8, 8)
+      u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 8) {
+          var acc = 0L; var v = 0
+          while (v < 8) { acc += t(u)(v) * B4(v)(y); v += 1 }
+          i2(u)(y) = divHalf(acc, 10000L); y += 1
+        }
+        u += 1
+      }
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L; var uu = 0
+          while (uu < 8) { acc += i2(uu)(y) * B4(uu)(x); uu += 1 }
+          out(y * 8 + x) = divHalf(acc, 400000000L).toInt
           x += 1
         }
         y += 1
@@ -1384,6 +1429,251 @@ object Multimodal {
           pos = end
         }
         out.result()
+      }
+    }
+
+    /** Inter-frame (P-frame) video codec — the H.261/MPEG-class
+      * motion-compensation layer on the engine's staged-integer
+      * transform, closing the video seam MJPEG left open (every
+      * frame intra): frame 0 is a REAL baseline JFIF intra frame
+      * ([[encodeGray]]); each P frame codes, per raster-ordered 8×8
+      * block, a full-search motion vector (±2 px, SAD argmin over
+      * the RECONSTRUCTED reference with edge-clamped sampling, ties
+      * to the smallest (dy, dx) in scan order) and the quantized
+      * residual DCT (Annex K.1 quantization, Annex K typical Huffman
+      * entropy coding with a per-frame DC predictor chain — the
+      * MPEG-1 picture-layer shape with JPEG's VLC tables). Quantized
+      * coefficients saturate at the baseline Huffman range
+      * (|AC| ≤ 1023, so |DC diff| ≤ 2046 — the encoder-side clamp
+      * every rate-controlled encoder applies); the decoder
+      * reconstructs clamp(prediction + residual'), and because
+      * entropy coding is lossless and every transform stage is exact
+      * integer, the DuckDB twin replays motion search, residual
+      * transform, and reconstruction value-for-value.
+      *
+      * Container (engine-native elementary stream, the [[Mdct]]
+      * precedent — the public-spec content is the MC + transform
+      * layer): "GPV1", be16 w, be16 h, u8 frame count, frame 0 as
+      * be32 length + JFIF bytes, each P frame as be32 length +
+      * per-block [s8 dy, s8 dx] pairs + byte-stuffed entropy payload.
+      */
+    object Pvid {
+      val SearchR = 2
+
+      private def mcBlock(ref: Array[Int], w: Int, h: Int,
+          by: Int, bx: Int, dy: Int, dx: Int): Array[Int] =
+        Array.tabulate(64) { i =>
+          val sy = math.max(0, math.min(h - 1, by * 8 + i / 8 + dy))
+          val sx = math.max(0, math.min(w - 1, bx * 8 + i % 8 + dx))
+          ref(sy * w + sx)
+        }
+
+      def encode(iFrame: Array[Byte], pFrames: Seq[Array[Byte]],
+          w: Int, h: Int): Array[Byte] = {
+        require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+          "frame dims must be positive multiples of 8")
+        require(iFrame.length == w * h && pFrames.forall(_.length == w * h),
+          "payload size must be w*h")
+        require(pFrames.size + 1 <= 255, "too many frames")
+        val jfif = encodeGray(iFrame, w, h)
+        val out = new java.io.ByteArrayOutputStream
+        def be32w(v: Int): Unit = {
+          out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+          out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+        }
+        out.write('G'); out.write('P'); out.write('V'); out.write('1')
+        out.write((w >>> 8) & 0xff); out.write(w & 0xff)
+        out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+        out.write(pFrames.size + 1)
+        be32w(jfif.length); out.write(jfif, 0, jfif.length)
+        // the encoder's decode loop: predict from what the DECODER
+        // will reconstruct, starting at the intra round-trip
+        var ref: Array[Int] = {
+          val (dw, dh, nc, px) = decodeFrom(jfif, 0) match {
+            case (a, b, c, d, _) => (a, b, c, d)
+          }
+          require(dw == w && dh == h && nc == 1, "intra round-trip mismatch")
+          px.map(_ & 0xff)
+        }
+        val dcCodes = huffCodes(DcLumBits, DcLumVals)
+        val acCodes = huffCodes(AcLumBits, AcLumVals)
+        for (f <- pFrames) {
+          val cur = f.map(_ & 0xff)
+          val recon = new Array[Int](w * h)
+          val mvs = new java.io.ByteArrayOutputStream
+          val bw = new BitWriter
+          var pred = 0
+          var by = 0
+          while (by < h / 8) {
+            var bx = 0
+            while (bx < w / 8) {
+              var bdy = 0; var bdx = 0; var bsad = Long.MaxValue
+              var dy = -SearchR
+              while (dy <= SearchR) {
+                var dx = -SearchR
+                while (dx <= SearchR) {
+                  val mc = mcBlock(ref, w, h, by, bx, dy, dx)
+                  var sad = 0L; var i = 0
+                  while (i < 64) {
+                    sad += math.abs(
+                      cur((by * 8 + i / 8) * w + bx * 8 + i % 8) - mc(i))
+                    i += 1
+                  }
+                  if (sad < bsad) { bsad = sad; bdy = dy; bdx = dx }
+                  dx += 1
+                }
+                dy += 1
+              }
+              mvs.write(bdy & 0xff); mvs.write(bdx & 0xff)
+              val pd = mcBlock(ref, w, h, by, bx, bdy, bdx)
+              val r = Array.tabulate(64)(i =>
+                cur((by * 8 + i / 8) * w + bx * 8 + i % 8) - pd(i))
+              val coef = fdctQuant(r)
+                .map(c => math.max(-1023, math.min(1023, c)))
+              val diff = coef(0) - pred
+              pred = coef(0)
+              val ds = bitSize(diff)
+              val (dc, dl) = dcCodes(ds)
+              bw.put(dc, dl)
+              if (ds > 0)
+                bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+              var run = 0; var k = 1
+              while (k < 64) {
+                val c = coef(Zigzag(k))
+                if (c == 0) run += 1
+                else {
+                  while (run >= 16) {
+                    val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
+                  }
+                  val as = bitSize(c)
+                  val (ac, al) = acCodes((run << 4) | as)
+                  bw.put(ac, al)
+                  bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
+                  run = 0
+                }
+                k += 1
+              }
+              if (run > 0) { val (e0, el) = acCodes(0x00); bw.put(e0, el) }
+              val resd = idctResidual(
+                Array.tabulate(64)(i => coef(i).toLong * QNat(i)))
+              var i = 0
+              while (i < 64) {
+                recon((by * 8 + i / 8) * w + bx * 8 + i % 8) =
+                  math.max(0, math.min(255, pd(i) + resd(i)))
+                i += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          bw.finish()
+          val mvb = mvs.toByteArray
+          val ent = bw.out.toByteArray
+          be32w(mvb.length + ent.length)
+          out.write(mvb, 0, mvb.length); out.write(ent, 0, ent.length)
+          ref = recon
+        }
+        out.toByteArray
+      }
+
+      /** Decode the elementary stream. Returns (w, h, frames, Σ|mv|):
+        * frames(0) = the decoded intra frame, each P frame
+        * reconstructed as clamp(MC prediction + decoded residual);
+        * the last element sums |dy|+|dx| over every P-frame block.
+        * Rejects loudly: bad magic, non-multiple-of-8 dims, length
+        * fields overrunning the stream, motion vectors outside the
+        * declared ±[[SearchR]] search range, corrupt size categories,
+        * runs past end of block, trailing bytes.
+        */
+      def decode(stream: Array[Byte]): (Int, Int, Vector[Array[Int]], Long) = {
+        if (stream.length < 9) fail("Pvid: truncated header")
+        if (stream(0) != 'G' || stream(1) != 'P' || stream(2) != 'V' ||
+            stream(3) != '1') fail("Pvid: bad magic")
+        def u8s(i: Int): Int = stream(i) & 0xff
+        val w = (u8s(4) << 8) | u8s(5)
+        val h = (u8s(6) << 8) | u8s(7)
+        val nf = u8s(8)
+        if (w == 0 || h == 0 || w % 8 != 0 || h % 8 != 0)
+          fail("Pvid: dims must be positive multiples of 8")
+        if (nf == 0) fail("Pvid: zero frames")
+        var pos = 9
+        def be32r(): Int = {
+          if (pos + 4 > stream.length) fail("Pvid: truncated length field")
+          val v = (u8s(pos) << 24) | (u8s(pos + 1) << 16) |
+            (u8s(pos + 2) << 8) | u8s(pos + 3)
+          pos += 4
+          if (v < 0 || pos + v > stream.length)
+            fail("Pvid: frame length overruns stream")
+          v
+        }
+        val ilen = be32r()
+        val (dw, dh, nc, ipx, _) = decodeFrom(stream, pos)
+        pos += ilen
+        if (dw != w || dh != h || nc != 1)
+          fail("Pvid: intra frame does not match declared dims")
+        var ref = ipx.map(_ & 0xff)
+        val frames = Vector.newBuilder[Array[Int]]
+        frames += ref
+        var mvAbs = 0L
+        val nb = (w / 8) * (h / 8)
+        val dcT = buildHuff(DcLumBits, DcLumVals)
+        val acT = buildHuff(AcLumBits, AcLumVals)
+        for (_ <- 1 until nf) {
+          val flen = be32r()
+          if (flen < 2 * nb) fail("Pvid: P-frame shorter than its MV table")
+          val base = pos
+          val br = new BitReader(stream, base + 2 * nb)
+          val recon = new Array[Int](w * h)
+          var pred = 0
+          var b = 0
+          while (b < nb) {
+            val dy = stream(base + 2 * b).toInt
+            val dx = stream(base + 2 * b + 1).toInt
+            if (math.abs(dy) > SearchR || math.abs(dx) > SearchR)
+              fail("Pvid: motion vector outside search range")
+            val by = b / (w / 8); val bx = b % (w / 8)
+            val dcs = dcT.decode(br)
+            if (dcs > 11) fail("Pvid: corrupt DC size category")
+            var bitsv = 0
+            for (_ <- 0 until dcs) bitsv = (bitsv << 1) | br.readBit()
+            pred += extend(bitsv, dcs)
+            val d = new Array[Long](64)
+            d(0) = pred.toLong * QNat(0)
+            var k = 1
+            var open = true
+            while (open && k < 64) {
+              val rs = acT.decode(br)
+              val run = rs >> 4; val size = rs & 15
+              if (size == 0) {
+                if (run == 15) k += 16 else open = false
+              } else {
+                if (size > 10) fail("Pvid: corrupt AC size category")
+                k += run
+                if (k > 63) fail("Pvid: AC run past end of block")
+                var av = 0
+                for (_ <- 0 until size) av = (av << 1) | br.readBit()
+                val nat = Zigzag(k)
+                d(nat) = extend(av, size).toLong * QNat(nat)
+                k += 1
+              }
+            }
+            val resd = idctResidual(d)
+            val pd = mcBlock(ref, w, h, by, bx, dy, dx)
+            var i = 0
+            while (i < 64) {
+              recon((by * 8 + i / 8) * w + bx * 8 + i % 8) =
+                math.max(0, math.min(255, pd(i) + resd(i)))
+              i += 1
+            }
+            mvAbs += math.abs(dy) + math.abs(dx)
+            b += 1
+          }
+          pos = base + flen
+          ref = recon
+          frames += recon
+        }
+        if (pos != stream.length) fail("Pvid: trailing bytes after last frame")
+        (w, h, frames.result(), mvAbs)
       }
     }
   }
@@ -2347,12 +2637,62 @@ object Multimodal {
     docRows.union(planted).toDF().orderBy("doc_id")
   }
 
+  /** q_media_pframe (round 15): INTER-FRAME video — the seam MJPEG
+    * left open (every frame intra). Two 16×16 frames per document:
+    * frame 2 is frame 1 cyclically shifted 17 raster positions
+    * (≈ one row + one column of planted motion) plus a +5 saturating
+    * brightness step, so the residual is nonzero even where the
+    * motion model is perfect. The op encodes a real P-frame stream
+    * (JFIF intra + full-search MC + Annex-K-quantized residual DCT +
+    * Huffman entropy — [[Jpeg.Pvid]]), decodes it back, and emits
+    * exact integer features: Σ|mv| over the blocks, reconstruction
+    * pixel sum, and the max/total reconstruction error vs the source
+    * frame. The DuckDB twin replays the motion search (25-offset SAD
+    * argmin over the staged-integer-decoded reference), the residual
+    * transform, and the clamp — full value parity.
+    */
+  private def pvidRow(id: Long, f1: Array[Byte]): MediaPvid = {
+    val w = 16; val h = 16; val n = w * h
+    val f2 = Array.tabulate(n)(i =>
+      math.min(255, (f1((i + 17) % n) & 0xff) + 5).toByte)
+    val stream = Jpeg.Pvid.encode(f1, Seq(f2), w, h)
+    val (dw, dh, frames, mvAbs) = Jpeg.Pvid.decode(stream)
+    val ok = dw == w && dh == h && frames.length == 2
+    val sizeOk = stream.length <= 4000
+    val recon = frames(1)
+    var psum = 0L; var maxe = 0; var abse = 0L
+    var p = 0
+    while (p < n) {
+      val d = recon(p)
+      val sv = math.min(255, (f2(p) & 0xff))
+      psum += d
+      val e = math.abs(d - sv)
+      if (e > maxe) maxe = e
+      abse += e
+      p += 1
+    }
+    MediaPvid(id, frames.length, ok, sizeOk, mvAbs, psum, maxe, abse)
+  }
+
+  private def mediaPframe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jw = 16; val jh = 16
+    val docRows = mediaRows(s, dir).mapPartitions { it =>
+      it.map(r => pvidRow(r.doc_id, Ppm.tile(r.media, jw * jh)))
+    }
+    val planted = Seq(0).toDS().map { _ =>
+      pvidRow(-1L, Array.tabulate(jw * jh)(i => ((i * 7 + 13) % 256).toByte))
+    }
+    docRows.union(planted).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_png" -> (mediaPng _),
     "q_media_jpeg" -> (mediaJpeg _),
     "q_media_jpeg_color" -> (mediaJpegColor _),
     "q_media_mjpeg" -> (mediaMjpeg _),
+    "q_media_pframe" -> (mediaPframe _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
@@ -2717,11 +3057,110 @@ object Multimodal {
       "SELECT ps.doc_id AS doc_id, CAST(2 AS INT) AS n_frames, TRUE AS ok, TRUE AS size_ok, " +
       "pix_sum, motion_abs, max_motion FROM ps JOIN mg USING (doc_id) ORDER BY doc_id"
 
+  /** q_media_pframe twin: frame 1's staged-integer JPEG replay gives
+    * the reconstructed reference; the motion search is a 25-offset
+    * SAD argmin over it (edge-clamped sampling, ties to smallest
+    * (dy, dx) — the encoder's scan order); the residual then runs the
+    * SAME staged DCT chain as the intra replay but with no level
+    * shift, the ±1023 baseline-Huffman saturation between quantize
+    * and dequantize, and no +128 on the way out; reconstruction
+    * clamps prediction + residual. Entropy coding and the DC
+    * predictor chain are lossless, so this equals encode→decode
+    * value-for-value.
+    */
+  private def pframeOracleSql: String =
+    "WITH m AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS mhex, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+      "bylist AS MATERIALIZED (SELECT doc_id, n, list_transform(range(CAST(0 AS BIGINT), n), " +
+      "j -> CAST((strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+1 AS BIGINT), 1))-1)*16 " +
+      "+ strpos('0123456789ABCDEF', substr(mhex, CAST(j*2+2 AS BIGINT), 1))-1 AS BIGINT)) AS bs FROM m), " +
+      // both frames from the source formula: fr 0 = the tile, fr 1 =
+      // 17-position cyclic shift + saturating +5 brightness step
+      "pxs AS MATERIALIZED (SELECT doc_id, f.fr AS fr, t.p AS p, " +
+      "CASE WHEN f.fr = 0 THEN CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST(t.p % n AS BIGINT) + 1] END AS BIGINT) " +
+      "ELSE least(255, CAST(CASE WHEN n = 0 THEN 0 ELSE bs[CAST(((t.p + 17) % 256) % n AS BIGINT) + 1] END AS BIGINT) + 5) END AS v " +
+      "FROM bylist CROSS JOIN range(0, 256) t(p) CROSS JOIN range(0, 2) f(fr) " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, f.fr AS fr, t.p AS p, " +
+      "CASE WHEN f.fr = 0 THEN CAST((7*t.p + 13) % 256 AS BIGINT) " +
+      "ELSE least(255, CAST((7*((t.p + 17) % 256) + 13) % 256 AS BIGINT) + 5) END AS v " +
+      "FROM range(0, 256) t(p) CROSS JOIN range(0, 2) f(fr)), " +
+      // ---- intra replay of frame 0 (the q_media_jpeg chain) ----
+      "px AS MATERIALIZED (SELECT doc_id, (p//16)//8*2 + (p%16)//8 AS bi, " +
+      "(p//16)%8 AS y, (p%16)%8 AS x, v, v - 128 AS s FROM pxs WHERE fr = 0), " +
+      s"basis AS (SELECT * FROM (VALUES $jpegBasisValues) b(u, x, bv)), " +
+      s"qt AS (SELECT * FROM (VALUES $jpegQtValues) q(u, v, qv)), " +
+      "i1 AS MATERIALIZED (SELECT p.doc_id, p.bi, p.x, b.u AS v, CAST(sum(p.s * b.bv) AS BIGINT) AS iv " +
+      "FROM px p JOIN basis b ON b.x = p.y GROUP BY ALL), " +
+      "rw AS MATERIALIZED (SELECT i.doc_id, i.bi, b.u AS u, i.v AS v, CAST(sum(i.iv * b.bv) AS BIGINT) AS rv " +
+      "FROM i1 i JOIN basis b ON b.x = i.x GROUP BY ALL), " +
+      "r2c AS (SELECT doc_id, bi, u, v, " +
+      dhs("rv * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r2v FROM rw), " +
+      "r3c AS (SELECT doc_id, bi, u, v, " +
+      dhs("r2v * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r3v FROM r2c), " +
+      "qc AS MATERIALIZED (SELECT r.doc_id, r.bi, r.u, r.v, " +
+      dhs("r.r3v", "4 * CAST(q.qv AS BIGINT) * 100000000") + " * q.qv AS d " +
+      "FROM r3c r JOIN qt q ON q.u = r.u AND q.v = r.v), " +
+      "tt AS MATERIALIZED (SELECT doc_id, bi, u, v, " +
+      dhs("d * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END) * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") +
+      " AS t FROM qc), " +
+      "i2 AS MATERIALIZED (SELECT t.doc_id, t.bi, t.u, b.x AS y, " +
+      dhs("CAST(sum(t.t * b.bv) AS BIGINT)", "10000") + " AS iv2 " +
+      "FROM tt t JOIN basis b ON b.u = t.v GROUP BY ALL), " +
+      "r2b AS MATERIALIZED (SELECT i.doc_id, i.bi, b.x AS x, i.y AS y, CAST(sum(i.iv2 * b.bv) AS BIGINT) AS rv2 " +
+      "FROM i2 i JOIN basis b ON b.u = i.u GROUP BY ALL), " +
+      "decp AS MATERIALIZED (SELECT doc_id, (bi//2)*8 + y AS ay, (bi%2)*8 + x AS ax, " +
+      "GREATEST(0, LEAST(255, " + dhs("rv2", "400000000") + " + 128)) AS pv FROM r2b), " +
+      // ---- motion search over the reconstructed reference ----
+      "f2p AS MATERIALIZED (SELECT doc_id, p//16 AS ay, p%16 AS ax, v FROM pxs WHERE fr = 1), " +
+      "offs AS (SELECT oy.dy AS dy, ox.dx AS dx FROM range(-2, 3) oy(dy) CROSS JOIN range(-2, 3) ox(dx)), " +
+      "sadt AS MATERIALIZED (SELECT f.doc_id, (f.ay//8)*2 + (f.ax//8) AS b, o.dy AS dy, o.dx AS dx, " +
+      "CAST(sum(abs(f.v - d.pv)) AS BIGINT) AS sad " +
+      "FROM f2p f CROSS JOIN offs o JOIN decp d ON d.doc_id = f.doc_id " +
+      "AND d.ay = GREATEST(0, LEAST(15, f.ay + o.dy)) AND d.ax = GREATEST(0, LEAST(15, f.ax + o.dx)) " +
+      "GROUP BY ALL), " +
+      "best AS MATERIALIZED (SELECT doc_id, b, dy, dx FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY doc_id, b ORDER BY sad, dy, dx) AS rn FROM sadt) WHERE rn = 1), " +
+      // ---- residual pixels against the chosen prediction ----
+      "rp AS MATERIALIZED (SELECT f.doc_id, w.b AS bi, f.ay%8 AS y, f.ax%8 AS x, " +
+      "f.v AS v2, d.pv AS pd, f.v - d.pv AS s " +
+      "FROM f2p f JOIN best w ON w.doc_id = f.doc_id AND w.b = (f.ay//8)*2 + (f.ax//8) " +
+      "JOIN decp d ON d.doc_id = f.doc_id " +
+      "AND d.ay = GREATEST(0, LEAST(15, f.ay + w.dy)) AND d.ax = GREATEST(0, LEAST(15, f.ax + w.dx))), " +
+      // ---- residual DCT chain: no level shift, ±1023 saturation ----
+      "i1r AS MATERIALIZED (SELECT p.doc_id, p.bi, p.x, b.u AS v, CAST(sum(p.s * b.bv) AS BIGINT) AS iv " +
+      "FROM rp p JOIN basis b ON b.x = p.y GROUP BY ALL), " +
+      "rwr AS MATERIALIZED (SELECT i.doc_id, i.bi, b.u AS u, i.v AS v, CAST(sum(i.iv * b.bv) AS BIGINT) AS rv " +
+      "FROM i1r i JOIN basis b ON b.x = i.x GROUP BY ALL), " +
+      "r2cr AS (SELECT doc_id, bi, u, v, " +
+      dhs("rv * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r2v FROM rwr), " +
+      "r3cr AS (SELECT doc_id, bi, u, v, " +
+      dhs("r2v * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") + " AS r3v FROM r2cr), " +
+      "qcr AS MATERIALIZED (SELECT r.doc_id, r.bi, r.u, r.v, " +
+      "GREATEST(-1023, LEAST(1023, " + dhs("r.r3v", "4 * CAST(q.qv AS BIGINT) * 100000000") + ")) * q.qv AS d " +
+      "FROM r3cr r JOIN qt q ON q.u = r.u AND q.v = r.v), " +
+      "ttr AS MATERIALIZED (SELECT doc_id, bi, u, v, " +
+      dhs("d * (CASE WHEN u = 0 THEN 7071 ELSE 10000 END) * (CASE WHEN v = 0 THEN 7071 ELSE 10000 END)", "10000") +
+      " AS t FROM qcr), " +
+      "i2r AS MATERIALIZED (SELECT t.doc_id, t.bi, t.u, b.x AS y, " +
+      dhs("CAST(sum(t.t * b.bv) AS BIGINT)", "10000") + " AS iv2 " +
+      "FROM ttr t JOIN basis b ON b.u = t.v GROUP BY ALL), " +
+      "r2br AS MATERIALIZED (SELECT i.doc_id, i.bi, b.x AS x, i.y AS y, CAST(sum(i.iv2 * b.bv) AS BIGINT) AS rv2 " +
+      "FROM i2r i JOIN basis b ON b.u = i.u GROUP BY ALL), " +
+      "recon AS MATERIALIZED (SELECT r.doc_id, GREATEST(0, LEAST(255, rp.pd + " +
+      dhs("r.rv2", "400000000") + ")) AS rc, rp.v2 AS v2 " +
+      "FROM r2br r JOIN rp ON rp.doc_id = r.doc_id AND rp.bi = r.bi AND rp.x = r.x AND rp.y = r.y), " +
+      "mvt AS (SELECT doc_id, CAST(sum(abs(dy) + abs(dx)) AS BIGINT) AS mv_abs FROM best GROUP BY doc_id), " +
+      "st AS (SELECT doc_id, CAST(sum(rc) AS BIGINT) AS pix_sum, " +
+      "CAST(max(abs(rc - v2)) AS INT) AS max_err, CAST(sum(abs(rc - v2)) AS BIGINT) AS abs_err " +
+      "FROM recon GROUP BY doc_id) " +
+      "SELECT st.doc_id AS doc_id, CAST(2 AS INT) AS n_frames, TRUE AS ok, TRUE AS size_ok, " +
+      "mv_abs, pix_sum, max_err, abs_err FROM st JOIN mvt USING (doc_id) ORDER BY doc_id"
+
   val oracleSql: Map[String, String] = Map(
     "q_media_jpeg" -> jpegOracleSql,
     "q_media_jpeg_color" -> jpegColorOracleSql,
     "q_media_mdct" -> mdctOracleSql,
     "q_media_mjpeg" -> mjpegOracleSql,
+    "q_media_pframe" -> pframeOracleSql,
     "q_media_mulaw" -> mulawOracleSql,
     "q_media_adpcm" -> adpcmOracleSql,
     "q_multimodal_meta" ->

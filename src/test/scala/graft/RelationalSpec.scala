@@ -824,6 +824,83 @@ class RelationalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("media pframe: inter-frame codec — MC finds planted motion, static frames near-free, chained refs, rejections") {
+    import graft.ops.Multimodal.Jpeg
+
+    // pure translation within the search range: a smooth gradient
+    // shifted by (1,1) must be found by the full search — every
+    // block's MV is exactly (1,1) and the interior predicts perfectly
+    val w = 16; val h = 16
+    val f1 = Array.tabulate(w * h)(i => ((i / 16) * 9 + (i % 16) * 5).toByte)
+    val f2 = Array.tabulate(w * h) { i =>
+      val y = i / 16; val x = i % 16
+      val sy = math.min(15, y + 1); val sx = math.min(15, x + 1)
+      f1(sy * 16 + sx)
+    }
+    val st = Jpeg.Pvid.encode(f1, Seq(f2), w, h)
+    val (dw, dh, fr, mvAbs) = Jpeg.Pvid.decode(st)
+    assert((dw, dh, fr.length) === ((16, 16, 2)))
+    assert(mvAbs === 8L, "4 blocks x (|1|+|1|): the planted translation")
+    // reconstruction error bounded by the residual quantizer (Q50)
+    val err2 = (0 until 256).map(i => math.abs(fr(1)(i) - (f2(i) & 0xff)))
+    assert(err2.max <= 40, s"P-frame reconstruction err ${err2.max}")
+
+    // a STATIC P frame costs almost nothing: when the incoming frame
+    // equals the reference (the decoded I-frame — against the RAW
+    // source the lossy intra recon makes SAD(0,0) nonzero and MC may
+    // legitimately prefer another offset), the search locks (0,0),
+    // the residual is all-zero, and the payload collapses to per-
+    // block DC-0 + EOB — the whole point of inter coding vs MJPEG
+    val intra = Jpeg.encodeGray(f1, w, h)
+    val iRec = Jpeg.decode(intra)._4.map(_ & 0xff)
+    val stStatic = Jpeg.Pvid.encode(f1, Seq(iRec.map(_.toByte)), w, h)
+    val pPayload = stStatic.length - (9 + 4 + intra.length)
+    assert(pPayload < intra.length / 4,
+      s"static P frame ($pPayload B) must be far below intra (${intra.length} B)")
+    val (_, _, frS, mvS) = Jpeg.Pvid.decode(stStatic)
+    assert(mvS === 0L)
+    assert(frS(1).toSeq === frS(0).toSeq)
+    assert(frS(0).toSeq === iRec.toSeq)
+
+    // three frames chain: frame 3 predicts from frame 2's RECON, and
+    // each reconstruction stays within the quantizer bound of source
+    val f3 = Array.tabulate(w * h)(i => math.min(255, (f2(i) & 0xff) + 3).toByte)
+    val (_, _, fr3, _) = Jpeg.Pvid.decode(
+      Jpeg.Pvid.encode(f1, Seq(f2, f3), w, h))
+    assert(fr3.length === 3)
+    assert((0 until 256).map(i => math.abs(fr3(2)(i) - (f3(i) & 0xff))).max <= 40)
+
+    // loud rejections: bad magic, truncated stream, MV outside the
+    // declared search range, trailing garbage
+    def msgOf(b: Array[Byte]): String =
+      intercept[IllegalArgumentException] { Jpeg.Pvid.decode(b) }.getMessage
+    assert(msgOf("XXXX".getBytes("US-ASCII") ++ st.drop(4)).contains("magic"))
+    assert(msgOf(st.take(20)).contains("overruns"))
+    assert(msgOf(st ++ Array[Byte](1)).contains("trailing"))
+    val mvPatched = st.clone()
+    val mvPos = 9 + 4 + Jpeg.encodeGray(f1, w, h).length + 4
+    mvPatched(mvPos) = 5 // dy = 5 > SearchR
+    assert(msgOf(mvPatched).contains("search range"))
+
+    // the registered query: contract booleans + the planted row finds
+    // the 17-position cyclic shift as (1,1) motion in all 4 blocks
+    val got = q("q_media_pframe").cache()
+    assert(got.count() === Tables.documents(spark, sfDir).count() + 1)
+    assert(got.filter(!$"ok" || !$"size_ok").count() === 0)
+    val prow = got.filter($"doc_id" === -1L).collect()(0)
+    assert(prow.getAs[Int]("n_frames") === 2)
+    // local recompute of the planted row: same tile, same f2 rule
+    val pf1 = Array.tabulate(256)(i => ((i * 7 + 13) % 256).toByte)
+    val pf2 = Array.tabulate(256)(i =>
+      math.min(255, (pf1((i + 17) % 256) & 0xff) + 5).toByte)
+    val (_, _, pfr, pmv) = Jpeg.Pvid.decode(Jpeg.Pvid.encode(pf1, Seq(pf2), w, h))
+    assert(prow.getAs[Long]("mv_abs") === pmv)
+    assert(prow.getAs[Long]("pix_sum") === pfr(1).map(_.toLong).sum)
+    assert(pmv >= 8L && pmv <= 16L,
+      "the planted raster shift reads mostly as (1,1) motion")
+    got.unpersist()
+  }
+
   test("full outer join keeps customers with no orders as zero rows") {
     val r = q("q_join_full").cache()
     assert(r.count() === Tables.customer(spark, sfDir).count(),
