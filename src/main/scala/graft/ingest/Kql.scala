@@ -1499,15 +1499,15 @@ object Kql {
         if (inner.lastOption.contains(TSym(";"))) inner.dropRight(1) else inner
       val declared = decls.map(_._1).toSet
       def parseStep(name: String, repeats: Boolean,
-          rest: Vector[Tok]): (String, Column, Vector[(String, Long, Boolean)], Boolean) = {
+          rest: Vector[Tok]): (String, Column, Vector[ScanAsg], Boolean) = {
         val (predToks, asgToks) = rest.indexOf(TSym("=>")) match {
           case -1 => (rest, Vector.empty[Tok])
           case ix => (rest.take(ix), rest.drop(ix + 1))
         }
         if (predToks.isEmpty) fail(s"scan step $name needs a predicate")
         val asgs =
-          if (asgToks.isEmpty) Vector.empty[(String, Long, Boolean)]
-          else splitOn(asgToks, TSym(",")).map(a => parseScanAssign(a, declared))
+          if (asgToks.isEmpty) Vector.empty[ScanAsg]
+          else splitOn(asgToks, TSym(",")).map(a => parseScanAssign(a, declared, df))
         (name, parsePredicate(predToks), asgs, repeats)
       }
       val steps = splitOn(stepToks, TSym(";")).map {
@@ -1533,18 +1533,12 @@ object Kql {
       if (decls.nonEmpty && steps.exists(_._4))
         fail("scan declare cannot combine with repeating steps: " +
           "per-absorbed-row state is data-dependent (out of the static-fold subset)")
-      // static state fold: each (non-repeating) step matches once, so
-      // the value of every declared variable after step k is a
-      // compile-time constant
-      val stateAfter: Vector[Map[String, Long]] = {
-        var cur = decls.toMap
-        steps.map { case (_, _, asgs, _) =>
-          asgs.foreach { case (v, value, isInc) =>
-            cur = cur.updated(v, if (isInc) cur(v) + value else value)
-          }
-          cur
-        }
-      }
+      // state fold: each (non-repeating) step matches once, so the
+      // value of every declared variable after step k is a
+      // compile-time fold — literal arithmetic for the static class
+      // (Catalyst constant-folds it back to the round-13 literal
+      // CASE), anchored-value column references for the affine
+      // data-dependent class (round 15)
       val wOrd =
         if (part.isEmpty) Window.orderBy(keys: _*)
         else Window.partitionBy(part: _*).orderBy(keys: _*)
@@ -1570,19 +1564,54 @@ object Kql {
               .otherwise(coalesce(viol - 1, lit(Long.MaxValue))))
         }
       }
+      // anchored-value columns for data-dependent assignments: one
+      // extra window per expression over the SAME partitioning
+      // broadcasts the matched row's value to the whole frame (min
+      // over the single rn = a_i row) — no new shuffle, and a stalled
+      // step leaves the value null exactly as it leaves a_i null
+      val valued = steps.zipWithIndex.foldLeft(marked) {
+        case (d, ((_, _, asgs, _), i)) =>
+          asgs.zipWithIndex.foldLeft(d) {
+            case (dd, (ScanAsgAdd(_, e, _), j)) => dd.withColumn(
+              s"__scan_v${i}_$j", min(when(rn === col(s"__scan_a$i"), e)).over(wAll))
+            case (dd, (ScanAsgSet(_, e), j)) => dd.withColumn(
+              s"__scan_v${i}_$j", min(when(rn === col(s"__scan_a$i"), e)).over(wAll))
+            case (dd, _) => dd
+          }
+      }
+      val stateAfterC: Vector[Map[String, Column]] = {
+        var cur: Map[String, Column] =
+          decls.map { case (v, init) => v -> lit(init) }.toMap
+        steps.zipWithIndex.map { case ((_, _, asgs, _), i) =>
+          asgs.zipWithIndex.foreach { case (a, j) =>
+            a match {
+              case ScanAsgConst(v, value) => cur = cur.updated(v, lit(value))
+              case ScanAsgInc(v, value) => cur = cur.updated(v, cur(v) + lit(value))
+              case ScanAsgAdd(v, _, neg) =>
+                val e = col(s"__scan_v${i}_$j")
+                cur = cur.updated(v, if (neg) cur(v) - e else cur(v) + e)
+              case ScanAsgSet(v, _) =>
+                cur = cur.updated(v, col(s"__scan_v${i}_$j"))
+            }
+          }
+          cur
+        }
+      }
       val isMatch = steps.zipWithIndex.map { case ((_, _, _, rep), i) =>
         if (rep) rn >= col(s"__scan_a$i") && rn <= col(s"__scan_e$i")
         else rn === col(s"__scan_a$i")
       }.reduce(_ || _)
-      val matched = marked.filter(isMatch)
+      val matched = valued.filter(isMatch)
       val withState = decls.foldLeft(matched) { case (d, (vn, _)) =>
         val cases = steps.indices.map(i =>
-          when(rn === col(s"__scan_a$i"), lit(stateAfter(i)(vn))))
+          when(rn === col(s"__scan_a$i"), stateAfterC(i)(vn)))
         d.withColumn(vn, coalesce(cases: _*).cast("long"))
       }
       withState
-        .drop(("__scan_rn" +: steps.indices.flatMap(i =>
-          Seq(s"__scan_a$i", s"__scan_e$i"))): _*)
+        .drop(("__scan_rn" +: steps.zipWithIndex.flatMap { case ((_, _, asgs, _), i) =>
+          Seq(s"__scan_a$i", s"__scan_e$i") ++
+            asgs.indices.map(j => s"__scan_v${i}_$j")
+        }): _*)
     }
 
     /** CONCURRENT matches (round 15, VERDICT r14 #5): `scan
@@ -1684,25 +1713,69 @@ object Kql {
       }
     }
 
-    /** One step assignment, restricted to the monotone/constant class:
-      * (variable, literal, isIncrement). `x = x - k` folds to an
-      * increment of −k.
+    /** One step assignment. The admitted class (round 15 widens the
+      * round-13 literal fold to the AFFINE DATA-DEPENDENT forms):
+      *   - `x = lit` / `x = x ± lit` — the static counter class;
+      *   - `x = x ± expr` / `x = expr` — expr any integer-typed
+      *     scalar over INPUT columns (tolong(value), event_id, …).
+      * Because each (non-repeating) step matches exactly once, the
+      * state after step k is still a compile-time fold — now of the
+      * per-step MATCHED-ROW expression values instead of literals.
+      * Expressions reading declared variables (cross-variable state)
+      * and non-additive self-reference stay out of the restricted
+      * subset and fail loudly; non-integer expressions must be
+      * wrapped (tolong) so the state column type is stable.
       */
-    private def parseScanAssign(toks: Vector[Tok],
-        declared: Set[String]): (String, Long, Boolean) = {
+    private sealed trait ScanAsg { def v: String }
+    private case class ScanAsgConst(v: String, value: Long) extends ScanAsg
+    private case class ScanAsgInc(v: String, value: Long) extends ScanAsg
+    private case class ScanAsgAdd(v: String, e: Column, neg: Boolean)
+      extends ScanAsg
+    private case class ScanAsgSet(v: String, e: Column) extends ScanAsg
+
+    private def parseScanAssign(toks: Vector[Tok], declared: Set[String],
+        df: DataFrame): ScanAsg = {
+      def checkNoVars(e: Vector[Tok]): Unit = e.foreach {
+        case TIdent(n) if declared.contains(n) => fail(
+          "scan assignment expressions cannot read declared variables — " +
+            "cross-variable and non-additive self-referencing state is " +
+            "out of the restricted subset")
+        case _ =>
+      }
+      def compiled(e: Vector[Tok]): Column = {
+        checkNoVars(e)
+        val c = parseArithToks(e)
+        val dt =
+          try df.select(c).schema.head.dataType
+          catch { case ex: org.apache.spark.sql.AnalysisException =>
+            fail(s"scan assignment expression does not resolve: ${ex.getMessage}")
+          }
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        if (!Set[org.apache.spark.sql.types.DataType](
+            ByteType, ShortType, IntegerType, LongType).contains(dt))
+          fail("scan data-dependent state must be integer-typed — " +
+            s"wrap the expression with tolong() (got ${dt.simpleString})")
+        c
+      }
       val out = toks match {
         case Vector(TIdent(x), TSym("="), TIdent(x2), TSym("+"), TNum(v)) if x == x2 =>
-          (x, parseScanLong(v), true)
+          ScanAsgInc(x, parseScanLong(v))
         case Vector(TIdent(x), TSym("="), TIdent(x2), TSym("-"), TNum(v)) if x == x2 =>
-          (x, -parseScanLong(v), true)
+          ScanAsgInc(x, -parseScanLong(v))
         case Vector(TIdent(x), TSym("="), TNum(v)) =>
-          (x, parseScanLong(v), false)
+          ScanAsgConst(x, parseScanLong(v))
+        case TIdent(x) +: TSym("=") +: TIdent(x2) +: TSym("+") +: e if x == x2 && e.nonEmpty =>
+          ScanAsgAdd(x, compiled(e), neg = false)
+        case TIdent(x) +: TSym("=") +: TIdent(x2) +: TSym("-") +: e if x == x2 && e.nonEmpty =>
+          ScanAsgAdd(x, compiled(e), neg = true)
+        case TIdent(x) +: TSym("=") +: e if e.nonEmpty =>
+          ScanAsgSet(x, compiled(e))
         case other => fail(
-          "scan step assignments are restricted to `x = x + lit`, `x = x - lit`, " +
-            s"or `x = lit` over a declared variable (general mutation is out of subset), got $other")
+          "scan step assignments are restricted to `x = x ± lit`, `x = lit`, " +
+            s"`x = x ± expr`, or `x = expr` over a declared variable, got $other")
       }
-      if (!declared.contains(out._1))
-        fail(s"scan assignment target '${out._1}' is not declared")
+      if (!declared.contains(out.v))
+        fail(s"scan assignment target '${out.v}' is not declared")
       out
     }
 

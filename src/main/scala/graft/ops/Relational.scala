@@ -1831,6 +1831,28 @@ object Relational {
         "| sort by user_id asc, m asc, event_id asc")
   }
 
+  /** KQL `scan declare` with DATA-DEPENDENT affine state (round 15 —
+    * the last declare-dialect gap): step assignments `x = x ± expr` /
+    * `x = expr` over integer-typed input expressions. Because each
+    * step matches exactly once, the state after step k is still a
+    * compile-time fold — of the matched rows' expression VALUES now:
+    * one extra same-partition window per expression broadcasts the
+    * anchor row's value to the frame (no new shuffle). The canonical
+    * use: revenue accumulated along the funnel (ADX's running-total
+    * scan), plus a reset-to-expression tracker.
+    */
+  private def kqlScan5(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_csl")
+    graft.ingest.Kql.translate(s,
+      "events_csl | partition by user_id (sort by ts asc, event_id asc " +
+        "| scan declare (spent: long = 0, marker: long = 0) with (" +
+        "step s1: event_type == 'view' => spent = spent + tolong(value); " +
+        "step s2: event_type == 'click' => spent = spent + tolong(value), marker = event_id; " +
+        "step s3: event_type == 'purchase' => spent = spent + tolong(value * 2.0), marker = event_id;)) " +
+        "| project user_id, event_id, event_type, spent, marker " +
+        "| sort by user_id asc, event_id asc")
+  }
+
   /** KQL dynamic tier — `todynamic()` + dot-path access over the events
     * `props` JSON column, the single most common ADX telemetry idiom
     * (`| extend k = tolong(todynamic(props).k)`): the path access
@@ -2994,6 +3016,7 @@ object Relational {
     "q_kql_scan2" -> (kqlScan2 _),
     "q_kql_scan3" -> (kqlScan3 _),
     "q_kql_scan4" -> (kqlScan4 _),
+    "q_kql_scan5" -> (kqlScan5 _),
     "q_kql_seriesstats" -> (kqlSeriesStats _),
     "q_kql_fitline" -> (kqlFitline _),
     "q_kql_getschema" -> (kqlGetschema _),
@@ -4356,6 +4379,32 @@ object Relational {
         "SELECT b.user_id, b.event_id, b.event_type, CAST(memb.m AS BIGINT) AS m " +
         "FROM memb JOIN b ON b.user_id = memb.user_id AND b.rn = memb.mrn " +
         "ORDER BY b.user_id, memb.m, b.event_id"),
+    // the affine data-dependent state twin: the same conditional-min
+    // cascade, plus one anchored-value window per expression
+    // (min over the single rn = r_k row) — the state CASE then sums
+    // the matched rows' values exactly as the Spark fold does;
+    // tolong(double) is Spark's truncating cast = DuckDB trunc()
+    "q_kql_scan5" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "m1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r1 FROM b), " +
+        "x1 AS (SELECT *, min(CASE WHEN rn = r1 THEN CAST(trunc(value) AS BIGINT) END) " +
+        "OVER (PARTITION BY user_id) AS v1 FROM m1), " +
+        "m2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > r1 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r2 FROM x1), " +
+        "x2 AS (SELECT *, min(CASE WHEN rn = r2 THEN CAST(trunc(value) AS BIGINT) END) " +
+        "OVER (PARTITION BY user_id) AS v2, " +
+        "min(CASE WHEN rn = r2 THEN event_id END) OVER (PARTITION BY user_id) AS l2 FROM m2), " +
+        "m3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > r2 THEN rn END) " +
+        "OVER (PARTITION BY user_id) AS r3 FROM x2), " +
+        "x3 AS (SELECT *, min(CASE WHEN rn = r3 THEN CAST(trunc(value * 2.0) AS BIGINT) END) " +
+        "OVER (PARTITION BY user_id) AS v3, " +
+        "min(CASE WHEN rn = r3 THEN event_id END) OVER (PARTITION BY user_id) AS l3 FROM m3) " +
+        "SELECT user_id, event_id, event_type, " +
+        "CAST(CASE WHEN rn = r1 THEN v1 WHEN rn = r2 THEN v1 + v2 ELSE v1 + v2 + v3 END AS BIGINT) AS spent, " +
+        "CAST(CASE WHEN rn = r1 THEN 0 WHEN rn = r2 THEN l2 ELSE l3 END AS BIGINT) AS marker " +
+        "FROM x3 WHERE rn IN (r1, r2, r3) ORDER BY user_id, event_id"),
     "q_kql_dynamic" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS ksum FROM (" +

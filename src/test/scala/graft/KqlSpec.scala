@@ -447,8 +447,6 @@ class KqlSpec extends SparkSpec {
       "restricted")
     rejects("declare (x: long, y: long) with (step a: et == 'signup' => x = y + 1;)",
       "restricted")
-    rejects("declare (x: long) with (step a: et == 'signup' => x = seq;)",
-      "restricted")
     rejects("declare (x: long) with (step a: et == 'signup' => y = 1;)",
       "not declared")
     rejects("declare (x: real) with (step a: et == 'signup';)",
@@ -459,6 +457,60 @@ class KqlSpec extends SparkSpec {
       "declared twice")
     rejects("declare (et: long) with (step a: et == 'signup';)",
       "shadows")
+  }
+
+  test("scan declare: affine DATA-DEPENDENT state — accumulate and reset from matched rows") {
+    // each step matches once, so `x = x + expr` folds to the sum of
+    // the MATCHED rows' expression values; `x = expr` resets to the
+    // matched row's value. Entity 1 completes; entity 2 stalls after
+    // s2 and still carries its partial sum.
+    val rows = Seq(
+      (1L, 10L, "signup", 7L), (1L, 11L, "noise", 100L), (1L, 12L, "click", 20L),
+      (1L, 13L, "click", 999L), (1L, 14L, "purchase", 300L),
+      (2L, 20L, "click", 50L), (2L, 21L, "signup", 4L), (2L, 22L, "click", 6L))
+      .toDF("uid", "seq", "et", "amt")
+    rows.createOrReplaceTempView("scan_dyn_src")
+    val got = Kql.translate(spark,
+      "scan_dyn_src | partition by uid (sort by seq asc " +
+        "| scan declare (total: long = 0, mk: long = -1) with (" +
+        "step s1: et == 'signup' => total = total + amt; " +
+        "step s2: et == 'click' => total = total + amt * 2, mk = seq; " +
+        "step s3: et == 'purchase' => total = total - amt, mk = seq + 1;)) " +
+        "| sort by uid asc, seq asc")
+      .select("uid", "seq", "total", "mk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // entity 1: s1@10 (total 7), s2@12 (7 + 2*20 = 47, mk 12),
+    // s3@14 (47 - 300 = -253, mk 15); entity 2: s1@21 (4), s2@22
+    // (4 + 12 = 16, mk 22) — stalled, prefix still emitted
+    assert(got === Seq(
+      (1L, 10L, 7L, -1L), (1L, 12L, 47L, 12L), (1L, 14L, -253L, 15L),
+      (2L, 21L, 4L, -1L), (2L, 22L, 16L, 22L)))
+    // the static literal class still folds identically alongside
+    // data-dependent assignments in the same scan
+    val mixed = Kql.translate(spark,
+      "scan_dyn_src | partition by uid (sort by seq asc " +
+        "| scan declare (n: long = 0, tot: long = 0) with (" +
+        "step s1: et == 'signup' => n = n + 1, tot = tot + amt; " +
+        "step s2: et == 'click' => n = n + 1, tot = tot + amt;)) " +
+        "| sort by uid asc, seq asc")
+      .select("uid", "seq", "n", "tot")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mixed === Seq(
+      (1L, 10L, 1L, 7L), (1L, 12L, 2L, 27L),
+      (2L, 21L, 1L, 4L), (2L, 22L, 2L, 10L)))
+    // non-integer expressions must be wrapped; unresolvable columns
+    // fail loudly at translate time
+    def rejects(scanBody: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Kql.translate(spark,
+        "scan_dyn_src | partition by uid (sort by seq asc | scan " + scanBody + ")"))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("declare (x: long) with (step a: et == 'signup' => x = x + 0.5;)",
+      "integers")
+    rejects("declare (x: long) with (step a: et == 'signup' => x = x + amt * 1.5;)",
+      "integer-typed")
+    rejects("declare (x: long) with (step a: et == 'signup' => x = nosuchcol;)",
+      "does not resolve")
   }
 
   test("autocluster/diffpatterns: wildcard cube, dominance prune, loud arg errors") {
