@@ -807,6 +807,40 @@ object Multimodal {
     private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
       Array(0xff.toByte, marker.toByte) ++ be16(payload.length + 2) ++ payload
 
+    /** Entropy-code ONE quantized coefficient block (natural order):
+      * DC difference against `pred` (SSSS category + magnitude bits),
+      * AC zigzag run-lengths with ZRL/EOB — the single T.81 F.1.2
+      * block writer shared by the gray, color, and P-frame encoders.
+      * Returns the new DC predictor (coef(0)).
+      */
+    private def writeBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+        dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)]): Int = {
+      val diff = coef(0) - pred
+      val ds = bitSize(diff)
+      require(ds <= 11, "DC difference out of 8-bit baseline range")
+      val (c0, l0) = dc(ds)
+      bw.put(c0, l0)
+      if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val c = coef(Zigzag(k))
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) { val (z, zl) = ac(0xf0); bw.put(z, zl); run -= 16 }
+          val as = bitSize(c)
+          require(as <= 10, "AC coefficient out of 8-bit baseline range")
+          val (a1, al) = ac((run << 4) | as)
+          bw.put(a1, al)
+          bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (e, el) = ac(0x00); bw.put(e, el) } // EOB
+      coef(0)
+    }
+
     /** Encode 8-bit grayscale as baseline JFIF: Annex K Q50 luminance
       * quantization, Annex K typical Huffman tables, one
       * non-interleaved scan, edge-replicated partial blocks. A
@@ -849,39 +883,14 @@ object Multimodal {
             y += 1
           }
           val coef = fdctQuant(s)
-          // DC: difference from predictor, SSSS category + magnitude bits
-          val diff = coef(0) - pred
-          pred = coef(0)
-          val ds = bitSize(diff)
-          require(ds <= 11, "DC difference out of 8-bit baseline range")
-          val (dc, dl) = dcCodes(ds)
-          bw.put(dc, dl)
-          if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
-          // AC: run-length of zeros in zigzag order, ZRL/EOB
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val c = coef(Zigzag(k))
-            if (c == 0) run += 1
-            else {
-              while (run >= 16) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
-              val as = bitSize(c)
-              require(as <= 10, "AC coefficient out of 8-bit baseline range")
-              val (ac, al) = acCodes((run << 4) | as)
-              bw.put(ac, al)
-              bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) } // EOB
+          pred = writeBlock(bw, coef, pred, dcCodes, acCodes)
           mcu += 1
           bx += 1
         }
         by += 1
       }
       bw.finish()
-      val app0 = "JFIF ".getBytes("US-ASCII") ++
+      val app0 = "JFIF".getBytes("US-ASCII") ++ Array[Byte](0) ++ // null-terminated per spec
         Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no density/thumb
       val dqt = Array(0.toByte) ++ // pq=0 (8-bit), tq=0
         Array.tabulate(64)(k => QNat(Zigzag(k)).toByte)
@@ -990,30 +999,7 @@ object Multimodal {
           y += 1
         }
         val coef = fdctQuant(s, q)
-        val diff = coef(0) - preds(ci)
-        preds(ci) = coef(0)
-        val ds = bitSize(diff)
-        require(ds <= 11, "DC difference out of 8-bit baseline range")
-        val (c0, l0) = dc(ds)
-        bw.put(c0, l0)
-        if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val c = coef(Zigzag(k))
-          if (c == 0) run += 1
-          else {
-            while (run >= 16) { val (z, zl) = ac(0xf0); bw.put(z, zl); run -= 16 }
-            val as = bitSize(c)
-            require(as <= 10, "AC coefficient out of 8-bit baseline range")
-            val (a1, al) = ac((run << 4) | as)
-            bw.put(a1, al)
-            bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (e, el) = ac(0x00); bw.put(e, el) }
+        preds(ci) = writeBlock(bw, coef, preds(ci), dc, ac)
       }
       val mcuX = (w + 15) / 16; val mcuY = (h + 15) / 16
       var my = 0
@@ -1033,7 +1019,7 @@ object Multimodal {
         my += 1
       }
       bw.finish()
-      val app0 = "JFIF ".getBytes("US-ASCII") ++
+      val app0 = "JFIF".getBytes("US-ASCII") ++ Array[Byte](0) ++
         Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)
       val dqt0 = Array(0.toByte) ++
         Array.tabulate(64)(k => QNat(Zigzag(k)).toByte)
@@ -1530,30 +1516,7 @@ object Multimodal {
                 cur((by * 8 + i / 8) * w + bx * 8 + i % 8) - pd(i))
               val coef = fdctQuant(r)
                 .map(c => math.max(-1023, math.min(1023, c)))
-              val diff = coef(0) - pred
-              pred = coef(0)
-              val ds = bitSize(diff)
-              val (dc, dl) = dcCodes(ds)
-              bw.put(dc, dl)
-              if (ds > 0)
-                bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
-              var run = 0; var k = 1
-              while (k < 64) {
-                val c = coef(Zigzag(k))
-                if (c == 0) run += 1
-                else {
-                  while (run >= 16) {
-                    val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
-                  }
-                  val as = bitSize(c)
-                  val (ac, al) = acCodes((run << 4) | as)
-                  bw.put(ac, al)
-                  bw.put(if (c >= 0) c else c + (1 << as) - 1, as)
-                  run = 0
-                }
-                k += 1
-              }
-              if (run > 0) { val (e0, el) = acCodes(0x00); bw.put(e0, el) }
+              pred = writeBlock(bw, coef, pred, dcCodes, acCodes)
               val resd = idctResidual(
                 Array.tabulate(64)(i => coef(i).toLong * QNat(i)))
               var i = 0
@@ -1602,12 +1565,16 @@ object Multimodal {
           val v = (u8s(pos) << 24) | (u8s(pos + 1) << 16) |
             (u8s(pos + 2) << 8) | u8s(pos + 3)
           pos += 4
-          if (v < 0 || pos + v > stream.length)
+          // subtract, never add: pos + v overflows Int for a crafted
+          // ~2^31 length and would bypass this guard
+          if (v < 0 || v > stream.length - pos)
             fail("Pvid: frame length overruns stream")
           v
         }
         val ilen = be32r()
-        val (dw, dh, nc, ipx, _) = decodeFrom(stream, pos)
+        val (dw, dh, nc, ipx, iend) = decodeFrom(stream, pos)
+        if (iend - pos != ilen)
+          fail("Pvid: intra frame length field does not match its JFIF extent")
         pos += ilen
         if (dw != w || dh != h || nc != 1)
           fail("Pvid: intra frame does not match declared dims")
@@ -1622,13 +1589,17 @@ object Multimodal {
           val flen = be32r()
           if (flen < 2 * nb) fail("Pvid: P-frame shorter than its MV table")
           val base = pos
-          val br = new BitReader(stream, base + 2 * nb)
+          // bound the entropy decode by THIS frame's declared length —
+          // a truncated payload must fail loudly ("truncated entropy
+          // stream"), never silently consume the next frame's bytes
+          val frame = java.util.Arrays.copyOfRange(stream, base, base + flen)
+          val br = new BitReader(frame, 2 * nb)
           val recon = new Array[Int](w * h)
           var pred = 0
           var b = 0
           while (b < nb) {
-            val dy = stream(base + 2 * b).toInt
-            val dx = stream(base + 2 * b + 1).toInt
+            val dy = frame(2 * b).toInt
+            val dx = frame(2 * b + 1).toInt
             if (math.abs(dy) > SearchR || math.abs(dx) > SearchR)
               fail("Pvid: motion vector outside search range")
             val by = b / (w / 8); val bx = b % (w / 8)
@@ -1668,6 +1639,12 @@ object Multimodal {
             mvAbs += math.abs(dy) + math.abs(dx)
             b += 1
           }
+          // every payload byte must have been consumed — allow only the
+          // final stuffed 0x00 after a trailing 0xff, which the reader
+          // touches only when asked for more bits
+          if (br.pos < frame.length - 1 ||
+              (br.pos == frame.length - 1 && frame(frame.length - 1) != 0))
+            fail("Pvid: P-frame payload has trailing bytes")
           pos = base + flen
           ref = recon
           frames += recon

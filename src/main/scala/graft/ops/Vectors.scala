@@ -303,6 +303,8 @@ object Vectors {
     */
   private def kmeansContinue(e: DataFrame, a: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds > 0, "kmeansContinue needs at least one round " +
+      "(zero rounds would return a null centroid table)")
     var cur = a
     var cents: DataFrame = null
     for (_ <- 0 until rounds) {

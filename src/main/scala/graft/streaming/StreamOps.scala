@@ -482,23 +482,35 @@ object StreamOps {
       extends StatefulProcessor[Long, BinEv, SlideOut] {
     @transient private var actors: MapState[Long, Long] = _
     @transient private var cnt: ValueState[Long] = _
+    @transient private var dcnt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       actors = getHandle.getMapState[Long, Long]("actors",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
       cnt = getHandle.getValueState[Long]("cnt",
         Encoders.scalaLong, TTLConfig.NONE)
+      dcnt = getHandle.getValueState[Long]("dcnt",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(binUs: Long, rows: Iterator[BinEv],
         timerValues: TimerValues): Iterator[SlideOut] = {
       var c = if (cnt.exists()) cnt.get() else 0L
+      // distinct count as its OWN running counter: bumping only on
+      // first sight keeps each batch O(batch rows) in state-store I/O
+      // — iterating the whole MapState per emission would pay
+      // O(accumulated actors) per micro-batch on a hot bin
+      var d = if (dcnt.exists()) dcnt.get() else 0L
       rows.foreach { e =>
         c += 1L
-        actors.updateValue(e.id, 1L)
+        if (!actors.containsKey(e.id)) {
+          actors.updateValue(e.id, 1L)
+          d += 1L
+        }
       }
       cnt.update(c)
-      Iterator.single(SlideOut(binUs, c, actors.iterator().size.toLong))
+      dcnt.update(d)
+      Iterator.single(SlideOut(binUs, c, d))
     }
   }
 
