@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgmaxCosine, ArgminL2, CosineSimilarity, DotProduct}
+import graft.functions.{ArgmaxCosine, ArgminL2, CosineSimilarity, DotProduct, L2Sq}
 import graft.plans.{AsOfJoinStrategy, AsOfLE}
 
 /** Session-extension entry point: registers the engine's native functions
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("argmin_l2"),
       new ExpressionInfo(classOf[ArgminL2].getName, "argmin_l2"),
       (exprs: Seq[Expression]) => ArgminL2(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+      (exprs: Seq[Expression]) => L2Sq(exprs(0), exprs(1))))
     // native as-of join: marker predicate + planner strategy
     // (graft.plans.AsOfJoin). Deliberately NO injectOptimizerRule for
     // RewriteAsOfJoin: that batch is iterative and mid-optimization the

@@ -133,6 +133,10 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("argmin_l2")))
       reg.createOrReplaceTempFunction(
         "argmin_l2", exprs => ArgminL2(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("l2_sq")))
+      reg.createOrReplaceTempFunction(
+        "l2_sq", exprs => L2Sq(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: `cosine_sim($"a", $"b")` (registers lazily via expr). */
@@ -161,5 +165,11 @@ object VectorFunctions {
   def argmin_l2(s: SparkSession, v: Column, cands: Column): Column = {
     register(s)
     org.apache.spark.sql.functions.call_function("argmin_l2", v, cands)
+  }
+
+  /** Column API: `l2_sq($"a", $"b")` → double Σ(aᵢ−bᵢ)² (see [[L2Sq]]). */
+  def l2_sq(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("l2_sq", a, b)
   }
 }

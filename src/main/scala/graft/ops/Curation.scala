@@ -765,9 +765,25 @@ object Curation {
         concat(lit("s"), col("sk")).as("dst"))
       .union(pairs.select(concat(lit("s"), col("sk")).as("src"),
         concat(lit("p"), col("pk")).as("dst")))
+    // r15 optimization: pin the STATIC graph tables hash-partitioned by
+    // src at the session's shuffle-partition count (explicit repartition
+    // so AQE cannot coalesce the two sides to DIFFERENT counts) and
+    // sorted by src inside each partition. localCheckpoint preserves
+    // both partitioning and ordering, so every round's edges⋈ranks
+    // sort-merge join runs with ZERO exchange and ZERO sort on the
+    // 2|E|-row edge table (the rank table re-enters each round already
+    // hash(node)-partitioned and node-sorted by construction — see
+    // [[prStep]]). Before: each of up to PrCap rounds re-shuffled and
+    // re-sorted the edge list (~12 AQE jobs/round measured at sf0.1);
+    // after: the only per-round exchange is the transpose groupBy(dst),
+    // which is PageRank's one fundamental shuffle.
+    val nPart = s.sessionState.conf.numShufflePartitions
     val deg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .repartition(nPart, col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    val edges = edges0.join(deg, "src").localCheckpoint(true)
+    val edges = edges0.join(deg, "src")
+      .repartition(nPart, col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
     // node count: a bounded-dimension driver action (the toscalar class)
     (edges, deg, deg.count().toDouble)
   }
@@ -780,23 +796,47 @@ object Curation {
   /** One PageRank round: co-keyed join of the rank table onto the
     * degree-annotated edges + one hash aggregate, grid-quantized,
     * plan depth pinned by localCheckpoint.
+    *
+    * r15 optimization — the round is the engine's hottest iterated
+    * plan (up to [[PrCap]] executions per query), so its shape is
+    * pinned exchange-minimal:
+    *  - edges and the incoming rank table are both hash(key, nPart)
+    *    partitioned and key-sorted checkpoints, so the contribution
+    *    join is a sort-merge with ZERO exchange and ZERO sort on the
+    *    2|E|-row side (before: the edge list re-shuffled+re-sorted
+    *    every round);
+    *  - the transpose aggregate stays a partial/final hash aggregate
+    *    whose exchange AQE coalesces (map-side combine bounds the
+    *    shuffle at |maps|·|nodes| partial rows); the small re-exchange
+    *    of the per-dst sums onto the rank side's pinned layout is the
+    *    round's only other shuffle, and it carries ≤ |nodes| rows;
+    *  - the NEW rank table is produced from the OLD one (same node
+    *    set by construction — every node has out-edges), carrying the
+    *    previous rank as `ppr`, which fuses the per-round residual
+    *    into the same action: the L1 convergence read becomes one
+    *    bounded aggregate over the fresh checkpoint instead of a
+    *    separate join-the-two-tables job per round.
+    * Values are untouched: same q8 grid arithmetic, same decimal sums.
     */
-  private def prStep(edges: DataFrame, deg: DataFrame, nNodes: Double,
+  private def prStep(edges: DataFrame, nNodes: Double,
       ranks: DataFrame): DataFrame = {
     val sums = edges.join(ranks, col("src") === col("node"))
       .select(col("dst"),
         q8(col("pr") / col("outdeg").cast("double")).as("c"))
       .groupBy("dst")
       .agg(sum(col("c").cast(DecimalType(18, 8))).as("sc"))
-    deg.select(col("src").as("node"))
+    ranks.select(col("node"), col("pr").as("ppr"))
       .join(sums, col("node") === col("dst"), "left")
       .select(col("node"), q8(lit(0.15) / lit(nNodes) +
-        lit(0.85) * coalesce(col("sc").cast(DoubleType), lit(0.0))).as("pr"))
+        lit(0.85) * coalesce(col("sc").cast(DoubleType), lit(0.0))).as("pr"),
+        col("ppr"))
       .localCheckpoint(true)
   }
 
   /** The L1 residual Σ|pr_k − pr_{k−1}| between two grid-quantized
-    * rank tables — exact in decimal, one bounded 1-row aggregate.
+    * rank tables — exact in decimal, one bounded 1-row aggregate
+    * (since r15 the previous rank rides the fresh checkpoint as
+    * `ppr`, so this reads ONE table).
     */
   private def prResidual: Column =
     sum(abs(col("pr").cast(DecimalType(18, 8)) -
@@ -820,11 +860,8 @@ object Curation {
     val residuals = Vector.newBuilder[Double]
     for (_ <- 1 to 5) {
       val prev = ranks
-      ranks = prStep(edges, deg, nNodes, prev)
-      residuals += prev.select(col("node"), col("pr").as("ppr"))
-        .join(ranks, "node")
-        .agg(prResidual.as("res"))
-        .head().getDouble(0)
+      ranks = prStep(edges, nNodes, prev)
+      residuals += ranks.agg(prResidual.as("res")).head().getDouble(0)
       Text.releaseCheckpoint(prev)
     }
     residuals.result().zipWithIndex.foldLeft(
@@ -878,11 +915,8 @@ object Curation {
     while (k < PrCap && !converged) {
       k += 1
       val prev = ranks
-      ranks = prStep(edges, deg, nNodes, prev)
-      res = prev.select(col("node"), col("pr").as("ppr"))
-        .join(ranks, "node")
-        .agg(prResidual.as("res"))
-        .head().getDouble(0)
+      ranks = prStep(edges, nNodes, prev)
+      res = ranks.agg(prResidual.as("res")).head().getDouble(0)
       // the residual action just materialized `ranks` and consumed
       // `prev` — release the superseded round's checkpoint blocks NOW
       // (the Text.releaseCheckpoint measured rule; without it up to

@@ -290,8 +290,19 @@ object Vectors {
     val a0 = e.crossJoin(broadcast(nlist))
       .withColumn("c", (col("vec_id") % col("nlist")).cast("int"))
       .drop("nlist")
-    val c2 = kmCentroids(kmAssign(e, kmCentroids(a0)))
-    (kmAssign(e, c2), c2)
+    // materialize the fit boundary (r15 optimization): the centroid
+    // table and the assignment fan out to several differently-pruned
+    // consumers in every index query (residual encode, list assignment,
+    // probe ranking, serving joins), and exchange reuse does NOT span
+    // them — measured on q_ann_ivfpq: 179 parquet scans / 607 Exchange
+    // nodes in the executed plan, each consumer re-deriving the whole
+    // two-round Lloyd unroll. Pinning the two bounded tables (nlist
+    // rows; N rows — the index-build artifact a production system
+    // materializes anyway) collapses every downstream read to a
+    // checkpoint scan. Values are unchanged — localCheckpoint is purely
+    // physical.
+    val c2 = kmCentroids(kmAssign(e, kmCentroids(a0))).localCheckpoint(true)
+    (kmAssign(e, c2).localCheckpoint(true), c2)
   }
 
   /** Continue Lloyd from an existing assignment for `rounds` more
@@ -308,7 +319,11 @@ object Vectors {
     var cur = a
     var cents: DataFrame = null
     for (_ <- 0 until rounds) {
-      cents = kmCentroids(cur)
+      // pin each round's centroid table (≤ nlist rows): the next
+      // round's assignment and BOTH returned frames consume it through
+      // different prunings, and without the pin the caller's two
+      // checkpoint jobs re-derived the whole continue chain twice
+      cents = kmCentroids(cur).localCheckpoint(true)
       cur = kmAssign(e, cents)
     }
     (cur, cents)
@@ -361,11 +376,15 @@ object Vectors {
       .select(col("vec_id").as("cid"), col("embedding").as("cand"))
       .localCheckpoint(true)
     for (r <- 1 to 2) {
+      // pin the round's potential pass: `scored` feeds both the Σd
+      // reduction and the draw filter, and without the pin the one
+      // corpus argmax pass ran twice per sampling round
       val scored = e.crossJoin(broadcast(kmppPacked(cands)))
         .withColumn("best", graft.functions.VectorFunctions.argmax_cosine(
           s, col("embedding"), col("cents")))
         .select(col("vec_id"), col("embedding"),
           (lit(1.0) - col("best").getField("cos")).as("d"))
+        .localCheckpoint(true)
       val tot = scored.agg(
         sum(col("d").cast(DecimalType(30, 12))).cast(DoubleType).as("td"))
       // anti-join keeps a candidate from entering twice (a re-draw has
@@ -718,7 +737,8 @@ object Vectors {
     */
   private def pcaDirection(s: SparkSession, dir: String): DataFrame =
     powerSteps(s, covMatRows(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))))
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true))
 
   /** The md5-sampled covariance-proxy matrix M = n·Sxx − Sx·Sxᵀ as
     * 64 index-ordered rows (i, marr) — embedPca's front half, factored
@@ -728,28 +748,39 @@ object Vectors {
   private def covMatRows(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val samp = e.filter(mdUniform("pca:", col("vec_id")) < 8388608L)
-    val cells = samp
+    // r15 optimization: ONE Generate (sample × d rows, each carrying the
+    // vector) and a typed object-buffer moment aggregator per row-index
+    // replace the old second posexplode — which materialized sample × d²
+    // rows through an interpreted transform and paid a BigDecimal
+    // UnsafeRow rewrite per (i, j) update (the single hottest stage of
+    // the OPQ decision: ~8 s at sf0.1). Values are identical: the same
+    // IEEE product per (i, j), the same CAST to DECIMAL(30,14), the same
+    // order-free exact sum (see [[graft.functions.CovMomentAggregator]]);
+    // marr's j order is the array position order the old collect_list
+    // sort gave.
+    val mom = udaf(graft.functions.CovMomentAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Array[Double])]())
+    val rows = samp
       .select(col("embedding").as("e"))
-      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
-      .select(col("i"), posexplode(expr(
-        "transform(e, v -> CAST(xi AS DOUBLE) * CAST(v AS DOUBLE))"))
-        .as(Seq("j", "p")))
-    val sxx = cells.groupBy("i", "j")
-      .agg(sum(col("p").cast(DecimalType(30, 14))).cast("double").as("sxx"))
+      .select(expr("transform(e, v -> CAST(v AS DOUBLE))").as("ed"),
+        posexplode(col("e")).as(Seq("i", "xi")))
+    val sxx = rows.groupBy("i")
+      .agg(mom(col("xi").cast("double"), col("ed")).as("sxxArr"))
     val sx = samp
       .select(posexplode(col("embedding")).as(Seq("i", "xi")))
       .groupBy("i")
       .agg(sum(col("xi").cast(DecimalType(30, 14))).cast("double").as("sx"))
+    val sxArr = sx.agg(expr(
+      "transform(array_sort(collect_list(struct(i, sx))), x -> x.sx)")
+      .as("sxArr"))
     val n = samp.agg(cnt.as("n"))
     sxx
       .join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), "i")
-      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+      .crossJoin(broadcast(sxArr))
       .crossJoin(broadcast(n))
-      .withColumn("m",
-        col("n").cast("double") * col("sxx") - col("sx_i") * col("sx_j"))
-      .groupBy("i")
-      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")
-        .as("marr"))
+      .select(col("i"), zip_with(col("sxxArr"), col("sxArr"),
+        (sxxj, sxj) =>
+          col("n").cast("double") * sxxj - col("sx_i") * sxj).as("marr"))
   }
 
   /** Three unrolled power-iteration steps over the [[covMatRows]]
@@ -809,7 +840,12 @@ object Vectors {
     */
   private[graft] def opqHouseholderOf(e: DataFrame): DataFrame = {
     val s = e.sparkSession
-    val mrows = covMatRows(e)
+    // pin the 64-row moment frame (r15): the power-iteration unroll and
+    // the λ̂/trace reads reference it FIVE times through lineage, and
+    // without the pin the one action re-ran the O(sample·d²) exploded
+    // covariance pass per reference (~10 s of the recall harness's
+    // build at sf0.1, measured as one single-task stage)
+    val mrows = covMatRows(e).localCheckpoint(true)
     val v3 = powerSteps(s, mrows)
     // y4 = M·v3 gathered in index order; λ̂ = v3ᵀ·y4
     val y4 = mrows.crossJoin(broadcast(v3))
@@ -976,17 +1012,14 @@ object Vectors {
     * (m, c, centroid). Shared by q_pq_encode (encode the corpus) and
     * q_ann_ivfpq (encode coarse residuals + ADC lookup tables).
     */
-  /** `checkpointFit = true` materializes the trained codebooks (≤ m·k
-    * rows) eagerly — for consumers that trigger SEPARATE actions over
-    * the fit (q_ann_persist writes four index tables; without it each
-    * write re-derives the two-round unroll). Default false: single-action
-    * consumers (ivfpq / rerank / recall) share the fit subtree via
-    * exchange reuse within their one action, and the recall harness
-    * constructs the chain three times — eager jobs there would fit the
-    * same codebooks thrice at construction.
+  /** The trained codebooks always materialize eagerly (r15: the old
+    * `checkpointFit = false` default relied on exchange reuse across
+    * the fit's consumers, but reuse only matches IDENTICAL canonical
+    * subtrees — column pruning diverges them, and the executed plans
+    * showed every consumer re-deriving the full two-round unroll:
+    * q_ann_ivfpq carried 179 parquet scans before the pin).
     */
-  private def pqFit(sub: DataFrame, k: Int,
-      checkpointFit: Boolean = false): (DataFrame, DataFrame) = {
+  private def pqFit(sub: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
     // per-(subspace, code) dimension-wise decimal-exact mean
@@ -1019,8 +1052,12 @@ object Vectors {
 
     val a0 = sub.select(col("vec_id"), col("m"), col("sv"))
       .withColumn("c", (col("vec_id") % k).cast("int"))
-    val cb2raw = centroids(assign(centroids(a0)))
-    val cb2 = if (checkpointFit) cb2raw.localCheckpoint(true) else cb2raw
+    // the trained codebooks are ≤ m·k rows and fan out to the ADC
+    // table, the final assignment, and (in the serving queries) the
+    // persisted index — always materialize them (r15: the old
+    // checkpointFit=false default relied on exchange reuse, which the
+    // executed plans show does not span differently-pruned consumers)
+    val cb2 = centroids(assign(centroids(a0))).localCheckpoint(true)
     (assign(cb2), cb2)
   }
 
@@ -1109,13 +1146,13 @@ object Vectors {
     * codes (vec_id, m, code), list assignments (vec_id, cl).
     */
   private def ivfPqIndexTables(a2: DataFrame, c2: DataFrame,
-      checkpointFit: Boolean = false, m: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+      m: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     val res = a2.join(broadcast(c2), "c")
       .select(col("vec_id"), col("c").as("cl"),
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("remb"))
     val (pa2, pcb2) =
-      pqFit(subspaces(res, "remb", m), PqCodewords, checkpointFit)
+      pqFit(subspaces(res, "remb", m), PqCodewords)
     (pcb2, pa2.select(col("vec_id"), col("m"), col("c").as("code")),
       res.select(col("vec_id"), col("cl")))
   }
@@ -1150,11 +1187,15 @@ object Vectors {
     val qr = pb.crossJoin(broadcast(q))
       .select(col("cl"),
         zip_with(col("qv"), col("centroid"), (a, b) => a - b).as("qres"))
+    // the ADC distance table evaluates one L2² per (probed list,
+    // subspace, codeword) — the native codegen'd l2_sq (same fold
+    // order as the HOF twin, oracle-identical) replaces ~3.5 s of
+    // interpreted zip_with/aggregate per serve at the sf0.1 panel
     val adcT = subspaces(qr, "qres", m)
       .join(broadcast(pcb2), "m")
       .select(col("cl"), col("m"), col("c").as("code"),
-        aggregate(zip_with(col("sv"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+        graft.functions.VectorFunctions.l2_sq(
+          s, col("sv"), col("centroid")).as("d2"))
     // candidates = PQ codes of vectors in the probed lists; the inner
     // join against the broadcast ADC table both restricts to the probe
     // set and scores each code in one lookup
@@ -1187,7 +1228,7 @@ object Vectors {
   private def annPersist(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val (a2, c2) = kmeansFit(e)
-    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2, checkpointFit = true)
+    val (pcb2, codes, asgn) = ivfPqIndexTables(a2, c2)
     val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
     val idx = idxPath.toString
     try {
@@ -1291,10 +1332,9 @@ object Vectors {
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % 5 =!= 4)
-    val (a2, c2r) = kmeansFit(base)
-    val c2 = c2r.localCheckpoint(true)
-    val (pcb2r, codesB, asgnB) = ivfPqIndexTables(a2, c2)
-    (c2, pcb2r.localCheckpoint(true), codesB, asgnB, base)
+    val (a2, c2) = kmeansFit(base)
+    val (pcb2, codesB, asgnB) = ivfPqIndexTables(a2, c2)
+    (c2, pcb2, codesB, asgnB, base)
   }
 
   private def annUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -1328,10 +1368,8 @@ object Vectors {
   private def annDrift(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val base = e.filter(col("vec_id") % 5 =!= 4)
-    val (a2r, c2r) = kmeansFit(base)
-    val c2 = c2r.localCheckpoint(true)
+    val (a2r, c2) = kmeansFit(base)
     val a2 = a2r.select(col("vec_id"), col("embedding"), col("c"))
-      .localCheckpoint(true)
     // route a batch onto the FROZEN centroids — the coarse half of
     // encodeOnto (same packed broadcast + codegen'd argmax, same ties)
     val packed = broadcast(c2.agg(
@@ -1621,8 +1659,8 @@ object Vectors {
     val adcT = subspaces(qr, "qres", m)
       .join(broadcast(pcb2), "m")
       .select(col("qid"), col("cl"), col("m"), col("c").as("code"),
-        aggregate(zip_with(col("sv"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+        graft.functions.VectorFunctions.l2_sq(
+          s, col("sv"), col("centroid")).as("d2"))
     val scores = codes
       .join(asgn, "vec_id")
       .join(broadcast(adcT), Seq("cl", "m", "code"))
@@ -1694,13 +1732,12 @@ object Vectors {
     // measured; with the fit pinned the branches read bounded
     // materialized state instead). The ADC frame is scored once per
     // probe budget; the np1 and shortlist branches are filters on it.
-    val (a2r, c2r) = kmeansFit(e)
-    val a2 = a2r.localCheckpoint(true)
-    val c2 = c2r.localCheckpoint(true)
-    val (pcb2r, codesr, asgnr) = ivfPqIndexTables(a2, c2)
-    val pcb2 = pcb2r.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: coarse fit + pq m4")
+    val (a2, c2) = kmeansFit(e)
+    val (pcb2, codesr, asgnr) = ivfPqIndexTables(a2, c2)
     val codes = codesr.localCheckpoint(true)
     val asgn = asgnr.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: adc serve m4")
     val (scoresR, probeRank) =
       ivfPqPanelServe(s, c2, pcb2, codes, asgn, qp, mult = 1)
     val scores = scoresR.localCheckpoint(true)
@@ -1720,6 +1757,7 @@ object Vectors {
     // with no hand-tuned constant. The fixed-50 row below prices what
     // the derivation buys. Structural: derived-sl ⊇ 50 on the same ADC
     // order wherever sl ≥ 50, so per-query hits can only grow.
+    s.sparkContext.setJobDescription("recall: shortlist width")
     val slDf = shortlistDf(e).localCheckpoint(true)
     val short = topPerQCut(scores, Seq(col("adc").asc, col("vec_id")), slDf)
     val rerank = panelRerank(s, short, e, qp)
@@ -1734,6 +1772,7 @@ object Vectors {
     // served rerank stack at 3× probes. The PQ fit subtree is shared
     // with the derived-probe chain (same canonical plan ⇒ reused).
     val ivf3 = ivfPanel(s, a2, c2, qp, mult = 3)
+    s.sparkContext.setJobDescription("recall: adc serve np3x")
     val (scores3r, _) =
       ivfPqPanelServe(s, c2, pcb2, codes, asgn, qp, mult = 3)
     val scores3 = scores3r.localCheckpoint(true)
@@ -1744,6 +1783,7 @@ object Vectors {
     // distance-preserving) before the subspace split, so any recall
     // delta against 'ivfpq' is attributable to the split alone. One
     // extra PQ fit + ADC pass; codes/codebooks are rotated-space.
+    s.sparkContext.setJobDescription("recall: opq decision")
     val uDf = opqHouseholder(s, dir).localCheckpoint(true)
     // when the learned rotation is the IDENTITY (u = 0 — the isotropy
     // trigger's verdict on this corpus), H·x = x and the rotated index
@@ -1771,7 +1811,7 @@ object Vectors {
               (a, b) => a.cast("double") - b).as("remb")),
         "remb", uDf).localCheckpoint(true)
       val (pa2Rr, pcb2R) =
-        pqFit(subspaces(resR, "remb", 4), PqCodewords, checkpointFit = true)
+        pqFit(subspaces(resR, "remb", 4), PqCodewords)
       val codesR = pa2Rr.select(col("vec_id"), col("m"), col("c").as("code"))
         .localCheckpoint(true)
       import org.apache.spark.sql.expressions.Window
@@ -1792,8 +1832,8 @@ object Vectors {
       val adcR = subspaces(qrR, "qres", 4)
         .join(broadcast(pcb2R), "m")
         .select(col("qid"), col("cl"), col("m"), col("c").as("code"),
-          aggregate(zip_with(col("sv"), col("centroid"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y).as("d2"))
+          graft.functions.VectorFunctions.l2_sq(
+            s, col("sv"), col("centroid")).as("d2"))
       val scoredR = codesR
         .join(asgn, "vec_id")
         .join(broadcast(adcR), Seq("cl", "m", "code"))
@@ -1812,9 +1852,10 @@ object Vectors {
     //     lists at the SAME derived probes (8 B/vector vs 4): any
     //     recall delta against 'ivfpq' is attributable to the finer
     //     subspace split alone. One extra PQ fit + ADC pass.
-    val (pcb8r, codes8r, _) = ivfPqIndexTables(a2, c2, m = 8)
-    val pcb8 = pcb8r.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: pq fit m8")
+    val (pcb8, codes8r, _) = ivfPqIndexTables(a2, c2, m = 8)
     val codes8 = codes8r.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: adc serve m8")
     val (scores8r, _) =
       ivfPqPanelServe(s, c2, pcb8, codes8, asgn, qp, mult = 1, m = 8)
     val scores8 = scores8r.localCheckpoint(true)
@@ -1825,6 +1866,7 @@ object Vectors {
     //     the 4-round fit), exact distances at the derived probes:
     //     the new probe-bound CEILING row. List quality, not code
     //     quality, is what this prices.
+    s.sparkContext.setJobDescription("recall: lloyd continue l4")
     val (a4r, c4r) = kmeansContinue(e, a2, 2)
     val a4 = a4r.localCheckpoint(true)
     val c4 = c4r.localCheckpoint(true)
@@ -1833,6 +1875,7 @@ object Vectors {
     //     as the base fit, exact distances at the derived probes: the
     //     init-quality lever, priced against 'ivf' (same budget,
     //     different start) and 'ivf_l4' (double budget, same start)
+    s.sparkContext.setJobDescription("recall: kmpp fit")
     val (appR, cppR) = kmppFit(s, e)
     val app = appR.localCheckpoint(true)
     val cpp = cppR.localCheckpoint(true)
@@ -1841,10 +1884,11 @@ object Vectors {
     //     the 4-round coarse residuals, derived probes, derived
     //     shortlist, exact re-rank. This is the operating point the
     //     panel prices against 'rerank' (the current serving default).
-    val (pcbL8r, codesL8r, asgnL8r) = ivfPqIndexTables(a4, c4, m = 8)
-    val pcbL8 = pcbL8r.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: pq fit l4m8")
+    val (pcbL8, codesL8r, asgnL8r) = ivfPqIndexTables(a4, c4, m = 8)
     val codesL8 = codesL8r.localCheckpoint(true)
     val asgnL8 = asgnL8r.localCheckpoint(true)
+    s.sparkContext.setJobDescription("recall: adc serve l4m8")
     val (scoresL8r, _) =
       ivfPqPanelServe(s, c4, pcbL8, codesL8, asgnL8, qp, mult = 1, m = 8)
     val scoresL8 = scoresL8r.localCheckpoint(true)
@@ -1974,6 +2018,15 @@ object Vectors {
     */
   private def embedPipeline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // materialize the dequantized corpus ONCE (r15 optimization): the
+    // k-means passes and the error branch each re-derive `deq` through
+    // lineage, and column pruning makes Catalyst inline the `sc` alias
+    // INTO the per-element lambda — the executed plan showed
+    // `array_max(transform(embedding, …))` recomputed per element
+    // (O(d²) interpreted work per row, ~2.5 s CPU per pass at sf0.1).
+    // One checkpoint evaluates ma/sc/deq once per row; every pass then
+    // reads plain attributes. (At 100 TB this is the standard
+    // materialize-the-reconstructed-corpus step before an iterated fit.)
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("ma"))
@@ -1982,6 +2035,7 @@ object Vectors {
         when(col("ma") > 0, transform(col("embedding"),
           v => floor(v.cast("double") * col("sc") + lit(0.5)) / col("sc")))
         .otherwise(transform(col("embedding"), v => v.cast("double"))))
+      .localCheckpoint(true)
     val errs = q.select(col("vec_id"),
       round(aggregate(zip_with(col("embedding"), col("deq"),
           (v, d) => (v.cast("double") - d) * (v.cast("double") - d)),

@@ -7,16 +7,20 @@ import graft.GraftExtensions
   * SparkEntry query to a file for scale review (pushdown, broadcast
   * choice, shuffle count, codegen spans).
   *
-  * Run: `sbt "runMain graft.tools.Explain [sfDir] [outFile]"`.
+  * Run: `sbt "runMain graft.tools.Explain [sfDir] [outFile] [query ...]"` —
+  * optional trailing query names restrict the dump (plan-diff iteration).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("/tmp/graft_plans.txt")
+    val only = args.drop(2).toSet
     val spark = graft.GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n=============== $name ===============\n")
       try {
         val df = fn(spark, sfDir)

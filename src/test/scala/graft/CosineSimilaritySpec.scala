@@ -146,4 +146,68 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect()
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-12))
   }
+
+  test("l2_sq is bit-identical to the zip_with/aggregate fold (r15 ADC hot loop)") {
+    // the HOF twin l2_sq replaces in the ADC distance-table build —
+    // (a−b) evaluated twice per element, left fold from 0.0
+    def hofL2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" === 0)
+      .select(expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("ev"), $"qv")
+      .select(
+        VectorFunctions.l2_sq(spark, $"ev", $"qv").as("native"),
+        hofL2($"ev", $"qv").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+    // float left arm is accepted and cast per element like the twin
+    val f = e.crossJoin(broadcast(q))
+      .select(VectorFunctions.l2_sq(spark, $"embedding", $"qv").as("native"),
+        hofL2(expr("transform(embedding, v -> CAST(v AS DOUBLE))"), $"qv").as("hof"))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(f._1) ===
+      java.lang.Double.doubleToLongBits(f._2))
+    // mismatched lengths → NULL (the twin's zip_with pads with NULL and
+    // nulls the fold)
+    val mm = spark.sql(
+      "SELECT l2_sq(array(1.0D, 2.0D), array(1.0D)) AS d").collect()
+    assert(mm.head.isNullAt(0))
+  }
+
+  test("CovMomentAggregator matches the decimal(30,14) column sums bit-for-bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val d = 8
+    val rows = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 50)
+      .select(slice($"embedding", 1, d).as("e"))
+      .select($"e", posexplode($"e").as(Seq("i", "xi")))
+    val mom = udaf(graft.functions.CovMomentAggregator(d),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Array[Double])]())
+    val fast = rows.groupBy("i")
+      .agg(mom($"xi".cast("double"),
+        expr("transform(e, v -> CAST(v AS DOUBLE))")).as("arr"))
+    val sums = (0 until d).map(j =>
+      sum(($"xi".cast("double") * element_at($"e", j + 1).cast("double"))
+        .cast(DecimalType(30, 14))).cast("double").as(s"s$j"))
+    val slow = rows.groupBy("i")
+      .agg(sums.head, sums.tail: _*)
+      .select($"i", array((0 until d).map(j => col(s"s$j")): _*).as("arr"))
+    val joined = fast.withColumnRenamed("arr", "fastArr")
+      .join(slow, "i")
+      .as[(Int, Array[Double], Array[Double])].collect()
+    assert(joined.length === d)
+    joined.foreach { case (_, fa, sl) =>
+      fa.zip(sl).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b))
+      }
+    }
+  }
 }
