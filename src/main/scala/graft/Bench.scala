@@ -69,7 +69,17 @@ object Bench {
     val totalEngine = results.filterNot(r => FsBound(r._1)).map(_._2).filter(_ >= 0).sum
     val totalFs = results.filter(r => FsBound(r._1)).map(_._2).filter(_ >= 0).sum
     val fsList = FsBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_engine":$totalEngine,"total_fs_bound":$totalFs,"fs_bound":$fsList,"queries":$qs,"queries_cold":$qsCold,"rep_errors":$errs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_engine":$totalEngine,"total_fs_bound":$totalFs,"fs_bound":$fsList,"queries":$qs,"queries_cold":$qsCold,"rep_errors":$errs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // the full line is ~15 KB at 300+ queries and exceeds the driver's
+    // 2,000-char tail window (BENCH_r*.json "parsed": null since round 8);
+    // ADDITIONS ONLY: persist the full line to a file when asked, and end
+    // with a short machine-parseable summary line that always fits the tail
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fullLine + "\n")
+    }
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_engine":$totalEngine,"total_fs_bound":$totalFs,"n":${results.size},"n_ok":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2186,10 +2186,25 @@ object Text {
 
   /** DuckDB f(x) — the half-bit-quantized 2·log₂ with the SAME baked
     * √2 thresholds [[Sqrt2Thr]] the Spark side interpolates.
+    *
+    * Spelled as a breakpoint-ladder count, NOT via bin()-length array
+    * indexing: f(x) = |{b ∈ L : b ≤ x}| where L interleaves thr_e and
+    * 2^e for e = 1..62. Proof of equality with 2·(bitlen−1) + [x ≥
+    * thr_bitlen] for 2^(b−1) ≤ x < 2^b: every e < b contributes both
+    * thr_e < 2^e ≤ x and 2^e ≤ x (2(b−1) total); e = b contributes
+    * exactly [x ≥ thr_b] (2^b > x); every e > b contributes nothing
+    * (thr_e > 2^b > x). The ladder form uses only constructs every
+    * other (driver-green) twin already exercises — list_filter/len/
+    * lambda capture — where bin() + out-of-band list indexing were
+    * UNIQUE to this twin and are the prime suspects for the r15
+    * driver-side q_unigram_train hash divergence that never reproduced
+    * locally (hash-only failure, all shared-chain consumers green).
     */
+  private val HalfBitLadder: IndexedSeq[Long] =
+    (1 to 62).flatMap(e => Seq(Sqrt2Thr(e - 1), 1L << e))
+
   private def fHalfBitsDk(x: String): String =
-    s"(2 * (length(bin($x)) - 1) + (CASE WHEN $x >= " +
-      s"([${Sqrt2Thr.mkString(", ")}])[length(bin($x))] THEN 1 ELSE 0 END))"
+    s"len(list_filter([${HalfBitLadder.mkString(", ")}], b -> b <= $x))"
 
   private def uniCostCteDk(name: String, vsrc: String): String =
     s"$name AS MATERIALIZED (SELECT p, c, " +
@@ -2204,14 +2219,21 @@ object Text {
   /** One Viterbi segmentation pass over the distinct-word table `wf`
     * under cost table `costSrc` — the EXACT integer twin of
     * [[uniSegment]]: flat slot list (packed cost·2²⁰+1, missing 10⁹
-    * half-bits), the DP fold (least over ≤4 predecessors; both
-    * engines' least() skips the p<l NULLs), the longest-piece-last
+    * half-bits), the DP fold (least over ≤4 predecessors; Spark's
+    * least() skips the p<l NULLs, the DuckDB twin carries a dominated
+    * sentinel instead so NULL semantics never enter), the longest-piece-last
     * reconstruction fold, and the piece slices. Both folds carry a
     * single-expression LIST accumulator (the r14 list_reduce law).
     */
   private def uniSegCtesDk(sfx: String, costSrc: String): String = {
+    // every least() option is TOTAL (p < l slots carry a 2^62 sentinel
+    // instead of NULL): the l = 1 option is valid at every position, and
+    // real packed options stay < 2^51 (len·130 half-bits of single-char
+    // chain + one 10^9-half-bit missing-piece slot), so the sentinel never
+    // wins — least()'s cross-version NULL semantics drop out entirely
     val opts = (1 to 4).map(l =>
-      s"CASE WHEN el[1] >= $l THEN acc[el[1] - $l + 1] + pl[(el[1] - $l) * 4 + $l] END")
+      s"CASE WHEN el[1] >= $l THEN acc[el[1] - $l + 1] + pl[(el[1] - $l) * 4 + $l] " +
+        "ELSE 4611686018427387904 END")
       .mkString(", ")
     s"sl$sfx AS (SELECT w, f, unnest(range(1, 4 * len(w) + 1)) AS idx FROM wf), " +
       s"sb$sfx AS (SELECT w, f, idx, CASE WHEN ((idx + 3) // 4) + ((idx - 1) % 4 + 1) - 1 <= len(w) " +
@@ -2222,12 +2244,24 @@ object Text {
       s"dp$sfx AS MATERIALIZED (SELECT w, f, pl, " +
       s"list_reduce(list_prepend([CAST(0 AS BIGINT)], list_transform(range(1, len(w) + 1), p -> [p])), " +
       s"(acc, el) -> list_append(acc, least($opts))) AS dp FROM pl$sfx), " +
+      // the reconstruction fold APPENDS ON EVERY ITERATION (a scalar CASE
+      // inside one list_append, re-appending 0 once the walk terminates)
+      // instead of early-exiting via `CASE WHEN ... THEN acc` — a
+      // list-typed CASE branch that REUSES the accumulator is the same
+      // evaluator seam as the r14 struct-field list_reduce bug (Multimodal
+      // adpcmFoldLambda) and was observed (r16) mis-evaluating the fold's
+      // INITIAL element context-dependently: identical dp/pl inputs gave
+      // cuts [5,1,0] under q_tokenizer_fertility's wider WITH clause vs
+      // the correct [8,5,4,2,1,0] standalone. Terminated-walk padding
+      // yields zero-width '' slices, filtered out of `pieces` below —
+      // provably never a real piece (real widths are >= 1).
       s"rc$sfx AS MATERIALIZED (SELECT w, f, " +
       s"list_reduce(list_prepend([CAST(len(w) AS BIGINT)], list_transform(range(1, len(w) + 1), x -> [x])), " +
-      s"(acc, el) -> CASE WHEN acc[len(acc)] <= 0 THEN acc " +
-      s"ELSE list_append(acc, acc[len(acc)] - (${uniLstarDk("acc[len(acc)]")})) END) AS cuts FROM dp$sfx), " +
-      s"pc$sfx AS MATERIALIZED (SELECT w, f, list_transform(range(1, len(cuts)), " +
-      s"k -> substr(w, CAST(cuts[k + 1] + 1 AS INT), CAST(cuts[k] - cuts[k + 1] AS INT))) AS pieces FROM rc$sfx)"
+      s"(acc, el) -> list_append(acc, CASE WHEN acc[len(acc)] <= 0 THEN acc[len(acc)] " +
+      s"ELSE acc[len(acc)] - (${uniLstarDk("acc[len(acc)]")}) END)) AS cuts FROM dp$sfx), " +
+      s"pc$sfx AS MATERIALIZED (SELECT w, f, list_filter(list_transform(range(1, len(cuts)), " +
+      s"k -> substr(w, CAST(cuts[k + 1] + 1 AS INT), CAST(cuts[k] - cuts[k + 1] AS INT))), " +
+      s"p -> p <> '') AS pieces FROM rc$sfx)"
   }
 
   /** One hard-EM M-step: Viterbi counts, zero-count multi-char prune,

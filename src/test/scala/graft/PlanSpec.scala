@@ -258,10 +258,18 @@ class PlanSpec extends SparkSpec {
       s"repetition must not shuffle:\n${p.take(1200)}")
   }
 
-  test("k-means reassignment broadcasts the centroid table") {
+  test("k-means reassignment aggregates the eagerly-checkpointed assignment") {
+    // r15 shape: kmeansFit checkpoints the assignment (the reassignment's
+    // centroid broadcast happens INSIDE the checkpoint job), so the final
+    // plan must be an aggregate over the checkpoint — re-deriving the
+    // corpus here (a parquet scan creeping back in) means the fit-boundary
+    // checkpoint was lost and every consumer re-runs the Lloyd unroll
     val p = finalPlan("q_embed_kmeans")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"centroids must broadcast, never shuffle the corpus for assignment:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan must read the checkpointed assignment:\n${p.take(1200)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 0,
+      s"corpus must not be rescanned past the checkpoint, got $scans:\n${p.take(1200)}")
   }
 
   test("group sample broadcasts the group-count table") {
@@ -322,25 +330,29 @@ class PlanSpec extends SparkSpec {
       s"per-doc and span branches must share the window-hash exchange:\n${p.take(1500)}")
   }
 
-  test("embed pca: three unrolled iterations collapse to one moment computation") {
+  test("embed pca: moments are checkpointed once — one full corpus pass remains") {
+    // r15 shape: covMatRows computes the moment matrix in ONE typed
+    // aggregate and checkpoints it (plus the derived direction), so the
+    // final plan holds exactly 1 parquet scan (the full-corpus projection)
+    // and reads the checkpointed artifacts as ExistingRDD — the pre-r15
+    // shape re-read the sample 3x per unrolled power iteration (4+ scans)
     val p = finalPlan("q_embed_pca")
     val scans = "Scan parquet".r.findAllIn(p).size
-    // 3 τ-bounded sample reads (moments, sums, count) + exactly 1 full
-    // corpus pass (the projection); without exchange reuse the three
-    // power-iteration steps would re-derive the moments (≥9 scans)
-    assert(scans === 4, s"expected 3 sample reads + 1 corpus pass, got $scans:\n${p.take(1500)}")
-    assert("ReusedExchange".r.findAllIn(p).size === 3,
-      s"each unrolled iteration must reuse the moment exchanges:\n${p.take(1500)}")
+    assert(scans === 1, s"expected exactly the corpus projection pass, got $scans:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"moment/direction artifacts must come from the checkpoint:\n${p.take(1500)}")
   }
 
-  test("hard negatives: kmeans derivation is exchange-reused, probe joins broadcast") {
+  test("hard negatives: kmeans artifacts are checkpointed, probe joins broadcast") {
+    // r15 shape: kmeansFit checkpoints its outputs, so the final plan
+    // reads the trained quantizer as ExistingRDD instead of re-deriving
+    // it per consumer (the pre-r15 guard asserted ReusedExchange; the
+    // checkpoint removes the reuse edge along with the recomputation)
     val p = finalPlan("q_hard_negatives")
     val scans = "Scan parquet".r.findAllIn(p).size
-    // 5th scan = the data-derived nlist count aggregate (one 1-row
-    // column-pruned pass; the price of nlist ≈ √N instead of a knob)
-    assert(scans <= 5, s"scan count regressed past the pinned shape:\n${p.take(1500)}")
-    assert(p.contains("ReusedExchange"),
-      s"the trained-quantizer derivation must not recompute per consumer:\n${p.take(1500)}")
+    assert(scans <= 2, s"scan count regressed past the pinned shape, got $scans:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the trained-quantizer derivation must come from the checkpoint:\n${p.take(1500)}")
     assert(p.contains("BroadcastHashJoin"), "probe joins must broadcast at gate SFs")
   }
 
